@@ -1,0 +1,602 @@
+package graft
+
+import graft.functions.{Checksum, Masquerade, TextFunctions, VectorFunctions}
+import graft.operators.{ChunkPlanner, Dedup, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The operator catalog: every SURVEY §2 operator (plus the training-data
+  * pipeline extensions) as a named query over the driver testdata, each
+  * with a DuckDB oracle where SQL-expressible.
+  *
+  * Determinism contract with the oracle (driver hashes values after
+  * sorting columns by name): every query ends in a total ORDER BY; double
+  * aggregates go through DECIMAL(38,s) so sums are exact and associative;
+  * ratio outputs are double divisions of identical inputs rounded to a
+  * fixed scale; counts/sizes are cast to long to match DuckDB's BIGINT.
+  */
+object Queries {
+  import Tables._
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def sum38_2(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
+  private def sum38_4(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
+
+  // ---------------------------------------------------------------- scans
+  /** P1 — explicit column projection (generated-column pruning analog). */
+  val qScanProject: QFn = (s, d) =>
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+  val qScanProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+
+  /** P2 — computed-column projection (columns_on_select_replace). */
+  val qProjCompute: QFn = (s, d) =>
+    part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_type")).as("type_u"),
+      concat(col("p_brand"), lit("#"), col("p_size").cast(StringType)).as("brand_size"),
+      (col("p_retailprice") + lit(100.0)).as("price_adj"))
+      .orderBy("p_partkey")
+  val qProjComputeSql: String =
+    """SELECT p_partkey, upper(p_type) AS type_u,
+      |  p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size,
+      |  p_retailprice + 100.0 AS price_adj
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** P3 — row filter (user WHERE pushed to the scan). */
+  val qFilterWhere: QFn = (s, d) =>
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1995-06-01")) &&
+        col("l_discount") > lit(0.05))
+      .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_discount")
+  val qFilterWhereSql: String =
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05
+      |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_discount""".stripMargin
+
+  /** P4/C2 — chunk-range predicates: plan 8 integer chunks on the orders
+    * PK, scan each range as its own filtered job, union, and report
+    * per-chunk stats. Chunk membership is pure arithmetic so DuckDB can
+    * replay it. */
+  val qChunkPred: QFn = (s, d) => {
+    val o = orders(s, d)
+    val (lo, hi) = ChunkPlanner.intBounds(o, "o_orderkey")
+    val step = math.max((hi - lo + 1) / 8, 1L)
+    val chunks = ChunkPlanner.integerChunks("o_orderkey", lo, hi, step, includeNull = false)
+    chunks.map(c => o.filter(c.filter).withColumn("chunk_id", lit(c.id)))
+      .reduce(_ unionAll _)
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("cnt"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .orderBy("chunk_id")
+  }
+  val qChunkPredSql: String =
+    """WITH b AS (SELECT min(o_orderkey) lo, max(o_orderkey) hi FROM orders),
+      |     s AS (SELECT lo, greatest((hi - lo + 1) // 8, 1) st FROM b)
+      |SELECT CAST((o_orderkey - lo) // st AS INT) AS chunk_id, count(*) AS cnt,
+      |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders, s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** P5 — top-k (ORDER BY + LIMIT → TakeOrderedAndProject). */
+  val qLimitTopK: QFn = (s, d) =>
+    orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+  val qLimitTopKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ----------------------------------------------------------- aggregates
+  /** A1 — MIN/MAX bounds probe (+ LEFT(MIN(...),1) shape). */
+  val qMinMax: QFn = (s, d) =>
+    orders(s, d).agg(
+      min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"),
+      substring(min(col("o_orderdate")).cast(StringType), 1, 4).as("min_year"))
+  val qMinMaxSql: String =
+    """SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  substring(CAST(min(o_orderdate) AS VARCHAR), 1, 4) AS min_year
+      |FROM orders""".stripMargin
+
+  /** A2 — exact COUNT(*) with WHERE. */
+  val qCountWhere: QFn = (s, d) =>
+    lineitem(s, d).filter(col("l_quantity") >= lit(25.0))
+      .agg(count(lit(1)).as("cnt"))
+  val qCountWhereSql: String =
+    "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity >= 25.0"
+
+  /** A4 — CRC32-XOR table checksums (the reference's round-trip oracle,
+    * checksum.c:98-153). DuckDB 1.0 lacks crc32 → rows-only check here;
+    * the ScalaTest round-trip (dump → load → checksum equality) is the
+    * real gate. */
+  val qChecksum: QFn = (s, d) =>
+    Seq("region", "nation", "supplier", "part")
+      .map(n => Checksum.checksumRow(t(s, d, n), n))
+      .reduce(_ unionAll _)
+      .orderBy("table")
+
+  /** TPC-H Q1 shape — grouped aggregate with decimal-exact sums. */
+  val q1Agg: QFn = (s, d) =>
+    lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
+      sum38_2(col("l_quantity")).as("sum_qty"),
+      sum38_2(col("l_extendedprice")).as("sum_base_price"),
+      sum38_4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+      count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Grouping sets — ROLLUP with NULLS FIRST ordering parity. */
+  val qRollup: QFn = (s, d) =>
+    lineitem(s, d).rollup("l_returnflag", "l_linestatus").agg(
+      count(lit(1)).as("cnt"), sum38_2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  val qRollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** COUNT(DISTINCT ...) — expand + two-phase hash agg. */
+  val qDistinctAgg: QFn = (s, d) =>
+    lineitem(s, d).groupBy("l_returnflag").agg(
+      countDistinct(col("l_suppkey")).as("n_supp"),
+      countDistinct(col("l_partkey")).as("n_part"),
+      count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  val qDistinctAggSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part, count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- joins
+  /** Broadcast-dim star join: revenue per nation (dims broadcast, fact
+    * never shuffled for the joins — only for the final small agg). */
+  val qJoinRevenue: QFn = (s, d) => {
+    val li = lineitem(s, d); val o = orders(s, d)
+    val c = customer(s, d); val n = nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("n_name"))
+      .agg(sum38_4(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("n_name")
+  }
+  val qJoinRevenueSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Left-semi join (EXISTS). */
+  val qJoinSemi: QFn = (s, d) => {
+    val o = orders(s, d)
+    val big = lineitem(s, d).filter(col("l_quantity") >= lit(50.0))
+      .select(col("l_orderkey").as("o_orderkey"))
+    o.join(big, Seq("o_orderkey"), "left_semi")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+  val qJoinSemiSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 50.0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left-anti join (NOT EXISTS): customers with no high-value orders. */
+  val qJoinAnti: QFn = (s, d) => {
+    val c = customer(s, d)
+    val o = orders(s, d).filter(col("o_totalprice") > lit(300000.0))
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+  val qJoinAntiSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -------------------------------------------------------------- windows
+  /** row_number ranking per group (top-3 orders per customer). */
+  val qWindowRank: QFn = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+  val qWindowRankSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** Running sum over rowsBetween (decimal-exact). (orderkey, linenumber)
+    * is NOT unique in the testdata, so the window order includes
+    * l_quantity: remaining ties add equal amounts → the output multiset
+    * is deterministic, and running_qty completes the output sort key. */
+  val qWindowRunning: QFn = (s, d) => {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sum(dec2(col("l_quantity"))).over(w).cast(DecimalType(38, 2)).as("running_qty"))
+      .orderBy("l_orderkey", "l_linenumber", "running_qty")
+  }
+  val qWindowRunningSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_qty
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty""".stripMargin
+
+  /** lead() — the chunk-cursor analog (§2.5: next boundary per key). */
+  val qWindowLead: QFn = (s, d) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"), lead(col("l_shipdate"), 1).over(w).as("next_ship"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("next_ship").asc_nulls_first)
+  }
+  val qWindowLeadSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+      |  lead(l_shipdate, 1) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_ship
+      |FROM lineitem
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |  next_ship ASC NULLS FIRST""".stripMargin
+
+  /** ntile chunk boundaries — the window-native replacement of the
+    * reference's cursor-probe boundary walk (SURVEY §2.5). */
+  val qNtileChunks: QFn = (s, d) =>
+    ChunkPlanner.ntileBounds(orders(s, d), "o_orderkey", 8)
+      .select(col("tile").cast(LongType).as("tile"), col("lo"), col("hi"),
+        col("cnt"))
+  val qNtileChunksSql: String =
+    """WITH t AS (SELECT o_orderkey,
+      |    ntile(8) OVER (ORDER BY o_orderkey) AS tile FROM orders)
+      |SELECT tile, min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+      |  count(*) AS cnt
+      |FROM t GROUP BY tile ORDER BY tile""".stripMargin
+
+  // --------------------------------------------------------------- setops
+  /** INTERSECT / EXCEPT / UNION-distinct cardinalities. */
+  val qSetOps: QFn = (s, d) => {
+    val a = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val b = orders(s, d).filter(col("o_totalprice") > lit(150000.0))
+      .select(col("o_custkey").as("k"))
+    val inter = a.intersect(b).agg(count(lit(1)).as("cnt"))
+      .select(lit("intersect").as("op"), col("cnt"))
+    val exc = a.except(b).agg(count(lit(1)).as("cnt"))
+      .select(lit("except").as("op"), col("cnt"))
+    val uni = a.union(b).distinct().agg(count(lit(1)).as("cnt"))
+      .select(lit("union").as("op"), col("cnt"))
+    inter.unionAll(exc).unionAll(uni).orderBy("op")
+  }
+  val qSetOpsSql: String =
+    """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |     b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0)
+      |SELECT 'intersect' AS op, count(*) AS cnt FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'except' AS op, count(*) AS cnt FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'union' AS op, count(*) AS cnt FROM (SELECT k FROM a UNION SELECT k FROM b)
+      |ORDER BY op""".stripMargin
+
+  // ------------------------------------------------- masquerade / scalars
+  /** F1/F6/F7/F8/F9 — SQL-expressible masquerade family. */
+  val qMasquerade: QFn = (s, d) => {
+    import Masquerade._
+    customer(s, d).select(
+      col("c_custkey"),
+      Constant("ACME")(col("c_name")).as("name_const"),
+      Affix("cust-", "-x")(col("c_name")).as("name_affix"),
+      Regex("[0-9]+", "#")(col("c_name")).as("name_regex"),
+      Null(col("c_acctbal")).as("bal_null"))
+      .orderBy("c_custkey")
+  }
+  val qMasqueradeSql: String =
+    """SELECT c_custkey,
+      |  CASE WHEN c_name IS NULL THEN NULL ELSE 'ACME' END AS name_const,
+      |  'cust-' || c_name || '-x' AS name_affix,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_regex,
+      |  CAST(NULL AS VARCHAR) AS bal_null
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** F2/F3/F4 — deterministic hash masking (md5-keyed; identical
+    * algorithm in DuckDB, so fully oracle-checkable). */
+  val qMaskHash: QFn = (s, d) => {
+    import Masquerade._
+    customer(s, d).select(
+      col("c_custkey"),
+      RandomIntDet(col("c_name")).as("mask_int"),
+      RandomStringDet(col("c_name")).as("mask_str"),
+      RandomUuidDet(col("c_name")).as("mask_uuid"))
+      .orderBy("c_custkey")
+  }
+  private val hexPoolSql =
+    "md5(c_name) || md5(md5(c_name) || '#2') || md5(md5(c_name) || '#3') || md5(md5(c_name) || '#4')"
+  val qMaskHashSql: String =
+    s"""SELECT c_custkey,
+       |  substring(translate($hexPoolSql, 'abcdef', '012345'), 1,
+       |    least(length(c_name), 128)) AS mask_int,
+       |  substring(translate($hexPoolSql, '0123456789', 'ghijklmnop'), 1,
+       |    least(length(c_name), 128)) AS mask_str,
+       |  substring(md5(c_name), 1, 8) || '-' || substring(md5(c_name), 9, 4) || '-' ||
+       |    substring(md5(c_name), 13, 4) || '-' || substring(md5(c_name), 17, 4) || '-' ||
+       |    substring(md5(c_name), 21, 12) AS mask_uuid
+       |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Scalar string/date/json surface (§2.6 server-side functions). */
+  val qScalarFns: QFn = (s, d) =>
+    orders(s, d).select(
+      col("o_orderkey"),
+      substring(col("o_orderpriority"), 1, 1).as("prio_left"),
+      concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("cw"),
+      col("o_orderstatus").like("F%").as("is_f"),
+      year(col("o_orderdate")).cast(LongType).as("o_year"),
+      lower(hex(col("o_orderpriority").cast(BinaryType))).as("prio_hex"))
+      .orderBy("o_orderkey")
+  val qScalarFnsSql: String =
+    """SELECT o_orderkey,
+      |  substring(o_orderpriority, 1, 1) AS prio_left,
+      |  concat_ws('|', o_orderstatus, o_orderpriority) AS cw,
+      |  o_orderstatus LIKE 'F%' AS is_f,
+      |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  lower(hex(o_orderpriority)) AS prio_hex
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** JSON extraction (§2.6 JSON pass-through → native json functions). */
+  val qJsonExtract: QFn = (s, d) =>
+    events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy("event_id")
+  val qJsonExtractSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------- text pipeline
+  /** Token / word statistics per document. */
+  val qTextStats: QFn = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      TextFunctions.meanWordLen(col("text")).as("mean_wlen"),
+      TextFunctions.stopwordRatio(col("text")).as("stop_ratio"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  val qTextStatsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, text, n_tokens,
+      |    CASE WHEN n_tokens = 0 THEN 0.0
+      |         ELSE floor((CAST(length(trim(text)) - (n_tokens - 1) AS DOUBLE) / n_tokens) * 10000.0) / 10000.0 END AS mean_wlen,
+      |    CASE WHEN n_tokens = 0 THEN 0.0
+      |         ELSE floor((CAST(len(regexp_extract_all(lower(text), '\b(the|a|an|and|of|to|in|is|it|for)\b')) AS DOUBLE) / n_tokens) * 10000.0) / 10000.0 END AS stop_ratio
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mean_wlen, stop_ratio,
+      |  floor((least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |    + least(stop_ratio * 5.0, 1.0) * 0.3
+      |    + (CASE WHEN mean_wlen >= 3.0 AND mean_wlen <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3) * 10000.0) / 10000.0 AS quality
+      |FROM u ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic (marker-stopword argmax). */
+  val qLangId: QFn = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  private def hitsSql(words: Seq[String]): String =
+    s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+  val qLangIdSql: String = {
+    val en = hitsSql(Seq("the", "and", "of", "to", "is", "with", "that"))
+    val es = hitsSql(Seq("el", "la", "los", "las", "que", "por", "una"))
+    val fr = hitsSql(Seq("le", "les", "des", "est", "avec", "pour", "une"))
+    val de = hitsSql(Seq("der", "die", "das", "und", "ist", "mit", "ein"))
+    val zh = hitsSql(Seq("的", "是", "了", "在", "我", "有"))
+    s"""WITH t AS (SELECT doc_id, $en s_en, $es s_es, $fr s_fr, $de s_de, $zh s_zh
+       |  FROM documents),
+       |u AS (SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh,
+       |  greatest(s_en, s_es, s_fr, s_de, s_zh) AS best FROM t)
+       |SELECT doc_id,
+       |  CASE WHEN s_en = best AND s_en > 0 THEN 'en'
+       |       WHEN s_es = best AND s_es > 0 THEN 'es'
+       |       WHEN s_fr = best AND s_fr > 0 THEN 'fr'
+       |       WHEN s_de = best AND s_de > 0 THEN 'de'
+       |       WHEN s_zh = best AND s_zh > 0 THEN 'zh'
+       |       ELSE 'und' END AS lang_pred
+       |FROM u ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token totals per source (corpus accounting). */
+  val qTokenTotals: QFn = (s, d) =>
+    documents(s, d)
+      .groupBy("source")
+      .agg(sum(TextFunctions.tokenCount(col("text")).cast(LongType)).as("total_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+  val qTokenTotalsSql: String =
+    """SELECT source,
+      |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
+      |  count(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- dedup
+  /** Exact dedup via normalized-text fingerprint (hash-groupBy). */
+  val qDedupExact: QFn = (s, d) =>
+    Dedup.exact(documents(s, d), "text", "doc_id").orderBy("fp")
+  val qDedupExactSql: String =
+    """SELECT substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp,
+      |  min(doc_id) AS keep_id, count(*) AS dup_count
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only
+    * check: xxhash64 has no DuckDB analog). Deterministic output. */
+  val qDedupMinhash: QFn = (s, d) =>
+    Dedup.minhashPairs(documents(s, d), "text", "doc_id",
+      shingleSize = 3, bands = 8, rowsPerBand = 4, verifyJaccard = Some(0.5))
+      .orderBy("id1", "id2")
+
+  /** SimHash near-dup pairs (rows-only check). */
+  val qDedupSimhash: QFn = (s, d) =>
+    Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 6)
+      .orderBy("id1", "id2")
+
+  /** Embedding-cosine near-dups via hyperplane LSH (rows-only check;
+    * testdata max pairwise cosine ≈0.51, so threshold 0.35 yields pairs). */
+  val qDedupEmbedding: QFn = (s, d) =>
+    Dedup.embeddingNearDups(embeddings(s, d), "embedding", "vec_id",
+      threshold = 0.35, bits = 2)
+      .orderBy("id1", "id2")
+
+  // ----------------------------------------------------------- similarity
+  /** Brute-force cosine top-k ANN (oracle: explicit sequential-fold
+    * cosine in DuckDB — bit-identical to the zip_with/aggregate fold). */
+  val qAnnCosine: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0), "embedding", "vec_id", q, 20)
+      .select(col("vec_id"), (floor(col("score") * lit(1000000.0)) / lit(1000000.0)).as("score"))
+  }
+  val qAnnCosineSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |c AS (SELECT vec_id,
+      |  list_sum(list_transform(list_zip(embedding, qe),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings, q WHERE vec_id <> 0)
+      |SELECT vec_id, floor(cos * 1000000.0) / 1000000.0 AS score FROM c
+      |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+
+  /** Embedding stats: dim + L2 norm per vector. */
+  val qEmbedStats: QFn = (s, d) =>
+    embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).cast(LongType).as("dim"),
+      (floor(VectorFunctions.norm(col("embedding")) * lit(10000.0)) / lit(10000.0)).as("norm_r"))
+      .orderBy("vec_id")
+  val qEmbedStatsSql: String =
+    """SELECT vec_id, label, len(embedding) AS dim,
+      |  floor(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 AS norm_r
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------------ streaming
+  /** Tumbling-window aggregate on the events table — the batch-equivalent
+    * plan of the Structured Streaming pipeline (§2.10); the streaming
+    * variant is exercised in ScalaTest. */
+  val qWindowEvents: QFn = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum38_2(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+  val qWindowEventsSql: String =
+    """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------- registry
+  val all: Map[String, QFn] = Map(
+    "q_scan_project" -> qScanProject,
+    "q_proj_compute" -> qProjCompute,
+    "q_filter_where" -> qFilterWhere,
+    "q_chunk_pred" -> qChunkPred,
+    "q_limit_topk" -> qLimitTopK,
+    "q_minmax" -> qMinMax,
+    "q_count_where" -> qCountWhere,
+    "q_checksum" -> qChecksum,
+    "q1_agg" -> q1Agg,
+    "q_rollup" -> qRollup,
+    "q_distinct_agg" -> qDistinctAgg,
+    "q_join_revenue" -> qJoinRevenue,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_window_rank" -> qWindowRank,
+    "q_window_running" -> qWindowRunning,
+    "q_window_lead" -> qWindowLead,
+    "q_ntile_chunks" -> qNtileChunks,
+    "q_setops" -> qSetOps,
+    "q_masquerade" -> qMasquerade,
+    "q_mask_hash" -> qMaskHash,
+    "q_scalar_fns" -> qScalarFns,
+    "q_json_extract" -> qJsonExtract,
+    "q_text_stats" -> qTextStats,
+    "q_lang_id" -> qLangId,
+    "q_token_totals" -> qTokenTotals,
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_ann_cosine" -> qAnnCosine,
+    "q_embed_stats" -> qEmbedStats,
+    "q_window_events" -> qWindowEvents)
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project" -> qScanProjectSql,
+    "q_proj_compute" -> qProjComputeSql,
+    "q_filter_where" -> qFilterWhereSql,
+    "q_chunk_pred" -> qChunkPredSql,
+    "q_limit_topk" -> qLimitTopKSql,
+    "q_minmax" -> qMinMaxSql,
+    "q_count_where" -> qCountWhereSql,
+    "q1_agg" -> q1AggSql,
+    "q_rollup" -> qRollupSql,
+    "q_distinct_agg" -> qDistinctAggSql,
+    "q_join_revenue" -> qJoinRevenueSql,
+    "q_join_semi" -> qJoinSemiSql,
+    "q_join_anti" -> qJoinAntiSql,
+    "q_window_rank" -> qWindowRankSql,
+    "q_window_running" -> qWindowRunningSql,
+    "q_window_lead" -> qWindowLeadSql,
+    "q_ntile_chunks" -> qNtileChunksSql,
+    "q_setops" -> qSetOpsSql,
+    "q_masquerade" -> qMasqueradeSql,
+    "q_mask_hash" -> qMaskHashSql,
+    "q_scalar_fns" -> qScalarFnsSql,
+    "q_json_extract" -> qJsonExtractSql,
+    "q_text_stats" -> qTextStatsSql,
+    "q_lang_id" -> qLangIdSql,
+    "q_token_totals" -> qTokenTotalsSql,
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_ann_cosine" -> qAnnCosineSql,
+    "q_embed_stats" -> qEmbedStatsSql,
+    "q_window_events" -> qWindowEventsSql)
+}

@@ -1,0 +1,99 @@
+package graft.core
+
+/** Core catalog / planning model (SURVEY §1, §7 module 1).
+  *
+  * Mirrors the reference's runtime-discovered catalog entries
+  * (`struct db_table`, /root/reference/src/mydumper/mydumper_table.c:369-517)
+  * as immutable Scala case classes; schemas stay dynamic (`StructType` on the
+  * DataFrame side), these carry only planning metadata.
+  */
+final case class ColumnMeta(
+    name: String,
+    dataType: String,
+    nullable: Boolean = true,
+    isGenerated: Boolean = false, // excluded from projections (mydumper_table.c:262-294)
+    ordinal: Int = 0)
+
+final case class TableMeta(
+    database: String,
+    table: String,
+    columns: Seq[ColumnMeta],
+    primaryKey: Seq[String] = Nil,
+    engine: String = "",
+    estimatedRows: Long = -1L,
+    isTransactional: Boolean = true) {
+  def qualified: String = s"$database.$table"
+  /** Filename-safe name (reference sanitizes dots/specials,
+    * mydumper_database.c). */
+  def fileStem: String = s"$database.$table"
+  /** Projection list excluding generated columns, in ordinal order
+    * (mydumper_table.c:262-294). */
+  def selectableColumns: Seq[String] =
+    columns.filterNot(_.isGenerated).sortBy(_.ordinal).map(_.name)
+}
+
+/** Per-table configuration (reference per-table conf,
+  * /root/reference/src/common.c:199-342): where/limit/rows/columns overrides
+  * plus the column→mask-function map.
+  */
+final case class TableConfig(
+    where: Option[String] = None,
+    limit: Option[Long] = None,
+    rows: Option[ChunkRows] = None,
+    columnsOnSelect: Map[String, String] = Map.empty, // col -> replacement expr (P2)
+    masks: Map[String, Seq[String]] = Map.empty,      // col -> mask fn chain (F10)
+    partitionRegex: Option[String] = None,
+    numThreads: Option[Int] = None,
+    skipChecksum: Boolean = false)
+
+/** `--rows min:start:max` adaptive step bounds
+  * (/root/reference/src/mydumper/mydumper_table.c:414-440). */
+final case class ChunkRows(min: Long, start: Long, max: Long)
+
+object TableConfig {
+  val empty: TableConfig = TableConfig()
+
+  /** 3-level coalesce `db.table` → `*.table` → `db.*`, exactly the
+    * reference's m_coalesce_hash resolution (mydumper_table.c:406). */
+  def resolve(conf: Map[String, TableConfig], db: String, table: String): TableConfig =
+    conf.get(s"$db.$table")
+      .orElse(conf.get(s"*.$table"))
+      .orElse(conf.get(s"$db.*"))
+      .getOrElse(empty)
+}
+
+/** Chunk-strategy ADT (SURVEY §2.7 C1): how a table is split into
+  * independent scan ranges → Spark partitions. */
+sealed trait ChunkSpec
+object ChunkSpec {
+  /** rows <= minChunkStep → single whole-table scan
+    * (mydumper_chunks.c:323-338). */
+  case object WholeTable extends ChunkSpec
+  /** Integer PK range chunks (mydumper_integer_chunks.c). */
+  final case class IntRange(column: String, min: Long, max: Long, step: Long,
+      includeNullChunk: Boolean = true) extends ChunkSpec
+  /** String PK range chunks from sampled quantile boundaries
+    * (replaces the reference's LEFT(f,len) prefix walk,
+    * mydumper_string_chunks.c:404-480). */
+  final case class StringRange(column: String, boundaries: Seq[String],
+      includeNullChunk: Boolean = true) extends ChunkSpec
+  /** Physical-partition chunks (mydumper_partition_chunks.c:46-141). */
+  final case class Partitions(partitions: Seq[String]) extends ChunkSpec
+}
+
+/** Dump manifest — the metadata-file equivalent
+  * (mydumper_start_dump.c:774-808,1176-1182): run bounds, per-table row
+  * counts + checksums, source position. */
+final case class TableManifest(
+    table: String,
+    rows: Long,
+    dataChecksum: Option[String] = None,
+    schemaChecksum: Option[String] = None,
+    files: Seq[String] = Nil)
+
+final case class DumpManifest(
+    startedAt: String,
+    finishedAt: String,
+    quoteChar: String = "`",
+    sourcePosition: Option[String] = None, // binlog-pos analog
+    tables: Seq[TableManifest] = Nil)

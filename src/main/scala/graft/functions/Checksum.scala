@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data / structure checksums (SURVEY §2.4 A4/A5).
+  *
+  * The reference's oracle is MySQL's `CHECKSUM TABLE` (CRC32-XOR over
+  * concatenated row text, /root/reference/src/checksum.c:98-153) — the
+  * load-side verification aborts on any per-table mismatch. Re-expressed
+  * here as a pure Catalyst combination `bit_xor(crc32(concat_ws(...)))`:
+  * both `crc32` and the `bit_xor` aggregate are codegen'd built-ins, so the
+  * checksum runs as a single whole-stage-codegen pass with a map-side
+  * partial aggregate — one shuffled row per partition at any scale.
+  */
+object Checksum {
+
+  /** Canonical row text: columns cast to string, NULL → literal "NULL"
+    * (reference maps NULL to the text "NULL"/"\N",
+    * mydumper_write.c:677-678), joined with 0x1f separators so column
+    * boundaries can't collide. */
+  def rowText(cols: Seq[Column]): Column =
+    concat_ws("", cols.map(c => coalesce(c.cast(StringType), lit("NULL"))): _*)
+
+  /** CRC32-XOR digest of the given columns — the engine's `CHECKSUM TABLE`. */
+  def tableChecksum(df: DataFrame, cols: Seq[String] = Nil): Column = {
+    val use = if (cols.nonEmpty) cols else df.columns.toSeq
+    bitXorAgg(crc32(rowText(use.map(df.col)).cast(BinaryType)))
+  }
+
+  /** bit_xor aggregate over longs (Spark SQL `bit_xor` exposed to the
+    * Column API). */
+  def bitXorAgg(c: Column): Column = expr_agg("bit_xor", c)
+
+  private def expr_agg(name: String, c: Column): Column =
+    call_function(name, c)
+
+  /** Structure checksum (A5): CRC-XOR over catalog rows rendered as
+    * space-joined text — reference checksum.c:105-153 shape
+    * `LOWER(CONV(BIT_XOR(CAST(CRC32(col) AS UNSIGNED)),10,16))`. */
+  def structureChecksum(df: DataFrame, cols: Seq[String]): Column =
+    lower(conv(tableChecksum(df, cols).cast(StringType), 10, 16))
+
+  /** One-row DataFrame `(table, checksum)` for manifest recording. */
+  def checksumRow(df: DataFrame, table: String): DataFrame =
+    df.agg(tableChecksum(df).as("checksum"))
+      .select(lit(table).as("table"), col("checksum"))
+}

@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis functions for the training-data pipeline extensions
+  * (builder brief: language-ID, quality scoring, token counting, document
+  * fingerprinting). All pure `functions._` compositions — whole-stage
+  * codegen, no UDFs, no shuffle; they scale as a map over the documents
+  * table.
+  */
+object TextFunctions {
+
+  /** Truncate to 4 decimals via floor — unlike round(), floor of an
+    * identical double is identical in every engine (no half-way tie
+    * semantics), which the DuckDB oracle comparison relies on. */
+  def trunc4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
+
+  /** Whitespace-token count; empty/blank text → 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word chunks + digit runs + punctuation marks,
+    * the usual cheap proxy for tokenizer load. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Mean word length over whitespace tokens (0 for blank). */
+  def meanWordLen(text: Column): Column = {
+    val t = trim(text)
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise(trunc4((length(t) - (n - 1)).cast(DoubleType) / n.cast(DoubleType)))
+  }
+
+  private val punctClass = "[.,;:!?'\"()\\[\\]{}-]"
+
+  /** Punctuation density per character (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      trunc4(size(regexp_extract_all(text, lit(punctClass), lit(0))).cast(DoubleType)
+        / length(text).cast(DoubleType)))
+
+  private val stopwords = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
+  private val stopwordPattern = "\\b(" + stopwords.mkString("|") + ")\\b"
+
+  /** Stopword hits / token count — high for natural prose, low for tables
+    * or boilerplate. */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      trunc4(size(regexp_extract_all(lower(text), lit(stopwordPattern), lit(0))).cast(DoubleType)
+        / n.cast(DoubleType)))
+  }
+
+  /** Composite quality score in [0,1]: long enough, punctuated, some
+    * stopwords, sane mean word length. Deliberately simple + deterministic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(length(text).cast(DoubleType) / lit(500.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val wl        = meanWordLen(text)
+    val wlScore   = when(wl >= 3.0 && wl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    trunc4(lenScore * 0.4 + stopScore * 0.3 + wlScore * 0.3)
+  }
+
+  /** Stopword lists per language for the n-gram/stopword language-ID
+    * heuristic. Scores = distinct-marker hits; argmax wins, ties broken by
+    * fixed language order (en first). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "es" -> Seq("el", "la", "los", "las", "que", "por", "una"),
+    "fr" -> Seq("le", "les", "des", "est", "avec", "pour", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有"))
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Language-ID: argmax of marker-word hit counts; "und" when nothing
+    * matches. */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ws) => (lang, markerHits(text, ws)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercase text,
+    * truncated to 16 hex chars — the exact-dup key. */
+  def fingerprint(text: Column): Column =
+    substring(md5(lower(regexp_replace(trim(text), "\\s+", " ")).cast(BinaryType)), 1, 16)
+
+  /** Word n-gram shingles (n consecutive tokens joined by space) — input
+    * to MinHash / Jaccard dedup. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) < n, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** Rolling polynomial hash over tokens (Rabin-Karp style): distributed
+    * left-fold, no state outside the row. */
+  def rollingHash(text: Column): Column =
+    aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
+      (acc, w) => acc * lit(1000003L) + xxhash64(w))
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.core.ChunkSpec
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Partition / chunk planner — SURVEY §2.7 (C1-C5) re-expressed as static
+  * planning over DataFrames.
+  *
+  * The reference splits every table into independently scannable ranges
+  * (integer-PK ranges with binary-split work stealing, string-prefix
+  * walks, physical partitions — mydumper_chunks.c:312-345,
+  * mydumper_integer_chunks.c, mydumper_string_chunks.c). On Spark the
+  * dynamic stealing machinery disappears: we over-partition into
+  * fine-grained ranges and let the task scheduler + AQE do the
+  * load-balancing. What remains is exactly this planner: pick a strategy,
+  * compute boundaries (min/max probe or sampled quantiles — one cheap agg
+  * job, never a collect of data rows), and emit WHERE-shaped predicates
+  * usable both as `spark.read.jdbc(predicates=...)` partitions and as
+  * DataFrame filters.
+  */
+object ChunkPlanner {
+
+  /** C1 fast path: rows ≤ minChunkStep → whole table
+    * (mydumper_chunks.c:323-338). */
+  val MinChunkStepSize = 1000L // mydumper_chunks.h:22
+
+  /** Strategy chooser (C1, set_chunk_strategy_for_dbt). */
+  def choose(rowEstimate: Long, pkType: Option[String], partitions: Seq[String],
+      rowsPerChunk: Long = MinChunkStepSize): Strategy =
+    if (partitions.nonEmpty) Strategy.ByPartition
+    else if (rowEstimate >= 0 && rowEstimate <= rowsPerChunk) Strategy.Whole
+    else pkType match {
+      case Some(t) if Set("tinyint", "smallint", "int", "integer", "bigint",
+        "byte", "short", "long").contains(t.toLowerCase) => Strategy.IntRange
+      case Some(_) => Strategy.StringRange
+      case None    => Strategy.Whole
+    }
+
+  sealed trait Strategy
+  object Strategy {
+    case object Whole extends Strategy
+    case object IntRange extends Strategy
+    case object StringRange extends Strategy
+    case object ByPartition extends Strategy
+  }
+
+  /** A planned chunk: closed-open unless noted; `where` matches the
+    * reference's generated predicate shape
+    * (mydumper_integer_chunks.c:945-1018: `(f >= lo AND f <= hi)`,
+    * first chunk ORs IS NULL). */
+  final case class Chunk(id: Int, where: String, filter: Column)
+
+  /** C2 — integer range chunks from [min,max] with fixed step.
+    * Boundaries are aligned to `min` so chunk membership is a pure
+    * arithmetic function of the key (oracle-checkable). */
+  def integerChunks(column: String, min: Long, max: Long, step: Long,
+      includeNull: Boolean = true): Seq[Chunk] = {
+    require(step > 0, "step must be positive")
+    val n = (((max - min) / step) + 1).toInt
+    (0 until n).map { i =>
+      val lo = min + i.toLong * step
+      val hi = math.min(lo + step - 1, max)
+      val base = s"(`$column` >= $lo AND `$column` <= $hi)"
+      val where = if (i == 0 && includeNull) s"($base OR `$column` IS NULL)" else base
+      val f0 = col(column) >= lo && col(column) <= hi
+      val f = if (i == 0 && includeNull) f0 || col(column).isNull else f0
+      Chunk(i, where, f)
+    }
+  }
+
+  /** Probe min/max (A1 — one agg job, map-side combine). */
+  def intBounds(df: DataFrame, column: String): (Long, Long) = {
+    val r = df.agg(min(col(column)).cast("long"), max(col(column)).cast("long")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Plan integer chunks sized for a target number of chunks (the Spark
+    * replacement of adaptive 2 s/SELECT resizing, C3: we target
+    * `chunks ≈ 4× parallelism` and let AQE coalesce). */
+  def planInteger(df: DataFrame, column: String, targetChunks: Int): Seq[Chunk] = {
+    val (lo, hi) = intBounds(df, column)
+    val span = math.max(hi - lo + 1, 1L)
+    val step = math.max(span / math.max(targetChunks, 1), 1L)
+    integerChunks(column, lo, hi, step)
+  }
+
+  /** C4 — string ranges from sampled quantiles (replaces the LEFT(f,len)
+    * prefix walk: `approxQuantile` is one pass, error-bounded, no
+    * iterative probing). Boundaries are half-open [b_i, b_i+1). */
+  def stringChunks(df: DataFrame, column: String, targetChunks: Int,
+      relErr: Double = 0.01): Seq[Chunk] = {
+    // approxQuantile needs numeric — sample a prefix-ordinal projection.
+    val probs = (1 until targetChunks).map(_.toDouble / targetChunks).toArray
+    val keyed = df.select(col(column).cast("string").as("k"))
+      .withColumn("ord",
+        ascii(col("k")).cast("long") * 16777216L
+          + ascii(substring(col("k"), 2, 1)).cast("long") * 65536L
+          + ascii(substring(col("k"), 3, 1)).cast("long") * 256L
+          + ascii(substring(col("k"), 4, 1)).cast("long"))
+    val cuts = keyed.stat.approxQuantile("ord", probs, relErr)
+    // map ordinal cuts back to 4-char prefixes
+    def prefixOf(v: Double): String = {
+      val x = v.toLong
+      val cs = Seq(x >> 24 & 0xff, x >> 16 & 0xff, x >> 8 & 0xff, x & 0xff)
+      cs.takeWhile(_ > 0).map(_.toChar).mkString
+    }
+    val bounds = cuts.map(prefixOf).distinct.sorted.toSeq
+    stringChunksFromBounds(column, bounds)
+  }
+
+  /** Build half-open string chunks from explicit boundary prefixes
+    * (reference shape `(f >= 'a' AND f < 'b')`,
+    * mydumper_string_chunks.c via update_string_where_on_gstring). */
+  def stringChunksFromBounds(column: String, bounds: Seq[String]): Seq[Chunk] = {
+    val b = bounds.distinct.sorted
+    val ranges: Seq[(Option[String], Option[String])] =
+      if (b.isEmpty) Seq((None, None))
+      else (None +: b.map(Option(_))).zip(b.map(Option(_)) :+ None)
+    ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val conds = Seq(
+        lo.map(v => s"`$column` >= '$v'"),
+        hi.map(v => s"`$column` < '$v'")).flatten
+      val where0 = if (conds.isEmpty) "(1=1)" else conds.mkString("(", " AND ", ")")
+      val where = if (i == 0) s"($where0 OR `$column` IS NULL)" else where0
+      val f0 = Seq(lo.map(v => col(column) >= v), hi.map(v => col(column) < v))
+        .flatten.reduceOption(_ && _).getOrElse(lit(true))
+      val f = if (i == 0) f0 || col(column).isNull else f0
+      Chunk(i, where, f)
+    }
+  }
+
+  /** Apply a chunk plan: per-chunk filtered scans unioned back — the
+    * file-source analog of jdbc(predicates). Catalyst pushes each range
+    * filter to the scan; AQE coalesces small outputs. */
+  def applyChunks(df: DataFrame, chunks: Seq[Chunk]): DataFrame =
+    chunks.map(c => df.filter(c.filter)).reduce(_ unionAll _)
+
+  /** Chunk-id column for a fixed integer plan — pure arithmetic, used by
+    * correctness oracles and by writers for file naming. */
+  def chunkIdCol(column: String, min: Long, step: Long): Column =
+    floor((col(column) - min) / step).cast("int")
+
+  /** C-replacement via windows (SURVEY §2.5): boundary computation as
+    * ntile over the key — one shuffle, returns per-tile bounds. */
+  def ntileBounds(df: DataFrame, column: String, tiles: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(column))
+      .withColumn("tile", ntile(tiles).over(Window.orderBy(col(column))))
+      .groupBy(col("tile"))
+      .agg(min(col(column)).as("lo"), max(col(column)).as("hi"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("tile"))
+  }
+
+  /** Convert a ChunkSpec to predicates (the `spark.read.jdbc` contract:
+    * one WHERE per partition). */
+  def toPredicates(spec: ChunkSpec): Array[String] = spec match {
+    case ChunkSpec.WholeTable => Array.empty
+    case ChunkSpec.IntRange(c, lo, hi, step, nulls) =>
+      integerChunks(c, lo, hi, step, nulls).map(_.where).toArray
+    case ChunkSpec.StringRange(c, bounds, _) =>
+      stringChunksFromBounds(c, bounds).map(_.where).toArray
+    case ChunkSpec.Partitions(ps) => ps.map(p => s"/* PARTITION($p) */ 1=1").toArray
+  }
+}
