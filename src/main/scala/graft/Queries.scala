@@ -481,7 +481,7 @@ object Queries {
     * testdata max pairwise cosine ≈0.51, so threshold 0.35 yields pairs). */
   val qDedupEmbedding: QFn = (s, d) =>
     Dedup.embeddingNearDups(embeddings(s, d), "embedding", "vec_id",
-      threshold = 0.35, bits = 2)
+      threshold = 0.35, bits = 2, dim = 64)
       .orderBy("id1", "id2")
 
   // ----------------------------------------------------------- similarity

@@ -33,19 +33,13 @@ object VectorFunctions {
       val d = x.cast(DoubleType) - y.cast(DoubleType); d * d
     })))
 
-  /** Sign bit of the projection onto a deterministic pseudo-random
-    * hyperplane (keyed by `plane`). Hyperplane component for dim i =
-    * hash(plane, i) mapped to ±1 — no stored model, reproducible on any
-    * cluster. Used for LSH bucketing of cosine similarity. */
-  def hyperplaneSign(vec: Column, plane: Int): Column = {
-    val proj = sumArr(zip_with(vec, sequence(lit(0), size(vec) - 1),
-      (x, i) => x.cast(DoubleType) *
-        when(pmod(xxhash64(lit(plane), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))))
+  /** Sign bit of the projection onto a fixed ±1 hyperplane (host-side
+    * literal — cheaper than hash-derived per-element planes). Used for
+    * LSH bucketing of cosine similarity; see Hashing.hyperplanes for the
+    * compiled variant. */
+  def hyperplaneSign(vec: Column, plane: Seq[Double]): Column = {
+    val proj = sumArr(zip_with(vec, typedLit(plane),
+      (x, p) => x.cast(DoubleType) * p))
     when(proj >= 0, lit(1)).otherwise(lit(0))
   }
-
-  /** k-bit LSH bucket id for cosine similarity (random-hyperplane family). */
-  def lshBucket(vec: Column, bits: Int): Column =
-    (0 until bits).map(p => hyperplaneSign(vec, p) * lit(1 << p))
-      .reduce(_ + _)
 }

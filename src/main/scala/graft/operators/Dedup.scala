@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{Hashing, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
   *
   * Scale design: every variant is shuffle-bounded by a *bucket key*
-  * (fingerprint / LSH band / simhash prefix), never an all-pairs join —
-  * candidate generation is groupBy on the bucket, verification is a join
-  * restricted to bucket-mates. All hashing is keyed (xxhash64/md5) and
-  * deterministic, so re-runs and retries agree.
+  * (fingerprint / LSH band / simhash prefix / hyperplane cell), never an
+  * all-pairs join — candidate generation is a groupBy/join on the bucket,
+  * verification runs only on bucket-mates. Sketches (minhash/simhash) are
+  * computed by compiled per-row kernels ([[Hashing]]) in a single pass —
+  * a pure map, no shuffle — because Spark's higher-order functions are
+  * interpreted and re-evaluate shared subtrees per hash. All hashing is
+  * seeded + deterministic so retries and re-runs agree.
   */
 object Dedup {
 
@@ -32,33 +35,25 @@ object Dedup {
     docs.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** MinHash signature: array of `numHashes` minima over shingle hashes.
-    * Hash family k = xxhash64(k, shingle) — independent-enough keyed
-    * hashes, no stored model. */
-  def minhashSignature(text: Column, shingleSize: Int, numHashes: Int): Column = {
-    val sh = TextFunctions.shingles(text, shingleSize)
-    array((0 until numHashes).map { k =>
-      array_min(transform(sh, s => xxhash64(lit(k), s)))
-    }: _*)
-  }
-
-  /** MinHash + LSH banding: signature split into `bands` bands of
-    * `rowsPerBand`; docs sharing any band bucket are candidate pairs.
-    * Returns (band, bucket, id) — groupBy(band,bucket) gives clusters.
-    * Shuffle key is the band digest: cardinality ≈ #docs × bands, uniform. */
+  /** MinHash + LSH banding: the signature (bands×rowsPerBand minima) is
+    * folded to one 64-bit key per band; docs sharing any band key are
+    * candidate pairs. Returns (band, bucket, id). Shuffle key is the band
+    * digest: cardinality ≈ #docs × bands, uniform. */
   def minhashBands(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val sig = minhashSignature(col(textCol), shingleSize, bands * rowsPerBand)
-    docs.select(col(idCol), sig.as("sig"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(to_json(struct(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))))
+    val bandsUdf = udf { (t: String) =>
+      if (t == null) Array.empty[Long]
+      else Hashing.bandKeys(Hashing.minhash(t, shingleSize, bands * rowsPerBand),
+        bands, rowsPerBand)
+    }
+    docs.select(col(idCol), posexplode(bandsUdf(col(textCol))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }
 
   /** MinHash-LSH candidate pairs (id1 < id2), optionally verified with
-    * true shingle-set Jaccard ≥ threshold. */
+    * true shingle-set Jaccard ≥ threshold (verification joins the text
+    * back only for candidates — the pair set, not the corpus). */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       verifyJaccard: Option[Double] = Some(0.7)): DataFrame = {
@@ -71,44 +66,29 @@ object Dedup {
     verifyJaccard match {
       case None => cand
       case Some(th) =>
-        val sh = docs.select(col(idCol),
-          array_distinct(TextFunctions.shingles(col(textCol), shingleSize)).as("sh"))
-        val withSets = cand
-          .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
-          .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
-        withSets
-          .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
-          .withColumn("uni", size(col("sh1")) + size(col("sh2")) - col("inter"))
-          .withColumn("jaccard", round(col("inter").cast(DoubleType) / col("uni"), 4))
+        val jaccardUdf = udf((a: String, b: String) =>
+          Hashing.jaccard(a, b, shingleSize))
+        val txt = docs.select(col(idCol), col(textCol))
+        val withTexts = cand
+          .join(txt.select(col(idCol).as("id1"), col(textCol).as("t1")), "id1")
+          .join(txt.select(col(idCol).as("id2"), col(textCol).as("t2")), "id2")
+        withTexts
+          .withColumn("jaccard",
+            TextFunctions.trunc4(jaccardUdf(col("t1"), col("t2"))))
           .where(col("jaccard") >= th)
           .select("id1", "id2", "jaccard")
     }
   }
 
-  /** 64-bit SimHash over tokens: per bit, sum ±1 across token hashes, take
-    * the sign. Computed row-local with higher-order functions (no explode,
-    * no shuffle): fold token hashes into 64 counters. */
+  /** 64-bit SimHash column (compiled kernel, single pass per row). */
   def simhash(text: Column): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
-    // counters[i] = sum over tokens of (bit i set ? 1 : -1)
-    val counters = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)))
-    // assemble the sign bits into a long
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)),
-        (c, i) => when(c >= 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, b) => acc.bitwiseOR(b))
+    val shUdf = udf((t: String) => if (t == null) 0L else Hashing.simhash(t))
+    shUdf(text)
   }
 
   /** SimHash near-dup pairs: bucket by 16-bit prefix (near-dups almost
     * always share it), verify hamming distance ≤ maxHamming within the
-    * bucket. Bucket key keeps the join local; 64-bit popcount via
-    * bit_count. */
+    * bucket only. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val withSh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
@@ -124,24 +104,67 @@ object Dedup {
 
   /** n-gram Jaccard similarity of two text columns (row-local). */
   def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    val sa = array_distinct(TextFunctions.shingles(a, n))
-    val sb = array_distinct(TextFunctions.shingles(b, n))
-    val inter = size(array_intersect(sa, sb))
-    round(inter.cast(DoubleType) / (size(sa) + size(sb) - inter), 4)
+    val jUdf = udf((x: String, y: String) => Hashing.jaccard(x, y, n))
+    TextFunctions.trunc4(jUdf(a, b))
   }
 
-  /** Embedding-cosine near-dup: LSH-bucket by random-hyperplane signs,
-    * verify cosine ≥ threshold within buckets (never all-pairs). */
+  /** Embedding-cosine near-dup, three-stage at scale:
+    *  1. per-row 64-bit hyperplane signature (compiled UDF, one map);
+    *     low `bits` bits double as the LSH bucket key;
+    *  2. bucket equi-join with a codegen'd hamming prefilter
+    *     `bit_count(sig1^sig2) ≤ 64·acos(t)/π + slack` — kills the bulk
+    *     of bucket-mate pairs before any array work;
+    *  3. exact cosine (compiled UDF) only on survivors.
+    * Approximate by construction (LSH recall < 1); `dim` fixes the
+    * hyperplanes host-side so every executor regenerates them. */
   def embeddingNearDups(embs: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+      threshold: Double = 0.95, bits: Int = 8, dim: Int = 64,
+      slackBits: Int = 4): DataFrame = {
+    val planes = Hashing.hyperplanes(64, dim)
+    val sigUdf = udf((v: Seq[Float]) => Hashing.lshSig64(v, planes))
+    // vectors are L2-normalized once per row, so the per-pair check is a
+    // single dot-product loop
+    val normUdf = udf { (v: Seq[Float]) =>
+      var n = 0.0; var i = 0
+      while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
+      val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
+      val out = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { out(i) = v(i) * inv; i += 1 }
+      out
+    }
+    val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var d = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); i += 1 }
+      d
+    }.asNondeterministic() // evaluate once; don't let the optimizer clone it
+    val hamLimit = math.min(
+      math.round(64.0 * math.acos(math.max(math.min(threshold, 1.0), -1.0)) / math.Pi).toInt
+        + slackBits, 63)
+    val mask = (1L << bits) - 1
     val withB = embs.select(col(idCol), col(vecCol))
-      .withColumn("bucket", VectorFunctions.lshBucket(col(vecCol), bits))
-    val l = withB.select(col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
-    val r = withB.select(col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
-    l.join(r, Seq("bucket"))
-      .where(col("id1") < col("id2"))
-      .withColumn("cos", VectorFunctions.cosine(col("v1"), col("v2")))
+      .withColumn("sig", sigUdf(col(vecCol)))
+      .withColumn("vn", normUdf(col(vecCol)))
+      .withColumn("bucket", col("sig").bitwiseAND(lit(mask)))
+    // candidate generation joins only (bucket, id, sig) — 24-byte rows —
+    // vectors are re-attached to the (much smaller) hamming-survivor set
+    val slim = withB.select(col("bucket"), col(idCol), col("sig"))
+    val l = slim.select(col("bucket"), col(idCol).as("id1"), col("sig").as("sig1"))
+    val r = slim.select(col("bucket"), col(idCol).as("id2"), col("sig").as("sig2"))
+    val survivors = l.join(r, Seq("bucket"))
+      .where(col("id1") < col("id2") &&
+        call_function("bit_count", col("sig1").bitwiseXOR(col("sig2"))) <= hamLimit)
+      .select("id1", "id2")
+    val vecs = withB.select(col(idCol), col("vn"))
+    // no broadcast hint: AQE picks broadcast when the vector side is
+    // small; at 100 TB this correctly degrades to a shuffle join
+    survivors
+      .join(vecs.select(col(idCol).as("id1"), col("vn").as("v1")), "id1")
+      .join(vecs.select(col(idCol).as("id2"), col("vn").as("v2")), "id2")
+      .withColumn("cos", cosUdf(col("v1"), col("v2")))
       .where(col("cos") >= threshold)
-      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cosine"))
+      .select(col("id1"), col("id2"),
+        (floor(col("cos") * lit(10000.0)) / lit(10000.0)).as("cosine"))
   }
 }

@@ -30,18 +30,23 @@ object Similarity {
 
   /** Assign each row its LSH cell (precompute once, reuse across queries —
     * in a real pipeline this is written as a bucketed/partitioned column). */
-  def withCell(embs: DataFrame, vecCol: String, bits: Int): DataFrame =
-    embs.withColumn("cell", VectorFunctions.lshBucket(col(vecCol), bits))
+  def withCell(embs: DataFrame, vecCol: String, bits: Int, dim: Int = 64): DataFrame = {
+    val planes = graft.functions.Hashing.hyperplanes(bits, dim)
+    val cellUdf = udf((v: Seq[Float]) => graft.functions.Hashing.lshCell(v, planes))
+    embs.withColumn("cell", cellUdf(col(vecCol)))
+  }
 
   /** Approximate top-k: search only cells within `nprobe` hamming distance
     * of the query's cell. Partition-prunes to a fraction ~(choose(bits,
     * ≤nprobe))/2^bits of the data. */
   def ivfTopK(embsWithCell: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, bits: Int, nprobe: Int = 1): DataFrame = {
+      query: Seq[Float], k: Int, bits: Int, nprobe: Int = 1, dim: Int = 64): DataFrame = {
+    val planes = graft.functions.Hashing.hyperplanes(bits, dim)
+    val queryCell = graft.functions.Hashing.lshCell(query, planes)
     val q = typedLit(query)
-    val queryCell = VectorFunctions.lshBucket(q, bits)
     embsWithCell
-      .where(call_function("bit_count", col("cell").bitwiseXOR(queryCell)) <= nprobe)
+      .where(call_function("bit_count",
+        col("cell").bitwiseXOR(lit(queryCell))) <= nprobe)
       .select(col(idCol), VectorFunctions.cosine(col(vecCol), q).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
