@@ -1,0 +1,96 @@
+package graft.extract
+
+/** Snapshot / lock-mode strategies for consistent JDBC extraction
+  * (SURVEY §2.8 T1-T6).
+  *
+  * The reference guarantees a consistent dump by (a) quiescing DDL/commits
+  * with a server-appropriate lock, (b) opening every worker connection
+  * inside `START TRANSACTION WITH CONSISTENT SNAPSHOT`, (c) verifying the
+  * binlog/GTID position didn't move, then (d) releasing the lock
+  * (/root/reference/src/mydumper/mydumper_start_dump.c:605-1035,
+  * mydumper_working_thread.c:453-501).
+  *
+  * On Spark the same split applies: the *control* statements run on one
+  * driver-held connection; the *per-partition* statements go through
+  * `JDBCOptions.sessionInitStatement` (or an explicit connection pool for
+  * strict same-snapshot pinning — plain spark.read.jdbc opens fresh
+  * connections per partition, which only GTID-verified modes can make
+  * consistent). These strategy objects emit the statement sequences; they
+  * are exercised as pure values in tests (no live MySQL in this
+  * environment) and by the JDBC path in production.
+  */
+object Snapshot {
+
+  /** Server flavor (reference server_detect.h:22-31). */
+  sealed trait Flavor
+  case object MySQL extends Flavor       // 5.7/8.x
+  case object Percona extends Flavor
+  case object MariaDB extends Flavor     // >= 10.5
+  case object TiDB extends Flavor
+
+  /** Lock mode matrix (reference AUTO/FTWRL/LOCK_ALL/GTID/NO_LOCK/…). */
+  sealed trait LockMode
+  case object Auto extends LockMode
+  case object Ftwrl extends LockMode
+  case object LockAll extends LockMode
+  case object Gtid extends LockMode
+  case object NoLock extends LockMode
+  case object SafeNoLock extends LockMode
+
+  final case class Plan(
+      controlLock: Seq[String],     // on the control connection, before workers
+      workerInit: Seq[String],      // sessionInitStatement per worker connection
+      controlUnlock: Seq[String],   // after workers synced
+      verify: Seq[String],          // position probes (run before + after sync)
+      abortOnDrift: Boolean)        // SafeNoLock aborts, NoLock warns
+
+  /** Resolve Auto to the flavor-specific lock (reference
+    * mydumper_start_dump.c:1214-1268). */
+  def plan(mode: LockMode, flavor: Flavor, tables: Seq[String] = Nil): Plan = {
+    val workerInit = Seq(
+      "SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ",
+      "SET TIME_ZONE = '+00:00'",
+      "START TRANSACTION /*!40108 WITH CONSISTENT SNAPSHOT */")
+    val verifyMySQL = Seq("SHOW MASTER STATUS", "SELECT @@gtid_executed")
+    val verifyMaria = Seq("SHOW BINLOG STATUS", "SELECT @@gtid_binlog_pos")
+
+    (mode, flavor) match {
+      case (NoLock, _) =>
+        Plan(Nil, workerInit, Nil, verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false)
+      case (SafeNoLock, _) =>
+        Plan(Nil, workerInit, Nil, verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = true)
+      case (Gtid, TiDB) =>
+        Plan(Nil, Seq("SET SESSION tidb_snapshot = NOW()"), Nil, Nil, abortOnDrift = true)
+      case (Gtid, _) =>
+        // workers re-open snapshots until binlog_snapshot_gtid_executed agrees
+        Plan(Nil, workerInit :+ "SELECT @@binlog_snapshot_gtid_executed", Nil,
+          verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = true)
+      case (LockAll, _) =>
+        val lock = s"LOCK TABLES ${tables.map(t => s"$t READ LOCAL").mkString(", ")}"
+        Plan(Seq(lock), workerInit, Seq("UNLOCK TABLES"),
+          verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false)
+      case (Ftwrl, _) | (Auto, MySQL) =>
+        Plan(Seq("FLUSH NO_WRITE_TO_BINLOG TABLES", "FLUSH TABLES WITH READ LOCK"),
+          workerInit, Seq("UNLOCK TABLES"),
+          verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false)
+      case (Auto, Percona) =>
+        Plan(Seq("LOCK TABLES FOR BACKUP"), workerInit,
+          Seq("UNLOCK TABLES"), verifyMySQL, abortOnDrift = false)
+      case (Auto, MariaDB) =>
+        Plan(Seq("BACKUP STAGE START", "BACKUP STAGE BLOCK_DDL", "BACKUP STAGE BLOCK_COMMIT"),
+          workerInit, Seq("BACKUP STAGE END"), verifyMaria, abortOnDrift = false)
+      case (Auto, TiDB) =>
+        Plan(Nil, Seq("SET SESSION tidb_snapshot = NOW()"), Nil, Nil, abortOnDrift = false)
+    }
+  }
+
+  private def verifyOf(f: Flavor, mysql: Seq[String], maria: Seq[String]): Seq[String] =
+    f match { case MariaDB => maria; case _ => mysql }
+
+  /** Two-phase ordering (T4): non-transactional tables extract under the
+    * lock, transactional ones inside the snapshot after unlock. */
+  def phases(tables: Seq[(String, Boolean)]): (Seq[String], Seq[String]) = {
+    val (trx, nonTrx) = tables.partition(_._2)
+    (nonTrx.map(_._1), trx.map(_._1))
+  }
+}

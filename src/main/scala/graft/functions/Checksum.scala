@@ -16,12 +16,13 @@ import org.apache.spark.sql.types._
   */
 object Checksum {
 
-  /** Canonical row text: columns cast to string, NULL → literal "NULL"
-    * (reference maps NULL to the text "NULL"/"\N",
-    * mydumper_write.c:677-678), joined with 0x1f separators so column
-    * boundaries can't collide. */
+  /** Canonical row text: columns cast to string, NULL → a 0x00 marker (a
+    * real string value of "NULL" must not collide with SQL NULL; the
+    * reference's serializer distinguishes them the same way —
+    * mydumper_write.c:677-678 emits unquoted NULL vs quoted text), joined
+    * with 0x1f separators so column boundaries can't collide. */
   def rowText(cols: Seq[Column]): Column =
-    concat_ws("", cols.map(c => coalesce(c.cast(StringType), lit("NULL"))): _*)
+    concat_ws("", cols.map(c => coalesce(c.cast(StringType), lit("\u0000"))): _*)
 
   /** CRC32-XOR digest of the given columns — the engine's `CHECKSUM TABLE`. */
   def tableChecksum(df: DataFrame, cols: Seq[String] = Nil): Column = {

@@ -1,0 +1,72 @@
+package graft.load
+
+import java.util.concurrent.{ConcurrentHashMap, Semaphore}
+import scala.concurrent.{ExecutionContext, Future}
+import scala.jdk.CollectionConverters._
+
+/** Restore-side dependency scheduler (SURVEY §2.9 L1).
+  *
+  * Reimplements the reference's per-table state machine
+  * (/root/reference/src/myloader/myloader.h:116,
+  * myloader_worker_loader_main.c:94-338):
+  * NOT_CREATED → CREATING → CREATED → DATA_DONE → INDEX_ENQUEUED →
+  * ALL_DONE, with: data jobs dispatched only once the schema is CREATED,
+  * a per-table concurrency cap (`--max-threads-per-table`), and index
+  * builds enqueued only after all of a table's data jobs finish.
+  *
+  * Here the "jobs" are caller-provided thunks (typically Spark actions:
+  * a JDBC DDL statement, a partitioned write, an ALTER batch). The
+  * scheduler is pure driver-side coordination — Spark executors do the
+  * data movement inside each thunk.
+  */
+object DependencyScheduler {
+
+  sealed trait State
+  case object NotCreated extends State
+  case object Creating extends State
+  case object Created extends State
+  case object DataDone extends State
+  case object AllDone extends State
+
+  final case class TablePlan(
+      name: String,
+      createSchema: () => Unit,
+      dataJobs: Seq[() => Unit],
+      postDataJobs: Seq[() => Unit] = Nil, // deferred indexes / constraints
+      maxThreadsPerTable: Int = 4)
+
+  final class Progress {
+    private[load] val states = new ConcurrentHashMap[String, State]()
+    def state(table: String): State = states.getOrDefault(table, NotCreated)
+    def snapshot: Map[String, State] = states.asScala.toMap
+  }
+
+  /** Run all table plans respecting the state machine. Blocks until every
+    * table reaches ALL_DONE (or any job throws). */
+  def run(plans: Seq[TablePlan])(implicit ec: ExecutionContext): Progress = {
+    val progress = new Progress
+    val futures = plans.map { p =>
+      progress.states.put(p.name, NotCreated)
+      Future {
+        progress.states.put(p.name, Creating)
+        p.createSchema()
+        progress.states.put(p.name, Created)
+        // data jobs: bounded per-table parallelism (reference cap)
+        val sem = new Semaphore(math.max(p.maxThreadsPerTable, 1))
+        val dataFutures = p.dataJobs.map { job =>
+          Future {
+            sem.acquire()
+            try job() finally sem.release()
+          }
+        }
+        dataFutures.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        progress.states.put(p.name, DataDone)
+        // deferred indexes strictly after data (reference index pool)
+        p.postDataJobs.foreach(_.apply())
+        progress.states.put(p.name, AllDone)
+      }
+    }
+    futures.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    progress
+  }
+}

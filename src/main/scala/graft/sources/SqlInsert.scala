@@ -1,0 +1,313 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import java.io.{BufferedOutputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+/** mydumper-compatible SQL-INSERT dump format (SURVEY §2.1 S5).
+  *
+  * One file per (table, Spark partition): `db.table.<part 05d>.sql[.gz]`,
+  * INSERT statements packed to ≤ `statementSize` bytes (reference default
+  * 1 MB, mydumper_write.c:50), rotation to `.<subpart 05d>` when a file
+  * exceeds `fileSizeBytes` (C7, mydumper_write.c:992-1001). Escaping
+  * follows mysql_real_escape_string (\0 \n \r \ ' " ^Z), binary renders
+  * as 0x… hex (mydumper_write.c:684-689), NULL as the bare keyword.
+  *
+  * Scale design: a pure `foreachPartition` over the Hadoop FileSystem of
+  * the target path — no driver collect, no shuffle; each task streams one
+  * file. Spark's own writers aren't used because the format fixes file
+  * *names* (`db.table.NNNNN.sql`), which FileFormat writers don't expose.
+  */
+object SqlInsertWriter {
+
+  final case class Options(
+      statementSize: Int = 1000000,     // --statement-size
+      fileSizeBytes: Long = 0L,         // --chunk-filesize (0 = no rotation)
+      compress: Boolean = false,        // --compress (gzip)
+      completeInsert: Boolean = true)   // column list in INSERT header
+
+  /** Dump `df` as SQL-INSERT files under `outDir`. Returns per-partition
+    * row counts (collected — one long per partition, not data rows). */
+  def write(df: DataFrame, db: String, table: String, outDir: String,
+      opts: Options = Options()): Long = {
+    val schema = df.schema
+    val conf = new SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val counts = df.sparkSession.sparkContext.longAccumulator(s"rows_dumped_$db.$table")
+    val header = insertHeader(db, table, schema, opts.completeInsert)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      val part = TaskContext.getPartitionId()
+      var written = 0L
+      if (rows.hasNext) {
+        val w = new PartitionWriter(conf.value, outDir, db, table, part, opts)
+        try {
+          val sb = new java.lang.StringBuilder(opts.statementSize + 4096)
+          var inStatement = false
+          while (rows.hasNext) {
+            val r = rows.next()
+            val tuple = renderRow(r, schema)
+            if (!inStatement) { sb.append(header); sb.append(tuple); inStatement = true }
+            else { sb.append(",\n"); sb.append(tuple) }
+            if (sb.length() >= opts.statementSize) {
+              sb.append(";\n")
+              w.emit(sb.toString); sb.setLength(0); inStatement = false
+            }
+            written += 1
+          }
+          if (inStatement) { sb.append(";\n"); w.emit(sb.toString) }
+        } finally w.close()
+      }
+      counts.add(written)
+    }
+    counts.value
+  }
+
+  private def insertHeader(db: String, table: String, schema: StructType,
+      complete: Boolean): String = {
+    val cols =
+      if (complete) schema.fieldNames.map(c => s"`$c`").mkString("(", ",", ") ")
+      else ""
+    s"INSERT INTO `$db`.`$table` ${cols}VALUES\n"
+  }
+
+  /** One output file with size-based rotation (sub_part counter). */
+  private final class PartitionWriter(conf: Configuration, outDir: String,
+      db: String, table: String, part: Int, opts: Options) {
+    private val fs = new Path(outDir).getFileSystem(conf)
+    private var subPart = -1
+    private var out: OutputStream = _
+    private var bytes = 0L
+
+    private def open(): Unit = {
+      subPart += 1
+      val sub = if (opts.fileSizeBytes > 0) f".$subPart%05d" else ""
+      val ext = if (opts.compress) ".sql.gz" else ".sql"
+      val p = new Path(outDir, f"$db.$table.$part%05d$sub$ext")
+      val raw = fs.create(p, true)
+      out = if (opts.compress) new GZIPOutputStream(new BufferedOutputStream(raw, 1 << 16))
+            else new BufferedOutputStream(raw, 1 << 16)
+      bytes = 0L
+    }
+
+    def emit(statement: String): Unit = {
+      if (out == null) open()
+      val b = statement.getBytes(StandardCharsets.UTF_8)
+      out.write(b)
+      bytes += b.length
+      if (opts.fileSizeBytes > 0 && bytes >= opts.fileSizeBytes) { close(); open() }
+    }
+
+    def close(): Unit = if (out != null) { out.close(); out = null }
+  }
+
+  /** Render one row as a `(v1,v2,…)` tuple. */
+  def renderRow(r: Row, schema: StructType): String = {
+    val sb = new java.lang.StringBuilder(128)
+    sb.append('(')
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append(',')
+      if (r.isNullAt(i)) sb.append("NULL")
+      else schema(i).dataType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+             _: FloatType | _: DoubleType | _: DecimalType =>
+          sb.append(r.get(i).toString)
+        case _: BooleanType => sb.append(if (r.getBoolean(i)) "1" else "0")
+        case _: BinaryType =>
+          val b = r.getAs[Array[Byte]](i)
+          if (b.isEmpty) sb.append("''")
+          else { sb.append("0x"); b.foreach(x => sb.append(f"${x & 0xff}%02x")) }
+        case _: TimestampNTZType =>
+          // LocalDateTime.toString is ISO ("T", trailing zeros dropped) —
+          // render the SQL-standard form Timestamp.valueOf can re-parse
+          val ldt = r.getAs[java.time.LocalDateTime](i)
+          sb.append('\'').append(sqlTimestamp(ldt)).append('\'')
+        case _ => // strings, timestamps, dates, everything else: quoted text
+          sb.append('\'')
+          escapeInto(sb, r.get(i).toString)
+          sb.append('\'')
+      }
+      i += 1
+    }
+    sb.append(')')
+    sb.toString
+  }
+
+  private[sources] def sqlTimestamp(ldt: java.time.LocalDateTime): String = {
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
+      f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+    if (ldt.getNano == 0) base else f"$base.${ldt.getNano}%09d"
+  }
+
+  /** mysql_real_escape_string character set. */
+  def escapeInto(sb: java.lang.StringBuilder, s: String): Unit = {
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\u0000' => sb.append("\\0")
+        case '\n'     => sb.append("\\n")
+        case '\r'     => sb.append("\\r")
+        case '\\'     => sb.append("\\\\")
+        case '\''     => sb.append("\\'")
+        case '"'      => sb.append("\\\"")
+        case '\u001a' => sb.append("\\Z")
+        case c        => sb.append(c)
+      }
+      i += 1
+    }
+  }
+}
+
+/** Loader side (myloader analog, SURVEY §2.1 S12 input half): parse
+  * SQL-INSERT dump files back into a DataFrame of the given schema.
+  * Files are read whole (statements contain escaped newlines), tuples
+  * tokenized by a quote-aware scanner, values coerced by column type.
+  * Distributed: `wholetext` read → one parse task per file.
+  */
+object SqlInsertReader {
+
+  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val rdd = spark.read.option("wholetext", "true")
+      .textFile(s"$dir/*.sql*") // .sql and .sql.gz (Hadoop decompresses by extension)
+      .rdd
+      .flatMap(f => parseStatements(f).flatten)
+      .map(t => coerce(tupleToRow(t), schema))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Extract the VALUES tuples of every INSERT statement in a file.
+    * Returns tuple bodies (content between the outer parens). */
+  def parseStatements(sql: String): Seq[Seq[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var i = 0
+    while (i < sql.length) {
+      val v = sql.indexOf("VALUES", i)
+      if (v < 0) { i = sql.length }
+      else {
+        var j = v + "VALUES".length
+        val tuples = scala.collection.mutable.ArrayBuffer.empty[String]
+        var done = false
+        while (!done && j < sql.length) {
+          sql.charAt(j) match {
+            case '(' =>
+              val (tuple, next) = scanTuple(sql, j)
+              tuples += tuple; j = next
+            case ';' => done = true; j += 1
+            case c if c == ',' || Character.isWhitespace(c) => j += 1
+            case _ => done = true
+          }
+        }
+        out += tuples.toSeq
+        i = j
+      }
+    }
+    out.toSeq
+  }
+
+  /** Scan one parenthesized tuple starting at `start` (the '('); returns
+    * (inner text, index after ')'). Quote- and escape-aware. */
+  private def scanTuple(sql: String, start: Int): (String, Int) = {
+    var j = start + 1
+    var depth = 1
+    var inQuote = false
+    val sb = new java.lang.StringBuilder(64)
+    while (j < sql.length && depth > 0) {
+      val c = sql.charAt(j)
+      if (inQuote) {
+        if (c == '\\' && j + 1 < sql.length) { sb.append(c).append(sql.charAt(j + 1)); j += 2 }
+        else { if (c == '\'') inQuote = false; sb.append(c); j += 1 }
+      } else c match {
+        case '\'' => inQuote = true; sb.append(c); j += 1
+        case '(' => depth += 1; sb.append(c); j += 1
+        case ')' => depth -= 1; if (depth > 0) sb.append(c); j += 1
+        case _ => sb.append(c); j += 1
+      }
+    }
+    (sb.toString, j)
+  }
+
+  /** Split a tuple body into raw value tokens (quote-aware). */
+  def tupleToRow(tuple: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    var inQuote = false
+    val sb = new java.lang.StringBuilder(32)
+    while (j < tuple.length) {
+      val c = tuple.charAt(j)
+      if (inQuote) {
+        if (c == '\\' && j + 1 < tuple.length) { sb.append(c).append(tuple.charAt(j + 1)); j += 2 }
+        else { if (c == '\'') inQuote = false; sb.append(c); j += 1 }
+      } else if (c == '\'') { inQuote = true; sb.append(c); j += 1 }
+      else if (c == ',') { out += sb.toString.trim; sb.setLength(0); j += 1 }
+      else { sb.append(c); j += 1 }
+    }
+    out += sb.toString.trim
+    out.toArray
+  }
+
+  /** Unescape a quoted SQL string literal body. */
+  def unescape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '0' => sb.append('\u0000')
+          case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
+          case 'Z' => sb.append('\u001a')
+          case x   => sb.append(x)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def coerce(vals: Array[String], schema: StructType): Row = {
+    val out = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val raw = vals(i)
+      out(i) =
+        if (raw == "NULL") null
+        else {
+          val text =
+            if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
+              unescape(raw.substring(1, raw.length - 1))
+            else raw
+          schema(i).dataType match {
+            case _: ByteType    => text.toByte
+            case _: ShortType   => text.toShort
+            case _: IntegerType => text.toInt
+            case _: LongType    => text.toLong
+            case _: FloatType   => text.toFloat
+            case _: DoubleType  => text.toDouble
+            case d: DecimalType => new java.math.BigDecimal(text)
+            case _: BooleanType => text == "1" || text.equalsIgnoreCase("true")
+            case _: BinaryType  =>
+              if (raw.startsWith("0x")) hexToBytes(raw.substring(2))
+              else text.getBytes(StandardCharsets.UTF_8)
+            case _: TimestampType    => java.sql.Timestamp.valueOf(text)
+            case _: TimestampNTZType => java.sql.Timestamp.valueOf(text).toLocalDateTime
+            case _: DateType         => java.sql.Date.valueOf(text)
+            case _ => text
+          }
+        }
+      i += 1
+    }
+    Row.fromSeq(out.toIndexedSeq)
+  }
+
+  private def hexToBytes(h: String): Array[Byte] =
+    Array.tabulate(h.length / 2)(k =>
+      Integer.parseInt(h.substring(2 * k, 2 * k + 2), 16).toByte)
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Structured-Streaming re-expression of the reference's stream pipeline
+  * (SURVEY §2.10, §3.3).
+  *
+  * The reference streams *finished files*: the dump pushes each closed
+  * file onto stdout (`mydumper_stream.c:56-140`), the loader consumes
+  * files as they arrive and starts work before the dump ends. Spark's
+  * native equivalent is a landing directory: the producer writes
+  * partition files, the consumer `readStream`s the directory and
+  * processes each micro-batch (`Trigger.AvailableNow` for catch-up runs,
+  * ProcessingTime for daemon mode — reference T7 snapshot-interval).
+  */
+object LandingStream {
+
+  /** Producer half: write a DataFrame to the landing dir as parquet
+    * (per-partition files appear atomically — the handoff unit, like the
+    * reference's per-chunk files). */
+  def produce(df: DataFrame, landingDir: String): Unit =
+    df.write.mode("append").parquet(landingDir)
+
+  /** Consumer half: stream the landing dir; `handle` runs per micro-batch
+    * (the myloader "process file as it arrives" loop — e.g. a JDBC batch
+    * write, S12). maxFilesPerTrigger bounds batch size like the
+    * reference's queue backpressure. */
+  def consume(spark: SparkSession, landingDir: String, schema: StructType,
+      checkpoint: String, availableNow: Boolean = true,
+      maxFilesPerTrigger: Int = 1000)(
+      handle: (DataFrame, Long) => Unit): StreamingQuery = {
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(landingDir)
+    val w = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: DataFrame, id: Long) => handle(batch, id))
+    (if (availableNow) w.trigger(Trigger.AvailableNow())
+     else w.trigger(Trigger.ProcessingTime("60 seconds"))) // daemon cadence analog
+      .start()
+  }
+
+  /** Event-time tumbling-window aggregate with watermark over a streaming
+    * events source — the engine's declared streaming surface (§2.10):
+    * batch-equivalent of Queries.qWindowEvents. */
+  def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Sliding-window variant (declared in §2.10: tumbling + sliding). */
+  def slidingEventCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("cnt"))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.Masquerade
+import graft.functions.Masquerade._
+import org.apache.spark.sql.functions._
+
+class MasqueradeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one(fn: MaskFn, v: String): String = {
+    val df = Seq(Option(v)).toDF("c")
+    df.select(fn(col("c")).as("m")).head().getString(0)
+  }
+
+  test("constant / null / affix / regex semantics") {
+    assert(one(Constant("X"), "abc") === "X")
+    assert(one(Affix("p-", "-s"), "v") === "p-v-s")
+    assert(one(Regex("[0-9]+", "#"), "a12b345") === "a#b#")
+    val df = Seq(Option("x")).toDF("c")
+    assert(df.select(Null(col("c"))).head().isNullAt(0))
+  }
+
+  test("NULL inputs propagate to NULL outputs (reference NULL rules)") {
+    val df = Seq[Option[String]](None).toDF("c")
+    Seq[MaskFn](Constant("X"), Affix("p", "s"), Regex("a", "b"),
+      RandomIntDet, RandomStringDet, RandomUuidDet).foreach { fn =>
+      assert(df.select(fn(col("c"))).head().isNullAt(0), s"$fn broke NULL")
+    }
+  }
+
+  test("deterministic hash masks: length-preserving, stable, value-keyed") {
+    val mi = one(RandomIntDet, "customer42")
+    assert(mi.length === "customer42".length)
+    assert(mi.forall(_.isDigit))
+    assert(one(RandomIntDet, "customer42") === mi) // stable
+    assert(one(RandomIntDet, "customer43") !== mi) // keyed
+    val ms = one(RandomStringDet, "abcdef")
+    assert(ms.length === 6 && ms.forall(c => c >= 'a' && c <= 'p'))
+    val uuid = one(RandomUuidDet, "x")
+    assert(uuid.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+  }
+
+  test("chain composes in order (F10)") {
+    val chained = Masquerade.chain(Seq(Regex("[0-9]", "x"), Affix("<", ">")))(col("c"))
+    val out = Seq(Option("a1")).toDF("c").select(chained).head().getString(0)
+    assert(out === "<ax>")
+  }
+
+  test("directive parser round-trips the reference grammar subset") {
+    assert(Masquerade.parse("constant 'FIXED'") === Constant("FIXED"))
+    assert(Masquerade.parse("regex '[a-z]+' 'X'") === Regex("[a-z]+", "X"))
+    assert(Masquerade.parse("apply 'p' 's'") === Affix("p", "s"))
+    assert(Masquerade.parse("random_int") === RandomIntDet)
+    assert(Masquerade.parse("null") === Null)
+    intercept[IllegalArgumentException](Masquerade.parse("bogus"))
+  }
+
+  test("registry applies per db.table.column rules") {
+    val reg = Registry(Map(
+      "db.t.name" -> Seq(Constant("MASKED")),
+      "db.t.bal"  -> Seq(Null)))
+    val df = Seq(("alice", "10.5", "keep")).toDF("name", "bal", "other")
+    val out = reg(df, "db", "t").head()
+    assert(out.getString(0) === "MASKED")
+    assert(out.isNullAt(1))
+    assert(out.getString(2) === "keep")
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.functions.Checksum
+import graft.sources.{CsvDump, SqlInsertReader, SqlInsertWriter}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** The reference's own oracle (SURVEY §5): dump → load → per-table
+  * CRC32-XOR checksum equality (test_mydumper.sh uses --checksum-all +
+  * --checksum=fail; myloader aborts on mismatch). */
+class RoundTripSpec extends SparkTestBase {
+
+  private def checksumOf(df: org.apache.spark.sql.DataFrame): Long =
+    df.agg(Checksum.tableChecksum(df)).head().getLong(0)
+
+  test("sql-insert round-trip preserves rows and checksum (lineitem sf0.001)") {
+    val dir = Files.createTempDirectory("graft_dump_").toString
+    val li = Tables.lineitem(spark, sf)
+    val rows = SqlInsertWriter.write(li, "tpch", "lineitem", dir)
+    assert(rows === li.count())
+    val back = SqlInsertReader.read(spark, dir, li.schema)
+    assert(back.count() === li.count())
+    assert(checksumOf(back) === checksumOf(li))
+  }
+
+  test("sql-insert round-trip with gzip compression") {
+    val dir = Files.createTempDirectory("graft_dump_gz_").toString
+    val o = Tables.orders(spark, sf)
+    SqlInsertWriter.write(o, "tpch", "orders", dir,
+      SqlInsertWriter.Options(compress = true))
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")) // Hadoop local-FS .crc sidecars
+    assert(names.nonEmpty && names.forall(_.endsWith(".sql.gz")))
+    val back = SqlInsertReader.read(spark, dir, o.schema)
+    assert(checksumOf(back) === checksumOf(o))
+  }
+
+  test("file rotation produces sub-part files under the size cap") {
+    val dir = Files.createTempDirectory("graft_dump_rot_").toString
+    val o = Tables.orders(spark, sf).coalesce(1)
+    SqlInsertWriter.write(o, "tpch", "orders", dir,
+      SqlInsertWriter.Options(statementSize = 4096, fileSizeBytes = 16384))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.length > 1, s"expected rotation, got ${files.toSeq}")
+    assert(files.forall(_.matches("""tpch\.orders\.\d{5}\.\d{5}\.sql""")))
+  }
+
+  test("escaping survives hostile strings (quotes, newlines, backslash, nul)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("b", BinaryType)))
+    val hostile = Seq(
+      Row(1L, "O'Brien \"quoted\"", Array[Byte](0, 1, 2, -1)),
+      Row(2L, "line1\nline2\r\ttab", Array[Byte]()),
+      Row(3L, "back\\slash, comma", Array[Byte](127, -128)),
+      Row(4L, null, null),
+      Row(5L, "nul\u0000and\u001actrl", Array[Byte](42)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(hostile, 2), schema)
+    val dir = Files.createTempDirectory("graft_dump_esc_").toString
+    SqlInsertWriter.write(df, "t", "hostile", dir)
+    val back = SqlInsertReader.read(spark, dir, schema)
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a.map(_.getAs[String]("s")) === b.map(_.getAs[String]("s")))
+    assert(a.map(r => Option(r.getAs[Array[Byte]]("b")).map(_.toSeq)) ===
+      b.map(r => Option(r.getAs[Array[Byte]]("b")).map(_.toSeq)))
+  }
+
+  test("csv dump round-trip preserves checksum") {
+    val dir = Files.createTempDirectory("graft_csv_").toString
+    val c = Tables.customer(spark, sf)
+    CsvDump.write(c, dir, CsvDump.Options(header = true))
+    val back = CsvDump.reader(spark, CsvDump.Options(header = true))
+      .schema(c.schema).csv(dir)
+    assert(checksumOf(back) === checksumOf(c))
+  }
+
+  test("load-data companion statement matches reference shape") {
+    val stmt = CsvDump.loadDataStatement("db", "t", "/x/db.t.00000.dat")
+    assert(stmt.contains("LOAD DATA LOCAL INFILE '/x/db.t.00000.dat'"))
+    assert(stmt.contains("INTO TABLE `db`.`t`"))
+    assert(stmt.contains("FIELDS TERMINATED BY '\\t'"))
+  }
+}

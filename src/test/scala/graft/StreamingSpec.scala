@@ -1,0 +1,51 @@
+package graft
+
+import graft.streaming.LandingStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Structured Streaming surface (SURVEY §2.10, §3.3): landing-dir
+  * file handoff + event-time windows with watermark. */
+class StreamingSpec extends SparkTestBase {
+
+  test("landing-dir handoff: producer files -> consumer micro-batches") {
+    val landing = Files.createTempDirectory("graft_landing_").toString
+    val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+    val o = Tables.orders(spark, sf)
+    // producer: two handoffs (the reference streams per-chunk files)
+    LandingStream.produce(o.filter(col("o_orderkey") % 2 === 0), landing)
+    LandingStream.produce(o.filter(col("o_orderkey") % 2 === 1), landing)
+    var total = 0L
+    var batches = 0
+    val q = LandingStream.consume(spark, landing, o.schema, ckpt) { (batch, _) =>
+      total += batch.count(); batches += 1
+    }
+    q.awaitTermination(120000)
+    assert(total === o.count(), s"streamed $total of ${o.count()} rows")
+    assert(batches >= 1)
+  }
+
+  test("streaming windowed aggregate matches the batch plan") {
+    val landing = Files.createTempDirectory("graft_ev_").toString
+    val ckpt = Files.createTempDirectory("graft_ev_ckpt_").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(
+        spark.read.parquet(landing).schema)
+      .parquet(landing)
+    val agg = LandingStream.windowedEventCounts(stream)
+    val q = agg.writeStream
+      .format("memory").queryName("winagg")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM winagg")
+    val batch = LandingStream.windowedEventCounts(ev)
+    assert(streamed.count() === batch.count())
+    val sTot = streamed.agg(sum("cnt")).head().getLong(0)
+    val bTot = batch.agg(sum("cnt")).head().getLong(0)
+    assert(sTot === bTot)
+  }
+}
