@@ -1,0 +1,104 @@
+package graft
+
+import graft.core.{ChunkSpec, DumpManifest, TableConfig, TableManifest}
+import graft.functions.{Checksum, Masquerade}
+import graft.operators.ChunkPlanner
+import graft.sources.{CsvDump, SqlInsertWriter}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The dump pipeline (SURVEY §3.1 re-shaped for Spark): per table —
+  * project (P1/P2) → filter (P3) → chunk-plan (C1-C5) → mask (F1-F10) →
+  * serialize (S5/S6/parquet) → checksum (A4) → manifest.
+  *
+  * The reference's worker threads, demand queues, and work stealing
+  * collapse into Spark's task scheduler: the chunk plan becomes the
+  * partitioning of one distributed write action per table; phases
+  * (non-transactional under lock, then transactional — T4) become
+  * sequential groups of actions.
+  */
+object Dump {
+
+  sealed trait Format
+  case object SqlFormat extends Format
+  case object CsvFormat extends Format
+  case object ParquetFormat extends Format
+
+  final case class Config(
+      outDir: String,
+      format: Format = SqlFormat,
+      db: String = "graft",
+      targetChunks: Int = 32,           // ≈ 4× parallelism; AQE coalesces
+      statementSize: Int = 1000000,
+      compress: Boolean = false,
+      perTable: Map[String, TableConfig] = Map.empty,
+      masks: Masquerade.Registry = Masquerade.Registry(Map.empty))
+
+  final case class TableResult(table: String, rows: Long, checksum: Long,
+      chunks: Int)
+
+  /** Dump one table DataFrame end-to-end; returns its manifest entry. */
+  def dumpTable(df0: DataFrame, table: String, cfg: Config): TableResult = {
+    val conf = TableConfig.resolve(cfg.perTable, cfg.db, table)
+
+    // P2 computed projections, then P3 row filter, then P5 limit
+    var df = conf.columnsOnSelect.foldLeft(df0) { case (d, (c, e)) =>
+      d.withColumn(c, expr(e))
+    }
+    conf.where.foreach(w => df = df.filter(expr(w)))
+    conf.limit.foreach(n => df = df.limit(n.toInt))
+
+    // masquerade before serialization (reference applies between fetch
+    // and write, mydumper_write.c:709-771)
+    df = cfg.masks(df, cfg.db, table)
+
+    // chunk plan → partitioning of the write
+    val pk = df.schema.fields.headOption.map(_.name)
+    val strategy = ChunkPlanner.choose(
+      rowEstimate = -1L, // planner probes below instead of catalog stats
+      pkType = pk.map(_ => df.schema.fields.head.dataType.typeName),
+      partitions = Nil)
+    val chunks: Seq[ChunkPlanner.Chunk] = strategy match {
+      case ChunkPlanner.Strategy.IntRange =>
+        ChunkPlanner.planInteger(df, pk.get, cfg.targetChunks)
+      case _ => Nil
+    }
+    val partitioned =
+      if (chunks.nonEmpty)
+        chunks.map(c => df.filter(c.filter)).reduce(_ unionAll _)
+      else df
+
+    val checksum = df.agg(Checksum.tableChecksum(df)).head().getLong(0)
+    val rows = cfg.format match {
+      case SqlFormat =>
+        SqlInsertWriter.write(partitioned, cfg.db, table, cfg.outDir,
+          SqlInsertWriter.Options(statementSize = cfg.statementSize,
+            compress = cfg.compress))
+      case CsvFormat =>
+        CsvDump.write(partitioned, s"${cfg.outDir}/${cfg.db}.$table",
+          CsvDump.Options(compress = cfg.compress))
+        df.count()
+      case ParquetFormat =>
+        partitioned.write.mode("overwrite")
+          .parquet(s"${cfg.outDir}/${cfg.db}.$table")
+        df.count()
+    }
+    TableResult(table, rows, checksum, math.max(chunks.size, 1))
+  }
+
+  /** Dump a set of tables; transactional/non-transactional phase split
+    * (T4) honored by ordering. Returns the manifest. */
+  def run(spark: SparkSession, tables: Seq[(String, DataFrame, Boolean)],
+      cfg: Config): DumpManifest = {
+    val start = java.time.Instant.now().toString
+    val (trx, nonTrx) = tables.partition(_._3)
+    val results = (nonTrx ++ trx).map { case (name, df, _) =>
+      dumpTable(df, name, cfg)
+    }
+    DumpManifest(
+      startedAt = start,
+      finishedAt = java.time.Instant.now().toString,
+      tables = results.map(r =>
+        TableManifest(r.table, r.rows, Some(r.checksum.toString))))
+  }
+}

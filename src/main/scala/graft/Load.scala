@@ -1,0 +1,102 @@
+package graft
+
+import graft.core.DumpManifest
+import graft.functions.Checksum
+import graft.load.DependencyScheduler
+import graft.load.DependencyScheduler.TablePlan
+import graft.sources.{CsvDump, SqlInsertReader}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import scala.concurrent.ExecutionContext
+
+/** The load pipeline (SURVEY §3.2): discovery → file-type routing (S11)
+  * → dependency-ordered restore (L1) → checksum verification (L5).
+  *
+  * The restore target is pluggable: a lake write (parquet), or a JDBC
+  * sink (`df.write.jdbc`, S12 semantics) — the scheduler and verification
+  * are identical. Discovery classifies files by the dump naming scheme
+  * (`db.table.NNNNN[.NNNNN].sql[.gz]`).
+  */
+object Load {
+
+  sealed trait FileType
+  case object Data extends FileType
+  case object Schema extends FileType
+  case object Metadata extends FileType
+  case object Unknown extends FileType
+
+  /** S11 router: classify a dump file name. */
+  def classify(name: String): FileType = name match {
+    case n if n.endsWith("-schema.sql")            => Schema
+    case n if n == "metadata" || n == "metadata.json" => Metadata
+    case n if n.matches(""".+\.\d{5}(\.\d{5})?\.(sql|dat|csv)(\.gz|\.zst)?""") => Data
+    case _ => Unknown
+  }
+
+  /** Discover (db.table → data files) groups under a dump dir. */
+  def discover(dir: String): Map[String, Seq[String]] = {
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName.startsWith("."))
+    files.filter(f => classify(f.getName) == Data)
+      .groupBy { f =>
+        // db.table.NNNNN... → db.table
+        f.getName.split("\\.").take(2).mkString(".")
+      }
+      .map { case (k, v) => k -> v.map(_.getPath).toSeq }
+  }
+
+  final case class TableSource(
+      table: String,
+      schema: StructType,
+      expectedChecksum: Option[Long] = None)
+
+  final case class Result(table: String, rows: Long, checksumOk: Option[Boolean])
+
+  /** Restore dumped tables through the dependency scheduler, verifying
+    * checksums against the manifest (the reference's --checksum=fail
+    * gate: a mismatch throws). `writeTarget` is the restore sink (lake
+    * write / JDBC batch write). */
+  def run(spark: SparkSession, dumpDir: String, sources: Seq[TableSource],
+      failOnChecksum: Boolean = true)(
+      writeTarget: (String, DataFrame) => Unit): Seq[Result] = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Result]()
+    val plans = sources.map { src =>
+      TablePlan(
+        name = src.table,
+        createSchema = () => (), // lake targets: schema = parquet metadata
+        dataJobs = Seq(() => {
+          val df = SqlInsertReader.read(spark, dumpDir, src.schema,
+            glob = s"${src.table}.*.sql*")
+          val (rows, cs) = rowsAndChecksum(df)
+          val ok = src.expectedChecksum.map(_ == cs)
+          if (failOnChecksum && ok.contains(false))
+            throw new IllegalStateException(
+              s"checksum mismatch for ${src.table}: expected ${src.expectedChecksum.get}, got $cs")
+          writeTarget(src.table, df)
+          results.put(src.table, Result(src.table, rows, ok))
+        }))
+    }
+    DependencyScheduler.run(plans)
+    sources.map(s => results.get(s.table))
+  }
+
+  private def rowsAndChecksum(df: DataFrame): (Long, Long) = {
+    val r = df.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      Checksum.tableChecksum(df)).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Verify a manifest against restored tables (L5 standalone form). */
+  def verifyChecksums(manifest: DumpManifest,
+      restored: Map[String, DataFrame]): Map[String, Boolean] =
+    manifest.tables.flatMap { t =>
+      restored.get(t.table).map { df =>
+        val cs = df.agg(Checksum.tableChecksum(df)).head().getLong(0)
+        t.table -> t.dataChecksum.contains(cs.toString)
+      }
+    }.toMap
+}

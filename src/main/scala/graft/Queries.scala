@@ -518,6 +518,27 @@ object Queries {
       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 AS norm_r
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  // ----------------------------------------------------------- multimodal
+  /** Multimodal plumbing (rows-only check): synthesize deterministic fake
+    * media payloads keyed by doc_id, decode metadata through the stubbed
+    * decoder, embed via the mapPartitions encoder — exercises the binary
+    * column path end-to-end (operators.Multimodal). */
+  val qMultimodal: QFn = (s, d) => {
+    val mediaUdf = udf((id: Long) =>
+      graft.operators.Multimodal.fakeMedia((id % 3).toInt,
+        640 + (id % 100).toInt, 480 + (id % 50).toInt, id))
+    val docs = documents(s, d).select(col("doc_id"))
+      .withColumn("media", mediaUdf(col("doc_id")))
+    val withMeta = graft.operators.Multimodal.withMediaMeta(docs, "media")
+    val withEmb = graft.operators.Multimodal.embedMedia(withMeta, "media", dim = 8)
+    withEmb.select(
+      col("doc_id"), col("meta.media_type").as("media_type"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.payload_bytes").as("payload_bytes"),
+      size(col("embedding")).cast(LongType).as("dim"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ streaming
   /** Tumbling-window aggregate on the events table — the batch-equivalent
     * plan of the Structured Streaming pipeline (§2.10); the streaming
@@ -567,6 +588,7 @@ object Queries {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_ann_cosine" -> qAnnCosine,
     "q_embed_stats" -> qEmbedStats,
+    "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents)
 
   val oracles: Map[String, String] = Map(

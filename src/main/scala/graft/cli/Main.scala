@@ -1,0 +1,136 @@
+package graft.cli
+
+import graft.{Dump, Load, Tables}
+import graft.core.TableConfig
+import graft.extract.TableFilter
+import graft.functions.Masquerade
+import org.apache.spark.sql.SparkSession
+
+/** mydumper/myloader-flag-compatible front-end (SURVEY §7 module 8).
+  *
+  * Maps the reference's option surface onto the Spark engine. The data
+  * *source* here is a parquet table directory (`--source-dir`, the
+  * driver-testdata dev slice); on a real deployment the same pipeline
+  * hangs off `spark.read.jdbc` with the Snapshot plans (extract/Snapshot).
+  * MySQL-operational flags (pmm, ftwrl watchdog, daemon signals) are
+  * accepted and ignored with a warning, per SURVEY §7 non-goals.
+  *
+  * Usage:
+  *   graft.cli.Main dump --source-dir /data/sf0.01 -o /tmp/out \
+  *     [--format sql|csv|parquet] [--compress] [--rows N] [--regex R]
+  *     [--tables-list a,b] [--where COND] [--threads N]
+  *   graft.cli.Main load -d /tmp/out --target /tmp/restored [--checksum fail]
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val cmd = args.head
+    val opts = parseFlags(args.tail)
+    val threads = opts.getOrElse("threads", "4")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$threads]"))
+      .appName(s"graft-$cmd")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try cmd match {
+      case "dump" => runDump(spark, opts)
+      case "load" => runLoad(spark, opts)
+      case _      => usage(); sys.exit(2)
+    } finally spark.stop()
+  }
+
+  private val Ignored = Set("pmm-path", "pmm-resolution", "ftwrl-max-wait-time",
+    "snapshot-interval", "daemon", "kill-long-queries", "long-query-guard")
+
+  def parseFlags(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    val aliases = Map("-o" -> "outputdir", "-d" -> "directory", "-B" -> "database",
+      "-x" -> "regex", "-r" -> "rows", "-c" -> "compress", "-t" -> "threads")
+    while (i < args.length) {
+      val a = args(i)
+      val key = if (a.startsWith("--")) a.drop(2)
+                else aliases.getOrElse(a, a.stripPrefix("-"))
+      if (Ignored.contains(key)) {
+        System.err.println(s"[graft] option --$key accepted but inapplicable on Spark; ignored")
+        if (i + 1 < args.length && !args(i + 1).startsWith("-")) i += 1
+        out // no-op
+      } else if (i + 1 < args.length && !args(i + 1).startsWith("-")) {
+        out(key) = args(i + 1); i += 1
+      } else out(key) = "true"
+      i += 1
+    }
+    out.toMap
+  }
+
+  private def runDump(spark: SparkSession, o: Map[String, String]): Unit = {
+    val src = o.getOrElse("source-dir", sys.error("--source-dir required"))
+    val outDir = o.getOrElse("outputdir", sys.error("-o/--outputdir required"))
+    val db = o.getOrElse("database", "graft")
+    val fmt = o.getOrElse("format", "sql") match {
+      case "csv" => Dump.CsvFormat
+      case "parquet" => Dump.ParquetFormat
+      case _ => Dump.SqlFormat
+    }
+    val spec = TableFilter.Spec(
+      regex = o.get("regex"),
+      tablesList = o.get("tables-list").map(_.split(",").toSeq).getOrElse(Nil))
+    val all = Tables.all.filter { t =>
+      val qualified = s"$db.$t"
+      spec.regex.forall(_.r.findFirstIn(qualified).isDefined) &&
+        (spec.tablesList.isEmpty || spec.tablesList.contains(qualified) ||
+          spec.tablesList.contains(t))
+    }
+    val perTable = o.get("where")
+      .map(w => Map(s"$db.*" -> TableConfig(where = Some(w))))
+      .getOrElse(Map.empty)
+    val cfg = Dump.Config(
+      outDir = outDir, format = fmt, db = db,
+      targetChunks = o.get("rows").map(_ => 32).getOrElse(32),
+      statementSize = o.get("statement-size").map(_.toInt).getOrElse(1000000),
+      compress = o.contains("compress"),
+      perTable = perTable,
+      masks = Masquerade.Registry(parseMasks(o.get("mask"))))
+    val tables = all.map(t => (t, Tables.t(spark, src, t), true))
+    val manifest = Dump.run(spark, tables, cfg)
+    manifest.tables.foreach(t =>
+      println(s"[graft] dumped ${t.table}: ${t.rows} rows, checksum ${t.dataChecksum.getOrElse("-")}"))
+  }
+
+  /** `--mask db.table.column='constant X;regex a b'` style directives. */
+  private def parseMasks(spec: Option[String]): Map[String, Seq[Masquerade.MaskFn]] =
+    spec.map { s =>
+      s.split(",").map { rule =>
+        val Array(key, directives) = rule.split("=", 2)
+        key -> directives.split(";").toSeq.map(Masquerade.parse)
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  private def runLoad(spark: SparkSession, o: Map[String, String]): Unit = {
+    val dir = o.getOrElse("directory", sys.error("-d/--directory required"))
+    val target = o.getOrElse("target", sys.error("--target required"))
+    val failOnChecksum = o.get("checksum").contains("fail")
+    val groups = Load.discover(dir)
+    // schema source: sibling parquet dump or caller-provided; dev slice
+    // infers from the source dir if given
+    val srcDir = o.get("source-dir")
+    val sources = groups.keys.toSeq.sorted.flatMap { stem =>
+      val table = stem.split("\\.", 2).last
+      srcDir.map(sd => Load.TableSource(stem, Tables.t(spark, sd, table).schema))
+    }
+    val results = Load.run(spark, dir, sources, failOnChecksum) { (stem, df) =>
+      df.write.mode("overwrite").parquet(s"$target/$stem")
+    }
+    results.foreach(r =>
+      println(s"[graft] restored ${r.table}: ${r.rows} rows, checksum ${r.checksumOk.map(if (_) "ok" else "MISMATCH").getOrElse("unverified")}"))
+  }
+
+  private def usage(): Unit =
+    System.err.println("usage: graft.cli.Main dump|load [options] (see scaladoc)")
+}

@@ -1,0 +1,38 @@
+package graft.extract
+
+import graft.core.TableMeta
+
+/** Table-set filters (SURVEY §2.2 P6): regex on `db.table`, explicit
+  * include list, skiplist, engine excludes, system-schema exclusion,
+  * updated-since — metadata-level filtering applied before any scan.
+  * (reference: src/regex.c:96-125, tables_skiplist.c:35-88,
+  * common.c:648-678, mydumper_working_thread.c:1205-1210.)
+  */
+object TableFilter {
+
+  final case class Spec(
+      regex: Option[String] = None,            // --regex (PCRE on db.table)
+      tablesList: Seq[String] = Nil,           // --tables-list (db.table)
+      skiplist: Set[String] = Set.empty,       // --omit-from-file
+      ignoreEngines: Set[String] = Set.empty,  // --ignore-engines
+      includeSystemSchemas: Boolean = false,
+      updatedSince: Option[java.time.Instant] = None)
+
+  private val SystemSchemas =
+    Set("mysql", "sys", "information_schema", "performance_schema")
+
+  def accepts(spec: Spec, t: TableMeta,
+      updateTime: Option[java.time.Instant] = None): Boolean = {
+    val qualified = s"${t.database}.${t.table}"
+    (spec.includeSystemSchemas || !SystemSchemas.contains(t.database.toLowerCase)) &&
+      spec.regex.forall(r => r.r.findFirstIn(qualified).isDefined) &&
+      (spec.tablesList.isEmpty || spec.tablesList.contains(qualified)) &&
+      !spec.skiplist.contains(qualified) &&
+      !spec.ignoreEngines.contains(t.engine.toLowerCase) &&
+      spec.updatedSince.forall(since =>
+        updateTime.forall(ut => !ut.isBefore(since)))
+  }
+
+  def filter(spec: Spec, tables: Seq[TableMeta]): Seq[TableMeta] =
+    tables.filter(accepts(spec, _))
+}

@@ -173,9 +173,12 @@ object SqlInsertWriter {
   */
 object SqlInsertReader {
 
-  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+  /** `glob` selects which dump files to load — default all SQL dumps in
+    * the dir; pass `"db.table.*.sql*"` for one table's files. */
+  def read(spark: SparkSession, dir: String, schema: StructType,
+      glob: String = "*.sql*"): DataFrame = {
     val rdd = spark.read.option("wholetext", "true")
-      .textFile(s"$dir/*.sql*") // .sql and .sql.gz (Hadoop decompresses by extension)
+      .textFile(s"$dir/$glob") // .sql and .sql.gz (Hadoop decompresses by extension)
       .rdd
       .flatMap(f => parseStatements(f).flatten)
       .map(t => coerce(tupleToRow(t), schema))

@@ -1,0 +1,87 @@
+package graft
+
+import graft.core.TableConfig
+import graft.extract.TableFilter
+import graft.functions.Masquerade
+import java.nio.file.Files
+
+/** End-to-end dump → load → checksum-verify over the full pipeline
+  * (the reference's test_mydumper.sh round-trip, SURVEY §5). */
+class DumpLoadSpec extends SparkTestBase {
+
+  test("dump then load three tables with checksum verification") {
+    val out = Files.createTempDirectory("graft_e2e_dump_").toString
+    val tables = Seq(
+      ("region", Tables.region(spark, sf), true),
+      ("nation", Tables.nation(spark, sf), true),
+      ("supplier", Tables.supplier(spark, sf), false)) // non-trx phase first
+    val manifest = Dump.run(spark, tables,
+      Dump.Config(outDir = out, db = "tpch"))
+    assert(manifest.tables.map(_.table).toSet === Set("region", "nation", "supplier"))
+    assert(manifest.tables.forall(_.rows > 0))
+
+    val sources = tables.map { case (name, df, _) =>
+      val expected = manifest.tables.find(_.table == name).get.dataChecksum.get.toLong
+      Load.TableSource(s"tpch.$name", df.schema, Some(expected))
+    }
+    val restoredDir = Files.createTempDirectory("graft_e2e_restore_").toString
+    val results = Load.run(spark, out, sources) { (stem, df) =>
+      df.write.mode("overwrite").parquet(s"$restoredDir/$stem")
+    }
+    assert(results.forall(_.checksumOk.contains(true)))
+    // and the restored parquet matches the original rows
+    val back = spark.read.parquet(s"$restoredDir/tpch.nation")
+    assert(back.count() === Tables.nation(spark, sf).count())
+  }
+
+  test("checksum mismatch aborts the load (--checksum=fail)") {
+    val out = Files.createTempDirectory("graft_e2e_bad_").toString
+    val r = Tables.region(spark, sf)
+    Dump.run(spark, Seq(("region", r, true)), Dump.Config(outDir = out, db = "tpch"))
+    val badSource = Load.TableSource("tpch.region", r.schema, Some(12345L))
+    val ex = intercept[Exception] {
+      Load.run(spark, out, Seq(badSource)) { (_, _) => () }
+    }
+    def chain(e: Throwable): Seq[String] =
+      if (e == null) Nil else e.getMessage +: chain(e.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("checksum mismatch")))
+  }
+
+  test("per-table where/limit and masks apply during dump") {
+    val out = Files.createTempDirectory("graft_e2e_conf_").toString
+    val c = Tables.customer(spark, sf)
+    val cfg = Dump.Config(
+      outDir = out, db = "tpch",
+      perTable = Map("tpch.customer" -> TableConfig(where = Some("c_custkey < 50"))),
+      masks = Masquerade.Registry(Map(
+        "tpch.customer.c_name" -> Seq(Masquerade.Constant("MASKED")))))
+    val res = Dump.dumpTable(c, "customer", cfg)
+    assert(res.rows === c.filter("c_custkey < 50").count())
+    val back = graft.sources.SqlInsertReader.read(spark, out, c.schema,
+      "tpch.customer.*.sql*")
+    assert(back.select("c_name").distinct().collect().map(_.getString(0)).toSet === Set("MASKED"))
+  }
+
+  test("file-type router classifies dump artifacts (S11)") {
+    assert(Load.classify("tpch.orders.00003.sql") === Load.Data)
+    assert(Load.classify("tpch.orders.00003.00001.sql.gz") === Load.Data)
+    assert(Load.classify("tpch.orders-schema.sql") === Load.Schema)
+    assert(Load.classify("metadata") === Load.Metadata)
+    assert(Load.classify("README.txt") === Load.Unknown)
+  }
+
+  test("table-set filters (P6)") {
+    import graft.core.{ColumnMeta, TableMeta}
+    def tm(db: String, t: String, engine: String = "innodb") =
+      TableMeta(db, t, Seq(ColumnMeta("id", "bigint")), engine = engine)
+    val spec = TableFilter.Spec(
+      regex = Some("^tpch\\..*"),
+      skiplist = Set("tpch.orders"),
+      ignoreEngines = Set("blackhole"))
+    assert(TableFilter.accepts(spec, tm("tpch", "lineitem")))
+    assert(!TableFilter.accepts(spec, tm("tpch", "orders")))       // skiplist
+    assert(!TableFilter.accepts(spec, tm("other", "lineitem")))    // regex
+    assert(!TableFilter.accepts(spec, tm("tpch", "x", "BLACKHOLE"))) // engine
+    assert(!TableFilter.accepts(spec, tm("mysql", "user")))        // system
+  }
+}
