@@ -1,0 +1,20 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    for (n <- Seq("q_filter_where", "q_join_revenue", "q1_agg", "q_limit_topk", "q_scan_project")) {
+      println(s"===== $n =====")
+      println(Queries.all(n)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(4000))
+    }
+    spark.stop()
+  }
+}
