@@ -45,9 +45,10 @@ def table_repr(cols, rows):
     return [cols[i] for i in order], out_rows
 
 fails = ok = 0
-for name in sorted(os.listdir(out)):
-    d = os.path.join(out, name)
+for dirname in sorted(os.listdir(out)):
+    d = os.path.join(out, dirname)
     if not os.path.isdir(d): continue
+    name = dirname[:-8] if dirname.endswith(".parquet") else dirname
     files = glob.glob(f"{d}/*.parquet")
     if not files:
         print(f"FAIL {name}: no parquet written"); fails += 1; continue
