@@ -456,6 +456,31 @@ object Queries {
       |  count(*) AS n_docs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Subword (BPE-ish) counting, punctuation density, md5 fingerprint —
+    * the remaining text-metric surface, all regex/hash built-ins. */
+  val qTextMetrics: QFn = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.subwordCount(col("text")).cast(LongType).as("subwords"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+  val qTextMetricsSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS subwords,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE floor(CAST(len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]')) AS DOUBLE)
+      |            / length(text) * 10000.0) / 10000.0 END AS punct_ratio,
+      |  substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Rolling polynomial (Rabin-Karp) token hash per document — the
+    * order-sensitive fingerprint (xxhash64-seeded → rows-only check). */
+  val qRollingFp: QFn = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"), TextFunctions.rollingHash(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- dedup
   /** Exact dedup via normalized-text fingerprint (hash-groupBy). */
   val qDedupExact: QFn = (s, d) =>
@@ -484,6 +509,31 @@ object Queries {
       threshold = 0.35, bits = 2, dim = 64)
       .orderBy("id1", "id2")
 
+  /** n-gram Jaccard dedup: prefix-bucket candidates + exact shingle-set
+    * Jaccard verify (fully SQL-replayable — shingles and set overlap are
+    * string ops, no hashing involved). */
+  val qDedupNgram: QFn = (s, d) =>
+    Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+      n = 3, threshold = 0.4)
+      .orderBy("id1", "id2")
+  val qDedupNgramSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    array_to_string(w[1:least(3, len(w))], ' ') AS bucket,
+      |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |      ELSE list_transform(generate_series(1, len(w)-2),
+      |             i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |        FROM documents))
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |    * 10000.0) / 10000.0 AS jaccard
+      |FROM s a JOIN s b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
+      |ORDER BY id1, id2""".stripMargin
+
   // ----------------------------------------------------------- similarity
   /** Brute-force cosine top-k ANN (oracle: explicit sequential-fold
     * cosine in DuckDB — bit-identical to the zip_with/aggregate fold). */
@@ -504,6 +554,48 @@ object Queries {
       |  FROM embeddings, q WHERE vec_id <> 0)
       |SELECT vec_id, floor(cos * 1000000.0) / 1000000.0 AS score FROM c
       |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+
+  /** IVF/LSH-bucketed approximate top-k (the 100 TB scale path of
+    * q_ann_cosine: probe only cells within hamming ≤ nprobe of the query
+    * cell — a partition-prunable fraction of the corpus). Cell assignment
+    * is seeded-hyperplane LSH → rows-only check. */
+  val qAnnIvf: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val withCell = Similarity.withCell(e.where(col("vec_id") =!= 0), "embedding",
+      bits = 2, dim = 64)
+    Similarity.ivfTopK(withCell, "embedding", "vec_id", q, k = 10,
+      bits = 2, nprobe = 1, dim = 64)
+      .select(col("vec_id"),
+        (floor(col("score") * lit(1000000.0)) / lit(1000000.0)).as("score"))
+  }
+
+  /** Batch ANN: top-k per probe row via broadcast cross-join + window rank
+    * (bulk side never shuffles; fully oracle-checkable). */
+  val qAnnBatch: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    val probes = e.where(col("vec_id") < 3)
+    val corpus = e.where(col("vec_id") >= 3)
+    Similarity.batchTopK(corpus, "embedding", "vec_id", probes, "embedding", "vec_id", 5)
+      .select(col("probe_id"), col("vec_id"),
+        (floor(col("score") * lit(1000000.0)) / lit(1000000.0)).as("score"))
+      .orderBy("probe_id", "vec_id")
+  }
+  val qAnnBatchSql: String =
+    """WITH p AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings
+      |           WHERE vec_id < 3),
+      |c AS (SELECT probe_id, vec_id,
+      |  list_sum(list_transform(list_zip(embedding, pe),
+      |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings, p WHERE vec_id >= 3),
+      |r AS (SELECT probe_id, vec_id, cos,
+      |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+      |  FROM c)
+      |SELECT probe_id, vec_id, floor(cos * 1000000.0) / 1000000.0 AS score
+      |FROM r WHERE rn <= 5 ORDER BY probe_id, vec_id""".stripMargin
 
   /** Embedding stats: dim + L2 norm per vector. */
   val qEmbedStats: QFn = (s, d) =>
@@ -582,11 +674,16 @@ object Queries {
     "q_text_stats" -> qTextStats,
     "q_lang_id" -> qLangId,
     "q_token_totals" -> qTokenTotals,
+    "q_text_metrics" -> qTextMetrics,
+    "q_rolling_fp" -> qRollingFp,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_ngram" -> qDedupNgram,
     "q_ann_cosine" -> qAnnCosine,
+    "q_ann_ivf" -> qAnnIvf,
+    "q_ann_batch" -> qAnnBatch,
     "q_embed_stats" -> qEmbedStats,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents)
@@ -617,8 +714,11 @@ object Queries {
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
     "q_token_totals" -> qTokenTotalsSql,
+    "q_text_metrics" -> qTextMetricsSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_ngram" -> qDedupNgramSql,
     "q_ann_cosine" -> qAnnCosineSql,
+    "q_ann_batch" -> qAnnBatchSql,
     "q_embed_stats" -> qEmbedStatsSql,
     "q_window_events" -> qWindowEventsSql)
 }

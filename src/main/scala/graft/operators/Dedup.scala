@@ -108,6 +108,27 @@ object Dedup {
     TextFunctions.trunc4(jUdf(a, b))
   }
 
+  /** n-gram Jaccard dedup with prefix-bucket candidate generation: docs
+    * sharing their first `n`-word shingle are candidate pairs, verified
+    * with exact shingle-set Jaccard ≥ threshold. The bucket key bounds the
+    * self-join (shuffle on a short string, no all-pairs); boilerplate-
+    * prefix skew at corpus scale is handled by AQE skew-join — or swap the
+    * bucket for minhash bands ([[minhashPairs]]) when prefixes collide. */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, threshold: Double = 0.4): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val keyed = docs.select(col(idCol), col(textCol),
+      concat_ws(" ", slice(words, 1, n)).as("bucket"))
+    val l = keyed.select(col("bucket"), col(idCol).as("id1"), col(textCol).as("t1"))
+    val r = keyed.select(col("bucket"), col(idCol).as("id2"), col(textCol).as("t2"))
+    val jUdf = udf((x: String, y: String) => Hashing.jaccard(x, y, n))
+    l.join(r, Seq("bucket"))
+      .where(col("id1") < col("id2"))
+      .withColumn("j", jUdf(col("t1"), col("t2")))
+      .where(col("j") >= threshold)
+      .select(col("id1"), col("id2"), TextFunctions.trunc4(col("j")).as("jaccard"))
+  }
+
   /** Embedding-cosine near-dup, three-stage at scale:
     *  1. per-row 64-bit hyperplane signature (compiled UDF, one map);
     *     low `bits` bits double as the LSH bucket key;
