@@ -10,7 +10,7 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (n <- Seq("q_filter_where", "q_join_revenue", "q1_agg", "q_limit_topk", "q_scan_project")) {
+    for (n <- Seq("q_filter_where", "q_join_revenue", "q1_agg", "q_ann_batch", "q_dedup_ngram")) {
       println(s"===== $n =====")
       println(Queries.all(n)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(4000))
