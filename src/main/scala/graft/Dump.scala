@@ -31,6 +31,7 @@ object Dump {
       targetChunks: Int = 32,           // ≈ 4× parallelism; AQE coalesces
       statementSize: Int = 1000000,
       compress: Boolean = false,
+      orderByPrimary: Boolean = false,  // --order-by-primary analog
       perTable: Map[String, TableConfig] = Map.empty,
       masks: Masquerade.Registry = Masquerade.Registry(Map.empty))
 
@@ -52,7 +53,13 @@ object Dump {
     // and write, mydumper_write.c:709-771)
     df = cfg.masks(df, cfg.db, table)
 
-    // chunk plan → partitioning of the write
+    // chunk plan: for JDBC sources the chunk WHEREs become the
+    // `predicates` array (one connection/partition per chunk — S1); a
+    // file source is already split-parallel, so re-scanning per chunk
+    // would only multiply reads. File-source partitioning is therefore
+    // the scan's own splits, or — with orderByPrimary — one range
+    // shuffle on the PK: chunk-equivalent files with ordered rows
+    // (the reference's ORDER BY pk, mydumper_write.c:1055).
     val pk = df.schema.fields.headOption.map(_.name)
     val strategy = ChunkPlanner.choose(
       rowEstimate = -1L, // planner probes below instead of catalog stats
@@ -64,8 +71,9 @@ object Dump {
       case _ => Nil
     }
     val partitioned =
-      if (chunks.nonEmpty)
-        chunks.map(c => df.filter(c.filter)).reduce(_ unionAll _)
+      if (cfg.orderByPrimary && pk.isDefined)
+        df.repartitionByRange(cfg.targetChunks, col(pk.get))
+          .sortWithinPartitions(pk.get)
       else df
 
     val checksum = df.agg(Checksum.tableChecksum(df)).head().getLong(0)

@@ -95,6 +95,7 @@ object Main {
       targetChunks = o.get("rows").map(_ => 32).getOrElse(32),
       statementSize = o.get("statement-size").map(_.toInt).getOrElse(1000000),
       compress = o.contains("compress"),
+      orderByPrimary = o.contains("order-by-primary"),
       perTable = perTable,
       masks = Masquerade.Registry(parseMasks(o.get("mask"))))
     val tables = all.map(t => (t, Tables.t(spark, src, t), true))
