@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Checksum, Masquerade, TextFunctions, VectorFunctions}
-import graft.operators.{ChunkPlanner, Dedup, Similarity}
+import graft.operators.{AsofJoin, ChunkPlanner, Dedup, Similarity, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -219,6 +219,43 @@ object Queries {
       |  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** As-of join: each click picks up its user's latest prior-or-equal
+    * view (operators.AsofJoin — one shuffle on the key; DuckDB's native
+    * ASOF JOIN is the oracle). */
+  val qAsofJoin: QFn = (s, d) => {
+    val e = events(s, d)
+    val clicks = e.where(col("event_type") === "click")
+    val views = e.where(col("event_type") === "view")
+    AsofJoin.asof(clicks, views, "user_id", "ts",
+      valueCols = Seq("event_id", "value"), tieBreak = "event_id")
+      .select("event_id", "user_id", "asof_event_id", "asof_value")
+      .orderBy("event_id")
+  }
+  val qAsofJoinSql: String =
+    """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT * FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, v.event_id AS asof_event_id,
+      |       v.value AS asof_value
+      |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+      |ORDER BY c.event_id""".stripMargin
+
+  /** Skew-safe two-phase salted aggregation (operators.Skew): identical
+    * results to the plain plan — the oracle is the UNsalted SQL. */
+  val qSaltedAgg: QFn = (s, d) =>
+    Skew.saltedAgg(lineitem(s, d), Seq("l_returnflag"), salts = 16,
+      aggs = Seq(
+        ("sum_base", c => sum(c), c => sum(c).cast(DecimalType(38, 2))),
+        ("cnt", c => count(c), c => sum(c).cast(LongType))),
+      inputs = Seq(
+        ("sum_base", dec2(col("l_extendedprice"))),
+        ("cnt", lit(1))))
+      .orderBy("l_returnflag")
+  val qSaltedAggSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------- windows
   /** row_number ranking per group (top-3 orders per customer). */
   val qWindowRank: QFn = (s, d) => {
@@ -287,6 +324,38 @@ object Queries {
       |SELECT tile, min(o_orderkey) AS lo, max(o_orderkey) AS hi,
       |  count(*) AS cnt
       |FROM t GROUP BY tile ORDER BY tile""".stripMargin
+
+  /** String-PK chunk boundaries (C4): same boundary contract on a string
+    * key — the reference's prefix-walk (mydumper_string_chunks.c) done as
+    * one windowed pass. */
+  val qStringChunks: QFn = (s, d) =>
+    ChunkPlanner.ntileBounds(customer(s, d), "c_name", 8)
+      .select(col("tile").cast(LongType).as("tile"), col("lo"), col("hi"),
+        col("cnt"))
+  val qStringChunksSql: String =
+    """WITH t AS (SELECT c_name,
+      |    ntile(8) OVER (ORDER BY c_name) AS tile FROM customer)
+      |SELECT tile, min(c_name) AS lo, max(c_name) AS hi, count(*) AS cnt
+      |FROM t GROUP BY tile ORDER BY tile""".stripMargin
+
+  /** Session windows (gap-based) per user — the stateful-session analog
+    * of §2.10's declared streaming surface, run on the batch plan;
+    * oracle = gaps-and-islands SQL. */
+  val qSessionWindow: QFn = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sum38_2(col("value")).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("cnt"), col("sum_value"))
+      .orderBy("user_id", "s_start")
+  val qSessionWindowSql: String =
+    """WITH o AS (SELECT user_id, ts, value,
+      |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |         >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events),
+      |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+      |SELECT user_id, min(ts) AS s_start, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
 
   // --------------------------------------------------------------- setops
   /** INTERSECT / EXCEPT / UNION-distinct cardinalities. */
@@ -662,10 +731,14 @@ object Queries {
     "q_join_revenue" -> qJoinRevenue,
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
+    "q_asof_join" -> qAsofJoin,
+    "q_salted_agg" -> qSaltedAgg,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_lead" -> qWindowLead,
     "q_ntile_chunks" -> qNtileChunks,
+    "q_string_chunks" -> qStringChunks,
+    "q_session_window" -> qSessionWindow,
     "q_setops" -> qSetOps,
     "q_masquerade" -> qMasquerade,
     "q_mask_hash" -> qMaskHash,
@@ -702,10 +775,14 @@ object Queries {
     "q_join_revenue" -> qJoinRevenueSql,
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_salted_agg" -> qSaltedAggSql,
     "q_window_rank" -> qWindowRankSql,
     "q_window_running" -> qWindowRunningSql,
     "q_window_lead" -> qWindowLeadSql,
     "q_ntile_chunks" -> qNtileChunksSql,
+    "q_string_chunks" -> qStringChunksSql,
+    "q_session_window" -> qSessionWindowSql,
     "q_setops" -> qSetOpsSql,
     "q_masquerade" -> qMasqueradeSql,
     "q_mask_hash" -> qMaskHashSql,
