@@ -153,6 +153,79 @@ object Queries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** CUBE over two dims with grouping_id (declared §2.4 surface). */
+  val qCube: QFn = (s, d) =>
+    lineitem(s, d).cube("l_returnflag", "l_linestatus").agg(
+      grouping_id().cast(LongType).as("gid"),
+      count(lit(1)).as("cnt"), sum38_2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("gid"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  val qCubeSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** GROUPING SETS — the general grouped-aggregate lattice (SQL surface:
+    * the engine accepts full Spark SQL, q run through spark.sql). */
+  val qGroupingSets: QFn = (s, d) => {
+    orders(s, d).createOrReplaceTempView("graft_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST,
+        |  o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+  val qGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** PIVOT — returnflag columns per linestatus (fixed value list, so the
+    * plan is one pass, no distinct-values pre-query). */
+  val qPivot: QFn = (s, d) =>
+    lineitem(s, d).groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum38_2(col("l_quantity")))
+      .orderBy("l_linestatus")
+  val qPivotSql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "A",
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "N",
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "R"
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Exact interpolated percentiles (sort-based agg). Quartiles on an
+    * integer column interpolate at g ∈ {0, ¼, ½, ¾} — exactly
+    * representable in binary, so Spark and DuckDB agree bit-for-bit. */
+  val qPercentile: QFn = (s, d) =>
+    lineitem(s, d).groupBy("l_returnflag").agg(
+      percentile(col("l_partkey"), lit(0.25)).as("p25"),
+      percentile(col("l_partkey"), lit(0.5)).as("p50"),
+      percentile(col("l_partkey"), lit(0.75)).as("p75"))
+      .orderBy("l_returnflag")
+  val qPercentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_partkey, 0.25) AS p25,
+      |  quantile_cont(l_partkey, 0.5) AS p50,
+      |  quantile_cont(l_partkey, 0.75) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate distinct (HLL++) next to the exact count — the sketch
+    * path for cardinality at 100 TB (A3's modern form). HLL internals
+    * differ per engine → rows-only gate; QueriesSpec asserts ≤5% relative
+    * error against the exact count. */
+  val qApproxDistinct: QFn = (s, d) =>
+    lineitem(s, d).groupBy("l_returnflag").agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   /** COUNT(DISTINCT ...) — expand + two-phase hash agg. */
   val qDistinctAgg: QFn = (s, d) =>
     lineitem(s, d).groupBy("l_returnflag").agg(
@@ -238,6 +311,31 @@ object Queries {
       |       v.value AS asof_value
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
       |ORDER BY c.event_id""".stripMargin
+
+  /** Range (interval) join — facts bucketed to price bands via the
+    * equi-join-on-bucket rewrite (operators.RangeJoin): no nested-loop
+    * join anywhere in the plan. */
+  val qRangeJoin: QFn = (s, d) => {
+    import s.implicits._
+    val bands = s.range(0, 10).select(
+      col("id").as("band"),
+      (lit(900.0) + col("id") * 10.0).as("lo"),
+      (lit(910.0) + col("id") * 10.0).as("hi"))
+    operators.RangeJoin.bandJoin(part(s, d), "p_retailprice",
+      bands, "lo", "hi", bucket = 10.0)
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"), sum38_2(col("p_retailprice")).as("sum_price"))
+      .orderBy("band")
+  }
+  val qRangeJoinSql: String =
+    """WITH bands AS (
+      |  SELECT CAST(i AS BIGINT) AS band, 900.0 + i*10.0 AS lo,
+      |         910.0 + i*10.0 AS hi
+      |  FROM generate_series(0, 9) t(i))
+      |SELECT band, count(*) AS cnt,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
 
   /** Skew-safe two-phase salted aggregation (operators.Skew): identical
     * results to the plain plan — the oracle is the UNsalted SQL. */
@@ -543,6 +641,21 @@ object Queries {
       |  substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Generator surface — explode tokens into rows, aggregate into the
+    * top-50 corpus vocabulary (the UDTF/Generator slot of §2.11; also the
+    * natural token-frequency pass of a training-data pipeline). */
+  val qExplodeTokens: QFn = (s, d) =>
+    documents(s, d)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(50)
+  val qExplodeTokensSql: String =
+    """SELECT token, count(*) AS cnt FROM (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin
+
   /** Rolling polynomial (Rabin-Karp) token hash per document — the
     * order-sensitive fingerprint (xxhash64-seeded → rows-only check). */
   val qRollingFp: QFn = (s, d) =>
@@ -727,7 +840,14 @@ object Queries {
     "q_checksum" -> qChecksum,
     "q1_agg" -> q1Agg,
     "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_pivot" -> qPivot,
+    "q_percentile" -> qPercentile,
+    "q_approx_distinct" -> qApproxDistinct,
     "q_distinct_agg" -> qDistinctAgg,
+    "q_range_join" -> qRangeJoin,
+    "q_explode_tokens" -> qExplodeTokens,
     "q_join_revenue" -> qJoinRevenue,
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
@@ -771,7 +891,13 @@ object Queries {
     "q_count_where" -> qCountWhereSql,
     "q1_agg" -> q1AggSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_pivot" -> qPivotSql,
+    "q_percentile" -> qPercentileSql,
     "q_distinct_agg" -> qDistinctAggSql,
+    "q_range_join" -> qRangeJoinSql,
+    "q_explode_tokens" -> qExplodeTokensSql,
     "q_join_revenue" -> qJoinRevenueSql,
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql,

@@ -103,8 +103,13 @@ object TextFunctions {
   }
 
   /** Rolling polynomial hash over tokens (Rabin-Karp style): distributed
-    * left-fold, no state outside the row. */
-  def rollingHash(text: Column): Column =
+    * left-fold, no state outside the row. Arithmetic is kept modular
+    * (acc < 2^31, term < 2^31, base < 2^21) so `acc*B + h` peaks below
+    * 2^52 — never overflows a long under ANSI mode regardless of
+    * document length. */
+  def rollingHash(text: Column): Column = {
+    val mod = lit(2147483647L) // 2^31 - 1 (Mersenne prime)
     aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
-      (acc, w) => acc * lit(1000003L) + xxhash64(w))
+      (acc, w) => pmod(acc * lit(1000003L) + pmod(xxhash64(w), mod), mod))
+  }
 }

@@ -1,9 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{DecimalType, StructType}
+
+/** Typed rows for the custom-state operator (schemas are fixed here —
+  * the one place Dataset[T] beats DataFrame, SURVEY §1). */
+case class UserEvent(user_id: Long, value: Double)
+case class UserAgg(count: Long, sum: Double)
+case class UserTotal(user_id: Long, events: Long, total_value: Double)
 
 /** Structured-Streaming re-expression of the reference's stream pipeline
   * (SURVEY §2.10, §3.3).
@@ -55,6 +61,25 @@ object LandingStream {
       .agg(count(lit(1)).as("cnt"),
         sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
       .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Arbitrary keyed state via mapGroupsWithState (the §2.10 declared
+    * custom-state surface): running per-user event totals held in the
+    * state store across micro-batches; each batch emits the refreshed
+    * totals for the users it touched (Update output mode). State is one
+    * fixed-size record per key — at 100 TB the store scales with
+    * distinct users, not events, and RocksDB-backed state keeps it off
+    * the executor heap. */
+  def statefulUserTotals(events: Dataset[UserEvent]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserAgg]) =>
+          var s = state.getOption.getOrElse(UserAgg(0L, 0.0))
+          it.foreach(e => s = UserAgg(s.count + 1, s.sum + e.value))
+          state.update(s)
+          UserTotal(uid, s.count, s.sum)
+      }
+  }
 
   /** Sliding-window variant (declared in §2.10: tumbling + sliding). */
   def slidingEventCounts(events: DataFrame, window_ : String = "1 hour",

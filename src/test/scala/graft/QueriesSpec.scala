@@ -20,4 +20,33 @@ class QueriesSpec extends SparkTestBase {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("q_approx_distinct stays within 5% of the exact count") {
+    Queries.qApproxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("range band-join matches the nested-loop formulation and avoids BNLJ") {
+    import org.apache.spark.sql.functions._
+    val p = Tables.part(spark, sf)
+    // overlapping width-25 intervals over bucket=10 → each interval spans
+    // 3-4 buckets, exercising the explode path; facts can match several
+    // intervals, exercising the multi-match join
+    val bands = spark.range(0, 8).select(
+      col("id").as("band"),
+      (lit(895.0) + col("id") * 13.0).as("lo"),
+      (lit(920.0) + col("id") * 13.0).as("hi"))
+    val banded = operators.RangeJoin.bandJoin(p, "p_retailprice",
+      bands, "lo", "hi", bucket = 10.0)
+    val naive = p.join(bands,
+      col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+    assert(banded.count() === naive.count())
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"band join fell back to nested loop:\n$plan")
+  }
 }

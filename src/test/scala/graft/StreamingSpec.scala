@@ -48,4 +48,35 @@ class StreamingSpec extends SparkTestBase {
     val bTot = batch.agg(sum("cnt")).head().getLong(0)
     assert(sTot === bTot)
   }
+
+  test("mapGroupsWithState keyed totals match the batch aggregate") {
+    import graft.streaming.UserEvent
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft_state_ckpt_").toString
+    val ev = Tables.events(spark, sf)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UserEvent](
+      spark)
+    val rows = ev.select(col("user_id"), col("value")).as[UserEvent].collect()
+    // two micro-batches so state genuinely carries across batches
+    val (first, second) = rows.splitAt(rows.length / 2)
+    input.addData(first.toSeq)
+    val q = LandingStream.statefulUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("usertotals")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    input.addData(second.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // last update per user = final state
+    val streamed = spark.sql(
+      """SELECT user_id, max_by(events, events) AS events FROM usertotals
+        |GROUP BY user_id""".stripMargin)
+    val batch = ev.groupBy("user_id").agg(count(lit(1)).as("events"))
+    assert(streamed.count() === batch.count())
+    val joined = streamed.alias("s").join(batch.alias("b"), "user_id")
+      .where(col("s.events") =!= col("b.events")).count()
+    assert(joined === 0, "per-user streamed totals diverge from batch")
+  }
 }
