@@ -69,6 +69,34 @@ object ChunkPlanner {
     }
   }
 
+  /** C2 for BIGINT UNSIGNED (SURVEY §7 "hard" #4): the reference keeps a
+    * dual signed/unsigned path (mydumper_chunks.c:153-168) because u64
+    * exceeds i64; the engine maps the column to DECIMAL(20,0) and chunks
+    * with exact BigInt arithmetic — same predicate shapes, no overflow at
+    * any key value. */
+  def decimalChunks(column: String, min: BigInt, max: BigInt, step: BigInt,
+      includeNull: Boolean = true): Seq[Chunk] = {
+    require(step > 0, "step must be positive")
+    val n = (((max - min) / step) + 1).toInt
+    (0 until n).map { i =>
+      val lo = min + BigInt(i) * step
+      val hi = (lo + step - 1).min(max)
+      val base = s"(`$column` >= $lo AND `$column` <= $hi)"
+      val where = if (i == 0 && includeNull) s"($base OR `$column` IS NULL)" else base
+      val loD = new java.math.BigDecimal(lo.bigInteger)
+      val hiD = new java.math.BigDecimal(hi.bigInteger)
+      val f0 = col(column) >= lit(loD) && col(column) <= lit(hiD)
+      val f = if (i == 0 && includeNull) f0 || col(column).isNull else f0
+      Chunk(i, where, f)
+    }
+  }
+
+  /** Probe min/max of a DECIMAL(20,0) (unsigned-bigint) key exactly. */
+  def decimalBounds(df: DataFrame, column: String): (BigInt, BigInt) = {
+    val r = df.agg(min(col(column)), max(col(column))).head()
+    (BigInt(r.getDecimal(0).toBigInteger), BigInt(r.getDecimal(1).toBigInteger))
+  }
+
   /** Probe min/max (A1 — one agg job, map-side combine). */
   def intBounds(df: DataFrame, column: String): (Long, Long) = {
     val r = df.agg(min(col(column)).cast("long"), max(col(column)).cast("long")).head()

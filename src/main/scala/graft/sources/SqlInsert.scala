@@ -33,8 +33,14 @@ object SqlInsertWriter {
       compress: Boolean = false,        // --compress (gzip)
       completeInsert: Boolean = true)   // column list in INSERT header
 
-  /** Dump `df` as SQL-INSERT files under `outDir`. Returns per-partition
-    * row counts (collected — one long per partition, not data rows). */
+  /** Dump `df` as SQL-INSERT files under `outDir`. Returns the row count
+    * (via accumulator — no data rows cross to the driver).
+    *
+    * Runs on `InternalRow` (`queryExecution.toRdd`): values are read with
+    * primitive accessors and rendered by per-field closures compiled once
+    * per partition — no Catalyst→external-Row conversion (which boxes
+    * every field and materializes java.sql.Timestamp objects), no
+    * per-value type dispatch in the row loop. */
   def write(df: DataFrame, db: String, table: String, outDir: String,
       opts: Options = Options()): Long = {
     val schema = df.schema
@@ -42,19 +48,28 @@ object SqlInsertWriter {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val counts = df.sparkSession.sparkContext.longAccumulator(s"rows_dumped_$db.$table")
     val header = insertHeader(db, table, schema, opts.completeInsert)
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    df.queryExecution.toRdd.foreachPartition { rows =>
       val part = TaskContext.getPartitionId()
       var written = 0L
       if (rows.hasNext) {
+        val render = internalRenderers(schema)
+        val n = render.length
         val w = new PartitionWriter(conf.value, outDir, db, table, part, opts)
         try {
           val sb = new java.lang.StringBuilder(opts.statementSize + 4096)
           var inStatement = false
           while (rows.hasNext) {
             val r = rows.next()
-            val tuple = renderRow(r, schema)
-            if (!inStatement) { sb.append(header); sb.append(tuple); inStatement = true }
-            else { sb.append(",\n"); sb.append(tuple) }
+            if (!inStatement) { sb.append(header); inStatement = true }
+            else sb.append(",\n")
+            sb.append('(')
+            var i = 0
+            while (i < n) {
+              if (i > 0) sb.append(',')
+              if (r.isNullAt(i)) sb.append("NULL") else render(i)(sb, r)
+              i += 1
+            }
+            sb.append(')')
             if (sb.length() >= opts.statementSize) {
               sb.append(";\n")
               w.emit(sb.toString); sb.setLength(0); inStatement = false
@@ -67,6 +82,71 @@ object SqlInsertWriter {
       counts.add(written)
     }
     counts.value
+  }
+
+  private type FieldRenderer =
+    (java.lang.StringBuilder, org.apache.spark.sql.catalyst.InternalRow) => Unit
+
+  /** One renderer closure per column, dispatched on type exactly once. */
+  private def internalRenderers(schema: StructType): Array[FieldRenderer] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      val r: FieldRenderer = f.dataType match {
+        case ByteType    => (sb, row) => sb.append(row.getByte(i).toInt)
+        case ShortType   => (sb, row) => sb.append(row.getShort(i).toInt)
+        case IntegerType => (sb, row) => sb.append(row.getInt(i))
+        case LongType    => (sb, row) => sb.append(row.getLong(i))
+        case FloatType   => (sb, row) => sb.append(row.getFloat(i))
+        case DoubleType  => (sb, row) => sb.append(row.getDouble(i))
+        case d: DecimalType =>
+          (sb, row) => sb.append(row.getDecimal(i, d.precision, d.scale).toString)
+        case BooleanType =>
+          (sb, row) => sb.append(if (row.getBoolean(i)) '1' else '0')
+        case BinaryType =>
+          (sb, row) => {
+            val b = row.getBinary(i)
+            if (b.isEmpty) sb.append("''")
+            else { sb.append("0x"); appendHex(sb, b) }
+          }
+        case TimestampType =>
+          // same rendering as the external path: java.sql.Timestamp.toString
+          // in the JVM zone (reader round-trips with Timestamp.valueOf)
+          (sb, row) => sb.append('\'')
+            .append(DateTimeUtils.toJavaTimestamp(row.getLong(i)).toString)
+            .append('\'')
+        case TimestampNTZType =>
+          (sb, row) => sb.append('\'')
+            .append(sqlTimestamp(DateTimeUtils.microsToLocalDateTime(row.getLong(i))))
+            .append('\'')
+        case DateType =>
+          (sb, row) => sb.append('\'')
+            .append(DateTimeUtils.daysToLocalDate(row.getInt(i)).toString)
+            .append('\'')
+        case StringType =>
+          (sb, row) => {
+            sb.append('\'')
+            escapeInto(sb, row.getUTF8String(i).toString)
+            sb.append('\'')
+          }
+        case dt => // arrays/maps/structs have no SQL-dump form; quoted text
+          (sb, row) => {
+            sb.append('\'')
+            escapeInto(sb, String.valueOf(row.get(i, dt)))
+            sb.append('\'')
+          }
+      }
+      r
+    }
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def appendHex(sb: java.lang.StringBuilder, b: Array[Byte]): Unit = {
+    var i = 0
+    while (i < b.length) {
+      sb.append(HexDigits((b(i) >> 4) & 0xf)).append(HexDigits(b(i) & 0xf))
+      i += 1
+    }
   }
 
   private def insertHeader(db: String, table: String, schema: StructType,
@@ -107,7 +187,8 @@ object SqlInsertWriter {
     def close(): Unit = if (out != null) { out.close(); out = null }
   }
 
-  /** Render one row as a `(v1,v2,…)` tuple. */
+  /** Render one external Row as a `(v1,v2,…)` tuple (test/debug surface;
+    * the write path renders InternalRow via [[internalRenderers]]). */
   def renderRow(r: Row, schema: StructType): String = {
     val sb = new java.lang.StringBuilder(128)
     sb.append('(')
@@ -123,7 +204,7 @@ object SqlInsertWriter {
         case _: BinaryType =>
           val b = r.getAs[Array[Byte]](i)
           if (b.isEmpty) sb.append("''")
-          else { sb.append("0x"); b.foreach(x => sb.append(f"${x & 0xff}%02x")) }
+          else { sb.append("0x"); appendHex(sb, b) }
         case _: TimestampNTZType =>
           // LocalDateTime.toString is ISO ("T", trailing zeros dropped) —
           // render the SQL-standard form Timestamp.valueOf can re-parse

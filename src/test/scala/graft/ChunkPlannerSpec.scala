@@ -15,6 +15,25 @@ class ChunkPlannerSpec extends SparkTestBase {
       "(`id` >= 80 AND `id` <= 99)"))
   }
 
+  test("decimal chunks partition the full u64 range exactly (no overflow)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.DecimalType
+    // keys straddling Long.MaxValue — the reference's unsigned path
+    val top = BigInt("18446744073709551615") // 2^64 - 1
+    val lo = top - 999
+    val chunks = decimalChunks("k", lo, top, BigInt(400))
+    assert(chunks.size === 3)
+    assert(chunks.head.where.contains("IS NULL"))
+    assert(chunks.last.where.contains(top.toString))
+    // chunk filters partition an actual DECIMAL(20,0) column
+    val df = spark.range(0, 1000).select(
+      (lit(new java.math.BigDecimal(lo.bigInteger)) + col("id"))
+        .cast(DecimalType(20, 0)).as("k"))
+    val counts = chunks.map(c => df.filter(c.filter).count())
+    assert(counts.sum === 1000)
+    assert(counts === Seq(400L, 400L, 200L))
+  }
+
   test("chunked scans partition the table exactly (no loss, no overlap)") {
     val o = Tables.orders(spark, sf)
     val chunks = planInteger(o, "o_orderkey", 8)
