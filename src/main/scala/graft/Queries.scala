@@ -337,6 +337,64 @@ object Queries {
       |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
       |GROUP BY band ORDER BY band""".stripMargin
 
+  /** HAVING — filter on an aggregate (TPC-H Q18 shape): large orders by
+    * total quantity, rejoined to order facts. */
+  val qHaving: QFn = (s, d) => {
+    val li = lineitem(s, d)
+    val big = li.groupBy("l_orderkey")
+      .agg(sum38_2(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > lit(300))
+    big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+      .limit(20)
+  }
+  val qHavingSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) b
+      |JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q3 shape — segment-filtered star join, top-10 revenue. */
+  val qTopkRevenue: QFn = (s, d) => {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d)
+    val li = lineitem(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(o("o_orderkey").as("o_orderkey"), o("o_orderdate").as("o_orderdate"))
+      .agg(sum38_4(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+  val qTopkRevenueSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Scalar subquery — parts priced above the corpus average (Catalyst
+    * rewrites the uncorrelated scalar subquery to a broadcast of one
+    * row; run through spark.sql for the declared SQL surface). */
+  val qScalarSubquery: QFn = (s, d) => {
+    part(s, d).createOrReplaceTempView("graft_part_sq")
+    s.sql(
+      """SELECT p_partkey, p_retailprice FROM graft_part_sq
+        |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM graft_part_sq)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+  val qScalarSubquerySql: String =
+    """SELECT p_partkey, p_retailprice FROM part
+      |WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
   /** Skew-safe two-phase salted aggregation (operators.Skew): identical
     * results to the plain plan — the oracle is the UNsalted SQL. */
   val qSaltedAgg: QFn = (s, d) =>
@@ -852,6 +910,9 @@ object Queries {
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_asof_join" -> qAsofJoin,
+    "q_having" -> qHaving,
+    "q_topk_revenue" -> qTopkRevenue,
+    "q_scalar_subquery" -> qScalarSubquery,
     "q_salted_agg" -> qSaltedAgg,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
@@ -902,6 +963,9 @@ object Queries {
     "q_join_semi" -> qJoinSemiSql,
     "q_join_anti" -> qJoinAntiSql,
     "q_asof_join" -> qAsofJoinSql,
+    "q_having" -> qHavingSql,
+    "q_topk_revenue" -> qTopkRevenueSql,
+    "q_scalar_subquery" -> qScalarSubquerySql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_window_rank" -> qWindowRankSql,
     "q_window_running" -> qWindowRunningSql,
