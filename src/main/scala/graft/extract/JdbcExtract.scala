@@ -1,0 +1,59 @@
+package graft.extract
+
+import graft.core.ChunkSpec
+import graft.operators.ChunkPlanner
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.util.Properties
+
+/** The JDBC extraction surface (SURVEY §2.1 S1, §2.8 T1): turns a chunk
+  * plan + snapshot plan into the exact `spark.read.jdbc(url, table,
+  * predicates, props)` invocation — one chunk WHERE per Spark partition,
+  * one connection per partition, each connection initialized with the
+  * lock-mode's worker statements via `sessionInitStatement` (Spark's
+  * per-connection hook; the control-connection halves of the plan run
+  * driver-side over plain java.sql before/after the read action).
+  *
+  * No live MySQL exists in this environment, so the builder is exercised
+  * by spec on the generated options (JdbcExtractSpec); the parquet dev
+  * slice stands in for the source elsewhere (SURVEY §7 module 4).
+  */
+object JdbcExtract {
+
+  final case class Spec(
+      url: String,
+      table: String,
+      predicates: Array[String],
+      props: Properties)
+
+  /** Build the read spec. `where` is ANDed into every chunk predicate
+    * (the reference ANDs user/per-table WHERE into each chunk query,
+    * mydumper_write.c:1052-1054). */
+  def spec(url: String, table: String, chunks: ChunkSpec,
+      snapshot: Snapshot.Plan, user: String, password: String,
+      where: Option[String] = None, fetchSize: Int = 10000): Spec = {
+    val base = ChunkPlanner.toPredicates(chunks)
+    val preds = (base, where) match {
+      case (Array(), None)    => Array.empty[String]
+      case (Array(), Some(w)) => Array(w)
+      case (ps, None)         => ps
+      case (ps, Some(w))      => ps.map(p => s"($p) AND ($w)")
+    }
+    val props = new Properties()
+    props.setProperty("user", user)
+    props.setProperty("password", password)
+    props.setProperty("fetchsize", fetchSize.toString)
+    // stream rows instead of buffering the result set (the reference's
+    // mysql_use_result, mydumper_write.c:1047): MySQL Connector/J streams
+    // when fetchsize = Integer.MIN_VALUE; other drivers honor fetchsize
+    if (snapshot.workerInit.nonEmpty)
+      props.setProperty("sessionInitStatement", snapshot.workerInit.mkString("; "))
+    Spec(url, table, preds, props)
+  }
+
+  /** Run the read: one Spark partition per predicate (or a single
+    * partition for a whole-table spec). */
+  def read(spark: SparkSession, s: Spec): DataFrame =
+    if (s.predicates.isEmpty) spark.read.jdbc(s.url, s.table, s.props)
+    else spark.read.jdbc(s.url, s.table, s.predicates, s.props)
+}

@@ -1,0 +1,59 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** The JDBC restore surface (SURVEY §2.1 S12, §2.9 L4): maps the
+  * reference's loader knobs onto `df.write.jdbc` options.
+  *
+  *  - `--rows` batch splitting        → `batchsize`
+  *  - `--threads` connection pool     → `numPartitions` (one connection
+  *    per partition; repartition if the plan has more)
+  *  - overwrite modes FAIL/TRUNCATE/DROP (myloader.h:35) →
+  *    SaveMode.ErrorIfExists / `truncate=true` + Overwrite / Overwrite
+  *  - session defaults (UNIQUE_CHECKS=0 etc., mydumper.cnf:40-44) →
+  *    `sessionInitStatement`
+  *
+  * Like JdbcExtract, exercised by spec on the generated options — no
+  * live MySQL in this environment.
+  */
+object JdbcLoad {
+
+  sealed trait Overwrite
+  object Overwrite {
+    case object Fail extends Overwrite      // error if table has data
+    case object Truncate extends Overwrite  // keep DDL, truncate + insert
+    case object Drop extends Overwrite      // drop + recreate
+    case object Append extends Overwrite
+  }
+
+  final case class Spec(
+      mode: SaveMode,
+      options: Map[String, String])
+
+  def spec(url: String, table: String, user: String, password: String,
+      overwrite: Overwrite = Overwrite.Append,
+      batchSize: Int = 1000,             // reference queries-per-transaction
+      connections: Int = 4,              // reference --threads
+      disableChecks: Boolean = true): Spec = {
+    val (mode, extra) = overwrite match {
+      case Overwrite.Fail     => (SaveMode.ErrorIfExists, Map.empty[String, String])
+      case Overwrite.Truncate => (SaveMode.Overwrite, Map("truncate" -> "true"))
+      case Overwrite.Drop     => (SaveMode.Overwrite, Map.empty[String, String])
+      case Overwrite.Append   => (SaveMode.Append, Map.empty[String, String])
+    }
+    val session =
+      if (disableChecks)
+        Map("sessionInitStatement" ->
+          "SET UNIQUE_CHECKS=0; SET FOREIGN_KEY_CHECKS=0; SET SQL_LOG_BIN=0")
+      else Map.empty[String, String]
+    Spec(mode, Map(
+      "url" -> url, "dbtable" -> table,
+      "user" -> user, "password" -> password,
+      "batchsize" -> batchSize.toString,
+      "numPartitions" -> connections.toString,
+      "isolationLevel" -> "READ_COMMITTED") ++ extra ++ session)
+  }
+
+  def write(df: DataFrame, s: Spec): Unit =
+    df.write.format("jdbc").mode(s.mode).options(s.options).save()
+}

@@ -49,6 +49,21 @@ class StreamingSpec extends SparkTestBase {
     assert(sTot === bTot)
   }
 
+  test("daemon mode rotates snapshot dirs and re-dumps each interval") {
+    val base = Files.createTempDirectory("graft_daemon_").toString
+    val o = Tables.orders(spark, sf).limit(100)
+    var slept = Vector.empty[Long]
+    val dirs = graft.streaming.Daemon.run(base, snapshotCount = 2,
+      iterations = 3, intervalMs = 5L, sleep = ms => slept :+= ms) { dir =>
+      o.write.mode("overwrite").parquet(dir)
+    }
+    assert(dirs === Seq(s"$base/0", s"$base/1", s"$base/0"))
+    assert(slept === Vector(5L, 5L)) // no sleep after the last iteration
+    // both snapshot dirs hold a complete dump
+    assert(spark.read.parquet(s"$base/0").count() === 100)
+    assert(spark.read.parquet(s"$base/1").count() === 100)
+  }
+
   test("mapGroupsWithState keyed totals match the batch aggregate") {
     import graft.streaming.UserEvent
     import spark.implicits._
