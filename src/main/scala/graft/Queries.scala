@@ -774,6 +774,74 @@ object Queries {
       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
       |ORDER BY id1, id2""".stripMargin
 
+  /** Dedup clusters: connected components over the (deterministic,
+    * SQL-replayable) n-gram Jaccard pairs — each doc labeled with the
+    * min id of its transitive near-dup cluster (the canonical survivor).
+    * Oracle: recursive-CTE transitive closure in DuckDB. */
+  val qDedupClusters: QFn = (s, d) =>
+    Dedup.clusters(Dedup.ngramJaccardPairs(documents(s, d), "text", "doc_id",
+      n = 3, threshold = 0.4))
+      .orderBy("id")
+  val qDedupClustersSql: String =
+    """WITH RECURSIVE p AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2
+      |  FROM (SELECT doc_id,
+      |          array_to_string(w[1:least(3, len(w))], ' ') AS bucket,
+      |          list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |            ELSE list_transform(generate_series(1, len(w)-2),
+      |                   i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+      |        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |              FROM documents)) a
+      |  JOIN (SELECT doc_id,
+      |          array_to_string(w[1:least(3, len(w))], ' ') AS bucket,
+      |          list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |            ELSE list_transform(generate_series(1, len(w)-2),
+      |                   i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+      |        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |              FROM documents)) b
+      |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4),
+      |edges AS (SELECT id1 AS src, id2 AS dst FROM p
+      |          UNION SELECT id2, id1 FROM p),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id)
+      |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** TF-IDF over the corpus (SURVEY §7 text analysis): term frequency ×
+    * smoothed inverse document frequency, docs 0-99 scored against the
+    * FULL corpus df. ln() is libm-identical across engines; floor-trunc
+    * guards the last ulp. */
+  val qTfidf: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val tokens = docs.select(col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), col("term"), col("tf"),
+        (floor(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)) * lit(10000.0))
+          / lit(10000.0)).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+  val qTfidfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, term, tf,
+      |  floor(tf * ln((n_docs + 1.0) / (df + 1.0)) * 10000.0) / 10000.0 AS tfidf
+      |FROM tf JOIN dfreq USING (term), n
+      |WHERE doc_id < 100
+      |ORDER BY doc_id, term""".stripMargin
+
   // ----------------------------------------------------------- similarity
   /** Brute-force cosine top-k ANN (oracle: explicit sequential-fold
     * cosine in DuckDB — bit-identical to the zip_with/aggregate fold). */
@@ -935,6 +1003,8 @@ object Queries {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_ngram" -> qDedupNgram,
+    "q_dedup_clusters" -> qDedupClusters,
+    "q_tfidf" -> qTfidf,
     "q_ann_cosine" -> qAnnCosine,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_batch" -> qAnnBatch,
@@ -984,6 +1054,8 @@ object Queries {
     "q_text_metrics" -> qTextMetricsSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram" -> qDedupNgramSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
+    "q_tfidf" -> qTfidfSql,
     "q_ann_cosine" -> qAnnCosineSql,
     "q_ann_batch" -> qAnnBatchSql,
     "q_embed_stats" -> qEmbedStatsSql,

@@ -129,6 +129,50 @@ object Dedup {
       .select(col("id1"), col("id2"), TextFunctions.trunc4(col("j")).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs → dedup clusters, each
+    * doc labeled with its cluster's minimum id (the canonical survivor).
+    * Iterative min-label propagation: each round joins current labels
+    * across the edge list and keeps the smaller label; converges in
+    * O(log(longest chain)) rounds — near-dup clusters are shallow
+    * (chains of transitively-similar docs), so `maxIter` ≈ 10 suffices.
+    * Each iteration is one shuffle on id; `localCheckpoint` truncates
+    * the growing lineage so round N's plan doesn't replay rounds 1..N-1
+    * (the standard Spark pattern for iterative graph algorithms —
+    * GraphX/Pregel does exactly this under the hood).
+    *
+    * Input: pairs (id1, id2); ids absent from any pair are their own
+    * cluster (callers usually only care about docs that appear in pairs).
+    * Output: (id, cluster) — cluster = min id reachable. */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label for each node: min over neighbors' labels ∪ own
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster"))
+      val next = labels.unionAll(viaNeighbors)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.alias("p"), "id")
+        .where(col("n.cluster") =!= col("p.cluster"))
+        .limit(1).count() // early-exit probe: any row proves non-convergence
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup, three-stage at scale:
     *  1. per-row 64-bit hyperplane signature (compiled UDF, one map);
     *     low `bits` bits double as the LSH bucket key;

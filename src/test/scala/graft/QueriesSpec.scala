@@ -30,6 +30,18 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("dedup clusters: min-label propagation finds transitive components") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // components: {1,2,3,9} chained (1-2, 2-3, 3-9), {5,6}, {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L), (8L, 7L))
+      .toDF("id1", "id2")
+    val got = operators.Dedup.clusters(pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got === Array(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L,
+      6L -> 5L, 7L -> 7L, 8L -> 7L, 9L -> 1L))
+  }
+
   test("range band-join matches the nested-loop formulation and avoids BNLJ") {
     import org.apache.spark.sql.functions._
     val p = Tables.part(spark, sf)
