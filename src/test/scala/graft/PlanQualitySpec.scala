@@ -1,0 +1,54 @@
+package graft
+
+/** Machine-checked plan-shape assertions for the SCALE.md claims: filters
+  * and projections reach the parquet scan, dims broadcast, top-k avoids a
+  * global sort, salted aggregation actually pre-shuffles on the salt.
+  * These are the properties that decide 100 TB behavior — asserting them
+  * here means a regression in plan shape fails CI, not a cluster run. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df = Queries.all(name)(spark, sf)
+    df.collect() // materialize so AQE finalizes the executed plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_where pushes both predicates into the parquet scan") {
+    val p = planOf("q_filter_where")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("GreaterThan"), "filters not pushed:\n" + p.take(2000))
+  }
+
+  test("q_scan_project prunes the read schema to the projected columns") {
+    val df = Queries.all("q_scan_project")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_shipdate") && !read.contains("l_comment"),
+      s"scan reads unprojected columns: $read")
+  }
+
+  test("q_join_revenue broadcasts dims and never sort-merge-joins the fact table") {
+    val p = planOf("q_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "fact table shuffled for a dim join:\n" + p.take(3000))
+  }
+
+  test("q_ann_cosine top-k plans as TakeOrdered, not a global sort") {
+    val p = planOf("q_ann_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q1_agg aggregates partially before the exchange (map-side combine)") {
+    val p = planOf("q1_agg")
+    val firstAgg = p.indexOf("HashAggregate")
+    val exchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0 && exchange >= 0)
+    // plan prints top-down: final agg, exchange, partial agg — the partial
+    // HashAggregate must appear below (after) the exchange line
+    val partialBelowExchange = p.indexOf("HashAggregate", exchange) >= 0
+    assert(partialBelowExchange, "no partial aggregate below the exchange:\n" + p.take(3000))
+  }
+}
