@@ -114,6 +114,33 @@ object Multimodal {
     }
   }
 
+  /** Resize: binary → binary with the target dimensions (STUB rewrites
+    * the header and decimates the payload proportionally to the area
+    * ratio; a real pipeline calls the codec's scaler). Corrupt payloads
+    * → null, matching the decode contract. The operator stays a pure
+    * column map — resizing 10⁹ images is embarrassingly parallel and
+    * must never leave the executor. */
+  def resizeMedia(df: DataFrame, binCol: String, outCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val resizeUdf = udf { (b: Array[Byte]) =>
+      decodeStub(b) match {
+        case None => null
+        case Some((_, w, h, payloadLen)) =>
+          val ratio = math.min(
+            (targetW.toLong * targetH).toDouble / math.max(w.toLong * h, 1L), 1.0)
+          val newLen = math.max((payloadLen * ratio).toInt, 1)
+          val out = new Array[Byte](13 + newLen)
+          System.arraycopy(b, 0, out, 0, 13)
+          intTo(out, 5, targetW); intTo(out, 9, targetH)
+          val step = math.max(payloadLen / newLen, 1)
+          var k = 0
+          while (k < newLen) { out(13 + k) = b(13 + math.min(k * step, payloadLen - 1)); k += 1 }
+          out
+      }
+    }
+    df.withColumn(outCol, resizeUdf(col(binCol)))
+  }
+
   /** Frame sampling: one row per sampled frame (frame_idx, frame binary).
     * STUB slices the payload into `n` even chunks; a real video pipeline
     * seeks keyframes. Explode keeps it distributed — no driver collect. */

@@ -43,6 +43,19 @@ class MultimodalSpec extends SparkTestBase {
     assert(again(0) === embs(0).get)
   }
 
+  test("resize rewrites dimensions, shrinks payload, nulls corrupt input") {
+    val out = Multimodal.withMediaMeta(
+      Multimodal.resizeMedia(mediaDf(4), "media", "small", 64, 48), "small")
+      .orderBy("id").collect()
+    val good = out.take(4)
+    good.foreach { r =>
+      val m = r.getStruct(r.length - 1)
+      assert(m.getInt(1) === 64 && m.getInt(2) === 48)
+      assert(m.getInt(3) <= 256) // payload decimated, never grown
+    }
+    assert(out.takeRight(2).forall(r => r.isNullAt(2))) // corrupt + null in
+  }
+
   test("frame sampling explodes n frames per media row") {
     val df = mediaDf(2).where(col("media").isNotNull).limit(2)
     val frames = Multimodal.sampleFrames(df, "media", 4)
