@@ -32,6 +32,7 @@ object Dump {
       statementSize: Int = 1000000,
       compress: Boolean = false,
       orderByPrimary: Boolean = false,  // --order-by-primary analog
+      checksum: Boolean = true,         // --checksum-all analog
       perTable: Map[String, TableConfig] = Map.empty,
       masks: Masquerade.Registry = Masquerade.Registry(Map.empty))
 
@@ -74,9 +75,23 @@ object Dump {
       if (cfg.orderByPrimary && pk.isDefined)
         df.repartitionByRange(cfg.targetChunks, col(pk.get))
           .sortWithinPartitions(pk.get)
-      else df
+      else {
+        // a small/single-file source scans as one split → the write would
+        // be serial; guarantee targetChunks write parallelism (at 100 TB
+        // the scan already has >> targetChunks splits and this is a no-op)
+        val scanParts = df.rdd.getNumPartitions
+        if (scanParts < cfg.targetChunks) df.repartition(cfg.targetChunks) else df
+      }
 
-    val checksum = df.agg(Checksum.tableChecksum(df)).head().getLong(0)
+    // checksum and write are independent full passes — run them as
+    // concurrent Spark jobs so they overlap on the executors instead of
+    // serializing two scans (the fair scheduler interleaves their tasks)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val checksumF =
+      if (cfg.checksum) Future(df.agg(Checksum.tableChecksum(df)).head().getLong(0))
+      else Future.successful(0L)
     val rows = cfg.format match {
       case SqlFormat =>
         SqlInsertWriter.write(partitioned, cfg.db, table, cfg.outDir,
@@ -91,7 +106,8 @@ object Dump {
           .parquet(s"${cfg.outDir}/${cfg.db}.$table")
         df.count()
     }
-    TableResult(table, rows, checksum, math.max(chunks.size, 1))
+    TableResult(table, rows, Await.result(checksumF, Duration.Inf),
+      math.max(chunks.size, 1))
   }
 
   /** Dump a set of tables; transactional/non-transactional phase split
