@@ -10,7 +10,12 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    for (n <- Seq("q_filter_where", "q_join_revenue", "q1_agg", "q_ann_batch", "q_dedup_ngram")) {
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_filter_where", "q_join_revenue", "q1_agg", "q_ann_batch",
+        "q_dedup_ngram", "q_range_join", "q_cube", "q_dedup_clusters",
+        "q_sample_hash", "q_topk_revenue")
+    for (n <- names) {
       println(s"===== $n =====")
       println(Queries.all(n)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(4000))

@@ -842,6 +842,32 @@ object Queries {
       |WHERE doc_id < 100
       |ORDER BY doc_id, term""".stripMargin
 
+  /** Deterministic hash sampling (corpus downsampling that is stable
+    * across runs AND engines — no RNG): keep keys whose md5 prefix falls
+    * under the fraction. The engine's fast path is xxhash64
+    * (operators.Sampling.byKeyHash, SamplingPackingSpec); this portable
+    * md5 form is the oracle-checkable equivalent, ~25% of orders. */
+  val qSampleHash: QFn = (s, d) =>
+    orders(s, d)
+      .where(substring(md5(col("o_orderkey").cast(StringType)), 1, 4) < "4000")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum38_2(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  val qSampleHashSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM orders
+      |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Sequence packing (operators.Packing): greedy first-fit-decreasing
+    * into 512-token bins per partition; reports bins / docs / token
+    * utilization. Bin assignment is partition-local → rows-only gate;
+    * SamplingPackingSpec asserts budget + utilization invariants. */
+  val qPackStats: QFn = (s, d) =>
+    operators.Packing.packingStats(
+      operators.Packing.packByTokenBudget(documents(s, d), "text", 512), 512)
+
   // ----------------------------------------------------------- similarity
   /** Brute-force cosine top-k ANN (oracle: explicit sequential-fold
     * cosine in DuckDB — bit-identical to the zip_with/aggregate fold). */
@@ -1005,6 +1031,8 @@ object Queries {
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_clusters" -> qDedupClusters,
     "q_tfidf" -> qTfidf,
+    "q_sample_hash" -> qSampleHash,
+    "q_pack_stats" -> qPackStats,
     "q_ann_cosine" -> qAnnCosine,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_batch" -> qAnnBatch,
@@ -1056,6 +1084,7 @@ object Queries {
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_tfidf" -> qTfidfSql,
+    "q_sample_hash" -> qSampleHashSql,
     "q_ann_cosine" -> qAnnCosineSql,
     "q_ann_batch" -> qAnnBatchSql,
     "q_embed_stats" -> qEmbedStatsSql,
