@@ -41,12 +41,22 @@ object Bench {
     // throughput directly comparable to mydumper/myloader
     val dumpDir = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val li = Tables.lineitem(spark, sfDir)
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_bench_csv").toString
     val pipeline = Seq[(String, () => Unit)](
       "x_dump_sqlinsert" -> { () =>
         Dump.dumpTable(li, "lineitem", Dump.Config(outDir = dumpDir)); ()
       },
       "x_load_sqlinsert" -> { () =>
         sources.SqlInsertReader.read(spark, dumpDir, li.schema, "graft.lineitem.*.sql*")
+          .write.format("noop").mode("overwrite").save()
+      },
+      "x_dump_csv" -> { () =>
+        Dump.dumpTable(li, "lineitem",
+          Dump.Config(outDir = csvDir, format = Dump.CsvFormat, checksum = false)); ()
+      },
+      "x_load_csv" -> { () =>
+        sources.CsvDump.reader(spark).schema(li.schema)
+          .csv(s"$csvDir/graft.lineitem")
           .write.format("noop").mode("overwrite").save()
       }).map { case (name, thunk) =>
       val t0 = System.nanoTime()

@@ -98,13 +98,18 @@ object Dump {
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
             compress = cfg.compress))
       case CsvFormat =>
-        CsvDump.write(partitioned, s"${cfg.outDir}/${cfg.db}.$table",
+        // Observation rides the write job — row count without a second scan
+        val obs = new org.apache.spark.sql.Observation()
+        CsvDump.write(partitioned.observe(obs, count(lit(1)).as("rows")),
+          s"${cfg.outDir}/${cfg.db}.$table",
           CsvDump.Options(compress = cfg.compress))
-        df.count()
+        obs.get("rows").asInstanceOf[Long]
       case ParquetFormat =>
-        partitioned.write.mode("overwrite")
+        val obs = new org.apache.spark.sql.Observation()
+        partitioned.observe(obs, count(lit(1)).as("rows"))
+          .write.mode("overwrite")
           .parquet(s"${cfg.outDir}/${cfg.db}.$table")
-        df.count()
+        obs.get("rows").asInstanceOf[Long]
     }
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),
       math.max(chunks.size, 1))

@@ -1,0 +1,30 @@
+package org.apache.spark.sql.graftnative
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (the brief's idiomatic extension
+  * path): registers the engine's native expressions under SQL names so
+  * `spark.sql("SELECT vec_dot(a, b) …")` works for SQL-only users.
+  *
+  * Wire up with either
+  *   `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  *   `--conf spark.sql.extensions=org.apache.spark.sql.graftnative.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "vec_dot", "dot product of two float vectors",
+      args => FloatVecDot(args(0), args(1)))
+    register(ext, "vec_l2sq", "squared L2 distance of two float vectors",
+      args => FloatVecL2Sq(args(0), args(1)))
+  }
+
+  private def register(ext: SparkSessionExtensions, name: String, usage: String,
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+      builder))
+}
