@@ -980,6 +980,25 @@ object Queries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Stream-stream interval join, batch-equivalent plan (the streaming
+    * variant with watermarked state runs in StreamingSpec): clicks pick
+    * up same-user views from the preceding hour. */
+  val qStreamJoin: QFn = (s, d) => {
+    val ev = events(s, d)
+    graft.streaming.LandingStream.clickViewJoin(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "view"))
+      .orderBy("click_id", "view_id")
+  }
+  val qStreamJoinSql: String =
+    """SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+      |  v.event_id AS view_id, v.ts AS view_ts
+      |FROM events c JOIN events v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      | AND c.user_id = v.user_id
+      | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
+      |ORDER BY click_id, view_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1038,7 +1057,8 @@ object Queries {
     "q_ann_batch" -> qAnnBatch,
     "q_embed_stats" -> qEmbedStats,
     "q_multimodal" -> qMultimodal,
-    "q_window_events" -> qWindowEvents)
+    "q_window_events" -> qWindowEvents,
+    "q_stream_join" -> qStreamJoin)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1088,5 +1108,6 @@ object Queries {
     "q_ann_cosine" -> qAnnCosineSql,
     "q_ann_batch" -> qAnnBatchSql,
     "q_embed_stats" -> qEmbedStatsSql,
-    "q_window_events" -> qWindowEventsSql)
+    "q_window_events" -> qWindowEventsSql,
+    "q_stream_join" -> qStreamJoinSql)
 }

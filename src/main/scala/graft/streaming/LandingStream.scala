@@ -81,6 +81,27 @@ object LandingStream {
       }
   }
 
+  /** Watermarked stream-stream join (§2.10 declared surface): each click
+    * joins the same user's views from the preceding hour. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so Spark can expire buffered state — without the time bound a
+    * stream-stream join's state grows forever. Works identically on
+    * batch DataFrames (the spec cross-checks exactly that). */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    c.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"))
+      .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+  }
+
   /** Sliding-window variant (declared in §2.10: tumbling + sliding). */
   def slidingEventCounts(events: DataFrame, window_ : String = "1 hour",
       slide: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =

@@ -49,6 +49,31 @@ class StreamingSpec extends SparkTestBase {
     assert(sTot === bTot)
   }
 
+  test("watermarked stream-stream join matches the batch join") {
+    val landing = Files.createTempDirectory("graft_ssj_").toString
+    val ckpt = Files.createTempDirectory("graft_ssj_ckpt_").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("append").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    def src() = spark.readStream.schema(schema).parquet(landing)
+    val joined = LandingStream.clickViewJoin(
+      src().where(col("event_type") === "click"),
+      src().where(col("event_type") === "view"))
+    val q = joined.writeStream
+      .format("memory").queryName("ssj")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT count(*) FROM ssj").head().getLong(0)
+    val batch = LandingStream.clickViewJoin(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "view")).count()
+    assert(streamed === batch, s"streamed $streamed vs batch $batch")
+    assert(batch > 0)
+  }
+
   test("daemon mode rotates snapshot dirs and re-dumps each interval") {
     val base = Files.createTempDirectory("graft_daemon_").toString
     val o = Tables.orders(spark, sf).limit(100)
