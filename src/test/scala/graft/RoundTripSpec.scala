@@ -85,4 +85,31 @@ class RoundTripSpec extends SparkTestBase {
     assert(stmt.contains("INTO TABLE `db`.`t`"))
     assert(stmt.contains("FIELDS TERMINATED BY '\\t'"))
   }
+
+  test("config matrix: format × compression × ordering all round-trip (specific_N analog)") {
+    val o = Tables.orders(spark, sf)
+    val want = checksumOf(o)
+    val cases = for {
+      format <- Seq(Dump.SqlFormat, Dump.CsvFormat)
+      compress <- Seq(false, true)
+      orderByPk <- Seq(false, true)
+    } yield (format, compress, orderByPk)
+    cases.foreach { case (format, compress, orderByPk) =>
+      val label = s"$format/compress=$compress/obp=$orderByPk"
+      val dir = Files.createTempDirectory("graft_matrix_").toString
+      val res = Dump.dumpTable(o, "orders", Dump.Config(
+        outDir = dir, format = format, db = "tpch",
+        compress = compress, orderByPrimary = orderByPk,
+        statementSize = 64 * 1024))
+      assert(res.rows === o.count(), label)
+      assert(res.checksum === want, label)
+      val back = format match {
+        case Dump.SqlFormat =>
+          SqlInsertReader.read(spark, dir, o.schema, "tpch.orders.*.sql*")
+        case _ =>
+          CsvDump.reader(spark).schema(o.schema).csv(s"$dir/tpch.orders")
+      }
+      assert(checksumOf(back) === want, s"checksum mismatch after $label")
+    }
+  }
 }
