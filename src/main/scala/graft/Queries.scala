@@ -699,6 +699,30 @@ object Queries {
       |  substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII scan + redaction (masquerade extended to unstructured text):
+    * per-doc counts of email/phone/IP spans and the redacted length. */
+  val qPiiScan: QFn = (s, d) => {
+    val (emails, phones, ips) = TextFunctions.piiCounts(col("text"))
+    documents(s, d).select(
+      col("doc_id"), emails.as("n_email"), phones.as("n_phone"),
+      ips.as("n_ip"),
+      length(TextFunctions.redactPii(col("text"))).cast(LongType).as("redacted_len"))
+      .orderBy("doc_id")
+  }
+  val qPiiScanSql: String = {
+    val em = TextFunctions.EmailPattern
+    val ph = TextFunctions.PhonePattern
+    val ip = TextFunctions.Ipv4Pattern
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ip,
+       |  CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g'))
+       |    AS BIGINT) AS redacted_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Generator surface — explode tokens into rows, aggregate into the
     * top-50 corpus vocabulary (the UDTF/Generator slot of §2.11; also the
     * natural token-frequency pass of a training-data pipeline). */
@@ -1043,6 +1067,7 @@ object Queries {
     "q_token_totals" -> qTokenTotals,
     "q_text_metrics" -> qTextMetrics,
     "q_rolling_fp" -> qRollingFp,
+    "q_pii_scan" -> qPiiScan,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -1100,6 +1125,7 @@ object Queries {
     "q_lang_id" -> qLangIdSql,
     "q_token_totals" -> qTokenTotalsSql,
     "q_text_metrics" -> qTextMetricsSql,
+    "q_pii_scan" -> qPiiScanSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_clusters" -> qDedupClustersSql,

@@ -102,6 +102,29 @@ object TextFunctions {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
+  // --- PII detection/redaction (the reference's masquerade concept
+  // extended to unstructured text; patterns deliberately simple regex —
+  // portable across engines, codegen'd, no model dependency) ---
+
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+  val Ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Count of PII-looking spans per kind. */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long"))
+
+  /** Redact all three PII kinds with typed placeholder tokens —
+    * composable with the masquerade registry (F6 regex chain). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
+
   /** Rolling polynomial hash over tokens (Rabin-Karp style): distributed
     * left-fold, no state outside the row. Arithmetic is kept modular
     * (acc < 2^31, term < 2^31, base < 2^21) so `acc*B + h` peaks below
