@@ -699,6 +699,38 @@ object Queries {
       |  substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Within-document repetition: fraction of duplicated word-3-grams —
+    * the repetitive-document quality filter of web-corpus pipelines.
+    * Compiled kernel, not HOF shingles: the Column-expression form
+    * (transform+slice+concat_ws) is interpreted per element and measured
+    * 9× slower at sf0.1 (SCALE.md "Sketch kernels"). */
+  val qRepetition: QFn = (s, d) => {
+    val repUdf = udf { (t: String) =>
+      if (t == null) 0.0
+      else {
+        val sh = graft.functions.Hashing.shingles(t, 3)
+        if (sh.isEmpty) 0.0
+        else 1.0 - sh.distinct.length.toDouble / sh.length
+      }
+    }
+    documents(s, d).select(
+      col("doc_id"),
+      TextFunctions.trunc4(repUdf(col("text"))).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+  val qRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |         ELSE list_transform(generate_series(1, len(w)-2),
+      |                i -> array_to_string(w[i:i+2], ' ')) END AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |        FROM documents))
+      |SELECT doc_id,
+      |  floor((1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)) * 10000.0)
+      |    / 10000.0 AS rep_ratio
+      |FROM t ORDER BY doc_id""".stripMargin
+
   /** PII scan + redaction (masquerade extended to unstructured text):
     * per-doc counts of email/phone/IP spans and the redacted length. */
   val qPiiScan: QFn = (s, d) => {
@@ -1068,6 +1100,7 @@ object Queries {
     "q_text_metrics" -> qTextMetrics,
     "q_rolling_fp" -> qRollingFp,
     "q_pii_scan" -> qPiiScan,
+    "q_repetition" -> qRepetition,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -1126,6 +1159,7 @@ object Queries {
     "q_token_totals" -> qTokenTotalsSql,
     "q_text_metrics" -> qTextMetricsSql,
     "q_pii_scan" -> qPiiScanSql,
+    "q_repetition" -> qRepetitionSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_clusters" -> qDedupClustersSql,
