@@ -226,6 +226,22 @@ object Queries {
       countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Statistical aggregates — stddev / correlation / covariance (single
+    * pass, map-side partial moments). Floor-truncated to absorb the last
+    * ulp of order-dependent FP accumulation. */
+  val qStatsAgg: QFn = (s, d) =>
+    lineitem(s, d).groupBy("l_returnflag").agg(
+      TextFunctions.trunc4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+      TextFunctions.trunc4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+      TextFunctions.trunc4(covar_samp(col("l_discount"), col("l_tax"))).as("cov_dt"))
+      .orderBy("l_returnflag")
+  val qStatsAggSql: String =
+    """SELECT l_returnflag,
+      |  floor(stddev_samp(l_quantity) * 10000.0) / 10000.0 AS sd_qty,
+      |  floor(corr(l_quantity, l_extendedprice) * 10000.0) / 10000.0 AS corr_qp,
+      |  floor(covar_samp(l_discount, l_tax) * 10000.0) / 10000.0 AS cov_dt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** COUNT(DISTINCT ...) — expand + two-phase hash agg. */
   val qDistinctAgg: QFn = (s, d) =>
     lineitem(s, d).groupBy("l_returnflag").agg(
@@ -1072,6 +1088,7 @@ object Queries {
     "q_pivot" -> qPivot,
     "q_percentile" -> qPercentile,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_stats_agg" -> qStatsAgg,
     "q_distinct_agg" -> qDistinctAgg,
     "q_range_join" -> qRangeJoin,
     "q_explode_tokens" -> qExplodeTokens,
@@ -1132,6 +1149,7 @@ object Queries {
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot" -> qPivotSql,
     "q_percentile" -> qPercentileSql,
+    "q_stats_agg" -> qStatsAggSql,
     "q_distinct_agg" -> qDistinctAggSql,
     "q_range_join" -> qRangeJoinSql,
     "q_explode_tokens" -> qExplodeTokensSql,
