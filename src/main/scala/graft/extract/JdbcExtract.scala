@@ -10,9 +10,12 @@ import java.util.Properties
   * plan + snapshot plan into the exact `spark.read.jdbc(url, table,
   * predicates, props)` invocation — one chunk WHERE per Spark partition,
   * one connection per partition, each connection initialized with the
-  * lock-mode's worker statements via `sessionInitStatement` (Spark's
-  * per-connection hook; the control-connection halves of the plan run
-  * driver-side over plain java.sql before/after the read action).
+  * lock-mode's worker statements via [[graft.load.GraftConnectionProvider]]
+  * (Spark's `sessionInitStatement` runs everything as ONE
+  * Statement.execute, which MySQL Connector/J rejects for multi-statement
+  * init unless allowMultiQueries=true; the provider executes each
+  * statement individually instead). The control-connection halves of the
+  * plan run driver-side over plain java.sql before/after the read action.
   *
   * No live MySQL exists in this environment, so the builder is exercised
   * by spec on the generated options (JdbcExtractSpec); the parquet dev
@@ -46,8 +49,8 @@ object JdbcExtract {
     // stream rows instead of buffering the result set (the reference's
     // mysql_use_result, mydumper_write.c:1047): MySQL Connector/J streams
     // when fetchsize = Integer.MIN_VALUE; other drivers honor fetchsize
-    if (snapshot.workerInit.nonEmpty)
-      props.setProperty("sessionInitStatement", snapshot.workerInit.mkString("; "))
+    graft.load.GraftConnectionProvider.options(snapshot.workerInit)
+      .foreach { case (k, v) => props.setProperty(k, v) }
     Spec(url, table, preds, props)
   }
 

@@ -11,10 +11,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   *  - overwrite modes FAIL/TRUNCATE/DROP (myloader.h:35) →
   *    SaveMode.ErrorIfExists / `truncate=true` + Overwrite / Overwrite
   *  - session defaults (UNIQUE_CHECKS=0 etc., mydumper.cnf:40-44) →
-  *    `sessionInitStatement`
+  *    [[GraftConnectionProvider]] (NOT `sessionInitStatement`, which
+  *    only the read path consumes — the write path would silently skip
+  *    the init; the provider hook covers both paths, one statement per
+  *    execute, no allowMultiQueries requirement)
   *
   * Like JdbcExtract, exercised by spec on the generated options — no
-  * live MySQL in this environment.
+  * live MySQL in this environment (the provider itself is spec'd
+  * against a fake java.sql.Driver).
   */
 object JdbcLoad {
 
@@ -43,8 +47,8 @@ object JdbcLoad {
     }
     val session =
       if (disableChecks)
-        Map("sessionInitStatement" ->
-          "SET UNIQUE_CHECKS=0; SET FOREIGN_KEY_CHECKS=0; SET SQL_LOG_BIN=0")
+        GraftConnectionProvider.options(Seq(
+          "SET UNIQUE_CHECKS=0", "SET FOREIGN_KEY_CHECKS=0", "SET SQL_LOG_BIN=0"))
       else Map.empty[String, String]
     Spec(mode, Map(
       "url" -> url, "dbtable" -> table,

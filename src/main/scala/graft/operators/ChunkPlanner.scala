@@ -57,7 +57,12 @@ object ChunkPlanner {
   def integerChunks(column: String, min: Long, max: Long, step: Long,
       includeNull: Boolean = true): Seq[Chunk] = {
     require(step > 0, "step must be positive")
-    val n = (((max - min) / step) + 1).toInt
+    // count the chunks in BigInt: max-min itself can overflow Long for
+    // full-span keys, and a silent .toInt truncation would drop chunks
+    // (= silent row loss when the plan drives extraction predicates)
+    val nBig = ((BigInt(max) - BigInt(min)) / BigInt(step)) + 1
+    require(nBig <= Int.MaxValue, s"step $step too small for [$min,$max]: $nBig chunks")
+    val n = nBig.toInt
     (0 until n).map { i =>
       val lo = min + i.toLong * step
       val hi = math.min(lo + step - 1, max)
@@ -77,7 +82,11 @@ object ChunkPlanner {
   def decimalChunks(column: String, min: BigInt, max: BigInt, step: BigInt,
       includeNull: Boolean = true): Seq[Chunk] = {
     require(step > 0, "step must be positive")
-    val n = (((max - min) / step) + 1).toInt
+    // u64 spans with a small step overflow Int: materializing the range
+    // must be refused loudly, not truncated to a wrong chunk count
+    val nBig = ((max - min) / step) + 1
+    require(nBig <= Int.MaxValue, s"step $step too small for [$min,$max]: $nBig chunks")
+    val n = nBig.toInt
     (0 until n).map { i =>
       val lo = min + BigInt(i) * step
       val hi = (lo + step - 1).min(max)

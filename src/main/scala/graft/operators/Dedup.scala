@@ -131,19 +131,23 @@ object Dedup {
 
   /** Connected components over near-dup pairs → dedup clusters, each
     * doc labeled with its cluster's minimum id (the canonical survivor).
-    * Iterative min-label propagation: each round joins current labels
-    * across the edge list and keeps the smaller label; converges in
-    * O(log(longest chain)) rounds — near-dup clusters are shallow
-    * (chains of transitively-similar docs), so `maxIter` ≈ 10 suffices.
-    * Each iteration is one shuffle on id; `localCheckpoint` truncates
-    * the growing lineage so round N's plan doesn't replay rounds 1..N-1
-    * (the standard Spark pattern for iterative graph algorithms —
-    * GraphX/Pregel does exactly this under the hood).
+    * Each round does (a) one hop of min-label propagation across the
+    * edge list, then (b) a pointer-doubling shortcut — relabel through
+    * the label's own label (`cluster ← label(cluster)`), which halves
+    * the remaining label-chain depth. Hop alone needs O(diameter)
+    * rounds; with doubling the loop converges in O(log diameter), so
+    * `maxIter = 16` covers components up to ~2^16 hops across.
+    * Each iteration is a bounded number of shuffles on id;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N-1 (the standard Spark pattern for
+    * iterative graph algorithms — GraphX/Pregel does the same).
+    * If the loop exhausts `maxIter` while labels are still changing,
+    * this THROWS rather than return silently-wrong clusters.
     *
     * Input: pairs (id1, id2); ids absent from any pair are their own
     * cluster (callers usually only care about docs that appear in pairs).
     * Output: (id, cluster) — cluster = min id reachable. */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def clusters(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
     // undirected edge list, both directions
     val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
@@ -155,12 +159,23 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // candidate label for each node: min over neighbors' labels ∪ own
+      // (a) one hop: min over neighbors' labels ∪ own
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("cluster"))
-      val next = labels.unionAll(viaNeighbors)
+      // checkpoint before the self-join: materializes the hop once (both
+      // join sides read it) and sidesteps Catalyst's Union-constraint
+      // attribute-rewrite bug on self-joined union plans
+      val hopped = labels.unionAll(viaNeighbors)
         .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      // (b) pointer doubling: follow the label one more step. Labels
+      // only ever shrink (cluster ≤ id and label(c) ≤ c), so the
+      // shortcut label is min(cluster, label(cluster)) = label(cluster).
+      val next = hopped.alias("a")
+        .join(hopped.select(col("id").as("cluster"), col("cluster").as("c2")).alias("b"),
+          Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster"))
         .localCheckpoint()
       val changed = next.alias("n")
         .join(labels.alias("p"), "id")
@@ -170,6 +185,9 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusters() did not converge in $maxIter rounds — raise maxIter")
     labels
   }
 

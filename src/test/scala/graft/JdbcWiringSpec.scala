@@ -1,13 +1,23 @@
 package graft
 
+import java.sql.{Connection, Driver}
+import java.util.ServiceLoader
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
 import graft.core.ChunkSpec
 import graft.extract.{JdbcExtract, Snapshot}
-import graft.load.JdbcLoad
+import graft.load.{GraftConnectionProvider, JdbcLoad}
 import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.jdbc.JdbcConnectionProvider
 
 /** JDBC wiring (no live server): the generated read/write invocations
   * carry the reference's semantics — chunk predicates per partition,
-  * snapshot statements per connection, loader batch/overwrite knobs. */
+  * snapshot statements per connection, loader batch/overwrite knobs —
+  * and the session-init connection provider actually EXECUTES its
+  * statements (verified against a fake java.sql.Driver, since Spark's
+  * own sessionInitStatement is read-path-only and single-statement). */
 class JdbcWiringSpec extends SparkTestBase {
 
   test("extract spec: chunk predicates AND user where, snapshot session init") {
@@ -18,9 +28,11 @@ class JdbcWiringSpec extends SparkTestBase {
     assert(s.predicates.length === 2)
     assert(s.predicates.forall(_.endsWith(" AND (active = 1)")))
     assert(s.predicates.head.contains("IS NULL")) // first chunk keeps NULLs
-    val init = s.props.getProperty("sessionInitStatement")
+    val init = s.props.getProperty(GraftConnectionProvider.InitOption)
     assert(init.contains("START TRANSACTION"))
     assert(init.contains("TIME_ZONE"))
+    // routed through the provider so each statement executes individually
+    assert(s.props.getProperty("connectionProvider") === GraftConnectionProvider.Name)
     assert(s.props.getProperty("fetchsize") === "10000")
   }
 
@@ -37,10 +49,76 @@ class JdbcWiringSpec extends SparkTestBase {
     assert(t.mode === SaveMode.Overwrite)
     assert(t.options("truncate") === "true")
     assert(t.options("batchsize") === "1000")
-    assert(t.options("sessionInitStatement").contains("UNIQUE_CHECKS=0"))
+    assert(t.options(GraftConnectionProvider.InitOption).contains("UNIQUE_CHECKS=0"))
+    assert(t.options("connectionProvider") === GraftConnectionProvider.Name)
+    // the read-path-only option must NOT appear: the write path ignores
+    // it, and relying on it would silently skip the session setup
+    assert(!t.options.contains("sessionInitStatement"))
     val f = JdbcLoad.spec("jdbc:mysql://h/db", "db.t", "u", "p",
       overwrite = JdbcLoad.Overwrite.Fail, disableChecks = false)
     assert(f.mode === SaveMode.ErrorIfExists)
-    assert(!f.options.contains("sessionInitStatement"))
+    assert(!f.options.contains(GraftConnectionProvider.InitOption))
+  }
+
+  /** Fake driver: hands out proxy Connections that record every
+    * Statement.execute(sql) into `executed`. */
+  private class FakeDriver extends Driver {
+    val executed = mutable.Buffer.empty[String]
+    override def connect(url: String, info: java.util.Properties): Connection = {
+      val handler = new java.lang.reflect.InvocationHandler {
+        def invoke(proxy: Any, m: java.lang.reflect.Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "equals"   => java.lang.Boolean.valueOf(proxy.asInstanceOf[AnyRef] eq args(0))
+            case "hashCode" => Integer.valueOf(System.identityHashCode(proxy))
+            case "toString" => "FakeConnection"
+            case "createStatement" =>
+              java.lang.reflect.Proxy.newProxyInstance(
+                getClass.getClassLoader, Array(classOf[java.sql.Statement]),
+                (_, sm, sargs) => sm.getName match {
+                  case "execute" => executed += sargs(0).toString; java.lang.Boolean.TRUE
+                  case "close"   => null
+                  case _         => null
+                })
+            case "close" => null
+            case _       => null
+          }
+      }
+      java.lang.reflect.Proxy.newProxyInstance(getClass.getClassLoader,
+        Array(classOf[Connection]), handler).asInstanceOf[Connection]
+    }
+    override def acceptsURL(url: String): Boolean = true
+    override def getPropertyInfo(u: String, p: java.util.Properties) = Array.empty
+    override def getMajorVersion = 1
+    override def getMinorVersion = 0
+    override def jdbcCompliant() = false
+    override def getParentLogger = throw new java.sql.SQLFeatureNotSupportedException
+  }
+
+  test("connection provider executes each init statement individually") {
+    val d = new FakeDriver
+    val stmts = Seq("SET UNIQUE_CHECKS=0", "SET FOREIGN_KEY_CHECKS=0",
+      "SET SQL_LOG_BIN=0")
+    val opts = GraftConnectionProvider.options(stmts) +
+      ("url" -> "jdbc:fake://h/db")
+    val p = new GraftConnectionProvider
+    assert(p.canHandle(d, opts))
+    assert(!p.canHandle(d, Map("url" -> "jdbc:fake://h/db")))
+    val conn = p.getConnection(d, opts)
+    assert(conn != null)
+    assert(d.executed.toSeq === stmts) // one execute() per statement, in order
+  }
+
+  test("statements containing semicolons survive the option round-trip") {
+    val stmts = Seq("SET @msg = 'a;b;c'", "START TRANSACTION")
+    val opts = GraftConnectionProvider.options(stmts) + ("url" -> "jdbc:fake://x")
+    val d = new FakeDriver
+    new GraftConnectionProvider().getConnection(d, opts)
+    assert(d.executed.toSeq === stmts)
+  }
+
+  test("provider is discoverable through the JdbcConnectionProvider SPI") {
+    val names = ServiceLoader.load(classOf[JdbcConnectionProvider])
+      .iterator().asScala.map(_.name).toSet
+    assert(names.contains(GraftConnectionProvider.Name))
   }
 }

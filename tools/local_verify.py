@@ -48,7 +48,11 @@ fails = ok = 0
 for dirname in sorted(os.listdir(out)):
     d = os.path.join(out, dirname)
     if not os.path.isdir(d): continue
-    name = dirname[:-8] if dirname.endswith(".parquet") else dirname
+    # Driver convention (round 1 evidence): oracle lookup uses the raw
+    # directory name "q_foo.parquet". Verify emits both key forms, but
+    # mimic the driver here by preferring the raw name.
+    name = dirname if dirname in oracles or dirname[:-8] not in oracles \
+        else dirname[:-8]
     files = glob.glob(f"{d}/*.parquet")
     if not files:
         print(f"FAIL {name}: no parquet written"); fails += 1; continue
