@@ -153,9 +153,18 @@ object Dedup {
     val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster", col("id"))
+    // init = hop 0 fused: label(v) = min(v, min neighbor) — one agg
+    // instead of a full identity-labeled first round
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
       .localCheckpoint()
+    // convergence probe: labels are monotonically non-increasing per
+    // node, so the label sum strictly decreases until fixpoint — an
+    // unchanged exact (decimal) sum proves convergence with one cheap
+    // agg over the just-checkpointed frame, no compare-join needed
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -169,20 +178,23 @@ object Dedup {
       val hopped = labels.unionAll(viaNeighbors)
         .groupBy("id").agg(min("cluster").as("cluster"))
         .localCheckpoint()
-      // (b) pointer doubling: follow the label one more step. Labels
-      // only ever shrink (cluster ≤ id and label(c) ≤ c), so the
-      // shortcut label is min(cluster, label(cluster)) = label(cluster).
-      val next = hopped.alias("a")
-        .join(hopped.select(col("id").as("cluster"), col("cluster").as("c2")).alias("b"),
-          Seq("cluster"), "left")
-        .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster"))
-        .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("p"), "id")
-        .where(col("n.cluster") =!= col("p.cluster"))
-        .limit(1).count() // early-exit probe: any row proves non-convergence
-      labels = next
-      converged = changed == 0
+      val hopSum = labelSum(hopped)
+      if (hopSum.compareTo(prevSum) == 0) {
+        // the hop moved nothing → fixpoint; skip the doubling join
+        labels = hopped
+        converged = true
+      } else {
+        // (b) pointer doubling: follow the label one more step. Labels
+        // only ever shrink (cluster ≤ id and label(c) ≤ c), so the
+        // shortcut label is min(cluster, label(cluster)) = label(cluster).
+        val next = hopped.alias("a")
+          .join(hopped.select(col("id").as("cluster"), col("cluster").as("c2")).alias("b"),
+            Seq("cluster"), "left")
+          .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster"))
+          .localCheckpoint()
+        prevSum = labelSum(next)
+        labels = next
+      }
       iter += 1
     }
     if (!converged)
@@ -193,11 +205,15 @@ object Dedup {
 
   /** Embedding-cosine near-dup, three-stage at scale:
     *  1. per-row 64-bit hyperplane signature (compiled UDF, one map);
-    *     low `bits` bits double as the LSH bucket key;
+    *     low `bits` bits double as the LSH bucket key; L2 norm computed
+    *     once per row (codegen vec_dot, no UDF);
     *  2. bucket equi-join with a codegen'd hamming prefilter
     *     `bit_count(sig1^sig2) ≤ 64·acos(t)/π + slack` — kills the bulk
     *     of bucket-mate pairs before any array work;
-    *  3. exact cosine (compiled UDF) only on survivors.
+    *  3. exact cosine only on survivors — the native codegen'd
+    *     [[VectorFunctions.dot]] over the ORIGINAL float vectors
+    *     (half the shuffle bytes of normalized doubles, primitive loop
+    *     inside whole-stage codegen), divided by the precomputed norms.
     * Approximate by construction (LSH recall < 1); `dim` fixes the
     * hyperplanes host-side so every executor regenerates them. */
   def embeddingNearDups(embs: DataFrame, vecCol: String, idCol: String,
@@ -205,30 +221,13 @@ object Dedup {
       slackBits: Int = 4): DataFrame = {
     val planes = Hashing.hyperplanes(64, dim)
     val sigUdf = udf((v: Seq[Float]) => Hashing.lshSig64(v, planes))
-    // vectors are L2-normalized once per row, so the per-pair check is a
-    // single dot-product loop
-    val normUdf = udf { (v: Seq[Float]) =>
-      var n = 0.0; var i = 0
-      while (i < v.length) { n += v(i).toDouble * v(i).toDouble; i += 1 }
-      val inv = if (n == 0.0) 0.0 else 1.0 / math.sqrt(n)
-      val out = new Array[Double](v.length)
-      i = 0
-      while (i < v.length) { out(i) = v(i) * inv; i += 1 }
-      out
-    }
-    val cosUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-      var d = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { d += a(i) * b(i); i += 1 }
-      d
-    }.asNondeterministic() // evaluate once; don't let the optimizer clone it
     val hamLimit = math.min(
       math.round(64.0 * math.acos(math.max(math.min(threshold, 1.0), -1.0)) / math.Pi).toInt
         + slackBits, 63)
     val mask = (1L << bits) - 1
     val withB = embs.select(col(idCol), col(vecCol))
       .withColumn("sig", sigUdf(col(vecCol)))
-      .withColumn("vn", normUdf(col(vecCol)))
+      .withColumn("nrm", VectorFunctions.norm(col(vecCol)))
       .withColumn("bucket", col("sig").bitwiseAND(lit(mask)))
     // candidate generation joins only (bucket, id, sig) — 24-byte rows —
     // vectors are re-attached to the (much smaller) hamming-survivor set
@@ -239,13 +238,15 @@ object Dedup {
       .where(col("id1") < col("id2") &&
         call_function("bit_count", col("sig1").bitwiseXOR(col("sig2"))) <= hamLimit)
       .select("id1", "id2")
-    val vecs = withB.select(col(idCol), col("vn"))
+    val vecs = withB.select(col(idCol), col(vecCol), col("nrm"))
     // no broadcast hint: AQE picks broadcast when the vector side is
     // small; at 100 TB this correctly degrades to a shuffle join
     survivors
-      .join(vecs.select(col(idCol).as("id1"), col("vn").as("v1")), "id1")
-      .join(vecs.select(col(idCol).as("id2"), col("vn").as("v2")), "id2")
-      .withColumn("cos", cosUdf(col("v1"), col("v2")))
+      .join(vecs.select(col(idCol).as("id1"), col(vecCol).as("v1"), col("nrm").as("n1")), "id1")
+      .join(vecs.select(col(idCol).as("id2"), col(vecCol).as("v2"), col("nrm").as("n2")), "id2")
+      .withColumn("cos",
+        when(col("n1") === 0.0 || col("n2") === 0.0, lit(0.0))
+          .otherwise(VectorFunctions.dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
       .where(col("cos") >= threshold)
       .select(col("id1"), col("id2"),
         (floor(col("cos") * lit(10000.0)) / lit(10000.0)).as("cosine"))
