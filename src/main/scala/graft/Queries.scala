@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Checksum, Masquerade, TextFunctions, VectorFunctions}
-import graft.operators.{AsofJoin, ChunkPlanner, Dedup, Similarity, Skew}
+import graft.operators.{AsofJoin, ChunkPlanner, Dedup, DocChunker, Similarity, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1071,6 +1071,142 @@ object Queries {
       | AND v.ts >= c.ts - INTERVAL 1 HOUR AND v.ts <= c.ts
       |ORDER BY click_id, view_id""".stripMargin
 
+  // ------------------------- training-pipeline: chunking / filter / decon
+  /** Document → token-window chunking (K=40 tokens, overlap 8 → stride
+    * 32): the pretraining context-window op. Chunk count is closed-form,
+    * so DuckDB replays windows exactly via list_slice + generate_series. */
+  val qDocChunks: QFn = (s, d) =>
+    DocChunker.chunk(documents(s, d), "text", "doc_id", chunkTokens = 40, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+  val qDocChunksSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |c AS (SELECT doc_id, toks,
+      |  CASE WHEN len(toks) <= 40 THEN 1
+      |       ELSE CAST(ceil((len(toks) - 40) / CAST(32 AS DOUBLE)) AS BIGINT) + 1 END AS nc
+      |  FROM t),
+      |x AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS chunk_id FROM c)
+      |SELECT doc_id, chunk_id,
+      |  CAST(len(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 40)) AS BIGINT) AS n_tokens,
+      |  array_to_string(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 40), ' ') AS chunk_text
+      |FROM x ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Benchmark decontamination: per corpus doc, how many distinct 5-gram
+    * shingles it shares with the benchmark split (doc_id % 10 < 2 stands
+    * in for the eval set; modulo split is scale-independent). 0 = clean. */
+  val qDecontam: QFn = (s, d) => {
+    val docs = documents(s, d)
+    DocChunker.decontaminate(
+      corpus = docs.where(col("doc_id") % 10 >= 2),
+      benchmark = docs.where(col("doc_id") % 10 < 2),
+      textCol = "text", idCol = "doc_id", n = 5)
+      .orderBy("doc_id")
+  }
+  val qDecontamSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      |s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 5)) AS i
+      |      FROM t WHERE len(toks) >= 5),
+      |sh AS (SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS shingle FROM s),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 < 2),
+      |corp AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 10 >= 2),
+      |hits AS (SELECT corp.doc_id, count(*) AS n_hits FROM corp JOIN bench USING (shingle) GROUP BY 1)
+      |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 2) d
+      |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Quality-filter verdict chain: rule flags concatenated into a reasons
+    * string, keep = no rule fired — the cleaning pass every corpus runs,
+    * with per-rule attribution kept for audit. */
+  val qQualityFilter: QFn = (s, d) => {
+    val toks = size(split(trim(col("text")), "\\s+")).cast(LongType)
+    val alphaRatio = length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast(DoubleType) /
+      greatest(length(col("text")), lit(1)).cast(DoubleType)
+    val reasons = concat_ws(",",
+      when(toks < 20, lit("too_short")),
+      when(col("n_chars") > 2000, lit("too_long")),
+      when(alphaRatio < 0.6, lit("low_alpha")),
+      when(col("lang") =!= "en", lit("non_english")))
+    documents(s, d).select(col("doc_id"), toks.as("n_tokens"),
+      (floor(alphaRatio * 10000.0) / 10000.0).as("alpha_ratio"),
+      (reasons === "").as("keep"), reasons.as("reasons"))
+      .orderBy("doc_id")
+  }
+  val qQualityFilterSql: String =
+    """WITH t AS (SELECT doc_id, lang, n_chars,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+      |    / greatest(length(text), 1) AS ar
+      |  FROM documents),
+      |u AS (SELECT doc_id, n_tokens, ar,
+      |  concat_ws(',',
+      |    CASE WHEN n_tokens < 20 THEN 'too_short' END,
+      |    CASE WHEN n_chars > 2000 THEN 'too_long' END,
+      |    CASE WHEN ar < 0.6 THEN 'low_alpha' END,
+      |    CASE WHEN lang != 'en' THEN 'non_english' END) AS reasons
+      |  FROM t)
+      |SELECT doc_id, n_tokens, floor(ar * 10000.0) / 10000.0 AS alpha_ratio,
+      |  reasons = '' AS keep, reasons
+      |FROM u ORDER BY doc_id""".stripMargin
+
+  // ------------------------------- window / scalar coverage (§2.5, §2.6)
+  /** first_value / last_value / nth_value over a full-partition frame. */
+  val qWindowFirstLast: QFn = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      first("o_totalprice").over(w).as("first_price"),
+      last("o_totalprice").over(w).as("last_price"),
+      nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+  val qWindowFirstLastSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  last_value(o_totalprice) OVER w AS last_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Date/time scalar family: extract, trunc, diff, add (§2.6 server-side
+    * date surface). */
+  val qDateFns: QFn = (s, d) =>
+    orders(s, d).select(col("o_orderkey"),
+      year(col("o_orderdate")).cast(LongType).as("yr"),
+      month(col("o_orderdate")).cast(LongType).as("mon"),
+      date_trunc("month", col("o_orderdate")).as("mon_start"),
+      datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
+        .cast(LongType).as("days_since"),
+      date_add(col("o_orderdate").cast(DateType), 30).as("due_date"))
+      .orderBy("o_orderkey")
+  val qDateFnsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Array scalar family over tokenized text: size, contains, distinct,
+    * slice+join (§2.6 array surface). */
+  val qArrayFns: QFn = (s, d) => {
+    val toks = split(trim(col("text")), "\\s+")
+    documents(s, d).select(col("doc_id"),
+      size(toks).cast(LongType).as("n_tokens"),
+      array_contains(toks, "the").as("has_the"),
+      size(array_distinct(toks)).cast(LongType).as("n_distinct"),
+      array_join(slice(toks, 1, 3), " ").as("first3"))
+      .orderBy("doc_id")
+  }
+  val qArrayFnsSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  list_contains(toks, 'the') AS has_the,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+      |  array_to_string(list_slice(toks, 1, 3), ' ') AS first3
+      |FROM t ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1133,7 +1269,13 @@ object Queries {
     "q_embed_stats" -> qEmbedStats,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
-    "q_stream_join" -> qStreamJoin)
+    "q_stream_join" -> qStreamJoin,
+    "q_doc_chunks" -> qDocChunks,
+    "q_decontam" -> qDecontam,
+    "q_quality_filter" -> qQualityFilter,
+    "q_window_firstlast" -> qWindowFirstLast,
+    "q_date_fns" -> qDateFns,
+    "q_array_fns" -> qArrayFns)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1187,5 +1329,11 @@ object Queries {
     "q_ann_batch" -> qAnnBatchSql,
     "q_embed_stats" -> qEmbedStatsSql,
     "q_window_events" -> qWindowEventsSql,
-    "q_stream_join" -> qStreamJoinSql)
+    "q_stream_join" -> qStreamJoinSql,
+    "q_doc_chunks" -> qDocChunksSql,
+    "q_decontam" -> qDecontamSql,
+    "q_quality_filter" -> qQualityFilterSql,
+    "q_window_firstlast" -> qWindowFirstLastSql,
+    "q_date_fns" -> qDateFnsSql,
+    "q_array_fns" -> qArrayFnsSql)
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document → training-window chunking (builder brief: the op every
+  * pretraining pipeline runs between cleaning and packing): split each
+  * document into fixed-size token windows with overlap, token boundaries
+  * = whitespace (swap the tokenizer column expression for a BPE regex
+  * where needed — the window algebra is tokenizer-agnostic).
+  *
+  * Built entirely from codegen'd collection expressions
+  * (split/size/sequence/slice/array_join) — a narrow map + generate, no
+  * UDF, no shuffle: at 100 TB this runs at scan speed and parallelism is
+  * the input partitioning. Chunk count per doc is closed-form
+  * (`1 + ceil(max(n-K,0)/S)` for window K and stride S = K-overlap), so
+  * the output is exactly reproducible by any engine — the DuckDB oracle
+  * replays it with list_slice + unnest(generate_series).
+  */
+object DocChunker {
+
+  /** Whitespace tokens of a (trimmed) text column. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** One row per (doc, window): (idCol, chunk_id, n_tokens, chunk_text).
+    * Windows start at multiples of stride = chunkTokens - overlap; the
+    * final window may be short (it still starts < n). Docs with n ≤
+    * chunkTokens yield exactly one window. */
+  def chunk(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 512, overlap: Int = 64): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens, "overlap must be in [0, chunkTokens)")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = when(n <= chunkTokens, lit(1L))
+      .otherwise(ceil((n - lit(chunkTokens)).cast("double") / lit(stride.toDouble))
+        .cast("long") + lit(1L))
+    val chunkToks = slice(col("toks"), col("chunk_id") * stride + 1, lit(chunkTokens))
+    docs.select(col(idCol), toks.as("toks"), nChunks.as("nc"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        size(chunkToks).cast("long").as("n_tokens"),
+        array_join(chunkToks, " ").as("chunk_text"))
+  }
+
+  /** Word n-gram shingles: one row per (doc, shingle) — the candidate
+    * unit for benchmark decontamination. Docs shorter than `n` tokens
+    * emit nothing. Same codegen-only construction as [[chunk]]. */
+  def shingles(docs: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    val toks = tokens(col(textCol))
+    docs.select(col(idCol), toks.as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"), col("toks"))
+      .select(col(idCol),
+        array_join(slice(col("toks"), col("i") + 1, lit(n)), " ").as("shingle"))
+  }
+
+  /** Benchmark decontamination report: for every corpus doc, how many of
+    * its distinct word `n`-grams also appear in the benchmark set
+    * (0 = clean). Shuffle is bounded by the distinct-shingle key — the
+    * standard eval-overlap check run before training. The benchmark side
+    * is distinct-shingle only (small — broadcastable by AQE); the corpus
+    * side stays (doc, shingle) distinct pairs. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    val corpusSh = shingles(corpus, textCol, idCol, n).dropDuplicates(idCol, "shingle")
+    val benchSh = shingles(benchmark, textCol, idCol, n).select("shingle").distinct()
+    val hits = corpusSh.join(benchSh, "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+}
