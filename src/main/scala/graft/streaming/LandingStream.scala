@@ -102,6 +102,32 @@ object LandingStream {
       .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
   }
 
+  /** Streaming exactly-once landing: drop replayed rows by key within
+    * the watermark horizon (`dropDuplicatesWithinWatermark`) — the
+    * loader-side "already restored this file" resume check re-expressed
+    * over rows. State holds one entry per key only until the watermark
+    * passes it, so the store is bounded by the replay window, not the
+    * stream's lifetime — the property that keeps this viable at 100 TB
+    * (a full-history dropDuplicates would grow state forever). */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming session windows (gap-close semantics, the streaming twin
+    * of Queries.qSessionWindow): per-user sessions close after `gap` of
+    * event-time silence; watermark lets Spark finalize and evict closed
+    * sessions from the state store. */
+  def sessionEventCounts(events: DataFrame, gap: String = "15 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_value"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("user_id"), col("cnt"), col("sum_value"))
+
   /** Sliding-window variant (declared in §2.10: tumbling + sliding). */
   def slidingEventCounts(events: DataFrame, window_ : String = "1 hour",
       slide: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =

@@ -41,6 +41,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("doc chunking plans as scan -> generate with no shuffle") {
+    val df = operators.DocChunker.chunk(
+      Tables.documents(spark, sf), "text", "doc_id", 40, 8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), p.take(2000))
+    assert(!p.contains("Exchange"),
+      "chunking must be a narrow map+generate (scan-speed at 100 TB):\n" + p.take(3000))
+  }
+
+  test("decontamination joins on the shingle key, not a cartesian") {
+    val df = Queries.all("q_decontam")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "decontam must be a key equi-join on shingle:\n" + p.take(3000))
+  }
+
   test("q1_agg aggregates partially before the exchange (map-side combine)") {
     val p = planOf("q1_agg")
     val firstAgg = p.indexOf("HashAggregate")

@@ -74,6 +74,50 @@ class StreamingSpec extends SparkTestBase {
     assert(batch > 0)
   }
 
+  test("streaming dedup drops replayed keys across micro-batches") {
+    import spark.implicits._
+    val ckpt = Files.createTempDirectory("graft_dedup_ckpt_").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val q = LandingStream.dedupedEvents(
+      input.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    input.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0))
+    q.processAllAvailable()
+    // replay of id 1 (the loader-resume case) + a genuinely new id 3
+    input.addData((1L, ts(2), 1.0), (3L, ts(3), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT event_id FROM dedup ORDER BY event_id")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(1L, 2L, 3L), "replayed key must be dropped once")
+  }
+
+  test("streaming session windows match the batch session aggregate") {
+    val landing = Files.createTempDirectory("graft_sess_").toString
+    val ckpt = Files.createTempDirectory("graft_sess_ckpt_").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(landing).schema)
+      .parquet(landing)
+    val q = LandingStream.sessionEventCounts(stream)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM sessions")
+    val batch = LandingStream.sessionEventCounts(ev)
+    assert(streamed.count() === batch.count())
+    assert(streamed.agg(sum("cnt")).head().getLong(0) === ev.count())
+  }
+
   test("daemon mode rotates snapshot dirs and re-dumps each interval") {
     val base = Files.createTempDirectory("graft_daemon_").toString
     val o = Tables.orders(spark, sf).limit(100)
