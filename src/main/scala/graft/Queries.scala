@@ -1207,6 +1207,41 @@ object Queries {
       |  array_to_string(list_slice(toks, 1, 3), ' ') AS first3
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Salted skew join (§2.3 + SCALE.md): hot fact keys spread over 8
+    * reducers via (key, salt); dim replicated ×8. The oracle is the
+    * PLAIN join — salting must not change a single value. */
+  val qSkewJoin: QFn = (s, d) => {
+    val li = lineitem(s, d).select(col("l_suppkey").as("s_suppkey"),
+      col("l_extendedprice"), col("l_discount"), col("l_orderkey"))
+    val sup = t(s, d, "supplier").select("s_suppkey", "s_name")
+    Skew.saltedJoin(li, sup, "s_suppkey", salts = 8, saltSource = col("l_orderkey"))
+      .groupBy("s_name")
+      .agg(sum38_4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("cnt"))
+      .orderBy("s_name")
+  }
+  val qSkewJoinSql: String =
+    """SELECT s_name,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      |  count(*) AS cnt
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY s_name""".stripMargin
+
+  /** Regex scalar family: extract, count, match (§2.6 string surface —
+    * patterns kept in the Java∩RE2 dialect both engines share). */
+  val qRegexFns: QFn = (s, d) =>
+    documents(s, d).select(col("doc_id"),
+      regexp_extract(col("text"), "([0-9]+)", 1).as("first_num"),
+      regexp_count(col("text"), lit("\\bthe\\b")).cast(LongType).as("n_the"),
+      col("text").rlike("[0-9]").as("has_digit"))
+      .orderBy("doc_id")
+  val qRegexFnsSql: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, '([0-9]+)', 1) AS first_num,
+      |  CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_the,
+      |  regexp_matches(text, '[0-9]') AS has_digit
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1275,7 +1310,9 @@ object Queries {
     "q_quality_filter" -> qQualityFilter,
     "q_window_firstlast" -> qWindowFirstLast,
     "q_date_fns" -> qDateFns,
-    "q_array_fns" -> qArrayFns)
+    "q_array_fns" -> qArrayFns,
+    "q_skew_join" -> qSkewJoin,
+    "q_regex_fns" -> qRegexFns)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1335,5 +1372,7 @@ object Queries {
     "q_quality_filter" -> qQualityFilterSql,
     "q_window_firstlast" -> qWindowFirstLastSql,
     "q_date_fns" -> qDateFnsSql,
-    "q_array_fns" -> qArrayFnsSql)
+    "q_array_fns" -> qArrayFnsSql,
+    "q_skew_join" -> qSkewJoinSql,
+    "q_regex_fns" -> qRegexFnsSql)
 }

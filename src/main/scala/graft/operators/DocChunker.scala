@@ -66,9 +66,20 @@ object DocChunker {
     * is distinct-shingle only (small — broadcastable by AQE); the corpus
     * side stays (doc, shingle) distinct pairs. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
-      textCol: String, idCol: String, n: Int = 5): DataFrame = {
-    val corpusSh = shingles(corpus, textCol, idCol, n).dropDuplicates(idCol, "shingle")
-    val benchSh = shingles(benchmark, textCol, idCol, n).select("shingle").distinct()
+      textCol: String, idCol: String, n: Int = 5,
+      hashShingles: Boolean = false): DataFrame = {
+    // scale path: join on xxhash64(shingle) — an 8-byte shuffle key
+    // instead of an n-word string. A 64-bit collision adds a false hit
+    // with probability ~#bench-shingles/2^64 per distinct corpus
+    // shingle — negligible against LSH-style recall error elsewhere in
+    // the pipeline; keep strings when exact parity matters (the oracle
+    // query does).
+    def keyed(df: DataFrame): DataFrame =
+      if (hashShingles) df.withColumn("shingle", xxhash64(col("shingle"))) else df
+    val corpusSh = keyed(shingles(corpus, textCol, idCol, n))
+      .dropDuplicates(idCol, "shingle")
+    val benchSh = keyed(shingles(benchmark, textCol, idCol, n))
+      .select("shingle").distinct()
     val hits = corpusSh.join(benchSh, "shingle")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
     corpus.select(col(idCol))

@@ -32,4 +32,22 @@ object Skew {
       .agg(aggs.head._3(col(s"__p_${aggs.head._1}")).as(aggs.head._1),
         aggs.tail.map(a => a._3(col(s"__p_${a._1}")).as(a._1)): _*)
   }
+
+  /** Salted equi-join for a skewed fact key joining a small-ish dim:
+    * the fact side gets a deterministic salt in [0, salts); the dim side
+    * is replicated once per salt value (explode of a `sequence` — dim
+    * grows ×salts, fact doesn't move twice). The join key becomes
+    * (key, salt), so one hot key's rows spread over `salts` reducers
+    * instead of one. Results are identical to the plain join — the
+    * oracle checks exactly that. Use when AQE's skew-split can't help
+    * (e.g. the hot key exceeds a single partition even after splits, or
+    * the join is a broadcast candidate the dim is too big for). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int, saltSource: Column): DataFrame = {
+    require(salts > 0)
+    val f = fact.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts.toLong)))
+    val d = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -62,5 +62,10 @@ class DocChunkerSpec extends SparkTestBase {
     val got = DocChunker.decontaminate(corpus, bench, "text", "doc_id", 5)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq === Seq((10L, 1L), (11L, 0L)))
+    // the 8-byte-key scale path reports the same hits
+    val hashed = DocChunker.decontaminate(corpus, bench, "text", "doc_id", 5,
+      hashShingles = true)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hashed.toSeq === got.toSeq)
   }
 }
