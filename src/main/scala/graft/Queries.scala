@@ -605,6 +605,9 @@ object Queries {
       substring(col("o_orderpriority"), 1, 1).as("prio_left"),
       concat_ws("|", col("o_orderstatus"), col("o_orderpriority")).as("cw"),
       col("o_orderstatus").like("F%").as("is_f"),
+      (!col("o_orderpriority").like("1%")).as("not_urgent"),
+      expr("replace(o_orderpriority, '-', '_')").as("prio_repl"),
+      expr("find_in_set(o_orderstatus, 'O,F,P')").cast(LongType).as("status_pos"),
       year(col("o_orderdate")).cast(LongType).as("o_year"),
       lower(hex(col("o_orderpriority").cast(BinaryType))).as("prio_hex"))
       .orderBy("o_orderkey")
@@ -613,6 +616,9 @@ object Queries {
       |  substring(o_orderpriority, 1, 1) AS prio_left,
       |  concat_ws('|', o_orderstatus, o_orderpriority) AS cw,
       |  o_orderstatus LIKE 'F%' AS is_f,
+      |  o_orderpriority NOT LIKE '1%' AS not_urgent,
+      |  replace(o_orderpriority, '-', '_') AS prio_repl,
+      |  CAST(COALESCE(list_position(str_split('O,F,P', ','), o_orderstatus), 0) AS BIGINT) AS status_pos,
       |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |  lower(hex(o_orderpriority)) AS prio_hex
       |FROM orders ORDER BY o_orderkey""".stripMargin

@@ -93,4 +93,14 @@ object Snapshot {
     val (trx, nonTrx) = tables.partition(_._2)
     (nonTrx.map(_._1), trx.map(_._1))
   }
+
+  /** T5 — savepoint trick: statements wrapping each table's scan so the
+    * server can release that table's MVCC history while the long
+    * snapshot transaction stays open
+    * (mydumper_working_thread.c:406-420,988). Issue the first before the
+    * table's chunk scans on a worker connection, the second after. */
+  def savepointAround(name: String = "graft"): (String, String) = {
+    require(name.matches("[A-Za-z0-9_]+"), s"unsafe savepoint name: $name")
+    (s"SAVEPOINT $name", s"ROLLBACK TO SAVEPOINT $name")
+  }
 }

@@ -106,6 +106,20 @@ object ChunkPlanner {
     (BigInt(r.getDecimal(0).toBigInteger), BigInt(r.getDecimal(1).toBigInteger))
   }
 
+  /** A3 — cheap cardinality estimate (the reference parses EXPLAIN's
+    * `rows` column, mydumper_chunks.c:259-288): Catalyst plan statistics
+    * when the source provides a row count (CBO / file metadata), else a
+    * sampled count scaled up — one lightweight job over `sampleFraction`
+    * of the data, never a full count. Feeds [[choose]]'s rows-vs-step
+    * decision. */
+  def rowEstimate(df: DataFrame, sampleFraction: Double = 0.01): Long = {
+    val fromStats = df.queryExecution.optimizedPlan.stats.rowCount
+    fromStats.map(_.toLong).getOrElse {
+      math.round(df.sample(withReplacement = false, sampleFraction, seed = 42L)
+        .count() / sampleFraction)
+    }
+  }
+
   /** Probe min/max (A1 — one agg job, map-side combine). */
   def intBounds(df: DataFrame, column: String): (Long, Long) = {
     val r = df.agg(min(col(column)).cast("long"), max(col(column)).cast("long")).head()

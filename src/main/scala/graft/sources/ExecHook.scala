@@ -1,0 +1,33 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+/** S10 — post-write exec hook (SURVEY §2.1): the reference runs
+  * `--exec "cmd FILENAME"` once per produced dump file through a
+  * single-threaded queue (mydumper_exec_command.c:41-140). Here the hook
+  * runs driver-side after the write action completes — executors write
+  * files, the driver owns side effects — sequentially in filename order,
+  * matching the reference's one-at-a-time semantics.
+  */
+object ExecHook {
+
+  /** Run `cmdTemplate` per file under `dir` whose NAME matches `glob`
+    * (every `FILENAME` occurrence replaced by the absolute path).
+    * Returns (path, exit-code) per file. `runner` is injectable so specs
+    * capture invocations without spawning processes. */
+  def run(dir: String, glob: String, cmdTemplate: String,
+      runner: Seq[String] => Int = shellRunner): Seq[(String, Int)] = {
+    val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$glob")
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val files =
+      try listing.iterator().asScala
+        .filter(p => matcher.matches(p.getFileName)).map(_.toString).toSeq.sorted
+      finally listing.close()
+    files.map { p =>
+      (p, runner(Seq("/bin/sh", "-c", cmdTemplate.replace("FILENAME", p))))
+    }
+  }
+
+  private def shellRunner(cmd: Seq[String]): Int =
+    new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+}

@@ -59,6 +59,14 @@ class PlanQualitySpec extends SparkTestBase {
       "decontam must be a key equi-join on shingle:\n" + p.take(3000))
   }
 
+  test("row estimate stays within 25% of the true count without a full scan") {
+    val o = Tables.orders(spark, sf)
+    val actual = o.count()
+    val est = operators.ChunkPlanner.rowEstimate(o, sampleFraction = 0.1)
+    assert(math.abs(est - actual).toDouble / actual <= 0.25,
+      s"estimate $est vs actual $actual")
+  }
+
   test("q1_agg aggregates partially before the exchange (map-side combine)") {
     val p = planOf("q1_agg")
     val firstAgg = p.indexOf("HashAggregate")
