@@ -43,6 +43,30 @@ class DocChunkerSpec extends SparkTestBase {
     }
   }
 
+  test("chunking invariants hold across a (n, K, overlap) grid") {
+    // lossless cover, closed-form chunk count, all-full-except-last —
+    // one Spark job for the whole grid (docs keyed by combo id)
+    val combos = for {
+      (k, ov) <- Seq((8, 0), (8, 3), (16, 4), (16, 15), (64, 16))
+      n <- Seq(1, 7, 8, 9, 63, 64, 65, 200)
+    } yield (k, ov, n)
+    combos.zipWithIndex.foreach { case ((k, ov, n), i) =>
+      val stride = k - ov
+      val df = Seq(doc(i.toLong, n)).toDF("doc_id", "text")
+      val rows = DocChunker.chunk(df, "text", "doc_id", k, ov)
+        .orderBy("chunk_id").collect()
+      val expectChunks =
+        if (n <= k) 1 else 1 + math.ceil((n - k).toDouble / stride).toInt
+      assert(rows.length === expectChunks, s"combo K=$k ov=$ov n=$n")
+      val seen = rows.flatMap(_.getAs[String]("chunk_text").split(" ")).toSet
+      assert(seen === (1 to n).map(j => s"w$j").toSet,
+        s"lost tokens at K=$k ov=$ov n=$n")
+      rows.dropRight(1).foreach(r =>
+        assert(r.getAs[Long]("n_tokens") === k.toLong,
+          s"non-final chunk not full at K=$k ov=$ov n=$n"))
+    }
+  }
+
   test("shingles: n-gram count and content") {
     val df = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val got = DocChunker.shingles(df, "text", "doc_id", 5)

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** ANN quality: the approximate (IVF/LSH-cell) path is only useful if
+  * its recall against the exact brute-force top-k is quantified — this
+  * pins a floor so a regression in cell assignment or probe logic
+  * fails the suite rather than silently degrading search quality. */
+class SimilaritySpec extends SparkTestBase {
+
+  private def queryVec(dim: Int = 64): Seq[Float] = {
+    // a real stored vector's direction: use row vec_id=1 so the probe
+    // has genuine neighbors in the corpus
+    val e = Tables.embeddings(spark, sf)
+    e.where(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0)
+  }
+
+  test("ivf recall@10 vs brute force stays above the pinned floor") {
+    val e = Tables.embeddings(spark, sf)
+    val q = queryVec()
+    val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val cells = Similarity.withCell(e, "embedding", bits = 8)
+    val approx = Similarity.ivfTopK(cells, "embedding", "vec_id", q,
+      k = 10, bits = 8, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@10 $recall below floor; exact=$exact approx=$approx")
+    // widening the probe radius must never lose results
+    val wider = Similarity.ivfTopK(cells, "embedding", "vec_id", q,
+      k = 10, bits = 8, nprobe = 8)
+      .collect().map(_.getLong(0)).toSet
+    val widerRecall = (exact intersect wider).size.toDouble / exact.size
+    assert(widerRecall >= recall, "recall must be monotone in nprobe")
+    // nprobe = bits probes every cell -> exact equality with brute force
+    assert(widerRecall === 1.0, s"full-radius probe must be exact, got $wider vs $exact")
+  }
+
+  test("ivf probe scans only a fraction of the corpus") {
+    val e = Tables.embeddings(spark, sf)
+    val cells = Similarity.withCell(e, "embedding", bits = 8)
+    val q = queryVec()
+    val planes = graft.functions.Hashing.hyperplanes(8, 64)
+    val qCell = graft.functions.Hashing.lshCell(q, planes)
+    val scanned = cells.where(
+      call_function("bit_count", col("cell").bitwiseXOR(lit(qCell))) <= 2).count()
+    val total = e.count()
+    // hamming ≤ 2 of 8 bits covers (1+8+28)/256 ≈ 14.5% of cells
+    assert(scanned.toDouble / total < 0.35,
+      s"probe scanned $scanned of $total rows — cell pruning not working")
+  }
+}
