@@ -23,6 +23,9 @@ object Dump {
   case object SqlFormat extends Format
   case object CsvFormat extends Format
   case object ParquetFormat extends Format
+  /** JSON-lines — the training-data interchange format (one JSON object
+    * per row; not in the reference, which predates it). */
+  case object JsonlFormat extends Format
 
   final case class Config(
       outDir: String,
@@ -109,6 +112,13 @@ object Dump {
         partitioned.observe(obs, count(lit(1)).as("rows"))
           .write.mode("overwrite")
           .parquet(s"${cfg.outDir}/${cfg.db}.$table")
+        obs.get("rows").asInstanceOf[Long]
+      case JsonlFormat =>
+        val obs = new org.apache.spark.sql.Observation()
+        partitioned.observe(obs, count(lit(1)).as("rows"))
+          .write.mode("overwrite")
+          .option("compression", if (cfg.compress) "gzip" else "none")
+          .json(s"${cfg.outDir}/${cfg.db}.$table")
         obs.get("rows").asInstanceOf[Long]
     }
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),

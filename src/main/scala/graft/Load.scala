@@ -30,7 +30,7 @@ object Load {
   def classify(name: String): FileType = name match {
     case n if n.endsWith("-schema.sql")            => Schema
     case n if n == "metadata" || n == "metadata.json" => Metadata
-    case n if n.matches(""".+\.\d{5}(\.\d{5})?\.(sql|dat|csv)(\.gz|\.zst)?""") => Data
+    case n if n.matches(""".+\.\d{5}(\.\d{5})?\.(sql|dat|csv|jsonl)(\.gz|\.zst)?""") => Data
     case _ => Unknown
   }
 

@@ -90,7 +90,7 @@ class RoundTripSpec extends SparkTestBase {
     val o = Tables.orders(spark, sf)
     val want = checksumOf(o)
     val cases = for {
-      format <- Seq(Dump.SqlFormat, Dump.CsvFormat)
+      format <- Seq(Dump.SqlFormat, Dump.CsvFormat, Dump.JsonlFormat)
       compress <- Seq(false, true)
       orderByPk <- Seq(false, true)
     } yield (format, compress, orderByPk)
@@ -106,6 +106,8 @@ class RoundTripSpec extends SparkTestBase {
       val back = format match {
         case Dump.SqlFormat =>
           SqlInsertReader.read(spark, dir, o.schema, "tpch.orders.*.sql*")
+        case Dump.JsonlFormat =>
+          spark.read.schema(o.schema).json(s"$dir/tpch.orders")
         case _ =>
           CsvDump.reader(spark).schema(o.schema).csv(s"$dir/tpch.orders")
       }
