@@ -17,8 +17,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.cli.Main dump --source-dir /data/sf0.01 -o /tmp/out \
-  *     [--format sql|csv|parquet] [--compress] [--rows N] [--regex R]
-  *     [--tables-list a,b] [--where COND] [--threads N]
+  *     [--format sql|csv|parquet|jsonl] [--compress] [--rows N] [--regex R]
+  *     [--tables-list a,b] [--where COND] [--threads N] [--exec "cmd FILENAME"]
   *   graft.cli.Main load -d /tmp/out --target /tmp/restored [--checksum fail]
   */
 object Main {
@@ -28,6 +28,10 @@ object Main {
     val cmd = args.head
     val opts = parseFlags(args.tail)
     val threads = opts.getOrElse("threads", "4")
+    // embeddable: when a host (test, notebook) already owns a session,
+    // reuse it and leave its lifecycle alone
+    val hosted = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$threads]"))
       .appName(s"graft-$cmd")
@@ -42,7 +46,7 @@ object Main {
       case "dump" => runDump(spark, opts)
       case "load" => runLoad(spark, opts)
       case _      => usage(); sys.exit(2)
-    } finally spark.stop()
+    } finally if (!hosted) spark.stop()
   }
 
   private val Ignored = Set("pmm-path", "pmm-resolution", "ftwrl-max-wait-time",
@@ -76,6 +80,7 @@ object Main {
     val fmt = o.getOrElse("format", "sql") match {
       case "csv" => Dump.CsvFormat
       case "parquet" => Dump.ParquetFormat
+      case "jsonl" => Dump.JsonlFormat
       case _ => Dump.SqlFormat
     }
     val spec = TableFilter.Spec(
@@ -102,6 +107,12 @@ object Main {
     val manifest = Dump.run(spark, tables, cfg)
     manifest.tables.foreach(t =>
       println(s"[graft] dumped ${t.table}: ${t.rows} rows, checksum ${t.dataChecksum.getOrElse("-")}"))
+    // --exec "cmd FILENAME": reference S10 per-file hook, driver-side
+    o.get("exec").foreach { tpl =>
+      val res = graft.sources.ExecHook.run(outDir, "*", tpl)
+      res.filter(_._2 != 0).foreach { case (f, rc) =>
+        System.err.println(s"[graft] exec failed ($rc) for $f") }
+    }
   }
 
   /** `--mask db.table.column='constant X;regex a b'` style directives. */

@@ -17,3 +17,25 @@ class CliSpec extends AnyFunSuite {
     assert(!o.contains("pmm-path")) // accepted-but-ignored operational flag
   }
 }
+
+/** End-to-end CLI run against the dev slice (needs a session). */
+class CliRunSpec extends SparkTestBase {
+
+  test("dump command writes jsonl and fires the exec hook per file") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_").toString
+    // exec hook proof: copy each produced item name into a log
+    val log = s"$out/.hook_log"
+    Main.main(Array("dump",
+      "--source-dir", sf, "-o", out, "--format", "jsonl",
+      "--tables-list", "region,nation",
+      "--exec", s"echo FILENAME >> $log"))
+    val written = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(written.contains("graft.region") && written.contains("graft.nation"))
+    val back = spark.read.schema(Tables.t(spark, sf, "region").schema)
+      .json(s"$out/graft.region")
+    assert(back.count() === Tables.t(spark, sf, "region").count())
+    val hooked = scala.io.Source.fromFile(log).getLines().toSeq
+    assert(hooked.exists(_.endsWith("graft.region")) &&
+      hooked.exists(_.endsWith("graft.nation")))
+  }
+}
