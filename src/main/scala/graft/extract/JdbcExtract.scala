@@ -31,10 +31,14 @@ object JdbcExtract {
 
   /** Build the read spec. `where` is ANDed into every chunk predicate
     * (the reference ANDs user/per-table WHERE into each chunk query,
-    * mydumper_write.c:1052-1054). */
+    * mydumper_write.c:1052-1054). `pinnedWorkers = Some(n)` routes every
+    * partition read through n pooled snapshot-holding connections per
+    * JVM (the reference's `--threads` worker model — SURVEY §7 hard #1)
+    * instead of one fresh connection per partition. */
   def spec(url: String, table: String, chunks: ChunkSpec,
       snapshot: Snapshot.Plan, user: String, password: String,
-      where: Option[String] = None, fetchSize: Int = 10000): Spec = {
+      where: Option[String] = None, fetchSize: Int = 10000,
+      pinnedWorkers: Option[Int] = None): Spec = {
     val base = ChunkPlanner.toPredicates(chunks)
     val preds = (base, where) match {
       case (Array(), None)    => Array.empty[String]
@@ -49,7 +53,7 @@ object JdbcExtract {
     // stream rows instead of buffering the result set (the reference's
     // mysql_use_result, mydumper_write.c:1047): MySQL Connector/J streams
     // when fetchsize = Integer.MIN_VALUE; other drivers honor fetchsize
-    graft.load.GraftConnectionProvider.options(snapshot.workerInit)
+    graft.load.GraftConnectionProvider.options(snapshot.workerInit, pinnedWorkers)
       .foreach { case (k, v) => props.setProperty(k, v) }
     Spec(url, table, preds, props)
   }

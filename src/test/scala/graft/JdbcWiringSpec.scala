@@ -116,6 +116,51 @@ class JdbcWiringSpec extends SparkTestBase {
     assert(d.executed.toSeq === stmts)
   }
 
+  test("pinned pool: N physical connections serve many checkout/close cycles") {
+    import graft.load.PinnedConnectionPool
+    var connects = 0
+    val d = new FakeDriver { }
+    val key = PinnedConnectionPool.Key("jdbc:fake://pinned", "u")
+    val init = Seq("SET A", "START TRANSACTION /*snapshot*/")
+    def mk() = { connects += 1; d.connect("jdbc:fake://pinned", new java.util.Properties) }
+    try {
+      // 5 sequential partition reads over a 2-member pool
+      (1 to 5).foreach { _ =>
+        val c = PinnedConnectionPool.checkout(key, 2, init, () => mk())
+        assert(!c.isClosed)
+        c.close()          // JDBCRDD's per-partition close -> returned, not closed
+        assert(c.isClosed) // proxy reports returned state
+        c.close()          // double-close is a no-op per JDBC contract
+      }
+      assert(connects === 2, "pool must reuse physical connections")
+      // init (and so the snapshot) ran once per PHYSICAL member
+      assert(d.executed.toSeq === init ++ init)
+      assert(PinnedConnectionPool.poolSize(key) === 2)
+      // use-after-return is a bug, not a silent wrong-snapshot read
+      val c = PinnedConnectionPool.checkout(key, 2, init, () => mk())
+      c.close()
+      intercept[Throwable](c.createStatement())
+    } finally PinnedConnectionPool.shutdown(key)
+    assert(PinnedConnectionPool.poolSize(key) === 0)
+  }
+
+  test("provider routes through the pinned pool when the option is set") {
+    import graft.load.PinnedConnectionPool
+    val d = new FakeDriver
+    val opts = GraftConnectionProvider.options(
+      Seq("START TRANSACTION /*snapshot*/"), pinnedPool = Some(1)) +
+      ("url" -> "jdbc:fake://viaprovider", "user" -> "u")
+    val p = new GraftConnectionProvider
+    try {
+      assert(p.canHandle(d, opts))
+      val c1 = p.getConnection(d, opts); c1.close()
+      val c2 = p.getConnection(d, opts); c2.close()
+      // one physical connection, one snapshot open, two partition reads
+      assert(d.executed.toSeq === Seq("START TRANSACTION /*snapshot*/"))
+    } finally PinnedConnectionPool.shutdown(
+      PinnedConnectionPool.Key("jdbc:fake://viaprovider", "u"))
+  }
+
   test("provider is discoverable through the JdbcConnectionProvider SPI") {
     val names = ServiceLoader.load(classOf[JdbcConnectionProvider])
       .iterator().asScala.map(_.name).toSet
