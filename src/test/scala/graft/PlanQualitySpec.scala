@@ -67,6 +67,34 @@ class PlanQualitySpec extends SparkTestBase {
       s"estimate $est vs actual $actual")
   }
 
+  test("no catalog query plans a cartesian product or nested-loop join") {
+    // whitelisted BNLJ shapes are bounded-small-side by construction:
+    // batch ANN crossJoins a BROADCAST probe set (contractually small);
+    // tf-idf crossJoins the ONE-ROW corpus-size aggregate (O(n·1))
+    val whitelist = Set("q_ann_batch", "q_tfidf")
+    val offenders = Queries.all.keys.toSeq.sorted
+      .filterNot(whitelist)
+      .flatMap { name =>
+        val df = Queries.all(name)(spark, sf)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unbounded join shapes (O(n*m) at 100 TB) in: $offenders")
+  }
+
+  test("every oracle query ends in a total ORDER BY (determinism lint)") {
+    // global single-row aggregates need no ordering — there is one row
+    val singleRow = Set("q_minmax", "q_count_where")
+    val bad = Queries.oracles.filterNot { case (name, sql) =>
+      singleRow(name) || sql.toUpperCase.replaceAll("\\s+", " ").contains("ORDER BY")
+    }.keys
+    assert(bad.isEmpty, s"oracles without ORDER BY: $bad")
+  }
+
   test("q1_agg aggregates partially before the exchange (map-side combine)") {
     val p = planOf("q1_agg")
     val firstAgg = p.indexOf("HashAggregate")
