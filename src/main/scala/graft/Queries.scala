@@ -1248,6 +1248,32 @@ object Queries {
       |  regexp_matches(text, '[0-9]') AS has_digit
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Generator surface beyond plain explode (§2.11): posexplode's
+    * (position, value) contract over tokenized text. */
+  val qPosexplode: QFn = (s, d) =>
+    documents(s, d).where(col("doc_id") < 20)
+      .select(col("doc_id"),
+        posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("term"))
+      .orderBy("doc_id", "pos")
+  val qPosexplodeSql: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+      |           FROM documents WHERE doc_id < 20),
+      |x AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+      |SELECT doc_id, i - 1 AS pos, toks[i] AS term
+      |FROM x ORDER BY doc_id, pos""".stripMargin
+
+  /** stack() unpivot — wide→long metric rows (§2.11 UDTF surface). */
+  val qUnpivot: QFn = (s, d) =>
+    orders(s, d).selectExpr("o_orderkey",
+      "stack(2, 'custkey', CAST(o_custkey AS DOUBLE), 'totalprice', o_totalprice) AS (metric, v)")
+      .orderBy("o_orderkey", "metric")
+  val qUnpivotSql: String =
+    """SELECT o_orderkey, 'custkey' AS metric, CAST(o_custkey AS DOUBLE) AS v FROM orders
+      |UNION ALL
+      |SELECT o_orderkey, 'totalprice', o_totalprice FROM orders
+      |ORDER BY o_orderkey, metric""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1318,7 +1344,9 @@ object Queries {
     "q_date_fns" -> qDateFns,
     "q_array_fns" -> qArrayFns,
     "q_skew_join" -> qSkewJoin,
-    "q_regex_fns" -> qRegexFns)
+    "q_regex_fns" -> qRegexFns,
+    "q_posexplode" -> qPosexplode,
+    "q_unpivot" -> qUnpivot)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1380,5 +1408,7 @@ object Queries {
     "q_date_fns" -> qDateFnsSql,
     "q_array_fns" -> qArrayFnsSql,
     "q_skew_join" -> qSkewJoinSql,
-    "q_regex_fns" -> qRegexFnsSql)
+    "q_regex_fns" -> qRegexFnsSql,
+    "q_posexplode" -> qPosexplodeSql,
+    "q_unpivot" -> qUnpivotSql)
 }

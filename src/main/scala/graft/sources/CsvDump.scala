@@ -18,7 +18,11 @@ object CsvDump {
       fieldsEnclosedBy: String = "\"",
       fieldsEscapedBy: String = "\\",
       header: Boolean = false,
-      compress: Boolean = false)
+      compress: Boolean = false,
+      // any Hadoop text codec: gzip always; zstd where the cluster has
+      // native Hadoop libs (reference S9's gzip/zstd pair); lz4/snappy/
+      // bzip2/deflate also pass through
+      codec: String = "gzip")
 
   val LoadDataDefaults: Options =
     Options(fieldsTerminatedBy = "\t", fieldsEnclosedBy = "", header = false)
@@ -32,7 +36,7 @@ object CsvDump {
       .option("nullValue", "\\N") // reference NULL text for load-data
     w = if (opts.fieldsEnclosedBy.nonEmpty) w.option("quote", opts.fieldsEnclosedBy)
         else w.option("quote", "\u0000")
-    w = if (opts.compress) w.option("compression", "gzip") else w
+    w = if (opts.compress) w.option("compression", opts.codec) else w
     w.csv(outDir)
   }
 

@@ -86,6 +86,18 @@ class RoundTripSpec extends SparkTestBase {
     assert(stmt.contains("FIELDS TERMINATED BY '\\t'"))
   }
 
+  test("csv codec option passes through to any Hadoop text codec") {
+    // zstd needs native Hadoop libs absent in this container; lz4 proves
+    // the same pass-through path with a codec this JVM provides
+    val o = Tables.orders(spark, sf)
+    val dir = Files.createTempDirectory("graft_lz4_").toString
+    CsvDump.write(o, dir, CsvDump.Options(compress = true, codec = "lz4"))
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".csv.lz4")), files.mkString(","))
+    val back = CsvDump.reader(spark).schema(o.schema).csv(dir)
+    assert(checksumOf(back) === checksumOf(o))
+  }
+
   test("config matrix: format × compression × ordering all round-trip (specific_N analog)") {
     val o = Tables.orders(spark, sf)
     val want = checksumOf(o)
