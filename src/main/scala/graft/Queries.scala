@@ -1274,6 +1274,33 @@ object Queries {
       |SELECT o_orderkey, 'totalprice', o_totalprice FROM orders
       |ORDER BY o_orderkey, metric""".stripMargin
 
+  /** Data-mixture recipe (training-data assembly): per-source target
+    * fractions applied with the engine-portable md5-prefix sampler
+    * ([[graft.operators.Sampling.byMd5Prefix]]), unioned, summarized per
+    * source — DuckDB replays the IDENTICAL sample, proving the recipe is
+    * reproducible outside Spark. */
+  val qMixture: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val recipe = Seq("src0" -> 0.9, "src1" -> 0.8, "src2" -> 0.7,
+      "src3" -> 0.6, "src4" -> 0.5, "src5" -> 0.4)
+    recipe.map { case (src, frac) =>
+      operators.Sampling.byMd5Prefix(docs.where(col("source") === src), "doc_id", frac)
+    }.reduce(_ unionByName _)
+      .groupBy("source").agg(count(lit(1)).as("cnt"))
+      .orderBy("source")
+  }
+  val qMixtureSql: String =
+    """WITH b AS (SELECT source, substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS h
+      |           FROM documents)
+      |SELECT source, count(*) AS cnt FROM b
+      |WHERE (source = 'src0' AND h < 'e666')
+      |   OR (source = 'src1' AND h < 'cccc')
+      |   OR (source = 'src2' AND h < 'b333')
+      |   OR (source = 'src3' AND h < '9999')
+      |   OR (source = 'src4' AND h < '8000')
+      |   OR (source = 'src5' AND h < '6666')
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1346,7 +1373,8 @@ object Queries {
     "q_skew_join" -> qSkewJoin,
     "q_regex_fns" -> qRegexFns,
     "q_posexplode" -> qPosexplode,
-    "q_unpivot" -> qUnpivot)
+    "q_unpivot" -> qUnpivot,
+    "q_mixture" -> qMixture)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1410,5 +1438,6 @@ object Queries {
     "q_skew_join" -> qSkewJoinSql,
     "q_regex_fns" -> qRegexFnsSql,
     "q_posexplode" -> qPosexplodeSql,
-    "q_unpivot" -> qUnpivotSql)
+    "q_unpivot" -> qUnpivotSql,
+    "q_mixture" -> qMixtureSql)
 }

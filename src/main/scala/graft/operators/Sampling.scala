@@ -36,6 +36,16 @@ object Sampling {
       < lit((fraction * buckets).toLong))
   }
 
+  /** Engine-portable deterministic sampler: 16-bit md5-prefix bucket of
+    * the key compared against the fraction's hex threshold — any engine
+    * with md5() replays the IDENTICAL sample (the cross-engine variant
+    * of [[byKeyHash]]; xxhash64 is faster but Spark-only). */
+  def byMd5Prefix(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1)
+    val threshold = f"${(fraction * 65536).toInt}%04x"
+    df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < lit(threshold))
+  }
+
   /** Mixture of sources at given fractions (a training-data recipe):
     * each (df, fraction) sampled by key hash, unioned by name. */
   def weightedUnion(sources: Seq[(DataFrame, String, Double)],
