@@ -23,8 +23,10 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
+  /** Fused one-pass cosine (reads each vector once; bit-identical to
+    * `dot(a,b) / (norm(a) * norm(b))`). */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    toCol(org.apache.spark.sql.graftnative.FloatVecCosine(toExpr(a), toExpr(b)))
 
   def l2Dist(a: Column, b: Column): Column =
     sqrt(toCol(org.apache.spark.sql.graftnative.FloatVecL2Sq(toExpr(a), toExpr(b))))

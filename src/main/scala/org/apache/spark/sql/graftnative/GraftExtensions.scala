@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => FloatVecDot(args(0), args(1)))
     register(ext, "vec_l2sq", "squared L2 distance of two float vectors",
       args => FloatVecL2Sq(args(0), args(1)))
+    register(ext, "vec_cosine", "fused one-pass cosine similarity of two float vectors",
+      args => FloatVecCosine(args(0), args(1)))
   }
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,

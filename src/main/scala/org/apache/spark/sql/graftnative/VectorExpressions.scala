@@ -82,3 +82,64 @@ case class FloatVecL2Sq(left: Expression, right: Expression) extends FloatVecFol
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "float_vec_l2sq"
 }
+
+/** Fused cosine: dot, ‖a‖², ‖b‖² accumulated in ONE pass, combined as
+  * `dot / (sqrt(ssa) · sqrt(ssb))` — exactly the composition
+  * `vec_dot(a,b) / (sqrt(vec_dot(a,a)) * sqrt(vec_dot(b,b)))`, so
+  * results stay bit-identical to the unfused form and the DuckDB
+  * oracles, while the ANN scan reads each vector once instead of three
+  * times. Accumulation bounds match the composition too: the norms run
+  * over each array's own full length, the dot over the shared prefix
+  * (all equal for fixed-dim embeddings). Zero-norm inputs yield NaN,
+  * same as the composition — filter upstream where that matters. */
+case class FloatVecCosine(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val la = x.numElements(); val lb = y.numElements()
+    val n = math.max(la, lb); val m = math.min(la, lb)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (i < la) { val v = x.getFloat(i).toDouble; na += v * v }
+      if (i < lb) { val v = y.getFloat(i).toDouble; nb += v * v }
+      if (i < m) dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val la = ctx.freshName("la"); val lb = ctx.freshName("lb")
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xa = ctx.freshName("xa"); val xb = ctx.freshName("xb")
+      s"""
+         |int $la = $a.numElements(); int $lb = $b.numElements();
+         |int $n = java.lang.Math.max($la, $lb);
+         |int $m = java.lang.Math.min($la, $lb);
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($i < $la) { double $xa = (double)$a.getFloat($i); $na += $xa * $xa; }
+         |  if ($i < $lb) { double $xb = (double)$b.getFloat($i); $nb += $xb * $xb; }
+         |  if ($i < $m) {
+         |    $dot += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |  }
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecCosine =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "float_vec_cosine"
+}

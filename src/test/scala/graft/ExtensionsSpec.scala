@@ -23,10 +23,13 @@ class ExtensionsSpec extends SparkTestBase {
           |  vec_dot(array(cast(1.0 as float), cast(2.0 as float)),
           |          array(cast(3.0 as float), cast(4.0 as float))) AS d,
           |  vec_l2sq(array(cast(0.0 as float), cast(3.0 as float)),
-          |           array(cast(4.0 as float), cast(3.0 as float))) AS l2
+          |           array(cast(4.0 as float), cast(3.0 as float))) AS l2,
+          |  vec_cosine(array(cast(2.0 as float), cast(0.0 as float)),
+          |             array(cast(5.0 as float), cast(0.0 as float))) AS cos
           |""".stripMargin).head()
       assert(r.getDouble(0) === 11.0)
       assert(r.getDouble(1) === 16.0)
+      assert(r.getDouble(2) === 1.0) // parallel vectors, scale-invariant
       // the shared session must NOT see the injected names (isolation)
       intercept[Exception](shared.sql("SELECT vec_dot(array(), array())").head())
     } finally {
