@@ -1301,6 +1301,24 @@ object Queries {
       |   OR (source = 'src5' AND h < '6666')
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Map scalar family: construct, lookup, size, keys (§2.6 — the map
+    * half of the declared array/map engine surface). DuckDB map lookup
+    * yields a 1-element list, so the oracle unwraps with `[1]`. */
+  val qMapFns: QFn = (s, d) => {
+    val m = map(lit("lang"), col("lang"), lit("source"), col("source"))
+    documents(s, d).select(col("doc_id"),
+      element_at(m, "lang").as("lang_v"),
+      size(m).cast(LongType).as("n_entries"),
+      array_join(map_keys(m), ",").as("keys"))
+      .orderBy("doc_id")
+  }
+  val qMapFnsSql: String =
+    """SELECT doc_id,
+      |  map(['lang','source'], [lang, source])['lang'][1] AS lang_v,
+      |  CAST(cardinality(map(['lang','source'], [lang, source])) AS BIGINT) AS n_entries,
+      |  array_to_string(map_keys(map(['lang','source'], [lang, source])), ',') AS keys
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1374,7 +1392,8 @@ object Queries {
     "q_regex_fns" -> qRegexFns,
     "q_posexplode" -> qPosexplode,
     "q_unpivot" -> qUnpivot,
-    "q_mixture" -> qMixture)
+    "q_mixture" -> qMixture,
+    "q_map_fns" -> qMapFns)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1439,5 +1458,6 @@ object Queries {
     "q_regex_fns" -> qRegexFnsSql,
     "q_posexplode" -> qPosexplodeSql,
     "q_unpivot" -> qUnpivotSql,
-    "q_mixture" -> qMixtureSql)
+    "q_mixture" -> qMixtureSql,
+    "q_map_fns" -> qMapFnsSql)
 }
