@@ -27,9 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder: Seq[Expression] => Expression): Unit =
     ext.injectFunction((
       new FunctionIdentifier(name),
-      // 5-arg form: (className, db, name, usage, extended) — the 3-arg
-      // overload is (className, db, NAME), which would misfile usage
-      // text as the function name in DESCRIBE FUNCTION output.
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, ""),
+      // full (non-deprecated) form; the 3-arg overload is (className,
+      // db, NAME), which would misfile usage text as the function name
+      // in DESCRIBE FUNCTION output.
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "built-in"),
       builder))
 }
