@@ -118,6 +118,35 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.agg(sum("cnt")).head().getLong(0) === ev.count())
   }
 
+  test("windowed aggregation state runs on the RocksDB store (the 100 TB path)") {
+    // SCALE.md claims streaming state scales off-heap via RocksDB; this
+    // proves the provider actually loads and produces the same answers
+    val landing = Files.createTempDirectory("graft_rocks_").toString
+    val ckpt = Files.createTempDirectory("graft_rocks_ckpt_").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("append").parquet(landing)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(landing).schema).parquet(landing)
+      val q = LandingStream.windowedEventCounts(stream)
+        .writeStream.format("memory").queryName("rocksagg")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val streamed = spark.sql("SELECT sum(cnt) FROM rocksagg").head().getLong(0)
+      assert(streamed === ev.count(), "RocksDB-backed aggregate lost rows")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("daemon mode rotates snapshot dirs and re-dumps each interval") {
     val base = Files.createTempDirectory("graft_daemon_").toString
     val o = Tables.orders(spark, sf).limit(100)
