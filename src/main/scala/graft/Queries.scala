@@ -1319,6 +1319,37 @@ object Queries {
       |  array_to_string(map_keys(map(['lang','source'], [lang, source])), ',') AS keys
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** EXACT kNN graph (top-3 neighbors per vector, 200-vector slice so
+    * DuckDB's interpreted list lambdas replay it) — the all-pairs
+    * baseline; `q_knn_graph` is the LSH-cell scale path it verifies. */
+  val qKnnExact: QFn = (s, d) => {
+    val e = embeddings(s, d).where(col("vec_id") < 200)
+    Similarity.selfTopK(e, "embedding", "vec_id", k = 3)
+      .withColumn("score", floor(col("score") * lit(1000000.0)) / lit(1000000.0))
+      .orderBy("id1", "rank")
+  }
+  val qKnnExactSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT id1, id2, cos,
+      |  row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank FROM p)
+      |SELECT id1, id2, CAST(rank AS BIGINT) AS rank,
+      |  floor(cos * 1000000.0) / 1000000.0 AS score
+      |FROM r WHERE rank <= 3 ORDER BY id1, rank""".stripMargin
+
+  /** kNN graph, LSH-cell scale path (equi-join on the cell key — custom
+    * hyperplane hash, so rows-only at the gate; SimilaritySpec pins its
+    * recall against the exact baseline). */
+  val qKnnGraph: QFn = (s, d) =>
+    Similarity.selfTopKLsh(embeddings(s, d), "embedding", "vec_id",
+      k = 5, bits = 3, tables = 6)
+      .orderBy("id1", "rank")
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1393,7 +1424,9 @@ object Queries {
     "q_posexplode" -> qPosexplode,
     "q_unpivot" -> qUnpivot,
     "q_mixture" -> qMixture,
-    "q_map_fns" -> qMapFns)
+    "q_map_fns" -> qMapFns,
+    "q_knn_exact" -> qKnnExact,
+    "q_knn_graph" -> qKnnGraph)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1459,5 +1492,6 @@ object Queries {
     "q_posexplode" -> qPosexplodeSql,
     "q_unpivot" -> qUnpivotSql,
     "q_mixture" -> qMixtureSql,
-    "q_map_fns" -> qMapFnsSql)
+    "q_map_fns" -> qMapFnsSql,
+    "q_knn_exact" -> qKnnExactSql)
 }

@@ -65,4 +65,57 @@ object Similarity {
       .orderBy(col("score").desc, col(idCol).asc)
     joined.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
   }
+
+  /** EXACT kNN graph — every row's top-k neighbors by cosine. Inherently
+    * all-pairs (O(n²)); the correctness baseline and the verifier for
+    * [[selfTopKLsh]], viable to ~10⁵ rows. Output: (id1, id2, rank,
+    * score). Ties break on id2 so results are total-order deterministic. */
+  def selfTopK(embs: DataFrame, vecCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = embs.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = embs.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("score").desc, col("id2").asc)
+    l.crossJoin(r).where(col("id1") =!= col("id2"))
+      .select(col("id1"), col("id2"),
+        VectorFunctions.cosine(col("v1"), col("v2")).as("score"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("id1"), col("id2"), col("rank").cast("long").as("rank"),
+        col("score"))
+  }
+
+  /** kNN graph at scale: multi-table LSH — `tables` independent cell
+    * hashings (seeded hyperplane sets); a pair is a candidate if it
+    * co-cells in ANY table (single-table recall ≈ (1-θ/π)^bits per
+    * neighbor, so L tables lift it to 1-(1-p)^L). Every join is an
+    * equi-join on (table's) cell key — shuffle bounded by cell
+    * cardinality, never all-pairs; candidates carry only (id1, id2)
+    * until the dedup, and vectors re-attach for one fused-cosine pass.
+    * Recall/cost knobs: fewer bits = bigger cells = more candidates =
+    * higher recall; SimilaritySpec pins the floor vs [[selfTopK]].
+    * Rows sharing no cell with anyone emit nothing. */
+  def selfTopKLsh(embs: DataFrame, vecCol: String, idCol: String, k: Int,
+      bits: Int, tables: Int = 6, dim: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = embs.select(col(idCol), col(vecCol))
+    val pairs = (0 until tables).map { t =>
+      val planes = graft.functions.Hashing.hyperplanes(bits, dim, 42L + t)
+      val cellUdf = udf((v: Seq[Float]) => graft.functions.Hashing.lshCell(v, planes))
+      val celled = base.withColumn("cell", cellUdf(col(vecCol)))
+      val l = celled.select(col("cell"), col(idCol).as("id1"))
+      val r = celled.select(col("cell"), col(idCol).as("id2"))
+      l.join(r, Seq("cell")).where(col("id1") =!= col("id2"))
+        .select("id1", "id2")
+    }.reduce(_ unionAll _).distinct()
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("score").desc, col("id2").asc)
+    pairs
+      .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
+      .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
+      .select(col("id1"), col("id2"),
+        VectorFunctions.cosine(col("v1"), col("v2")).as("score"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("id1"), col("id2"), col("rank").cast("long").as("rank"),
+        col("score"))
+  }
 }

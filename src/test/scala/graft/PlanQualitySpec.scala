@@ -68,10 +68,12 @@ class PlanQualitySpec extends SparkTestBase {
   }
 
   test("no catalog query plans a cartesian product or nested-loop join") {
-    // whitelisted BNLJ shapes are bounded-small-side by construction:
-    // batch ANN crossJoins a BROADCAST probe set (contractually small);
-    // tf-idf crossJoins the ONE-ROW corpus-size aggregate (O(n·1))
-    val whitelist = Set("q_ann_batch", "q_tfidf")
+    // whitelisted shapes are bounded by construction: batch ANN
+    // crossJoins a BROADCAST probe set (contractually small); tf-idf
+    // crossJoins the ONE-ROW corpus-size aggregate (O(n·1)); exact kNN
+    // is the all-pairs BASELINE by definition — its scale path is the
+    // cell-equi-joined q_knn_graph, which must pass this gate
+    val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { name =>

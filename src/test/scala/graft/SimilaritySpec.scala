@@ -38,6 +38,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(widerRecall === 1.0, s"full-radius probe must be exact, got $wider vs $exact")
   }
 
+  test("LSH kNN graph recalls the exact graph's neighbors above the floor") {
+    val e = Tables.embeddings(spark, sf)
+    def edges(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = edges(Similarity.selfTopK(e, "embedding", "vec_id", 3))
+    val approx = edges(Similarity.selfTopKLsh(e, "embedding", "vec_id", 3,
+      bits = 3, tables = 6))
+    val recalls = exact.map { case (id, nbrs) =>
+      (approx.getOrElse(id, Set.empty) intersect nbrs).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@3 = $mean%.3f over ${recalls.size} vectors")
+    assert(mean >= 0.6, f"kNN-graph recall $mean%.3f below floor")
+    // approx edges must be a subset of legal neighbors (no self, k-bounded)
+    approx.foreach { case (id, nbrs) =>
+      assert(!nbrs.contains(id) && nbrs.size <= 3)
+    }
+  }
+
   test("ivf probe scans only a fraction of the corpus") {
     val e = Tables.embeddings(spark, sf)
     val cells = Similarity.withCell(e, "embedding", bits = 8)
