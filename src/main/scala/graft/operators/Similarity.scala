@@ -98,22 +98,28 @@ object Similarity {
       bits: Int, tables: Int = 6, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = embs.select(col(idCol), col(vecCol))
+    // candidates as UNDIRECTED pairs (id1 < id2): halves the dedup
+    // shuffle and the cosine passes; directions are restored by a cheap
+    // mirror AFTER scoring (cosine is symmetric)
     val pairs = (0 until tables).map { t =>
       val planes = graft.functions.Hashing.hyperplanes(bits, dim, 42L + t)
       val cellUdf = udf((v: Seq[Float]) => graft.functions.Hashing.lshCell(v, planes))
       val celled = base.withColumn("cell", cellUdf(col(vecCol)))
       val l = celled.select(col("cell"), col(idCol).as("id1"))
       val r = celled.select(col("cell"), col(idCol).as("id2"))
-      l.join(r, Seq("cell")).where(col("id1") =!= col("id2"))
+      l.join(r, Seq("cell")).where(col("id1") < col("id2"))
         .select("id1", "id2")
     }.reduce(_ unionAll _).distinct()
-    val w = Window.partitionBy(col("id1"))
-      .orderBy(col("score").desc, col("id2").asc)
-    pairs
+    val scored = pairs
       .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
       .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
       .select(col("id1"), col("id2"),
         VectorFunctions.cosine(col("v1"), col("v2")).as("score"))
+    val both = scored.unionAll(
+      scored.select(col("id2").as("id1"), col("id1").as("id2"), col("score")))
+    val w = Window.partitionBy(col("id1"))
+      .orderBy(col("score").desc, col("id2").asc)
+    both
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("id1"), col("id2"), col("rank").cast("long").as("rank"),
         col("score"))
