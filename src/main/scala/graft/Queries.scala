@@ -1280,12 +1280,18 @@ object Queries {
     * source — DuckDB replays the IDENTICAL sample, proving the recipe is
     * reproducible outside Spark. */
   val qMixture: QFn = (s, d) => {
-    val docs = documents(s, d)
     val recipe = Seq("src0" -> 0.9, "src1" -> 0.8, "src2" -> 0.7,
       "src3" -> 0.6, "src4" -> 0.5, "src5" -> 0.4)
-    recipe.map { case (src, frac) =>
-      operators.Sampling.byMd5Prefix(docs.where(col("source") === src), "doc_id", frac)
-    }.reduce(_ unionByName _)
+    // one scan, not one per source: the per-source fraction becomes a
+    // CASE'd hex threshold (same byMd5Prefix bucket contract); sources
+    // outside the recipe get a NULL threshold -> filtered out
+    val thr = recipe.tail.foldLeft(
+      when(col("source") === recipe.head._1,
+        f"${(recipe.head._2 * 65536).toInt}%04x")) { case (w, (src, frac)) =>
+      w.when(col("source") === src, f"${(frac * 65536).toInt}%04x")
+    }
+    documents(s, d)
+      .where(substring(md5(col("doc_id").cast(StringType)), 1, 4) < thr)
       .groupBy("source").agg(count(lit(1)).as("cnt"))
       .orderBy("source")
   }
