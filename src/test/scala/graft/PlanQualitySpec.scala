@@ -97,6 +97,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(bad.isEmpty, s"oracles without ORDER BY: $bad")
   }
 
+  test("q_mixture samples the whole recipe in a single corpus scan") {
+    val df = Queries.all("q_mixture")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"mixture recipe re-scans the corpus ($scans scans):\n" +
+      p.take(2000))
+  }
+
   test("q1_agg aggregates partially before the exchange (map-side combine)") {
     val p = planOf("q1_agg")
     val firstAgg = p.indexOf("HashAggregate")
