@@ -100,7 +100,10 @@ class PlanQualitySpec extends SparkTestBase {
   test("q_mixture samples the whole recipe in a single corpus scan") {
     val df = Queries.all("q_mixture")(spark, sf)
     df.collect()
+    // AQE prints Final + Initial plan sections; count scans in the
+    // final plan only
     val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans === 1, s"mixture recipe re-scans the corpus ($scans scans):\n" +
       p.take(2000))
