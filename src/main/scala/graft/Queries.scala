@@ -1356,6 +1356,22 @@ object Queries {
       k = 5, bits = 3, tables = 6)
       .orderBy("id1", "rank")
 
+  /** Conditional aggregation (FILTER-clause semantics, §2.4): count_if +
+    * CASE'd sums inside one grouped pass. */
+  val qCondAgg: QFn = (s, d) =>
+    orders(s, d).groupBy("o_orderpriority").agg(
+      count(lit(1)).as("cnt"),
+      count_if(col("o_totalprice") > 200000.0).as("n_big"),
+      sum38_2(when(col("o_orderstatus") === "F", col("o_totalprice"))
+        .otherwise(lit(0.0))).as("sum_f"))
+      .orderBy("o_orderpriority")
+  val qCondAggSql: String =
+    """SELECT o_orderpriority, count(*) AS cnt,
+      |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+      |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
+      |    AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_f
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1432,7 +1448,8 @@ object Queries {
     "q_mixture" -> qMixture,
     "q_map_fns" -> qMapFns,
     "q_knn_exact" -> qKnnExact,
-    "q_knn_graph" -> qKnnGraph)
+    "q_knn_graph" -> qKnnGraph,
+    "q_cond_agg" -> qCondAgg)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1499,5 +1516,6 @@ object Queries {
     "q_unpivot" -> qUnpivotSql,
     "q_mixture" -> qMixtureSql,
     "q_map_fns" -> qMapFnsSql,
-    "q_knn_exact" -> qKnnExactSql)
+    "q_knn_exact" -> qKnnExactSql,
+    "q_cond_agg" -> qCondAggSql)
 }
