@@ -50,6 +50,47 @@ object LandingStream {
       .start()
   }
 
+  /** File-event stream — the reference's stream protocol header
+    * (`\n-- <basename> <size>\n`, mydumper_stream.c:56-140) re-expressed:
+    * the producer announces each CLOSED dump file as one event line
+    * `<kind>\t<table>\t<path>` in `eventsDir`; the consumer streams the
+    * lines and routes each to `handle` in arrival order (driver-side —
+    * orchestration state is O(files seen), the data work each event
+    * triggers is a distributed action). Pair with
+    * [[graft.load.StreamingLoader]] for schema/data/finish routing. */
+  def consumeFileEvents(spark: SparkSession, eventsDir: String,
+      checkpoint: String)(
+      handle: (String, String, String) => Unit): StreamingQuery =
+    spark.readStream.text(eventsDir)
+      .withColumn("_src", input_file_name())
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // within a micro-batch, cross-file row order is not guaranteed;
+        // producer event-file names encode arrival time, so sorting on
+        // them restores announce order ("end" must follow its data)
+        batch.collect().sortBy(_.getString(1)).foreach { r =>
+          r.getString(0).split("\t", 3) match {
+            case Array(kind, table, path) => handle(kind, table, path)
+            case other => throw new IllegalArgumentException(
+              s"malformed file event: ${other.mkString("\t")}")
+          }
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Producer half of [[consumeFileEvents]]: announce one closed file. */
+  def announceFile(eventsDir: String, kind: String, table: String,
+      path: String): Unit = {
+    val line = s"$kind\t$table\t$path\n"
+    java.nio.file.Files.writeString(
+      // zero-padded time so lexical filename order == announce order
+      java.nio.file.Paths.get(eventsDir,
+        f"ev_${System.nanoTime()}%020d_${math.abs(path.hashCode)}%08x.txt"),
+      line)
+  }
+
   /** Event-time tumbling-window aggregate with watermark over a streaming
     * events source — the engine's declared streaming surface (§2.10):
     * batch-equivalent of Queries.qWindowEvents. */

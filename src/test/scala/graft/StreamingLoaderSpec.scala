@@ -63,4 +63,43 @@ class StreamingLoaderSpec extends SparkTestBase {
     assert(maxInFlight.get() <= 2, s"per-table cap exceeded: ${maxInFlight.get()}")
     assert(loader.state("tpch.orders") === DependencyScheduler.AllDone)
   }
+
+  test("streamed dump->load end-to-end: file events route into the loader") {
+    // §3.3 whole-pipeline: dump produces files, announces each as an
+    // event; the consumer streams events and routes schema/data/end
+    // through the incremental scheduler — data events precede schema
+    import graft.streaming.LandingStream
+    val o = Tables.orders(spark, sf)
+    val dumpDir = Files.createTempDirectory("graft_e2e_dump_").toString
+    val eventsDir = Files.createTempDirectory("graft_e2e_ev_").toString
+    val ckpt = Files.createTempDirectory("graft_e2e_ckpt_").toString
+    Dump.dumpTable(o, "orders", Dump.Config(
+      outDir = dumpDir, db = "tpch", checksum = false, statementSize = 64 * 1024))
+    val parts = new java.io.File(dumpDir).listFiles()
+      .map(_.getName).filter(Load.classify(_) == Load.Data).sorted
+    // stream order: all data first, then schema, then end-of-table
+    parts.foreach(p => LandingStream.announceFile(eventsDir, "data", "tpch.orders", p))
+    LandingStream.announceFile(eventsDir, "schema", "tpch.orders", "-")
+    LandingStream.announceFile(eventsDir, "end", "tpch.orders", "-")
+
+    val schemaCreated = new AtomicBoolean(false)
+    val rows = new AtomicLong(0)
+    val loader = new StreamingLoader(maxThreadsPerTable = 2)
+    var finished: scala.concurrent.Future[Unit] = null
+    val q = LandingStream.consumeFileEvents(spark, eventsDir, ckpt) {
+      (kind, table, path) => kind match {
+        case "data" => loader.offerData(table, () => {
+          assert(schemaCreated.get(), "data job ran before CREATE")
+          rows.addAndGet(SqlInsertReader.read(spark, dumpDir, o.schema, path).count())
+          ()
+        })
+        case "schema" => loader.offerSchema(table, () => schemaCreated.set(true))
+        case "end"    => finished = loader.finish(table)
+      }
+    }
+    q.awaitTermination(120000)
+    Await.result(finished, Duration.Inf)
+    assert(rows.get() === o.count(), "streamed pipeline lost rows")
+    assert(loader.state("tpch.orders") === DependencyScheduler.AllDone)
+  }
 }
