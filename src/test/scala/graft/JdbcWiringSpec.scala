@@ -144,6 +144,31 @@ class JdbcWiringSpec extends SparkTestBase {
     assert(PinnedConnectionPool.poolSize(key) === 0)
   }
 
+  test("pinned pool blocks concurrent checkouts at the cap and serves all") {
+    import graft.load.PinnedConnectionPool
+    import java.util.concurrent.atomic.AtomicInteger
+    val d = new FakeDriver
+    val key = PinnedConnectionPool.Key("jdbc:fake://conc", "u")
+    val inUse = new AtomicInteger(0)
+    val peak = new AtomicInteger(0)
+    try {
+      val threads = (1 to 8).map { _ =>
+        new Thread(() => {
+          val c = PinnedConnectionPool.checkout(key, 2, Nil,
+            () => d.connect("jdbc:fake://conc", new java.util.Properties))
+          val cur = inUse.incrementAndGet()
+          peak.updateAndGet(m => math.max(m, cur))
+          Thread.sleep(15) // hold the member briefly
+          inUse.decrementAndGet()
+          c.close()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(peak.get() <= 2, s"more members in use than the pool size: ${peak.get()}")
+      assert(PinnedConnectionPool.poolSize(key) === 2)
+    } finally PinnedConnectionPool.shutdown(key)
+  }
+
   test("provider routes through the pinned pool when the option is set") {
     import graft.load.PinnedConnectionPool
     val d = new FakeDriver
