@@ -1372,6 +1372,26 @@ object Queries {
       |    AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_f
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Forward as-of: each click picks the NEXT view at-or-after it (the
+    * time-series mirror of q_asof_join's backward direction). */
+  val qAsofFwd: QFn = (s, d) => {
+    val e = events(s, d)
+    val clicks = e.where(col("event_type") === "click")
+    val views = e.where(col("event_type") === "view")
+    AsofJoin.asof(clicks, views, "user_id", "ts",
+      valueCols = Seq("event_id", "value"), tieBreak = "event_id",
+      direction = "forward")
+      .select("event_id", "user_id", "asof_event_id", "asof_value")
+      .orderBy("event_id")
+  }
+  val qAsofFwdSql: String =
+    """WITH v AS (SELECT * FROM events WHERE event_type = 'view'),
+      |     c AS (SELECT * FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, c.user_id, v.event_id AS asof_event_id,
+      |       v.value AS asof_value
+      |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.ts
+      |ORDER BY c.event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1449,7 +1469,8 @@ object Queries {
     "q_map_fns" -> qMapFns,
     "q_knn_exact" -> qKnnExact,
     "q_knn_graph" -> qKnnGraph,
-    "q_cond_agg" -> qCondAgg)
+    "q_cond_agg" -> qCondAgg,
+    "q_asof_fwd" -> qAsofFwd)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1517,5 +1538,6 @@ object Queries {
     "q_mixture" -> qMixtureSql,
     "q_map_fns" -> qMapFnsSql,
     "q_knn_exact" -> qKnnExactSql,
-    "q_cond_agg" -> qCondAggSql)
+    "q_cond_agg" -> qCondAggSql,
+    "q_asof_fwd" -> qAsofFwdSql)
 }

@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of (point-in-time) join — for each left row, the latest right row
-  * with `right.ts <= left.ts` within the same key. No reference analog
+  * with `right.ts <= left.ts` (backward, default) or the earliest right
+  * row with `right.ts >= left.ts` (forward) within the same key. No
+  * reference analog
   * (SURVEY §2.3: the reference has no join executor); declared for the
   * engine as the standard time-series primitive.
   *
@@ -26,7 +28,10 @@ object AsofJoin {
     * @param tieBreak  right-side column (castable to long) ordering
     *                  equal-ts right rows. */
   def asof(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      valueCols: Seq[String], tieBreak: String): DataFrame = {
+      valueCols: Seq[String], tieBreak: String,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"unknown asof direction: $direction")
     val leftCols = left.columns.toSeq
     val carried = valueCols.map(c => s"asof_$c")
     def nullAs(name: String, schema: org.apache.spark.sql.types.StructType): Column =
@@ -43,8 +48,11 @@ object AsofJoin {
         Seq(lit(0).as("__side"), col(tieBreak).cast("long").as("__tie")) ++
         valueCols.map(c => col(c).as(s"asof_$c")): _*)
 
+    // forward = the same scan run in descending ts: "last right seen"
+    // then means the nearest right at-or-after the left row
+    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("__side").asc, col("__tie").asc)
+      .orderBy(tsOrder, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCarried = carried.foldLeft(lSide.unionByName(rSide)) { (d, c) =>
       d.withColumn(c, last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
