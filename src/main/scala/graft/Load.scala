@@ -6,6 +6,7 @@ import graft.load.DependencyScheduler
 import graft.load.DependencyScheduler.TablePlan
 import graft.sources.{CsvDump, SqlInsertReader}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, row_number}
 import org.apache.spark.sql.types.StructType
 
 import scala.concurrent.ExecutionContext
@@ -91,6 +92,26 @@ object Load {
   }
 
   /** Verify a manifest against restored tables (L5 standalone form). */
+  /** Row-level merge of an incremental dump into a base snapshot (the
+    * row-granularity analog of the loader's table-level overwrite modes;
+    * pairs with an `--updated-since`-filtered dump): latest version per
+    * key wins, delta rows beat base rows at equal versions. One shuffle
+    * on the key; at 100 TB the delta is small next to base, so AQE picks
+    * a broadcast/skew-aware plan on its own. Deterministic: ties inside
+    * a side resolve by the largest version, and `__is_delta` breaks
+    * base-vs-delta ties. */
+  def mergeSnapshot(base: DataFrame, delta: DataFrame, keyCol: String,
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = base.withColumn("__is_delta", lit(0))
+      .unionByName(delta.withColumn("__is_delta", lit(1)))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(versionCol).desc, col("__is_delta").desc)
+    tagged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__is_delta")
+  }
+
   def verifyChecksums(manifest: DumpManifest,
       restored: Map[String, DataFrame]): Map[String, Boolean] =
     manifest.tables.flatMap { t =>

@@ -1392,6 +1392,33 @@ object Queries {
       |FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts <= v.ts
       |ORDER BY c.event_id""".stripMargin
 
+  /** Incremental-merge restore (CDC-lite): a delta dump (recent orders,
+    * re-priced) upserts into the base snapshot — latest o_orderdate per
+    * key wins, delta beats base on ties. Per-key summary keeps the
+    * result small; the oracle replays the same window rule. */
+  val qMergeUpsert: QFn = (s, d) => {
+    val o = orders(s, d)
+    val base = o.where(col("o_orderkey") % 3 =!= 0)
+    val delta = o.where(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    Load.mergeSnapshot(base, delta, "o_orderkey", "o_orderdate")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum38_2(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+  val qMergeUpsertSql: String =
+    """WITH base AS (SELECT *, 0 AS is_delta FROM orders WHERE o_orderkey % 3 <> 0),
+      |delta AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority,
+      |  1 AS is_delta FROM orders WHERE o_orderkey % 2 = 0),
+      |u AS (SELECT * FROM base UNION ALL BY NAME SELECT * FROM delta),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |        ORDER BY o_orderdate DESC, is_delta DESC) AS rn FROM u)
+      |SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM r WHERE rn = 1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1470,7 +1497,8 @@ object Queries {
     "q_knn_exact" -> qKnnExact,
     "q_knn_graph" -> qKnnGraph,
     "q_cond_agg" -> qCondAgg,
-    "q_asof_fwd" -> qAsofFwd)
+    "q_asof_fwd" -> qAsofFwd,
+    "q_merge_upsert" -> qMergeUpsert)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1539,5 +1567,6 @@ object Queries {
     "q_map_fns" -> qMapFnsSql,
     "q_knn_exact" -> qKnnExactSql,
     "q_cond_agg" -> qCondAggSql,
-    "q_asof_fwd" -> qAsofFwdSql)
+    "q_asof_fwd" -> qAsofFwdSql,
+    "q_merge_upsert" -> qMergeUpsertSql)
 }

@@ -84,4 +84,17 @@ class DumpLoadSpec extends SparkTestBase {
     assert(!TableFilter.accepts(spec, tm("tpch", "x", "BLACKHOLE"))) // engine
     assert(!TableFilter.accepts(spec, tm("mysql", "user")))        // system
   }
+  test("mergeSnapshot: delta overrides, base-only kept, delta-only inserted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = Seq((1L, "a", 10), (2L, "b", 10)).toDF("k", "v", "ver")
+    val delta = Seq((2L, "B", 20), (3L, "c", 10)).toDF("k", "v", "ver")
+    val got = Load.mergeSnapshot(base, delta, "k", "ver")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    // equal versions: the delta side must win the tie
+    val tied = Load.mergeSnapshot(base, Seq((1L, "A", 10)).toDF("k", "v", "ver"), "k", "ver")
+      .where(col("k") === 1).head().getString(1)
+    assert(tied === "A")
+  }
 }
