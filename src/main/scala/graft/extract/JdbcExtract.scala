@@ -63,4 +63,21 @@ object JdbcExtract {
   def read(spark: SparkSession, s: Spec): DataFrame =
     if (s.predicates.isEmpty) spark.read.jdbc(s.url, s.table, s.props)
     else spark.read.jdbc(s.url, s.table, s.predicates, s.props)
+
+  /** C5 — physical-partition scan: MySQL's `PARTITION (p)` clause can't
+    * ride in a WHERE predicate, so each partition becomes its own
+    * dbtable subquery (the documented Spark idiom for server-side
+    * clauses), one jdbc read per partition, unioned. Parallelism = one
+    * Spark task per physical partition — exactly the reference's
+    * partition-chunk consumers (mydumper_partition_chunks.c:46-141). */
+  def partitionDbtables(table: String, partitions: Seq[String]): Seq[String] =
+    partitions.map(p => s"(SELECT * FROM $table PARTITION ($p)) AS __graft_$p")
+
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+      partitions: Seq[String], props: Properties): DataFrame = {
+    require(partitions.nonEmpty, "no physical partitions to read")
+    partitionDbtables(table, partitions)
+      .map(sub => spark.read.jdbc(url, sub, props))
+      .reduce(_ unionAll _)
+  }
 }

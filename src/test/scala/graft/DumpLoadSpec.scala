@@ -97,4 +97,17 @@ class DumpLoadSpec extends SparkTestBase {
       .where(col("k") === 1).head().getString(1)
     assert(tied === "A")
   }
+  test("snapshot read merges evolved schemas across dump generations") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve_").toString
+    // generation 1 lacks the column a later dump added
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$dir/g1")
+    Seq((2L, "b", 9.5)).toDF("k", "v", "score").write.parquet(s"$dir/g2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/g1", s"$dir/g2").orderBy("k")
+    assert(merged.columns.toSet === Set("k", "v", "score"))
+    val rows = merged.collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old gen -> null
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) === 9.5)
+  }
 }

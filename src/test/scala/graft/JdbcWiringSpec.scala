@@ -186,6 +186,13 @@ class JdbcWiringSpec extends SparkTestBase {
       PinnedConnectionPool.Key("jdbc:fake://viaprovider", "u"))
   }
 
+  test("physical partitions map to PARTITION-clause dbtable subqueries") {
+    val subs = JdbcExtract.partitionDbtables("db.t", Seq("p0", "p1"))
+    assert(subs === Seq(
+      "(SELECT * FROM db.t PARTITION (p0)) AS __graft_p0",
+      "(SELECT * FROM db.t PARTITION (p1)) AS __graft_p1"))
+  }
+
   test("provider is discoverable through the JdbcConnectionProvider SPI") {
     val names = ServiceLoader.load(classOf[JdbcConnectionProvider])
       .iterator().asScala.map(_.name).toSet
