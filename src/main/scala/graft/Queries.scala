@@ -1419,6 +1419,26 @@ object Queries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
       |FROM r WHERE rn = 1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Typed-Aggregator tier (§2.11): deterministic per-group bottom-k-by-
+    * md5 sample — mergeable reservoir sampling with no RNG state, so the
+    * exact sample is engine-replayable (DuckDB sorts the same digests). */
+  val qBottomkSample: QFn = (s, d) => {
+    import s.implicits._
+    orders(s, d).select(col("o_orderstatus").as("g"),
+        md5(col("o_orderkey").cast(StringType)).as("h"),
+        col("o_orderkey").as("v"))
+      .as[graft.functions.BottomK.Item]
+      .groupByKey(_.g)
+      .agg(graft.functions.BottomK.bottomK(5).name("sample_ids"))
+      .toDF("o_orderstatus", "sample_ids")
+      .orderBy("o_orderstatus")
+  }
+  val qBottomkSampleSql: String =
+    """SELECT o_orderstatus,
+      |  (list(o_orderkey ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey))[1:5]
+      |    AS sample_ids
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1498,7 +1518,8 @@ object Queries {
     "q_knn_graph" -> qKnnGraph,
     "q_cond_agg" -> qCondAgg,
     "q_asof_fwd" -> qAsofFwd,
-    "q_merge_upsert" -> qMergeUpsert)
+    "q_merge_upsert" -> qMergeUpsert,
+    "q_bottomk_sample" -> qBottomkSample)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1568,5 +1589,6 @@ object Queries {
     "q_knn_exact" -> qKnnExactSql,
     "q_cond_agg" -> qCondAggSql,
     "q_asof_fwd" -> qAsofFwdSql,
-    "q_merge_upsert" -> qMergeUpsertSql)
+    "q_merge_upsert" -> qMergeUpsertSql,
+    "q_bottomk_sample" -> qBottomkSampleSql)
 }
