@@ -1439,6 +1439,43 @@ object Queries {
       |    AS sample_ids
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Bitwise scalar family (§2.6 math/conv surface next to CRC32/CONV). */
+  val qBitFns: QFn = (s, d) =>
+    orders(s, d).select(col("o_orderkey"),
+      (col("o_orderkey").bitwiseAND(lit(255L))).as("band"),
+      (col("o_orderkey").bitwiseOR(lit(16L))).as("bor"),
+      (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("bxor"),
+      shiftleft(col("o_orderkey"), 2).as("shl"),
+      shiftright(col("o_orderkey"), 3).as("shr"))
+      .orderBy("o_orderkey")
+  val qBitFnsSql: String =
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS band,
+      |  o_orderkey | 16 AS bor,
+      |  xor(o_orderkey, o_custkey) AS bxor,
+      |  o_orderkey << 2 AS shl,
+      |  o_orderkey >> 3 AS shr
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Rank-distribution windows: percent_rank / cume_dist / ntile over a
+    * keyed partition (§2.5 completion beyond rank/row_number). */
+  val qWindowDist: QFn = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      (floor(percent_rank().over(w) * 10000.0) / 10000.0).as("pr"),
+      (floor(cume_dist().over(w) * 10000.0) / 10000.0).as("cd"),
+      ntile(4).over(w).cast(LongType).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+  val qWindowDistSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  floor(percent_rank() OVER w * 10000.0) / 10000.0 AS pr,
+      |  floor(cume_dist() OVER w * 10000.0) / 10000.0 AS cd,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1519,7 +1556,9 @@ object Queries {
     "q_cond_agg" -> qCondAgg,
     "q_asof_fwd" -> qAsofFwd,
     "q_merge_upsert" -> qMergeUpsert,
-    "q_bottomk_sample" -> qBottomkSample)
+    "q_bottomk_sample" -> qBottomkSample,
+    "q_bit_fns" -> qBitFns,
+    "q_window_dist" -> qWindowDist)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1590,5 +1629,7 @@ object Queries {
     "q_cond_agg" -> qCondAggSql,
     "q_asof_fwd" -> qAsofFwdSql,
     "q_merge_upsert" -> qMergeUpsertSql,
-    "q_bottomk_sample" -> qBottomkSampleSql)
+    "q_bottomk_sample" -> qBottomkSampleSql,
+    "q_bit_fns" -> qBitFnsSql,
+    "q_window_dist" -> qWindowDistSql)
 }
