@@ -1476,6 +1476,20 @@ object Queries {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Value histogram: fixed-width price buckets with per-bucket stats —
+    * the profiling pass run before choosing chunk/skew strategies. Same
+    * floor arithmetic on both engines (DuckDB 1.0 lacks width_bucket). */
+  val qHistogram: QFn = (s, d) =>
+    orders(s, d)
+      .groupBy(floor(col("o_totalprice") / lit(50000.0)).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+  val qHistogramSql: String =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      |  count(*) AS cnt, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1558,7 +1572,8 @@ object Queries {
     "q_merge_upsert" -> qMergeUpsert,
     "q_bottomk_sample" -> qBottomkSample,
     "q_bit_fns" -> qBitFns,
-    "q_window_dist" -> qWindowDist)
+    "q_window_dist" -> qWindowDist,
+    "q_histogram" -> qHistogram)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1631,5 +1646,6 @@ object Queries {
     "q_merge_upsert" -> qMergeUpsertSql,
     "q_bottomk_sample" -> qBottomkSampleSql,
     "q_bit_fns" -> qBitFnsSql,
-    "q_window_dist" -> qWindowDistSql)
+    "q_window_dist" -> qWindowDistSql,
+    "q_histogram" -> qHistogramSql)
 }
