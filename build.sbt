@@ -15,6 +15,11 @@ run / fork := true
 // prefix): the bench/verify driver parses the one JSON line Bench
 // prints, and a prefixed line fails its json parse (round-1 lesson).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress the trailing "[success] Total time: ..." line: the driver
+// keeps only the last 2000 chars of stdout and parses the bench JSON
+// line out of that tail — a trailer after the JSON line eats tail
+// budget (rounds 1-2 both ended with parsed:null).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,9 +23,16 @@ object Queries {
   type QFn = (SparkSession, String) => DataFrame
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def sum38_2(c: Column): Column = sum(dec2(c)).cast(DecimalType(38, 2))
+  // Sums go through DECIMAL so the reduction is exact and associative
+  // (order-independent across partitions), then the FINAL value is cast
+  // to DOUBLE: the driver materializes DuckDB results via pandas, where
+  // DECIMAL becomes float64 while Spark parquet decimals stay Decimal
+  // objects — a dtype mismatch that fails the value hash even when the
+  // numbers are identical. Both engines cast the same exact decimal to
+  // the same (correctly-rounded) binary64, so double==double always.
+  private def sum38_2(c: Column): Column = sum(dec2(c)).cast(DoubleType)
   private def sum38_4(c: Column): Column =
-    sum(c.cast(DecimalType(18, 4))).cast(DecimalType(38, 4))
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
   // ---------------------------------------------------------------- scans
   /** P1 — explicit column projection (generated-column pruning analog). */
@@ -135,9 +142,9 @@ object Queries {
       .orderBy("l_returnflag", "l_linestatus")
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -149,7 +156,7 @@ object Queries {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   val qRollupSql: String =
     """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -164,7 +171,7 @@ object Queries {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       |  count(*) AS cnt,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -195,9 +202,9 @@ object Queries {
       .orderBy("l_linestatus")
   val qPivotSql: String =
     """SELECT l_linestatus,
-      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "A",
-      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "N",
-      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "R"
+      |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+      |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
   /** Exact interpolated percentiles (sort-based agg). Quartiles on an
@@ -270,7 +277,7 @@ object Queries {
   }
   val qJoinRevenueSql: String =
     """SELECT n_name,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |  count(*) AS cnt
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -349,7 +356,7 @@ object Queries {
       |         910.0 + i*10.0 AS hi
       |  FROM generate_series(0, 9) t(i))
       |SELECT band, count(*) AS cnt,
-      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
       |GROUP BY band ORDER BY band""".stripMargin
 
@@ -369,7 +376,7 @@ object Queries {
   val qHavingSql: String =
     """SELECT o_orderkey, o_custkey, o_totalprice, total_qty FROM (
       |  SELECT l_orderkey,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
       |  FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) b
       |JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin
@@ -388,7 +395,7 @@ object Queries {
   }
   val qTopkRevenueSql: String =
     """SELECT o_orderkey, o_orderdate,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -416,7 +423,7 @@ object Queries {
   val qSaltedAgg: QFn = (s, d) =>
     Skew.saltedAgg(lineitem(s, d), Seq("l_returnflag"), salts = 16,
       aggs = Seq(
-        ("sum_base", c => sum(c), c => sum(c).cast(DecimalType(38, 2))),
+        ("sum_base", c => sum(c), c => sum(c).cast(DoubleType)),
         ("cnt", c => count(c), c => sum(c).cast(LongType))),
       inputs = Seq(
         ("sum_base", dec2(col("l_extendedprice"))),
@@ -424,7 +431,7 @@ object Queries {
       .orderBy("l_returnflag")
   val qSaltedAggSql: String =
     """SELECT l_returnflag,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
       |  count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
@@ -456,14 +463,14 @@ object Queries {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
-        sum(dec2(col("l_quantity"))).over(w).cast(DecimalType(38, 2)).as("running_qty"))
+        sum(dec2(col("l_quantity"))).over(w).cast(DoubleType).as("running_qty"))
       .orderBy("l_orderkey", "l_linenumber", "running_qty")
   }
   val qWindowRunningSql: String =
     """SELECT l_orderkey, l_linenumber,
       |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
       |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_qty
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
       |FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty""".stripMargin
 
   /** lead() — the chunk-cursor analog (§2.5: next boundary per key). */
@@ -526,7 +533,7 @@ object Queries {
       |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
       |        ROWS UNBOUNDED PRECEDING) AS sid FROM o)
       |SELECT user_id, min(ts) AS s_start, count(*) AS cnt,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin
 
   // --------------------------------------------------------------- setops
@@ -698,8 +705,8 @@ object Queries {
       .orderBy("source")
   val qTokenTotalsSql: String =
     """SELECT source,
-      |  sum(CASE WHEN length(trim(text)) = 0 THEN 0
-      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS total_tokens,
+      |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
       |  count(*) AS n_docs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
@@ -933,7 +940,7 @@ object Queries {
       .orderBy("o_orderstatus")
   val qSampleHashSql: String =
     """SELECT o_orderstatus, count(*) AS cnt,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders
       |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
@@ -1055,7 +1062,7 @@ object Queries {
       .orderBy("w_start", "event_type")
   val qWindowEventsSql: String =
     """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt,
-      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Stream-stream interval join, batch-equivalent plan (the streaming
@@ -1183,7 +1190,11 @@ object Queries {
       date_trunc("month", col("o_orderdate")).as("mon_start"),
       datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType))
         .cast(LongType).as("days_since"),
-      date_add(col("o_orderdate").cast(DateType), 30).as("due_date"))
+      // TIMESTAMP, not DATE: parquet DATE loads as datetime.date while
+      // DuckDB DATE becomes a pandas Timestamp — same day, different
+      // type under the driver's pandas compare
+      date_add(col("o_orderdate").cast(DateType), 30)
+        .cast(TimestampType).as("due_date"))
       .orderBy("o_orderkey")
   val qDateFnsSql: String =
     """SELECT o_orderkey,
@@ -1191,7 +1202,7 @@ object Queries {
       |  CAST(month(o_orderdate) AS BIGINT) AS mon,
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon_start,
       |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
-      |  CAST(o_orderdate AS DATE) + 30 AS due_date
+      |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Array scalar family over tokenized text: size, contains, distinct,
@@ -1228,7 +1239,7 @@ object Queries {
   }
   val qSkewJoinSql: String =
     """SELECT s_name,
-      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+      |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |  count(*) AS cnt
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY s_name""".stripMargin
@@ -1369,7 +1380,7 @@ object Queries {
     """SELECT o_orderpriority, count(*) AS cnt,
       |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
       |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END
-      |    AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_f
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_f
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** Forward as-of: each click picks the NEXT view at-or-after it (the
@@ -1416,7 +1427,7 @@ object Queries {
       |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
       |        ORDER BY o_orderdate DESC, is_delta DESC) AS rn FROM u)
       |SELECT o_orderstatus, count(*) AS cnt,
-      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM r WHERE rn = 1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** Typed-Aggregator tier (§2.11): deterministic per-group bottom-k-by-
@@ -1429,13 +1440,17 @@ object Queries {
         col("o_orderkey").as("v"))
       .as[graft.functions.BottomK.Item]
       .groupByKey(_.g)
-      .agg(graft.functions.BottomK.bottomK(5).name("sample_ids"))
-      .toDF("o_orderstatus", "sample_ids")
+      .agg(graft.functions.BottomK.bottomK(5).name("ids"))
+      .toDF("o_orderstatus", "ids")
+      // string-join the sample: the driver sorts result cells in pandas,
+      // and a list-typed cell is unhashable there (round-2 oracle crash)
+      .select(col("o_orderstatus"),
+        array_join(col("ids"), ",").as("sample_ids"))
       .orderBy("o_orderstatus")
   }
   val qBottomkSampleSql: String =
     """SELECT o_orderstatus,
-      |  (list(o_orderkey ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey))[1:5]
+      |  array_to_string((list(o_orderkey ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey))[1:5], ',')
       |    AS sample_ids
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
