@@ -20,6 +20,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // line out of that tail — a trailer after the JSON line eats tail
 // budget (rounds 1-2 both ended with parsed:null).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1505,6 +1505,124 @@ object Queries {
       |  count(*) AS cnt, min(o_totalprice) AS lo, max(o_totalprice) AS hi
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Null-handling scalar family: COALESCE / NULLIF / IFNULL / NVL2 /
+    * null-safe equality (§2.6 — the reference emits NULL literals and
+    * \N round-trips; the engine's null surface must be first-class). */
+  val qNullFns: QFn = (s, d) =>
+    customer(s, d).select(col("c_custkey"),
+      nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("<none>"))
+        .as("seg_coal"),
+      expr("ifnull(nullif(c_mktsegment, 'MACHINERY'), 'was_machinery')")
+        .as("seg_if"),
+      expr("nvl2(nullif(c_mktsegment, 'AUTOMOBILE'), 'other', 'auto')")
+        .as("seg_nvl2"),
+      (col("c_mktsegment") <=> lit("FURNITURE")).as("seg_nse"))
+      .orderBy("c_custkey")
+  val qNullFnsSql: String =
+    """SELECT c_custkey,
+      |  nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), '<none>') AS seg_coal,
+      |  ifnull(nullif(c_mktsegment, 'MACHINERY'), 'was_machinery') AS seg_if,
+      |  CASE WHEN nullif(c_mktsegment, 'AUTOMOBILE') IS NOT NULL
+      |       THEN 'other' ELSE 'auto' END AS seg_nvl2,
+      |  c_mktsegment IS NOT DISTINCT FROM 'FURNITURE' AS seg_nse
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Ordered string aggregation + distinct-set aggregation (§2.11 — the
+    * collect_list/collect_set tier, made deterministic by sorting before
+    * the join so DuckDB replays it exactly). */
+  val qStringAgg: QFn = (s, d) =>
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+          .as("statuses"),
+        array_join(sort_array(collect_list(
+          substring(col("o_orderstatus"), 1, 1))), "").as("status_run"),
+        count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  val qStringAggSql: String =
+    """SELECT o_orderpriority,
+      |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+      |  string_agg(substring(o_orderstatus, 1, 1), '' ORDER BY o_orderstatus) AS status_run,
+      |  count(*) AS cnt
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** RANGE-frame window over event time: per event, count + exact sum of
+    * the same user's events in the trailing hour (value-based frame —
+    * the sliding-lookback analog of §2.5's ROWS frames; epoch-seconds
+    * ordering so both engines share the frame arithmetic). */
+  val qWindowRange: QFn = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast(LongType))
+      .rangeBetween(-3600, Window.currentRow)
+    events(s, d).select(col("event_id"),
+      count(lit(1)).over(w).as("cnt_1h"),
+      sum(dec2(col("value"))).over(w).cast(DoubleType).as("sum_1h"))
+      .orderBy("event_id")
+  }
+  val qWindowRangeSql: String =
+    """SELECT event_id,
+      |  count(*) OVER w AS cnt_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+      |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** IN-subquery (SQL surface: Catalyst rewrites to a left-semi join —
+    * the declarative sibling of q_join_semi's EXISTS). */
+  val qInSubquery: QFn = (s, d) => {
+    orders(s, d).createOrReplaceTempView("graft_orders_in")
+    customer(s, d).createOrReplaceTempView("graft_customer_in")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice FROM graft_orders_in
+        |WHERE o_custkey IN (SELECT c_custkey FROM graft_customer_in
+        |                    WHERE c_mktsegment = 'MACHINERY')
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+  val qInSubquerySql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'MACHINERY')
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Linear-regression aggregates (§2.4 statistical tier beyond
+    * stddev/corr): slope / intercept / count of extendedprice ~ quantity
+    * per returnflag, floor-truncated like q_stats_agg. */
+  val qRegrAgg: QFn = (s, d) =>
+    lineitem(s, d).groupBy("l_returnflag").agg(
+      TextFunctions.trunc4(regr_slope(col("l_extendedprice"), col("l_quantity")))
+        .as("slope"),
+      TextFunctions.trunc4(regr_intercept(col("l_extendedprice"), col("l_quantity")))
+        .as("intercept"),
+      regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+  val qRegrAggSql: String =
+    """SELECT l_returnflag,
+      |  floor(regr_slope(l_extendedprice, l_quantity) * 10000.0) / 10000.0 AS slope,
+      |  floor(regr_intercept(l_extendedprice, l_quantity) * 10000.0) / 10000.0 AS intercept,
+      |  regr_count(l_extendedprice, l_quantity) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Interval arithmetic (§2.6 date surface beyond q_date_fns): ts ±
+    * INTERVAL, hour extraction, epoch-hour bucketing over events. */
+  val qIntervalArith: QFn = (s, d) =>
+    events(s, d).select(col("event_id"),
+      (col("ts") + expr("INTERVAL 90 MINUTES")).as("ts_plus"),
+      (col("ts") - expr("INTERVAL 1 DAY")).as("ts_minus"),
+      hour(col("ts")).cast(LongType).as("hr"),
+      (col("ts").cast(LongType) / lit(3600)).cast(LongType).as("epoch_hr"))
+      .orderBy("event_id")
+  val qIntervalArithSql: String =
+    """SELECT event_id,
+      |  ts + INTERVAL '90 minutes' AS ts_plus,
+      |  ts - INTERVAL '1 day' AS ts_minus,
+      |  CAST(hour(ts) AS BIGINT) AS hr,
+      |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hr
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -1588,7 +1706,13 @@ object Queries {
     "q_bottomk_sample" -> qBottomkSample,
     "q_bit_fns" -> qBitFns,
     "q_window_dist" -> qWindowDist,
-    "q_histogram" -> qHistogram)
+    "q_histogram" -> qHistogram,
+    "q_null_fns" -> qNullFns,
+    "q_string_agg" -> qStringAgg,
+    "q_window_range" -> qWindowRange,
+    "q_in_subquery" -> qInSubquery,
+    "q_regr_agg" -> qRegrAgg,
+    "q_interval_arith" -> qIntervalArith)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1662,5 +1786,11 @@ object Queries {
     "q_bottomk_sample" -> qBottomkSampleSql,
     "q_bit_fns" -> qBitFnsSql,
     "q_window_dist" -> qWindowDistSql,
-    "q_histogram" -> qHistogramSql)
+    "q_histogram" -> qHistogramSql,
+    "q_null_fns" -> qNullFnsSql,
+    "q_string_agg" -> qStringAggSql,
+    "q_window_range" -> qWindowRangeSql,
+    "q_in_subquery" -> qInSubquerySql,
+    "q_regr_agg" -> qRegrAggSql,
+    "q_interval_arith" -> qIntervalArithSql)
 }
