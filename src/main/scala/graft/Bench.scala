@@ -20,16 +20,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: touch the big fact table and compile the shared codegen
-    // paths (decimal hash-agg, shuffle) once, so the first measured
-    // query isn't charged for JVM/codegen infrastructure
-    Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
-      .agg(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.col("l_quantity")
-          .cast(org.apache.spark.sql.types.DecimalType(18, 2))))
-      // warm the noop write path too: every measured query materializes
-      // through it, and the first one shouldn't be charged for its init
-      .write.format("noop").mode("overwrite").save()
+    // warmup: compile the shared codegen shapes once on a small slice so
+    // the first measured query of each shape isn't charged ~3-5s of
+    // whole-stage-codegen/JIT infrastructure (measured: q_rollup paid
+    // 4.9s cold vs 1.0s warm for the Expand shape alone). Also warms the
+    // noop write path every measured query materializes through.
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val li = Tables.lineitem(spark, sfDir).limit(20000).cache()
+      val decSum = sum(col("l_quantity").cast(DecimalType(18, 2)))
+        .cast(DoubleType)
+      // plain hash agg over the full fact table (touches every row group)
+      Tables.lineitem(spark, sfDir).groupBy("l_returnflag").agg(decSum)
+        .write.format("noop").mode("overwrite").save()
+      // Expand shape (rollup/cube/grouping-sets/distinct-agg)
+      li.rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)), decSum)
+        .write.format("noop").mode("overwrite").save()
+      // window shape (sort + frame eval)
+      li.select(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .over(Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType))
+        .write.format("noop").mode("overwrite").save()
+      // broadcast-join shape
+      li.join(broadcast(Tables.nation(spark, sfDir)),
+          li("l_suppkey") % 25 === col("n_nationkey"))
+        .groupBy("n_name").agg(decSum)
+        .write.format("noop").mode("overwrite").save()
+      li.unpersist()
+    }
     // SPARK_GRAFT_BENCH_REPS > 1 reports min-of-N per query (steady
     // state, for tuning sessions); default 1 keeps the driver-comparable
     // single-shot methodology
@@ -67,6 +89,14 @@ object Bench {
         sources.CsvDump.reader(spark).schema(li.schema)
           .csv(s"$csvDir/graft.lineitem")
           .write.format("noop").mode("overwrite").save()
+      },
+      // the engine's native 100 TB sink: columnar parquet out and back
+      "x_dump_parquet" -> { () =>
+        li.write.mode("overwrite").parquet(s"$csvDir/pq")
+      },
+      "x_load_parquet" -> { () =>
+        spark.read.parquet(s"$csvDir/pq")
+          .write.format("noop").mode("overwrite").save()
       }).map { case (name, thunk) =>
       val t0 = System.nanoTime()
       try thunk() catch { case e: Throwable =>
@@ -83,22 +113,28 @@ object Bench {
     // to 3 decimals (ms resolution), drop to 2 if the catalog ever grows
     // the line past a safe budget, and as a last resort keep only the
     // slowest queries that fit.
-    def fmt(v: Double, dec: Int): String =
-      BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP).toString
-    def line(rs: Seq[(String, Double)], dec: Int): String = {
+    def fmt(v: Double, dec: Int): String = {
+      val s = BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+      if (s == "0E-7") "0" else s // stripTrailingZeros quirk on 0
+    }
+    def line(rs: Seq[(String, Double)], dec: Int, dropped: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dec) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
+      s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$drop,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
-    val budget = 1900
-    val out = Iterator(line(results, 3), line(results, 2))
+    val budget = 1960
+    val out = Iterator(line(results, 3, 0), line(results, 2, 0))
       .find(_.length <= budget)
       .getOrElse {
+        // keep the slowest entries (the ones perf analysis needs); the
+        // dropped count makes the cap visible, and `total` still covers
+        // every query
         val bySlow = results.sortBy(-_._2)
-        val kept = (results.size to 1 by -1)
-          .map(n => line(bySlow.take(n).sortBy(_._1), 2))
+        (results.size to 1 by -1).iterator
+          .map(n => line(bySlow.take(n).sortBy(_._1), 2, results.size - n))
           .find(_.length <= budget).get
-        kept
       }
     println(out)
     spark.stop()

@@ -561,6 +561,29 @@ object Queries {
       |SELECT 'union' AS op, count(*) AS cnt FROM (SELECT k FROM a UNION SELECT k FROM b)
       |ORDER BY op""".stripMargin
 
+  /** Multiset set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicities (the bag-semantics half of q_setops). */
+  val qSetopsAll: QFn = (s, d) => {
+    val a = lineitem(s, d).filter(col("l_quantity") >= lit(30.0))
+      .select(col("l_orderkey").as("k"))
+    val b = lineitem(s, d).filter(col("l_discount") > lit(0.05))
+      .select(col("l_orderkey").as("k"))
+    val ia = a.intersectAll(b).agg(count(lit(1)).as("cnt"))
+      .select(lit("intersect_all").as("op"), col("cnt"))
+    val ea = a.exceptAll(b).agg(count(lit(1)).as("cnt"))
+      .select(lit("except_all").as("op"), col("cnt"))
+    ia.unionAll(ea).orderBy("op")
+  }
+  val qSetopsAllSql: String =
+    """WITH a AS (SELECT l_orderkey AS k FROM lineitem WHERE l_quantity >= 30.0),
+      |     b AS (SELECT l_orderkey AS k FROM lineitem WHERE l_discount > 0.05)
+      |SELECT 'intersect_all' AS op, count(*) AS cnt
+      |  FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'except_all' AS op, count(*) AS cnt
+      |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+      |ORDER BY op""".stripMargin
+
   // ------------------------------------------------- masquerade / scalars
   /** F1/F6/F7/F8/F9 — SQL-expressible masquerade family. */
   val qMasquerade: QFn = (s, d) => {
@@ -800,11 +823,21 @@ object Queries {
       |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin
 
   /** Rolling polynomial (Rabin-Karp) token hash per document — the
-    * order-sensitive fingerprint (xxhash64-seeded → rows-only check). */
+    * order-sensitive fingerprint. md5-derived token hashes make the fold
+    * engine-portable: DuckDB replays it exactly with list_reduce. */
   val qRollingFp: QFn = (s, d) =>
     documents(s, d).select(
       col("doc_id"), TextFunctions.rollingHash(col("text")).as("rolling_fp"))
       .orderBy("doc_id")
+  val qRollingFpSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  list_transform(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    w -> CAST(('0x' || substring(md5(w), 1, 7)) AS BIGINT)) AS hs
+      |  FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(list_concat([CAST(0 AS BIGINT)], hs),
+      |    (a, b) -> (a * 1000003 + b) % 2147483647) AS rolling_fp
+      |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- dedup
   /** Exact dedup via normalized-text fingerprint (hash-groupBy). */
@@ -1567,7 +1600,7 @@ object Queries {
       |  count(*) OVER w AS cnt_1h,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
       |FROM events
-      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
       |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
@@ -1712,7 +1745,8 @@ object Queries {
     "q_window_range" -> qWindowRange,
     "q_in_subquery" -> qInSubquery,
     "q_regr_agg" -> qRegrAgg,
-    "q_interval_arith" -> qIntervalArith)
+    "q_interval_arith" -> qIntervalArith,
+    "q_setops_all" -> qSetopsAll)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1792,5 +1826,7 @@ object Queries {
     "q_window_range" -> qWindowRangeSql,
     "q_in_subquery" -> qInSubquerySql,
     "q_regr_agg" -> qRegrAggSql,
-    "q_interval_arith" -> qIntervalArithSql)
+    "q_interval_arith" -> qIntervalArithSql,
+    "q_setops_all" -> qSetopsAllSql,
+    "q_rolling_fp" -> qRollingFpSql)
 }

@@ -129,10 +129,14 @@ object TextFunctions {
     * left-fold, no state outside the row. Arithmetic is kept modular
     * (acc < 2^31, term < 2^31, base < 2^21) so `acc*B + h` peaks below
     * 2^52 — never overflows a long under ANSI mode regardless of
-    * document length. */
+    * document length. Per-token hash is the first 7 md5 hex chars (not
+    * xxhash64) so DuckDB replays the identical fold with
+    * list_reduce — the fingerprint is engine-portable, like the
+    * md5-prefix sampler. */
   def rollingHash(text: Column): Column = {
     val mod = lit(2147483647L) // 2^31 - 1 (Mersenne prime)
     aggregate(split(lower(trim(text)), "\\s+"), lit(0L),
-      (acc, w) => pmod(acc * lit(1000003L) + pmod(xxhash64(w), mod), mod))
+      (acc, w) => pmod(acc * lit(1000003L) +
+        conv(substring(md5(w.cast(BinaryType)), 1, 7), 16, 10).cast(LongType), mod))
   }
 }
