@@ -13,6 +13,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
@@ -50,6 +51,11 @@ object Bench {
           li("l_suppkey") % 25 === col("n_nationkey"))
         .groupBy("n_name").agg(decSum)
         .write.format("noop").mode("overwrite").save()
+      // parquet writer/committer init (x_dump_parquet would otherwise
+      // pay ~2s of one-time Hadoop committer + codec setup)
+      val wuDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
+      li.limit(1000).write.mode("overwrite").parquet(wuDir)
+      spark.read.parquet(wuDir).write.format("noop").mode("overwrite").save()
       li.unpersist()
     }
     // SPARK_GRAFT_BENCH_REPS > 1 reports min-of-N per query (steady

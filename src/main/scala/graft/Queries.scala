@@ -360,6 +360,36 @@ object Queries {
       |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
       |GROUP BY band ORDER BY band""".stripMargin
 
+  /** The same interval join arriving as OPAQUE SQL, de-nested by the
+    * injected optimizer rule ([[org.apache.spark.sql.graftnative.RangeJoinRewrite]],
+    * `spark.graft.rangeJoin.bucket`): Verify/Bench sessions register
+    * GraftExtensions, so this plans as the banded equi-join —
+    * ExtensionsSpec asserts the BNLJ-free plan and value parity. In a
+    * plain session (no extensions) the rule is simply absent and the
+    * query still returns identical values via the nested-loop plan. */
+  val qRangeJoinAuto: QFn = (s, d) => {
+    s.conf.set("spark.graft.rangeJoin.bucket", "10.0")
+    part(s, d).createOrReplaceTempView("graft_part_rj")
+    s.range(0, 10).selectExpr("id AS band",
+      "900.0 + id * 10.0 AS lo", "910.0 + id * 10.0 AS hi")
+      .createOrReplaceTempView("graft_bands_rj")
+    s.sql(
+      """SELECT band, count(*) AS cnt,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM graft_part_rj JOIN graft_bands_rj
+        |ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin)
+  }
+  val qRangeJoinAutoSql: String =
+    """WITH bands AS (
+      |  SELECT CAST(i AS BIGINT) AS band, 900.0 + i*10.0 AS lo,
+      |         910.0 + i*10.0 AS hi
+      |  FROM generate_series(0, 9) t(i))
+      |SELECT band, count(*) AS cnt,
+      |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
   /** HAVING — filter on an aggregate (TPC-H Q18 shape): large orders by
     * total quantity, rejoined to order facts. */
   val qHaving: QFn = (s, d) => {
@@ -1746,7 +1776,8 @@ object Queries {
     "q_in_subquery" -> qInSubquery,
     "q_regr_agg" -> qRegrAgg,
     "q_interval_arith" -> qIntervalArith,
-    "q_setops_all" -> qSetopsAll)
+    "q_setops_all" -> qSetopsAll,
+    "q_range_join_auto" -> qRangeJoinAuto)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1828,5 +1859,6 @@ object Queries {
     "q_regr_agg" -> qRegrAggSql,
     "q_interval_arith" -> qIntervalArithSql,
     "q_setops_all" -> qSetopsAllSql,
-    "q_rolling_fp" -> qRollingFpSql)
+    "q_rolling_fp" -> qRollingFpSql,
+    "q_range_join_auto" -> qRangeJoinAutoSql)
 }

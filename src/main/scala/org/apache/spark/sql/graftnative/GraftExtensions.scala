@@ -15,6 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in interval-join de-nesting (spark.graft.rangeJoin.bucket)
+    ext.injectOptimizerRule(RangeJoinRewrite)
     register(ext, "vec_dot", "dot product of two float vectors",
       args => FloatVecDot(args(0), args(1)))
     register(ext, "vec_l2sq", "squared L2 distance of two float vectors",

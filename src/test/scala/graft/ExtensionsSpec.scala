@@ -37,4 +37,52 @@ class ExtensionsSpec extends SparkTestBase {
       SparkSession.setDefaultSession(shared)
     }
   }
+
+  test("RangeJoinRewrite turns a pure-inequality interval join into an equi-join") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions._
+      val p = Tables.part(ext, sf)
+      val bands = ext.range(0, 10).select(
+        col("id").as("band"),
+        (lit(900.0) + col("id") * 10.0).as("lo"),
+        (lit(910.0) + col("id") * 10.0).as("hi"))
+      p.createOrReplaceTempView("rjr_part")
+      bands.createOrReplaceTempView("rjr_bands")
+      val sql =
+        """SELECT band, count(*) AS cnt FROM rjr_part JOIN rjr_bands
+          |ON p_retailprice >= lo AND p_retailprice < hi
+          |GROUP BY band ORDER BY band""".stripMargin
+      // rule off: the plain SQL nested-loop result is the oracle
+      ext.conf.unset("spark.graft.rangeJoin.bucket")
+      val naive = ext.sql(sql).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(naive.nonEmpty)
+      // rule on: same values, no nested-loop join anywhere in the plan
+      ext.conf.set("spark.graft.rangeJoin.bucket", "10.0")
+      val rewritten = ext.sql(sql)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"interval join not de-nested:\n$plan")
+      assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
+        === naive)
+      // guard: a join that already has an equi key is left alone (values
+      // unchanged, no helper columns leak into the output)
+      val equiSql =
+        """SELECT n_name, count(*) AS cnt FROM rjr_bands b
+          |JOIN (SELECT n_nationkey, n_name FROM parquet.`/root/testdata/sf0.001/nation.parquet`) n
+          |ON b.band = n.n_nationkey AND b.lo < 1000.0
+          |GROUP BY n_name ORDER BY n_name""".stripMargin
+      assert(ext.sql(equiSql).columns.toSeq === Seq("n_name", "cnt"))
+      ext.conf.unset("spark.graft.rangeJoin.bucket")
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
 }

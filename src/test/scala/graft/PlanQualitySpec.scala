@@ -72,8 +72,12 @@ class PlanQualitySpec extends SparkTestBase {
     // crossJoins a BROADCAST probe set (contractually small); tf-idf
     // crossJoins the ONE-ROW corpus-size aggregate (O(n·1)); exact kNN
     // is the all-pairs BASELINE by definition — its scale path is the
-    // cell-equi-joined q_knn_graph, which must pass this gate
-    val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact")
+    // cell-equi-joined q_knn_graph, which must pass this gate.
+    // q_range_join_auto NEEDS the injected RangeJoinRewrite to de-nest;
+    // this shared session has no extensions, so it falls back to BNLJ
+    // here — ExtensionsSpec asserts the BNLJ-free plan with the rule on
+    val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact",
+      "q_range_join_auto")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { name =>
