@@ -132,6 +132,35 @@ object Queries {
       .reduce(_ unionAll _)
       .orderBy("table")
 
+  /** A4, engine-portable form: md5-prefix-XOR table digests over the
+    * int/string column subsets (float/timestamp rendering differs per
+    * engine) — DuckDB replays the exact digest, giving the checksum
+    * family a value-level oracle that CRC32 can't (absent in DuckDB
+    * 1.0). The dump→load round-trip equality gate stays on the CRC32
+    * form (ChecksumSpec / RoundTripSpec). */
+  val qChecksumMd5: QFn = (s, d) =>
+    Seq("region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_mktsegment"))
+      .map { case (n, cols) => Checksum.portableChecksumRow(t(s, d, n), n, cols) }
+      .reduce(_ unionAll _)
+      .orderBy("table")
+  private def md5XorSql(table: String, cols: Seq[String]): String = {
+    val row = cols.map(c => s"coalesce(CAST($c AS VARCHAR), chr(0))")
+      .mkString("concat_ws(chr(31), ", ", ", ")")
+    s"""SELECT '$table' AS "table",
+       |  bit_xor(CAST(('0x' || substring(md5($row), 1, 15)) AS BIGINT)) AS checksum
+       |FROM $table""".stripMargin
+  }
+  val qChecksumMd5Sql: String =
+    Seq("region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_mktsegment"))
+      .map { case (n, cols) => md5XorSql(n, cols) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"table\"")
+
   /** TPC-H Q1 shape — grouped aggregate with decimal-exact sums. */
   val q1Agg: QFn = (s, d) =>
     lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
@@ -1777,7 +1806,8 @@ object Queries {
     "q_regr_agg" -> qRegrAgg,
     "q_interval_arith" -> qIntervalArith,
     "q_setops_all" -> qSetopsAll,
-    "q_range_join_auto" -> qRangeJoinAuto)
+    "q_range_join_auto" -> qRangeJoinAuto,
+    "q_checksum_md5" -> qChecksumMd5)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1860,5 +1890,6 @@ object Queries {
     "q_interval_arith" -> qIntervalArithSql,
     "q_setops_all" -> qSetopsAllSql,
     "q_rolling_fp" -> qRollingFpSql,
-    "q_range_join_auto" -> qRangeJoinAutoSql)
+    "q_range_join_auto" -> qRangeJoinAutoSql,
+    "q_checksum_md5" -> qChecksumMd5Sql)
 }

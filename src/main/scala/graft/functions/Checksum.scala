@@ -22,7 +22,7 @@ object Checksum {
     * mydumper_write.c:677-678 emits unquoted NULL vs quoted text), joined
     * with 0x1f separators so column boundaries can't collide. */
   def rowText(cols: Seq[Column]): Column =
-    concat_ws("", cols.map(c => coalesce(c.cast(StringType), lit("\u0000"))): _*)
+    concat_ws("\u001f", cols.map(c => coalesce(c.cast(StringType), lit("\u0000"))): _*)
 
   /** CRC32-XOR digest of the given columns — the engine's `CHECKSUM TABLE`. */
   def tableChecksum(df: DataFrame, cols: Seq[String] = Nil): Column = {
@@ -46,5 +46,25 @@ object Checksum {
   /** One-row DataFrame `(table, checksum)` for manifest recording. */
   def checksumRow(df: DataFrame, table: String): DataFrame =
     df.agg(tableChecksum(df).as("checksum"))
+      .select(lit(table).as("table"), col("checksum"))
+
+  /** Engine-portable digest: XOR of 60-bit md5-prefix values over
+    * 0x1f-separated row text (NULL → 0x00 marker). Same one-pass
+    * map-side-partial plan as [[tableChecksum]], but any engine with
+    * md5 replays it bit-for-bit — DuckDB gates it as q_checksum_md5,
+    * which CRC32 can't offer there. Use on integer/string columns;
+    * float/timestamp → string rendering differs across engines. */
+  def portableRowText(cols: Seq[Column]): Column =
+    concat_ws("\u001f",
+      cols.map(c => coalesce(c.cast(StringType), lit("\u0000"))): _*)
+
+  def portableChecksum(df: DataFrame, cols: Seq[String]): Column =
+    bitXorAgg(
+      conv(substring(md5(portableRowText(cols.map(df.col)).cast(BinaryType)),
+        1, 15), 16, 10).cast(LongType))
+
+  def portableChecksumRow(df: DataFrame, table: String,
+      cols: Seq[String]): DataFrame =
+    df.agg(portableChecksum(df, cols).as("checksum"))
       .select(lit(table).as("table"), col("checksum"))
 }
