@@ -36,6 +36,14 @@ object Bench {
       // plain hash agg over the full fact table (touches every row group)
       Tables.lineitem(spark, sfDir).groupBy("l_returnflag").agg(decSum)
         .write.format("noop").mode("overwrite").save()
+      // q1's exact shape (first catalog entry alphabetically): multi-key
+      // group, several decimal sums incl. a derived-expression sum
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(decSum,
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DoubleType),
+          count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
       // Expand shape (rollup/cube/grouping-sets/distinct-agg)
       li.rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)), decSum)

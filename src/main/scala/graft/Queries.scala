@@ -262,6 +262,21 @@ object Queries {
       countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Approximate quantiles (GK/KLL-style sketch) next to q_percentile's
+    * exact sort-based path — the cardinality-independent quantile tier
+    * for 100 TB (one pass, mergeable partials, no global sort). Sketch
+    * internals differ per engine → rows-only gate; QueriesSpec pins the
+    * rank error against the exact interpolated percentile. */
+  val qApproxQuantile: QFn = (s, d) =>
+    lineitem(s, d).groupBy("l_returnflag").agg(
+      expr("approx_percentile(l_partkey, array(0.25, 0.5, 0.75), 10000)")
+        .as("q_approx"))
+      .select(col("l_returnflag"),
+        element_at(col("q_approx"), 1).as("p25"),
+        element_at(col("q_approx"), 2).as("p50"),
+        element_at(col("q_approx"), 3).as("p75"))
+      .orderBy("l_returnflag")
+
   /** Statistical aggregates — stddev / correlation / covariance (single
     * pass, map-side partial moments). Floor-truncated to absorb the last
     * ulp of order-dependent FP accumulation. */
@@ -1807,7 +1822,8 @@ object Queries {
     "q_interval_arith" -> qIntervalArith,
     "q_setops_all" -> qSetopsAll,
     "q_range_join_auto" -> qRangeJoinAuto,
-    "q_checksum_md5" -> qChecksumMd5)
+    "q_checksum_md5" -> qChecksumMd5,
+    "q_approx_quantile" -> qApproxQuantile)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,

@@ -30,6 +30,20 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_approx_quantile stays within 1% of the exact percentiles") {
+    val approx = Queries.qApproxQuantile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    Queries.qPercentile(spark, sf).collect().foreach { r =>
+      val (a25, a50, a75) = approx(r.getString(0))
+      Seq(a25.toDouble -> r.getDouble(1), a50.toDouble -> r.getDouble(2),
+        a75.toDouble -> r.getDouble(3)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 0.01 * math.max(e, 1.0),
+          s"approx $a vs exact $e for ${r.getString(0)}")
+      }
+    }
+  }
+
   test("dedup clusters: min-label propagation finds transitive components") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
