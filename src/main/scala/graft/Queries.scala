@@ -11,11 +11,26 @@ import org.apache.spark.sql.types._
   * pipeline extensions) as a named query over the driver testdata, each
   * with a DuckDB oracle where SQL-expressible.
   *
-  * Determinism contract with the oracle (driver hashes values after
-  * sorting columns by name): every query ends in a total ORDER BY; double
-  * aggregates go through DECIMAL(38,s) so sums are exact and associative;
-  * ratio outputs are double divisions of identical inputs rounded to a
-  * fixed scale; counts/sizes are cast to long to match DuckDB's BIGINT.
+  * Determinism contract with the oracle (the driver materializes BOTH
+  * sides via pandas, sorts rows, and hashes values — so dtypes are part
+  * of the contract, not just the numbers):
+  *  - every query ends in a total ORDER BY on both sides;
+  *  - double aggregates reduce through DECIMAL(18,s) (exact,
+  *    order-independent across partitions/threads) and the FINAL value
+  *    is cast to DOUBLE on both sides — DuckDB's pandas path turns
+  *    DECIMAL into float64 while Spark parquet decimals stay Decimal
+  *    objects, which fails the hash on identical values;
+  *  - counts/sizes cast to long; DuckDB sum(BIGINT) needs CAST(… AS
+  *    BIGINT) (it returns HUGEINT → pandas object);
+  *  - ratio outputs floor-truncated at a fixed scale on both sides;
+  *  - dates surface as TIMESTAMP (parquet DATE → datetime.date vs
+  *    DuckDB DATE → pandas Timestamp);
+  *  - never output array cells (unhashable in the pandas row sort) —
+  *    string-join them;
+  *  - DuckDB CAST(double AS BIGINT) ROUNDS where Spark truncates: write
+  *    floor() explicitly in oracles.
+  * tools/pandas_check.py replays this compare; run it with
+  * tools/local_verify.py (both sf0.01 and sf0.1) before committing.
   */
 object Queries {
   import Tables._
