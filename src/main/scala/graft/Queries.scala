@@ -1552,6 +1552,39 @@ object Queries {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM r WHERE rn = 1 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** SCD2 history build (the temporal mirror of q_merge_upsert's
+    * latest-wins): price versions per order key become
+    * [valid_from, valid_to) intervals via one lead() pass — the
+    * restore-side history table a CDC consumer materializes. Version
+    * stream is synthesized deterministically from orders (two epochs:
+    * base date and +30 days re-price on even keys). */
+  val qScd2: QFn = (s, d) => {
+    val o = orders(s, d)
+    val v1 = o.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderdate").as("valid_from"))
+    val v2 = o.where(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") + lit(500.0)).as("o_totalprice"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("valid_from"))
+    val w = Window.partitionBy("o_orderkey").orderBy("valid_from")
+    v1.unionAll(v2)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+  val qScd2Sql: String =
+    """WITH v AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate AS valid_from FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, o_totalprice + 500.0,
+      |         o_orderdate + INTERVAL '30 days'
+      |  FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderkey, o_totalprice, valid_from,
+      |  lead(valid_from, 1) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
+      |    AS valid_to,
+      |  lead(valid_from, 1) OVER (PARTITION BY o_orderkey ORDER BY valid_from)
+      |    IS NULL AS is_current
+      |FROM v ORDER BY o_orderkey, valid_from""".stripMargin
+
   /** Typed-Aggregator tier (§2.11): deterministic per-group bottom-k-by-
     * md5 sample — mergeable reservoir sampling with no RNG state, so the
     * exact sample is engine-replayable (DuckDB sorts the same digests). */
@@ -1838,7 +1871,8 @@ object Queries {
     "q_setops_all" -> qSetopsAll,
     "q_range_join_auto" -> qRangeJoinAuto,
     "q_checksum_md5" -> qChecksumMd5,
-    "q_approx_quantile" -> qApproxQuantile)
+    "q_approx_quantile" -> qApproxQuantile,
+    "q_scd2" -> qScd2)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1922,5 +1956,6 @@ object Queries {
     "q_setops_all" -> qSetopsAllSql,
     "q_rolling_fp" -> qRollingFpSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
-    "q_checksum_md5" -> qChecksumMd5Sql)
+    "q_checksum_md5" -> qChecksumMd5Sql,
+    "q_scd2" -> qScd2Sql)
 }
