@@ -1646,6 +1646,28 @@ object Queries {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Ratio-to-report: each order's share of its priority class's total
+    * (window aggregate as denominator). The partition total reduces
+    * through DECIMAL then casts to DOUBLE on both sides, so the division
+    * inputs — and therefore the correctly-rounded quotient — are
+    * bit-identical across engines. */
+  val qRatioReport: QFn = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+    orders(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+      TextFunctions.trunc4(
+        col("o_totalprice") /
+          sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType) * lit(100.0))
+        .as("pct_of_class"))
+      .orderBy("o_orderkey")
+  }
+  val qRatioReportSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  floor(o_totalprice /
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |      OVER (PARTITION BY o_orderpriority) AS DOUBLE) * 100.0
+      |    * 10000.0) / 10000.0 AS pct_of_class
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Value histogram: fixed-width price buckets with per-bucket stats —
     * the profiling pass run before choosing chunk/skew strategies. Same
     * floor arithmetic on both engines (DuckDB 1.0 lacks width_bucket). */
@@ -1872,7 +1894,8 @@ object Queries {
     "q_range_join_auto" -> qRangeJoinAuto,
     "q_checksum_md5" -> qChecksumMd5,
     "q_approx_quantile" -> qApproxQuantile,
-    "q_scd2" -> qScd2)
+    "q_scd2" -> qScd2,
+    "q_ratio_report" -> qRatioReport)
 
   val oracles: Map[String, String] = Map(
     "q_scan_project" -> qScanProjectSql,
@@ -1957,5 +1980,6 @@ object Queries {
     "q_rolling_fp" -> qRollingFpSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum_md5" -> qChecksumMd5Sql,
-    "q_scd2" -> qScd2Sql)
+    "q_scd2" -> qScd2Sql,
+    "q_ratio_report" -> qRatioReportSql)
 }
