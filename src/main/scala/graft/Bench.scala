@@ -141,7 +141,7 @@ object Bench {
     // precision ladder: full catalog at ms resolution when it fits,
     // else 10ms, else 100ms (still fine for a 2x-of-baseline judgment),
     // and only then drop the fastest entries — visibly
-    val budget = 1985
+    val budget = 1995
     val out = Iterator(line(results, 3, 0), line(results, 2, 0),
         line(results, 1, 0))
       .find(_.length <= budget)
