@@ -1171,6 +1171,18 @@ object Queries {
       size(col("embedding")).cast(LongType).as("dim"))
       .orderBy("doc_id")
   }
+  /** The fake payload header is closed-form arithmetic on doc_id, so
+    * DuckDB replays what the binary encode → decode-stub → embed chain
+    * must reproduce: any wrong byte offset in the codec breaks parity. */
+  val qMultimodalSql: String =
+    """SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  CAST(640 + doc_id % 100 AS INTEGER) AS width,
+      |  CAST(480 + doc_id % 50 AS INTEGER) AS height,
+      |  CAST(256 AS INTEGER) AS payload_bytes,
+      |  CAST(8 AS BIGINT) AS dim
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ streaming
   /** Tumbling-window aggregate on the events table — the batch-equivalent
@@ -1981,5 +1993,6 @@ object Queries {
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum_md5" -> qChecksumMd5Sql,
     "q_scd2" -> qScd2Sql,
-    "q_ratio_report" -> qRatioReportSql)
+    "q_ratio_report" -> qRatioReportSql,
+    "q_multimodal" -> qMultimodalSql)
 }

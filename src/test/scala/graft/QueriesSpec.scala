@@ -44,6 +44,20 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("q_scd2 history invariants: one open interval per key, closed intervals ordered") {
+    import org.apache.spark.sql.functions._
+    val h = Queries.qScd2(spark, sf).cache()
+    try {
+      val badCurrent = h.groupBy("o_orderkey")
+        .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n_open"))
+        .where(col("n_open") =!= 1).count()
+      assert(badCurrent === 0, "every key must have exactly one open interval")
+      val badOrder = h.where(!col("is_current") &&
+        col("valid_to") <= col("valid_from")).count()
+      assert(badOrder === 0, "closed intervals must satisfy valid_from < valid_to")
+    } finally h.unpersist()
+  }
+
   test("dedup clusters: min-label propagation finds transitive components") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
