@@ -71,6 +71,24 @@ class ExtensionsSpec extends SparkTestBase {
         s"interval join not de-nested:\n$plan")
       assert(rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
         === naive)
+      // negative values: floor-based bucketing must stay candidate-
+      // complete across zero (floor(-0.5/b) = -1, not 0)
+      ext.range(0, 2000).selectExpr("id", "CAST(id % 37 AS DOUBLE) - 18.0 AS v")
+        .createOrReplaceTempView("rjr_negfacts")
+      ext.range(0, 12).selectExpr("id AS nband",
+        "CAST(id * 3 AS DOUBLE) - 18.5 AS nlo", "CAST(id * 3 AS DOUBLE) - 12.5 AS nhi")
+        .createOrReplaceTempView("rjr_negbands")
+      val negSql =
+        """SELECT nband, count(*) AS cnt FROM rjr_negfacts JOIN rjr_negbands
+          |ON v >= nlo AND v < nhi GROUP BY nband ORDER BY nband""".stripMargin
+      ext.conf.unset("spark.graft.rangeJoin.bucket")
+      val negNaive = ext.sql(negSql).collect().map(r => (r.getLong(0), r.getLong(1)))
+      ext.conf.set("spark.graft.rangeJoin.bucket", "10.0")
+      val negRewritten = ext.sql(negSql)
+      assert(!negRewritten.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      assert(negRewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
+        === negNaive)
       // guard: a join that already has an equi key is left alone (values
       // unchanged, no helper columns leak into the output)
       val equiSql =
