@@ -36,5 +36,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // The bench runs ~100 distinct query shapes through whole-stage
+  // codegen in ONE JVM: an 8g heap + default 240m code cache caused
+  // GC/JIT thrash that inflated late-alphabet queries 3-9x in round 3
+  // (unchanged plans). The box has 128 GiB; give the forked JVM room.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseG1GC",
 )

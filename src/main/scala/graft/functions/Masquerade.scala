@@ -82,16 +82,26 @@ object Masquerade {
     }
   }
 
-  /** F5 — template engine: literal text + `<string n>` / `<number n>`
-    * placeholders filled deterministically from the value
-    * (mydumper_masquerade.c:207-282). Dictionary-file lookups become a
-    * broadcast map upstream; here the two core placeholder kinds. */
+  /** F5 — template engine: literal text + `<string n>` / `<number n>` /
+    * `<file path>` placeholders filled deterministically from the value
+    * (mydumper_masquerade.c:207-282; file dictionaries loaded/grouped at
+    * :200-225 `load_file_content`, drawn at :237-243). */
   final case class Format(parts: Seq[FormatPart]) extends MaskFn {
     def apply(c: Column): Column = {
       val cols = parts.map {
         case FormatPart.Lit(s)     => lit(s)
         case FormatPart.Str(n)     => substring(translate(hexPool(c), "0123456789", "ghijklmnop"), 1, n)
         case FormatPart.Num(n)     => substring(translate(hexPool(c), "abcdef", "012345"), 1, n)
+        case FormatPart.FileDict(lines) =>
+          // deterministic pick: two md5 bytes → uniform-ish index. The
+          // reference draws from a process RNG (g_random_int_range);
+          // keyed hashing keeps the run replayable and shuffle-free —
+          // the same per-value determinism swap as random_int/string.
+          val h = md5(c.cast(StringType).cast(BinaryType))
+          val idx = pmod(
+            ascii(substring(h, 1, 1)) * lit(256) + ascii(substring(h, 2, 1)),
+            lit(lines.size)) + lit(1)
+          element_at(typedLit(lines), idx.cast(IntegerType))
       }
       when(c.isNull, lit(null: String)).otherwise(concat(cols: _*))
     }
@@ -101,6 +111,25 @@ object Masquerade {
     final case class Lit(s: String) extends FormatPart
     final case class Str(n: Int) extends FormatPart
     final case class Num(n: Int) extends FormatPart
+    /** Dictionary lookup part. The line list is embedded as an array
+      * literal — the right call for the reference's use case (name /
+      * word lists, ≤ ~100k entries, one copy per plan shipped with the
+      * broadcast of the task binary); a dictionary too large for a
+      * literal belongs in a broadcast equi-join upstream instead. */
+    final case class FileDict(lines: IndexedSeq[String]) extends FormatPart {
+      require(lines.nonEmpty, "empty masquerade dictionary")
+    }
+    /** Load a `<file path>` dictionary: one entry per non-empty line,
+      * optionally restricted to lines whose length falls in
+      * [minLen, maxLen] — the reference's per-length grouping + random
+      * length-range draw (mydumper_masquerade.c:200-225,237-243)
+      * collapsed into a load-time filter. */
+    def File(path: String, minLen: Int = 1, maxLen: Int = Int.MaxValue): FileDict = {
+      val src = scala.io.Source.fromFile(path, "UTF-8")
+      try FileDict(src.getLines().map(_.stripLineEnd).filter(_.nonEmpty)
+        .filter(l => l.length >= minLen && l.length <= maxLen).toVector)
+      finally src.close()
+    }
   }
 
   /** F10 — chain application f3(f2(f1(col))) with NULL propagation
@@ -121,6 +150,27 @@ object Masquerade {
           case None      => acc
         }
       }
+  }
+
+  /** Parse a `random_format` template into a [[Format]]: literal text
+    * with `<string n>` / `<number n>` / `<file path>` placeholders
+    * (mydumper_masquerade.c:207-282 grammar). */
+  def parseFormat(template: String): Format = {
+    val tag = "<([a-z]+) ([^>]+)>".r
+    val parts = scala.collection.mutable.ArrayBuffer.empty[FormatPart]
+    var last = 0
+    for (m <- tag.findAllMatchIn(template)) {
+      if (m.start > last) parts += FormatPart.Lit(template.substring(last, m.start))
+      (m.group(1), m.group(2).trim) match {
+        case ("string", n) => parts += FormatPart.Str(n.toInt)
+        case ("number", n) => parts += FormatPart.Num(n.toInt)
+        case ("file", p)   => parts += FormatPart.File(p)
+        case (kw, _) => throw new IllegalArgumentException(s"unknown format part <$kw>")
+      }
+      last = m.end
+    }
+    if (last < template.length) parts += FormatPart.Lit(template.substring(last))
+    Format(parts.toSeq)
   }
 
   /** Parse a reference-style directive string into a MaskFn (subset of

@@ -41,14 +41,18 @@ case class RangeJoinRewrite(spark: SparkSession)
   val BucketConf = "spark.graft.rangeJoin.bucket"
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    spark.conf.getOption(BucketConf).map(_.toDouble) match {
-      case None => plan
-      case Some(bucket) if bucket > 0 =>
+    // parse defensively: an unparsable or non-positive value disables
+    // the rule — it must never throw inside the optimizer (that would
+    // fail every query in the session, joins or not)
+    spark.conf.getOption(BucketConf)
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .filter(_ > 0) match {
+      case Some(bucket) =>
         plan.transformUp {
           case j @ Join(l, r, Inner, Some(cond), hint) =>
             rewrite(j, l, r, cond, hint, bucket).getOrElse(j)
         }
-      case _ => plan
+      case None => plan
     }
 
   /** a >= b, normalized from >= and <= spellings. */
@@ -118,13 +122,21 @@ case class RangeJoinRewrite(spark: SparkSession)
       // fact side: one extra narrow column
       val factBucket = Alias(bucketOf(v), "__rjb_v")()
       val factProj = Project(factPlan.output :+ factBucket, factPlan)
-      // interval side: explode onto the spanned buckets; hi is treated
-      // as exclusive, so an interval ending exactly on a boundary must
-      // not claim the next bucket
-      val hiAdj = Subtract(Cast(hi, DoubleType), Literal(bucket * 1e-9))
+      // interval side: explode onto the spanned buckets. The inclusive
+      // upper bucket is Floor(hi / b) with NO epsilon adjustment: when
+      // hi lands exactly on a boundary (hi exclusive) this generates one
+      // bucket the interval can't actually match, but the original
+      // inequality rides along as residual condition and filters those
+      // rows — a spurious candidate bucket costs a few probes, whereas
+      // an epsilon that rounds hi BELOW a boundary it sits just above
+      // would drop the topmost bucket and silently lose matches (an
+      // optimizer rule must be semantics-preserving; candidate
+      // generation must over-approximate, never under-approximate).
+      // Monotone casts keep bucket(v) within [bucket(lo), bucket(hi)]
+      // even under double rounding of wide Long/Decimal values.
       // Sequence is TimeZoneAwareExpression: it stays UNRESOLVED until a
       // timezone is bound, even for numeric bounds
-      val seq = Sequence(bucketOf(lo), Floor(Divide(hiAdj, b)), None,
+      val seq = Sequence(bucketOf(lo), bucketOf(hi), None,
         Some(conf.sessionLocalTimeZone))
       val bandAttr = AttributeReference("__rjb_b", LongType, nullable = false)()
       val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,

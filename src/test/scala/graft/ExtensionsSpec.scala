@@ -89,6 +89,31 @@ class ExtensionsSpec extends SparkTestBase {
         .contains("BroadcastNestedLoopJoin"))
       assert(negRewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
         === negNaive)
+      // regression: an interval whose hi sits a hair ABOVE a bucket
+      // boundary must still generate the topmost bucket it touches —
+      // with bucket=10 and hi=20.000000005, values in [20, hi) live in
+      // bucket 2; the old epsilon adjustment (hi - bucket*1e-9) rounded
+      // the upper bucket down to 1 and silently dropped those matches.
+      ext.range(0, 1).selectExpr("CAST(20.0 AS DOUBLE) AS ev")
+        .createOrReplaceTempView("rjr_edgefacts")
+      ext.range(0, 1).selectExpr("id AS eband",
+        "CAST(15.0 AS DOUBLE) AS elo", "CAST(20.000000005 AS DOUBLE) AS ehi")
+        .createOrReplaceTempView("rjr_edgebands")
+      val edgeSql =
+        """SELECT eband, count(*) AS cnt FROM rjr_edgefacts JOIN rjr_edgebands
+          |ON ev >= elo AND ev < ehi GROUP BY eband""".stripMargin
+      ext.conf.unset("spark.graft.rangeJoin.bucket")
+      val edgeNaive = ext.sql(edgeSql).collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(edgeNaive === Array((0L, 1L))) // sanity: the match exists
+      ext.conf.set("spark.graft.rangeJoin.bucket", "10.0")
+      assert(ext.sql(edgeSql).collect().map(r => (r.getLong(0), r.getLong(1)))
+        === edgeNaive, "topmost bucket dropped: rewrite lost a matching row")
+      // robustness: an unparsable bucket conf disables the rule instead
+      // of failing every query in the session
+      ext.conf.set("spark.graft.rangeJoin.bucket", "not-a-number")
+      assert(ext.sql(edgeSql).collect().map(r => (r.getLong(0), r.getLong(1)))
+        === edgeNaive)
+      ext.conf.set("spark.graft.rangeJoin.bucket", "10.0")
       // guard: a join that already has an equi key is left alone (values
       // unchanged, no helper columns leak into the output)
       val equiSql =
