@@ -176,6 +176,41 @@ object Queries {
       .map { case (n, cols) => md5XorSql(n, cols) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"table\"")
 
+  /** A5 — structure checksum over the discovered catalog: one digest per
+    * table across its (table, column, ordinal) rows, the engine analog
+    * of the reference's schema checksum (checksum.c:105-153 — there over
+    * SHOW CREATE TABLE text; here over catalog rows, which is what a
+    * columnar catalog exposes portably). Spark derives the rows from the
+    * live parquet schemas; DuckDB replays them from information_schema —
+    * the gate fails if either engine sees different columns or order.
+    * Type names are deliberately excluded: each engine spells types
+    * differently, and name+position is the cross-engine invariant. */
+  private val StructTables = Seq("region", "nation", "supplier", "customer")
+  val qChecksumStruct: QFn = (s, d) => {
+    val catalog = StructTables.map { n =>
+      s.createDataFrame(
+        t(s, d, n).schema.fields.toSeq.zipWithIndex
+          .map { case (f, i) => (n, f.name, i + 1) })
+        .toDF("tbl", "col_name", "ordinal")
+    }.reduce(_ unionAll _)
+    catalog.groupBy("tbl")
+      .agg(Checksum.bitXorAgg(
+        conv(substring(md5(Checksum.portableRowText(
+          Seq(col("tbl"), col("col_name"), col("ordinal"))).cast(BinaryType)),
+          1, 15), 16, 10).cast(LongType)).as("struct_checksum"))
+      .orderBy("tbl")
+  }
+  val qChecksumStructSql: String =
+    s"""SELECT table_name AS tbl,
+       |  bit_xor(CAST(('0x' || substring(md5(concat_ws(chr(31),
+       |    coalesce(CAST(table_name AS VARCHAR), chr(0)),
+       |    coalesce(CAST(column_name AS VARCHAR), chr(0)),
+       |    coalesce(CAST(ordinal_position AS VARCHAR), chr(0)))), 1, 15)) AS BIGINT))
+       |    AS struct_checksum
+       |FROM information_schema.columns
+       |WHERE table_name IN (${StructTables.map(n => s"'$n'").mkString(", ")})
+       |GROUP BY table_name ORDER BY tbl""".stripMargin
+
   /** TPC-H Q1 shape — grouped aggregate with decimal-exact sums. */
   val q1Agg: QFn = (s, d) =>
     lineitem(s, d).groupBy("l_returnflag", "l_linestatus").agg(
@@ -686,21 +721,33 @@ object Queries {
   /** F1/F6/F7/F8/F9 — SQL-expressible masquerade family. */
   val qMasquerade: QFn = (s, d) => {
     import Masquerade._
+    val dict = Format(Seq(FormatPart.FileDict(MaskDict)))
     customer(s, d).select(
       col("c_custkey"),
       Constant("ACME")(col("c_name")).as("name_const"),
       Affix("cust-", "-x")(col("c_name")).as("name_affix"),
       Regex("[0-9]+", "#")(col("c_name")).as("name_regex"),
+      dict(col("c_name")).as("name_dict"),
       Null(col("c_acctbal")).as("bal_null"))
       .orderBy("c_custkey")
   }
-  val qMasqueradeSql: String =
-    """SELECT c_custkey,
-      |  CASE WHEN c_name IS NULL THEN NULL ELSE 'ACME' END AS name_const,
-      |  'cust-' || c_name || '-x' AS name_affix,
-      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_regex,
-      |  CAST(NULL AS VARCHAR) AS bal_null
-      |FROM customer ORDER BY c_custkey""".stripMargin
+  /** F5 dictionary for q_masquerade: inline stand-in for a `<file …>`
+    * word list (FormatPart.File loads real files; the gate needs a
+    * fixed list both engines can embed). */
+  private val MaskDict = Vector("alder", "birch", "cedar", "elm", "fir", "oak", "pine")
+  val qMasqueradeSql: String = {
+    val dictSql = MaskDict.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT c_custkey,
+       |  CASE WHEN c_name IS NULL THEN NULL ELSE 'ACME' END AS name_const,
+       |  'cust-' || c_name || '-x' AS name_affix,
+       |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_regex,
+       |  CASE WHEN c_name IS NULL THEN NULL ELSE list_extract($dictSql,
+       |    CAST((ascii(substring(md5(c_name), 1, 1)) * 256 +
+       |          ascii(substring(md5(c_name), 2, 1))) % ${MaskDict.size} AS INTEGER) + 1)
+       |  END AS name_dict,
+       |  CAST(NULL AS VARCHAR) AS bal_null
+       |FROM customer ORDER BY c_custkey""".stripMargin
+  }
 
   /** F2/F3/F4 — deterministic hash masking (md5-keyed; identical
     * algorithm in DuckDB, so fully oracle-checkable). */
@@ -1925,6 +1972,7 @@ object Queries {
     "q_setops_all" -> qSetopsAll,
     "q_range_join_auto" -> qRangeJoinAuto,
     "q_checksum_md5" -> qChecksumMd5,
+    "q_checksum_struct" -> qChecksumStruct,
     "q_approx_quantile" -> qApproxQuantile,
     "q_scd2" -> qScd2,
     "q_ratio_report" -> qRatioReport)
@@ -2012,6 +2060,7 @@ object Queries {
     "q_rolling_fp" -> qRollingFpSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum_md5" -> qChecksumMd5Sql,
+    "q_checksum_struct" -> qChecksumStructSql,
     "q_scd2" -> qScd2Sql,
     "q_ratio_report" -> qRatioReportSql,
     "q_multimodal" -> qMultimodalSql)

@@ -55,7 +55,7 @@ object ChunkPlanner {
     * Boundaries are aligned to `min` so chunk membership is a pure
     * arithmetic function of the key (oracle-checkable). */
   def integerChunks(column: String, min: Long, max: Long, step: Long,
-      includeNull: Boolean = true): Seq[Chunk] = {
+      includeNull: Boolean = true, quote: String = "`"): Seq[Chunk] = {
     require(step > 0, "step must be positive")
     // count the chunks in BigInt: max-min itself can overflow Long for
     // full-span keys, and a silent .toInt truncation would drop chunks
@@ -66,8 +66,9 @@ object ChunkPlanner {
     (0 until n).map { i =>
       val lo = min + i.toLong * step
       val hi = math.min(lo + step - 1, max)
-      val base = s"(`$column` >= $lo AND `$column` <= $hi)"
-      val where = if (i == 0 && includeNull) s"($base OR `$column` IS NULL)" else base
+      val qc = s"$quote$column$quote"
+      val base = s"($qc >= $lo AND $qc <= $hi)"
+      val where = if (i == 0 && includeNull) s"($base OR $qc IS NULL)" else base
       val f0 = col(column) >= lo && col(column) <= hi
       val f = if (i == 0 && includeNull) f0 || col(column).isNull else f0
       Chunk(i, where, f)
@@ -80,7 +81,7 @@ object ChunkPlanner {
     * with exact BigInt arithmetic — same predicate shapes, no overflow at
     * any key value. */
   def decimalChunks(column: String, min: BigInt, max: BigInt, step: BigInt,
-      includeNull: Boolean = true): Seq[Chunk] = {
+      includeNull: Boolean = true, quote: String = "`"): Seq[Chunk] = {
     require(step > 0, "step must be positive")
     // u64 spans with a small step overflow Int: materializing the range
     // must be refused loudly, not truncated to a wrong chunk count
@@ -90,8 +91,9 @@ object ChunkPlanner {
     (0 until n).map { i =>
       val lo = min + BigInt(i) * step
       val hi = (lo + step - 1).min(max)
-      val base = s"(`$column` >= $lo AND `$column` <= $hi)"
-      val where = if (i == 0 && includeNull) s"($base OR `$column` IS NULL)" else base
+      val qc = s"$quote$column$quote"
+      val base = s"($qc >= $lo AND $qc <= $hi)"
+      val where = if (i == 0 && includeNull) s"($base OR $qc IS NULL)" else base
       val loD = new java.math.BigDecimal(lo.bigInteger)
       val hiD = new java.math.BigDecimal(hi.bigInteger)
       val f0 = col(column) >= lit(loD) && col(column) <= lit(hiD)
@@ -124,6 +126,51 @@ object ChunkPlanner {
   def intBounds(df: DataFrame, column: String): (Long, Long) = {
     val r = df.agg(min(col(column)).cast("long"), max(col(column)).cast("long")).head()
     (r.getLong(0), r.getLong(1))
+  }
+
+  /** C3 — chunk-timing feedback for JDBC extraction (reference
+    * mydumper_integer_chunks.c:781-826): after a chunk of
+    * `rowsOfLastRun` rows took `elapsedSec`, resize the step so the
+    * next SELECT lands near `targetSecPerChunk` (the reference's
+    * `max_time_per_select`, mydumper_arguments.h:32 default 2 s) —
+    * `step = rows × target / elapsed`. A zero-row or sub-resolution
+    * run doubles the step instead (the reference's escape when the
+    * range is sparse). The result is clamped to [minStep, maxStep]
+    * (mydumper_table.c:414-440; MIN_CHUNK_STEP_SIZE=1000,
+    * mydumper_chunks.h:22; maxStep=0 = uncapped, the `--rows-hard`
+    * convention). File sources don't need this (AQE re-plans from real
+    * partition sizes); a live JDBC source has no AQE upstream of the
+    * database, so the probe-chunk feedback is the one piece of the
+    * reference's adaptivity with no built-in Spark substitute. */
+  def retarget(currentStep: Long, rowsOfLastRun: Long, elapsedSec: Double,
+      targetSecPerChunk: Double = 2.0,
+      minStep: Long = 1000L, maxStep: Long = 0L): Long = {
+    require(currentStep > 0, s"non-positive step: $currentStep")
+    val raw =
+      if (elapsedSec > 0 && rowsOfLastRun > 0)
+        (rowsOfLastRun * targetSecPerChunk / elapsedSec).toLong
+      else math.min(currentStep, Long.MaxValue / 2) * 2
+    val capped = if (maxStep != 0 && raw > maxStep) maxStep else raw
+    math.max(capped, minStep)
+  }
+
+  /** Iterate [[retarget]] against observed timings until the step
+    * stabilizes (relative change ≤ tol) — the planner loop a JDBC
+    * extraction driver runs between its probe chunk and the full plan.
+    * `timeOf(step)` reports the observed seconds for a step-sized chunk. */
+  def converge(startStep: Long, timeOf: Long => Double,
+      targetSecPerChunk: Double = 2.0, minStep: Long = 1000L,
+      maxStep: Long = 0L, maxIters: Int = 8, tol: Double = 0.1): Long = {
+    var step = startStep
+    var i = 0
+    while (i < maxIters) {
+      val next = retarget(step, step, timeOf(step), targetSecPerChunk,
+        minStep, maxStep)
+      if (math.abs(next - step).toDouble / step <= tol) return next
+      step = next
+      i += 1
+    }
+    step
   }
 
   /** Plan integer chunks sized for a target number of chunks (the Spark
@@ -163,17 +210,19 @@ object ChunkPlanner {
   /** Build half-open string chunks from explicit boundary prefixes
     * (reference shape `(f >= 'a' AND f < 'b')`,
     * mydumper_string_chunks.c via update_string_where_on_gstring). */
-  def stringChunksFromBounds(column: String, bounds: Seq[String]): Seq[Chunk] = {
+  def stringChunksFromBounds(column: String, bounds: Seq[String],
+      quote: String = "`"): Seq[Chunk] = {
     val b = bounds.distinct.sorted
     val ranges: Seq[(Option[String], Option[String])] =
       if (b.isEmpty) Seq((None, None))
       else (None +: b.map(Option(_))).zip(b.map(Option(_)) :+ None)
     ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val qc = s"$quote$column$quote"
       val conds = Seq(
-        lo.map(v => s"`$column` >= '$v'"),
-        hi.map(v => s"`$column` < '$v'")).flatten
+        lo.map(v => s"$qc >= '$v'"),
+        hi.map(v => s"$qc < '$v'")).flatten
       val where0 = if (conds.isEmpty) "(1=1)" else conds.mkString("(", " AND ", ")")
-      val where = if (i == 0) s"($where0 OR `$column` IS NULL)" else where0
+      val where = if (i == 0) s"($where0 OR $qc IS NULL)" else where0
       val f0 = Seq(lo.map(v => col(column) >= v), hi.map(v => col(column) < v))
         .flatten.reduceOption(_ && _).getOrElse(lit(true))
       val f = if (i == 0) f0 || col(column).isNull else f0
@@ -205,13 +254,15 @@ object ChunkPlanner {
   }
 
   /** Convert a ChunkSpec to predicates (the `spark.read.jdbc` contract:
-    * one WHERE per partition). */
-  def toPredicates(spec: ChunkSpec): Array[String] = spec match {
+    * one WHERE per partition). `quote` is the server's identifier quote
+    * (the reference detects it per server, set_identifier_quote_character
+    * — backtick for MySQL lineage, double-quote for ANSI servers). */
+  def toPredicates(spec: ChunkSpec, quote: String = "`"): Array[String] = spec match {
     case ChunkSpec.WholeTable => Array.empty
     case ChunkSpec.IntRange(c, lo, hi, step, nulls) =>
-      integerChunks(c, lo, hi, step, nulls).map(_.where).toArray
+      integerChunks(c, lo, hi, step, nulls, quote).map(_.where).toArray
     case ChunkSpec.StringRange(c, bounds, _) =>
-      stringChunksFromBounds(c, bounds).map(_.where).toArray
+      stringChunksFromBounds(c, bounds, quote).map(_.where).toArray
     case ChunkSpec.Partitions(ps) => ps.map(p => s"/* PARTITION($p) */ 1=1").toArray
   }
 }

@@ -84,4 +84,39 @@ class ChunkPlannerSpec extends SparkTestBase {
     val counts = b.map(_.getAs[Long]("cnt"))
     assert(counts.max - counts.min <= 1) // ntile balance property
   }
+
+  test("retarget follows the reference formula, doubles on empty, clamps (C3)") {
+    import ChunkPlanner.retarget
+    // rows × target / elapsed: 50k rows in 0.5s at target 2s → 200k step
+    assert(retarget(10000L, 50000L, 0.5) === 200000L)
+    // too-slow chunk shrinks: 100k rows took 8s → 25k
+    assert(retarget(100000L, 100000L, 8.0) === 25000L)
+    // zero rows (sparse range) doubles
+    assert(retarget(4000L, 0L, 1.0) === 8000L)
+    // sub-resolution elapsed doubles too
+    assert(retarget(4000L, 4000L, 0.0) === 8000L)
+    // clamps: floor at minStep, ceiling at maxStep when set, 0 = uncapped
+    assert(retarget(10000L, 10L, 10.0) === 1000L)
+    assert(retarget(10000L, 1000000L, 0.001, maxStep = 500000L) === 500000L)
+    assert(retarget(10000L, 1000000L, 0.001) === 2000000000L)
+    // doubling can't overflow
+    assert(retarget(Long.MaxValue / 2 + 7, 0L, 1.0) > 0)
+  }
+
+  test("retarget converges to the target chunk time under a stable cost model (C3)") {
+    import ChunkPlanner.converge
+    // linear cost: rowsPerSec rows per second → fixpoint at
+    // target × rowsPerSec rows, whatever the starting step
+    for (rowsPerSec <- Seq(1000.0, 80000.0, 2.5e6);
+         start <- Seq(2000L, 100000L, 10000000L)) {
+      val step = converge(start, s => s / rowsPerSec)
+      val ideal = 2.0 * rowsPerSec
+      assert(math.abs(step - ideal) / ideal <= 0.15,
+        s"start=$start rps=$rowsPerSec converged to $step, ideal $ideal")
+    }
+    // clamps hold under convergence: a pathologically slow source pins
+    // to minStep; a fast one caps at maxStep
+    assert(converge(5000L, _ => 1e9) === 1000L)
+    assert(converge(50000L, s => s / 1e9, maxStep = 300000L) === 300000L)
+  }
 }

@@ -55,6 +55,47 @@ class MasqueradeSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Masquerade.parse("bogus"))
   }
 
+  test("file dictionary part: deterministic, in-dictionary, null-safe (F5)") {
+    val dict = java.nio.file.Files.createTempFile("mask_dict", ".txt")
+    java.nio.file.Files.write(dict,
+      "alice\nbob\n\ncarol\ndenise\n".getBytes("UTF-8"))
+    try {
+      val part = FormatPart.File(dict.toString)
+      assert(part.lines === Vector("alice", "bob", "carol", "denise"))
+      // length-range restriction mirrors the reference's per-length draw
+      assert(FormatPart.File(dict.toString, minLen = 4, maxLen = 5).lines
+        === Vector("alice", "carol"))
+      val fn = Format(Seq(FormatPart.Lit("u:"), part))
+      val out = one(fn, "customer42")
+      assert(out.startsWith("u:") && part.lines.contains(out.drop(2)))
+      assert(one(fn, "customer42") === out)  // stable
+      val other = one(fn, "customer7")       // keyed (these two differ)
+      assert(part.lines.contains(other.drop(2)))
+      // NULL propagates
+      val nulled = Seq(Option.empty[String]).toDF("c")
+        .select(fn(col("c"))).head()
+      assert(nulled.isNullAt(0))
+    } finally java.nio.file.Files.delete(dict)
+  }
+
+  test("format template parser handles string/number/file parts (F5)") {
+    val dict = java.nio.file.Files.createTempFile("mask_dict2", ".txt")
+    java.nio.file.Files.write(dict, "word\n".getBytes("UTF-8"))
+    try {
+      val f = Masquerade.parseFormat(s"id-<number 4>/<string 3> <file $dict>!")
+      assert(f.parts(0) === FormatPart.Lit("id-"))
+      assert(f.parts(1) === FormatPart.Num(4))
+      assert(f.parts(2) === FormatPart.Lit("/"))
+      assert(f.parts(3) === FormatPart.Str(3))
+      assert(f.parts(4) === FormatPart.Lit(" "))
+      assert(f.parts(5) === FormatPart.FileDict(Vector("word")))
+      assert(f.parts(6) === FormatPart.Lit("!"))
+      val out = one(f, "k1")
+      assert(out.matches("id-[0-9]{4}/[a-p]{3} word!"))
+      intercept[IllegalArgumentException](Masquerade.parseFormat("<bogus 1>"))
+    } finally java.nio.file.Files.delete(dict)
+  }
+
   test("registry applies per db.table.column rules") {
     val reg = Registry(Map(
       "db.t.name" -> Seq(Constant("MASKED")),

@@ -1,6 +1,6 @@
 package graft
 
-import graft.extract.Snapshot
+import graft.extract.{Replica, Snapshot}
 import graft.extract.Snapshot._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -43,5 +43,76 @@ class SnapshotSpec extends AnyFunSuite {
     val (nonTrx, trx) = phases(Seq(("innodb_t", true), ("myisam_t", false)))
     assert(nonTrx === Seq("myisam_t"))
     assert(trx === Seq("innodb_t"))
+  }
+
+  // ------------------------------------------------------- T6 replica
+  test("replica verb matrix follows the SLAVE->REPLICA rename eras") {
+    import Replica._
+    // MySQL 8.0.22+ speaks REPLICA; 8.0.21 and 5.7 still SLAVE
+    assert(verbs(MySQL, 8, 0, 22).stopSqlThread === "STOP REPLICA SQL_THREAD")
+    assert(verbs(MySQL, 8, 0, 21).stopSqlThread === "STOP SLAVE SQL_THREAD")
+    assert(verbs(MySQL, 5, 7, 44).start === "START SLAVE")
+    assert(verbs(MySQL, 8, 4, 0).changeSource === "CHANGE REPLICATION SOURCE")
+    // MariaDB flips at 10.6 and keeps the multisource ALL form
+    assert(verbs(MariaDB, 10, 6, 0).showAllStatus === Some("SHOW ALL REPLICAS STATUS"))
+    assert(verbs(MariaDB, 10, 5, 9).showAllStatus === Some("SHOW ALL SLAVES STATUS"))
+    assert(verbs(MariaDB, 10, 5, 9).stopSqlThread === "STOP SLAVE SQL_THREAD")
+    // managed services route through procedures (no SUPER)
+    val rds = verbs(MySQL, 8, 1, 0, control = AwsRds)
+    assert(rds.stopSqlThread === "CALL mysql.rds_stop_replication()")
+    assert(rds.changeSource === "CALL mysql.rds_set_external_source")
+    assert(verbs(MySQL, 5, 7, 0, control = AwsRds).changeSource
+      === "CALL mysql.rds_set_external_master")
+  }
+
+  test("replica stop/start plans probe status first, restart after") {
+    import Replica._
+    val v = verbs(MySQL, 8, 0, 30)
+    val (probes, stop) = stopPlan(v)
+    assert(probes === Seq("SHOW REPLICA STATUS"))
+    assert(stop === "STOP REPLICA SQL_THREAD")
+    val (msProbes, _) = stopPlan(verbs(MariaDB, 10, 6, 0), multisource = true)
+    assert(msProbes === Seq("SHOW ALL REPLICAS STATUS"))
+    assert(startPlan(v) === Seq("START REPLICA"))
+  }
+
+  test("replica coords parse both vocabulary eras and skip non-replicas") {
+    import Replica._
+    val oldRow = Map(
+      "Master_Host" -> "10.0.0.1", "Relay_Master_Log_File" -> "bin.000042",
+      "Exec_Master_Log_Pos" -> "193847", "Executed_Gtid_Set" -> "uuid:1-99\n",
+      "Channel_Name" -> "")
+    val c = coordsOf(oldRow).get
+    assert(c.sourceHost === "10.0.0.1" && c.sourceLogFile === "bin.000042"
+      && c.sourceLogPos === 193847L && c.gtid === Some("uuid:1-99")
+      && c.channel === None)
+    val newRow = Map(
+      "Source_Host" -> "db2", "Relay_Source_Log_File" -> "bin.000007",
+      "Exec_Source_Log_Pos" -> "4", "Channel_Name" -> "ch1")
+    val c2 = coordsOf(newRow).get
+    assert(c2.sourceLogFile === "bin.000007" && c2.channel === Some("ch1"))
+    assert(coordsOf(Map("Slave_IO_State" -> "")) === None) // not a replica
+  }
+
+  test("change-source statement matches the era and channel") {
+    import Replica._
+    val c = Coords("h", "bin.000042", 193847L, Some("uuid:1-99"), Some("ch1"))
+    assert(changeSourceStatement(verbs(MySQL, 8, 0, 30), c)
+      === "CHANGE REPLICATION SOURCE TO SOURCE_LOG_FILE = 'bin.000042', SOURCE_LOG_POS = 193847 FOR CHANNEL 'ch1'")
+    assert(changeSourceStatement(verbs(MySQL, 5, 7, 0), c.copy(channel = None))
+      === "CHANGE MASTER TO MASTER_LOG_FILE = 'bin.000042', MASTER_LOG_POS = 193847")
+    assert(changeSourceStatement(verbs(MySQL, 8, 0, 30), c, autoPosition = true)
+      === "CHANGE REPLICATION SOURCE TO SOURCE_AUTO_POSITION = 1 FOR CHANNEL 'ch1'")
+  }
+
+  test("replica coords round-trip through the manifest position slot") {
+    import Replica._
+    val c = Coords("db1", "bin.000042", 193847L, Some("uuid:1-99"), Some("ch1"))
+    assert(fromManifestPosition(toManifestPosition(c)) === Some(c))
+    val bare = Coords("db1", "bin.000001", 4L)
+    assert(fromManifestPosition(toManifestPosition(bare)) === Some(bare))
+    val m = graft.core.DumpManifest("t0", "t1",
+      sourcePosition = Some(toManifestPosition(c)))
+    assert(m.sourcePosition.flatMap(fromManifestPosition) === Some(c))
   }
 }

@@ -12,8 +12,9 @@ a strict over-approximation of whatever the driver does.
 import duckdb, glob, json, os, subprocess, sys
 from decimal import Decimal
 
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+out = args[1] if len(args) > 1 else "/tmp/verify_out"
 
 if "--skip-run" not in sys.argv:
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
