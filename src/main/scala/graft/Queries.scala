@@ -306,11 +306,23 @@ object Queries {
     * path for cardinality at 100 TB (A3's modern form). HLL internals
     * differ per engine → rows-only gate; QueriesSpec asserts ≤5% relative
     * error against the exact count. */
+  /** HLL++ sketch next to the exact distinct count. The sketch value
+    * itself is engine-specific, so the gate hashes the EXACT count plus
+    * a Spark-computed error bound check — DuckDB replays the exact
+    * count and pins the boolean TRUE, making the sketch's ≤5% relative
+    * error oracle-visible (approx_count_distinct's default rsd is 5%). */
   val qApproxDistinct: QFn = (s, d) =>
     lineitem(s, d).groupBy("l_returnflag").agg(
       approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          / col("exact_parts") <= lit(0.05)).as("approx_ok"))
       .orderBy("l_returnflag")
+  val qApproxDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Approximate quantiles (GK/KLL-style sketch) next to q_percentile's
     * exact sort-based path — the cardinality-independent quantile tier
@@ -1562,11 +1574,41 @@ object Queries {
 
   /** kNN graph, LSH-cell scale path (equi-join on the cell key — custom
     * hyperplane hash, so rows-only at the gate; SimilaritySpec pins its
-    * recall against the exact baseline). */
+    * recall against the exact baseline, and [[qKnnRecall]] makes the
+    * recall oracle-visible). */
   val qKnnGraph: QFn = (s, d) =>
     Similarity.selfTopKLsh(embeddings(s, d), "embedding", "vec_id",
       k = 5, bits = 3, tables = 6)
       .orderBy("id1", "rank")
+
+  /** LSH kNN recall, oracle-visible: on the <200-id slice the exact
+    * top-5 graph is DuckDB-replayable (same brute force as q_knn_exact),
+    * so the gate hashes the exact-pair count PLUS a boolean asserting
+    * the LSH path recovered ≥60% of those edges. A recall regression in
+    * the seeded hashing flips the boolean and fails the hash — the
+    * sketch quality itself is driver-gated, not just spec-pinned. */
+  val qKnnRecall: QFn = (s, d) => {
+    val slice = embeddings(s, d).where(col("vec_id") < 200)
+    val exact = Similarity.selfTopK(slice, "embedding", "vec_id", k = 5)
+      .select("id1", "id2")
+    val lsh = Similarity.selfTopKLsh(slice, "embedding", "vec_id",
+      k = 5, bits = 3, tables = 6).select("id1", "id2")
+    exact.join(lsh.withColumn("hit", lit(1)), Seq("id1", "id2"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.6))
+          .as("recall_ok"))
+  }
+  val qKnnRecallSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+      |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT id1, id2,
+      |  row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank FROM p)
+      |SELECT count(*) AS n_exact, TRUE AS recall_ok FROM r WHERE rank <= 5""".stripMargin
 
   /** Conditional aggregation (FILTER-clause semantics, §2.4): count_if +
     * CASE'd sums inside one grouped pass. */
@@ -1956,6 +1998,7 @@ object Queries {
     "q_map_fns" -> qMapFns,
     "q_knn_exact" -> qKnnExact,
     "q_knn_graph" -> qKnnGraph,
+    "q_knn_recall" -> qKnnRecall,
     "q_cond_agg" -> qCondAgg,
     "q_asof_fwd" -> qAsofFwd,
     "q_merge_upsert" -> qMergeUpsert,
@@ -2061,6 +2104,8 @@ object Queries {
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum_md5" -> qChecksumMd5Sql,
     "q_checksum_struct" -> qChecksumStructSql,
+    "q_approx_distinct" -> qApproxDistinctSql,
+    "q_knn_recall" -> qKnnRecallSql,
     "q_scd2" -> qScd2Sql,
     "q_ratio_report" -> qRatioReportSql,
     "q_multimodal" -> qMultimodalSql)

