@@ -22,11 +22,14 @@ class QueriesSpec extends SparkTestBase {
   }
 
   test("q_approx_distinct stays within 5% of the exact count") {
-    Queries.qApproxDistinct(spark, sf).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact <= 0.05,
-        s"approx $approx vs exact $exact")
+    // the 5% bound is now computed in-query (oracle-visible boolean);
+    // the spec asserts it held on every group
+    val rows = Queries.qApproxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_parts") > 0)
+      assert(r.getAs[Boolean]("approx_ok"),
+        s"sketch error above 5% for ${r.getAs[String]("l_returnflag")}")
     }
   }
 
