@@ -1,0 +1,91 @@
+package graft.extract
+
+import java.sql.Connection
+
+import graft.core.{ColumnMeta, TableMeta}
+
+/** S2/S3 — catalog discovery over a live JDBC source: enumerate schemas
+  * and tables, hydrate [[TableMeta]] (columns with ordinal/type/null,
+  * primary key, row estimate), and apply [[TableFilter]] — the engine
+  * analog of the reference's database walk (`SHOW DATABASES` →
+  * `SHOW TABLE STATUS` → per-table column probes,
+  * `src/mydumper/mydumper_databases.c`,
+  * `mydumper_working_thread.c:1150-1260`).
+  *
+  * Implemented over `java.sql.DatabaseMetaData`, not vendor SQL: the
+  * same calls resolve on MySQL, MariaDB, Derby, anything with a JDBC
+  * driver — which is also what lets the discovery path run live in this
+  * environment (`DerbyRoundTripSpec`). Engine/rows, which standard
+  * metadata does not expose, are left for the vendor-specific probe the
+  * caller may layer on (`SHOW TABLE STATUS` on MySQL lineage); filters
+  * that depend on them degrade gracefully (empty engine matches no
+  * ignore-list entry; rows = -1 means "unknown" to the chunk chooser,
+  * which then probes bounds itself).
+  *
+  * All calls run on the driver-side control connection — discovery is
+  * control-plane metadata (thousands of rows at most), never a Spark
+  * job.
+  */
+object Discovery {
+
+  /** All non-system schema names (the reference's SHOW DATABASES minus
+    * its hardcoded system-schema skips — TableFilter owns that policy,
+    * so here every schema is returned). */
+  def schemas(conn: Connection): Seq[String] = {
+    val rs = conn.getMetaData.getSchemas
+    try {
+      val out = Seq.newBuilder[String]
+      while (rs.next()) out += rs.getString("TABLE_SCHEM")
+      out.result()
+    } finally rs.close()
+  }
+
+  /** TableMeta for every base table in `schema` (views excluded, as the
+    * reference dumps them through the schema path, not the data path). */
+  def tables(conn: Connection, schema: String): Seq[TableMeta] = {
+    val md = conn.getMetaData
+    val names = {
+      val rs = md.getTables(null, schema, "%", Array("TABLE"))
+      try {
+        val out = Seq.newBuilder[String]
+        while (rs.next()) out += rs.getString("TABLE_NAME")
+        out.result()
+      } finally rs.close()
+    }
+    names.map { t =>
+      val cols = {
+        val rs = md.getColumns(null, schema, t, "%")
+        try {
+          val out = Seq.newBuilder[ColumnMeta]
+          while (rs.next()) out += ColumnMeta(
+            name = rs.getString("COLUMN_NAME"),
+            dataType = rs.getString("TYPE_NAME").toLowerCase,
+            nullable = rs.getInt("NULLABLE") != java.sql.DatabaseMetaData.columnNoNulls,
+            isGenerated = "YES".equalsIgnoreCase(
+              // IS_GENERATEDCOLUMN is optional in the spec; treat
+              // absence as not-generated
+              scala.util.Try(rs.getString("IS_GENERATEDCOLUMN")).getOrElse("NO")),
+            ordinal = rs.getInt("ORDINAL_POSITION"))
+          out.result()
+        } finally rs.close()
+      }
+      val pk = {
+        val rs = md.getPrimaryKeys(null, schema, t)
+        try {
+          val out = Seq.newBuilder[(Short, String)]
+          while (rs.next()) out += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+          out.result().sortBy(_._1).map(_._2)
+        } finally rs.close()
+      }
+      TableMeta(database = schema, table = t, columns = cols.sortBy(_.ordinal),
+        primaryKey = pk)
+    }
+  }
+
+  /** The full discovery walk: all schemas × tables, filtered (S3 — the
+    * reference's `--all-databases` with `--regex`/`--tables-list`/
+    * skiplist applied before any scan). */
+  def allTables(conn: Connection, spec: TableFilter.Spec): Seq[TableMeta] =
+    TableFilter.filter(spec,
+      schemas(conn).flatMap(s => tables(conn, s)))
+}

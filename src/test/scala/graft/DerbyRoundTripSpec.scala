@@ -3,7 +3,7 @@ package graft
 import java.sql.DriverManager
 import java.util.Properties
 
-import graft.extract.{JdbcExtract, Snapshot}
+import graft.extract.{Discovery, JdbcExtract, Snapshot, TableFilter}
 import graft.functions.Checksum
 import graft.load.{GraftConnectionProvider, JdbcLoad, PinnedConnectionPool}
 import graft.operators.ChunkPlanner
@@ -59,13 +59,28 @@ class DerbyRoundTripSpec extends SparkTestBase {
       ps.executeBatch()
       ps.close()
 
+      // ---- S2/S3: catalog discovery over live JDBC metadata — the
+      // discovered primary key drives the chunk plan below, so the
+      // discovery output is consumed, not just asserted
+      val metas = Discovery.allTables(conn,
+        TableFilter.Spec(regex = Some("^GRAFT_S\\.")))
+      assert(metas.map(_.table).sorted === Seq("LINE", "LINE_OUT"))
+      val lineMeta = metas.find(_.table == "LINE").get
+      assert(lineMeta.primaryKey === Seq("ID"))
+      assert(lineMeta.columns.map(_.name) === Seq("ID", "GRP", "PAYLOAD"))
+      assert(!lineMeta.columns.head.nullable && lineMeta.columns.last.nullable)
+      assert(ChunkPlanner.choose(Rows.toLong,
+        lineMeta.columns.head.dataType match { case t => Some(t) },
+        Nil) === ChunkPlanner.Strategy.IntRange)
+      val pkCol = lineMeta.primaryKey.head
+
       // ---- control-connection probe (A1) + chunk plan (C2, ANSI quote)
       val bounds = conn.createStatement()
-        .executeQuery("SELECT MIN(ID), MAX(ID) FROM GRAFT_S.LINE")
+        .executeQuery(s"SELECT MIN($pkCol), MAX($pkCol) FROM GRAFT_S.LINE")
       bounds.next()
       val (lo, hi) = (bounds.getLong(1), bounds.getLong(2))
       assert(lo === 0L && hi === (Rows - 1) * 3L)
-      val chunks = ChunkPlanner.integerChunks("ID", lo, hi, step = 2500L,
+      val chunks = ChunkPlanner.integerChunks(pkCol, lo, hi, step = 2500L,
         includeNull = false, quote = "\"")
       assert(chunks.size === (hi / 2500 + 1))
 

@@ -75,9 +75,12 @@ class PlanQualitySpec extends SparkTestBase {
     // cell-equi-joined q_knn_graph, which must pass this gate.
     // q_range_join_auto NEEDS the injected RangeJoinRewrite to de-nest;
     // this shared session has no extensions, so it falls back to BNLJ
-    // here — ExtensionsSpec asserts the BNLJ-free plan with the rule on
+    // here — ExtensionsSpec asserts the BNLJ-free plan with the rule on.
+    // q_knn_recall compares the LSH graph AGAINST the exact all-pairs
+    // baseline on the bounded 200-id slice — the baseline side is the
+    // same whitelisted shape as q_knn_exact.
     val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact",
-      "q_range_join_auto")
+      "q_range_join_auto", "q_knn_recall")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { name =>
