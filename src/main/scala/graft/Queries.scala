@@ -1012,6 +1012,44 @@ object Queries {
       shingleSize = 3, bands = 8, rowsPerBand = 4, verifyJaccard = Some(0.5))
       .orderBy("id1", "id2")
 
+  /** MinHash-LSH recall, oracle-visible (same pattern as q_knn_recall):
+    * on the <500-id slice the TRUE Jaccard-≥0.5 pair set is small enough
+    * for DuckDB to brute-force all pairs; the gate hashes that exact
+    * count plus a boolean asserting the banded LSH path (verified
+    * candidates) recovered ≥70% of it (measured 1.0 on the test corpus —
+    * near-dup pairs sit far above the band-collision threshold). A
+    * band/hash regression that drops candidates now fails the gate. */
+  val qDedupMinhashRecall: QFn = (s, d) => {
+    val slice = documents(s, d).where(col("doc_id") < 500)
+    val jaccardUdf = udf((a: String, b: String) =>
+      functions.Hashing.jaccard(a, b, 3))
+    val l = slice.select(col("doc_id").as("id1"), col("text").as("t1"))
+    val r = slice.select(col("doc_id").as("id2"), col("text").as("t2"))
+    val exact = l.crossJoin(r).where(col("id1") < col("id2"))
+      .where(jaccardUdf(col("t1"), col("t2")) >= 0.5)
+      .select("id1", "id2")
+    val mh = Dedup.minhashPairs(slice, "text", "doc_id",
+      shingleSize = 3, bands = 8, rowsPerBand = 4, verifyJaccard = Some(0.5))
+      .select("id1", "id2").withColumn("hit", lit(1))
+    exact.join(mh, Seq("id1", "id2"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        when(count(lit(1)) === 0, lit(true))
+          .otherwise(sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.7))
+          .as("recall_ok"))
+  }
+  val qDedupMinhashRecallSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |      ELSE list_transform(generate_series(1, len(w)-2),
+      |             i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |        FROM documents WHERE doc_id < 500))
+      |SELECT count(*) AS n_exact, TRUE AS recall_ok
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin
+
   /** SimHash near-dup pairs (rows-only check). */
   val qDedupSimhash: QFn = (s, d) =>
     Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 6)
@@ -1023,6 +1061,43 @@ object Queries {
     Dedup.embeddingNearDups(embeddings(s, d), "embedding", "vec_id",
       threshold = 0.35, bits = 2, dim = 64)
       .orderBy("id1", "id2")
+
+  /** Embedding near-dup recall, oracle-visible: DuckDB brute-forces the
+    * exact cosine-≥0.35 pair count on the <150-id slice; the boolean
+    * asserts the sig64+hamming-prefilter CORE recovered ≥60% of those
+    * pairs (measured 0.96). Gated with bucket bits = 0: the bucket
+    * partitioning that q_dedup_embedding adds on top is a recall/cost
+    * scale knob (each bucket bit drops ~1-P(bit agrees) of borderline
+    * pairs by design, calibrated in SimilaritySpec), not part of the
+    * signature machinery this gate protects; slackBits=8 widens the
+    * hamming window for the loose 0.35 threshold, where the ±σ≈4-bit
+    * noise of a 64-bit sketch is proportionally larger than at the
+    * production 0.95 threshold. */
+  val qEmbedRecall: QFn = (s, d) => {
+    val slice = embeddings(s, d).where(col("vec_id") < 150)
+    val l = slice.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+    val r = slice.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+    val exact = l.crossJoin(r).where(col("id1") < col("id2"))
+      .where(functions.VectorFunctions.cosine(col("v1"), col("v2")) >= 0.35)
+      .select("id1", "id2")
+    val near = Dedup.embeddingNearDups(slice, "embedding", "vec_id",
+      threshold = 0.35, bits = 0, dim = 64, slackBits = 8)
+      .select("id1", "id2").withColumn("hit", lit(1))
+    exact.join(near, Seq("id1", "id2"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        when(count(lit(1)) === 0, lit(true))
+          .otherwise(sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.6))
+          .as("recall_ok"))
+  }
+  val qEmbedRecallSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150)
+      |SELECT count(*) AS n_exact, TRUE AS recall_ok
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+      |  >= 0.35""".stripMargin
 
   /** n-gram Jaccard dedup: prefix-bucket candidates + exact shingle-set
     * Jaccard verify (fully SQL-replayable — shingles and set overlap are
@@ -1970,6 +2045,7 @@ object Queries {
     "q_repetition" -> qRepetition,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_minhash_recall" -> qDedupMinhashRecall,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_ngram" -> qDedupNgram,
@@ -1999,6 +2075,7 @@ object Queries {
     "q_knn_exact" -> qKnnExact,
     "q_knn_graph" -> qKnnGraph,
     "q_knn_recall" -> qKnnRecall,
+    "q_embed_recall" -> qEmbedRecall,
     "q_cond_agg" -> qCondAgg,
     "q_asof_fwd" -> qAsofFwd,
     "q_merge_upsert" -> qMergeUpsert,
@@ -2106,6 +2183,8 @@ object Queries {
     "q_checksum_struct" -> qChecksumStructSql,
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_knn_recall" -> qKnnRecallSql,
+    "q_dedup_minhash_recall" -> qDedupMinhashRecallSql,
+    "q_embed_recall" -> qEmbedRecallSql,
     "q_scd2" -> qScd2Sql,
     "q_ratio_report" -> qRatioReportSql,
     "q_multimodal" -> qMultimodalSql)

@@ -80,7 +80,8 @@ class PlanQualitySpec extends SparkTestBase {
     // baseline on the bounded 200-id slice — the baseline side is the
     // same whitelisted shape as q_knn_exact.
     val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact",
-      "q_range_join_auto", "q_knn_recall")
+      "q_range_join_auto", "q_knn_recall", "q_dedup_minhash_recall",
+      "q_embed_recall")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { name =>
@@ -97,7 +98,8 @@ class PlanQualitySpec extends SparkTestBase {
 
   test("every oracle query ends in a total ORDER BY (determinism lint)") {
     // global single-row aggregates need no ordering — there is one row
-    val singleRow = Set("q_minmax", "q_count_where")
+    val singleRow = Set("q_minmax", "q_count_where",
+      "q_dedup_minhash_recall", "q_embed_recall", "q_knn_recall")
     val bad = Queries.oracles.filterNot { case (name, sql) =>
       singleRow(name) || sql.toUpperCase.replaceAll("\\s+", " ").contains("ORDER BY")
     }.keys
