@@ -91,15 +91,41 @@ object Dedup {
     * bucket only. */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // Pigeonhole-COMPLETE bucketing: split the 64-bit signature into
+    // maxHamming+1 disjoint bit segments — a pair differing in at most
+    // maxHamming bits cannot touch every segment, so it agrees exactly
+    // on at least one and is guaranteed to co-bucket there. (A single
+    // 16-bit prefix bucket — the earlier design — silently missed any
+    // near-dup whose flipped bits landed in the prefix; measured recall
+    // vs shingle-Jaccard ground truth was ~0.4 on the test corpus from
+    // exactly that.) Shuffle cost: maxHamming+1 rows per doc keyed by
+    // (segment-id, segment-value) — still ≈ rows × (h+1), uniform, never
+    // all-pairs; segment width 64/(h+1) bits keeps buckets selective
+    // (h=3 → 16-bit segments). The distinct() dedups pairs that
+    // co-bucket in several segments before the hamming verify.
+    val fields = maxHamming + 1
+    val width = 64 / fields
     val withSh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
-      .withColumn("bucket", shiftright(col("sh"), 48))
-    val l = withSh.select(col("bucket"), col(idCol).as("id1"), col("sh").as("sh1"))
-    val r = withSh.select(col("bucket"), col(idCol).as("id2"), col("sh").as("sh2"))
-    l.join(r, Seq("bucket"))
+    val segmented = withSh.select(col(idCol), col("sh"),
+      posexplode(array((0 until fields).map { f =>
+        // segment f: bits [f*width, (f+1)*width) — last segment keeps
+        // the remainder bits via unsigned shift
+        shiftrightunsigned(col("sh"), f * width)
+          .bitwiseAND(lit(if (f == fields - 1) -1L >>> (f * width)
+                          else (1L << width) - 1))
+      }: _*)))
+      .withColumnRenamed("pos", "seg")
+      .withColumnRenamed("col", "segval")
+    val l = segmented.select(col("seg"), col("segval"),
+      col(idCol).as("id1"), col("sh").as("sh1"))
+    val r = segmented.select(col("seg"), col("segval"),
+      col(idCol).as("id2"), col("sh").as("sh2"))
+    l.join(r, Seq("seg", "segval"))
       .where(col("id1") < col("id2"))
-      .withColumn("hamming", call_function("bit_count", col("sh1").bitwiseXOR(col("sh2"))))
+      .select(col("id1"), col("id2"),
+        call_function("bit_count", col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
+      .distinct()
   }
 
   /** n-gram Jaccard similarity of two text columns (row-local). */

@@ -58,4 +58,5 @@ class HashingSpec extends AnyFunSuite {
     assert(math.abs(Hashing.cosine(Seq(1f, 0f), Seq(1f, 0f)) - 1.0) < 1e-12)
     assert(math.abs(Hashing.cosine(Seq(1f, 0f), Seq(0f, 1f))) < 1e-12)
   }
+
 }

@@ -50,6 +50,27 @@ class QueriesSpec extends SparkTestBase {
     }
   }
 
+  test("simhashPairs returns EXACTLY the hamming-threshold pair set (pigeonhole completeness)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val got = operators.Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 6)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: brute-force hamming over every signature pair — the
+    // segmented bucketing must lose nothing (pigeonhole: ≤6 flipped bits
+    // cannot touch all 7 disjoint segments) and add nothing (the hamming
+    // verify filters bucket coincidences)
+    val sigs = docs.select(col("doc_id"),
+        operators.Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (i1, s1) <- sigs; (i2, s2) <- sigs
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 6
+    } yield (i1, i2)).toSet
+    assert(want.nonEmpty, "testdata has no near-dup signatures — spec is vacuous")
+    assert(got === want)
+  }
+
   test("q_scd2 history invariants: one open interval per key, closed intervals ordered") {
     import org.apache.spark.sql.functions._
     val h = Queries.qScd2(spark, sf).cache()
