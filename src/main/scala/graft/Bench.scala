@@ -152,7 +152,7 @@ object Bench {
         // every query
         val bySlow = results.sortBy(-_._2)
         (results.size to 1 by -1).iterator
-          .map(n => line(bySlow.take(n).sortBy(_._1), 2, results.size - n))
+          .map(n => line(bySlow.take(n).sortBy(_._1), 1, results.size - n))
           .find(_.length <= budget).get
       }
     println(out)
