@@ -125,6 +125,38 @@ object Dump {
       math.max(chunks.size, 1))
   }
 
+  /** Schema-object kinds a dump can carry besides table data — the
+    * reference's non-data files (mydumper_write.c schema writers;
+    * classified back by [[Load.classify]]'s mirror taxonomy). */
+  sealed trait SchemaKind { def suffix: String; def perTable: Boolean }
+  object SchemaKind {
+    case object Database extends SchemaKind { val suffix = "-schema-create.sql"; val perTable = false }
+    case object Table extends SchemaKind { val suffix = "-schema.sql"; val perTable = true }
+    case object View extends SchemaKind { val suffix = "-schema-view.sql"; val perTable = true }
+    case object Sequence extends SchemaKind { val suffix = "-schema-sequence.sql"; val perTable = true }
+    case object Triggers extends SchemaKind { val suffix = "-schema-triggers.sql"; val perTable = true }
+    case object Post extends SchemaKind { val suffix = "-schema-post.sql"; val perTable = false }
+  }
+
+  /** Write one schema object under the reference's naming scheme so the
+    * loader's router/phases pick it up: `db-schema-create.sql`,
+    * `db.table-schema-view.sql`, `db-schema-post.sql`, … The DDL text
+    * comes from the source (SHOW CREATE … on MySQL lineage, or the
+    * engine's own DDL emitter); this writer only owns naming+placement. */
+  def writeSchemaObject(outDir: String, db: String, kind: SchemaKind,
+      ddl: String, table: Option[String] = None): java.nio.file.Path = {
+    require(!kind.perTable || table.isDefined, s"$kind needs a table name")
+    val base = table match {
+      case Some(t) if kind.perTable => s"$db.$t${kind.suffix}"
+      case _                        => s"$db${kind.suffix}"
+    }
+    val p = java.nio.file.Paths.get(outDir, base)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    p
+  }
+
   /** Dump a set of tables; transactional/non-transactional phase split
     * (T4) honored by ordering. Returns the manifest. */
   def run(spark: SparkSession, tables: Seq[(String, DataFrame, Boolean)],

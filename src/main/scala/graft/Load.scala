@@ -23,16 +23,48 @@ object Load {
 
   sealed trait FileType
   case object Data extends FileType
-  case object Schema extends FileType
+  case object Schema extends FileType          // db.table-schema.sql
+  case object SchemaCreate extends FileType    // db-schema-create.sql
+  case object SchemaView extends FileType      // db.table-schema-view.sql
+  case object SchemaSequence extends FileType  // db.table-schema-sequence.sql
+  case object SchemaTriggers extends FileType  // db.table-schema-triggers.sql
+  case object SchemaPost extends FileType      // db-schema-post.sql (routines/events)
   case object Metadata extends FileType
   case object Unknown extends FileType
 
-  /** S11 router: classify a dump file name. */
-  def classify(name: String): FileType = name match {
-    case n if n.endsWith("-schema.sql")            => Schema
-    case n if n == "metadata" || n == "metadata.json" => Metadata
-    case n if n.matches(""".+\.\d{5}(\.\d{5})?\.(sql|dat|csv|jsonl)(\.gz|\.zst)?""") => Data
-    case _ => Unknown
+  /** S11 router: classify a dump file name — the full reference taxonomy
+    * (myloader_common.c:538-545,630-639, myloader_process.c:385):
+    * database creates, table schemas, views, sequences, triggers, post
+    * objects, data chunks, metadata. Schema files may be compressed like
+    * data files. Order sensitivity: `-schema-view.sql` must match before
+    * the generic `-schema.sql` suffix test. */
+  def classify(name: String): FileType = {
+    val n = name.stripSuffix(".gz").stripSuffix(".zst")
+    n match {
+      case _ if n.endsWith("-schema-create.sql")   => SchemaCreate
+      case _ if n.endsWith("-schema-view.sql")     => SchemaView
+      case _ if n.endsWith("-schema-sequence.sql") => SchemaSequence
+      case _ if n.endsWith("-schema-triggers.sql") => SchemaTriggers
+      case _ if n.endsWith("-schema-post.sql")     => SchemaPost
+      case _ if n.endsWith("-schema.sql")          => Schema
+      case _ if n == "metadata" || n == "metadata.json" => Metadata
+      case _ if n.matches(""".+\.\d{5}(\.\d{5})?\.(sql|dat|csv|jsonl)""") => Data
+      case _ => Unknown
+    }
+  }
+
+  /** Phase rank for [[classify]] output, mirroring the reference restore
+    * order (databases → table schemas → data → triggers-after-their-
+    * table → views/sequences → post). Feeds
+    * [[graft.load.DependencyScheduler.RestorePlan]]. */
+  def phaseOf(t: FileType): Int = t match {
+    case SchemaCreate                  => 0
+    case Schema                        => 1
+    case Data                          => 2
+    case SchemaTriggers                => 3 // per-table, after its data
+    case SchemaView | SchemaSequence   => 4 // after ALL tables
+    case SchemaPost                    => 5
+    case Metadata | Unknown            => 6
   }
 
   /** Discover (db.table → data files) groups under a dump dir. */

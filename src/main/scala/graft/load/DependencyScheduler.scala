@@ -33,7 +33,22 @@ object DependencyScheduler {
       createSchema: () => Unit,
       dataJobs: Seq[() => Unit],
       postDataJobs: Seq[() => Unit] = Nil, // deferred indexes / constraints
+      triggerJobs: Seq[() => Unit] = Nil,  // after THIS table's data+indexes
       maxThreadsPerTable: Int = 4)
+
+  /** Whole-restore phase plan mirroring the reference's object ordering
+    * (myloader_process.c:385,472,530; myloader_common.c:538-545):
+    * database creates first; tables (schema → data → indexes → triggers,
+    * per-table pipelined); views and sequences only after EVERY table is
+    * done (a view may reference any table); routines/events ("post")
+    * last. Triggers restore per-table after its data, so the loads
+    * themselves never fire them — the reference's `--skip-triggers`-less
+    * default behavior. */
+  final case class RestorePlan(
+      databaseJobs: Seq[() => Unit] = Nil,
+      tables: Seq[TablePlan] = Nil,
+      viewJobs: Seq[() => Unit] = Nil,      // incl. sequences
+      postJobs: Seq[() => Unit] = Nil)      // routines / events
 
   final class Progress {
     private[load] val states = new ConcurrentHashMap[String, State]()
@@ -61,12 +76,26 @@ object DependencyScheduler {
         }
         dataFutures.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
         progress.states.put(p.name, DataDone)
-        // deferred indexes strictly after data (reference index pool)
+        // deferred indexes strictly after data (reference index pool),
+        // then this table's triggers (so data loads never fired them)
         p.postDataJobs.foreach(_.apply())
+        p.triggerJobs.foreach(_.apply())
         progress.states.put(p.name, AllDone)
       }
     }
     futures.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    progress
+  }
+
+  /** Run a full restore in reference phase order: databases → tables
+    * (parallel, per-table state machine) → views/sequences → post.
+    * The cross-phase barriers are the ONLY global synchronization —
+    * within the table phase everything pipelines per table. */
+  def runAll(plan: RestorePlan)(implicit ec: ExecutionContext): Progress = {
+    plan.databaseJobs.foreach(_.apply())
+    val progress = run(plan.tables)
+    plan.viewJobs.foreach(_.apply())
+    plan.postJobs.foreach(_.apply())
     progress
   }
 }

@@ -52,4 +52,37 @@ class DependencySchedulerSpec extends AnyFunSuite {
     DependencyScheduler.run(Seq(plan))
     assert(maxSeen.get() <= 2, s"cap violated: ${maxSeen.get()}")
   }
+
+  test("runAll phases: databases -> tables(+triggers after data) -> views -> post") {
+    val log = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val plan = DependencyScheduler.RestorePlan(
+      databaseJobs = Seq(() => log.add("db:create")),
+      tables = Seq("a", "b").map { t =>
+        TablePlan(
+          name = t,
+          createSchema = () => log.add(s"$t:schema"),
+          dataJobs = (1 to 2).map(i => () => log.add(s"$t:data$i")),
+          postDataJobs = Seq(() => log.add(s"$t:index")),
+          triggerJobs = Seq(() => log.add(s"$t:trigger")))
+      },
+      viewJobs = Seq(() => log.add("view:v1")),
+      postJobs = Seq(() => log.add("post:routine")))
+    val progress = DependencyScheduler.runAll(plan)
+    assert(progress.snapshot.values.forall(_ == AllDone))
+    val events = log.asScala.toSeq
+    assert(events.head === "db:create")
+    // per-table: trigger strictly after that table's data and indexes
+    Seq("a", "b").foreach { t =>
+      val te = events.filter(_.startsWith(t))
+      assert(te.last === s"$t:trigger")
+      assert(te.dropRight(1).last === s"$t:index")
+    }
+    // global barriers: every table event precedes the view, view precedes post
+    val vi = events.indexOf("view:v1")
+    val pi = events.indexOf("post:routine")
+    assert(events.zipWithIndex.filter(_._1.exists(_ == ':')).forall { case (e, i) =>
+      !(e.startsWith("a") || e.startsWith("b")) || i < vi
+    })
+    assert(vi < pi && pi === events.size - 1)
+  }
 }

@@ -68,6 +68,31 @@ class DumpLoadSpec extends SparkTestBase {
     assert(Load.classify("tpch.orders-schema.sql") === Load.Schema)
     assert(Load.classify("metadata") === Load.Metadata)
     assert(Load.classify("README.txt") === Load.Unknown)
+    // full reference taxonomy (myloader_common.c:538-545,630-639)
+    assert(Load.classify("tpch-schema-create.sql") === Load.SchemaCreate)
+    assert(Load.classify("tpch.v_orders-schema-view.sql") === Load.SchemaView)
+    assert(Load.classify("tpch.seq1-schema-sequence.sql.gz") === Load.SchemaSequence)
+    assert(Load.classify("tpch.orders-schema-triggers.sql") === Load.SchemaTriggers)
+    assert(Load.classify("tpch-schema-post.sql.zst") === Load.SchemaPost)
+    assert(Load.classify("tpch.orders-schema.sql.gz") === Load.Schema)
+    // restore phase order mirrors the reference
+    val order = Seq(Load.SchemaCreate, Load.Schema, Load.Data,
+      Load.SchemaTriggers, Load.SchemaView, Load.SchemaPost).map(Load.phaseOf)
+    assert(order === order.sorted && order.distinct.size >= 5)
+    // dump-side writer and load-side router agree on every kind
+    val dir = java.nio.file.Files.createTempDirectory("graft_ddl").toString
+    val cases = Seq[(Dump.SchemaKind, Option[String], Load.FileType)](
+      (Dump.SchemaKind.Database, None, Load.SchemaCreate),
+      (Dump.SchemaKind.Table, Some("orders"), Load.Schema),
+      (Dump.SchemaKind.View, Some("v_orders"), Load.SchemaView),
+      (Dump.SchemaKind.Sequence, Some("seq1"), Load.SchemaSequence),
+      (Dump.SchemaKind.Triggers, Some("orders"), Load.SchemaTriggers),
+      (Dump.SchemaKind.Post, None, Load.SchemaPost))
+    cases.foreach { case (kind, table, expected) =>
+      val p = Dump.writeSchemaObject(dir, "tpch", kind, "-- ddl", table)
+      assert(Load.classify(p.getFileName.toString) === expected,
+        s"round-trip broke for $kind")
+    }
   }
 
   test("table-set filters (P6)") {
