@@ -121,6 +121,14 @@ object Dump {
           .json(s"${cfg.outDir}/${cfg.db}.$table")
         obs.get("rows").asInstanceOf[Long]
     }
+    // self-describing dump: the table DDL rides along as
+    // db.table-schema.sql (reference mydumper_jobs.c:238 — every dump
+    // carries its schema so a restore needs no live source catalog);
+    // parquet embeds its schema already
+    if (cfg.format != ParquetFormat)
+      writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.Table,
+        sources.DdlEmitter.createTable(cfg.db, table, df.schema, pk.toSeq),
+        Some(table))
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),
       math.max(chunks.size, 1))
   }

@@ -93,6 +93,21 @@ class DumpLoadSpec extends SparkTestBase {
       assert(Load.classify(p.getFileName.toString) === expected,
         s"round-trip broke for $kind")
     }
+    // DDL emitter: schema -> CREATE TABLE -> parsed columns round trip
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("price", DecimalType(18, 2)),
+      StructField("name", StringType),
+      StructField("tags", ArrayType(StringType))))
+    val ddl = sources.DdlEmitter.createTable("tpch", "t1", schema, Seq("id"))
+    assert(ddl.contains("`id` BIGINT NOT NULL"))
+    assert(ddl.contains("`price` DECIMAL(18,2)"))
+    assert(ddl.contains("`tags` JSON"))
+    assert(ddl.contains("PRIMARY KEY (`id`)"))
+    assert(sources.DdlEmitter.parseColumns(ddl) === Seq(
+      ("id", "BIGINT", false), ("price", "DECIMAL(18,2)", true),
+      ("name", "LONGTEXT", true), ("tags", "JSON", true)))
   }
 
   test("table-set filters (P6)") {
