@@ -1222,12 +1222,33 @@ object Queries {
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   /** Sequence packing (operators.Packing): greedy first-fit-decreasing
-    * into 512-token bins per partition; reports bins / docs / token
-    * utilization. Bin assignment is partition-local → rows-only gate;
-    * SamplingPackingSpec asserts budget + utilization invariants. */
-  val qPackStats: QFn = (s, d) =>
-    operators.Packing.packingStats(
-      operators.Packing.packByTokenBudget(documents(s, d), "text", 512), 512)
+    * into 512-token bins per partition. Bin ASSIGNMENT is
+    * partition-local, but the gate hashes what is invariant under any
+    * partitioning: total docs and tokens (DuckDB replays both) plus two
+    * in-query invariant booleans — every multi-doc bin respects the
+    * budget (FFD never overfills a shared bin; only oversized singleton
+    * docs may exceed it) and the bin count is ≥ the information-
+    * theoretic lower bound ceil(tokens/budget). SamplingPackingSpec
+    * keeps the tighter utilization assertions. */
+  val qPackStats: QFn = (s, d) => {
+    val packed = operators.Packing.packByTokenBudget(documents(s, d), "text", 512)
+    packed.groupBy("bin_id")
+      .agg(count(lit(1)).as("bin_docs"), sum("n_tokens").as("bin_tokens"))
+      .agg(
+        sum("bin_docs").cast(LongType).as("docs"),
+        sum("bin_tokens").cast(LongType).as("tokens"),
+        (max(when(col("bin_docs") >= 2, col("bin_tokens")).otherwise(lit(0L)))
+          <= lit(512L)).as("budget_ok"),
+        (count(lit(1)) >= ceil(sum("bin_tokens") / lit(512.0))).as("bins_lb_ok"))
+  }
+  val qPackStatsSql: String =
+    """SELECT
+      |  count(*) AS docs,
+      |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS tokens,
+      |  TRUE AS budget_ok,
+      |  TRUE AS bins_lb_ok
+      |FROM documents""".stripMargin
 
   // ----------------------------------------------------------- similarity
   /** Probe-vector fetch, memoized per (sfDir, id): the `.head()` is a
@@ -2229,6 +2250,7 @@ object Queries {
     "q_knn_recall" -> qKnnRecallSql,
     "q_dedup_minhash_recall" -> qDedupMinhashRecallSql,
     "q_embed_recall" -> qEmbedRecallSql,
+    "q_pack_stats" -> qPackStatsSql,
     "q_ann_ivf_recall" -> qAnnIvfRecallSql,
     "q_approx_quantile" -> qApproxQuantileSql,
     "q_scd2" -> qScd2Sql,

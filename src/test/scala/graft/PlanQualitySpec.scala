@@ -99,7 +99,8 @@ class PlanQualitySpec extends SparkTestBase {
   test("every oracle query ends in a total ORDER BY (determinism lint)") {
     // global single-row aggregates need no ordering — there is one row
     val singleRow = Set("q_minmax", "q_count_where",
-      "q_dedup_minhash_recall", "q_embed_recall", "q_knn_recall")
+      "q_dedup_minhash_recall", "q_embed_recall", "q_knn_recall",
+      "q_pack_stats")
     val bad = Queries.oracles.filterNot { case (name, sql) =>
       singleRow(name) || sql.toUpperCase.replaceAll("\\s+", " ").contains("ORDER BY")
     }.keys
