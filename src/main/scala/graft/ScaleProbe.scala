@@ -129,6 +129,12 @@ object ScaleProbe {
             .cast(DoubleType).as("rev"))
       }),
       run("dedup_exact", operators.Dedup.exact(docs, "text", "doc_id")),
+      // default hamming budget (3 → 16-bit segments): the segment width
+      // 64/(h+1) sets the bucket count, so candidate volume scales as
+      // n²(h+1)/2^(64/(h+1)) — h=6 (9-bit segments) is 128× more
+      // collision-prone and measured 68 s here vs ~4 s at h=3
+      run("dedup_simhash",
+        operators.Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)),
       run("dedup_minhash",
         operators.Dedup.minhashPairs(docs, "text", "doc_id")),
       run("dedup_clusters", {

@@ -100,9 +100,17 @@ object Dedup {
     // vs shingle-Jaccard ground truth was ~0.4 on the test corpus from
     // exactly that.) Shuffle cost: maxHamming+1 rows per doc keyed by
     // (segment-id, segment-value) — still ≈ rows × (h+1), uniform, never
-    // all-pairs; segment width 64/(h+1) bits keeps buckets selective
-    // (h=3 → 16-bit segments). The distinct() dedups pairs that
-    // co-bucket in several segments before the hamming verify.
+    // all-pairs. The distinct() dedups pairs that co-bucket in several
+    // segments before the hamming verify.
+    //
+    // COST MODEL (multi-index-hashing tradeoff): segment width is
+    // 64/(h+1) bits, so random-collision candidates scale as
+    // n² · (h+1) / 2^(64/(h+1)) — the hamming budget is a superlinear
+    // cost knob. h=3 → 16-bit segments (65k buckets) stays selective to
+    // very large n; h=6 → 9-bit segments (512 buckets) measured 17×
+    // slower at 50k docs. For loose budgets at 100 TB-corpus scale,
+    // widen the signature (128-bit simhash → h=7 keeps 16-bit segments)
+    // rather than narrowing the segments.
     val fields = maxHamming + 1
     val width = 64 / fields
     val withSh = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
