@@ -174,10 +174,14 @@ object Dump {
     val results = (nonTrx ++ trx).map { case (name, df, _) =>
       dumpTable(df, name, cfg)
     }
-    DumpManifest(
+    val manifest = DumpManifest(
       startedAt = start,
       finishedAt = java.time.Instant.now().toString,
       tables = results.map(r =>
         TableManifest(r.table, r.rows, Some(r.checksum.toString))))
+    // persist as the dump dir's `metadata` file (reference
+    // mydumper_start_dump.c:1161-1182) so the dump is self-describing
+    sources.Manifest.write(cfg.outDir, manifest)
+    manifest
   }
 }

@@ -108,6 +108,24 @@ class DumpLoadSpec extends SparkTestBase {
     assert(sources.DdlEmitter.parseColumns(ddl) === Seq(
       ("id", "BIGINT", false), ("price", "DECIMAL(18,2)", true),
       ("name", "LONGTEXT", true), ("tags", "JSON", true)))
+    // metadata file: render -> parse round trip incl. replica position
+    val coords = graft.extract.Replica.Coords("db1", "bin.000042", 193847L,
+      Some("uuid:1-99"), Some("ch1"))
+    val m = graft.core.DumpManifest("2026-08-12T10:00:00Z", "2026-08-12T10:05:00Z",
+      quoteChar = "`",
+      sourcePosition = Some(graft.extract.Replica.toManifestPosition(coords)),
+      tables = Seq(
+        graft.core.TableManifest("tpch.orders", 15000, Some("12345"),
+          Some("abcd"), Seq("tpch.orders.00000.sql")),
+        graft.core.TableManifest("tpch.nation", 25, Some("777"))))
+    val parsed = sources.Manifest.parse(sources.Manifest.render(m))
+    assert(parsed === m)
+    assert(parsed.sourcePosition.flatMap(graft.extract.Replica.fromManifestPosition)
+      === Some(coords))
+    // and via disk
+    sources.Manifest.write(dir, m)
+    assert(sources.Manifest.read(dir) === Some(m))
+    assert(Load.classify("metadata") === Load.Metadata)
   }
 
   test("table-set filters (P6)") {
