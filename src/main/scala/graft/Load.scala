@@ -86,6 +86,32 @@ object Load {
 
   final case class Result(table: String, rows: Long, checksumOk: Option[Boolean])
 
+  /** Build TableSources purely from a dump directory: schemas from the
+    * `db.table-schema.sql` files ([[graft.sources.DdlEmitter]] inverse),
+    * expected rows/checksums from the `metadata` manifest — the restore
+    * needs NOTHING but the directory, exactly the reference's contract
+    * (myloader consumes only dump files). Tables without a schema file
+    * are skipped (parquet dumps embed their schema and load directly). */
+  def sourcesFromDir(dir: String): Seq[TableSource] = {
+    val manifest = graft.sources.Manifest.read(dir)
+    val checksums: Map[String, Long] = manifest
+      .map(_.tables.flatMap(t => t.dataChecksum.map(c => t.table -> c.toLong)).toMap)
+      .getOrElse(Map.empty)
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    files.filter(f => classify(f.getName) == Schema).toSeq
+      .map { f =>
+        val table = f.getName.stripSuffix("-schema.sql")
+          .stripSuffix("-schema.sql.gz").stripSuffix("-schema.sql.zst")
+        val ddl = new String(java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+        // manifest entries may carry the bare table name while files use
+        // the db.table stem — accept either key
+        val checksum = checksums.get(table)
+          .orElse(checksums.get(table.split("\\.", 2).last))
+        TableSource(table, graft.sources.DdlEmitter.toStructType(ddl), checksum)
+      }.sortBy(_.table)
+  }
+
   /** Restore dumped tables through the dependency scheduler, verifying
     * checksums against the manifest (the reference's --checksum=fail
     * gate: a mismatch throws). `writeTarget` is the restore sink (lake

@@ -50,6 +50,41 @@ object DdlEmitter {
       Seq(");")).mkString("\n")
   }
 
+  /** Inverse type mapping — SQL type text back to the Spark type.
+    * `TINYINT(1)` is the boolean spelling (MySQL convention, mirrored by
+    * [[sqlType]]); `JSON` loads as StringType because nested values
+    * serialize as JSON TEXT on the SQL/CSV dump surfaces — the loader
+    * hands the JSON string to `from_json` when the caller knows the
+    * element type. */
+  def toDataType(sql: String): DataType = {
+    val t = sql.trim.toUpperCase
+    val Dec = """DECIMAL\((\d+),(\d+)\)""".r
+    t match {
+      case "TINYINT(1)"           => BooleanType
+      case "TINYINT"              => ByteType
+      case "SMALLINT"             => ShortType
+      case "INT" | "INTEGER"      => IntegerType
+      case "BIGINT"               => LongType
+      case "FLOAT"                => FloatType
+      case "DOUBLE"               => DoubleType
+      case Dec(p, s)              => DecimalType(p.toInt, s.toInt)
+      case "DATE"                 => DateType
+      case "TIMESTAMP(6)" | "TIMESTAMP" => TimestampType
+      case "DATETIME(6)" | "DATETIME"   => TimestampNTZType
+      case "LONGBLOB"             => BinaryType
+      case "LONGTEXT" | "JSON"    => StringType
+      case other => throw new IllegalArgumentException(s"no Spark type for $other")
+    }
+  }
+
+  /** Reconstruct a StructType from [[createTable]] output — the full
+    * loader-side inverse: a dump's schema file alone recovers the read
+    * schema. */
+  def toStructType(ddl: String): StructType =
+    StructType(parseColumns(ddl).map { case (name, sqlT, nullable) =>
+      StructField(name, toDataType(sqlT), nullable)
+    })
+
   /** Parse the column list back out of [[createTable]] output — the
     * loader-side inverse used when a dump's schema file is the only
     * schema source. Returns (name, sqlType, nullable). */

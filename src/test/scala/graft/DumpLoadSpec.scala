@@ -32,6 +32,28 @@ class DumpLoadSpec extends SparkTestBase {
     // and the restored parquet matches the original rows
     val back = spark.read.parquet(s"$restoredDir/tpch.nation")
     assert(back.count() === Tables.nation(spark, sf).count())
+
+    // directory-only restore: NO schemas or checksums passed — sources
+    // reconstruct from the dump's own schema files + metadata manifest
+    // (the reference contract: myloader consumes only the dump dir)
+    val selfSources = Load.sourcesFromDir(out)
+    assert(selfSources.map(_.table).sorted
+      === Seq("tpch.nation", "tpch.region", "tpch.supplier"))
+    selfSources.foreach { s =>
+      assert(s.expectedChecksum.isDefined, s"${s.table} lost its checksum")
+    }
+    // reconstructed schema matches the original column names and count
+    val nationSrc = selfSources.find(_.table == "tpch.nation").get
+    assert(nationSrc.schema.fieldNames.toSeq
+      === Tables.nation(spark, sf).schema.fieldNames.toSeq)
+    val selfDir = Files.createTempDirectory("graft_e2e_self_").toString
+    val selfResults = Load.run(spark, out, selfSources) { (stem, df) =>
+      df.write.mode("overwrite").parquet(s"$selfDir/$stem")
+    }
+    assert(selfResults.forall(_.checksumOk.contains(true)),
+      "directory-only restore failed checksum verification")
+    assert(spark.read.parquet(s"$selfDir/tpch.region").count()
+      === Tables.region(spark, sf).count())
   }
 
   test("checksum mismatch aborts the load (--checksum=fail)") {
