@@ -37,7 +37,12 @@ object Dump {
       orderByPrimary: Boolean = false,  // --order-by-primary analog
       checksum: Boolean = true,         // --checksum-all analog
       perTable: Map[String, TableConfig] = Map.empty,
-      masks: Masquerade.Registry = Masquerade.Registry(Map.empty))
+      masks: Masquerade.Registry = Masquerade.Registry(Map.empty),
+      // table → discovered primary key (Discovery/TableMeta.primaryKey).
+      // Drives the emitted DDL's PRIMARY KEY clause and --order-by-primary;
+      // absent means the table HAS no known key and the schema file must
+      // not invent one (the chunking column is a separate concern)
+      primaryKeys: Map[String, Seq[String]] = Map.empty)
 
   final case class TableResult(table: String, rows: Long, checksum: Long,
       chunks: Int)
@@ -64,20 +69,25 @@ object Dump {
     // the scan's own splits, or — with orderByPrimary — one range
     // shuffle on the PK: chunk-equivalent files with ordered rows
     // (the reference's ORDER BY pk, mydumper_write.c:1055).
-    val pk = df.schema.fields.headOption.map(_.name)
+    // chunking column ≠ primary key: the first column is just the range-
+    // split driver; the real PK (if discovered) is threaded via
+    // cfg.primaryKeys and owns the DDL clause + order-by-primary
+    val chunkCol = df.schema.fields.headOption.map(_.name)
+    val pk = cfg.primaryKeys.getOrElse(table, Nil)
+    val orderCol = pk.headOption.orElse(chunkCol)
     val strategy = ChunkPlanner.choose(
       rowEstimate = -1L, // planner probes below instead of catalog stats
-      pkType = pk.map(_ => df.schema.fields.head.dataType.typeName),
+      pkType = chunkCol.map(_ => df.schema.fields.head.dataType.typeName),
       partitions = Nil)
     val chunks: Seq[ChunkPlanner.Chunk] = strategy match {
       case ChunkPlanner.Strategy.IntRange =>
-        ChunkPlanner.planInteger(df, pk.get, cfg.targetChunks)
+        ChunkPlanner.planInteger(df, chunkCol.get, cfg.targetChunks)
       case _ => Nil
     }
     val partitioned =
-      if (cfg.orderByPrimary && pk.isDefined)
-        df.repartitionByRange(cfg.targetChunks, col(pk.get))
-          .sortWithinPartitions(pk.get)
+      if (cfg.orderByPrimary && orderCol.isDefined)
+        df.repartitionByRange(cfg.targetChunks, col(orderCol.get))
+          .sortWithinPartitions(orderCol.get)
       else {
         // a small/single-file source scans as one split → the write would
         // be serial; guarantee targetChunks write parallelism (at 100 TB
@@ -127,7 +137,7 @@ object Dump {
     // parquet embeds its schema already
     if (cfg.format != ParquetFormat)
       writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.Table,
-        sources.DdlEmitter.createTable(cfg.db, table, df.schema, pk.toSeq),
+        sources.DdlEmitter.createTable(cfg.db, table, df.schema, pk),
         Some(table))
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),
       math.max(chunks.size, 1))

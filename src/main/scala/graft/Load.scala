@@ -102,14 +102,36 @@ object Load {
       .map { f =>
         val table = f.getName.stripSuffix("-schema.sql")
           .stripSuffix("-schema.sql.gz").stripSuffix("-schema.sql.zst")
-        val ddl = new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
+        val ddl = readSmallText(f.toPath)
         // manifest entries may carry the bare table name while files use
         // the db.table stem — accept either key
         val checksum = checksums.get(table)
           .orElse(checksums.get(table.split("\\.", 2).last))
-        TableSource(table, graft.sources.DdlEmitter.toStructType(ddl), checksum)
+        val schema = graft.sources.DdlEmitter.toStructType(ddl)
+        // an unparseable schema file must stop the restore, not feed an
+        // empty StructType downstream (zero columns reads zero data and
+        // "succeeds")
+        if (schema.isEmpty) throw new IllegalStateException(
+          s"schema file ${f.getName} parsed to zero columns — corrupt or not DDL")
+        TableSource(table, schema, checksum)
       }.sortBy(_.table)
+  }
+
+  /** Read a small control file (schema DDL, metadata), decompressing by
+    * extension — [[classify]] accepts `.gz`/`.zst` names (the reference
+    * compresses schema files alongside data, myloader_process.c:120), so
+    * the parse side must decode them too: feeding gzip bytes to the DDL
+    * parser would silently yield an empty schema. Codecs match the dump
+    * side (JVM gzip; zstd-jni, already on the Spark classpath). */
+  def readSmallText(p: java.nio.file.Path): String = {
+    val raw = new java.io.BufferedInputStream(java.nio.file.Files.newInputStream(p))
+    val in: java.io.InputStream = p.getFileName.toString match {
+      case n if n.endsWith(".gz")  => new java.util.zip.GZIPInputStream(raw)
+      case n if n.endsWith(".zst") => new com.github.luben.zstd.ZstdInputStream(raw)
+      case _                       => raw
+    }
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   /** Restore dumped tables through the dependency scheduler, verifying

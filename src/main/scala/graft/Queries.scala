@@ -1239,7 +1239,13 @@ object Queries {
         sum("bin_tokens").cast(LongType).as("tokens"),
         (max(when(col("bin_docs") >= 2, col("bin_tokens")).otherwise(lit(0L)))
           <= lit(512L)).as("budget_ok"),
-        (count(lit(1)) >= ceil(sum("bin_tokens") / lit(512.0))).as("bins_lb_ok"))
+        // lower bound over CAPPED bin tokens: an oversized singleton doc
+        // legitimately exceeds the budget (see budget_ok), so the
+        // information-theoretic bound is ceil(sum(min(bin_tokens, B))/B)
+        // — the uncapped sum would overshoot the real bin count on
+        // corpora with any doc longer than the budget
+        (count(lit(1)) >= ceil(sum(least(col("bin_tokens"), lit(512L))) / lit(512.0)))
+          .as("bins_lb_ok"))
   }
   val qPackStatsSql: String =
     """SELECT

@@ -33,4 +33,21 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Natural primary keys of the testdata tables (TPC-H's published
+    * keys; id columns for the synthetic extras). The file-source analog
+    * of [[graft.extract.Discovery]]'s JDBC key probe — feeds
+    * `Dump.Config.primaryKeys` so emitted DDL declares the REAL key,
+    * never the accidental first column. `events` has no key (append-only
+    * stream) and is deliberately absent. */
+  val primaryKeys: Map[String, Seq[String]] = Map(
+    "region"     -> Seq("r_regionkey"),
+    "nation"     -> Seq("n_nationkey"),
+    "customer"   -> Seq("c_custkey"),
+    "supplier"   -> Seq("s_suppkey"),
+    "part"       -> Seq("p_partkey"),
+    "orders"     -> Seq("o_orderkey"),
+    "lineitem"   -> Seq("l_orderkey", "l_linenumber"),
+    "documents"  -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
 }

@@ -102,7 +102,8 @@ object Main {
       compress = o.contains("compress"),
       orderByPrimary = o.contains("order-by-primary"),
       perTable = perTable,
-      masks = Masquerade.Registry(parseMasks(o.get("mask"))))
+      masks = Masquerade.Registry(parseMasks(o.get("mask"))),
+      primaryKeys = Tables.primaryKeys)
     val tables = all.map(t => (t, Tables.t(spark, src, t), true))
     val manifest = Dump.run(spark, tables, cfg)
     manifest.tables.foreach(t =>

@@ -88,14 +88,22 @@ object DdlEmitter {
   /** Parse the column list back out of [[createTable]] output — the
     * loader-side inverse used when a dump's schema file is the only
     * schema source. Returns (name, sqlType, nullable). */
-  def parseColumns(ddl: String): Seq[(String, String, Boolean)] =
+  def parseColumns(ddl: String): Seq[(String, String, Boolean)] = {
+    // the identifier is the leading quoted token — it may contain spaces
+    // (createTable quotes it for exactly that reason), so it must be
+    // peeled off with the quote-aware pattern BEFORE whitespace-splitting
+    // the type; splitting first truncates `order date` to `order` and
+    // reads "date`" as the type
+    val Quoted = """^(?:`([^`]+)`|"([^"]+)")\s+(\S+)(.*)$""".r
     ddl.linesIterator.toSeq
       .filter(l => l.startsWith("  ") && !l.trim.startsWith("PRIMARY KEY"))
       .map(_.trim.stripSuffix(","))
-      .map { l =>
-        val parts = l.split("\\s+", 3)
-        val name = parts(0).replaceAll("^[`\"]|[`\"]$", "")
-        val notNull = l.toUpperCase.endsWith("NOT NULL")
-        (name, parts(1), !notNull)
+      .map {
+        case l @ Quoted(bt, dq, sqlType, _) =>
+          (Option(bt).getOrElse(dq), sqlType, !l.toUpperCase.endsWith("NOT NULL"))
+        case l => // unquoted identifier (foreign DDL) — old path
+          val parts = l.split("\\s+", 3)
+          (parts(0), parts(1), !l.toUpperCase.endsWith("NOT NULL"))
       }
+  }
 }

@@ -47,6 +47,13 @@ object Manifest {
     val tables = Seq.newBuilder[TableManifest]
     var section: Option[String] = None
     var cur: Option[TableManifest] = None
+    // only the FIRST [config] section is config — a table literally
+    // named `config` (dump output always writes db.table, but foreign
+    // manifests may not) must not have its rows/checksums swallowed by
+    // the config branch (the reference avoids the collision by quoting
+    // table sections, mydumper_common.c metadata writer)
+    var configSeen = false
+    var inConfig = false
     def flush(): Unit = { cur.foreach(tables += _); cur = None }
     text.linesIterator.foreach { raw =>
       val line = raw.trim
@@ -57,24 +64,23 @@ object Manifest {
       else if (line.startsWith("[") && line.endsWith("]")) {
         flush()
         section = Some(line.substring(1, line.length - 1))
-        if (section.get != "config")
-          cur = Some(TableManifest(section.get, rows = 0L))
+        inConfig = section.get == "config" && !configSeen
+        if (inConfig) configSeen = true
+        else cur = Some(TableManifest(section.get, rows = 0L))
       } else if (line.contains("=") && !line.startsWith("#")) {
         val Array(k, v) = line.split("=", 2).map(_.trim)
-        (section, cur) match {
-          case (Some("config"), _) => k match {
-            case "quote-character" => quote = v
-            case "source-position" => sourcePos = Some(v)
-            case _                 => ()
-          }
-          case (_, Some(t)) => k match {
+        if (inConfig) k match {
+          case "quote-character" => quote = v
+          case "source-position" => sourcePos = Some(v)
+          case _                 => ()
+        } else cur.foreach { t =>
+          k match {
             case "rows"            => cur = Some(t.copy(rows = v.toLong))
             case "data-checksum"   => cur = Some(t.copy(dataChecksum = Some(v)))
             case "schema-checksum" => cur = Some(t.copy(schemaChecksum = Some(v)))
             case "files"           => cur = Some(t.copy(files = v.split(",").toSeq))
             case _                 => ()
           }
-          case _ => ()
         }
       }
     }

@@ -150,6 +150,93 @@ class DumpLoadSpec extends SparkTestBase {
     assert(Load.classify("metadata") === Load.Metadata)
   }
 
+  test("sourcesFromDir decompresses .gz/.zst schema files and rejects garbage") {
+    val out = Files.createTempDirectory("graft_gz_schema_").toString
+    Dump.run(spark, Seq(("region", Tables.region(spark, sf), true)),
+      Dump.Config(outDir = out, db = "tpch"))
+    val plain = java.nio.file.Paths.get(out, "tpch.region-schema.sql")
+    val ddlBytes = Files.readAllBytes(plain)
+    // gzip the schema file in place (reference dumps compress schema
+    // files alongside data when -c is set)
+    val gz = java.nio.file.Paths.get(out, "tpch.region-schema.sql.gz")
+    val gzOut = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    gzOut.write(ddlBytes); gzOut.close()
+    Files.delete(plain)
+    val viaGz = Load.sourcesFromDir(out)
+    assert(viaGz.map(_.table) === Seq("tpch.region"))
+    assert(viaGz.head.schema.fieldNames.toSeq
+      === Tables.region(spark, sf).schema.fieldNames.toSeq)
+    // same through zstd
+    val zst = java.nio.file.Paths.get(out, "tpch.region-schema.sql.zst")
+    val zOut = new com.github.luben.zstd.ZstdOutputStream(Files.newOutputStream(zst))
+    zOut.write(ddlBytes); zOut.close()
+    Files.delete(gz)
+    val viaZst = Load.sourcesFromDir(out)
+    assert(viaZst.head.schema.fieldNames.toSeq
+      === Tables.region(spark, sf).schema.fieldNames.toSeq)
+    // a schema file that parses to zero columns must abort, not produce
+    // an empty StructType that "restores" nothing successfully
+    Files.delete(zst)
+    Files.write(java.nio.file.Paths.get(out, "tpch.region-schema.sql"),
+      "-- not ddl at all\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] { Load.sourcesFromDir(out) }
+    assert(ex.getMessage.contains("zero columns"))
+  }
+
+  test("a table literally named config survives manifest parsing") {
+    val text =
+      """# Started dump at: 2026-08-12T10:00:00Z
+        |[config]
+        |quote-character = `
+        |
+        |[db1.config]
+        |rows = 42
+        |data-checksum = 987
+        |
+        |[config]
+        |rows = 7
+        |
+        |# Finished dump at: 2026-08-12T10:01:00Z
+        |""".stripMargin
+    val m = sources.Manifest.parse(text)
+    assert(m.quoteChar === "`")
+    // only the FIRST [config] is config; both table sections parse with
+    // their rows/checksums intact
+    assert(m.tables.map(t => t.table -> t.rows) === Seq("db1.config" -> 42L, "config" -> 7L))
+    assert(m.tables.head.dataChecksum === Some("987"))
+  }
+
+  test("quoted identifiers with spaces round-trip through the DDL emitter") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("order date", DateType, nullable = false),
+      StructField("unit price", DecimalType(10, 2)),
+      StructField("plain", LongType)))
+    val ddl = sources.DdlEmitter.createTable("db", "weird", schema, Seq("order date"))
+    assert(sources.DdlEmitter.toStructType(ddl) === StructType(schema.map(f =>
+      f.copy(metadata = org.apache.spark.sql.types.Metadata.empty))))
+    // double-quote identifier convention parses too
+    val ddlDq = sources.DdlEmitter.createTable("db", "weird", schema, Nil, quote = "\"")
+    assert(sources.DdlEmitter.parseColumns(ddlDq).map(_._1)
+      === Seq("order date", "unit price", "plain"))
+  }
+
+  test("schema file declares the discovered primary key, or none at all") {
+    val out = Files.createTempDirectory("graft_pk_").toString
+    // no key known -> no PRIMARY KEY clause invented from column 1
+    Dump.dumpTable(Tables.region(spark, sf), "region",
+      Dump.Config(outDir = out, db = "tpch"))
+    val noPk = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "tpch.region-schema.sql")), "UTF-8")
+    assert(!noPk.contains("PRIMARY KEY"))
+    // discovered key (composite) -> declared verbatim
+    Dump.dumpTable(Tables.lineitem(spark, sf).limit(100), "lineitem",
+      Dump.Config(outDir = out, db = "tpch", primaryKeys = Tables.primaryKeys))
+    val withPk = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "tpch.lineitem-schema.sql")), "UTF-8")
+    assert(withPk.contains("PRIMARY KEY (`l_orderkey`, `l_linenumber`)"))
+  }
+
   test("table-set filters (P6)") {
     import graft.core.{ColumnMeta, TableMeta}
     def tm(db: String, t: String, engine: String = "innodb") =

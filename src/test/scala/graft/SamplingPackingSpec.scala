@@ -54,4 +54,28 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(stats.getAs[Double]("utilization") > 0.5,
       s"packing wastes most of the budget: $stats")
   }
+
+  test("bin-count lower bound stays valid with oversized docs") {
+    // one doc longer than the budget: it gets its own (over-budget) bin,
+    // so the bound must be over CAPPED bin tokens — the uncapped
+    // ceil(total/B) would exceed the real bin count (round-4 advice)
+    import spark.implicits._
+    val budget = 8
+    val docs = Seq(
+      (1L, Seq.fill(30)("w").mkString(" ")), // 30 tokens >> budget
+      (2L, "a b c"), (3L, "d e"), (4L, "f g h")).toDF("doc_id", "text")
+    val packed = Packing.packByTokenBudget(docs, "text", budget)
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("n_tokens").as("bin_tokens"), count(lit(1)).as("bin_docs"))
+    val nBins = bins.count()
+    val capped = bins.agg(sum(least(col("bin_tokens"), lit(budget.toLong))))
+      .head().getLong(0)
+    val uncapped = bins.agg(sum("bin_tokens")).head().getLong(0)
+    assert(nBins >= math.ceil(capped / budget.toDouble).toLong,
+      "capped information-theoretic bound violated")
+    assert(math.ceil(uncapped / budget.toDouble).toLong > nBins,
+      "test premise: the uncapped bound must overshoot here")
+    // oversized bin is a singleton; every multi-doc bin respects budget
+    assert(bins.where(col("bin_tokens") > budget && col("bin_docs") > 1).count() === 0)
+  }
 }
