@@ -139,6 +139,17 @@ object Bench {
       val drop = if (dropped > 0) s""","dropped":$dropped""" else ""
       s"""{"metric":"total","value":${fmt(total, dec)},"unit":"sec","queries":$qs$drop,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
+    // the tail window caps what the driver SEES, not what we measured:
+    // persist the complete full-precision result set alongside the repo
+    // (bench_full.json, committed per round) so dropped-from-the-line
+    // entries stay auditable
+    try {
+      val full = line(results, 3, 0)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    }
     // precision ladder: full catalog at ms resolution when it fits,
     // else 10ms, else 100ms (still fine for a 2x-of-baseline judgment),
     // and only then drop the fastest entries — visibly
