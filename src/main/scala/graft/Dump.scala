@@ -26,6 +26,11 @@ object Dump {
   /** JSON-lines — the training-data interchange format (one JSON object
     * per row; not in the reference, which predates it). */
   case object JsonlFormat extends Format
+  /** ClickHouse target (S7): SQL-INSERT data chunks (the reference's
+    * FORMAT MySQLDump payload, mydumper_write.c:252-265) plus a
+    * per-table loader script of INSERT..FROM INFILE statements and a
+    * ClickHouse-dialect CREATE TABLE. */
+  case object ClickHouseFormat extends Format
 
   final case class Config(
       outDir: String,
@@ -130,6 +135,28 @@ object Dump {
           .option("compression", if (cfg.compress) "gzip" else "none")
           .json(s"${cfg.outDir}/${cfg.db}.$table")
         obs.get("rows").asInstanceOf[Long]
+      case ClickHouseFormat =>
+        val n = SqlInsertWriter.write(partitioned, cfg.db, table, cfg.outDir,
+          SqlInsertWriter.Options(statementSize = cfg.statementSize,
+            compress = cfg.compress))
+        // companion loader script: one INSERT..FROM INFILE per chunk
+        // file (write_clickhouse_statement pairs one statement per data
+        // file; a single ordered script is the driver-side equivalent
+        // and still fans out — statements are independent)
+        val chunkRe = (java.util.regex.Pattern.quote(s"${cfg.db}.$table.") +
+          """\d{5}(\.\d{5})?\.sql(\.gz|\.zst)?""").r
+        val dataFiles = Option(new java.io.File(cfg.outDir).listFiles())
+          .getOrElse(Array.empty).map(_.getName)
+          .filter(f => chunkRe.pattern.matcher(f).matches()).toSeq
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(cfg.outDir, s"${cfg.db}.$table-load.sql"),
+          sources.ClickHouse.loaderScript(table, dataFiles)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.ClickHouse,
+          sources.ClickHouse.createTable(cfg.db, table, df.schema,
+            orderBy = cfg.primaryKeys.getOrElse(table, Nil)),
+          Some(table))
+        n
     }
     // self-describing dump: the table DDL rides along as
     // db.table-schema.sql (reference mydumper_jobs.c:238 — every dump
@@ -154,6 +181,9 @@ object Dump {
     case object Sequence extends SchemaKind { val suffix = "-schema-sequence.sql"; val perTable = true }
     case object Triggers extends SchemaKind { val suffix = "-schema-triggers.sql"; val perTable = true }
     case object Post extends SchemaKind { val suffix = "-schema-post.sql"; val perTable = false }
+    /** ClickHouse-dialect DDL riding alongside the MySQL-dialect schema
+      * file on S7 dumps (engine extension; the reference ships none). */
+    case object ClickHouse extends SchemaKind { val suffix = "-schema-clickhouse.sql"; val perTable = true }
   }
 
   /** Write one schema object under the reference's naming scheme so the

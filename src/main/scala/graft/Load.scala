@@ -29,6 +29,8 @@ object Load {
   case object SchemaSequence extends FileType  // db.table-schema-sequence.sql
   case object SchemaTriggers extends FileType  // db.table-schema-triggers.sql
   case object SchemaPost extends FileType      // db-schema-post.sql (routines/events)
+  case object SchemaClickHouse extends FileType // db.table-schema-clickhouse.sql (S7)
+  case object LoaderScript extends FileType    // db.table-load.sql (S7 INSERT..FROM INFILE)
   case object Metadata extends FileType
   case object Unknown extends FileType
 
@@ -46,6 +48,8 @@ object Load {
       case _ if n.endsWith("-schema-sequence.sql") => SchemaSequence
       case _ if n.endsWith("-schema-triggers.sql") => SchemaTriggers
       case _ if n.endsWith("-schema-post.sql")     => SchemaPost
+      case _ if n.endsWith("-schema-clickhouse.sql") => SchemaClickHouse
+      case _ if n.endsWith("-load.sql")            => LoaderScript
       case _ if n.endsWith("-schema.sql")          => Schema
       case _ if n == "metadata" || n == "metadata.json" => Metadata
       case _ if n.matches(""".+\.\d{5}(\.\d{5})?\.(sql|dat|csv|jsonl)""") => Data
@@ -64,7 +68,9 @@ object Load {
     case SchemaTriggers                => 3 // per-table, after its data
     case SchemaView | SchemaSequence   => 4 // after ALL tables
     case SchemaPost                    => 5
-    case Metadata | Unknown            => 6
+    // ClickHouse artifacts are consumed by clickhouse-client, not the
+    // lake restore path — routed but never auto-executed here
+    case SchemaClickHouse | LoaderScript | Metadata | Unknown => 6
   }
 
   /** Discover (db.table → data files) groups under a dump dir. */

@@ -81,6 +81,7 @@ object Main {
       case "csv" => Dump.CsvFormat
       case "parquet" => Dump.ParquetFormat
       case "jsonl" => Dump.JsonlFormat
+      case "clickhouse" => Dump.ClickHouseFormat
       case _ => Dump.SqlFormat
     }
     val spec = TableFilter.Spec(

@@ -98,6 +98,56 @@ class RoundTripSpec extends SparkTestBase {
     assert(checksumOf(back) === checksumOf(o))
   }
 
+  test("clickhouse dump: data round-trips, loader script covers every chunk (S7)") {
+    val n = Tables.nation(spark, sf)
+    val dir = Files.createTempDirectory("graft_ch_").toString
+    val res = Dump.dumpTable(n, "nation", Dump.Config(
+      outDir = dir, format = Dump.ClickHouseFormat, db = "tpch",
+      primaryKeys = Tables.primaryKeys))
+    assert(res.rows === n.count())
+    // data chunks are plain SQL-INSERT (FORMAT MySQLDump payload) and
+    // read back losslessly
+    val back = SqlInsertReader.read(spark, dir, n.schema, "tpch.nation.*.sql*")
+    assert(checksumOf(back) === checksumOf(n))
+    // loader script: one INSERT..FROM INFILE per data chunk, reference
+    // statement shape (mydumper_write.c:630-640)
+    val files = new java.io.File(dir).listFiles().map(_.getName)
+    val chunks = files.filter(_.matches("""tpch\.nation\.\d{5}\.sql""")).sorted
+    assert(chunks.nonEmpty)
+    val script = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tpch.nation-load.sql")), "UTF-8")
+    val stmts = script.trim.linesIterator.toSeq
+    assert(stmts.size === chunks.length)
+    chunks.zip(stmts).foreach { case (f, s) =>
+      assert(s === s"INSERT INTO `nation` FROM INFILE '$f' FORMAT MySQLDump;")
+    }
+    // CH-dialect DDL: keyed MergeTree, key column non-Nullable
+    val ddl = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tpch.nation-schema-clickhouse.sql")), "UTF-8")
+    assert(ddl.contains("ENGINE = MergeTree ORDER BY (`n_nationkey`)"))
+    assert(!ddl.contains("Nullable(Int64)") || !ddl.contains("`n_nationkey` Nullable"))
+    // the MySQL-dialect schema file still rides along for sourcesFromDir
+    assert(files.contains("tpch.nation-schema.sql"))
+    // router sends the new artifacts to their own types, never to Data
+    assert(Load.classify("tpch.nation-load.sql") === Load.LoaderScript)
+    assert(Load.classify("tpch.nation-schema-clickhouse.sql") === Load.SchemaClickHouse)
+    assert(Load.discover(dir).keySet === Set("tpch.nation"))
+  }
+
+  test("clickhouse type mapping covers the dump surface") {
+    import org.apache.spark.sql.types._
+    assert(sources.ClickHouse.chType(LongType, nullable = true) === "Nullable(Int64)")
+    assert(sources.ClickHouse.chType(BooleanType, nullable = false) === "UInt8")
+    assert(sources.ClickHouse.chType(DecimalType(18, 2), nullable = false) === "Decimal(18, 2)")
+    assert(sources.ClickHouse.chType(TimestampType, nullable = false) === "DateTime64(6, 'UTC')")
+    assert(sources.ClickHouse.chType(DateType, nullable = false) === "Date32")
+    assert(sources.ClickHouse.chType(ArrayType(StringType), nullable = true) === "Nullable(String)")
+    // no key -> unordered MergeTree, no invented ORDER BY column
+    val ddl = sources.ClickHouse.createTable("db", "t",
+      StructType(Seq(StructField("a", LongType))), orderBy = Nil)
+    assert(ddl.contains("ORDER BY tuple()"))
+  }
+
   test("config matrix: format × compression × ordering all round-trip (specific_N analog)") {
     val o = Tables.orders(spark, sf)
     val want = checksumOf(o)
