@@ -41,6 +41,8 @@ object Dump {
       compress: Boolean = false,
       orderByPrimary: Boolean = false,  // --order-by-primary analog
       checksum: Boolean = true,         // --checksum-all analog
+      noData: Boolean = false,          // --no-data / -d: schema-only dump
+      noSchemas: Boolean = false,       // --no-schemas: data-only dump
       perTable: Map[String, TableConfig] = Map.empty,
       masks: Masquerade.Registry = Masquerade.Registry(Map.empty),
       // table → discovered primary key (Discovery/TableMeta.primaryKey).
@@ -108,9 +110,10 @@ object Dump {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val checksumF =
-      if (cfg.checksum) Future(df.agg(Checksum.tableChecksum(df)).head().getLong(0))
+      if (cfg.checksum && !cfg.noData)
+        Future(df.agg(Checksum.tableChecksum(df)).head().getLong(0))
       else Future.successful(0L)
-    val rows = cfg.format match {
+    val rows = if (cfg.noData) 0L else cfg.format match {
       case SqlFormat =>
         SqlInsertWriter.write(partitioned, cfg.db, table, cfg.outDir,
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
@@ -162,12 +165,12 @@ object Dump {
     // db.table-schema.sql (reference mydumper_jobs.c:238 — every dump
     // carries its schema so a restore needs no live source catalog);
     // parquet embeds its schema already
-    if (cfg.format != ParquetFormat)
+    if (cfg.format != ParquetFormat && !cfg.noSchemas)
       writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.Table,
         sources.DdlEmitter.createTable(cfg.db, table, df.schema, pk),
         Some(table))
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),
-      math.max(chunks.size, 1))
+      if (cfg.noData) 0 else math.max(chunks.size, 1))
   }
 
   /** Schema-object kinds a dump can carry besides table data — the

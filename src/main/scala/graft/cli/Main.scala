@@ -102,6 +102,11 @@ object Main {
       statementSize = o.get("statement-size").map(_.toInt).getOrElse(1000000),
       compress = o.contains("compress"),
       orderByPrimary = o.contains("order-by-primary"),
+      // long-form only: `-d` stays myloader's --directory alias here,
+      // while mydumper's -d means --no-data — the shared parser can't
+      // disambiguate, so the dump side requires the long flag
+      noData = o.contains("no-data"),
+      noSchemas = o.contains("no-schemas"),
       perTable = perTable,
       masks = Masquerade.Registry(parseMasks(o.get("mask"))),
       primaryKeys = Tables.primaryKeys)

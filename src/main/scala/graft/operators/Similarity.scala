@@ -100,16 +100,24 @@ object Similarity {
     val base = embs.select(col(idCol), col(vecCol))
     // candidates as UNDIRECTED pairs (id1 < id2): halves the dedup
     // shuffle and the cosine passes; directions are restored by a cheap
-    // mirror AFTER scoring (cosine is symmetric)
-    val pairs = (0 until tables).map { t =>
-      val planes = graft.functions.Hashing.hyperplanes(bits, dim, 42L + t)
-      val cellUdf = udf((v: Seq[Float]) => graft.functions.Hashing.lshCell(v, planes))
-      val celled = base.withColumn("cell", cellUdf(col(vecCol)))
-      val l = celled.select(col("cell"), col(idCol).as("id1"))
-      val r = celled.select(col("cell"), col(idCol).as("id2"))
-      l.join(r, Seq("cell")).where(col("id1") < col("id2"))
-        .select("id1", "id2")
-    }.reduce(_ unionAll _).distinct()
+    // mirror AFTER scoring (cosine is symmetric).
+    // All L cell keys are computed in ONE vector pass and exploded to a
+    // packed (table, cell) key, so the L tables cost a single equi-join
+    // — the per-table-join form shuffles the corpus L times and strings
+    // L+1 stages where one suffices (same candidate set either way:
+    // a pair co-cells in table t iff it shares key (t, cell))
+    val allPlanes = Array.tabulate(tables)(t =>
+      graft.functions.Hashing.hyperplanes(bits, dim, 42L + t))
+    val keysUdf = udf { v: Seq[Float] =>
+      Array.tabulate(tables)(t =>
+        (t.toLong << 32) | graft.functions.Hashing.lshCell(v, allPlanes(t)).toLong)
+    }
+    val celled = base.select(col(idCol),
+      explode(keysUdf(col(vecCol))).as("cellkey"))
+    val l = celled.select(col("cellkey"), col(idCol).as("id1"))
+    val r = celled.select(col("cellkey"), col(idCol).as("id2"))
+    val pairs = l.join(r, Seq("cellkey")).where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
     val scored = pairs
       .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
       .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")

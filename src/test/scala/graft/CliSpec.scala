@@ -38,4 +38,21 @@ class CliRunSpec extends SparkTestBase {
     assert(hooked.exists(_.endsWith("graft.region")) &&
       hooked.exists(_.endsWith("graft.nation")))
   }
+
+  test("--no-data dumps schemas only; --no-schemas dumps data only") {
+    val out = java.nio.file.Files.createTempDirectory("graft_nodata_").toString
+    Main.main(Array("dump",
+      "--source-dir", sf, "-o", out, "--tables-list", "region", "--no-data"))
+    val files = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(files.contains("graft.region-schema.sql"))
+    assert(!files.exists(_.matches("""graft\.region\.\d{5}.*""")),
+      s"schema-only dump wrote data chunks: $files")
+
+    val out2 = java.nio.file.Files.createTempDirectory("graft_noschema_").toString
+    Main.main(Array("dump",
+      "--source-dir", sf, "-o", out2, "--tables-list", "region", "--no-schemas"))
+    val files2 = new java.io.File(out2).listFiles().map(_.getName).toSet
+    assert(!files2.contains("graft.region-schema.sql"))
+    assert(files2.exists(_.matches("""graft\.region\.\d{5}\.sql""")))
+  }
 }
