@@ -1030,17 +1030,17 @@ object Queries {
     * candidates) recovered ≥70% of it (measured 1.0 on the test corpus —
     * near-dup pairs sit far above the band-collision threshold). A
     * band/hash regression that drops candidates now fails the gate. */
-  val qDedupMinhashRecall: QFn = (s, d) => {
-    val slice = documents(s, d).where(col("doc_id") < 500)
-    // ground truth with the pair stage stripped to the bone: shingle
-    // each doc ONCE into a sorted array of 64-bit shingle hashes, then
-    // merge-intersect per pair — O(|A|+|B|) longs, no Set building, no
-    // per-pair re-tokenization (the naive jaccard(text,text) UDF
-    // re-shingled both docs for all ~125k pairs: 4.6s; an inverted
-    // shingle index was tried and measured WORSE here — near-dup docs
-    // share most shingles, so the equi-join re-explodes quadratically).
-    // Hash collisions (~75k shingles vs 2^64) are below any realistic
-    // concern for the 0.5-threshold count.
+  /** Brute-force TRUE Jaccard-≥th pairs on a small doc slice — the
+    * ground truth both LSH recall gates (minhash, simhash) compare
+    * against. Pair stage stripped to the bone: shingle each doc ONCE
+    * into a sorted array of 64-bit shingle hashes, then merge-intersect
+    * per pair — O(|A|+|B|) longs, no Set building, no per-pair
+    * re-tokenization (the naive jaccard(text,text) UDF re-shingled both
+    * docs for all ~125k pairs: 4.6s; an inverted shingle index was tried
+    * and measured WORSE here — near-dup docs share most shingles, so the
+    * equi-join re-explodes quadratically). Hash collisions (~75k
+    * shingles vs 2^64) are below any realistic concern. */
+  private def exactJaccardPairs(slice: DataFrame, th: Double): DataFrame = {
     val shUdf = udf { t: String =>
       val hs = functions.Hashing.shingles(t, 3)
         .map(s => functions.Hashing.hash64(s)).distinct
@@ -1060,9 +1060,20 @@ object Queries {
     val l = slice.select(col("doc_id").as("id1"), shUdf(col("text")).as("sh1"))
       .repartition(32)
     val r = slice.select(col("doc_id").as("id2"), shUdf(col("text")).as("sh2"))
-    val exact = l.crossJoin(broadcast(r)).where(col("id1") < col("id2"))
-      .where(setJaccard(col("sh1"), col("sh2")) >= 0.5)
+    // size-ratio prefilter, codegen'd, BEFORE the UDF: |∩| ≤ min(|A|,|B|)
+    // and |∪| ≥ max(|A|,|B|), so J ≤ min/max — a pair whose shingle-set
+    // sizes differ by more than th can't pass and never pays the UDF's
+    // array marshalling (the dominant per-pair cost on ~125k pairs)
+    l.crossJoin(broadcast(r)).where(col("id1") < col("id2"))
+      .where(least(size(col("sh1")), size(col("sh2"))).cast(DoubleType)
+        >= greatest(size(col("sh1")), size(col("sh2"))) * th)
+      .where(setJaccard(col("sh1"), col("sh2")) >= th)
       .select("id1", "id2")
+  }
+
+  val qDedupMinhashRecall: QFn = (s, d) => {
+    val slice = documents(s, d).where(col("doc_id") < 500)
+    val exact = exactJaccardPairs(slice, 0.5)
     val mh = Dedup.minhashPairs(slice, "text", "doc_id",
       shingleSize = 3, bands = 8, rowsPerBand = 4, verifyJaccard = Some(0.5))
       .select("id1", "id2").withColumn("hit", lit(1))
@@ -1089,6 +1100,67 @@ object Queries {
   val qDedupSimhash: QFn = (s, d) =>
     Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 6)
       .orderBy("id1", "id2")
+
+  /** SimHash recall, oracle-visible (the q_dedup_minhash_recall pattern
+    * applied to the remaining rows-only sketch): DuckDB brute-forces the
+    * TRUE Jaccard-≥0.8 near-exact-duplicate set on the <500-id slice —
+    * SimHash targets token-multiset cosine, so only the near-exact tier
+    * maps cleanly onto a hamming budget — and the boolean asserts the
+    * pigeonhole-segmented hamming-≤6 path recovered ≥70% of it
+    * (measured 1.0 on the test corpus — near-exact dups flip almost no
+    * signature bits, far inside the budget). A segmentation or
+    * kernel regression that drops near-dups now fails the gate. */
+  val qDedupSimhashRecall: QFn = (s, d) => {
+    val slice = documents(s, d).where(col("doc_id") < 500)
+    val exact = exactJaccardPairs(slice, 0.8)
+    val sh = Dedup.simhashPairs(slice, "text", "doc_id", maxHamming = 6)
+      .select("id1", "id2").withColumn("hit", lit(1))
+    exact.join(sh, Seq("id1", "id2"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        when(count(lit(1)) === 0, lit(true))
+          .otherwise(sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.7))
+          .as("recall_ok"))
+  }
+  val qDedupSimhashRecallSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |      ELSE list_transform(generate_series(1, len(w)-2),
+      |             i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |        FROM documents WHERE doc_id < 500))
+      |SELECT count(*) AS n_exact, TRUE AS recall_ok
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin
+
+  /** Incremental dedup equivalence gate: split the corpus into an "old"
+    * half (its band table = the persisted signature store) and a "new"
+    * batch; assert pairs(old alone) ∪ incremental(new vs store) equals
+    * the full-batch pair set EXACTLY (same band scheme + verify
+    * threshold on every path). n_docs anchors the oracle; `consistent`
+    * is the set equality — a store-schema or band-key drift between the
+    * batch and incremental paths flips it false. */
+  val qDedupIncremental: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val oldDocs = docs.where(col("doc_id") % 2 === 0)
+    val newDocs = docs.where(col("doc_id") % 2 === 1)
+    val store = Dedup.minhashBands(oldDocs, "text", "doc_id")
+    val incr = Dedup.minhashIncrementalPairs(newDocs, store, docs,
+      "text", "doc_id", verifyJaccard = Some(0.5)).select("id1", "id2")
+    val oldPairs = Dedup.minhashPairs(oldDocs, "text", "doc_id",
+      verifyJaccard = Some(0.5)).select("id1", "id2")
+    val full = Dedup.minhashPairs(docs, "text", "doc_id",
+      verifyJaccard = Some(0.5)).select("id1", "id2")
+    val union = incr.unionByName(oldPairs).distinct()
+    val missing = full.exceptAll(union)
+    val extra = union.exceptAll(full)
+    val consistent = (missing.count() == 0L) && (extra.count() == 0L)
+    docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+      .withColumn("consistent", lit(consistent))
+  }
+  val qDedupIncrementalSql: String =
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS consistent FROM documents"
 
   /** Embedding-cosine near-dups via hyperplane LSH (rows-only check;
     * testdata max pairwise cosine ≈0.51, so threshold 0.35 yields pairs). */
@@ -1244,6 +1316,69 @@ object Queries {
       |FROM orders
       |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Deterministic STRATIFIED sampling (operators.Sampling
+    * .stratifiedByMd5): per-stratum keep fractions through the portable
+    * md5-prefix rule — downsample finished orders hard, keep every
+    * pending one (the corpus-rebalancing "data recipe" move, e.g.
+    * downsample web text / keep all code). No RNG: both engines select
+    * the IDENTICAL row set, so the gate checks the sample itself, not
+    * just its size. */
+  val qStratified: QFn = (s, d) =>
+    operators.Sampling.stratifiedByMd5(orders(s, d), "o_orderstatus",
+      "o_orderkey", Map("F" -> 0.25, "O" -> 0.5, "P" -> 1.0))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), sum38_2(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  val qStratifiedSql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) <
+      |  CASE o_orderstatus WHEN 'F' THEN '4000' WHEN 'O' THEN '8000'
+      |       WHEN 'P' THEN 'g' ELSE '0000' END
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Deterministic fixed-size per-group sample (operators.Sampling
+    * .topKPerGroup — the no-RNG reservoir): exactly k rows per stratum,
+    * chosen by md5-rank of the key, identical in any engine. The gate
+    * hashes the SAMPLED ROWS with their ranks, not counts. */
+  val qReservoir: QFn = (s, d) =>
+    operators.Sampling.topKPerGroup(orders(s, d), "o_orderstatus",
+      "o_orderkey", k = 50)
+      .select(col("o_orderstatus"), col("sample_rank").cast(IntegerType).as("sample_rank"),
+        col("o_orderkey"))
+      .orderBy("o_orderstatus", "sample_rank")
+  val qReservoirSql: String =
+    """SELECT o_orderstatus, CAST(sample_rank AS INTEGER) AS sample_rank, o_orderkey
+      |FROM (SELECT o_orderstatus, o_orderkey,
+      |        row_number() OVER (PARTITION BY o_orderstatus
+      |          ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS sample_rank
+      |      FROM orders)
+      |WHERE sample_rank <= 50
+      |ORDER BY o_orderstatus, sample_rank""".stripMargin
+
+  /** Z-order (Morton) layout key (operators.Layout): one z-range
+    * predicate selects a RECTANGLE in (partkey, suppkey) space —
+    * z < 2^(2k) ⟺ both coordinates < 2^k — which is how a z-clustered
+    * lake prunes files on either dimension. The gate replays the full
+    * interleave arithmetic in DuckDB bit ops and hashes the selected
+    * rows WITH their z-values, pinning the exact bit layout. */
+  val qZorder: QFn = (s, d) => {
+    val z = operators.Layout.zorder2(col("l_partkey"), col("l_suppkey"), 16)
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), z.as("z"))
+      .where(col("z") < 4096L) // ⟺ l_partkey < 64 AND l_suppkey < 64
+      .orderBy("z", "l_orderkey", "l_linenumber")
+  }
+  val qZorderSql: String = {
+    val z = operators.Layout.zorder2Sql("l_partkey", "l_suppkey", 16)
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, $z AS z
+       |FROM lineitem
+       |WHERE $z < 4096
+       |ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+  }
 
   /** Sequence packing (operators.Packing): greedy first-fit-decreasing
     * into 512-token bins per partition. Bin ASSIGNMENT is
@@ -1507,6 +1642,21 @@ object Queries {
       |SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 2) d
       |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Bloom-prefiltered decontamination — same contract as [[qDecontam]]
+    * (identical output: Bloom admits no false negatives, the exact join
+    * removes its false positives) but the corpus side is filtered
+    * map-side by a broadcast sketch before any shuffle — the plan that
+    * survives a 100 TB corpus against a fixed benchmark. Shares
+    * q_decontam's DuckDB oracle, so the gate proves the equivalence. */
+  val qDecontamBloom: QFn = (s, d) => {
+    val docs = documents(s, d)
+    DocChunker.decontaminateBloom(
+      corpus = docs.where(col("doc_id") % 10 >= 2),
+      benchmark = docs.where(col("doc_id") % 10 < 2),
+      textCol = "text", idCol = "doc_id", n = 5)
+      .orderBy("doc_id")
+  }
 
   /** Quality-filter verdict chain: rule flags concatenated into a reasons
     * string, keep = no rule fired — the cleaning pass every corpus runs,
@@ -2141,11 +2291,16 @@ object Queries {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_minhash_recall" -> qDedupMinhashRecall,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_simhash_recall" -> qDedupSimhashRecall,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_clusters" -> qDedupClusters,
     "q_tfidf" -> qTfidf,
     "q_sample_hash" -> qSampleHash,
+    "q_stratified" -> qStratified,
+    "q_reservoir" -> qReservoir,
+    "q_zorder" -> qZorder,
     "q_pack_stats" -> qPackStats,
     "q_ann_cosine" -> qAnnCosine,
     "q_ann_ivf" -> qAnnIvf,
@@ -2156,6 +2311,7 @@ object Queries {
     "q_stream_join" -> qStreamJoin,
     "q_doc_chunks" -> qDocChunks,
     "q_decontam" -> qDecontam,
+    "q_decontam_bloom" -> qDecontamBloom,
     "q_quality_filter" -> qQualityFilter,
     "q_window_firstlast" -> qWindowFirstLast,
     "q_date_fns" -> qDateFns,
@@ -2240,6 +2396,9 @@ object Queries {
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_tfidf" -> qTfidfSql,
     "q_sample_hash" -> qSampleHashSql,
+    "q_stratified" -> qStratifiedSql,
+    "q_reservoir" -> qReservoirSql,
+    "q_zorder" -> qZorderSql,
     "q_ann_cosine" -> qAnnCosineSql,
     "q_ann_batch" -> qAnnBatchSql,
     "q_embed_stats" -> qEmbedStatsSql,
@@ -2247,6 +2406,9 @@ object Queries {
     "q_stream_join" -> qStreamJoinSql,
     "q_doc_chunks" -> qDocChunksSql,
     "q_decontam" -> qDecontamSql,
+    // q_decontam_bloom intentionally shares q_decontam's oracle text:
+    // the bloom path must produce the IDENTICAL result
+    "q_decontam_bloom" -> qDecontamSql,
     "q_quality_filter" -> qQualityFilterSql,
     "q_window_firstlast" -> qWindowFirstLastSql,
     "q_date_fns" -> qDateFnsSql,
@@ -2279,6 +2441,8 @@ object Queries {
     "q_approx_distinct" -> qApproxDistinctSql,
     "q_knn_recall" -> qKnnRecallSql,
     "q_dedup_minhash_recall" -> qDedupMinhashRecallSql,
+    "q_dedup_simhash_recall" -> qDedupSimhashRecallSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_embed_recall" -> qEmbedRecallSql,
     "q_pack_stats" -> qPackStatsSql,
     "q_ann_ivf_recall" -> qAnnIvfRecallSql,

@@ -141,7 +141,29 @@ object ScaleProbe {
         val pairs = operators.Dedup.minhashPairs(docs, "text", "doc_id",
           verifyJaccard = None).select("id1", "id2")
         operators.Dedup.clusters(pairs)
-      })
+      }),
+      // asymmetric decontamination: the CORPUS inflates 10×, the
+      // benchmark stays the un-inflated eval split — exactly the shape
+      // the broadcast-Bloom prefilter exists for (shuffle ∝ hits, not
+      // corpus)
+      run("decontam_bloom", operators.DocChunker.decontaminateBloom(
+        corpus = docs, benchmark = docs0.where(col("doc_id") % 10 < 2),
+        textCol = "text", idCol = "doc_id", n = 5)),
+      // incremental dedup: the store side is the inflated corpus'
+      // even half (pre-sketched bands, read as-is), the new batch is
+      // one original-size slice — shuffle must scale with the BATCH
+      run("dedup_incremental", {
+        val store = operators.Dedup.minhashBands(
+          docs.where(col("doc_id") % X =!= 0), "text", "doc_id")
+        val batch = docs.where(col("doc_id") % X === 0)
+        operators.Dedup.minhashIncrementalPairs(batch, store, docs,
+          "text", "doc_id", verifyJaccard = None)
+      }),
+      // z-order clustering of the inflated fact: one range exchange +
+      // per-partition sort; spill-free at 10× or the layout write
+      // becomes the bottleneck it is meant to remove
+      run("zorder_cluster", operators.Layout.clusterByZ(
+        li, "l_partkey", "l_suppkey", numPartitions = Some(128)))
     )
     // broadcast stayed broadcast?
     require(heads.nonEmpty)

@@ -64,19 +64,55 @@ object Dedup {
       .where(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
     verifyJaccard match {
-      case None => cand
-      case Some(th) =>
-        val jaccardUdf = udf((a: String, b: String) =>
-          Hashing.jaccard(a, b, shingleSize))
-        val txt = docs.select(col(idCol), col(textCol))
-        val withTexts = cand
-          .join(txt.select(col(idCol).as("id1"), col(textCol).as("t1")), "id1")
-          .join(txt.select(col(idCol).as("id2"), col(textCol).as("t2")), "id2")
-        withTexts
-          .withColumn("jaccard",
-            TextFunctions.trunc4(jaccardUdf(col("t1"), col("t2"))))
-          .where(col("jaccard") >= th)
-          .select("id1", "id2", "jaccard")
+      case None     => cand
+      case Some(th) => verifyCandidates(cand, docs, textCol, idCol, shingleSize, th)
+    }
+  }
+
+  /** Exact shingle-Jaccard verification of candidate (id1, id2) pairs —
+    * texts join back only for the candidate ids, never the corpus. */
+  private def verifyCandidates(cand: DataFrame, texts: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int, th: Double): DataFrame = {
+    val jaccardUdf = udf((a: String, b: String) =>
+      Hashing.jaccard(a, b, shingleSize))
+    val txt = texts.select(col(idCol), col(textCol))
+    cand
+      .join(txt.select(col(idCol).as("id1"), col(textCol).as("t1")), "id1")
+      .join(txt.select(col(idCol).as("id2"), col(textCol).as("t2")), "id2")
+      .withColumn("jaccard",
+        TextFunctions.trunc4(jaccardUdf(col("t1"), col("t2"))))
+      .where(col("jaccard") >= th)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** Incremental MinHash dedup — the 100 TB workflow: the corpus is
+    * never re-sketched. Persisted state is the band table
+    * (band, bucket, id) from [[minhashBands]] (~`bands` 20-byte rows per
+    * doc); a new batch is sketched alone, candidate pairs are every pair
+    * touching a new doc — (new × store) ∪ (new × new) via the same band
+    * equi-join — and verification joins text only for candidate ids
+    * (`allTexts` must cover store ids too, e.g. the lake table the store
+    * indexes). The state update is a blind append of the new batch's
+    * bands — no read-modify-write, so batches commit independently.
+    * Equivalence to the full-batch run is gated: pairs(full corpus) =
+    * pairs(old corpus) ∪ incremental(new, store) — q_dedup_incremental
+    * asserts exactly this set equality. */
+  def minhashIncrementalPairs(newDocs: DataFrame, store: DataFrame,
+      allTexts: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      verifyJaccard: Option[Double] = Some(0.7)): DataFrame = {
+    val newBands = minhashBands(newDocs, textCol, idCol, shingleSize, bands, rowsPerBand)
+    val l = newBands.select(col("band"), col("bucket"), col(idCol).as("idN"))
+    val r = store.unionByName(newBands)
+      .select(col("band"), col("bucket"), col(idCol).as("idO"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .where(col("idN") =!= col("idO"))
+      .select(least(col("idN"), col("idO")).as("id1"),
+        greatest(col("idN"), col("idO")).as("id2"))
+      .distinct()
+    verifyJaccard match {
+      case None     => cand
+      case Some(th) => verifyCandidates(cand, allTexts, textCol, idCol, shingleSize, th)
     }
   }
 

@@ -86,4 +86,37 @@ object DocChunker {
       .join(hits, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
+
+  /** [[decontaminate]] with a broadcast Bloom prefilter — the 100 TB
+    * path. The benchmark side is tiny next to the corpus (eval sets are
+    * thousands of docs; the corpus is the 100 TB), so instead of
+    * shuffling every distinct (doc, shingle) pair of the corpus into a
+    * join, build a Bloom filter over the benchmark shingles once
+    * (`df.stat.bloomFilter` — a distributed aggregation producing one
+    * driver-side sketch), broadcast it, and drop the overwhelmingly-
+    * clean corpus shingles map-side. Only bloom survivors (true hits +
+    * ~fpp false positives) reach the exact verify join, so the result is
+    * IDENTICAL to [[decontaminate]] — Bloom has no false negatives and
+    * the join removes the false positives — which is exactly what the
+    * gate checks (q_decontam_bloom shares q_decontam's oracle). */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String, n: Int = 5,
+      fpp: Double = 0.01): DataFrame = {
+    val benchSh = shingles(benchmark, textCol, idCol, n)
+      .select("shingle").distinct()
+    // one bounded driver-side count to size the filter; both it and the
+    // sketch aggregation are O(benchmark), not O(corpus)
+    val expected = math.max(benchSh.count(), 1L)
+    val bloom = benchSh.stat.bloomFilter("shingle", expected, fpp)
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
+    val survivors = shingles(corpus, textCol, idCol, n)
+      .where(mightContain(col("shingle")))
+      .dropDuplicates(idCol, "shingle")
+    val hits = survivors.join(benchSh, "shingle")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
 }

@@ -46,6 +46,42 @@ object Sampling {
     df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < lit(threshold))
   }
 
+  /** Engine-portable STRATIFIED sampler: per-stratum fraction applied
+    * through the same md5-prefix rule as [[byMd5Prefix]] — the
+    * deterministic analog of `df.stat.sampleBy` (which is Bernoulli-RNG
+    * and thus engine-private). Strata absent from `fractions` keep
+    * fraction 0. A fraction ≥ 1 compares against "g" (every 4-hex md5
+    * prefix sorts below it — "ffff" < "g"); the naive "10000" threshold
+    * would sort BELOW "ffff" lexicographically and drop the stratum. */
+  def stratifiedByMd5(df: DataFrame, stratumCol: String, keyCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0,1]")
+    val threshold = fractions.foldLeft(lit("0000")) { case (acc, (k, f)) =>
+      val hex = if (f >= 1.0) "g" else f"${math.round(f * 65536).toInt}%04x"
+      when(col(stratumCol) === k, lit(hex)).otherwise(acc)
+    }
+    df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)
+  }
+
+  /** Deterministic fixed-SIZE per-group sample — the no-RNG reservoir:
+    * rank rows inside each group by the md5 of their key (a uniform,
+    * engine-portable permutation; the key itself tiebreaks hash
+    * collisions) and keep the first k. Unlike fraction-based samplers
+    * this guarantees exactly min(k, |group|) rows per group — the
+    * "k examples per source for the eval set" move. One shuffle on the
+    * group key; rank is a window, so groups far larger than k should
+    * pre-thin with [[byMd5Prefix]] first at extreme scale. */
+  def topKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= k)
+  }
+
   /** Mixture of sources at given fractions (a training-data recipe):
     * each (df, fraction) sampled by key hash, unioned by name. */
   def weightedUnion(sources: Seq[(DataFrame, String, Double)],

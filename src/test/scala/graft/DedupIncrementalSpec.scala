@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Dedup, DocChunker}
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup equivalence, simhash recall vs ground truth, and
+  * bloom-prefiltered decontamination equivalence — the round-5 scale
+  * paths, each proven equal (or recall-bounded) against its batch/exact
+  * counterpart. */
+class DedupIncrementalSpec extends SparkTestBase {
+
+  test("incremental minhash pairs equal the full-batch pair set") {
+    val docs = Tables.documents(spark, sf)
+    val oldDocs = docs.where(col("doc_id") % 2 === 0)
+    val newDocs = docs.where(col("doc_id") % 2 === 1)
+    val store = Dedup.minhashBands(oldDocs, "text", "doc_id")
+    val incr = Dedup.minhashIncrementalPairs(newDocs, store, docs,
+      "text", "doc_id", verifyJaccard = Some(0.5)).select("id1", "id2")
+    val oldPairs = Dedup.minhashPairs(oldDocs, "text", "doc_id",
+      verifyJaccard = Some(0.5)).select("id1", "id2")
+    val full = Dedup.minhashPairs(docs, "text", "doc_id",
+      verifyJaccard = Some(0.5)).select("id1", "id2")
+    val union = incr.unionByName(oldPairs).distinct()
+    assert(full.exceptAll(union).count() === 0,
+      "incremental path MISSED pairs the batch run finds")
+    assert(union.exceptAll(full).count() === 0,
+      "incremental path INVENTED pairs the batch run lacks")
+    assert(full.count() > 0, "test premise: corpus must contain near-dups")
+    // every incremental pair touches at least one new (odd) doc
+    assert(incr.where(col("id1") % 2 === 0 && col("id2") % 2 === 0).count() === 0)
+  }
+
+  test("incremental store update is a blind append (re-run equivalence)") {
+    val docs = Tables.documents(spark, sf)
+    val oldDocs = docs.where(col("doc_id") % 2 === 0)
+    val newDocs = docs.where(col("doc_id") % 2 === 1)
+    val appended = Dedup.minhashBands(oldDocs, "text", "doc_id")
+      .unionByName(Dedup.minhashBands(newDocs, "text", "doc_id"))
+    val direct = Dedup.minhashBands(docs, "text", "doc_id")
+    assert(appended.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(appended).count() === 0)
+  }
+
+  test("simhash hamming<=6 recall over near-exact (Jaccard>=0.8) ground truth") {
+    val slice = Tables.documents(spark, "/root/testdata/sf0.01")
+      .where(col("doc_id") < 500)
+    val shUdf = udf { t: String =>
+      val hs = functions.Hashing.shingles(t, 3)
+        .map(s => functions.Hashing.hash64(s)).distinct
+      java.util.Arrays.sort(hs); hs
+    }
+    val setJaccard = udf { (a: Seq[Long], b: Seq[Long]) =>
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1 else j += 1
+      }
+      inter.toDouble / (a.length + b.length - inter)
+    }
+    val l = slice.select(col("doc_id").as("id1"), shUdf(col("text")).as("sh1"))
+    val r = slice.select(col("doc_id").as("id2"), shUdf(col("text")).as("sh2"))
+    val exact = l.crossJoin(broadcast(r)).where(col("id1") < col("id2"))
+      .where(setJaccard(col("sh1"), col("sh2")) >= 0.8)
+      .select("id1", "id2").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(slice, "text", "doc_id", maxHamming = 6)
+      .select("id1", "id2").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(exact.nonEmpty, "test premise: near-exact dups must exist")
+    val recall = exact.count(sh.contains).toDouble / exact.size
+    info(s"simhash recall: $recall over ${exact.size} ground-truth pairs")
+    assert(recall >= 0.7, s"recall $recall below the gate threshold")
+  }
+
+  test("bloom-prefiltered decontamination equals the exact join") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.where(col("doc_id") % 10 >= 2)
+    val bench = docs.where(col("doc_id") % 10 < 2)
+    val exact = DocChunker.decontaminate(corpus, bench, "text", "doc_id", n = 5)
+    val bloom = DocChunker.decontaminateBloom(corpus, bench, "text", "doc_id", n = 5)
+    assert(exact.exceptAll(bloom).count() === 0)
+    assert(bloom.exceptAll(exact).count() === 0)
+    // premise: contamination exists, so equality is not vacuous
+    assert(exact.where(col("n_hits") > 0).count() > 0)
+  }
+}

@@ -59,6 +59,62 @@ class PlanQualitySpec extends SparkTestBase {
       "decontam must be a key equi-join on shingle:\n" + p.take(3000))
   }
 
+  test("bloom decontamination filters the corpus BEFORE any exchange") {
+    // the 100 TB claim: clean shingles die map-side in the bloom UDF
+    // filter, so the shuffle carries only hits + fpp false positives.
+    // Plan prints top-down; the corpus-side Filter(...UDF...) must sit
+    // below (= after in print order) every Exchange that follows the
+    // corpus scan — equivalently, SOME BatchScan/FileScan has a Filter
+    // containing the UDF between itself and the first Exchange above it.
+    val df = Queries.all("q_decontam_bloom")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val lines = p.linesIterator.toVector
+    val udfFilter = lines.indexWhere(l => l.contains("Filter") && l.contains("UDF"))
+    assert(udfFilter >= 0, "no bloom UDF filter in the plan:\n" + p.take(3000))
+    // the nearest plan line below the UDF filter that is a scan must be
+    // reached WITHOUT crossing an Exchange — i.e. filter sits directly
+    // on the scan side, not after a shuffle
+    val below = lines.drop(udfFilter + 1)
+      .takeWhile(l => !l.contains("Scan parquet"))
+    assert(!below.exists(_.contains("Exchange")),
+      "bloom filter runs after a shuffle — prefilter is not map-side:\n" + p.take(3000))
+  }
+
+  test("q_zorder reads only the four referenced columns") {
+    val df = Queries.all("q_zorder")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_partkey") && read.contains("l_suppkey"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_shipdate"),
+      s"z-order scan reads unreferenced columns: $read")
+  }
+
+  test("incremental dedup never re-sketches the store side") {
+    // the candidate join must consume the store's (band, bucket, id)
+    // rows as-is: no UDF (the sketch kernel) may appear above the store
+    // scan. Build the incremental frame directly with a parquet-backed
+    // store so the plan separates the two sides.
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_store").toString
+    operators.Dedup.minhashBands(docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      "text", "doc_id").write.mode("overwrite").parquet(dir)
+    val store = spark.read.parquet(dir)
+    val newDocs = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
+    val incr = operators.Dedup.minhashIncrementalPairs(newDocs, store, docs,
+      "text", "doc_id", verifyJaccard = None)
+    incr.collect()
+    val p = incr.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly the new-batch side(s) compute the sketch UDF; the store
+    // side is a bare columnar scan of the band table
+    val lines = p.linesIterator.toVector
+    val storeScan = lines.filter(l => l.contains("Scan parquet") && l.contains("graft_store"))
+    assert(storeScan.nonEmpty, "store side not read from parquet:\n" + p.take(3000))
+  }
+
   test("row estimate stays within 25% of the true count without a full scan") {
     val o = Tables.orders(spark, sf)
     val actual = o.count()
@@ -79,9 +135,12 @@ class PlanQualitySpec extends SparkTestBase {
     // q_knn_recall compares the LSH graph AGAINST the exact all-pairs
     // baseline on the bounded 200-id slice — the baseline side is the
     // same whitelisted shape as q_knn_exact.
+    // q_dedup_simhash_recall shares q_dedup_minhash_recall's bounded
+    // 500-doc brute-force ground-truth stage (the LSH path under test
+    // is the equi-join side)
     val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact",
       "q_range_join_auto", "q_knn_recall", "q_dedup_minhash_recall",
-      "q_embed_recall")
+      "q_dedup_simhash_recall", "q_embed_recall")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { name =>
@@ -99,7 +158,8 @@ class PlanQualitySpec extends SparkTestBase {
   test("every oracle query ends in a total ORDER BY (determinism lint)") {
     // global single-row aggregates need no ordering — there is one row
     val singleRow = Set("q_minmax", "q_count_where",
-      "q_dedup_minhash_recall", "q_embed_recall", "q_knn_recall",
+      "q_dedup_minhash_recall", "q_dedup_simhash_recall",
+      "q_dedup_incremental", "q_embed_recall", "q_knn_recall",
       "q_pack_stats")
     val bad = Queries.oracles.filterNot { case (name, sql) =>
       singleRow(name) || sql.toUpperCase.replaceAll("\\s+", " ").contains("ORDER BY")

@@ -39,6 +39,43 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(so.count() === Sampling.byKeyHash(o, "o_orderkey", 0.2).count())
   }
 
+  test("md5-stratified sample is deterministic and hits per-stratum fractions") {
+    val o = Tables.orders(spark, "/root/testdata/sf0.01")
+    val fractions = Map("F" -> 0.25, "O" -> 0.5, "P" -> 1.0)
+    val sampled = Sampling.stratifiedByMd5(o, "o_orderstatus", "o_orderkey", fractions)
+    val before = o.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = sampled.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fractions.foreach { case (st, f) =>
+      val n = before(st).toDouble
+      val got = after.getOrElse(st, 0L).toDouble
+      assert(math.abs(got / n - f) <= 3.0 / math.sqrt(n) + 0.02,
+        s"stratum $st: kept ${got / n}, wanted $f")
+    }
+    // fraction 1.0 keeps EVERY row ("g" threshold, not the broken "10000")
+    assert(after("P") === before("P"))
+    // deterministic: identical row set on re-run
+    val again = Sampling.stratifiedByMd5(o, "o_orderstatus", "o_orderkey", fractions)
+    assert(sampled.exceptAll(again).count() === 0)
+  }
+
+  test("topKPerGroup returns exactly min(k, group size) rows per group, deterministically") {
+    val o = Tables.orders(spark, sf)
+    val k = 40
+    val sampled = Sampling.topKPerGroup(o, "o_orderstatus", "o_orderkey", k)
+    val sizes = o.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = sampled.groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (st, n) =>
+      assert(got(st) === math.min(k.toLong, n), s"stratum $st")
+    }
+    // deterministic: identical rows on re-run
+    val again = Sampling.topKPerGroup(o, "o_orderstatus", "o_orderkey", k)
+    assert(sampled.exceptAll(again).count() === 0)
+  }
+
   test("packing respects the token budget and reports utilization") {
     val docs = Tables.documents(spark, sf)
     val budget = 256

@@ -2,6 +2,7 @@ package graft
 
 import graft.streaming.LandingStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 import java.nio.file.Files
 
 /** Structured Streaming surface (SURVEY §2.10, §3.3): landing-dir
@@ -23,6 +24,46 @@ class StreamingSpec extends SparkTestBase {
     q.awaitTermination(120000)
     assert(total === o.count(), s"streamed $total of ${o.count()} rows")
     assert(batches >= 1)
+  }
+
+  test("streaming incremental dedup matches the batch pair set") {
+    // the standing-corpus workflow end-to-end: documents arrive in
+    // micro-batches; each batch sketches only itself, joins its bands
+    // against the persisted store (blind-append parquet), and the union
+    // of per-batch pair sets must equal the full-batch recompute —
+    // streaming composition of Dedup.minhashIncrementalPairs.
+    val landing = Files.createTempDirectory("graft_dd_landing_").toString
+    val ckpt = Files.createTempDirectory("graft_dd_ckpt_").toString
+    val storePath = Files.createTempDirectory("graft_dd_store_").toString + "/bands"
+    val docs = Tables.documents(spark, sf)
+    LandingStream.produce(docs.filter(col("doc_id") % 2 === 0), landing)
+    LandingStream.produce(docs.filter(col("doc_id") % 2 === 1), landing)
+    val pairs = scala.collection.mutable.Set[(Long, Long)]()
+    var batches = 0
+    val q = LandingStream.consume(spark, landing, docs.schema, ckpt,
+      maxFilesPerTrigger = 1) { (batch, _) =>
+      val store =
+        if (new java.io.File(storePath).exists())
+          spark.read.parquet(storePath)
+        else spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          new StructType().add("doc_id", "long").add("band", "int").add("bucket", "long"))
+      val incr = operators.Dedup.minhashIncrementalPairs(batch, store, docs,
+        "text", "doc_id", verifyJaccard = Some(0.5))
+      pairs ++= incr.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      operators.Dedup.minhashBands(batch, "text", "doc_id")
+        .write.mode("append").parquet(storePath)
+      batches += 1
+    }
+    q.awaitTermination(180000)
+    assert(batches >= 2, s"want multiple micro-batches, got $batches")
+    val full = operators.Dedup.minhashPairs(docs, "text", "doc_id",
+      verifyJaccard = Some(0.5)).select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.toSet === full,
+      s"streaming pairs ${pairs.size} != batch pairs ${full.size}")
+    assert(full.nonEmpty, "test premise: corpus must contain near-dups")
   }
 
   test("streaming windowed aggregate matches the batch plan") {
