@@ -773,14 +773,22 @@ object Queries {
   }
 
   /** F2/F3/F4 — deterministic hash masking (md5-keyed; identical
-    * algorithm in DuckDB, so fully oracle-checkable). */
+    * algorithm in DuckDB, so fully oracle-checkable). The shared
+    * md5-chain entropy pool is projected ONCE and the mask columns read
+    * it — inlining it per column (RandomIntDet/RandomStringDet each
+    * embed it) tripled the codegen unit and measured ~7 s of first-use
+    * JIT; this two-stage form is value-identical (same oracle). */
   val qMaskHash: QFn = (s, d) => {
-    import Masquerade._
-    customer(s, d).select(
+    val pooled = customer(s, d).select(col("c_custkey"), col("c_name"))
+      .withColumn("__pool", Masquerade.hexPool(col("c_name")))
+    val keepLen = least(length(col("c_name").cast(StringType)), lit(128))
+    pooled.select(
       col("c_custkey"),
-      RandomIntDet(col("c_name")).as("mask_int"),
-      RandomStringDet(col("c_name")).as("mask_str"),
-      RandomUuidDet(col("c_name")).as("mask_uuid"))
+      substring(translate(col("__pool"), "abcdef", "012345"), 1, 128)
+        .substr(lit(1), keepLen).as("mask_int"),
+      translate(col("__pool"), "0123456789", "ghijklmnop")
+        .substr(lit(1), keepLen).as("mask_str"),
+      Masquerade.RandomUuidDet(col("c_name")).as("mask_uuid"))
       .orderBy("c_custkey")
   }
   private val hexPoolSql =
@@ -862,8 +870,8 @@ object Queries {
 
   /** Language-ID heuristic (marker-stopword argmax). */
   val qLangId: QFn = (s, d) =>
-    documents(s, d).select(
-      col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+    TextFunctions.withLangId(documents(s, d), "text")
+      .select("doc_id", "lang_pred")
       .orderBy("doc_id")
   private def hitsSql(words: Seq[String]): String =
     s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
@@ -1338,6 +1346,30 @@ object Queries {
       |  CASE o_orderstatus WHEN 'F' THEN '4000' WHEN 'O' THEN '8000'
       |       WHEN 'P' THEN 'g' ELSE '0000' END
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Persisted incremental ANN index (operators.Similarity.writeIndex /
+    * appendIndex / queryIndex): the index is built in two batches (blind
+    * append — cells are data-independent seeded hyperplanes) as a
+    * cell-PARTITIONED parquet table, and the probe must return exactly
+    * what the direct in-memory IVF returns over the same rows. The
+    * consistency boolean is the gate; n_vecs anchors the oracle. */
+  val qAnnIndex: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    val qv = probeVec(s, d, 42L)
+    val bits = 4; val k = 10
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+    Similarity.writeIndex(e.where(col("vec_id") % 2 === 0), dir, "embedding", bits)
+    Similarity.appendIndex(e.where(col("vec_id") % 2 === 1), dir, "embedding", bits)
+    val viaIndex = Similarity.queryIndex(s, dir, "embedding", "vec_id", qv, k, bits)
+    val direct = Similarity.ivfTopK(Similarity.withCell(e, "embedding", bits),
+      "embedding", "vec_id", qv, k, bits)
+    val consistent = viaIndex.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaIndex).count() == 0
+    e.agg(count(lit(1)).cast(LongType).as("n_vecs"))
+      .withColumn("consistent", lit(consistent))
+  }
+  val qAnnIndexSql: String =
+    "SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS consistent FROM embeddings"
 
   /** Deterministic fixed-size per-group sample (operators.Sampling
     * .topKPerGroup — the no-RNG reservoir): exactly k rows per stratum,
@@ -2304,6 +2336,7 @@ object Queries {
     "q_pack_stats" -> qPackStats,
     "q_ann_cosine" -> qAnnCosine,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_index" -> qAnnIndex,
     "q_ann_batch" -> qAnnBatch,
     "q_embed_stats" -> qEmbedStats,
     "q_multimodal" -> qMultimodal,
@@ -2400,6 +2433,7 @@ object Queries {
     "q_reservoir" -> qReservoirSql,
     "q_zorder" -> qZorderSql,
     "q_ann_cosine" -> qAnnCosineSql,
+    "q_ann_index" -> qAnnIndexSql,
     "q_ann_batch" -> qAnnBatchSql,
     "q_embed_stats" -> qEmbedStatsSql,
     "q_window_events" -> qWindowEventsSql,

@@ -45,7 +45,12 @@ object Masquerade {
   }
 
   /** 128 hex chars of deterministic entropy derived from the value. */
-  private def hexPool(c: Column): Column = {
+  /** 128 hex chars derived from the value (4 chained md5 blocks) — the
+    * deterministic entropy pool random_int/random_string draw from.
+    * `private[graft]` so pipelines can compute it ONCE into a projection
+    * when several mask columns share it: inlining it per output column
+    * builds a codegen unit that measured ~7 s of first-use JIT. */
+  private[graft] def hexPool(c: Column): Column = {
     val h = md5(c.cast(StringType).cast(BinaryType))
     concat(h, md5(concat(h, lit("#2")).cast(BinaryType)),
       md5(concat(h, lit("#3")).cast(BinaryType)), md5(concat(h, lit("#4")).cast(BinaryType)))

@@ -106,7 +106,11 @@ object DocChunker {
       .select("shingle").distinct()
     // one bounded driver-side count to size the filter; both it and the
     // sketch aggregation are O(benchmark), not O(corpus)
-    val expected = math.max(benchSh.count(), 1L)
+    val expected = benchSh.count()
+    // empty benchmark (no doc reaches n tokens): nothing can hit — and
+    // Spark's stat.bloomFilter NPEs on an empty aggregation buffer
+    if (expected == 0L)
+      return corpus.select(col(idCol), lit(0L).as("n_hits"))
     val bloom = benchSh.stat.bloomFilter("shingle", expected, fpp)
     val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bloomBc.value.mightContainString(s))

@@ -34,6 +34,20 @@ object Layout {
     }.reduce(_ + _)
   }
 
+  /** N-column Morton interleave: bit i of column j lands at z-bit
+    * i*n + j. With `bits` bits per column, n*bits must stay ≤ 62 to
+    * keep the z-value a positive Long (3 cols × 20 bits, 4 × 15, …).
+    * [[zorder2]] is the n=2 special case, kept for the tighter scaladoc
+    * and the gate. */
+  def zorderN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, "zorderN needs at least two columns")
+    require(bits >= 1 && n * bits <= 62, s"n*bits must be <= 62, got ${n * bits}")
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      shiftrightunsigned(c.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (i * n + j))
+    ).reduce(_ + _)
+  }
+
   /** The same arithmetic as [[zorder2]] as portable SQL text (only `>>`,
     * `&`, `*`, `+`) — the oracle-side replay. */
   def zorder2Sql(a: String, b: String, bits: Int = 16): String = {

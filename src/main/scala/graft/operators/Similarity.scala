@@ -52,6 +52,34 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an ANN index: cell assignments written as a PARTITIONED
+    * lake table (`.../cell=N/...`), so a probe's cell predicate prunes
+    * whole directories at file-listing time — the strongest form of
+    * data skipping Spark has. Because cells are data-INDEPENDENT
+    * (seeded hyperplanes, not k-means), the index is incrementally
+    * appendable: a new batch gets identical cell assignments no matter
+    * what is already stored — [[appendIndex]] is a blind append, the
+    * same contract as the dedup band store. */
+  def writeIndex(embs: DataFrame, path: String, vecCol: String,
+      bits: Int, dim: Int = 64, mode: String = "overwrite"): Unit =
+    withCell(embs, vecCol, bits, dim)
+      .write.mode(mode).partitionBy("cell").parquet(path)
+
+  /** Append a new batch to an existing index (no read-modify-write;
+    * batches commit independently). */
+  def appendIndex(newEmbs: DataFrame, path: String, vecCol: String,
+      bits: Int, dim: Int = 64): Unit =
+    writeIndex(newEmbs, path, vecCol, bits, dim, mode = "append")
+
+  /** Query a persisted index: the nprobe hamming ball over the `cell`
+    * partition column prunes partitions during listing, so the scan
+    * touches only ~(Σ_{i≤nprobe} C(bits,i))/2^bits of the files. Result
+    * is identical to [[ivfTopK]] over the same rows (the gate pins it). */
+  def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String, idCol: String, query: Seq[Float], k: Int,
+      bits: Int, nprobe: Int = 1, dim: Int = 64): DataFrame =
+    ivfTopK(spark.read.parquet(path), vecCol, idCol, query, k, bits, nprobe, dim)
+
   /** All-pairs top-k per probe row against a (small, broadcastable) probe
     * set — broadcast-join + window rank; the bulk side never shuffles. */
   def batchTopK(embs: DataFrame, vecCol: String, idCol: String,

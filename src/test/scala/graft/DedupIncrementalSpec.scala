@@ -73,6 +73,27 @@ class DedupIncrementalSpec extends SparkTestBase {
     assert(recall >= 0.7, s"recall $recall below the gate threshold")
   }
 
+  test("incremental against an EMPTY store equals within-batch pairs") {
+    // first-ever batch: the store is empty, so incremental must reduce
+    // to plain minhashPairs over the batch
+    val docs = Tables.documents(spark, sf)
+    val emptyStore = Dedup.minhashBands(docs.where(lit(false)), "text", "doc_id")
+    val incr = Dedup.minhashIncrementalPairs(docs, emptyStore, docs,
+      "text", "doc_id", verifyJaccard = Some(0.5)).select("id1", "id2")
+    val batch = Dedup.minhashPairs(docs, "text", "doc_id",
+      verifyJaccard = Some(0.5)).select("id1", "id2")
+    assert(incr.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(incr).count() === 0)
+  }
+
+  test("bloom decontamination with an empty benchmark flags nothing") {
+    val docs = Tables.documents(spark, sf)
+    val none = docs.where(lit(false))
+    val res = DocChunker.decontaminateBloom(docs, none, "text", "doc_id", n = 5)
+    assert(res.where(col("n_hits") > 0).count() === 0)
+    assert(res.count() === docs.count(), "every corpus doc still reported")
+  }
+
   test("bloom-prefiltered decontamination equals the exact join") {
     val docs = Tables.documents(spark, sf)
     val corpus = docs.where(col("doc_id") % 10 >= 2)

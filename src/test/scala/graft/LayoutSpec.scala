@@ -50,6 +50,30 @@ class LayoutSpec extends SparkTestBase {
     assert(viaCol.exceptAll(viaSql).count() === 0)
   }
 
+  test("zorderN generalizes zorder2 and keeps the hypercube property") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    // n=2 degenerates to zorder2 exactly
+    val two = li.select(
+      Layout.zorder2(col("l_partkey"), col("l_suppkey"), 16).as("z2"),
+      Layout.zorderN(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zn"))
+    assert(two.where(col("z2") =!= col("zn")).count() === 0)
+    // 3-D: z < 2^(3k) ⟺ all three coordinates < 2^k
+    val df = Seq((1L, 2L, 3L), (7L, 7L, 7L), (8L, 0L, 0L), (0L, 8L, 0L),
+      (0L, 0L, 8L), (5L, 6L, 7L), (100L, 1L, 1L)).toDF("a", "b", "c")
+      .withColumn("z", Layout.zorderN(Seq(col("a"), col("b"), col("c")), 20))
+    val inCube = df.where(col("a") < 8 && col("b") < 8 && col("c") < 8)
+      .select("z").collect().map(_.getLong(0)).toSet
+    val byZ = df.where(col("z") < (1L << 9)).select("z").collect()
+      .map(_.getLong(0)).toSet
+    assert(inCube === byZ)
+    // guardrails: Long overflow and degenerate arity are rejected
+    intercept[IllegalArgumentException] {
+      Layout.zorderN(Seq(col("a"), col("b"), col("c")), 21)
+    }
+    intercept[IllegalArgumentException] { Layout.zorderN(Seq(col("a")), 16) }
+  }
+
   test("z-clustered parquet skips row groups on the SECOND dimension") {
     // the reason the operator exists: a rectangle predicate over a
     // z-clustered layout reads only the files/row-groups whose min/max

@@ -159,8 +159,8 @@ class PlanQualitySpec extends SparkTestBase {
     // global single-row aggregates need no ordering — there is one row
     val singleRow = Set("q_minmax", "q_count_where",
       "q_dedup_minhash_recall", "q_dedup_simhash_recall",
-      "q_dedup_incremental", "q_embed_recall", "q_knn_recall",
-      "q_pack_stats")
+      "q_dedup_incremental", "q_ann_index", "q_embed_recall",
+      "q_knn_recall", "q_pack_stats")
     val bad = Queries.oracles.filterNot { case (name, sql) =>
       singleRow(name) || sql.toUpperCase.replaceAll("\\s+", " ").contains("ORDER BY")
     }.keys

@@ -58,6 +58,11 @@ class SamplingPackingSpec extends SparkTestBase {
     // deterministic: identical row set on re-run
     val again = Sampling.stratifiedByMd5(o, "o_orderstatus", "o_orderkey", fractions)
     assert(sampled.exceptAll(again).count() === 0)
+    // strata absent from the map keep fraction 0 (dropped entirely)
+    val partial = Sampling.stratifiedByMd5(o, "o_orderstatus", "o_orderkey",
+      Map("F" -> 1.0))
+    assert(partial.where(col("o_orderstatus") =!= "F").count() === 0)
+    assert(partial.count() === before("F"))
   }
 
   test("topKPerGroup returns exactly min(k, group size) rows per group, deterministically") {
