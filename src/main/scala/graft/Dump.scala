@@ -86,16 +86,26 @@ object Dump {
       rowEstimate = -1L, // planner probes below instead of catalog stats
       pkType = chunkCol.map(_ => df.schema.fields.head.dataType.typeName),
       partitions = Nil)
-    val chunks: Seq[ChunkPlanner.Chunk] = strategy match {
-      case ChunkPlanner.Strategy.IntRange =>
-        ChunkPlanner.planInteger(df, chunkCol.get, cfg.targetChunks)
-      case _ => Nil
-    }
+    // a schema-only dump must not pay the planner's min/max probe (an
+    // eager aggregation job per table) for a chunk plan it never uses
+    val chunks: Seq[ChunkPlanner.Chunk] =
+      if (cfg.noData) Nil
+      else strategy match {
+        case ChunkPlanner.Strategy.IntRange =>
+          ChunkPlanner.planInteger(df, chunkCol.get, cfg.targetChunks)
+        case _ => Nil
+      }
     val partitioned =
-      if (cfg.orderByPrimary && orderCol.isDefined)
+      if (cfg.orderByPrimary && orderCol.isDefined) {
+        // range-split on the LEADING key (file boundaries), but sort
+        // within files by the WHOLE composite key — sorting on the head
+        // column alone leaves rows within one key-group in run-dependent
+        // order, breaking the reference's ORDER BY pk contract and
+        // byte-stability across runs
+        val sortCols = if (pk.nonEmpty) pk else orderCol.toSeq
         df.repartitionByRange(cfg.targetChunks, col(orderCol.get))
-          .sortWithinPartitions(orderCol.get)
-      else {
+          .sortWithinPartitions(sortCols.map(col): _*)
+      } else {
         // a small/single-file source scans as one split → the write would
         // be serial; guarantee targetChunks write parallelism (at 100 TB
         // the scan already has >> targetChunks splits and this is a no-op)
@@ -139,28 +149,36 @@ object Dump {
           .json(s"${cfg.outDir}/${cfg.db}.$table")
         obs.get("rows").asInstanceOf[Long]
       case ClickHouseFormat =>
-        val n = SqlInsertWriter.write(partitioned, cfg.db, table, cfg.outDir,
-          SqlInsertWriter.Options(statementSize = cfg.statementSize,
-            compress = cfg.compress))
         // companion loader script: one INSERT..FROM INFILE per chunk
         // file (write_clickhouse_statement pairs one statement per data
         // file; a single ordered script is the driver-side equivalent
-        // and still fans out — statements are independent)
-        val chunkRe = (java.util.regex.Pattern.quote(s"${cfg.db}.$table.") +
-          """\d{5}(\.\d{5})?\.sql(\.gz|\.zst)?""").r
-        val dataFiles = Option(new java.io.File(cfg.outDir).listFiles())
-          .getOrElse(Array.empty).map(_.getName)
-          .filter(f => chunkRe.pattern.matcher(f).matches()).toSeq
+        // and still fans out — statements are independent). The file
+        // list comes from the WRITER (accumulator), not a directory
+        // re-listing: listing picks up stale chunks from earlier dumps
+        // into the same dir and returns nothing on non-local filesystems.
+        val fileLog = df.sparkSession.sparkContext
+          .collectionAccumulator[String](s"files_dumped_${cfg.db}.$table")
+        val n = SqlInsertWriter.write(partitioned, cfg.db, table, cfg.outDir,
+          SqlInsertWriter.Options(statementSize = cfg.statementSize,
+            compress = cfg.compress, fileLog = Some(fileLog)))
+        import scala.jdk.CollectionConverters._
+        val dataFiles = fileLog.value.asScala.toSeq.distinct.sorted
         java.nio.file.Files.write(
           java.nio.file.Paths.get(cfg.outDir, s"${cfg.db}.$table-load.sql"),
           sources.ClickHouse.loaderScript(table, dataFiles)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.ClickHouse,
-          sources.ClickHouse.createTable(cfg.db, table, df.schema,
-            orderBy = cfg.primaryKeys.getOrElse(table, Nil)),
-          Some(table))
         n
     }
+    // ClickHouse-dialect DDL is a SCHEMA artifact: emitted whenever the
+    // dump format targets ClickHouse and schemas are wanted — including
+    // schema-only (--no-data) dumps, which previously lost it because it
+    // rode inside the data branch; and suppressed by --no-schemas, which
+    // previously still wrote it
+    if (cfg.format == ClickHouseFormat && !cfg.noSchemas)
+      writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.ClickHouse,
+        sources.ClickHouse.createTable(cfg.db, table, df.schema,
+          orderBy = cfg.primaryKeys.getOrElse(table, Nil)),
+        Some(table))
     // self-describing dump: the table DDL rides along as
     // db.table-schema.sql (reference mydumper_jobs.c:238 — every dump
     // carries its schema so a restore needs no live source catalog);

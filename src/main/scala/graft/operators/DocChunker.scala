@@ -102,15 +102,20 @@ object DocChunker {
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       textCol: String, idCol: String, n: Int = 5,
       fpp: Double = 0.01): DataFrame = {
+    // persisted: the benchmark shingle set feeds THREE consumers (the
+    // sizing count, the bloomFilter aggregation, the exact-verify join) —
+    // unpersisted it would re-run the explode+distinct shuffle for each.
+    // O(benchmark) residency by contract (eval sets are small); Spark
+    // evicts LRU if not.
     val benchSh = shingles(benchmark, textCol, idCol, n)
-      .select("shingle").distinct()
-    // one bounded driver-side count to size the filter; both it and the
-    // sketch aggregation are O(benchmark), not O(corpus)
+      .select("shingle").distinct().persist()
     val expected = benchSh.count()
     // empty benchmark (no doc reaches n tokens): nothing can hit — and
     // Spark's stat.bloomFilter NPEs on an empty aggregation buffer
-    if (expected == 0L)
+    if (expected == 0L) {
+      benchSh.unpersist()
       return corpus.select(col(idCol), lit(0L).as("n_hits"))
+    }
     val bloom = benchSh.stat.bloomFilter("shingle", expected, fpp)
     val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => s != null && bloomBc.value.mightContainString(s))

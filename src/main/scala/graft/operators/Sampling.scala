@@ -58,7 +58,10 @@ object Sampling {
     require(fractions.values.forall(f => f >= 0 && f <= 1),
       "fractions must be in [0,1]")
     val threshold = fractions.foldLeft(lit("0000")) { case (acc, (k, f)) =>
-      val hex = if (f >= 1.0) "g" else f"${math.round(f * 65536).toInt}%04x"
+      // TRUNCATE, never round: round(0.99999·65536) = 65536 formats as
+      // the 5-char "10000", which sorts BELOW most 4-hex prefixes and
+      // would silently sample the stratum at ~6% instead of ~100%
+      val hex = if (f >= 1.0) "g" else f"${(f * 65536).toInt}%04x"
       when(col(stratumCol) === k, lit(hex)).otherwise(acc)
     }
     df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)

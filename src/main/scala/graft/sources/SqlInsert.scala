@@ -31,7 +31,14 @@ object SqlInsertWriter {
       statementSize: Int = 1000000,     // --statement-size
       fileSizeBytes: Long = 0L,         // --chunk-filesize (0 = no rotation)
       compress: Boolean = false,        // --compress (gzip)
-      completeInsert: Boolean = true)   // column list in INSERT header
+      completeInsert: Boolean = true,   // column list in INSERT header
+      // when set, every data file NAME the writer opens is recorded
+      // (driver-side, via accumulator) — consumers that must pair a
+      // statement with each produced file (the ClickHouse loader script)
+      // read THIS instead of re-listing the output dir, which would pick
+      // up stale files from earlier runs and returns nothing on
+      // non-local filesystems
+      fileLog: Option[org.apache.spark.util.CollectionAccumulator[String]] = None)
 
   /** Dump `df` as SQL-INSERT files under `outDir`. Returns the row count
     * (via accumulator — no data rows cross to the driver).
@@ -169,7 +176,9 @@ object SqlInsertWriter {
       subPart += 1
       val sub = if (opts.fileSizeBytes > 0) f".$subPart%05d" else ""
       val ext = if (opts.compress) ".sql.gz" else ".sql"
-      val p = new Path(outDir, f"$db.$table.$part%05d$sub$ext")
+      val name = f"$db.$table.$part%05d$sub$ext"
+      opts.fileLog.foreach(_.add(name))
+      val p = new Path(outDir, name)
       val raw = fs.create(p, true)
       out = if (opts.compress) new GZIPOutputStream(new BufferedOutputStream(raw, 1 << 16))
             else new BufferedOutputStream(raw, 1 << 16)

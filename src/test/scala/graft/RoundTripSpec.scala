@@ -148,6 +148,69 @@ class RoundTripSpec extends SparkTestBase {
     assert(ddl.contains("ORDER BY tuple()"))
   }
 
+  test("order-by-primary sorts by the WHOLE composite key, not just its head") {
+    val li = Tables.lineitem(spark, sf).limit(2000)
+    val dir = Files.createTempDirectory("graft_obp_").toString
+    Dump.dumpTable(li, "lineitem", Dump.Config(
+      outDir = dir, db = "tpch", orderByPrimary = true, targetChunks = 4,
+      primaryKeys = Map("lineitem" -> Seq("l_orderkey", "l_linenumber"))))
+    // parse (l_orderkey, l_linenumber) back out of each file's tuples in
+    // FILE order: within a file they must be non-decreasing on the
+    // composite key (head-only sorting leaves linenumbers shuffled)
+    val tupleRe = """\((\d+),(\d+),(\d+),(\d+),""".r
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("""tpch\.lineitem\.\d{5}\.sql"""))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      val keys = tupleRe.findAllMatchIn(text)
+        .map(m => (m.group(1).toLong, m.group(4).toLong)).toSeq
+      assert(keys.size > 1, s"${f.getName} parsed too few tuples")
+      keys.sliding(2).foreach { case Seq(a, b) =>
+        assert(Ordering[(Long, Long)].lteq(a, b),
+          s"${f.getName}: $a before $b breaks composite PK order")
+      }
+    }
+  }
+
+  test("clickhouse schema-only and data-only dumps emit the right artifacts") {
+    val n = Tables.nation(spark, sf)
+    def names(dir: String): Set[String] =
+      new java.io.File(dir).listFiles().map(_.getName).toSet
+    // --no-data: the ClickHouse DDL must still be written (it is a schema
+    // artifact), and no data chunks or loader script may appear
+    val d1 = Files.createTempDirectory("graft_ch_nodata_").toString
+    Dump.dumpTable(n, "nation", Dump.Config(outDir = d1, db = "tpch",
+      format = Dump.ClickHouseFormat, noData = true))
+    assert(names(d1).contains("tpch.nation-schema-clickhouse.sql"))
+    assert(!names(d1).exists(_.matches("""tpch\.nation\.\d{5}\.sql""")))
+    assert(!names(d1).contains("tpch.nation-load.sql"))
+    // --no-schemas: data + loader script only, no DDL of either dialect
+    val d2 = Files.createTempDirectory("graft_ch_noschema_").toString
+    Dump.dumpTable(n, "nation", Dump.Config(outDir = d2, db = "tpch",
+      format = Dump.ClickHouseFormat, noSchemas = true))
+    assert(names(d2).exists(_.matches("""tpch\.nation\.\d{5}\.sql""")))
+    assert(names(d2).contains("tpch.nation-load.sql"))
+    assert(!names(d2).contains("tpch.nation-schema-clickhouse.sql"))
+    assert(!names(d2).contains("tpch.nation-schema.sql"))
+  }
+
+  test("clickhouse loader script lists only THIS run's files (no stale chunks)") {
+    val n = Tables.nation(spark, sf)
+    val dir = Files.createTempDirectory("graft_ch_stale_").toString
+    // plant a stale chunk from a hypothetical earlier, wider dump
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "tpch.nation.99999.sql"),
+      "-- stale\n".getBytes("UTF-8"))
+    Dump.dumpTable(n, "nation", Dump.Config(outDir = dir, db = "tpch",
+      format = Dump.ClickHouseFormat))
+    val script = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "tpch.nation-load.sql")), "UTF-8")
+    assert(!script.contains("99999"),
+      "loader script replays a stale chunk from a previous dump")
+    assert(script.contains("tpch.nation.00000"), "current chunks missing")
+  }
+
   test("config matrix: format × compression × ordering all round-trip (specific_N analog)") {
     val o = Tables.orders(spark, sf)
     val want = checksumOf(o)

@@ -63,6 +63,13 @@ class SamplingPackingSpec extends SparkTestBase {
       Map("F" -> 1.0))
     assert(partial.where(col("o_orderstatus") =!= "F").count() === 0)
     assert(partial.count() === before("F"))
+    // a fraction JUST below 1.0 must keep ~all rows — rounding it to
+    // 65536 would format as the 5-char "10000" which sorts below most
+    // 4-hex md5 prefixes and silently kept only ~6% (review finding)
+    val nearOne = Sampling.stratifiedByMd5(o, "o_orderstatus", "o_orderkey",
+      Map("F" -> 0.999999))
+    assert(nearOne.count() >= (before("F") * 0.99).toLong,
+      s"near-1.0 fraction collapsed: kept ${nearOne.count()} of ${before("F")}")
   }
 
   test("topKPerGroup returns exactly min(k, group size) rows per group, deterministically") {
