@@ -165,7 +165,7 @@ object Dump {
         val dataFiles = fileLog.value.asScala.toSeq.distinct.sorted
         java.nio.file.Files.write(
           java.nio.file.Paths.get(cfg.outDir, s"${cfg.db}.$table-load.sql"),
-          sources.ClickHouse.loaderScript(table, dataFiles)
+          sources.ClickHouse.loaderScript(cfg.db, table, dataFiles)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         n
     }

@@ -56,8 +56,15 @@ object DependencyScheduler {
     def snapshot: Map[String, State] = states.asScala.toMap
   }
 
-  /** Run all table plans respecting the state machine. Blocks until every
-    * table reaches ALL_DONE (or any job throws). */
+  /** Run all table plans respecting the state machine. Blocks the
+    * CALLING thread until every table reaches ALL_DONE (or any job
+    * throws); pool threads are never parked on other futures — the
+    * per-table pipeline CHAINS (flatMap) on its data futures instead of
+    * Await-ing them, so the scheduler cannot deadlock on a bounded
+    * ExecutionContext (N tables used to park N pool threads waiting for
+    * data futures that had no thread left to run on). The per-table
+    * semaphore wait is wrapped in `blocking` so compensating ECs (the
+    * global ForkJoin pool) grow past it. */
   def run(plans: Seq[TablePlan])(implicit ec: ExecutionContext): Progress = {
     val progress = new Progress
     val futures = plans.map { p =>
@@ -66,15 +73,16 @@ object DependencyScheduler {
         progress.states.put(p.name, Creating)
         p.createSchema()
         progress.states.put(p.name, Created)
+      }.flatMap { _ =>
         // data jobs: bounded per-table parallelism (reference cap)
         val sem = new Semaphore(math.max(p.maxThreadsPerTable, 1))
-        val dataFutures = p.dataJobs.map { job =>
+        Future.sequence(p.dataJobs.map { job =>
           Future {
-            sem.acquire()
+            scala.concurrent.blocking(sem.acquire())
             try job() finally sem.release()
           }
-        }
-        dataFutures.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+        })
+      }.map { _ =>
         progress.states.put(p.name, DataDone)
         // deferred indexes strictly after data (reference index pool),
         // then this table's triggers (so data loads never fired them)
@@ -83,7 +91,8 @@ object DependencyScheduler {
         progress.states.put(p.name, AllDone)
       }
     }
-    futures.foreach(f => scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+    scala.concurrent.Await.result(
+      Future.sequence(futures), scala.concurrent.duration.Duration.Inf)
     progress
   }
 

@@ -30,7 +30,13 @@ import java.util.concurrent.{ArrayBlockingQueue, ConcurrentHashMap, TimeUnit}
   */
 object PinnedConnectionPool {
 
-  final case class Key(url: String, user: String)
+  /** Pool identity includes the SESSION SETUP, not just the endpoint: a
+    * checkout with different init statements (or size) must get a
+    * different pool — silently reusing connections initialized by an
+    * earlier job would serve reads from that job's still-open snapshot
+    * transaction. */
+  final case class Key(url: String, user: String, size: Int = 0,
+      init: Seq[String] = Nil)
 
   private final class Pool(val conns: ArrayBlockingQueue[Connection],
       val physical: java.util.List[Connection])
@@ -41,15 +47,25 @@ object PinnedConnectionPool {
     * connection; `init` runs once per physical member at creation. */
   def checkout(key: Key, size: Int, init: Seq[String],
       mk: () => Connection, timeoutSec: Long = 3600L): Connection = {
-    val pool = pools.computeIfAbsent(key, _ => {
+    val pool = pools.computeIfAbsent(key.copy(size = size, init = init), _ => {
       val q = new ArrayBlockingQueue[Connection](size)
       val phys = new java.util.ArrayList[Connection](size)
-      var i = 0
-      while (i < size) {
-        val c = mk()
-        val st = c.createStatement()
-        try init.foreach(st.execute) finally st.close()
-        phys.add(c); q.put(c); i += 1
+      try {
+        var i = 0
+        while (i < size) {
+          val c = mk()
+          phys.add(c) // add BEFORE init so a failing init still closes c
+          val st = c.createStatement()
+          try init.foreach(st.execute) finally st.close()
+          q.put(c); i += 1
+        }
+      } catch {
+        case e: Throwable =>
+          // partial failure: close whatever was opened — each member may
+          // hold an open CONSISTENT SNAPSHOT transaction, and leaking it
+          // pins server connection slots + MVCC history until JVM death
+          phys.forEach(c => try c.close() catch { case _: Throwable => () })
+          throw e
       }
       new Pool(q, phys)
     })
@@ -76,22 +92,50 @@ object PinnedConnectionPool {
           case "toString" => s"PinnedConnection($conn)"
           case _ =>
             require(!returned.get(), "connection used after return to pool")
-            m.invoke(conn, args: _*)
+            // unwrap reflection's InvocationTargetException: callers
+            // (Spark's JdbcUtils retry/rollback, dialect error
+            // classification) catch SQLException — an undeclared
+            // wrapped checked exception would surface as
+            // UndeclaredThrowableException and skip all of that
+            try m.invoke(conn, args: _*)
+            catch {
+              case e: java.lang.reflect.InvocationTargetException =>
+                throw e.getCause
+            }
         }).asInstanceOf[Connection]
   }
 
-  /** Really close one pool's physical members (driver-side, after the
-    * dump's last action). */
-  def shutdown(key: Key): Unit = Option(pools.remove(key)).foreach { p =>
-    p.physical.forEach(c => try c.close() catch { case _: Throwable => () })
+  /** Stored keys carry (size, init); an endpoint-level `Key(url, user)`
+    * matches every pool for that endpoint, a fully-specified key only
+    * its own. */
+  private def matching(key: Key): Seq[Key] = {
+    val ks = java.util.Collections.list(pools.keys())
+    val b = Seq.newBuilder[Key]
+    ks.forEach { k =>
+      if (k.url == key.url && k.user == key.user &&
+          (key.init.isEmpty && key.size == 0 || k == key)) b += k
+    }
+    b.result()
+  }
+
+  /** Really close matching pools' physical members (driver-side, after
+    * the dump's last action). An endpoint-level key closes EVERY pool
+    * for that (url, user). */
+  def shutdown(key: Key): Unit = matching(key).foreach { k =>
+    Option(pools.remove(k)).foreach { p =>
+      p.physical.forEach(c => try c.close() catch { case _: Throwable => () })
+    }
   }
 
   def shutdownAll(): Unit = {
     val keys = java.util.Collections.list(pools.keys())
-    keys.forEach(k => shutdown(k))
+    keys.forEach(k => Option(pools.remove(k)).foreach { p =>
+      p.physical.forEach(c => try c.close() catch { case _: Throwable => () })
+    })
   }
 
-  /** Number of physical members currently pooled for `key` (0 = no pool). */
+  /** Physical members pooled for `key` (endpoint-level keys sum across
+    * that endpoint's pools; 0 = none). */
   def poolSize(key: Key): Int =
-    Option(pools.get(key)).map(_.physical.size).getOrElse(0)
+    matching(key).flatMap(k => Option(pools.get(k))).map(_.physical.size).sum
 }

@@ -30,6 +30,7 @@ final class StreamingLoader(maxThreadsPerTable: Int = 4)(
 
   private final class Entry {
     val schemaDone: Promise[Unit] = Promise[Unit]()
+    val schemaOffered = new java.util.concurrent.atomic.AtomicBoolean(false)
     val sem = new Semaphore(math.max(maxThreadsPerTable, 1))
     val dataFutures = mutable.Buffer.empty[Future[Unit]]
     @volatile var state: State = NotCreated
@@ -39,14 +40,19 @@ final class StreamingLoader(maxThreadsPerTable: Int = 4)(
   private def entry(t: String): Entry = tables.getOrElseUpdate(t, new Entry)
 
   /** Schema file arrived: run CREATE (async); tables whose data arrived
-    * first unblock when it completes. */
+    * first unblock when it completes. IDEMPOTENT — foreachBatch replay
+    * is at-least-once, so a re-delivered schema event must neither
+    * re-run CREATE (the table exists) nor complete an already-completed
+    * promise (which throws); only the FIRST offer acts. */
   def offerSchema(table: String, create: () => Unit): Unit = {
     val e = entry(table)
-    e.state = Creating
-    Future {
-      create()
-      e.state = Created
-    }.onComplete(e.schemaDone.complete)
+    if (e.schemaOffered.compareAndSet(false, true)) {
+      e.state = Creating
+      Future {
+        create()
+        e.state = Created
+      }.onComplete(e.schemaDone.tryComplete)
+    }
   }
 
   /** Data file arrived (possibly before the schema): queue its job,

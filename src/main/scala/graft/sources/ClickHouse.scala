@@ -61,14 +61,20 @@ object ClickHouse {
       Seq(") ENGINE = MergeTree ORDER BY " + key + ";")).mkString("\n")
   }
 
-  /** The per-data-file loader statement (mydumper_write.c:630-640). */
-  def insertFromInfile(table: String, fileBasename: String): String =
-    s"INSERT INTO `$table` FROM INFILE '$fileBasename' FORMAT MySQLDump;"
+  /** The per-data-file loader statement (mydumper_write.c:630-640).
+    * FULLY QUALIFIED `db`.`table`: [[createTable]] creates the table
+    * under `db`, so an unqualified INSERT would resolve against
+    * clickhouse-client's default database and fail (or hit an unrelated
+    * table of the same name). */
+  def insertFromInfile(db: String, table: String, fileBasename: String): String =
+    s"INSERT INTO `$db`.`$table` FROM INFILE '$fileBasename' FORMAT MySQLDump;"
 
   /** One executable restore script per table: `clickhouse-client
     * --multiquery < db.table-load.sql` replays every chunk in name
     * order (chunk files are independent, so a caller can also fan the
     * statements out over many clickhouse-client processes). */
-  def loaderScript(table: String, dataFileBasenames: Seq[String]): String =
-    dataFileBasenames.sorted.map(insertFromInfile(table, _)).mkString("\n") + "\n"
+  def loaderScript(db: String, table: String,
+      dataFileBasenames: Seq[String]): String =
+    dataFileBasenames.sorted.map(insertFromInfile(db, table, _))
+      .mkString("\n") + "\n"
 }

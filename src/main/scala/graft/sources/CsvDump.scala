@@ -32,7 +32,16 @@ object CsvDump {
       .option("sep", opts.fieldsTerminatedBy)
       .option("escape", opts.fieldsEscapedBy)
       .option("header", opts.header.toString)
-      .option("emptyValue", "")
+      // quoted-empty when enclosure is on: a BARE zero-length field
+      // parses back as null (univocity yields Java null before any
+      // option applies), so '' must be written as "" to survive a
+      // Spark-side re-read. With enclosure off (LOAD DATA mode) the
+      // zero-length field is the format's own empty-string encoding —
+      // MySQL loads it as '' correctly; only Spark re-reads fold it to
+      // NULL (documented reader limitation).
+      .option("emptyValue",
+        if (opts.fieldsEnclosedBy.nonEmpty)
+          opts.fieldsEnclosedBy * 2 else "")
       .option("nullValue", "\\N") // reference NULL text for load-data
     w = if (opts.fieldsEnclosedBy.nonEmpty) w.option("quote", opts.fieldsEnclosedBy)
         else w.option("quote", "\u0000")
@@ -41,11 +50,16 @@ object CsvDump {
   }
 
   def reader(spark: SparkSession, opts: Options = Options()): DataFrameReader = {
-    var r = spark.read
+    val r = spark.read
       .option("sep", opts.fieldsTerminatedBy)
       .option("escape", opts.fieldsEscapedBy)
       .option("header", opts.header.toString)
       .option("nullValue", "\\N")
+      // NULL has its own dedicated text (\N), so a zero-length field IS
+      // an empty string — without this the parser folds '' into null and
+      // a dump/restore silently rewrites empty strings as NULLs (flips
+      // checksums, breaks NOT NULL loads)
+      .option("emptyValue", "")
     if (opts.fieldsEnclosedBy.nonEmpty) r.option("quote", opts.fieldsEnclosedBy)
     else r.option("quote", "\u0000")
   }

@@ -24,7 +24,12 @@ object ExecHook {
         .filter(p => matcher.matches(p.getFileName)).map(_.toString).toSeq.sorted
       finally listing.close()
     files.map { p =>
-      (p, runner(Seq("/bin/sh", "-c", cmdTemplate.replace("FILENAME", p))))
+      // the path rides as a POSITIONAL ARGUMENT ($1), never spliced into
+      // the command text: direct substitution breaks on paths with
+      // spaces (table names may contain them) and lets a crafted file
+      // name execute arbitrary shell
+      (p, runner(Seq("/bin/sh", "-c",
+        cmdTemplate.replace("FILENAME", "\"$1\""), "graft-exec", p)))
     }
   }
 

@@ -84,7 +84,12 @@ object SqlInsertWriter {
             written += 1
           }
           if (inStatement) { sb.append(";\n"); w.emit(sb.toString) }
-        } finally w.close()
+          w.close() // SUCCESS path: commit (rename temp → final name)
+        } catch {
+          case e: Throwable =>
+            w.abort() // failure: discard the temp, never commit partials
+            throw e
+        }
       }
       counts.add(written)
     }
@@ -171,6 +176,14 @@ object SqlInsertWriter {
     private var subPart = -1
     private var out: OutputStream = _
     private var bytes = 0L
+    private var tmpPath: Path = _
+    private var finalPath: Path = _
+    // task-attempt id makes each attempt's temp file unique: a
+    // speculative/zombie duplicate attempt writing the SAME final path
+    // directly would interleave bytes into one corrupt file
+    private val attempt =
+      Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId())
+        .getOrElse(Thread.currentThread().getId)
 
     private def open(): Unit = {
       subPart += 1
@@ -178,8 +191,12 @@ object SqlInsertWriter {
       val ext = if (opts.compress) ".sql.gz" else ".sql"
       val name = f"$db.$table.$part%05d$sub$ext"
       opts.fileLog.foreach(_.add(name))
-      val p = new Path(outDir, name)
-      val raw = fs.create(p, true)
+      finalPath = new Path(outDir, name)
+      // hidden temp (leading dot): ignored by Hadoop input formats, the
+      // loader's discover(), and the reader globs, so a failed attempt
+      // leaves no half-written file under a data name
+      tmpPath = new Path(outDir, s".$name.$attempt.tmp")
+      val raw = fs.create(tmpPath, true)
       out = if (opts.compress) new GZIPOutputStream(new BufferedOutputStream(raw, 1 << 16))
             else new BufferedOutputStream(raw, 1 << 16)
       bytes = 0L
@@ -193,7 +210,24 @@ object SqlInsertWriter {
       if (opts.fileSizeBytes > 0 && bytes >= opts.fileSizeBytes) { close(); open() }
     }
 
-    def close(): Unit = if (out != null) { out.close(); out = null }
+    /** Commit-on-close: the completed temp file moves to the final name.
+      * Concurrent attempts each complete their OWN temp; whichever
+      * renames last wins with a whole file — never interleaved bytes.
+      * Call ONLY on success — [[abort]] is the failure path (committing
+      * from a finally would publish a partial file under a data name). */
+    def close(): Unit = if (out != null) {
+      out.close(); out = null
+      fs.delete(finalPath, false) // rename needs a free destination
+      if (!fs.rename(tmpPath, finalPath))
+        throw new java.io.IOException(s"commit failed: $tmpPath -> $finalPath")
+    }
+
+    /** Failure path: close and delete the in-progress temp; the final
+      * name is left untouched for the retry attempt to commit. */
+    def abort(): Unit = {
+      if (out != null) { try out.close() catch { case _: Throwable => () }; out = null }
+      if (tmpPath != null) try fs.delete(tmpPath, false) catch { case _: Throwable => () }
+    }
   }
 
   /** Render one external Row as a `(v1,v2,…)` tuple (test/debug surface;

@@ -80,14 +80,24 @@ object LandingStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Producer half of [[consumeFileEvents]]: announce one closed file. */
+  /** Per-JVM tiebreaker for same-millisecond announcements. */
+  private val announceSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Producer half of [[consumeFileEvents]]: announce one closed file.
+    * Names order by WALL-CLOCK millis + a per-JVM sequence — nanoTime
+    * has an arbitrary (possibly negative) per-JVM origin, so a daemon
+    * restart could announce its `end` event with a SMALLER name than the
+    * old JVM's data events and the consumer's catch-up batch would run
+    * post jobs before any data loaded. Wall clock is monotonic across
+    * restarts at the seconds-between-runs granularity this protocol
+    * needs (the reference's analog is pipe arrival order). */
   def announceFile(eventsDir: String, kind: String, table: String,
       path: String): Unit = {
     val line = s"$kind\t$table\t$path\n"
     java.nio.file.Files.writeString(
       // zero-padded time so lexical filename order == announce order
       java.nio.file.Paths.get(eventsDir,
-        f"ev_${System.nanoTime()}%020d_${math.abs(path.hashCode)}%08x.txt"),
+        f"ev_${System.currentTimeMillis()}%016d_${announceSeq.incrementAndGet()}%08d_${math.abs(path.hashCode)}%08x.txt"),
       line)
   }
 

@@ -119,7 +119,10 @@ class RoundTripSpec extends SparkTestBase {
     val stmts = script.trim.linesIterator.toSeq
     assert(stmts.size === chunks.length)
     chunks.zip(stmts).foreach { case (f, s) =>
-      assert(s === s"INSERT INTO `nation` FROM INFILE '$f' FORMAT MySQLDump;")
+      // qualified `db`.`table`: the CREATE artifact makes the table
+      // under `tpch`, so the loader must not resolve against
+      // clickhouse-client's default database
+      assert(s === s"INSERT INTO `tpch`.`nation` FROM INFILE '$f' FORMAT MySQLDump;")
     }
     // CH-dialect DDL: keyed MergeTree, key column non-Nullable
     val ddl = new String(Files.readAllBytes(

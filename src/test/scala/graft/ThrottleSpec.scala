@@ -43,12 +43,25 @@ class ThrottleSpec extends org.scalatest.funsuite.AnyFunSuite {
     val dir = Files.createTempDirectory("graft_exec_").toString
     Seq("graft.t.00001.sql", "graft.t.00000.sql", "other.txt")
       .foreach(n => Files.writeString(java.nio.file.Paths.get(dir, n), "x"))
-    var ran = Vector.empty[String]
+    var ran = Vector.empty[Seq[String]]
     val res = ExecHook.run(dir, "graft.t.*.sql", "upload FILENAME",
-      runner = cmd => { ran :+= cmd.last; 0 })
+      runner = cmd => { ran :+= cmd; 0 })
     assert(res.map(_._2) === Seq(0, 0))
-    assert(ran === Vector(s"upload $dir/graft.t.00000.sql",
-      s"upload $dir/graft.t.00001.sql"))
+    // the path rides as $1 (positional arg), never spliced into the
+    // command text — spaces/metacharacters in file names stay inert
+    assert(ran.map(_.last) === Vector(s"$dir/graft.t.00000.sql",
+      s"$dir/graft.t.00001.sql"))
+    assert(ran.forall(_.contains("""upload "$1"""")))
+  }
+
+  test("exec hook is safe for paths with spaces and shell metacharacters") {
+    val dir = Files.createTempDirectory("graft_exec_inj_").toString
+    val tricky = "graft.my table.00000.sql" // space in table name
+    Files.writeString(java.nio.file.Paths.get(dir, tricky), "x")
+    val marker = s"$dir/marker"
+    val res = ExecHook.run(dir, "graft.*.sql", s"cp FILENAME $marker")
+    assert(res.map(_._2) === Seq(0), "command failed on a spaced path")
+    assert(Files.exists(java.nio.file.Paths.get(marker)))
   }
 
   test("exec hook really spawns the shell command") {
