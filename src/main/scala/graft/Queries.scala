@@ -875,12 +875,18 @@ object Queries {
       .orderBy("doc_id")
   private def hitsSql(words: Seq[String]): String =
     s"len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"
+  // CJK markers carry NO \b: word boundaries never fire adjacent to CJK
+  // in either engine's regex (ASCII word-char definition), so the
+  // boundary-wrapped form scored 0 on pure Chinese text — mirrors
+  // TextFunctions.markerPattern exactly
+  private def hitsSqlBare(words: Seq[String]): String =
+    s"len(regexp_extract_all(lower(text), '(${words.mkString("|")})'))"
   val qLangIdSql: String = {
     val en = hitsSql(Seq("the", "and", "of", "to", "is", "with", "that"))
     val es = hitsSql(Seq("el", "la", "los", "las", "que", "por", "una"))
     val fr = hitsSql(Seq("le", "les", "des", "est", "avec", "pour", "une"))
     val de = hitsSql(Seq("der", "die", "das", "und", "ist", "mit", "ein"))
-    val zh = hitsSql(Seq("的", "是", "了", "在", "我", "有"))
+    val zh = hitsSqlBare(Seq("的", "是", "了", "在", "我", "有"))
     s"""WITH t AS (SELECT doc_id, $en s_en, $es s_es, $fr s_fr, $de s_de, $zh s_zh
        |  FROM documents),
        |u AS (SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh,

@@ -44,7 +44,6 @@ object Masquerade {
     def apply(c: Column): Column = regexp_replace(c.cast(StringType), pattern, replacement)
   }
 
-  /** 128 hex chars of deterministic entropy derived from the value. */
   /** 128 hex chars derived from the value (4 chained md5 blocks) — the
     * deterministic entropy pool random_int/random_string draw from.
     * `private[graft]` so pipelines can compute it ONCE into a projection

@@ -75,8 +75,20 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有"))
 
+  /** `\b` word boundaries only fire next to ASCII word characters
+    * ([A-Za-z0-9_]) in both Java regex and RE2 — adjacent to CJK they
+    * never match, so boundary-wrapped Chinese markers score 0 on pure
+    * Chinese text and "zh" was unreachable. CJK needs no boundaries
+    * (no spaces to over-match across): bare alternation is correct. */
+  private def isCjk(words: Seq[String]): Boolean =
+    words.exists(_.exists(_ >= '⺀'))
+
+  private def markerPattern(words: Seq[String]): String =
+    if (isCjk(words)) "(" + words.mkString("|") + ")"
+    else "\\b(" + words.mkString("|") + ")\\b"
+
   private def markerHits(text: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    size(regexp_extract_all(lower(text), lit(markerPattern(words)), lit(0)))
 
   /** Language-ID: argmax of marker-word hit counts; "und" when nothing
     * matches. Single-Column form for expression contexts; prefer

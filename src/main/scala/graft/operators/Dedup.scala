@@ -101,7 +101,12 @@ object Dedup {
       allTexts: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       verifyJaccard: Option[Double] = Some(0.7)): DataFrame = {
+    // materialized once (clusters()-style lineage truncation): the band
+    // table feeds BOTH join sides (l directly, r via union with the
+    // store) as different plan branches, so without this the per-doc
+    // sketch UDF — the dominant cost of the batch path — runs twice
     val newBands = minhashBands(newDocs, textCol, idCol, shingleSize, bands, rowsPerBand)
+      .localCheckpoint()
     val l = newBands.select(col("band"), col("bucket"), col(idCol).as("idN"))
     val r = store.unionByName(newBands)
       .select(col("band"), col("bucket"), col(idCol).as("idO"))

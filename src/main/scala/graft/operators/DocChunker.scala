@@ -122,6 +122,12 @@ object DocChunker {
     val survivors = shingles(corpus, textCol, idCol, n)
       .where(mightContain(col("shingle")))
       .dropDuplicates(idCol, "shingle")
+    // deliberately NOT checkpoint-and-released: truncating the plan here
+    // (localCheckpoint + unpersist, tried) made downstream
+    // exceptAll-comparisons against sibling frames mis-bind attributes
+    // and report every row as different — the shingle cache + broadcast
+    // stay resident (O(benchmark), small by contract; storage memory is
+    // LRU-evicted) in exchange for a plan that stays a plain lazy tree
     val hits = survivors.join(benchSh, "shingle")
       .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
     corpus.select(col(idCol))

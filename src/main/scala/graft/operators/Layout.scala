@@ -24,9 +24,13 @@ object Layout {
 
   /** Morton interleave of two non-negative integer columns, `bits` low
     * bits each → a `2*bits`-bit z-value. Bit i of `a` lands at z-bit 2i,
-    * bit i of `b` at 2i+1. Inputs must fit in `bits` bits (callers
-    * bound/pmod first); bits ≤ 31 keeps the result in a positive Long. */
-  def zorder2(a: Column, b: Column, bits: Int = 16): Column = {
+    * bit i of `b` at 2i+1. Inputs must fit in `bits` bits — values past
+    * that silently WRAP (only the low bits interleave), collapsing
+    * distant keys onto nearby z-values and destroying the min/max
+    * envelopes the layout exists for — so the default is the 2-column
+    * maximum (31: any key < 2^31) and narrower widths are an explicit
+    * opt-in for pre-bounded inputs. */
+  def zorder2(a: Column, b: Column, bits: Int = 31): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
     (0 until bits).map { i =>
       shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i)) +
@@ -50,7 +54,7 @@ object Layout {
 
   /** The same arithmetic as [[zorder2]] as portable SQL text (only `>>`,
     * `&`, `*`, `+`) — the oracle-side replay. */
-  def zorder2Sql(a: String, b: String, bits: Int = 16): String = {
+  def zorder2Sql(a: String, b: String, bits: Int = 31): String = {
     require(bits >= 1 && bits <= 31)
     (0 until bits).map { i =>
       s"((($a >> $i) & 1) * ${1L << (2 * i)} + (($b >> $i) & 1) * ${1L << (2 * i + 1)})"
@@ -61,7 +65,7 @@ object Layout {
     * within partitions — each output file then covers a contiguous
     * z-range, i.e. a small rectangle in (a, b) space. One shuffle
     * (range exchange with a sampled boundary pass), scan-speed sort. */
-  def clusterByZ(df: DataFrame, a: String, b: String, bits: Int = 16,
+  def clusterByZ(df: DataFrame, a: String, b: String, bits: Int = 31,
       numPartitions: Option[Int] = None): DataFrame = {
     val withZ = df.withColumn("__z", zorder2(col(a), col(b), bits))
     val ranged = numPartitions match {

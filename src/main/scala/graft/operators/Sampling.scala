@@ -42,7 +42,11 @@ object Sampling {
     * of [[byKeyHash]]; xxhash64 is faster but Spark-only). */
   def byMd5Prefix(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1)
-    val threshold = f"${(fraction * 65536).toInt}%04x"
+    // fraction 1.0 compares against "g" — every 4-hex prefix sorts below
+    // it; the arithmetic threshold would be the 5-char "10000", which
+    // sorts below "1xxx".."ffff" and silently kept ~6% (same guard as
+    // stratifiedByMd5)
+    val threshold = if (fraction >= 1.0) "g" else f"${(fraction * 65536).toInt}%04x"
     df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < lit(threshold))
   }
 

@@ -74,11 +74,16 @@ object Similarity {
   /** Query a persisted index: the nprobe hamming ball over the `cell`
     * partition column prunes partitions during listing, so the scan
     * touches only ~(Σ_{i≤nprobe} C(bits,i))/2^bits of the files. Result
-    * is identical to [[ivfTopK]] over the same rows (the gate pins it). */
+    * is identical to [[ivfTopK]] over the same rows (the gate pins it).
+    * Ids are deduped first: [[appendIndex]] is a blind append, so a
+    * RETRIED batch leaves duplicate rows — without the dedup each
+    * duplicate would occupy a top-k slot and evict a real neighbor. The
+    * dedup shuffles only the pruned hamming-ball slice, not the index. */
   def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       vecCol: String, idCol: String, query: Seq[Float], k: Int,
       bits: Int, nprobe: Int = 1, dim: Int = 64): DataFrame =
-    ivfTopK(spark.read.parquet(path), vecCol, idCol, query, k, bits, nprobe, dim)
+    ivfTopK(spark.read.parquet(path).dropDuplicates(idCol),
+      vecCol, idCol, query, k, bits, nprobe, dim)
 
   /** All-pairs top-k per probe row against a (small, broadcastable) probe
     * set — broadcast-join + window rank; the bulk side never shuffles. */

@@ -36,14 +36,36 @@ class AnnIndexSpec extends SparkTestBase {
     assert(direct.count() > 0, "test premise: the probe must return rows")
   }
 
+  test("a replayed batch append does not poison top-k with duplicate ids") {
+    val e = Tables.embeddings(spark, sf)
+    val qv = e.where(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annidx_").toString + "/idx"
+    Similarity.writeIndex(e, dir, "embedding", bits)
+    // at-least-once orchestration: the same batch lands twice
+    Similarity.appendIndex(e.where(col("vec_id") < 50), dir, "embedding", bits)
+    Similarity.appendIndex(e.where(col("vec_id") < 50), dir, "embedding", bits)
+    val res = Similarity.queryIndex(spark, dir, "embedding", "vec_id",
+      qv, k = 10, bits = bits).collect()
+    val ids = res.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length,
+      s"duplicate ids occupy top-k slots: ${ids.mkString(",")}")
+  }
+
   test("the probe's hamming ball prunes index partitions at listing time") {
     val e = Tables.embeddings(spark, sf)
     val qv = e.where(col("vec_id") === 7).select("embedding")
       .head().getSeq[Float](0)
     val dir = java.nio.file.Files.createTempDirectory("graft_annidx_").toString + "/idx"
     Similarity.writeIndex(e, dir, "embedding", bits)
-    val probe = Similarity.queryIndex(spark, dir, "embedding", "vec_id",
-      qv, k = 10, bits = bits, nprobe = 1)
+    // the pruning stage of queryIndex, isolated: the hamming-ball
+    // predicate over the `cell` partition column (queryIndex itself adds
+    // a dedup exchange, and AQE's plan wrapper hides scan metrics)
+    val queryCell = graft.functions.Hashing.lshCell(qv,
+      graft.functions.Hashing.hyperplanes(bits, 64))
+    val probe = spark.read.parquet(dir)
+      .where(call_function("bit_count",
+        col("cell").bitwiseXOR(lit(queryCell))) <= 1)
     probe.collect()
     val plan = probe.queryExecution.executedPlan.toString
     // the cell predicate must land in PartitionFilters (directory-level
