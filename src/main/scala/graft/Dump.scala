@@ -37,6 +37,11 @@ object Dump {
       format: Format = SqlFormat,
       db: String = "graft",
       targetChunks: Int = 32,           // ≈ 4× parallelism; AQE coalesces
+      // --rows / -r: rows per chunk — when set, the chunk count derives
+      // from the row estimate (estimate / rowsPerChunk, clamped) and
+      // overrides the static targetChunks, the reference's sizing model
+      // (mydumper_chunks.h:22 minimum, mydumper_table.c:414-440 clamps)
+      rowsPerChunk: Option[Long] = None,
       statementSize: Int = 1000000,
       compress: Boolean = false,
       orderByPrimary: Boolean = false,  // --order-by-primary analog
@@ -82,6 +87,15 @@ object Dump {
     val chunkCol = df.schema.fields.headOption.map(_.name)
     val pk = cfg.primaryKeys.getOrElse(table, Nil)
     val orderCol = pk.headOption.orElse(chunkCol)
+    // rows-per-chunk sizing (--rows): chunk count = estimate / rows,
+    // clamped to [1, 4096]; the estimate is a sampling probe, not a
+    // full scan. Schema-only dumps skip the probe with everything else.
+    val targetChunks = cfg.rowsPerChunk match {
+      case Some(r) if r > 0 && !cfg.noData =>
+        val est = math.max(ChunkPlanner.rowEstimate(df, sampleFraction = 0.05), 1L)
+        math.max(1, math.min(4096, math.ceil(est.toDouble / r).toInt))
+      case _ => cfg.targetChunks
+    }
     val strategy = ChunkPlanner.choose(
       rowEstimate = -1L, // planner probes below instead of catalog stats
       pkType = chunkCol.map(_ => df.schema.fields.head.dataType.typeName),
@@ -92,7 +106,7 @@ object Dump {
       if (cfg.noData) Nil
       else strategy match {
         case ChunkPlanner.Strategy.IntRange =>
-          ChunkPlanner.planInteger(df, chunkCol.get, cfg.targetChunks)
+          ChunkPlanner.planInteger(df, chunkCol.get, targetChunks)
         case _ => Nil
       }
     val partitioned =
@@ -103,14 +117,14 @@ object Dump {
         // order, breaking the reference's ORDER BY pk contract and
         // byte-stability across runs
         val sortCols = if (pk.nonEmpty) pk else orderCol.toSeq
-        df.repartitionByRange(cfg.targetChunks, col(orderCol.get))
+        df.repartitionByRange(targetChunks, col(orderCol.get))
           .sortWithinPartitions(sortCols.map(col): _*)
       } else {
         // a small/single-file source scans as one split → the write would
         // be serial; guarantee targetChunks write parallelism (at 100 TB
         // the scan already has >> targetChunks splits and this is a no-op)
         val scanParts = df.rdd.getNumPartitions
-        if (scanParts < cfg.targetChunks) df.repartition(cfg.targetChunks) else df
+        if (scanParts < targetChunks) df.repartition(targetChunks) else df
       }
 
     // checksum and write are independent full passes — run them as

@@ -52,6 +52,13 @@ object Main {
   private val Ignored = Set("pmm-path", "pmm-resolution", "ftwrl-max-wait-time",
     "snapshot-interval", "daemon", "kill-long-queries", "long-query-guard")
 
+  /** Flags that never take a value — everything else consumes the next
+    * token as its value even when it starts with '-' (a dash-lookahead
+    * heuristic mis-parsed `--regex '-internal$'` as two flags, and let
+    * `--compress foo` swallow `foo`). */
+  private val BoolFlags = Set("compress", "order-by-primary", "no-data",
+    "no-schemas", "help")
+
   def parseFlags(args: Array[String]): Map[String, String] = {
     val out = scala.collection.mutable.Map.empty[String, String]
     var i = 0
@@ -64,8 +71,9 @@ object Main {
       if (Ignored.contains(key)) {
         System.err.println(s"[graft] option --$key accepted but inapplicable on Spark; ignored")
         if (i + 1 < args.length && !args(i + 1).startsWith("-")) i += 1
-        out // no-op
-      } else if (i + 1 < args.length && !args(i + 1).startsWith("-")) {
+      } else if (BoolFlags.contains(key)) {
+        out(key) = "true"
+      } else if (i + 1 < args.length) {
         out(key) = args(i + 1); i += 1
       } else out(key) = "true"
       i += 1
@@ -98,7 +106,10 @@ object Main {
       .getOrElse(Map.empty)
     val cfg = Dump.Config(
       outDir = outDir, format = fmt, db = db,
-      targetChunks = o.get("rows").map(_ => 32).getOrElse(32),
+      // --rows N = rows per chunk (the reference's -r): dumpTable sizes
+      // targetChunks from the row estimate; without the flag the static
+      // default applies
+      rowsPerChunk = o.get("rows").map(_.toLong),
       statementSize = o.get("statement-size").map(_.toInt).getOrElse(1000000),
       compress = o.contains("compress"),
       orderByPrimary = o.contains("order-by-primary"),
@@ -139,10 +150,22 @@ object Main {
     // schema source: sibling parquet dump or caller-provided; dev slice
     // infers from the source dir if given
     val srcDir = o.get("source-dir")
-    val sources = groups.keys.toSeq.sorted.flatMap { stem =>
-      val table = stem.split("\\.", 2).last
-      srcDir.map(sd => Load.TableSource(stem, Tables.t(spark, sd, table).schema))
+    val sources = srcDir match {
+      case Some(sd) =>
+        groups.keys.toSeq.sorted.map { stem =>
+          val table = stem.split("\\.", 2).last
+          Load.TableSource(stem, Tables.t(spark, sd, table).schema)
+        }
+      case None =>
+        // directory-only restore (the documented default usage): schemas
+        // reconstruct from the dump's own db.table-schema.sql files —
+        // silently restoring ZERO tables here was a bug, so an empty
+        // result now fails loudly instead of exiting 0
+        Load.sourcesFromDir(dir)
     }
+    require(sources.nonEmpty || groups.isEmpty,
+      s"dump dir $dir has data files but no schema source — " +
+        "add --source-dir or ensure *-schema.sql files are present")
     val results = Load.run(spark, dir, sources, failOnChecksum) { (stem, df) =>
       df.write.mode("overwrite").parquet(s"$target/$stem")
     }

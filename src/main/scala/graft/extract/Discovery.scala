@@ -28,24 +28,57 @@ import graft.core.{ColumnMeta, TableMeta}
   */
 object Discovery {
 
-  /** All non-system schema names (the reference's SHOW DATABASES minus
-    * its hardcoded system-schema skips — TableFilter owns that policy,
-    * so here every schema is returned). */
-  def schemas(conn: Connection): Seq[String] = {
+  /** Whether this driver exposes databases as JDBC CATALOGS rather than
+    * schemas: MySQL Connector/J (default databaseTerm=CATALOG) returns
+    * an EMPTY getSchemas() result and matches databases through the
+    * catalog argument — schema-based lookups silently discover nothing
+    * on the very server family the dumper targets. Derby/Postgres-style
+    * drivers populate getSchemas. Decide by what the driver reports. */
+  private def usesCatalogs(conn: Connection): Boolean = {
     val rs = conn.getMetaData.getSchemas
-    try {
-      val out = Seq.newBuilder[String]
-      while (rs.next()) out += rs.getString("TABLE_SCHEM")
-      out.result()
-    } finally rs.close()
+    try !rs.next() finally rs.close()
+  }
+
+  /** All non-system database names (the reference's SHOW DATABASES minus
+    * its hardcoded system-schema skips — TableFilter owns that policy,
+    * so here every database is returned), from whichever namespace axis
+    * the driver uses (schemas, or catalogs on MySQL lineage). */
+  def schemas(conn: Connection): Seq[String] =
+    if (usesCatalogs(conn)) {
+      val rs = conn.getMetaData.getCatalogs
+      try {
+        val out = Seq.newBuilder[String]
+        while (rs.next()) out += rs.getString("TABLE_CAT")
+        out.result()
+      } finally rs.close()
+    } else {
+      val rs = conn.getMetaData.getSchemas
+      try {
+        val out = Seq.newBuilder[String]
+        while (rs.next()) out += rs.getString("TABLE_SCHEM")
+        out.result()
+      } finally rs.close()
+    }
+
+  /** Escape `_`/`%` in an identifier used where JDBC expects a PATTERN
+    * (getColumns/getPrimaryKeys table argument): underscored table names
+    * are the norm in MySQL schemas, and unescaped they match sibling
+    * tables (`order_items` also matches `order1items`), merging foreign
+    * columns into the TableMeta. */
+  private def escapePattern(md: java.sql.DatabaseMetaData, name: String): String = {
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    name.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
   }
 
   /** TableMeta for every base table in `schema` (views excluded, as the
     * reference dumps them through the schema path, not the data path). */
   def tables(conn: Connection, schema: String): Seq[TableMeta] = {
     val md = conn.getMetaData
+    // route the database name down the axis the driver uses
+    val (cat, sch) =
+      if (usesCatalogs(conn)) (schema, null) else (null, schema)
     val names = {
-      val rs = md.getTables(null, schema, "%", Array("TABLE"))
+      val rs = md.getTables(cat, sch, "%", Array("TABLE"))
       try {
         val out = Seq.newBuilder[String]
         while (rs.next()) out += rs.getString("TABLE_NAME")
@@ -54,7 +87,7 @@ object Discovery {
     }
     names.map { t =>
       val cols = {
-        val rs = md.getColumns(null, schema, t, "%")
+        val rs = md.getColumns(cat, sch, escapePattern(md, t), "%")
         try {
           val out = Seq.newBuilder[ColumnMeta]
           while (rs.next()) out += ColumnMeta(
@@ -70,7 +103,9 @@ object Discovery {
         } finally rs.close()
       }
       val pk = {
-        val rs = md.getPrimaryKeys(null, schema, t)
+        // getPrimaryKeys takes a LITERAL table name (no pattern), so no
+        // escaping here — only the catalog/schema axis routing
+        val rs = md.getPrimaryKeys(cat, sch, t)
         try {
           val out = Seq.newBuilder[(Short, String)]
           while (rs.next()) out += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))

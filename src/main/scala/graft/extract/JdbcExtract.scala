@@ -39,6 +39,13 @@ object JdbcExtract {
       snapshot: Snapshot.Plan, user: String, password: String,
       where: Option[String] = None, fetchSize: Int = 10000,
       pinnedWorkers: Option[Int] = None): Spec = {
+    // physical-partition plans MUST go through readPartitioned: their
+    // placeholder predicates are all `1=1` (the PARTITION clause cannot
+    // ride in a WHERE), so passing them here would scan the whole table
+    // once PER partition — N duplicate copies of every row
+    require(!chunks.isInstanceOf[ChunkSpec.Partitions],
+      "ChunkSpec.Partitions cannot be expressed as WHERE predicates — " +
+        "use readPartitioned (per-partition dbtable subqueries)")
     val base = ChunkPlanner.toPredicates(chunks)
     val preds = (base, where) match {
       case (Array(), None)    => Array.empty[String]

@@ -42,8 +42,13 @@ object Replica {
   def verbs(flavor: Flavor, major: Int, minor: Int, patch: Int,
       control: Control = Traditional): Verbs = control match {
     case AwsRds =>
-      // reference common.h:27,30 + server_detect.c:249-258
-      val src = if (major >= 8 && minor > 0) "source" else "master"
+      // reference common.h:27,30 + server_detect.c:249-258. The rds_*
+      // source-named procedures landed with the 8.0.23 verb rename —
+      // same cutoff as the Traditional branch below (the old
+      // `minor > 0` test misclassified both 8.0.23+ and 9.x as legacy)
+      val src =
+        if (major > 8 || (major == 8 && (minor > 0 || patch >= 23))) "source"
+        else "master"
       Verbs(
         showStatus = "SHOW SLAVE STATUS", showAllStatus = None,
         stopSqlThread = "CALL mysql.rds_stop_replication()",

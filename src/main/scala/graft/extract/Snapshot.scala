@@ -44,15 +44,40 @@ object Snapshot {
       verify: Seq[String],          // position probes (run before + after sync)
       abortOnDrift: Boolean)        // SafeNoLock aborts, NoLock warns
 
+  /** One consistent TiDB snapshot for ALL workers: the control
+    * connection reads the current TSO once (`controlProbe`), and every
+    * worker pins to THAT value — `SET ... = NOW()` per worker would give
+    * each connection its own timestamp, i.e. exactly the cross-worker
+    * inconsistency the snapshot machinery exists to prevent (the
+    * reference captures one TSO and distributes it,
+    * mydumper_start_dump.c:1243-1250). */
+  val TidbTsoProbe = "SELECT @@tidb_current_ts"
+  def tidbWorkerInit(tso: String): Seq[String] = {
+    require(tso.matches("[0-9]+"), s"not a TiDB TSO: $tso")
+    Seq(s"SET SESSION tidb_snapshot = $tso")
+  }
+
   /** Resolve Auto to the flavor-specific lock (reference
-    * mydumper_start_dump.c:1214-1268). */
-  def plan(mode: LockMode, flavor: Flavor, tables: Seq[String] = Nil): Plan = {
+    * mydumper_start_dump.c:1214-1268). `serverMajor`/`serverMinor` pick
+    * version-appropriate position probes: `SHOW MASTER STATUS` was
+    * replaced by `SHOW BINARY LOG STATUS` in MySQL 8.2 and REMOVED in
+    * 8.4, so the verify phase must not assume the legacy verb. */
+  def plan(mode: LockMode, flavor: Flavor, tables: Seq[String] = Nil,
+      serverMajor: Int = 8, serverMinor: Int = 0): Plan = {
     val workerInit = Seq(
       "SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ",
       "SET TIME_ZONE = '+00:00'",
       "START TRANSACTION /*!40108 WITH CONSISTENT SNAPSHOT */")
-    val verifyMySQL = Seq("SHOW MASTER STATUS", "SELECT @@gtid_executed")
+    val binlogStatus =
+      if (serverMajor > 8 || (serverMajor == 8 && serverMinor >= 2))
+        "SHOW BINARY LOG STATUS"
+      else "SHOW MASTER STATUS"
+    val verifyMySQL = Seq(binlogStatus, "SELECT @@gtid_executed")
     val verifyMaria = Seq("SHOW BINLOG STATUS", "SELECT @@gtid_binlog_pos")
+    // workers pin to the control connection's TSO — resolved at runtime
+    // via TidbTsoProbe + tidbWorkerInit; the placeholder documents the
+    // contract for callers that only inspect the plan
+    val tidbInit = Seq("SET SESSION tidb_snapshot = <control TSO via TidbTsoProbe>")
 
     (mode, flavor) match {
       case (NoLock, _) =>
@@ -60,12 +85,15 @@ object Snapshot {
       case (SafeNoLock, _) =>
         Plan(Nil, workerInit, Nil, verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = true)
       case (Gtid, TiDB) =>
-        Plan(Nil, Seq("SET SESSION tidb_snapshot = NOW()"), Nil, Nil, abortOnDrift = true)
+        Plan(Seq(TidbTsoProbe), tidbInit, Nil, Nil, abortOnDrift = true)
       case (Gtid, _) =>
         // workers re-open snapshots until binlog_snapshot_gtid_executed agrees
         Plan(Nil, workerInit :+ "SELECT @@binlog_snapshot_gtid_executed", Nil,
           verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = true)
       case (LockAll, _) =>
+        // an empty table list would render "LOCK TABLES " — a server-side
+        // syntax error at dump start; fail at plan time instead
+        require(tables.nonEmpty, "LockAll needs a non-empty table list")
         val lock = s"LOCK TABLES ${tables.map(t => s"$t READ LOCAL").mkString(", ")}"
         Plan(Seq(lock), workerInit, Seq("UNLOCK TABLES"),
           verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false)
@@ -80,7 +108,7 @@ object Snapshot {
         Plan(Seq("BACKUP STAGE START", "BACKUP STAGE BLOCK_DDL", "BACKUP STAGE BLOCK_COMMIT"),
           workerInit, Seq("BACKUP STAGE END"), verifyMaria, abortOnDrift = false)
       case (Auto, TiDB) =>
-        Plan(Nil, Seq("SET SESSION tidb_snapshot = NOW()"), Nil, Nil, abortOnDrift = false)
+        Plan(Seq(TidbTsoProbe), tidbInit, Nil, Nil, abortOnDrift = false)
     }
   }
 

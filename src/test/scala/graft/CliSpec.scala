@@ -16,6 +16,19 @@ class CliSpec extends AnyFunSuite {
     assert(o("threads") === "8")
     assert(!o.contains("pmm-path")) // accepted-but-ignored operational flag
   }
+
+  test("flag parsing: dash-leading values and boolean flags don't swallow tokens") {
+    // a value starting with '-' used to be misread as the next flag
+    val o = Main.parseFlags(Array("--regex", "-internal$", "--compress",
+      "--where", "x > -5"))
+    assert(o("regex") === "-internal$")
+    assert(o("compress") === "true")
+    assert(o("where") === "x > -5")
+    // boolean flags never consume the following token
+    val o2 = Main.parseFlags(Array("--compress", "--source-dir", "/d"))
+    assert(o2("compress") === "true")
+    assert(o2("source-dir") === "/d")
+  }
 }
 
 /** End-to-end CLI run against the dev slice (needs a session). */
@@ -37,6 +50,31 @@ class CliRunSpec extends SparkTestBase {
     val hooked = scala.io.Source.fromFile(log).getLines().toSeq
     assert(hooked.exists(_.endsWith("graft.region")) &&
       hooked.exists(_.endsWith("graft.nation")))
+  }
+
+  test("load without --source-dir restores from the dump's own schema files") {
+    // the documented default usage (`load -d dir --target t`) used to
+    // silently restore ZERO tables; it must reconstruct schemas from the
+    // dump's db.table-schema.sql artifacts
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_ld_").toString
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_rt_").toString
+    Main.main(Array("dump",
+      "--source-dir", sf, "-o", out, "--tables-list", "region"))
+    Main.main(Array("load", "-d", out, "--target", restored, "--checksum", "fail"))
+    val back = spark.read.parquet(s"$restored/graft.region")
+    assert(back.count() === Tables.t(spark, sf, "region").count())
+  }
+
+  test("--rows sizes the chunk count from the row estimate") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_rows_").toString
+    // orders at sf0.001 ≈ 1,500 rows; 200 rows/chunk → ~8 chunk files
+    Main.main(Array("dump",
+      "--source-dir", sf, "-o", out, "--tables-list", "orders",
+      "--rows", "200"))
+    val chunkFiles = new java.io.File(out).listFiles().map(_.getName)
+      .count(_.matches("""graft\.orders\.\d{5}\.sql"""))
+    assert(chunkFiles >= 4 && chunkFiles <= 16,
+      s"--rows 200 over ~1500 rows should give ~8 chunks, got $chunkFiles")
   }
 
   test("--no-data dumps schemas only; --no-schemas dumps data only") {

@@ -13,7 +13,9 @@ class SnapshotSpec extends AnyFunSuite {
     assert(plan(Auto, Percona).controlLock === Seq("LOCK TABLES FOR BACKUP"))
     assert(plan(Auto, MariaDB).controlLock.head === "BACKUP STAGE START")
     assert(plan(Auto, MariaDB).controlUnlock === Seq("BACKUP STAGE END"))
-    assert(plan(Auto, TiDB).controlLock.isEmpty)
+    // TiDB takes no lock — its control statement is the TSO probe, not
+    // a lock; workers pin to that one snapshot
+    assert(plan(Auto, TiDB).controlLock === Seq(Snapshot.TidbTsoProbe))
     assert(plan(Auto, TiDB).workerInit.exists(_.contains("tidb_snapshot")))
   }
 
@@ -37,6 +39,48 @@ class SnapshotSpec extends AnyFunSuite {
     assert(!plan(NoLock, MySQL).abortOnDrift)
     assert(plan(SafeNoLock, MySQL).abortOnDrift)
     assert(plan(SafeNoLock, MySQL).verify.nonEmpty)
+  }
+
+  test("lock-all refuses an empty table list (would render invalid SQL)") {
+    intercept[IllegalArgumentException] { plan(LockAll, MySQL) }
+  }
+
+  test("verify probe tracks the MySQL 8.2/8.4 binlog-status verb rename") {
+    // SHOW MASTER STATUS was removed in 8.4; modern servers must get the
+    // renamed verb, legacy servers the old one
+    assert(plan(NoLock, MySQL, serverMajor = 8, serverMinor = 0)
+      .verify.contains("SHOW MASTER STATUS"))
+    assert(plan(NoLock, MySQL, serverMajor = 8, serverMinor = 4)
+      .verify.contains("SHOW BINARY LOG STATUS"))
+    assert(plan(NoLock, MySQL, serverMajor = 9, serverMinor = 0)
+      .verify.contains("SHOW BINARY LOG STATUS"))
+    // MariaDB keeps its own verb regardless
+    assert(plan(NoLock, MariaDB, serverMajor = 11, serverMinor = 4)
+      .verify.contains("SHOW BINLOG STATUS"))
+  }
+
+  test("TiDB plans pin every worker to ONE control-connection TSO") {
+    // per-worker NOW() timestamps would give each connection its own
+    // snapshot — the exact inconsistency the machinery exists to prevent
+    for (m <- Seq[LockMode](Auto, Gtid)) {
+      val p = plan(m, TiDB)
+      assert(p.controlLock === Seq(Snapshot.TidbTsoProbe), s"$m lacks TSO probe")
+      assert(!p.workerInit.exists(_.contains("NOW()")), s"$m uses per-worker NOW()")
+    }
+    assert(Snapshot.tidbWorkerInit("449348000000000000")
+      === Seq("SET SESSION tidb_snapshot = 449348000000000000"))
+    intercept[IllegalArgumentException] { Snapshot.tidbWorkerInit("'; DROP") }
+  }
+
+  test("RDS source/master procedure cutoff matches the 8.0.23 rename") {
+    import graft.extract.Replica
+    def change(major: Int, minor: Int, patch: Int): String =
+      Replica.verbs(MySQL, major, minor, patch, Replica.AwsRds).changeSource
+    assert(change(8, 0, 22).endsWith("external_master"))
+    assert(change(8, 0, 23).endsWith("external_source"))
+    assert(change(8, 4, 0).endsWith("external_source"))
+    assert(change(9, 0, 1).endsWith("external_source"))
+    assert(change(5, 7, 44).endsWith("external_master"))
   }
 
   test("two-phase ordering: non-transactional first (T4)") {
