@@ -313,7 +313,10 @@ object Queries {
     * error oracle-visible (approx_count_distinct's default rsd is 5%). */
   val qApproxDistinct: QFn = (s, d) =>
     lineitem(s, d).groupBy("l_returnflag").agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      // explicit rsd 0.02: the asserted 5% bound is then 2.5 sigma of
+      // the estimator instead of 1.0 sigma at the 0.05 default — a
+      // 1-sigma gate would flip spuriously on ~1/3 of fresh data draws
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
       countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts"))
@@ -384,8 +387,12 @@ object Queries {
   val qJoinRevenue: QFn = (s, d) => {
     val li = lineitem(s, d); val o = orders(s, d)
     val c = customer(s, d); val n = nation(s, d)
+    // nation is a FIXED-size dim (25 rows at any sf) — broadcast always;
+    // customer scales with sf (GB-size at sf100), so no hint: AQE picks
+    // broadcast while it is actually small and degrades to shuffle join
+    // beyond, instead of an OOM'ing forced build side
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(n("n_name").as("n_name"))
       .agg(sum38_4(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("revenue"),
@@ -542,8 +549,10 @@ object Queries {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
     val o = orders(s, d)
     val li = lineitem(s, d)
+    // customer scales with sf — no broadcast hint (see qJoinRevenue);
+    // the segment filter keeps it AQE-broadcastable far longer anyway
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(o("o_orderkey").as("o_orderkey"), o("o_orderdate").as("o_orderdate"))
       .agg(sum38_4(li("l_extendedprice") * (lit(1.0) - li("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
@@ -1093,7 +1102,11 @@ object Queries {
       .select("id1", "id2").withColumn("hit", lit(1))
     exact.join(mh, Seq("id1", "id2"), "left_outer")
       .agg(count(lit(1)).as("n_exact"),
-        when(count(lit(1)) === 0, lit(true))
+        // <= 2 true pairs is statistically inconclusive for a recall
+        // RATIO (one borderline organic pair missed by design odds flips
+        // 0.7 to 0.5/0.0) — the gate stays meaningful where the ground
+        // truth has mass (25 pairs at the sf0.01 gate scale)
+        when(count(lit(1)) <= 2, lit(true))
           .otherwise(sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.7))
           .as("recall_ok"))
   }
@@ -1131,7 +1144,8 @@ object Queries {
       .select("id1", "id2").withColumn("hit", lit(1))
     exact.join(sh, Seq("id1", "id2"), "left_outer")
       .agg(count(lit(1)).as("n_exact"),
-        when(count(lit(1)) === 0, lit(true))
+        // same small-n inconclusive guard as q_dedup_minhash_recall
+        when(count(lit(1)) <= 2, lit(true))
           .otherwise(sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.7))
           .as("recall_ok"))
   }
@@ -1879,10 +1893,13 @@ object Queries {
     // one scan, not one per source: the per-source fraction becomes a
     // CASE'd hex threshold (same byMd5Prefix bucket contract); sources
     // outside the recipe get a NULL threshold -> filtered out
+    // threshold text from the ONE shared formula (operators.Sampling
+    // .md5Threshold) — an inline copy here once lacked the fraction-1.0
+    // guard that byMd5Prefix/stratifiedByMd5 carry
     val thr = recipe.tail.foldLeft(
       when(col("source") === recipe.head._1,
-        f"${(recipe.head._2 * 65536).toInt}%04x")) { case (w, (src, frac)) =>
-      w.when(col("source") === src, f"${(frac * 65536).toInt}%04x")
+        operators.Sampling.md5Threshold(recipe.head._2))) { case (w, (src, frac)) =>
+      w.when(col("source") === src, operators.Sampling.md5Threshold(frac))
     }
     documents(s, d)
       .where(substring(md5(col("doc_id").cast(StringType)), 1, 4) < thr)
@@ -1965,7 +1982,11 @@ object Queries {
       k = 5, bits = 3, tables = 6).select("id1", "id2")
     exact.join(lsh.withColumn("hit", lit(1)), Seq("id1", "id2"), "left_outer")
       .agg(count(lit(1)).as("n_exact"),
-        (sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.6))
+        // empty-ground-truth guard (every sibling recall gate has it):
+        // sum(NULL)/0 yields NULL, and a NULL recall_ok hash-mismatches
+        // the oracle's TRUE
+        when(count(lit(1)) === 0, lit(true))
+          .otherwise(sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.6))
           .as("recall_ok"))
   }
   val qKnnRecallSql: String =

@@ -241,14 +241,39 @@ object ChunkPlanner {
   def chunkIdCol(column: String, min: Long, step: Long): Column =
     floor((col(column) - min) / step).cast("int")
 
-  /** C-replacement via windows (SURVEY §2.5): boundary computation as
-    * ntile over the key — one shuffle, returns per-tile bounds. */
+  /** C-replacement via exact quantile tiles (SURVEY §2.5): per-tile
+    * (lo, hi, cnt) bounds with SQL ntile() semantics — the first
+    * `n mod tiles` tiles get one extra row. NOT implemented as
+    * `ntile().over(Window.orderBy(...))`: an unpartitioned window moves
+    * the ENTIRE table through one task (Spark even logs the warning),
+    * which is the canonical global-window anti-pattern for a primitive
+    * whose job is walking 100 TB boundaries. Instead: one DISTRIBUTED
+    * sort (range exchange, parallel) + zipWithIndex for exact global
+    * positions, then a closed-form position→tile map. Value-identical
+    * to SQL ntile for bounds/counts even under ties — sorting is by the
+    * value itself, so each tile's value multiset is position-determined
+    * regardless of tie order. */
   def ntileBounds(df: DataFrame, column: String, tiles: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.select(col(column))
-      .withColumn("tile", ntile(tiles).over(Window.orderBy(col(column))))
+    require(tiles >= 1)
+    val spark = df.sparkSession
+    val vals = df.select(col(column)).orderBy(col(column))
+    val n = vals.count()
+    val q = n / tiles
+    val r = n % tiles
+    val rows = vals.rdd.zipWithIndex.map { case (row, i) =>
+      val t =
+        if (q == 0) i + 1 // more tiles than rows: row i is tile i+1
+        else if (i < r * (q + 1)) i / (q + 1) + 1
+        else r + (i - r * (q + 1)) / q + 1
+      org.apache.spark.sql.Row(t.toInt, row.get(0))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tile",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      vals.schema.fields.head.copy(name = "__v")))
+    spark.createDataFrame(rows, schema)
       .groupBy(col("tile"))
-      .agg(min(col(column)).as("lo"), max(col(column)).as("hi"),
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
         count(lit(1)).as("cnt"))
       .orderBy(col("tile"))
   }

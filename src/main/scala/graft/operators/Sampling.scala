@@ -40,15 +40,19 @@ object Sampling {
     * the key compared against the fraction's hex threshold — any engine
     * with md5() replays the IDENTICAL sample (the cross-engine variant
     * of [[byKeyHash]]; xxhash64 is faster but Spark-only). */
-  def byMd5Prefix(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
-    require(fraction >= 0 && fraction <= 1)
-    // fraction 1.0 compares against "g" — every 4-hex prefix sorts below
-    // it; the arithmetic threshold would be the 5-char "10000", which
-    // sorts below "1xxx".."ffff" and silently kept ~6% (same guard as
-    // stratifiedByMd5)
-    val threshold = if (fraction >= 1.0) "g" else f"${(fraction * 65536).toInt}%04x"
-    df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < lit(threshold))
+  /** The md5-prefix keep threshold for a fraction — THE single place
+    * this formula lives (inline copies reintroduced the fraction-1.0
+    * bug twice). 1.0 maps to "g": every 4-hex prefix sorts below it,
+    * while the arithmetic "10000" (5 chars) sorts below "1xxx".."ffff"
+    * and silently kept ~6%. */
+  def md5Threshold(fraction: Double): String = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction not in [0,1]")
+    if (fraction >= 1.0) "g" else f"${(fraction * 65536).toInt}%04x"
   }
+
+  def byMd5Prefix(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.where(substring(md5(col(keyCol).cast("string")), 1, 4)
+      < lit(md5Threshold(fraction)))
 
   /** Engine-portable STRATIFIED sampler: per-stratum fraction applied
     * through the same md5-prefix rule as [[byMd5Prefix]] — the
@@ -62,11 +66,7 @@ object Sampling {
     require(fractions.values.forall(f => f >= 0 && f <= 1),
       "fractions must be in [0,1]")
     val threshold = fractions.foldLeft(lit("0000")) { case (acc, (k, f)) =>
-      // TRUNCATE, never round: round(0.99999·65536) = 65536 formats as
-      // the 5-char "10000", which sorts BELOW most 4-hex prefixes and
-      // would silently sample the stratum at ~6% instead of ~100%
-      val hex = if (f >= 1.0) "g" else f"${(f * 65536).toInt}%04x"
-      when(col(stratumCol) === k, lit(hex)).otherwise(acc)
+      when(col(stratumCol) === k, lit(md5Threshold(f))).otherwise(acc)
     }
     df.where(substring(md5(col(keyCol).cast("string")), 1, 4) < threshold)
   }
