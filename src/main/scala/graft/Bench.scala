@@ -71,17 +71,61 @@ object Bench {
     // noise (round 3 showed 3-9x inflation on unchanged plans with
     // one-shot timing in an under-provisioned JVM)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt max 1
-    val catalog = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // SPARK_GRAFT_BENCH_FILTER: regex over query names — run only the
+    // matching subset (isolation runs while bisecting a regression).
+    // SPARK_GRAFT_BENCH_CHILD=1: run every catalog query in its own
+    // fresh child JVM (same opts/classpath) — separates in-suite state
+    // or codegen-cache contamination from real plan cost; the in-JVM
+    // min-of-reps path stays the cheap default.
+    val filterRe = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    def keep(name: String): Boolean =
+      filterRe.forall(_.findFirstIn(name).isDefined)
+    val childMode = sys.env.get("SPARK_GRAFT_BENCH_CHILD").contains("1")
+    def runInChild(name: String): Double = {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val jvmOpts = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        .filterNot(_.startsWith("-agentlib"))
+      val cmd = Seq(javaBin) ++ jvmOpts ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pat = ("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.]+)").r
+      try {
+        val out = scala.sys.process.Process(cmd, None,
+          "SPARK_GRAFT_BENCH_CHILD" -> "0",
+          "SPARK_GRAFT_BENCH_FILTER" ->
+            ("^" + java.util.regex.Pattern.quote(name) + "$")).!!
+        pat.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse {
+          System.err.println(s"[bench] child for $name printed no result")
+          -1.0
         }
-        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] child for $name failed: ${e.getMessage}")
+        -1.0
       }
-      name -> times.min
     }
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter(t => keep(t._1))
+    val catalog =
+      if (childMode) selected.map { case (name, _) => name -> runInChild(name) }
+      else selected.map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          // sweep per rep: free storage blocks (checkpointing operators)
+          // and cached plans so no query's state contaminates the next —
+          // round 5's 11-query "regression" was exactly this leak
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          spark.catalog.clearCache()
+          sec
+        }
+        name -> times.min
+      }
     // the reference's own workload: dump the fact table to SQL-INSERT
     // files, then load them back (parse + coerce) — single-node
     // throughput directly comparable to mydumper/myloader
@@ -112,7 +156,7 @@ object Bench {
       "x_load_parquet" -> { () =>
         spark.read.parquet(s"$csvDir/pq")
           .write.format("noop").mode("overwrite").save()
-      }).map { case (name, thunk) =>
+      }).filter(t => keep(t._1)).map { case (name, thunk) =>
       val t0 = System.nanoTime()
       try thunk() catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -143,7 +187,9 @@ object Bench {
     // persist the complete full-precision result set alongside the repo
     // (bench_full.json, committed per round) so dropped-from-the-line
     // entries stay auditable
-    try {
+    // filtered (isolation) runs must not clobber the committed
+    // full-suite record
+    if (filterRe.isEmpty) try {
       val full = line(results, 3, 0)
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

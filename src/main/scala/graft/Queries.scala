@@ -1174,16 +1174,19 @@ object Queries {
     val oldDocs = docs.where(col("doc_id") % 2 === 0)
     val newDocs = docs.where(col("doc_id") % 2 === 1)
     val store = Dedup.minhashBands(oldDocs, "text", "doc_id")
-    val incr = Dedup.minhashIncrementalPairs(newDocs, store, docs,
-      "text", "doc_id", verifyJaccard = Some(0.5)).select("id1", "id2")
-    val oldPairs = Dedup.minhashPairs(oldDocs, "text", "doc_id",
-      verifyJaccard = Some(0.5)).select("id1", "id2")
-    val full = Dedup.minhashPairs(docs, "text", "doc_id",
-      verifyJaccard = Some(0.5)).select("id1", "id2")
-    val union = incr.unionByName(oldPairs).distinct()
-    val missing = full.exceptAll(union)
-    val extra = union.exceptAll(full)
-    val consistent = (missing.count() == 0L) && (extra.count() == 0L)
+    // Scoped.apply: the comparison fully consumes the pairs inside the
+    // scope, so the batch's checkpointed band sketch is freed before
+    // this gate even returns — zero storage blocks outlive the query
+    val consistent = Dedup.minhashIncrementalPairs(newDocs, store, docs,
+      "text", "doc_id", verifyJaccard = Some(0.5)) { incrFull =>
+      val incr = incrFull.select("id1", "id2")
+      val oldPairs = Dedup.minhashPairs(oldDocs, "text", "doc_id",
+        verifyJaccard = Some(0.5)).select("id1", "id2")
+      val full = Dedup.minhashPairs(docs, "text", "doc_id",
+        verifyJaccard = Some(0.5)).select("id1", "id2")
+      val union = incr.unionByName(oldPairs).distinct()
+      (full.exceptAll(union).count() == 0L) && (union.exceptAll(full).count() == 0L)
+    }
     docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
       .withColumn("consistent", lit(consistent))
   }
@@ -1438,10 +1441,15 @@ object Queries {
       .orderBy("z", "l_orderkey", "l_linenumber")
   }
   val qZorderSql: String = {
-    val z = operators.Layout.zorder2Sql("l_partkey", "l_suppkey", 31)
-    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, $z AS z
-       |FROM lineitem
-       |WHERE $z < 4096
+    // linear-size stepwise replay of the magic-number dilation: each
+    // ladder step is written once (a derived-table chain), so the SQL
+    // stays readable and DuckDB evaluates each step once per row
+    val inner = operators.Layout.zorder2SqlCte("lineitem", "l_partkey",
+      "l_suppkey", 31,
+      Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))
+    s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, z
+       |FROM ($inner)
+       |WHERE z < 4096
        |ORDER BY z, l_orderkey, l_linenumber""".stripMargin
   }
 

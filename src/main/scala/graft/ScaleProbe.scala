@@ -92,6 +92,10 @@ object ScaleProbe {
       // spills at 10x local will thrash at 100 TB cluster scale)
       require(listener.diskSpill <= math.max(listener.shuffleWrite, 64L << 20),
         s"$name disk spill ${listener.diskSpill} exceeds shuffle ${listener.shuffleWrite}")
+      // free any storage blocks the head materialized (checkpointed
+      // operator state) so heads never contaminate each other's memory
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       println(f"$name%-18s ${sec}%7.2f s  shuffle=${listener.shuffleWrite / (1 << 20)}%5d MiB" +
         f"  spill(mem/disk)=${listener.memSpill / (1 << 20)}%d/${listener.diskSpill / (1 << 20)}%d MiB" +
         f"  peakTaskMem=${listener.maxTaskMem / (1 << 20)}%d MiB")
@@ -157,7 +161,7 @@ object ScaleProbe {
           docs.where(col("doc_id") % X =!= 0), "text", "doc_id")
         val batch = docs.where(col("doc_id") % X === 0)
         operators.Dedup.minhashIncrementalPairs(batch, store, docs,
-          "text", "doc_id", verifyJaccard = None)
+          "text", "doc_id", verifyJaccard = None).df
       }),
       // z-order clustering of the inflated fact: one range exchange +
       // per-partition sort; spill-free at 10× or the layout write

@@ -44,6 +44,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free any storage blocks the query materialized (checkpointing
+      // operators) so 100+ queries can't accumulate pinned memory
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

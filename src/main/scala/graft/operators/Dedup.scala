@@ -19,6 +19,31 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** A frame backed by materialized local-checkpoint blocks plus the
+    * `release()` that frees them. Callers consume `df` (materialize the
+    * downstream action), then call `release()` — at 100 TB batch
+    * cadence this is not optional: un-freed checkpoint blocks pin
+    * executor storage memory until JVM exit, so a daemonized pipeline
+    * that skips the release leaks one band-table copy per batch. */
+  final case class Scoped(df: DataFrame, release: () => Unit) {
+    /** Run `use` against the frame and release in a finally — the
+      * can't-forget form for callers that fully consume the frame
+      * (counts, writes) inside the scope. */
+    def apply[T](use: DataFrame => T): T =
+      try use(df) finally release()
+  }
+
+  /** Checkpoint `df` and capture exactly the storage blocks the
+    * checkpoint added, so the caller can free them without guessing
+    * (Dataset.localCheckpoint offers no public handle to its RDD). */
+  private def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val cp = df.localCheckpoint() // eager: materializes before we diff
+    val added = (sc.getPersistentRDDs -- before.toSeq).values.toSeq
+    (cp, () => added.foreach(_.unpersist(blocking = false)))
+  }
+
   /** Exact dedup: hash-groupBy on a normalized fingerprint, keep the
     * smallest id per group (deterministic winner). One shuffle on the
     * 16-char digest — uniform keys, no skew. */
@@ -96,17 +121,19 @@ object Dedup {
     * bands — no read-modify-write, so batches commit independently.
     * Equivalence to the full-batch run is gated: pairs(full corpus) =
     * pairs(old corpus) ∪ incremental(new, store) — q_dedup_incremental
-    * asserts exactly this set equality. */
+    * asserts exactly this set equality.
+    *
+    * Returns a [[Scoped]]: the batch's band sketch is materialized once
+    * (localCheckpoint — it feeds BOTH join sides as different plan
+    * branches, so without it the per-doc sketch UDF, the dominant batch
+    * cost, runs twice) and `release()` frees exactly those blocks once
+    * the pairs have been consumed. */
   def minhashIncrementalPairs(newDocs: DataFrame, store: DataFrame,
       allTexts: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      verifyJaccard: Option[Double] = Some(0.7)): DataFrame = {
-    // materialized once (clusters()-style lineage truncation): the band
-    // table feeds BOTH join sides (l directly, r via union with the
-    // store) as different plan branches, so without this the per-doc
-    // sketch UDF — the dominant cost of the batch path — runs twice
-    val newBands = minhashBands(newDocs, textCol, idCol, shingleSize, bands, rowsPerBand)
-      .localCheckpoint()
+      verifyJaccard: Option[Double] = Some(0.7)): Scoped = {
+    val (newBands, release) = checkpointTracked(
+      minhashBands(newDocs, textCol, idCol, shingleSize, bands, rowsPerBand))
     val l = newBands.select(col("band"), col("bucket"), col(idCol).as("idN"))
     val r = store.unionByName(newBands)
       .select(col("band"), col("bucket"), col(idCol).as("idO"))
@@ -115,10 +142,11 @@ object Dedup {
       .select(least(col("idN"), col("idO")).as("id1"),
         greatest(col("idN"), col("idO")).as("id2"))
       .distinct()
-    verifyJaccard match {
+    val pairs = verifyJaccard match {
       case None     => cand
       case Some(th) => verifyCandidates(cand, allTexts, textCol, idCol, shingleSize, th)
     }
+    Scoped(pairs, release)
   }
 
   /** 64-bit SimHash column (compiled kernel, single pass per row). */
@@ -221,18 +249,30 @@ object Dedup {
     *
     * Input: pairs (id1, id2); ids absent from any pair are their own
     * cluster (callers usually only care about docs that appear in pairs).
-    * Output: (id, cluster) — cluster = min id reachable. */
-  def clusters(pairs: DataFrame, maxIter: Int = 16): DataFrame = {
+    * Output: (id, cluster) — cluster = min id reachable.
+    *
+    * State lifecycle: every intermediate checkpoint (edges, per-round
+    * labels) is freed as soon as the round that consumed it has
+    * materialized — only the FINAL label table's blocks survive the
+    * call (they hold the result). [[clustersScoped]] hands back their
+    * release; this convenience overload is for callers whose session
+    * sweeps persistent blocks itself (bench/verify harnesses). */
+  def clusters(pairs: DataFrame, maxIter: Int = 16): DataFrame =
+    clustersScoped(pairs, maxIter).df
+
+  /** [[clusters]] with the result's storage lifecycle in the caller's
+    * hands: consume `df`, then `release()`. */
+  def clustersScoped(pairs: DataFrame, maxIter: Int = 16): Scoped = {
     // undirected edge list, both directions
     val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-    val edges = fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val (edges, releaseEdges) = checkpointTracked(
+      fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
     // init = hop 0 fused: label(v) = min(v, min neighbor) — one agg
     // instead of a full identity-labeled first round
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
-      .localCheckpoint()
+    var (labels, releaseLabels) = checkpointTracked(
+      edges.groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), first(col("src"))).as("cluster")))
     // convergence probe: labels are monotonically non-increasing per
     // node, so the label sum strictly decreases until fixpoint — an
     // unchanged exact (decimal) sum proves convergence with one cheap
@@ -250,32 +290,40 @@ object Dedup {
       // checkpoint before the self-join: materializes the hop once (both
       // join sides read it) and sidesteps Catalyst's Union-constraint
       // attribute-rewrite bug on self-joined union plans
-      val hopped = labels.unionAll(viaNeighbors)
-        .groupBy("id").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
+      val (hopped, releaseHopped) = checkpointTracked(
+        labels.unionAll(viaNeighbors)
+          .groupBy("id").agg(min("cluster").as("cluster")))
+      // the hop is materialized → the previous round's labels are dead
+      releaseLabels()
       val hopSum = labelSum(hopped)
       if (hopSum.compareTo(prevSum) == 0) {
         // the hop moved nothing → fixpoint; skip the doubling join
         labels = hopped
+        releaseLabels = releaseHopped
         converged = true
       } else {
         // (b) pointer doubling: follow the label one more step. Labels
         // only ever shrink (cluster ≤ id and label(c) ≤ c), so the
         // shortcut label is min(cluster, label(cluster)) = label(cluster).
-        val next = hopped.alias("a")
-          .join(hopped.select(col("id").as("cluster"), col("cluster").as("c2")).alias("b"),
-            Seq("cluster"), "left")
-          .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster"))
-          .localCheckpoint()
+        val (next, releaseNext) = checkpointTracked(
+          hopped.alias("a")
+            .join(hopped.select(col("id").as("cluster"), col("cluster").as("c2")).alias("b"),
+              Seq("cluster"), "left")
+            .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster")))
+        releaseHopped() // doubling result materialized → hop is dead
         prevSum = labelSum(next)
         labels = next
+        releaseLabels = releaseNext
       }
       iter += 1
     }
-    if (!converged)
+    releaseEdges()
+    if (!converged) {
+      releaseLabels()
       throw new IllegalStateException(
         s"clusters() did not converge in $maxIter rounds — raise maxIter")
-    labels
+    }
+    Scoped(labels, releaseLabels)
   }
 
   /** Embedding-cosine near-dup, three-stage at scale:

@@ -14,8 +14,13 @@ class DedupIncrementalSpec extends SparkTestBase {
     val oldDocs = docs.where(col("doc_id") % 2 === 0)
     val newDocs = docs.where(col("doc_id") % 2 === 1)
     val store = Dedup.minhashBands(oldDocs, "text", "doc_id")
-    val incr = Dedup.minhashIncrementalPairs(newDocs, store, docs,
-      "text", "doc_id", verifyJaccard = Some(0.5)).select("id1", "id2")
+    // storage-lifecycle gate: the batch run must leave ZERO persistent
+    // blocks behind once released — at production batch cadence a leaked
+    // band checkpoint per batch pins executor storage until JVM exit
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val scoped = Dedup.minhashIncrementalPairs(newDocs, store, docs,
+      "text", "doc_id", verifyJaccard = Some(0.5))
+    val incr = scoped.df.select("id1", "id2")
     val oldPairs = Dedup.minhashPairs(oldDocs, "text", "doc_id",
       verifyJaccard = Some(0.5)).select("id1", "id2")
     val full = Dedup.minhashPairs(docs, "text", "doc_id",
@@ -28,6 +33,26 @@ class DedupIncrementalSpec extends SparkTestBase {
     assert(full.count() > 0, "test premise: corpus must contain near-dups")
     // every incremental pair touches at least one new (odd) doc
     assert(incr.where(col("id1") % 2 === 0 && col("id2") % 2 === 0).count() === 0)
+    scoped.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore
+    assert(leaked.isEmpty, s"incremental dedup leaked storage blocks: $leaked")
+  }
+
+  test("clusters frees intermediate checkpoints; scoped release frees the result") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.4)
+    val blocksBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val scoped = Dedup.clustersScoped(pairs)
+    assert(scoped.df.count() > 0, "test premise: clusters must be non-empty")
+    // intermediates (edges, per-round labels) are already freed inside
+    // the call; only the final label table's own blocks may remain
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore
+    assert(during.size <= 1,
+      s"clusters left ${during.size} block sets resident (intermediates leaked)")
+    scoped.release()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore
+    assert(leaked.isEmpty, s"clusters leaked storage blocks after release: $leaked")
   }
 
   test("incremental store update is a blind append (re-run equivalence)") {
@@ -78,12 +103,14 @@ class DedupIncrementalSpec extends SparkTestBase {
     // to plain minhashPairs over the batch
     val docs = Tables.documents(spark, sf)
     val emptyStore = Dedup.minhashBands(docs.where(lit(false)), "text", "doc_id")
-    val incr = Dedup.minhashIncrementalPairs(docs, emptyStore, docs,
-      "text", "doc_id", verifyJaccard = Some(0.5)).select("id1", "id2")
-    val batch = Dedup.minhashPairs(docs, "text", "doc_id",
-      verifyJaccard = Some(0.5)).select("id1", "id2")
-    assert(incr.exceptAll(batch).count() === 0)
-    assert(batch.exceptAll(incr).count() === 0)
+    Dedup.minhashIncrementalPairs(docs, emptyStore, docs,
+      "text", "doc_id", verifyJaccard = Some(0.5)) { incrFull =>
+      val incr = incrFull.select("id1", "id2")
+      val batch = Dedup.minhashPairs(docs, "text", "doc_id",
+        verifyJaccard = Some(0.5)).select("id1", "id2")
+      assert(incr.exceptAll(batch).count() === 0)
+      assert(batch.exceptAll(incr).count() === 0)
+    }
   }
 
   test("bloom decontamination with an empty benchmark flags nothing") {

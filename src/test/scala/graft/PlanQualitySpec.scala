@@ -103,8 +103,9 @@ class PlanQualitySpec extends SparkTestBase {
       "text", "doc_id").write.mode("overwrite").parquet(dir)
     val store = spark.read.parquet(dir)
     val newDocs = docs.where(org.apache.spark.sql.functions.col("doc_id") % 2 === 1)
-    val incr = operators.Dedup.minhashIncrementalPairs(newDocs, store, docs,
+    val scoped = operators.Dedup.minhashIncrementalPairs(newDocs, store, docs,
       "text", "doc_id", verifyJaccard = None)
+    val incr = scoped.df
     incr.collect()
     val p = incr.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
@@ -113,6 +114,7 @@ class PlanQualitySpec extends SparkTestBase {
     val lines = p.linesIterator.toVector
     val storeScan = lines.filter(l => l.contains("Scan parquet") && l.contains("graft_store"))
     assert(storeScan.nonEmpty, "store side not read from parquet:\n" + p.take(3000))
+    scoped.release()
   }
 
   test("row estimate stays within 25% of the true count without a full scan") {

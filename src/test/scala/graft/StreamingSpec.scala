@@ -48,10 +48,11 @@ class StreamingSpec extends SparkTestBase {
         else spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           new StructType().add("doc_id", "long").add("band", "int").add("bucket", "long"))
-      val incr = operators.Dedup.minhashIncrementalPairs(batch, store, docs,
-        "text", "doc_id", verifyJaccard = Some(0.5))
-      pairs ++= incr.select("id1", "id2").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+      operators.Dedup.minhashIncrementalPairs(batch, store, docs,
+        "text", "doc_id", verifyJaccard = Some(0.5)) { incr =>
+        pairs ++= incr.select("id1", "id2").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
       operators.Dedup.minhashBands(batch, "text", "doc_id")
         .write.mode("append").parquet(storePath)
       batches += 1
