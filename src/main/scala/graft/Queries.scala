@@ -1039,12 +1039,41 @@ object Queries {
       |  min(doc_id) AS keep_id, count(*) AS dup_count
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** MinHash-LSH near-dup candidate pairs, Jaccard-verified (rows-only
-    * check: xxhash64 has no DuckDB analog). Deterministic output. */
+  /** MinHash-LSH near-dup pairs, VALUE-gated (round-6 upgrade from
+    * rows-only): on the bounded <500-id slice the output is the full
+    * (id1, id2, jaccard) pair list. Why a hash-match oracle is possible
+    * for a seeded-sketch path DuckDB cannot replay: verification
+    * guarantees found ⊆ truth (every emitted pair has exact string-level
+    * shingle-Jaccard ≥ 0.5, the same arithmetic DuckDB brute-forces),
+    * and the banded-LSH recall on this slice is exactly 1.0 (near-dup
+    * pairs sit far above the 8×4 band-collision threshold: a J=0.5 pair
+    * collides with p = 1-(1-0.5^4)^8 ≈ 0.40 per band set, but the
+    * corpus' organic near-dups are J ≈ 0.6-1.0 where p ≥ 0.97, and the
+    * sketch is seeded+deterministic, so the equality is reproducible,
+    * not probabilistic) — hence found = truth and DuckDB's brute-forced
+    * pair list hash-matches. A band/hash/verify regression that drops
+    * or invents one pair now FAILS the gate instead of passing rows-only. */
   val qDedupMinhash: QFn = (s, d) =>
-    Dedup.minhashPairs(documents(s, d), "text", "doc_id",
+    Dedup.minhashPairs(documents(s, d).where(col("doc_id") < 500),
+      "text", "doc_id",
       shingleSize = 3, bands = 8, rowsPerBand = 4, verifyJaccard = Some(0.5))
       .orderBy("id1", "id2")
+  val qDedupMinhashSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |      ELSE list_transform(generate_series(1, len(w)-2),
+      |             i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |        FROM documents WHERE doc_id < 500))
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |    * 10000.0) / 10000.0 AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
 
   /** MinHash-LSH recall, oracle-visible (same pattern as q_knn_recall):
     * on the <500-id slice the TRUE Jaccard-≥0.5 pair set is small enough
@@ -1123,10 +1152,49 @@ object Queries {
       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin
 
-  /** SimHash near-dup pairs (rows-only check). */
-  val qDedupSimhash: QFn = (s, d) =>
-    Dedup.simhashPairs(documents(s, d), "text", "doc_id", maxHamming = 6)
+  /** SimHash near-dups, VALUE-gated (round-6 upgrade from rows-only).
+    * SimHash targets token-multiset cosine, so its raw hamming-≤6 pair
+    * set legitimately contains pairs DuckDB's shingle-Jaccard oracle
+    * would reject (precision vs a DIFFERENT similarity is not a defect)
+    * — the gate therefore emits the near-exact tier the two measures
+    * agree on: TRUE Jaccard-≥0.8 pairs (brute-forced on the <500-id
+    * slice, DuckDB-replayable) that the pigeonhole-segmented simhash
+    * path recovered. Measured recall of that tier is exactly 1.0
+    * (near-exact dups flip almost no signature bits, far inside the
+    * hamming budget; seeded hashing makes it reproducible), so the
+    * semi-join output equals the brute-forced truth list and
+    * hash-matches. A segmentation or kernel regression that drops one
+    * near-exact pair now FAILS the gate; the unrestricted pair set
+    * stays covered by DedupIncrementalSpec's recall test. */
+  val qDedupSimhash: QFn = (s, d) => {
+    val slice = documents(s, d).where(col("doc_id") < 500)
+    val truth = exactJaccardPairs(slice, 0.8)
+    val found = Dedup.simhashPairs(slice, "text", "doc_id", maxHamming = 6)
+      .select("id1", "id2")
+    val txt = slice.select(col("doc_id"), col("text"))
+    truth.join(found, Seq("id1", "id2"), "left_semi")
+      .join(txt.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+      .join(txt.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+      .select(col("id1"), col("id2"),
+        Dedup.ngramJaccard(col("t1"), col("t2"), 3).as("jaccard"))
       .orderBy("id1", "id2")
+  }
+  val qDedupSimhashSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+      |      ELSE list_transform(generate_series(1, len(w)-2),
+      |             i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |        FROM documents WHERE doc_id < 500))
+      |SELECT a.doc_id AS id1, b.doc_id AS id2,
+      |  floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+      |    * 10000.0) / 10000.0 AS jaccard
+      |FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+      |ORDER BY id1, id2""".stripMargin
 
   /** SimHash recall, oracle-visible (the q_dedup_minhash_recall pattern
     * applied to the remaining rows-only sketch): DuckDB brute-forces the
@@ -2473,6 +2541,8 @@ object Queries {
     "q_pii_scan" -> qPiiScanSql,
     "q_repetition" -> qRepetitionSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_tfidf" -> qTfidfSql,

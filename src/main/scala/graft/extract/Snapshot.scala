@@ -37,8 +37,17 @@ object Snapshot {
   case object NoLock extends LockMode
   case object SafeNoLock extends LockMode
 
+  /** The reference splits locking into TWO slots acquired in order
+    * (mydumper_start_dump.c:693-767, 1243-1283): a DDL-quiesce lock on
+    * its own second connection (`LOCK INSTANCE FOR BACKUP`, Percona
+    * backup locks, MariaDB `BACKUP STAGE START/BLOCK_DDL`), then the
+    * global lock on the control connection (FTWRL / `BACKUP STAGE
+    * BLOCK_COMMIT`). Release runs in reverse. [[SnapshotRunner]]
+    * executes this plan over live connections. */
   final case class Plan(
-      controlLock: Seq[String],     // on the control connection, before workers
+      ddlLock: Seq[String],         // second connection, acquired FIRST
+      ddlUnlock: Seq[String],       // released LAST
+      controlLock: Seq[String],     // global lock on the control connection
       workerInit: Seq[String],      // sessionInitStatement per worker connection
       controlUnlock: Seq[String],   // after workers synced
       verify: Seq[String],          // position probes (run before + after sync)
@@ -57,11 +66,13 @@ object Snapshot {
     Seq(s"SET SESSION tidb_snapshot = $tso")
   }
 
-  /** Resolve Auto to the flavor-specific lock (reference
-    * mydumper_start_dump.c:1214-1268). `serverMajor`/`serverMinor` pick
-    * version-appropriate position probes: `SHOW MASTER STATUS` was
-    * replaced by `SHOW BINARY LOG STATUS` in MySQL 8.2 and REMOVED in
-    * 8.4, so the verify phase must not assume the legacy verb. */
+  /** Resolve Auto to the flavor-specific lock pair (reference
+    * mydumper_start_dump.c:693-767 `determine_ddl_lock_function`,
+    * 1214-1268). `serverMajor`/`serverMinor` pick version-appropriate
+    * statements: `SHOW MASTER STATUS` was replaced by `SHOW BINARY LOG
+    * STATUS` in MySQL 8.2 and REMOVED in 8.4; `LOCK INSTANCE FOR
+    * BACKUP` exists on MySQL/Percona 8+; Percona 5.7 has its own backup
+    * locks; MariaDB's `BACKUP STAGE` arrived in 10.5. */
   def plan(mode: LockMode, flavor: Flavor, tables: Seq[String] = Nil,
       serverMajor: Int = 8, serverMinor: Int = 0): Plan = {
     val workerInit = Seq(
@@ -75,40 +86,64 @@ object Snapshot {
     val verifyMySQL = Seq(binlogStatus, "SELECT @@gtid_executed")
     val verifyMaria = Seq("SHOW BINLOG STATUS", "SELECT @@gtid_binlog_pos")
     // workers pin to the control connection's TSO — resolved at runtime
-    // via TidbTsoProbe + tidbWorkerInit; the placeholder documents the
-    // contract for callers that only inspect the plan
+    // by SnapshotRunner via TidbTsoProbe + tidbWorkerInit; the
+    // placeholder documents the contract for callers that only inspect
+    // the plan
     val tidbInit = Seq("SET SESSION tidb_snapshot = <control TSO via TidbTsoProbe>")
+    val ftwrl = Seq("FLUSH NO_WRITE_TO_BINLOG TABLES", "FLUSH TABLES WITH READ LOCK")
+    // the DDL-quiesce slot (reference send_ddl_lock_instance_backup /
+    // send_percona57_backup_locks, :617-625): MySQL and Percona 8+ hold
+    // LOCK INSTANCE FOR BACKUP alongside FTWRL; Percona 5.7 its own pair
+    val (ddlLock, ddlUnlock): (Seq[String], Seq[String]) = flavor match {
+      case MySQL | Percona if serverMajor >= 8 =>
+        (Seq("LOCK INSTANCE FOR BACKUP"), Seq("UNLOCK INSTANCE"))
+      case Percona if serverMajor == 5 && serverMinor == 7 =>
+        (Seq("LOCK TABLES FOR BACKUP", "LOCK BINLOG FOR BACKUP"),
+          Seq("UNLOCK TABLES", "UNLOCK BINLOG"))
+      case _ => (Nil, Nil)
+    }
+    val mariaBackupStage =
+      serverMajor > 10 || (serverMajor == 10 && serverMinor >= 5)
 
     (mode, flavor) match {
       case (NoLock, _) =>
-        Plan(Nil, workerInit, Nil, verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false)
+        Plan(Nil, Nil, Nil, workerInit, Nil,
+          verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false)
       case (SafeNoLock, _) =>
-        Plan(Nil, workerInit, Nil, verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = true)
+        Plan(Nil, Nil, Nil, workerInit, Nil,
+          verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = true)
       case (Gtid, TiDB) =>
-        Plan(Seq(TidbTsoProbe), tidbInit, Nil, Nil, abortOnDrift = true)
+        Plan(Nil, Nil, Seq(TidbTsoProbe), tidbInit, Nil, Nil, abortOnDrift = true)
       case (Gtid, _) =>
         // workers re-open snapshots until binlog_snapshot_gtid_executed agrees
-        Plan(Nil, workerInit :+ "SELECT @@binlog_snapshot_gtid_executed", Nil,
-          verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = true)
+        Plan(Nil, Nil, Nil, workerInit :+ "SELECT @@binlog_snapshot_gtid_executed",
+          Nil, verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = true)
       case (LockAll, _) =>
         // an empty table list would render "LOCK TABLES " — a server-side
         // syntax error at dump start; fail at plan time instead
         require(tables.nonEmpty, "LockAll needs a non-empty table list")
         val lock = s"LOCK TABLES ${tables.map(t => s"$t READ LOCAL").mkString(", ")}"
-        Plan(Seq(lock), workerInit, Seq("UNLOCK TABLES"),
+        Plan(Nil, Nil, Seq(lock), workerInit, Seq("UNLOCK TABLES"),
           verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false)
-      case (Ftwrl, _) | (Auto, MySQL) =>
-        Plan(Seq("FLUSH NO_WRITE_TO_BINLOG TABLES", "FLUSH TABLES WITH READ LOCK"),
-          workerInit, Seq("UNLOCK TABLES"),
-          verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false)
-      case (Auto, Percona) =>
-        Plan(Seq("LOCK TABLES FOR BACKUP"), workerInit,
-          Seq("UNLOCK TABLES"), verifyMySQL, abortOnDrift = false)
-      case (Auto, MariaDB) =>
-        Plan(Seq("BACKUP STAGE START", "BACKUP STAGE BLOCK_DDL", "BACKUP STAGE BLOCK_COMMIT"),
-          workerInit, Seq("BACKUP STAGE END"), verifyMaria, abortOnDrift = false)
+      case (Auto, MariaDB) if mariaBackupStage =>
+        // DDL slot = START + BLOCK_DDL (no release of its own); global
+        // slot = BLOCK_COMMIT, released by BACKUP STAGE END (:606-614,
+        // :751-756). Explicit FTWRL mode skips the stages (:749).
+        Plan(Seq("BACKUP STAGE START", "BACKUP STAGE BLOCK_DDL"), Nil,
+          Seq("BACKUP STAGE BLOCK_COMMIT"), workerInit,
+          Seq("BACKUP STAGE END"), verifyMaria, abortOnDrift = false)
       case (Auto, TiDB) =>
-        Plan(Seq(TidbTsoProbe), tidbInit, Nil, Nil, abortOnDrift = false)
+        Plan(Nil, Nil, Seq(TidbTsoProbe), tidbInit, Nil, Nil, abortOnDrift = false)
+      case (Ftwrl, MariaDB) | (Auto, MariaDB) =>
+        // MariaDB < 10.5, or FTWRL forced: plain global FTWRL, no stages
+        Plan(Nil, Nil, ftwrl, workerInit, Seq("UNLOCK TABLES"),
+          verifyMaria, abortOnDrift = false)
+      case (Ftwrl, _) | (Auto, MySQL | Percona) =>
+        // FTWRL global lock; the flavor/version DDL slot rides along
+        // (reference keeps determine_ddl_lock_function in FTWRL mode too,
+        // :1229-1232)
+        Plan(ddlLock, ddlUnlock, ftwrl, workerInit, Seq("UNLOCK TABLES"),
+          verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false)
     }
   }
 

@@ -86,6 +86,7 @@ class DerbyRoundTripSpec extends SparkTestBase {
 
       // ---- chunked read through the session-init provider
       val snapshot = Snapshot.Plan(
+        ddlLock = Nil, ddlUnlock = Nil,
         controlLock = Nil, workerInit = Seq("SET SCHEMA GRAFT_S"),
         controlUnlock = Nil, verify = Nil, abortOnDrift = false)
       val spec = JdbcExtract.spec(url, "LINE",

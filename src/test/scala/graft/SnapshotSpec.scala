@@ -9,10 +9,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class SnapshotSpec extends AnyFunSuite {
 
   test("auto mode resolves per flavor (reference matrix)") {
-    assert(plan(Auto, MySQL).controlLock.contains("FLUSH TABLES WITH READ LOCK"))
-    assert(plan(Auto, Percona).controlLock === Seq("LOCK TABLES FOR BACKUP"))
-    assert(plan(Auto, MariaDB).controlLock.head === "BACKUP STAGE START")
-    assert(plan(Auto, MariaDB).controlUnlock === Seq("BACKUP STAGE END"))
+    // MySQL 8+: DDL slot holds LOCK INSTANCE FOR BACKUP alongside the
+    // global FTWRL (mydumper_start_dump.c:735-741)
+    val my8 = plan(Auto, MySQL, serverMajor = 8)
+    assert(my8.controlLock.contains("FLUSH TABLES WITH READ LOCK"))
+    assert(my8.ddlLock === Seq("LOCK INSTANCE FOR BACKUP"))
+    assert(my8.ddlUnlock === Seq("UNLOCK INSTANCE"))
+    // pre-8 MySQL has no instance lock
+    assert(plan(Auto, MySQL, serverMajor = 5, serverMinor = 7).ddlLock === Nil)
+    // Percona 8 follows the MySQL-8 pair; 5.7 has its own backup locks
+    assert(plan(Auto, Percona, serverMajor = 8).ddlLock
+      === Seq("LOCK INSTANCE FOR BACKUP"))
+    assert(plan(Auto, Percona, serverMajor = 5, serverMinor = 7).ddlLock
+      === Seq("LOCK TABLES FOR BACKUP", "LOCK BINLOG FOR BACKUP"))
+    // MariaDB >= 10.5: BACKUP STAGE ladder split across the two slots
+    val maria = plan(Auto, MariaDB, serverMajor = 10, serverMinor = 6)
+    assert(maria.ddlLock === Seq("BACKUP STAGE START", "BACKUP STAGE BLOCK_DDL"))
+    assert(maria.controlLock === Seq("BACKUP STAGE BLOCK_COMMIT"))
+    assert(maria.controlUnlock === Seq("BACKUP STAGE END"))
+    // pre-10.5 MariaDB falls back to FTWRL
+    assert(plan(Auto, MariaDB, serverMajor = 10, serverMinor = 4)
+      .controlLock.contains("FLUSH TABLES WITH READ LOCK"))
     // TiDB takes no lock — its control statement is the TSO probe, not
     // a lock; workers pin to that one snapshot
     assert(plan(Auto, TiDB).controlLock === Seq(Snapshot.TidbTsoProbe))
