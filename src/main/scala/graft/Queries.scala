@@ -313,14 +313,17 @@ object Queries {
     * error oracle-visible (approx_count_distinct's default rsd is 5%). */
   val qApproxDistinct: QFn = (s, d) =>
     lineitem(s, d).groupBy("l_returnflag").agg(
-      // explicit rsd 0.02: the asserted 5% bound is then 2.5 sigma of
-      // the estimator instead of 1.0 sigma at the 0.05 default — a
-      // 1-sigma gate would flip spuriously on ~1/3 of fresh data draws
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      // default rsd (0.05) with a 2.5-sigma asserted bound (12.5%): the
+      // r5 variant pinned 5% by paying rsd=0.02 (8x the HLL registers),
+      // which measured 2.3x slower when combined with the exact-check
+      // branch's Expand — same gate robustness (a 1-sigma bound flips
+      // spuriously on ~1/3 of fresh draws; 2.5 sigma doesn't), sketch
+      // cost back to the default
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
       countDistinct(col("l_partkey")).as("exact_parts"))
       .select(col("l_returnflag"), col("exact_parts"),
         (abs(col("approx_parts") - col("exact_parts"))
-          / col("exact_parts") <= lit(0.05)).as("approx_ok"))
+          / col("exact_parts") <= lit(0.125)).as("approx_ok"))
       .orderBy("l_returnflag")
   val qApproxDistinctSql: String =
     """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,

@@ -32,6 +32,10 @@ object SqlInsertWriter {
       fileSizeBytes: Long = 0L,         // --chunk-filesize (0 = no rotation)
       compress: Boolean = false,        // --compress (gzip)
       completeInsert: Boolean = true,   // column list in INSERT header
+      // --exec-per-thread: pipe each file's bytes through an external
+      // filter process ([[ExecFilter]]); takes precedence over
+      // `compress` and supplies its own file extension
+      execFilter: Option[ExecFilter] = None,
       // when set, every data file NAME the writer opens is recorded
       // (driver-side, via accumulator) — consumers that must pair a
       // statement with each produced file (the ClickHouse loader script)
@@ -188,7 +192,8 @@ object SqlInsertWriter {
     private def open(): Unit = {
       subPart += 1
       val sub = if (opts.fileSizeBytes > 0) f".$subPart%05d" else ""
-      val ext = if (opts.compress) ".sql.gz" else ".sql"
+      val ext = opts.execFilter.map(_.ext)
+        .getOrElse(if (opts.compress) ".sql.gz" else ".sql")
       val name = f"$db.$table.$part%05d$sub$ext"
       opts.fileLog.foreach(_.add(name))
       finalPath = new Path(outDir, name)
@@ -197,8 +202,12 @@ object SqlInsertWriter {
       // leaves no half-written file under a data name
       tmpPath = new Path(outDir, s".$name.$attempt.tmp")
       val raw = fs.create(tmpPath, true)
-      out = if (opts.compress) new GZIPOutputStream(new BufferedOutputStream(raw, 1 << 16))
-            else new BufferedOutputStream(raw, 1 << 16)
+      out = opts.execFilter match {
+        case Some(f) => f.wrap(new BufferedOutputStream(raw, 1 << 16))
+        case None if opts.compress =>
+          new GZIPOutputStream(new BufferedOutputStream(raw, 1 << 16))
+        case None => new BufferedOutputStream(raw, 1 << 16)
+      }
       bytes = 0L
     }
 
