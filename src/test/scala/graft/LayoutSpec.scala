@@ -50,6 +50,18 @@ class LayoutSpec extends SparkTestBase {
     assert(viaCol.exceptAll(viaSql).count() === 0)
   }
 
+  test("zorder2SqlCte (the oracle's stepwise form) replays the column expression") {
+    val li = Tables.lineitem(spark, sf)
+    li.createOrReplaceTempView("li_zorder_cte_test")
+    val inner = Layout.zorder2SqlCte("li_zorder_cte_test", "l_partkey",
+      "l_suppkey", 31, Seq("l_orderkey", "l_linenumber"))
+    val viaSql = spark.sql(s"SELECT l_orderkey, l_linenumber, z FROM ($inner)")
+    val viaCol = li.select(col("l_orderkey"), col("l_linenumber"),
+      Layout.zorder2(col("l_partkey"), col("l_suppkey"), 31).as("z"))
+    assert(viaSql.exceptAll(viaCol).count() === 0)
+    assert(viaCol.exceptAll(viaSql).count() === 0)
+  }
+
   test("zorderN generalizes zorder2 and keeps the hypercube property") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

@@ -139,10 +139,11 @@ class PlanQualitySpec extends SparkTestBase {
     // same whitelisted shape as q_knn_exact.
     // q_dedup_simhash_recall shares q_dedup_minhash_recall's bounded
     // 500-doc brute-force ground-truth stage (the LSH path under test
-    // is the equi-join side)
+    // is the equi-join side); round 6's value-gated q_dedup_simhash
+    // embeds the same bounded truth stage to emit the recovered tier
     val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact",
       "q_range_join_auto", "q_knn_recall", "q_dedup_minhash_recall",
-      "q_dedup_simhash_recall", "q_embed_recall")
+      "q_dedup_simhash_recall", "q_embed_recall", "q_dedup_simhash")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { name =>
