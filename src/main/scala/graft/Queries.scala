@@ -146,6 +146,41 @@ object Queries {
       .map(n => Checksum.checksumRow(t(s, d, n), n))
       .reduce(_ unionAll _)
       .orderBy("table")
+  /** CRC-32 (the IEEE-reflected crc32() Spark ships) replayed in DuckDB
+    * SQL — round-6 upgrade that makes A4's NATIVE form value-gated
+    * (DuckDB 1.0 has no crc32 builtin): the standard 256-entry
+    * table-driven byte fold runs as a list_reduce over ord() bytes with
+    * the table as a literal list. Sound because the row text is ASCII
+    * (TPC-H strings; ints/doubles render identically — DuckDB and Java
+    * both emit shortest-roundtrip doubles, diverging only at the ≥1e7
+    * scientific-notation threshold these columns never reach) and the
+    * q_checksum_md5 gate already pins the exact same concat strings, so
+    * only the CRC arithmetic itself is new here. */
+  private val crc32Table: IndexedSeq[Long] = (0 until 256).map { n =>
+    var c = n.toLong
+    var k = 0
+    while (k < 8) { c = if ((c & 1L) != 0) 0xEDB88320L ^ (c >>> 1) else c >>> 1; k += 1 }
+    c
+  }
+  private def crc32XorSql(table: String, cols: Seq[String]): String = {
+    val row = cols.map(c => s"coalesce(CAST($c AS VARCHAR), chr(0))")
+      .mkString("concat_ws(chr(31), ", ", ", ")")
+    s"""SELECT '$table' AS "table",
+       |  bit_xor(xor(list_reduce(
+       |    list_prepend(CAST(4294967295 AS BIGINT),
+       |      list_transform(generate_series(1, length($row)),
+       |        i -> CAST(ord(substr($row, i, 1)) AS BIGINT))),
+       |    (acc, ch) -> xor(acc >> 8, t[CAST((xor(acc, ch) & 255) AS INTEGER) + 1])),
+       |  4294967295)) AS checksum
+       |FROM $table, (SELECT ${crc32Table.mkString("[", ", ", "]")} AS t)""".stripMargin
+  }
+  val qChecksumSql: String =
+    Seq("region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+      .map { case (n, cols) => crc32XorSql(n, cols) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"table\"")
 
   /** A4, engine-portable form: md5-prefix-XOR table digests over the
     * int/string column subsets (float/timestamp rendering differs per
@@ -2591,6 +2626,7 @@ object Queries {
     "q_setops_all" -> qSetopsAllSql,
     "q_rolling_fp" -> qRollingFpSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
+    "q_checksum" -> qChecksumSql,
     "q_checksum_md5" -> qChecksumMd5Sql,
     "q_checksum_struct" -> qChecksumStructSql,
     "q_approx_distinct" -> qApproxDistinctSql,
