@@ -49,6 +49,10 @@ object Dump {
       noData: Boolean = false,          // --no-data / -d: schema-only dump
       noSchemas: Boolean = false,       // --no-schemas: data-only dump
       perTable: Map[String, TableConfig] = Map.empty,
+      // --exec-per-thread: pipe SQL-dump file bytes through an external
+      // filter process per file (sources/ExecFilter); takes precedence
+      // over `compress` on the SQL path and names its own extension
+      execFilter: Option[sources.ExecFilter] = None,
       masks: Masquerade.Registry = Masquerade.Registry(Map.empty),
       // table → discovered primary key (Discovery/TableMeta.primaryKey).
       // Drives the emitted DDL's PRIMARY KEY clause and --order-by-primary;
@@ -141,7 +145,7 @@ object Dump {
       case SqlFormat =>
         SqlInsertWriter.write(partitioned, cfg.db, table, cfg.outDir,
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
-            compress = cfg.compress))
+            compress = cfg.compress, execFilter = cfg.execFilter))
       case CsvFormat =>
         // Observation rides the write job — row count without a second scan
         val obs = new org.apache.spark.sql.Observation()

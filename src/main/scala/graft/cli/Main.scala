@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *   graft.cli.Main dump --source-dir /data/sf0.01 -o /tmp/out \
   *     [--format sql|csv|parquet|jsonl] [--compress] [--rows N] [--regex R]
   *     [--tables-list a,b] [--where COND] [--threads N] [--exec "cmd FILENAME"]
+  *     [--exec-per-thread "cmd"] [--exec-per-thread-extension .sql.zst]
   *   graft.cli.Main load -d /tmp/out --target /tmp/restored [--checksum fail]
   */
 object Main {
@@ -119,6 +120,12 @@ object Main {
       noData = o.contains("no-data"),
       noSchemas = o.contains("no-schemas"),
       perTable = perTable,
+      // --exec-per-thread "zstd -c" [--exec-per-thread-extension .sql.zst]:
+      // the reference's per-writer stream filter (mydumper.c:275-298)
+      execFilter = o.get("exec-per-thread").map { cmd =>
+        graft.sources.ExecFilter(cmd.trim.split("\\s+").toSeq,
+          o.getOrElse("exec-per-thread-extension", ".sql"))
+      },
       masks = Masquerade.Registry(parseMasks(o.get("mask"))),
       primaryKeys = Tables.primaryKeys)
     val tables = all.map(t => (t, Tables.t(spark, src, t), true))

@@ -52,6 +52,23 @@ class CliRunSpec extends SparkTestBase {
       hooked.exists(_.endsWith("graft.nation")))
   }
 
+  test("--exec-per-thread filters dump files through the child and loads back") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_xpt_").toString
+    Main.main(Array("dump",
+      "--source-dir", sf, "-o", out, "--tables-list", "region",
+      "--exec-per-thread", "gzip -c",
+      "--exec-per-thread-extension", ".sql.gz"))
+    val files = new java.io.File(out).listFiles().map(_.getName)
+      .filter(_.startsWith("graft.region.")).filterNot(_.contains("schema"))
+    assert(files.nonEmpty && files.forall(_.endsWith(".sql.gz")),
+      s"unexpected dump names: ${files.toSeq}")
+    // gzip-filtered bytes load back through the standard codec-routed path
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_xptr_").toString
+    Main.main(Array("load", "-d", out, "--target", restored, "--checksum", "fail"))
+    val back = spark.read.parquet(s"$restored/graft.region")
+    assert(back.count() === Tables.t(spark, sf, "region").count())
+  }
+
   test("load without --source-dir restores from the dump's own schema files") {
     // the documented default usage (`load -d dir --target t`) used to
     // silently restore ZERO tables; it must reconstruct schemas from the
