@@ -318,6 +318,45 @@ object SqlInsertReader {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Read dump files produced with an exec-per-thread filter
+    * ([[ExecFilter]]): each file's bytes stream through the INVERSE
+    * child command (e.g. `Seq("zstd", "-dc")`) task-side before SQL
+    * parsing — the loader-side analog of the reference's FIFO
+    * decompression (myloader's `get_command_and_basename` /
+    * `execute_file_per_thread`, src/myloader/myloader_process.c) for
+    * formats Hadoop has no codec for. One child per file, feeder
+    * thread on stdin, nonzero exit fails the task. */
+  def readFiltered(spark: SparkSession, dir: String, schema: StructType,
+      decodeCmd: Seq[String], glob: String = "*.sql*"): DataFrame = {
+    require(decodeCmd.nonEmpty, "empty decode command")
+    val rdd = spark.sparkContext.binaryFiles(s"$dir/$glob")
+      .flatMap { case (_, pds) =>
+        val proc = new ProcessBuilder(decodeCmd: _*).start()
+        val feeder = new Thread(() => {
+          val in = pds.open()
+          try {
+            val os = proc.getOutputStream
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = in.read(buf) }
+            os.close()
+          } catch { case _: Throwable => () } // child died early: exit code decides
+          finally in.close()
+        }, "graft-decode-feeder")
+        feeder.setDaemon(true)
+        feeder.start()
+        val text = new String(proc.getInputStream.readAllBytes(),
+          StandardCharsets.UTF_8)
+        val exit = proc.waitFor()
+        if (exit != 0)
+          throw new java.io.IOException(
+            s"decode filter '${decodeCmd.mkString(" ")}' exited $exit")
+        parseStatements(text).flatten
+      }
+      .map(t => coerce(tupleToRow(t), schema))
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Extract the VALUES tuples of every INSERT statement in a file.
     * Returns tuple bodies (content between the outer parens). */
   def parseStatements(sql: String): Seq[Seq[String]] = {

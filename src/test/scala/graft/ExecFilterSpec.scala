@@ -29,6 +29,24 @@ class ExecFilterSpec extends SparkTestBase {
     li.unpersist()
   }
 
+  test("readFiltered decodes an arbitrary-extension dump via the inverse child") {
+    // write with gzip under a NON-codec extension (.sql.gzx): Hadoop has
+    // no codec route for it, so only the exec-decode path can read it —
+    // the loader-side FIFO-decompression analog, end to end
+    val li = Tables.lineitem(spark, sf).limit(500).cache()
+    li.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_execdec").toString
+    SqlInsertWriter.write(li.repartition(2), "graft", "lineitem", dir,
+      SqlInsertWriter.Options(
+        execFilter = Some(ExecFilter(Seq("gzip", "-c"), ".sql.gzx"))))
+    val back = SqlInsertReader.readFiltered(spark, dir, li.schema,
+      Seq("gzip", "-dc"), "graft.lineitem.*.sql.gzx")
+    assert(back.count() === 500L)
+    assert(back.exceptAll(li).count() === 0)
+    assert(li.exceptAll(back).count() === 0)
+    li.unpersist()
+  }
+
   test("failing filter aborts the task and commits no data file") {
     val li = Tables.lineitem(spark, sf).limit(100).coalesce(1)
     val dir = java.nio.file.Files.createTempDirectory("graft_execfail").toString
