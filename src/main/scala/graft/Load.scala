@@ -73,11 +73,16 @@ object Load {
     case SchemaClickHouse | LoaderScript | Metadata | Unknown => 6
   }
 
-  /** Discover (db.table → data files) groups under a dump dir. */
-  def discover(dir: String): Map[String, Seq[String]] = {
+  /** Discover (db.table → data files) groups under a dump dir.
+    * `extraDataExt` admits exec-per-thread dumps whose filter chose its
+    * own extension (classified as if the custom suffix were `.sql`). */
+  def discover(dir: String, extraDataExt: Option[String] = None): Map[String, Seq[String]] = {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filterNot(_.getName.startsWith("."))
-    files.filter(f => classify(f.getName) == Data)
+    def effectiveName(n: String): String =
+      extraDataExt.filter(n.endsWith)
+        .map(e => n.dropRight(e.length) + ".sql").getOrElse(n)
+    files.filter(f => classify(effectiveName(f.getName)) == Data)
       .groupBy { f =>
         // db.table.NNNNN... → db.table
         f.getName.split("\\.").take(2).mkString(".")
@@ -143,9 +148,13 @@ object Load {
   /** Restore dumped tables through the dependency scheduler, verifying
     * checksums against the manifest (the reference's --checksum=fail
     * gate: a mismatch throws). `writeTarget` is the restore sink (lake
-    * write / JDBC batch write). */
+    * write / JDBC batch write). `decode = Some((cmd, ext))` restores
+    * exec-per-thread dumps: data files carrying `ext` stream through
+    * the inverse child command ([[graft.sources.SqlInsertReader
+    * .readFiltered]]) instead of the codec-routed text reader. */
   def run(spark: SparkSession, dumpDir: String, sources: Seq[TableSource],
-      failOnChecksum: Boolean = true)(
+      failOnChecksum: Boolean = true,
+      decode: Option[(Seq[String], String)] = None)(
       writeTarget: (String, DataFrame) => Unit): Seq[Result] = {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val results = new java.util.concurrent.ConcurrentHashMap[String, Result]()
@@ -154,8 +163,12 @@ object Load {
         name = src.table,
         createSchema = () => (), // lake targets: schema = parquet metadata
         dataJobs = Seq(() => {
-          val df = SqlInsertReader.read(spark, dumpDir, src.schema,
-            glob = s"${src.table}.*.sql*")
+          val df = decode match {
+            case Some((cmd, ext)) => SqlInsertReader.readFiltered(spark,
+              dumpDir, src.schema, cmd, glob = s"${src.table}.*$ext")
+            case None => SqlInsertReader.read(spark, dumpDir, src.schema,
+              glob = s"${src.table}.*.sql*")
+          }
           val (rows, cs) = rowsAndChecksum(df)
           val ok = src.expectedChecksum.map(_ == cs)
           if (failOnChecksum && ok.contains(false))

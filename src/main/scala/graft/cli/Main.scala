@@ -153,7 +153,14 @@ object Main {
     val dir = o.getOrElse("directory", sys.error("-d/--directory required"))
     val target = o.getOrElse("target", sys.error("--target required"))
     val failOnChecksum = o.get("checksum").contains("fail")
-    val groups = Load.discover(dir)
+    // --exec-per-thread "gzip -dc" [--exec-per-thread-extension .sql.gzx]:
+    // restore dumps whose bytes were filtered through an external
+    // command at dump time (myloader's flag pair)
+    val decode = o.get("exec-per-thread").map { cmd =>
+      (cmd.trim.split("\\s+").toSeq,
+        o.getOrElse("exec-per-thread-extension", ".sql"))
+    }
+    val groups = Load.discover(dir, decode.map(_._2))
     // schema source: sibling parquet dump or caller-provided; dev slice
     // infers from the source dir if given
     val srcDir = o.get("source-dir")
@@ -173,7 +180,7 @@ object Main {
     require(sources.nonEmpty || groups.isEmpty,
       s"dump dir $dir has data files but no schema source — " +
         "add --source-dir or ensure *-schema.sql files are present")
-    val results = Load.run(spark, dir, sources, failOnChecksum) { (stem, df) =>
+    val results = Load.run(spark, dir, sources, failOnChecksum, decode) { (stem, df) =>
       df.write.mode("overwrite").parquet(s"$target/$stem")
     }
     results.foreach(r =>

@@ -52,19 +52,23 @@ class CliRunSpec extends SparkTestBase {
       hooked.exists(_.endsWith("graft.nation")))
   }
 
-  test("--exec-per-thread filters dump files through the child and loads back") {
+  test("--exec-per-thread round trip under a NON-codec extension") {
+    // .sql.gzx has no Hadoop codec route: only the exec paths can write
+    // AND read it — proving both sides of the reference's flag pair
     val out = java.nio.file.Files.createTempDirectory("graft_cli_xpt_").toString
     Main.main(Array("dump",
       "--source-dir", sf, "-o", out, "--tables-list", "region",
       "--exec-per-thread", "gzip -c",
-      "--exec-per-thread-extension", ".sql.gz"))
+      "--exec-per-thread-extension", ".sql.gzx"))
     val files = new java.io.File(out).listFiles().map(_.getName)
       .filter(_.startsWith("graft.region.")).filterNot(_.contains("schema"))
-    assert(files.nonEmpty && files.forall(_.endsWith(".sql.gz")),
+    assert(files.nonEmpty && files.forall(_.endsWith(".sql.gzx")),
       s"unexpected dump names: ${files.toSeq}")
-    // gzip-filtered bytes load back through the standard codec-routed path
     val restored = java.nio.file.Files.createTempDirectory("graft_cli_xptr_").toString
-    Main.main(Array("load", "-d", out, "--target", restored, "--checksum", "fail"))
+    Main.main(Array("load", "-d", out, "--target", restored,
+      "--checksum", "fail",
+      "--exec-per-thread", "gzip -dc",
+      "--exec-per-thread-extension", ".sql.gzx"))
     val back = spark.read.parquet(s"$restored/graft.region")
     assert(back.count() === Tables.t(spark, sf, "region").count())
   }
