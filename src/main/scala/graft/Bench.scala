@@ -81,7 +81,7 @@ object Bench {
     def keep(name: String): Boolean =
       filterRe.forall(_.findFirstIn(name).isDefined)
     val childMode = sys.env.get("SPARK_GRAFT_BENCH_CHILD").contains("1")
-    def runInChild(name: String): Double = {
+    def runInChild(name: String): Option[Double] = {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(
         System.getProperty("java.home"), "bin", "java").toString
@@ -96,18 +96,21 @@ object Bench {
           "SPARK_GRAFT_BENCH_CHILD" -> "0",
           "SPARK_GRAFT_BENCH_FILTER" ->
             ("^" + java.util.regex.Pattern.quote(name) + "$")).!!
-        pat.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse {
-          System.err.println(s"[bench] child for $name printed no result")
-          -1.0
-        }
+        val r = pat.findFirstMatchIn(out).map(_.group(1).toDouble)
+        if (r.isEmpty) System.err.println(s"[bench] child for $name printed no result")
+        r
       } catch { case e: Throwable =>
         System.err.println(s"[bench] child for $name failed: ${e.getMessage}")
-        -1.0
+        None
       }
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter(t => keep(t._1))
     val catalog =
-      if (childMode) selected.map { case (name, _) => name -> runInChild(name) }
+      // a crashed child is DROPPED from the line (stderr notes it) — a
+      // sentinel value would corrupt the committed record and the total
+      if (childMode) selected.flatMap { case (name, _) =>
+        runInChild(name).map(name -> _)
+      }
       else selected.map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()

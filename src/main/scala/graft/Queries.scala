@@ -1096,22 +1096,28 @@ object Queries {
       "text", "doc_id",
       shingleSize = 3, bands = 8, rowsPerBand = 4, verifyJaccard = Some(0.5))
       .orderBy("id1", "id2")
+  /** Shared DuckDB shingle machinery for the dedup oracles — ONE
+    * definition of the per-doc 3-word shingle set (with the <3-words
+    * whole-text case) and the exact-Jaccard expression, so the four
+    * pair/recall oracles cannot silently drift apart. */
+  private def shingleSetCte(where: String): String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       |      ELSE list_transform(generate_series(1, len(w)-2),
+       |             i -> array_to_string(w[i:i+2], ' ')) END) AS sh
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+       |        FROM documents$where))""".stripMargin
+  private val jaccardSql: String =
+    """CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))""".stripMargin
   val qDedupMinhashSql: String =
-    """WITH s AS (
-      |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-      |      ELSE list_transform(generate_series(1, len(w)-2),
-      |             i -> array_to_string(w[i:i+2], ' ')) END) AS sh
-      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
-      |        FROM documents WHERE doc_id < 500))
-      |SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |  floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-      |    * 10000.0) / 10000.0 AS jaccard
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
-      |ORDER BY id1, id2""".stripMargin
+    s"""${shingleSetCte(" WHERE doc_id < 500")}
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  floor($jaccardSql * 10000.0) / 10000.0 AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE $jaccardSql >= 0.5
+       |ORDER BY id1, id2""".stripMargin
 
   /** MinHash-LSH recall, oracle-visible (same pattern as q_knn_recall):
     * on the <500-id slice the TRUE Jaccard-≥0.5 pair set is small enough
@@ -1178,17 +1184,10 @@ object Queries {
           .as("recall_ok"))
   }
   val qDedupMinhashRecallSql: String =
-    """WITH s AS (
-      |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-      |      ELSE list_transform(generate_series(1, len(w)-2),
-      |             i -> array_to_string(w[i:i+2], ' ')) END) AS sh
-      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
-      |        FROM documents WHERE doc_id < 500))
-      |SELECT count(*) AS n_exact, TRUE AS recall_ok
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""".stripMargin
+    s"""${shingleSetCte(" WHERE doc_id < 500")}
+       |SELECT count(*) AS n_exact, TRUE AS recall_ok
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE $jaccardSql >= 0.5""".stripMargin
 
   /** SimHash near-dups, VALUE-gated (round-6 upgrade from rows-only).
     * SimHash targets token-multiset cosine, so its raw hamming-≤6 pair
@@ -1218,21 +1217,12 @@ object Queries {
       .orderBy("id1", "id2")
   }
   val qDedupSimhashSql: String =
-    """WITH s AS (
-      |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-      |      ELSE list_transform(generate_series(1, len(w)-2),
-      |             i -> array_to_string(w[i:i+2], ' ')) END) AS sh
-      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
-      |        FROM documents WHERE doc_id < 500))
-      |SELECT a.doc_id AS id1, b.doc_id AS id2,
-      |  floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-      |    * 10000.0) / 10000.0 AS jaccard
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
-      |ORDER BY id1, id2""".stripMargin
+    s"""${shingleSetCte(" WHERE doc_id < 500")}
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  floor($jaccardSql * 10000.0) / 10000.0 AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE $jaccardSql >= 0.8
+       |ORDER BY id1, id2""".stripMargin
 
   /** SimHash recall, oracle-visible (the q_dedup_minhash_recall pattern
     * applied to the remaining rows-only sketch): DuckDB brute-forces the
@@ -1256,17 +1246,10 @@ object Queries {
           .as("recall_ok"))
   }
   val qDedupSimhashRecallSql: String =
-    """WITH s AS (
-      |  SELECT doc_id,
-      |    list_distinct(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-      |      ELSE list_transform(generate_series(1, len(w)-2),
-      |             i -> array_to_string(w[i:i+2], ' ')) END) AS sh
-      |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
-      |        FROM documents WHERE doc_id < 500))
-      |SELECT count(*) AS n_exact, TRUE AS recall_ok
-      |FROM s a JOIN s b ON a.doc_id < b.doc_id
-      |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8""".stripMargin
+    s"""${shingleSetCte(" WHERE doc_id < 500")}
+       |SELECT count(*) AS n_exact, TRUE AS recall_ok
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE $jaccardSql >= 0.8""".stripMargin
 
   /** Incremental dedup equivalence gate: split the corpus into an "old"
     * half (its band table = the persisted signature store) and a "new"

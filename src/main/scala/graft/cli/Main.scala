@@ -120,11 +120,16 @@ object Main {
       noData = o.contains("no-data"),
       noSchemas = o.contains("no-schemas"),
       perTable = perTable,
-      // --exec-per-thread "zstd -c" [--exec-per-thread-extension .sql.zst]:
-      // the reference's per-writer stream filter (mydumper.c:275-298)
+      // --exec-per-thread "zstd -c" --exec-per-thread-extension .sql.zst:
+      // the reference's per-writer stream filter (mydumper.c:275-298).
+      // The extension is MANDATORY, as in the reference (:270-271) — a
+      // default of ".sql" would publish filter-encoded bytes under the
+      // plain SQL extension, which a later flag-less load would read as
+      // text and silently restore zero rows from
       execFilter = o.get("exec-per-thread").map { cmd =>
         graft.sources.ExecFilter(cmd.trim.split("\\s+").toSeq,
-          o.getOrElse("exec-per-thread-extension", ".sql"))
+          o.getOrElse("exec-per-thread-extension", sys.error(
+            "--exec-per-thread-extension must be set with --exec-per-thread")))
       },
       masks = Masquerade.Registry(parseMasks(o.get("mask"))),
       primaryKeys = Tables.primaryKeys)
@@ -158,7 +163,8 @@ object Main {
     // command at dump time (myloader's flag pair)
     val decode = o.get("exec-per-thread").map { cmd =>
       (cmd.trim.split("\\s+").toSeq,
-        o.getOrElse("exec-per-thread-extension", ".sql"))
+        o.getOrElse("exec-per-thread-extension", sys.error(
+          "--exec-per-thread-extension must be set with --exec-per-thread")))
     }
     val groups = Load.discover(dir, decode.map(_._2))
     // schema source: sibling parquet dump or caller-provided; dev slice

@@ -45,13 +45,20 @@ object Snapshot {
     * BLOCK_COMMIT`). Release runs in reverse. [[SnapshotRunner]]
     * executes this plan over live connections. */
   final case class Plan(
-      ddlLock: Seq[String],         // second connection, acquired FIRST
+      ddlLock: Seq[String],         // DDL-quiesce slot, acquired FIRST
       ddlUnlock: Seq[String],       // released LAST
       controlLock: Seq[String],     // global lock on the control connection
       workerInit: Seq[String],      // sessionInitStatement per worker connection
       controlUnlock: Seq[String],   // after workers synced
       verify: Seq[String],          // position probes (run before + after sync)
-      abortOnDrift: Boolean)        // SafeNoLock aborts, NoLock warns
+      abortOnDrift: Boolean,        // SafeNoLock aborts, NoLock warns
+      // Whether the DDL slot runs on its OWN connection: the reference
+      // creates a second connection ONLY for Percona 5.7's backup locks
+      // (mydumper_start_dump.c:718 `*conn = create_connection()`);
+      // everywhere else `second_conn = conn` — MariaDB's BACKUP STAGE
+      // ladder in particular is per-session state and MUST share the
+      // control session or BLOCK_COMMIT errors with 'stage not started'
+      ddlOnSeparateConnection: Boolean = false)
 
   /** One consistent TiDB snapshot for ALL workers: the control
     * connection reads the current TSO once (`controlProbe`), and every
@@ -102,6 +109,7 @@ object Snapshot {
           Seq("UNLOCK TABLES", "UNLOCK BINLOG"))
       case _ => (Nil, Nil)
     }
+    val percona57 = flavor == Percona && serverMajor == 5 && serverMinor == 7
     val mariaBackupStage =
       serverMajor > 10 || (serverMajor == 10 && serverMinor >= 5)
 
@@ -141,9 +149,11 @@ object Snapshot {
       case (Ftwrl, _) | (Auto, MySQL | Percona) =>
         // FTWRL global lock; the flavor/version DDL slot rides along
         // (reference keeps determine_ddl_lock_function in FTWRL mode too,
-        // :1229-1232)
+        // :1229-1232). Only Percona 5.7's backup locks get their own
+        // connection (:718); LOCK INSTANCE shares the control session.
         Plan(ddlLock, ddlUnlock, ftwrl, workerInit, Seq("UNLOCK TABLES"),
-          verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false)
+          verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false,
+          ddlOnSeparateConnection = percona57)
     }
   }
 

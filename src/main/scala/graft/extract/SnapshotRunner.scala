@@ -70,11 +70,15 @@ object SnapshotRunner {
 
   /** Phases 1-3: acquire locks, resolve the TiDB TSO into the worker
     * init, capture the pre-sync verify probes. `ddl` is the second
-    * connection the DDL lock lives on (pass the control connection for
-    * single-connection setups). */
+    * connection used ONLY when the plan says the DDL slot needs its own
+    * session (Percona 5.7 backup locks, mydumper_start_dump.c:718);
+    * every other flavor's DDL statements — MariaDB's per-session
+    * BACKUP STAGE ladder in particular — run on the control
+    * connection, exactly as the reference's `second_conn = conn`. */
   def start(control: Connection, ddl: Connection, plan: Snapshot.Plan,
       lockRetries: Int = 2): Started = {
-    plan.ddlLock.foreach(s => execWithRetry(ddl, s, lockRetries))
+    val ddlConn = if (plan.ddlOnSeparateConnection) ddl else control
+    plan.ddlLock.foreach(s => execWithRetry(ddlConn, s, lockRetries))
     val probeRows = plan.controlLock.flatMap(s => execWithRetry(control, s, lockRetries))
     val workerInit =
       if (plan.workerInit.exists(_.contains(TsoPlaceholder))) {
@@ -109,7 +113,8 @@ object SnapshotRunner {
       else System.err.println(s"[snapshot] WARNING: $msg (continuing, NoLock policy)")
     }
     started.plan.controlUnlock.foreach(s => exec(control, s))
-    started.plan.ddlUnlock.foreach(s => exec(ddl, s))
+    val ddlConn = if (started.plan.ddlOnSeparateConnection) ddl else control
+    started.plan.ddlUnlock.foreach(s => exec(ddlConn, s))
     post
   }
 }

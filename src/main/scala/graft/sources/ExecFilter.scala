@@ -39,7 +39,16 @@ final case class ExecFilter(cmd: Seq[String], ext: String) {
           if (n > 0) sink.write(buf, 0, n)
           n = in.read(buf)
         }
-      } catch { case t: Throwable => pumpError = t }
+      } catch {
+        case t: Throwable =>
+          pumpError = t
+          // a dead sink (disk full, HDFS failure) must FAIL the task,
+          // not wedge it: with nobody draining stdout the child stalls
+          // on a full pipe and the writer then blocks forever in
+          // stdin.write / waitFor. Killing the child breaks both pipes,
+          // so the writer surfaces an error and Spark retries the task.
+          proc.destroyForcibly()
+      }
     }, "graft-exec-filter-pump")
     pump.setDaemon(true)
     pump.start()
@@ -49,14 +58,25 @@ final case class ExecFilter(cmd: Seq[String], ext: String) {
       stdin.write(b, off, len)
     override def flush(): Unit = stdin.flush()
     override def close(): Unit = {
-      stdin.close()
+      // a child that died mid-file breaks the stdin pipe: that close
+      // failure must not mask the informative diagnostics (exit code,
+      // pump error) nor leak the sink's file handle
+      val stdinError = try { stdin.close(); null }
+        catch { case t: Throwable => t }
       val exit = proc.waitFor()
       pump.join()
-      sink.close()
+      try sink.close() catch {
+        case t: Throwable => if (pumpError == null) pumpError = t
+      }
       if (pumpError != null)
         throw new java.io.IOException("exec-filter output pump failed", pumpError)
       if (exit != 0)
-        throw new java.io.IOException(s"exec filter '${cmd.mkString(" ")}' exited $exit")
+        throw new java.io.IOException(
+          s"exec filter '${cmd.mkString(" ")}' exited $exit",
+          stdinError)
+      if (stdinError != null)
+        throw new java.io.IOException(
+          s"exec filter '${cmd.mkString(" ")}' stdin close failed", stdinError)
     }
   }
 }

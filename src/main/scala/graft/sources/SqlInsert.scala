@@ -330,27 +330,43 @@ object SqlInsertReader {
       decodeCmd: Seq[String], glob: String = "*.sql*"): DataFrame = {
     require(decodeCmd.nonEmpty, "empty decode command")
     val rdd = spark.sparkContext.binaryFiles(s"$dir/$glob")
-      .flatMap { case (_, pds) =>
+      .flatMap { case (path, pds) =>
         val proc = new ProcessBuilder(decodeCmd: _*).start()
+        // an INPUT-side failure must fail the task, not just close
+        // stdin: a truncation-tolerant child (cat, frame-per-block
+        // codecs) exits 0 on a partial stream, which would silently
+        // drop every row after the read error. Only a child-side pipe
+        // break (child exited early) may defer to the exit code.
+        @volatile var feedError: Throwable = null
         val feeder = new Thread(() => {
-          val in = pds.open()
           try {
-            val os = proc.getOutputStream
-            val buf = new Array[Byte](1 << 16)
-            var n = in.read(buf)
-            while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = in.read(buf) }
-            os.close()
-          } catch { case _: Throwable => () } // child died early: exit code decides
-          finally in.close()
+            val in = pds.open()
+            try {
+              val os = proc.getOutputStream
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n >= 0) { if (n > 0) os.write(buf, 0, n); n = in.read(buf) }
+              os.close()
+            } finally in.close()
+          } catch {
+            case t: Throwable =>
+              feedError = t
+              proc.destroyForcibly() // unblock readAllBytes/waitFor
+          }
         }, "graft-decode-feeder")
         feeder.setDaemon(true)
         feeder.start()
         val text = new String(proc.getInputStream.readAllBytes(),
           StandardCharsets.UTF_8)
         val exit = proc.waitFor()
+        feeder.join()
+        val feedMsg = Option(feedError).flatMap(t => Option(t.getMessage)).getOrElse("")
+        if (feedError != null && !feedMsg.contains("Broken pipe") &&
+            !feedMsg.contains("Stream closed"))
+          throw new java.io.IOException(s"decode input read failed for $path", feedError)
         if (exit != 0)
           throw new java.io.IOException(
-            s"decode filter '${decodeCmd.mkString(" ")}' exited $exit")
+            s"decode filter '${decodeCmd.mkString(" ")}' exited $exit for $path")
         parseStatements(text).flatten
       }
       .map(t => coerce(tupleToRow(t), schema))

@@ -102,10 +102,12 @@ class SnapshotReplaySpec extends AnyFunSuite {
   }
 
   test("MySQL 8.0 auto: LOCK INSTANCE + FTWRL, verify twice, reverse release") {
+    // the whole sequence shares ONE session — the reference only opens a
+    // second connection for Percona 5.7 (mydumper_start_dump.c:718)
     val srv = new FakeServer
     replay(srv, plan(Auto, MySQL, serverMajor = 8, serverMinor = 0))
     assert(srv.log.toSeq === Seq(
-      "ddl" -> "LOCK INSTANCE FOR BACKUP",
+      "ctl" -> "LOCK INSTANCE FOR BACKUP",
       "ctl" -> "FLUSH NO_WRITE_TO_BINLOG TABLES",
       "ctl" -> "FLUSH TABLES WITH READ LOCK",
       "ctl" -> "SHOW MASTER STATUS",
@@ -114,7 +116,7 @@ class SnapshotReplaySpec extends AnyFunSuite {
       "ctl" -> "SHOW MASTER STATUS",
       "ctl" -> "SELECT @@gtid_executed",
       "ctl" -> "UNLOCK TABLES",
-      "ddl" -> "UNLOCK INSTANCE"))
+      "ctl" -> "UNLOCK INSTANCE"))
   }
 
   test("MySQL 8.4 auto speaks the renamed binlog-status verb on the wire") {
@@ -138,13 +140,18 @@ class SnapshotReplaySpec extends AnyFunSuite {
     assert(srv.log.last === ("ddl" -> "UNLOCK BINLOG"))
   }
 
-  test("MariaDB 10.6 auto: BACKUP STAGE ladder with END on the control side") {
+  test("MariaDB 10.6 auto: the whole BACKUP STAGE ladder shares ONE session") {
+    // backup stages are per-session server state: BLOCK_COMMIT on a
+    // session that never ran START errors out, so every stage must run
+    // on the control connection (reference second_conn = conn, :1099)
     val srv = new FakeServer
     replay(srv, plan(Auto, MariaDB, serverMajor = 10, serverMinor = 6))
-    assert(srv.log.filter(_._1 == "ddl").map(_._2) ===
-      Seq("BACKUP STAGE START", "BACKUP STAGE BLOCK_DDL"))
+    assert(srv.log.filter(_._1 == "ddl").isEmpty,
+      "no statement may leave the control session")
     val ctlSeq = srv.log.filter(_._1 == "ctl").map(_._2)
-    assert(ctlSeq === Seq("BACKUP STAGE BLOCK_COMMIT",
+    assert(ctlSeq === Seq(
+      "BACKUP STAGE START", "BACKUP STAGE BLOCK_DDL",
+      "BACKUP STAGE BLOCK_COMMIT",
       "SHOW BINLOG STATUS", "SELECT @@gtid_binlog_pos",
       "SHOW BINLOG STATUS", "SELECT @@gtid_binlog_pos",
       "BACKUP STAGE END"))
@@ -173,7 +180,7 @@ class SnapshotReplaySpec extends AnyFunSuite {
     replay(srv, plan(Auto, MySQL, serverMajor = 8, serverMinor = 0))
     assert(srv.log.count(_._2 == "FLUSH TABLES WITH READ LOCK") === 2,
       "first FTWRL attempt must be retried, not fatal")
-    assert(srv.log.last === ("ddl" -> "UNLOCK INSTANCE"), "dump completed after retry")
+    assert(srv.log.last === ("ctl" -> "UNLOCK INSTANCE"), "dump completed after retry")
   }
 
   test("FTWRL with retries exhausted propagates the server error") {
