@@ -26,6 +26,40 @@ class StreamingSpec extends SparkTestBase {
     assert(batches >= 1)
   }
 
+  test("streaming ANN index appends equal the one-shot index") {
+    // the similarity analog of the incremental-dedup stream: embedding
+    // batches arrive via the landing dir, each micro-batch blind-appends
+    // its cell-partitioned slice (Similarity.appendIndex — no
+    // read-modify-write, batches commit independently), and a probe
+    // against the streamed index must return EXACTLY the one-shot
+    // index's neighbors
+    val landing = Files.createTempDirectory("graft_ann_landing_").toString
+    val ckpt = Files.createTempDirectory("graft_ann_ckpt_").toString
+    val idx = Files.createTempDirectory("graft_ann_idx_").toString
+    val streamed = s"$idx/streamed"
+    val oneshot = s"$idx/oneshot"
+    val e = Tables.embeddings(spark, sf)
+    val bits = 4
+    LandingStream.produce(e.filter(col("vec_id") % 2 === 0), landing)
+    LandingStream.produce(e.filter(col("vec_id") % 2 === 1), landing)
+    var batches = 0
+    val q = LandingStream.consume(spark, landing, e.schema, ckpt,
+      maxFilesPerTrigger = 1) { (batch, _) =>
+      operators.Similarity.appendIndex(batch, streamed, "embedding", bits)
+      batches += 1
+    }
+    q.awaitTermination(180000)
+    assert(batches >= 2, s"want multiple micro-batches, got $batches")
+    operators.Similarity.writeIndex(e, oneshot, "embedding", bits)
+    val probe = e.orderBy("vec_id").select("embedding").head()
+      .getSeq[Float](0)
+    def top(path: String) = operators.Similarity.queryIndex(spark, path,
+      "embedding", "vec_id", probe, k = 10, bits = bits, nprobe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(top(streamed) === top(oneshot),
+      "streamed-index neighbors diverge from the one-shot index")
+  }
+
   test("streaming incremental dedup matches the batch pair set") {
     // the standing-corpus workflow end-to-end: documents arrive in
     // micro-batches; each batch sketches only itself, joins its bands
