@@ -137,7 +137,11 @@ object Bench {
     val csvDir = java.nio.file.Files.createTempDirectory("graft_bench_csv").toString
     val pipeline = Seq[(String, () => Unit)](
       "x_dump_sqlinsert" -> { () =>
-        Dump.dumpTable(li, "lineitem", Dump.Config(outDir = dumpDir)); ()
+        // checksum=false like the CSV leg: mydumper's default dump does
+        // not checksum, so the comparable number must not pay an extra
+        // full CRC32 scan (the checksum path has its own gates)
+        Dump.dumpTable(li, "lineitem",
+          Dump.Config(outDir = dumpDir, checksum = false)); ()
       },
       "x_load_sqlinsert" -> { () =>
         sources.SqlInsertReader.read(spark, dumpDir, li.schema, "graft.lineitem.*.sql*")
