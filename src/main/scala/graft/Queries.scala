@@ -1625,6 +1625,36 @@ object Queries {
         (floor(col("score") * lit(1000000.0)) / lit(1000000.0)).as("score"))
   }
 
+  /** IVF at FULL probe width (nprobe = bits ⇒ the hamming ball reaches
+    * every cell), VALUE-gated: the approximate path degenerates to exact
+    * search, so the output must hash-match DuckDB's brute-forced top-10.
+    * This gates the IVF *machinery* itself — the cell UDF must not drop
+    * or duplicate a row, the `bit_count(xor) <= nprobe` predicate must be
+    * inclusive at max radius, and per-cell scan + global top-k merge must
+    * equal one flat top-k. [[qAnnIvf]] keeps the pruned nprobe=1
+    * production shape (rows-only), with [[qAnnIvfRecall]] gating what
+    * pruning is allowed to cost. */
+  val qAnnIvfFull: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    val q = probeVec(s, d, 0L)
+    val withCell = Similarity.withCell(e.where(col("vec_id") =!= 0), "embedding",
+      bits = 2, dim = 64)
+    Similarity.ivfTopK(withCell, "embedding", "vec_id", q, k = 10,
+      bits = 2, nprobe = 2, dim = 64)
+      .select(col("vec_id"),
+        (floor(col("score") * lit(1000000.0)) / lit(1000000.0)).as("score"))
+  }
+  val qAnnIvfFullSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |c AS (SELECT vec_id,
+      |  list_sum(list_transform(list_zip(embedding, qe),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings, q WHERE vec_id <> 0)
+      |SELECT vec_id, floor(cos * 1000000.0) / 1000000.0 AS score FROM c
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
   /** Batch ANN: top-k per probe row via broadcast cross-join + window rank
     * (bulk side never shuffles; fully oracle-checkable). */
   /** IVF recall, oracle-visible: the exact cosine top-10 replays in
@@ -2065,6 +2095,22 @@ object Queries {
       k = 5, bits = 3, tables = 6)
       .orderBy("id1", "rank")
 
+  /** Multi-table LSH kNN at the degenerate bits=0 setting, VALUE-gated:
+    * zero hyperplanes put every row in the ONE cell of BOTH tables, so
+    * the candidate set is all pairs — emitted twice over (once per
+    * table), which forces the cross-table `distinct()` dedup to earn its
+    * keep. The explode/packed-key/equi-join/undirected-mirror/rank
+    * machinery must then reproduce the exact graph bit-for-bit: same
+    * oracle text as q_knn_exact (shared below, like q_decontam_bloom).
+    * [[qKnnGraph]] keeps the bits=3 production shape (rows-only), with
+    * [[qKnnRecall]] gating what the pruning is allowed to cost. */
+  val qKnnLshExact: QFn = (s, d) => {
+    val e = embeddings(s, d).where(col("vec_id") < 200)
+    Similarity.selfTopKLsh(e, "embedding", "vec_id", k = 3, bits = 0, tables = 2)
+      .withColumn("score", floor(col("score") * lit(1000000.0)) / lit(1000000.0))
+      .orderBy("id1", "rank")
+  }
+
   /** LSH kNN recall, oracle-visible: on the <200-id slice the exact
     * top-5 graph is DuckDB-replayable (same brute force as q_knn_exact),
     * so the gate hashes the exact-pair count PLUS a boolean asserting
@@ -2473,6 +2519,7 @@ object Queries {
     "q_pack_stats" -> qPackStats,
     "q_ann_cosine" -> qAnnCosine,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_full" -> qAnnIvfFull,
     "q_ann_index" -> qAnnIndex,
     "q_ann_batch" -> qAnnBatch,
     "q_embed_stats" -> qEmbedStats,
@@ -2494,6 +2541,7 @@ object Queries {
     "q_map_fns" -> qMapFns,
     "q_knn_exact" -> qKnnExact,
     "q_knn_graph" -> qKnnGraph,
+    "q_knn_lsh_exact" -> qKnnLshExact,
     "q_knn_recall" -> qKnnRecall,
     "q_embed_recall" -> qEmbedRecall,
     "q_ann_ivf_recall" -> qAnnIvfRecall,
@@ -2572,6 +2620,7 @@ object Queries {
     "q_reservoir" -> qReservoirSql,
     "q_zorder" -> qZorderSql,
     "q_ann_cosine" -> qAnnCosineSql,
+    "q_ann_ivf_full" -> qAnnIvfFullSql,
     "q_ann_index" -> qAnnIndexSql,
     "q_ann_batch" -> qAnnBatchSql,
     "q_embed_stats" -> qEmbedStatsSql,
@@ -2593,6 +2642,9 @@ object Queries {
     "q_mixture" -> qMixtureSql,
     "q_map_fns" -> qMapFnsSql,
     "q_knn_exact" -> qKnnExactSql,
+    // q_knn_lsh_exact intentionally shares q_knn_exact's oracle text:
+    // at bits=0 the LSH path must produce the IDENTICAL exact graph
+    "q_knn_lsh_exact" -> qKnnExactSql,
     "q_cond_agg" -> qCondAggSql,
     "q_asof_fwd" -> qAsofFwdSql,
     "q_merge_upsert" -> qMergeUpsertSql,
