@@ -1326,6 +1326,30 @@ object Queries {
       |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
       |  >= 0.35""".stripMargin
 
+  /** Embedding near-dup at the degenerate-exact setting, VALUE-gated
+    * (the q_ann_ivf_full / q_knn_lsh_exact pattern): bits = 0 puts every
+    * row in the single LSH bucket and slackBits = 64 makes the hamming
+    * prefilter vacuously true, so the three-stage pipeline — sig UDF,
+    * slim candidate join, vector re-attach, codegen cosine — must emit
+    * the exact all-pairs cosine-≥0.35 set, which DuckDB brute-forces.
+    * [[qDedupEmbedding]] keeps the pruned production shape (rows-only),
+    * with [[qEmbedRecall]] gating what the pruning is allowed to cost. */
+  val qDedupEmbeddingExact: QFn = (s, d) =>
+    Dedup.embeddingNearDups(embeddings(s, d).where(col("vec_id") < 150),
+      "embedding", "vec_id", threshold = 0.35, bits = 0, dim = 64,
+      slackBits = 64)
+      .orderBy("id1", "id2")
+  val qDedupEmbeddingExactSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+      |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id1, id2, floor(cos * 10000.0) / 10000.0 AS cosine
+      |FROM p WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin
+
   /** n-gram Jaccard dedup: prefix-bucket candidates + exact shingle-set
     * Jaccard verify (fully SQL-replayable — shingles and set overlap are
     * string ops, no hashing involved). */
@@ -2509,6 +2533,7 @@ object Queries {
     "q_dedup_simhash_recall" -> qDedupSimhashRecall,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_dedup_embedding_exact" -> qDedupEmbeddingExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_clusters" -> qDedupClusters,
     "q_tfidf" -> qTfidf,
@@ -2670,6 +2695,7 @@ object Queries {
     "q_dedup_simhash_recall" -> qDedupSimhashRecallSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_embed_recall" -> qEmbedRecallSql,
+    "q_dedup_embedding_exact" -> qDedupEmbeddingExactSql,
     "q_pack_stats" -> qPackStatsSql,
     "q_ann_ivf_recall" -> qAnnIvfRecallSql,
     "q_approx_quantile" -> qApproxQuantileSql,

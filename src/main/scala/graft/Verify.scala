@@ -38,7 +38,14 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_FILTER: regex over query names — dump only the
+    // matching subset (local iteration on one oracle without paying the
+    // full catalog; the driver never sets it, so its gate is unaffected).
+    val keep = sys.env.get("SPARK_GRAFT_VERIFY_FILTER").map(_.r) match {
+      case Some(re) => (n: String) => re.findFirstIn(n).isDefined
+      case None     => (_: String) => true
+    }
+    SparkEntry.queries.filter(t => keep(t._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>

@@ -338,7 +338,13 @@ object Dedup {
     *     (half the shuffle bytes of normalized doubles, primitive loop
     *     inside whole-stage codegen), divided by the precomputed norms.
     * Approximate by construction (LSH recall < 1); `dim` fixes the
-    * hyperplanes host-side so every executor regenerates them. */
+    * hyperplanes host-side so every executor regenerates them.
+    * Degenerate-exact mode: `bits = 0` puts every row in one bucket and a
+    * window of ≥64 bits (the clamp) makes the hamming predicate vacuously
+    * true, so the pipeline computes exact all-pairs cosine — the
+    * value-gate setting (`q_dedup_embedding_exact`); the clamp is 64, not
+    * 63, because a full-complement signature pair differs in all 64 bits
+    * and a 63-bit window would silently drop it from "exact" output. */
   def embeddingNearDups(embs: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, bits: Int = 8, dim: Int = 64,
       slackBits: Int = 4): DataFrame = {
@@ -346,7 +352,7 @@ object Dedup {
     val sigUdf = udf((v: Seq[Float]) => Hashing.lshSig64(v, planes))
     val hamLimit = math.min(
       math.round(64.0 * math.acos(math.max(math.min(threshold, 1.0), -1.0)) / math.Pi).toInt
-        + slackBits, 63)
+        + slackBits, 64)
     val mask = (1L << bits) - 1
     val withB = embs.select(col(idCol), col(vecCol))
       .withColumn("sig", sigUdf(col(vecCol)))

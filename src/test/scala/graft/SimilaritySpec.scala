@@ -58,6 +58,28 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("degenerate-exact embedding near-dup equals the brute-force pair set") {
+    // bits=0 (single bucket) + slackBits=64 (hamming window covers all
+    // 64 bits, incl. the full-complement pair HashingSpec constructs)
+    // must turn the LSH pipeline into exact all-pairs cosine
+    val slice = Tables.embeddings(spark, sf).where(col("vec_id") < 150)
+    val exact = {
+      val l = slice.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val r = slice.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      l.crossJoin(r).where(col("id1") < col("id2"))
+        .where(graft.functions.VectorFunctions.cosine(col("v1"), col("v2")) >= 0.35)
+        .select("id1", "id2")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    }
+    val viaLsh = graft.operators.Dedup.embeddingNearDups(
+      slice, "embedding", "vec_id",
+      threshold = 0.35, bits = 0, dim = 64, slackBits = 64)
+      .select("id1", "id2")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(viaLsh === exact,
+      s"missing=${exact -- viaLsh} extra=${viaLsh -- exact}")
+  }
+
   test("ivf probe scans only a fraction of the corpus") {
     val e = Tables.embeddings(spark, sf)
     val cells = Similarity.withCell(e, "embedding", bits = 8)
