@@ -53,13 +53,33 @@ final case class ChunkRows(min: Long, start: Long, max: Long)
 object TableConfig {
   val empty: TableConfig = TableConfig()
 
-  /** 3-level coalesce `db.table` → `*.table` → `db.*`, exactly the
-    * reference's m_coalesce_hash resolution (mydumper_table.c:406). */
-  def resolve(conf: Map[String, TableConfig], db: String, table: String): TableConfig =
-    conf.get(s"$db.$table")
-      .orElse(conf.get(s"*.$table"))
-      .orElse(conf.get(s"$db.*"))
-      .getOrElse(empty)
+  /** 3-level PER-ATTRIBUTE coalesce `db.table` → `*.table` → `db.*`,
+    * exactly the reference's resolution (common.c:1836 m_coalesce_hash,
+    * applied once per attribute at mydumper_table.c:406-470): each field
+    * is looked up independently across the three keys, so a db-wide
+    * `rows` default and a table-specific `where` BOTH apply. Map-valued
+    * attributes (columnsOnSelect, masks) coalesce as whole units — the
+    * reference coalesces the entire per-attribute hash, never key-merges
+    * two sections' maps. `skipChecksum` is the one divergence a Boolean
+    * field forces: it ORs across matching sections (an explicit `false`
+    * in a more-specific section cannot override a broader `true`). */
+  def resolve(conf: Map[String, TableConfig], db: String, table: String): TableConfig = {
+    val sections =
+      Seq(s"$db.$table", s"*.$table", s"$db.*").flatMap(conf.get)
+    if (sections.isEmpty) empty
+    else sections.reduceRight { (hi, lo) =>   // hi = more specific section
+      TableConfig(
+        where = hi.where.orElse(lo.where),
+        limit = hi.limit.orElse(lo.limit),
+        rows = hi.rows.orElse(lo.rows),
+        columnsOnSelect =
+          if (hi.columnsOnSelect.nonEmpty) hi.columnsOnSelect else lo.columnsOnSelect,
+        masks = if (hi.masks.nonEmpty) hi.masks else lo.masks,
+        partitionRegex = hi.partitionRegex.orElse(lo.partitionRegex),
+        numThreads = hi.numThreads.orElse(lo.numThreads),
+        skipChecksum = hi.skipChecksum || lo.skipChecksum)
+    }
+  }
 }
 
 /** Chunk-strategy ADT (SURVEY §2.7 C1): how a table is split into

@@ -84,6 +84,31 @@ class DumpLoadSpec extends SparkTestBase {
     assert(back.select("c_name").distinct().collect().map(_.getString(0)).toSet === Set("MASKED"))
   }
 
+  test("per-table config coalesces attribute-wise across db.table / *.table / db.*") {
+    // the reference resolves each attribute INDEPENDENTLY across the
+    // three keys (common.c:1836 m_coalesce_hash per attribute at
+    // mydumper_table.c:406-470) — a db-wide rows default and a
+    // table-specific where must both apply
+    val conf = Map(
+      "tpch.customer" -> TableConfig(where = Some("c_custkey < 50")),
+      "*.customer" -> TableConfig(limit = Some(10L),
+        masks = Map("c_name" -> Seq("random_string"))),
+      "tpch.*" -> TableConfig(numThreads = Some(8), limit = Some(99L),
+        skipChecksum = true))
+    val r = TableConfig.resolve(conf, "tpch", "customer")
+    assert(r.where === Some("c_custkey < 50")) // exact key
+    assert(r.limit === Some(10L))              // *.table beats db.*
+    assert(r.masks === Map("c_name" -> Seq("random_string")))
+    assert(r.numThreads === Some(8))           // falls through to db.*
+    assert(r.skipChecksum)
+    // unknown table sees only the db-wide section
+    val dbWide = TableConfig.resolve(conf, "tpch", "orders")
+    assert(dbWide.where.isEmpty && dbWide.numThreads === Some(8)
+      && dbWide.limit === Some(99L))
+    // no matching section at all -> empty
+    assert(TableConfig.resolve(conf, "other", "t") === TableConfig.empty)
+  }
+
   test("file-type router classifies dump artifacts (S11)") {
     assert(Load.classify("tpch.orders.00003.sql") === Load.Data)
     assert(Load.classify("tpch.orders.00003.00001.sql.gz") === Load.Data)
