@@ -27,7 +27,8 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val cmd = args.head
-    val opts = parseFlags(args.tail)
+    val multi = parseFlagsMulti(args.tail)
+    val opts = multi.map { case (k, vs) => k -> vs.last }
     val threads = opts.getOrElse("threads", "4")
     // embeddable: when a host (test, notebook) already owns a session,
     // reuse it and leave its lifecycle alone
@@ -44,7 +45,7 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try cmd match {
-      case "dump" => runDump(spark, opts)
+      case "dump" => runDump(spark, opts, multi.getOrElse("regex", Nil))
       case "load" => runLoad(spark, opts)
       case _      => usage(); sys.exit(2)
     } finally if (!hosted) spark.stop()
@@ -60,8 +61,15 @@ object Main {
   private val BoolFlags = Set("compress", "order-by-primary", "no-data",
     "no-schemas", "help")
 
-  def parseFlags(args: Array[String]): Map[String, String] = {
-    val out = scala.collection.mutable.Map.empty[String, String]
+  /** Last-value-wins view of [[parseFlagsMulti]] — the shape almost every
+    * flag wants. Repeatable flags (--regex, reference regex.c:35) read
+    * the full list from parseFlagsMulti instead. */
+  def parseFlags(args: Array[String]): Map[String, String] =
+    parseFlagsMulti(args).map { case (k, vs) => k -> vs.last }
+
+  def parseFlagsMulti(args: Array[String]): Map[String, Seq[String]] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    def add(k: String, v: String): Unit = out(k) = out.getOrElse(k, Vector.empty) :+ v
     var i = 0
     val aliases = Map("-o" -> "outputdir", "-d" -> "directory", "-B" -> "database",
       "-x" -> "regex", "-r" -> "rows", "-c" -> "compress", "-t" -> "threads")
@@ -73,16 +81,17 @@ object Main {
         System.err.println(s"[graft] option --$key accepted but inapplicable on Spark; ignored")
         if (i + 1 < args.length && !args(i + 1).startsWith("-")) i += 1
       } else if (BoolFlags.contains(key)) {
-        out(key) = "true"
+        add(key, "true")
       } else if (i + 1 < args.length) {
-        out(key) = args(i + 1); i += 1
-      } else out(key) = "true"
+        add(key, args(i + 1)); i += 1
+      } else add(key, "true")
       i += 1
     }
     out.toMap
   }
 
-  private def runDump(spark: SparkSession, o: Map[String, String]): Unit = {
+  private def runDump(spark: SparkSession, o: Map[String, String],
+      regexes: Seq[String] = Nil): Unit = {
     val src = o.getOrElse("source-dir", sys.error("--source-dir required"))
     val outDir = o.getOrElse("outputdir", sys.error("-o/--outputdir required"))
     val db = o.getOrElse("database", "graft")
@@ -94,11 +103,12 @@ object Main {
       case _ => Dump.SqlFormat
     }
     val spec = TableFilter.Spec(
-      regex = o.get("regex"),
+      regexes = regexes,
       tablesList = o.get("tables-list").map(_.split(",").toSeq).getOrElse(Nil))
     val all = Tables.all.filter { t =>
       val qualified = s"$db.$t"
-      spec.regex.forall(_.r.findFirstIn(qualified).isDefined) &&
+      val patterns = spec.regex.toSeq ++ spec.regexes
+      (patterns.isEmpty || patterns.exists(_.r.findFirstIn(qualified).isDefined)) &&
         (spec.tablesList.isEmpty || spec.tablesList.contains(qualified) ||
           spec.tablesList.contains(t))
     }

@@ -12,6 +12,7 @@ object TableFilter {
 
   final case class Spec(
       regex: Option[String] = None,            // --regex (PCRE on db.table)
+      regexes: Seq[String] = Nil,              // repeated --regex, OR'd (regex.c:35 list append)
       tablesList: Seq[String] = Nil,           // --tables-list (db.table)
       skiplist: Set[String] = Set.empty,       // --omit-from-file
       ignoreEngines: Set[String] = Set.empty,  // --ignore-engines
@@ -24,8 +25,12 @@ object TableFilter {
   def accepts(spec: Spec, t: TableMeta,
       updateTime: Option[java.time.Instant] = None): Boolean = {
     val qualified = s"${t.database}.${t.table}"
+    // unanchored substring match like the reference's pcre2_match on
+    // "db.table" (regex.c:96-111); several patterns OR like its re_list
+    // walk (regex.c:114-125 — first match wins)
+    val patterns = spec.regex.toSeq ++ spec.regexes
     (spec.includeSystemSchemas || !SystemSchemas.contains(t.database.toLowerCase)) &&
-      spec.regex.forall(r => r.r.findFirstIn(qualified).isDefined) &&
+      (patterns.isEmpty || patterns.exists(r => r.r.findFirstIn(qualified).isDefined)) &&
       (spec.tablesList.isEmpty || spec.tablesList.contains(qualified)) &&
       !spec.skiplist.contains(qualified) &&
       !spec.ignoreEngines.contains(t.engine.toLowerCase) &&

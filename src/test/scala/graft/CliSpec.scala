@@ -29,6 +29,29 @@ class CliSpec extends AnyFunSuite {
     assert(o2("compress") === "true")
     assert(o2("source-dir") === "/d")
   }
+
+  test("repeated --regex accumulates and ORs like the reference's re_list") {
+    // regex.c:35 appends every -x/--regex occurrence; eval_regex walks
+    // the list until the first match
+    val m = Main.parseFlagsMulti(Array("-x", "lineitem$", "--regex", "^tpch\\.n",
+      "-t", "4"))
+    assert(m("regex") === Seq("lineitem$", "^tpch\\.n"))
+    assert(m("threads") === Seq("4"))
+    // last-wins view stays stable for single-valued flags
+    assert(Main.parseFlags(Array("-t", "4", "-t", "8"))("threads") === "8")
+
+    import graft.core.{ColumnMeta, TableMeta}
+    def t(db: String, tbl: String) =
+      TableMeta(db, tbl, Seq(ColumnMeta("c", "int")))
+    val spec = graft.extract.TableFilter.Spec(
+      regexes = Seq("lineitem$", "^tpch\\.n"))
+    assert(graft.extract.TableFilter.accepts(spec, t("tpch", "lineitem")))
+    assert(graft.extract.TableFilter.accepts(spec, t("tpch", "nation")))
+    assert(!graft.extract.TableFilter.accepts(spec, t("tpch", "orders")))
+    // no patterns at all -> accept everything non-system
+    assert(graft.extract.TableFilter.accepts(
+      graft.extract.TableFilter.Spec(), t("tpch", "orders")))
+  }
 }
 
 /** End-to-end CLI run against the dev slice (needs a session). */
