@@ -94,7 +94,13 @@ object Dump {
     // rows-per-chunk sizing (--rows): chunk count = estimate / rows,
     // clamped to [1, 4096]; the estimate is a sampling probe, not a
     // full scan. Schema-only dumps skip the probe with everything else.
-    val targetChunks = cfg.rowsPerChunk match {
+    // per-table `rows` override beats the global --rows (per-attribute
+    // coalesce, mydumper_table.c:415-417); the START step sizes the
+    // static plan — Spark has no mid-dump re-step, ChunkPlanner's
+    // retarget/converge carries the adaptive [min,max] clamps on the
+    // JDBC-extract side
+    val effectiveRows = conf.rows.map(_.start).orElse(cfg.rowsPerChunk)
+    val targetChunks = effectiveRows match {
       case Some(r) if r > 0 && !cfg.noData =>
         val est = math.max(ChunkPlanner.rowEstimate(df, sampleFraction = 0.05), 1L)
         math.max(1, math.min(4096, math.ceil(est.toDouble / r).toInt))

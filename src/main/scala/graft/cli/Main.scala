@@ -120,7 +120,9 @@ object Main {
       // --rows N = rows per chunk (the reference's -r): dumpTable sizes
       // targetChunks from the row estimate; without the flag the static
       // default applies
-      rowsPerChunk = o.get("rows").map(_.toLong),
+      // accepts the reference's N / min:start / min:start:max forms;
+      // the start step drives static sizing (ChunkRows.parse scaladoc)
+      rowsPerChunk = o.get("rows").flatMap(graft.core.ChunkRows.parse).map(_.start),
       statementSize = o.get("statement-size").map(_.toInt).getOrElse(1000000),
       compress = o.contains("compress"),
       orderByPrimary = o.contains("order-by-primary"),

@@ -50,6 +50,25 @@ final case class TableConfig(
   * (/root/reference/src/mydumper/mydumper_table.c:414-440). */
 final case class ChunkRows(min: Long, start: Long, max: Long)
 
+object ChunkRows {
+  /** The reference's three accepted forms (mydumper_common.c:451-476):
+    * `N` → fixed (min=start=max=N); `min:start` → max=start;
+    * `min:start:max`. A leading '-' is rejected there (returns 0 =
+    * don't split); extra segments beyond three are ignored. */
+  def parse(s: String): Option[ChunkRows] = {
+    if (s.isEmpty || s.startsWith("-")) None
+    else {
+      val p = s.split(":", -1)
+      def n(i: Int): Option[Long] = scala.util.Try(p(i).trim.toLong).toOption
+      p.length match {
+        case 1 => n(0).map(v => ChunkRows(v, v, v))
+        case 2 => for (mn <- n(0); st <- n(1)) yield ChunkRows(mn, st, st)
+        case _ => for (mn <- n(0); st <- n(1); mx <- n(2)) yield ChunkRows(mn, st, mx)
+      }
+    }
+  }
+}
+
 object TableConfig {
   val empty: TableConfig = TableConfig()
 

@@ -109,6 +109,22 @@ class DumpLoadSpec extends SparkTestBase {
     assert(TableConfig.resolve(conf, "other", "t") === TableConfig.empty)
   }
 
+  test("--rows accepts the reference's N / min:start / min:start:max forms") {
+    import graft.core.ChunkRows
+    assert(ChunkRows.parse("1000") === Some(ChunkRows(1000, 1000, 1000)))
+    assert(ChunkRows.parse("100:1000") === Some(ChunkRows(100, 1000, 1000)))
+    assert(ChunkRows.parse("100:1000:10000") === Some(ChunkRows(100, 1000, 10000)))
+    assert(ChunkRows.parse("-5") === None)    // leading '-' rejected (common.c:452)
+    assert(ChunkRows.parse("x:y") === None)
+    // per-table rows override beats the global --rows during dump sizing
+    val out = Files.createTempDirectory("graft_rows_").toString
+    val r = Dump.dumpTable(Tables.nation(spark, sf), "nation",
+      Dump.Config(outDir = out, db = "tpch", rowsPerChunk = Some(1L),
+        perTable = Map("tpch.nation" ->
+          TableConfig(rows = Some(ChunkRows(1, 1000000, 1000000))))))
+    assert(r.chunks === 1, s"1M-row start step must yield one chunk, got ${r.chunks}")
+  }
+
   test("file-type router classifies dump artifacts (S11)") {
     assert(Load.classify("tpch.orders.00003.sql") === Load.Data)
     assert(Load.classify("tpch.orders.00003.00001.sql.gz") === Load.Data)
