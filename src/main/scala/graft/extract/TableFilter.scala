@@ -32,6 +32,10 @@ object TableFilter {
     (spec.includeSystemSchemas || !SystemSchemas.contains(t.database.toLowerCase)) &&
       (patterns.isEmpty || patterns.exists(r => r.r.findFirstIn(qualified).isDefined)) &&
       (spec.tablesList.isEmpty || spec.tablesList.contains(qualified)) &&
+      // a skiplist line naming just the database skips the whole DB
+      // (tables_skiplist.c:72-75 checks the bare database key first,
+      // then db.table; both case-sensitive strcmp like its comparator)
+      !spec.skiplist.contains(t.database) &&
       !spec.skiplist.contains(qualified) &&
       !spec.ignoreEngines.contains(t.engine.toLowerCase) &&
       spec.updatedSince.forall(since =>

@@ -291,6 +291,13 @@ class DumpLoadSpec extends SparkTestBase {
     assert(!TableFilter.accepts(spec, tm("other", "lineitem")))    // regex
     assert(!TableFilter.accepts(spec, tm("tpch", "x", "BLACKHOLE"))) // engine
     assert(!TableFilter.accepts(spec, tm("mysql", "user")))        // system
+    // a bare database name in the skiplist skips the whole DB
+    // (tables_skiplist.c:72-75: database key checked before db.table)
+    val dbWide = TableFilter.Spec(skiplist = Set("staging"))
+    assert(!TableFilter.accepts(dbWide, tm("staging", "anything")))
+    assert(TableFilter.accepts(dbWide, tm("prod", "anything")))
+    // case-sensitive like the reference's strcmp comparator
+    assert(TableFilter.accepts(dbWide, tm("Staging", "t")))
   }
   test("mergeSnapshot: delta overrides, base-only kept, delta-only inserted") {
     import spark.implicits._
