@@ -109,7 +109,11 @@ object Main {
       val qualified = s"$db.$t"
       val patterns = spec.regex.toSeq ++ spec.regexes
       (patterns.isEmpty || patterns.exists(_.r.findFirstIn(qualified).isDefined)) &&
-        (spec.tablesList.isEmpty || spec.tablesList.contains(qualified) ||
+        (spec.tablesList.isEmpty ||
+          // reference semantics (case-insensitive, %/_ wildcards) on the
+          // qualified name, plus bare-table convenience the reference
+          // rejects (it errors on entries without a dot)
+          spec.tablesList.exists(TableFilter.tableListMatch(_, qualified)) ||
           spec.tablesList.contains(t))
     }
     val perTable = o.get("where")

@@ -22,6 +22,31 @@ object TableFilter {
   private val SystemSchemas =
     Set("mysql", "sys", "information_schema", "performance_schema")
 
+  /** `--tables-list` entry match, reference semantics (common.c:648-670
+    * is_table_in_list): case-insensitive; entries containing `%`/`_`
+    * match SQL-LIKE style (common.c:618 matchText — `%` any run, `_` any
+    * one char, `\_` a literal underscore), plain entries compare whole. */
+  def tableListMatch(entry: String, qualified: String): Boolean = {
+    val e = entry.toLowerCase
+    val q = qualified.toLowerCase
+    if (!e.contains('%') && !e.contains('_')) e == q
+    else {
+      val rx = new StringBuilder("(?s)")
+      var i = 0
+      while (i < e.length) {
+        e(i) match {
+          case '\\' if i + 1 < e.length && e(i + 1) == '_' =>
+            rx ++= "_"; i += 1
+          case '%' => rx ++= ".*"
+          case '_' => rx ++= "."
+          case c   => rx ++= java.util.regex.Pattern.quote(c.toString)
+        }
+        i += 1
+      }
+      q.matches(rx.result())
+    }
+  }
+
   def accepts(spec: Spec, t: TableMeta,
       updateTime: Option[java.time.Instant] = None): Boolean = {
     val qualified = s"${t.database}.${t.table}"
@@ -31,7 +56,8 @@ object TableFilter {
     val patterns = spec.regex.toSeq ++ spec.regexes
     (spec.includeSystemSchemas || !SystemSchemas.contains(t.database.toLowerCase)) &&
       (patterns.isEmpty || patterns.exists(r => r.r.findFirstIn(qualified).isDefined)) &&
-      (spec.tablesList.isEmpty || spec.tablesList.contains(qualified)) &&
+      (spec.tablesList.isEmpty ||
+        spec.tablesList.exists(tableListMatch(_, qualified))) &&
       // a skiplist line naming just the database skips the whole DB
       // (tables_skiplist.c:72-75 checks the bare database key first,
       // then db.table; both case-sensitive strcmp like its comparator)

@@ -298,6 +298,17 @@ class DumpLoadSpec extends SparkTestBase {
     assert(TableFilter.accepts(dbWide, tm("prod", "anything")))
     // case-sensitive like the reference's strcmp comparator
     assert(TableFilter.accepts(dbWide, tm("Staging", "t")))
+    // --tables-list: case-insensitive with SQL-LIKE wildcards
+    // (common.c:648-670 is_table_in_list + :618 matchText)
+    val tl = TableFilter.Spec(tablesList = Seq("TPCH.LineItem", "tpch.na%"))
+    assert(TableFilter.accepts(tl, tm("tpch", "lineitem")))  // case-insensitive
+    assert(TableFilter.accepts(tl, tm("tpch", "nation")))    // % wildcard
+    assert(!TableFilter.accepts(tl, tm("tpch", "orders")))
+    // _ matches exactly one char; \_ is a literal underscore
+    assert(TableFilter.tableListMatch("db.t_", "db.tx"))
+    assert(!TableFilter.tableListMatch("db.t_", "db.txy"))
+    assert(TableFilter.tableListMatch("db.a\\_b", "db.a_b"))
+    assert(!TableFilter.tableListMatch("db.a\\_b", "db.axb"))
   }
   test("mergeSnapshot: delta overrides, base-only kept, delta-only inserted") {
     import spark.implicits._
