@@ -47,9 +47,19 @@ object TableFilter {
     }
   }
 
+  /** Always-skipped even when system schemas are included — the
+    * reference's discovery loop drops these unconditionally
+    * (common.c:672-678 is_mysql_special_tables, case-insensitive;
+    * applied at mydumper_working_thread.c:355,1233). */
+  private val MysqlSpecialTables =
+    Set("general_log", "slow_log", "innodb_index_stats", "innodb_table_stats")
+
   def accepts(spec: Spec, t: TableMeta,
       updateTime: Option[java.time.Instant] = None): Boolean = {
     val qualified = s"${t.database}.${t.table}"
+    val isMysqlSpecial = t.database.equalsIgnoreCase("mysql") &&
+      MysqlSpecialTables.contains(t.table.toLowerCase)
+    !isMysqlSpecial && {
     // unanchored substring match like the reference's pcre2_match on
     // "db.table" (regex.c:96-111); several patterns OR like its re_list
     // walk (regex.c:114-125 — first match wins)
@@ -66,6 +76,7 @@ object TableFilter {
       !spec.ignoreEngines.contains(t.engine.toLowerCase) &&
       spec.updatedSince.forall(since =>
         updateTime.forall(ut => !ut.isBefore(since)))
+    }
   }
 
   def filter(spec: Spec, tables: Seq[TableMeta]): Seq[TableMeta] =

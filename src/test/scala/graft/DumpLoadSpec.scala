@@ -309,6 +309,13 @@ class DumpLoadSpec extends SparkTestBase {
     assert(!TableFilter.tableListMatch("db.t_", "db.txy"))
     assert(TableFilter.tableListMatch("db.a\\_b", "db.a_b"))
     assert(!TableFilter.tableListMatch("db.a\\_b", "db.axb"))
+    // mysql special tables are skipped even with system schemas included
+    // (unconditional in the reference's discovery loop,
+    // mydumper_working_thread.c:355)
+    val sys = TableFilter.Spec(includeSystemSchemas = true)
+    assert(!TableFilter.accepts(sys, tm("mysql", "general_log")))
+    assert(!TableFilter.accepts(sys, tm("MySQL", "Slow_Log"))) // case-insensitive
+    assert(TableFilter.accepts(sys, tm("mysql", "user")))
   }
   test("mergeSnapshot: delta overrides, base-only kept, delta-only inserted") {
     import spark.implicits._
