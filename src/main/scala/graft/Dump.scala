@@ -58,14 +58,39 @@ object Dump {
       // Drives the emitted DDL's PRIMARY KEY clause and --order-by-primary;
       // absent means the table HAS no known key and the schema file must
       // not invent one (the chunking column is a separate concern)
-      primaryKeys: Map[String, Seq[String]] = Map.empty)
+      primaryKeys: Map[String, Seq[String]] = Map.empty,
+      // per-run surrogate-stem memo (each Config() gets a fresh one;
+      // copies share it, so every table in one run sees one counter)
+      stems: StemRegistry = new StemRegistry)
+
+  /** File-stem resolution, the reference's determine_filename /
+    * get_ref_table (mydumper_common.c:66-90): a table names its own
+    * files iff the name is filename-safe (`^[\w\- ]+$` — letters,
+    * digits, underscore, dash, space; in particular no dot, which would
+    * corrupt the loader's `db.table.NNNNN` parse) and not itself
+    * surrogate-shaped; anything else gets a memoized `mydumper_<n>`
+    * stem, stable for the life of the run. The real name travels in the
+    * schema file's DDL and the manifest's `filename` key. */
+  final class StemRegistry {
+    private val memo = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    private var n = 0
+    private val Safe = "^[A-Za-z0-9_\\- ]+$".r
+    def stem(table: String): String = synchronized {
+      memo.getOrElseUpdate(table,
+        if (Safe.matches(table) && !table.startsWith("mydumper_")) table
+        else { val s = s"mydumper_$n"; n += 1; s })
+    }
+  }
 
   final case class TableResult(table: String, rows: Long, checksum: Long,
-      chunks: Int)
+      chunks: Int, stem: String = "")
 
   /** Dump one table DataFrame end-to-end; returns its manifest entry. */
   def dumpTable(df0: DataFrame, table: String, cfg: Config): TableResult = {
     val conf = TableConfig.resolve(cfg.perTable, cfg.db, table)
+    // all FILE names below use the stem; DDL text and loader-script
+    // statements keep the real table name (see StemRegistry)
+    val stem = cfg.stems.stem(table)
 
     // P2 computed projections, then P3 row filter, then P5 limit
     var df = conf.columnsOnSelect.foldLeft(df0) { case (d, (c, e)) =>
@@ -149,28 +174,28 @@ object Dump {
       else Future.successful(0L)
     val rows = if (cfg.noData) 0L else cfg.format match {
       case SqlFormat =>
-        SqlInsertWriter.write(partitioned, cfg.db, table, cfg.outDir,
+        SqlInsertWriter.write(partitioned, cfg.db, stem, cfg.outDir,
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
             compress = cfg.compress, execFilter = cfg.execFilter))
       case CsvFormat =>
         // Observation rides the write job — row count without a second scan
         val obs = new org.apache.spark.sql.Observation()
         CsvDump.write(partitioned.observe(obs, count(lit(1)).as("rows")),
-          s"${cfg.outDir}/${cfg.db}.$table",
+          s"${cfg.outDir}/${cfg.db}.$stem",
           CsvDump.Options(compress = cfg.compress))
         obs.get("rows").asInstanceOf[Long]
       case ParquetFormat =>
         val obs = new org.apache.spark.sql.Observation()
         partitioned.observe(obs, count(lit(1)).as("rows"))
           .write.mode("overwrite")
-          .parquet(s"${cfg.outDir}/${cfg.db}.$table")
+          .parquet(s"${cfg.outDir}/${cfg.db}.$stem")
         obs.get("rows").asInstanceOf[Long]
       case JsonlFormat =>
         val obs = new org.apache.spark.sql.Observation()
         partitioned.observe(obs, count(lit(1)).as("rows"))
           .write.mode("overwrite")
           .option("compression", if (cfg.compress) "gzip" else "none")
-          .json(s"${cfg.outDir}/${cfg.db}.$table")
+          .json(s"${cfg.outDir}/${cfg.db}.$stem")
         obs.get("rows").asInstanceOf[Long]
       case ClickHouseFormat =>
         // companion loader script: one INSERT..FROM INFILE per chunk
@@ -181,14 +206,14 @@ object Dump {
         // re-listing: listing picks up stale chunks from earlier dumps
         // into the same dir and returns nothing on non-local filesystems.
         val fileLog = df.sparkSession.sparkContext
-          .collectionAccumulator[String](s"files_dumped_${cfg.db}.$table")
-        val n = SqlInsertWriter.write(partitioned, cfg.db, table, cfg.outDir,
+          .collectionAccumulator[String](s"files_dumped_${cfg.db}.$stem")
+        val n = SqlInsertWriter.write(partitioned, cfg.db, stem, cfg.outDir,
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
             compress = cfg.compress, fileLog = Some(fileLog)))
         import scala.jdk.CollectionConverters._
         val dataFiles = fileLog.value.asScala.toSeq.distinct.sorted
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(cfg.outDir, s"${cfg.db}.$table-load.sql"),
+          java.nio.file.Paths.get(cfg.outDir, s"${cfg.db}.$stem-load.sql"),
           sources.ClickHouse.loaderScript(cfg.db, table, dataFiles)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         n
@@ -202,7 +227,7 @@ object Dump {
       writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.ClickHouse,
         sources.ClickHouse.createTable(cfg.db, table, df.schema,
           orderBy = cfg.primaryKeys.getOrElse(table, Nil)),
-        Some(table))
+        Some(stem))
     // self-describing dump: the table DDL rides along as
     // db.table-schema.sql (reference mydumper_jobs.c:238 — every dump
     // carries its schema so a restore needs no live source catalog);
@@ -210,9 +235,9 @@ object Dump {
     if (cfg.format != ParquetFormat && !cfg.noSchemas)
       writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.Table,
         sources.DdlEmitter.createTable(cfg.db, table, df.schema, pk),
-        Some(table))
+        Some(stem))
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),
-      if (cfg.noData) 0 else math.max(chunks.size, 1))
+      if (cfg.noData) 0 else math.max(chunks.size, 1), stem = stem)
   }
 
   /** Schema-object kinds a dump can carry besides table data — the
@@ -263,7 +288,8 @@ object Dump {
       startedAt = start,
       finishedAt = java.time.Instant.now().toString,
       tables = results.map(r =>
-        TableManifest(r.table, r.rows, Some(r.checksum.toString))))
+        TableManifest(r.table, r.rows, Some(r.checksum.toString),
+          filename = Some(r.stem).filter(_ != r.table))))
     // persist as the dump dir's `metadata` file (reference
     // mydumper_start_dump.c:1161-1182) so the dump is self-describing
     sources.Manifest.write(cfg.outDir, manifest)

@@ -91,9 +91,12 @@ object Load {
   }
 
   final case class TableSource(
-      table: String,
+      table: String, // file stem (db.stem) — globs data files
       schema: StructType,
-      expectedChecksum: Option[Long] = None)
+      expectedChecksum: Option[Long] = None,
+      // real table name when the dump used a surrogate stem for a
+      // filename-unsafe name (manifest `filename` key; Dump.StemRegistry)
+      realTable: Option[String] = None)
 
   final case class Result(table: String, rows: Long, checksumOk: Option[Boolean])
 
@@ -108,6 +111,11 @@ object Load {
     val checksums: Map[String, Long] = manifest
       .map(_.tables.flatMap(t => t.dataChecksum.map(c => t.table -> c.toLong)).toMap)
       .getOrElse(Map.empty)
+    // surrogate stem → manifest entry (filename-unsafe table names;
+    // the dump's StemRegistry recorded the mapping under `filename`)
+    val byStem: Map[String, graft.core.TableManifest] = manifest
+      .map(_.tables.flatMap(t => t.filename.map(_ -> t)).toMap)
+      .getOrElse(Map.empty)
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
     files.filter(f => classify(f.getName) == Schema).toSeq
       .map { f =>
@@ -115,16 +123,21 @@ object Load {
           .stripSuffix("-schema.sql.gz").stripSuffix("-schema.sql.zst")
         val ddl = readSmallText(f.toPath)
         // manifest entries may carry the bare table name while files use
-        // the db.table stem — accept either key
+        // the db.table stem — accept either key; surrogate stems resolve
+        // through the manifest's filename mapping
+        val bare = table.split("\\.", 2).last
+        val surrogate = byStem.get(bare)
         val checksum = checksums.get(table)
-          .orElse(checksums.get(table.split("\\.", 2).last))
+          .orElse(checksums.get(bare))
+          .orElse(surrogate.flatMap(_.dataChecksum.map(_.toLong)))
         val schema = graft.sources.DdlEmitter.toStructType(ddl)
         // an unparseable schema file must stop the restore, not feed an
         // empty StructType downstream (zero columns reads zero data and
         // "succeeds")
         if (schema.isEmpty) throw new IllegalStateException(
           s"schema file ${f.getName} parsed to zero columns — corrupt or not DDL")
-        TableSource(table, schema, checksum)
+        TableSource(table, schema, checksum,
+          realTable = surrogate.map(_.table))
       }.sortBy(_.table)
   }
 

@@ -128,7 +128,11 @@ final case class TableManifest(
     rows: Long,
     dataChecksum: Option[String] = None,
     schemaChecksum: Option[String] = None,
-    files: Seq[String] = Nil)
+    files: Seq[String] = Nil,
+    // surrogate file stem when the table name is not filename-safe
+    // (reference determine_filename, mydumper_common.c:66-77); None
+    // means files carry the table's own name
+    filename: Option[String] = None)
 
 final case class DumpManifest(
     startedAt: String,

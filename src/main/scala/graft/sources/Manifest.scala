@@ -29,6 +29,7 @@ object Manifest {
       t.dataChecksum.foreach(c => sb ++= s"data-checksum = $c\n")
       t.schemaChecksum.foreach(c => sb ++= s"schema-checksum = $c\n")
       if (t.files.nonEmpty) sb ++= s"files = ${t.files.mkString(",")}\n"
+      t.filename.foreach(f => sb ++= s"filename = $f\n")
     }
     sb ++= s"\n# Finished dump at: ${m.finishedAt}\n"
     sb.result()
@@ -79,6 +80,7 @@ object Manifest {
             case "data-checksum"   => cur = Some(t.copy(dataChecksum = Some(v)))
             case "schema-checksum" => cur = Some(t.copy(schemaChecksum = Some(v)))
             case "files"           => cur = Some(t.copy(files = v.split(",").toSeq))
+            case "filename"        => cur = Some(t.copy(filename = Some(v)))
             case _                 => ()
           }
         }

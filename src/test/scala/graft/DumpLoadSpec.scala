@@ -125,6 +125,49 @@ class DumpLoadSpec extends SparkTestBase {
     assert(r.chunks === 1, s"1M-row start step must yield one chunk, got ${r.chunks}")
   }
 
+  test("filename-unsafe table names get surrogate stems and round-trip") {
+    // reference determine_filename (mydumper_common.c:66-77): unsafe
+    // names (here: dots and a slash, which would corrupt the loader's
+    // db.table.NNNNN parse) dump under a memoized mydumper_<n> stem;
+    // the real name travels in the DDL and the manifest `filename` key
+    val out = Files.createTempDirectory("graft_stem_").toString
+    val weird = "weird.table/name"
+    val manifest = Dump.run(spark,
+      Seq((weird, Tables.region(spark, sf), true),
+          ("nation", Tables.nation(spark, sf), true)),
+      Dump.Config(outDir = out, db = "tpch"))
+    val names = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(names.exists(_.startsWith("tpch.mydumper_0.")), names.toString)
+    assert(names.contains("tpch.mydumper_0-schema.sql"))
+    assert(!names.exists(_.contains("weird.table")))   // never raw on disk
+    assert(names.exists(_.startsWith("tpch.nation."))) // safe name unchanged
+    val entry = manifest.tables.find(_.table == weird).get
+    assert(entry.filename === Some("mydumper_0"))
+    assert(manifest.tables.find(_.table == "nation").get.filename.isEmpty)
+    // DDL inside the schema file keeps the REAL name
+    val ddl = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(out, "tpch.mydumper_0-schema.sql")), "UTF-8")
+    assert(ddl.contains("weird.table/name"))
+    // self-describing restore: sourcesFromDir maps the stem back
+    val srcs = Load.sourcesFromDir(out)
+    val sur = srcs.find(_.table == "tpch.mydumper_0").get
+    assert(sur.realTable === Some(weird))
+    assert(sur.expectedChecksum === entry.dataChecksum.map(_.toLong))
+    val restored = Files.createTempDirectory("graft_stem_r_").toString
+    val results = Load.run(spark, out, srcs) { (stem, df) =>
+      df.write.mode("overwrite").parquet(s"$restored/$stem")
+    }
+    assert(results.forall(_.checksumOk.contains(true)))
+    assert(results.find(_.table == "tpch.mydumper_0").get.rows ===
+      Tables.region(spark, sf).count())
+    // a table literally named like a surrogate must not collide
+    val reg = new Dump.StemRegistry
+    assert(reg.stem("mydumper_7") === "mydumper_0")
+    assert(reg.stem("a.b") === "mydumper_1")
+    assert(reg.stem("a.b") === "mydumper_1") // memoized
+    assert(reg.stem("plain") === "plain")
+  }
+
   test("file-type router classifies dump artifacts (S11)") {
     assert(Load.classify("tpch.orders.00003.sql") === Load.Data)
     assert(Load.classify("tpch.orders.00003.00001.sql.gz") === Load.Data)
