@@ -123,4 +123,39 @@ object Discovery {
   def allTables(conn: Connection, spec: TableFilter.Spec): Seq[TableMeta] =
     TableFilter.filter(spec,
       schemas(conn).flatMap(s => tables(conn, s)))
+
+  /** Physical-partition discovery (C5 input;
+    * mydumper_partition_chunks.c:119-141 get_partitions_for_table): the
+    * reference's exact information_schema query, filtered through the
+    * per-table partition_regex like its eval_pcre_regex (unanchored).
+    * A backend without the PARTITIONS view (the query throws) reports
+    * no partitions, matching the reference's NULL-result fallback. */
+  def partitions(conn: Connection, db: String, table: String,
+      partitionRegex: Option[String] = None): Seq[String] = {
+    val q = "select DISTINCT PARTITION_NAME from information_schema.PARTITIONS " +
+      "where PARTITION_NAME is not null and TABLE_SCHEMA=? and TABLE_NAME=?"
+    val found =
+      try {
+        val ps = conn.prepareStatement(q)
+        try {
+          ps.setString(1, db); ps.setString(2, table)
+          val rs = ps.executeQuery()
+          try {
+            val out = Seq.newBuilder[String]
+            while (rs.next()) out += rs.getString(1)
+            out.result()
+          } finally rs.close()
+        } finally ps.close()
+      } catch { case _: java.sql.SQLException => Nil }
+    filterPartitions(found, partitionRegex)
+  }
+
+  /** Keep only partitions matching the regex (unanchored substring
+    * match, eval_pcre_regex semantics); no regex keeps everything. */
+  def filterPartitions(partitions: Seq[String],
+      regex: Option[String]): Seq[String] =
+    regex match {
+      case Some(r) => val re = r.r; partitions.filter(p => re.findFirstIn(p).isDefined)
+      case None    => partitions
+    }
 }

@@ -101,4 +101,65 @@ class DiscoveryCatalogSpec extends AnyFunSuite {
     assert(patterns.exists(_.contains("\\_")),
       s"table-name pattern was not escaped: $patterns")
   }
+
+  test("partition discovery replays the reference query and filters by regex") {
+    def positionalRs(names: Seq[String]): ResultSet = {
+      var i = -1
+      Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[ResultSet]),
+        new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+            case "next"      => i += 1; java.lang.Boolean.valueOf(i < names.length)
+            case "getString" => names(i)
+            case "close"     => null
+            case other       => throw new UnsupportedOperationException(other)
+          }
+        }).asInstanceOf[ResultSet]
+    }
+    val observed = scala.collection.mutable.Buffer.empty[(String, String, String)]
+    var sql = ""; var p1 = ""; var p2 = ""
+    val stmt = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.PreparedStatement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "setString" =>
+            if (args(0).asInstanceOf[Integer] == 1) p1 = args(1).asInstanceOf[String]
+            else p2 = args(1).asInstanceOf[String]
+            null
+          case "executeQuery" =>
+            observed += ((sql, p1, p2))
+            positionalRs(Seq("p2023", "p2024", "pmax"))
+          case "close" => null
+          case other   => throw new UnsupportedOperationException(other)
+        }
+      }).asInstanceOf[java.sql.PreparedStatement]
+    val conn = Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" => sql = args(0).asInstanceOf[String]; stmt
+          case "close"            => null
+          case other              => throw new UnsupportedOperationException(other)
+        }
+      }).asInstanceOf[Connection]
+
+    assert(Discovery.partitions(conn, "shop", "orders") ===
+      Seq("p2023", "p2024", "pmax"))
+    val (q, d, t) = observed.head
+    assert(q.contains("information_schema.PARTITIONS") &&
+      q.contains("PARTITION_NAME is not null"),
+      s"not the reference's catalog query: $q") // mydumper_partition_chunks.c:121
+    assert(d === "shop" && t === "orders")
+    // per-table partition_regex prunes, unanchored like eval_pcre_regex
+    assert(Discovery.partitions(conn, "shop", "orders", Some("^p20")) ===
+      Seq("p2023", "p2024"))
+    // a backend without the PARTITIONS view reports no partitions
+    val failing = Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "prepareStatement" =>
+            throw new java.sql.SQLException("Partitioning is not supported")
+          case other => throw new UnsupportedOperationException(other)
+        }
+      }).asInstanceOf[Connection]
+    assert(Discovery.partitions(failing, "shop", "orders") === Nil)
+  }
 }
