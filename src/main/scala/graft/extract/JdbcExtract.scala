@@ -1,9 +1,10 @@
 package graft.extract
 
-import graft.core.ChunkSpec
+import graft.core.{ChunkSpec, TableConfig, TableMeta}
 import graft.operators.ChunkPlanner
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import java.sql.Connection
 import java.util.Properties
 
 /** The JDBC extraction surface (SURVEY §2.1 S1, §2.8 T1): turns a chunk
@@ -38,7 +39,7 @@ object JdbcExtract {
   def spec(url: String, table: String, chunks: ChunkSpec,
       snapshot: Snapshot.Plan, user: String, password: String,
       where: Option[String] = None, fetchSize: Int = 10000,
-      pinnedWorkers: Option[Int] = None): Spec = {
+      pinnedWorkers: Option[Int] = None, quote: String = "`"): Spec = {
     // physical-partition plans MUST go through readPartitioned: their
     // placeholder predicates are all `1=1` (the PARTITION clause cannot
     // ride in a WHERE), so passing them here would scan the whole table
@@ -46,7 +47,7 @@ object JdbcExtract {
     require(!chunks.isInstanceOf[ChunkSpec.Partitions],
       "ChunkSpec.Partitions cannot be expressed as WHERE predicates — " +
         "use readPartitioned (per-partition dbtable subqueries)")
-    val base = ChunkPlanner.toPredicates(chunks)
+    val base = ChunkPlanner.toPredicates(chunks, quote)
     val preds = (base, where) match {
       case (Array(), None)    => Array.empty[String]
       case (Array(), Some(w)) => Array(w)
@@ -77,14 +78,195 @@ object JdbcExtract {
     * clauses), one jdbc read per partition, unioned. Parallelism = one
     * Spark task per physical partition — exactly the reference's
     * partition-chunk consumers (mydumper_partition_chunks.c:46-141). */
-  def partitionDbtables(table: String, partitions: Seq[String]): Seq[String] =
-    partitions.map(p => s"(SELECT * FROM $table PARTITION ($p)) AS __graft_$p")
+  def partitionDbtables(table: String, partitions: Seq[String],
+      where: Option[String] = None): Seq[String] = {
+    // the user/per-table WHERE rides inside each partition subquery —
+    // the reference ANDs it into every partition job's dump query
+    // (mydumper_write.c:1052-1054), and a subquery is the only way a
+    // server-side clause reaches Spark's JDBC scan
+    val w = where.map(c => s" WHERE $c").getOrElse("")
+    partitions.map(p =>
+      s"(SELECT * FROM $table PARTITION ($p)$w) AS __graft_$p")
+  }
 
   def readPartitioned(spark: SparkSession, url: String, table: String,
-      partitions: Seq[String], props: Properties): DataFrame = {
+      partitions: Seq[String], props: Properties,
+      where: Option[String] = None): DataFrame = {
     require(partitions.nonEmpty, "no physical partitions to read")
-    partitionDbtables(table, partitions)
+    partitionDbtables(table, partitions, where)
       .map(sub => spark.read.jdbc(url, sub, props))
       .reduce(_ unionAll _)
+  }
+
+  // ---------------------------------------------------------------------
+  // C1 over a live control connection — the reference's per-table
+  // strategy chooser (set_chunk_strategy_for_dbt, mydumper_chunks.c:
+  // 312-345): rows probe → partition probe → MIN/MAX probe → plan.
+  // ---------------------------------------------------------------------
+
+  /** Planner knobs, mirroring the reference's globals: `rows` =
+    * `--rows min:start:max` (mydumper_table.c:414-440), `checkRowCount`
+    * = `--check-row-count` (COUNT(*) instead of the estimate,
+    * mydumper_chunks.c:316-319), `splitPartitions` =
+    * `--split-partitions`, `splitIntegerTables` = `--split-integer-tables`
+    * default-on, `maxThreadsPerTable` sizes the auto step. */
+  final case class PlanConfig(
+      rows: Option[graft.core.ChunkRows] = None,
+      checkRowCount: Boolean = false,
+      splitPartitions: Boolean = false,
+      splitIntegerTables: Boolean = true,
+      maxThreadsPerTable: Int = 4,
+      quote: String = "`")
+
+  /** `SELECT COUNT(*)` rows probe (get_rows_from_count,
+    * mydumper_chunks.c:290-310). The reference's cheap default is an
+    * EXPLAIN row estimate (get_rows_from_explain, :259-288) whose output
+    * shape is MySQL-specific — callers on MySQL pass an EXPLAIN-based
+    * `estimator` to [[chunkStrategy]]; COUNT is the portable fallback
+    * and the exact `--check-row-count` behavior. */
+  def rowsFromCount(conn: Connection, qualifiedTable: String,
+      where: Option[String]): Long = {
+    val sql = s"SELECT COUNT(*) FROM $qualifiedTable" +
+      where.map(w => s" WHERE $w").getOrElse("")
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      try { rs.next(); rs.getLong(1) } finally rs.close()
+    } finally st.close()
+  }
+
+  /** MIN/MAX bounds probe (A1; initialize_chunk_step_item,
+    * mydumper_chunks.c:114-123: `SELECT MIN(f),MAX(f) FROM t [WHERE]`).
+    * Returns None when the table is empty / all-NULL (the reference's
+    * "It is NONE with minmax == NULL"). Values come back as strings;
+    * the caller types them off the probe's JDBC column type. */
+  def minMaxProbe(conn: Connection, qualifiedTable: String, column: String,
+      where: Option[String], quote: String): Option[(String, String, Int)] = {
+    val qc = s"$quote$column$quote"
+    val sql = s"SELECT MIN($qc), MAX($qc) FROM $qualifiedTable" +
+      where.map(w => s" WHERE $w").getOrElse("")
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      try {
+        if (!rs.next()) None
+        else {
+          val mn = rs.getString(1)
+          val mx = rs.getString(2)
+          if (mn == null || mx == null) None
+          else Some((mn, mx, rs.getMetaData.getColumnType(1)))
+        }
+      } finally rs.close()
+    } finally st.close()
+  }
+
+  private val IntJdbcTypes: Set[Int] = Set(java.sql.Types.TINYINT,
+    java.sql.Types.SMALLINT, java.sql.Types.INTEGER, java.sql.Types.BIGINT)
+
+  /** Choose the chunk plan for one table, phase-for-phase the
+    * reference's `set_chunk_strategy_for_dbt` (mydumper_chunks.c:312-345):
+    *
+    *  1. rows probe — COUNT(*) under `--check-row-count`, else the
+    *     injected `estimator` (EXPLAIN on MySQL);
+    *  2. rows ≤ min step → whole table, nothing else probed;
+    *  3. physical partitions — probed only when `--split-partitions` or
+    *     a per-table `partition_regex` asks for them (:325-330), and
+    *     they win over every other strategy;
+    *  4. integer/string PK bounds probe (initialize_chunk_step_item):
+    *     an integer key whose [min,max] gap ≤ min step stays whole
+    *     (:156-157); otherwise the auto step is
+    *     `gap / (2^maxThreadsPerTable - 1)` clamped into the
+    *     `--rows` [min,max] bounds (:173-199); a string key takes the
+    *     quantile-free first-byte split (our Spark-side replacement for
+    *     the LEFT(f,1) char walk);
+    *  5. no usable key → whole table (new_none_chunk_step).
+    *
+    * Divergence, documented: the reference descends one more PK level
+    * for multi-column integer keys (position ≤ 2, :107-108); chunking
+    * here drives Spark partition count only, so the first key column
+    * always carries enough parallelism. Returns the plan plus the
+    * probed row count (feeds manifests like dbt->rows_total). */
+  def chunkStrategy(conn: Connection, meta: TableMeta,
+      cfg: TableConfig = TableConfig.empty,
+      pc: PlanConfig = PlanConfig(),
+      estimator: (Connection, String, Option[String]) => Long = rowsFromCount)
+      : (ChunkSpec, Long) = {
+    val q = pc.quote
+    val qualified = s"$q${meta.database}$q.$q${meta.table}$q"
+    val rows =
+      if (pc.checkRowCount) rowsFromCount(conn, qualified, None)
+      else estimator(conn, qualified, None)
+    val minStep = pc.rows.map(_.min).getOrElse(ChunkPlanner.MinChunkStepSize)
+    if (rows <= minStep) return (ChunkSpec.WholeTable, rows)
+
+    if (pc.splitPartitions || cfg.partitionRegex.isDefined) {
+      val parts = Discovery.partitions(conn, meta.database, meta.table,
+        cfg.partitionRegex)
+      if (parts.nonEmpty) return (ChunkSpec.Partitions(parts), rows)
+    }
+
+    if (!pc.splitIntegerTables) return (ChunkSpec.WholeTable, rows)
+
+    val plan = for {
+      pk <- meta.primaryKey.headOption
+      pkMeta = meta.columns.find(_.name == pk)
+      (mn, mx, jdbcType) <- minMaxProbe(conn, qualified, pk, cfg.where, q)
+    } yield {
+      val nullable = pkMeta.forall(_.nullable)
+      if (IntJdbcTypes.contains(jdbcType)) {
+        val (lo, hi) = (mn.toLong, mx.toLong)
+        val gap = math.abs(hi - lo)
+        if (gap <= minStep) ChunkSpec.WholeTable
+        else {
+          val auto = gap / (math.pow(2, pc.maxThreadsPerTable).toLong - 1)
+          val start = pc.rows.map(_.start).filter(_ > 0).getOrElse(auto)
+          val maxStep = pc.rows.map(_.max).filter(_ > 0).getOrElse(Long.MaxValue)
+          val step = math.min(math.max(start, minStep), maxStep)
+          ChunkSpec.IntRange(pk, lo, hi, step, includeNullChunk = nullable)
+        }
+      } else {
+        // first-byte split across the probed [min,max] character range —
+        // the reference's initial char step (LEFT(MIN(f),1)/LEFT(MAX(f),1),
+        // mydumper_chunks.c:116,227-233) without the server round trips
+        // of its midpoint walk
+        val (c0, c1) = (mn.head, mx.head)
+        val span = c1 - c0
+        val cuts = math.min(span, pc.maxThreadsPerTable * 4)
+        val bounds =
+          if (cuts <= 0) Nil
+          else (1 to cuts.toInt)
+            .map(i => (c0 + i * span / (cuts + 1) + 1).toChar.toString)
+            .distinct
+        if (bounds.isEmpty) ChunkSpec.WholeTable
+        else ChunkSpec.StringRange(pk, bounds, includeNullChunk = nullable)
+      }
+    }
+    (plan.getOrElse(ChunkSpec.WholeTable), rows)
+  }
+
+  /** One-call per-table extract: [[chunkStrategy]] → the matching read
+    * path (predicates for range plans, per-partition dbtable subqueries
+    * for ByPartition — the split [[spec]] refuses to cross). This is the
+    * composition the reference runs per table job; the per-table WHERE
+    * and projection land via [[spec]]'s `where` / the caller's select. */
+  def extractTable(spark: SparkSession, conn: Connection, url: String,
+      meta: TableMeta, snapshot: Snapshot.Plan, user: String,
+      password: String, cfg: TableConfig = TableConfig.empty,
+      pc: PlanConfig = PlanConfig(),
+      estimator: (Connection, String, Option[String]) => Long = rowsFromCount,
+      pinnedWorkers: Option[Int] = None): (DataFrame, Long) = {
+    val (plan, rows) = chunkStrategy(conn, meta, cfg, pc, estimator)
+    val q = pc.quote
+    val qualified = s"$q${meta.database}$q.$q${meta.table}$q"
+    plan match {
+      case ChunkSpec.Partitions(parts) =>
+        val base = spec(url, qualified, ChunkSpec.WholeTable, snapshot,
+          user, password, pinnedWorkers = pinnedWorkers)
+        (readPartitioned(spark, url, qualified, parts, base.props, cfg.where), rows)
+      case other =>
+        val s = spec(url, qualified, other, snapshot, user, password,
+          where = cfg.where, pinnedWorkers = pinnedWorkers, quote = q)
+        (read(spark, s), rows)
+    }
   }
 }

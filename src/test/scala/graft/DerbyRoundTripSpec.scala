@@ -147,4 +147,53 @@ class DerbyRoundTripSpec extends SparkTestBase {
       catch { case _: java.sql.SQLException => () } // XJ015: normal shutdown
     }
   }
+
+  test("extractTable auto-plans the chunk strategy over live Derby") {
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_xt").toString
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/xtdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA GRAFT_E")
+      st.execute(
+        "CREATE TABLE GRAFT_E.LINE (ID INT NOT NULL PRIMARY KEY, GRP INT)")
+      st.close()
+      val ps = conn.prepareStatement("INSERT INTO GRAFT_E.LINE VALUES (?, ?)")
+      (0 until Rows).foreach { i =>
+        ps.setInt(1, i * 3); ps.setInt(2, i % 7); ps.addBatch()
+        if (i % 500 == 499) ps.executeBatch()
+      }
+      ps.executeBatch(); ps.close()
+
+      val meta = Discovery.allTables(conn,
+        TableFilter.Spec(regex = Some("^GRAFT_E\\."))).find(_.table == "LINE").get
+      val snapshot = Snapshot.Plan(
+        ddlLock = Nil, ddlUnlock = Nil, controlLock = Nil,
+        workerInit = Nil, controlUnlock = Nil, verify = Nil,
+        abortOnDrift = false)
+      // COUNT probe 5000 rows; gap 14997 → auto step 14997/15 = 999
+      // clamps up to the 1000 min step → 15 int-range chunks, each its
+      // own Spark partition — the whole reference planning sequence
+      // executed live, no hand-built chunk list
+      val (df, rows) = JdbcExtract.extractTable(spark, conn, url, meta,
+        snapshot, user = "APP", password = "",
+        pc = JdbcExtract.PlanConfig(quote = "\""))
+      assert(rows === Rows.toLong)
+      assert(df.rdd.getNumPartitions === 15, "one partition per planned chunk")
+      assert(df.count() === Rows)
+
+      // per-table WHERE reaches both the bounds probe and every chunk read
+      val expected = (0 until Rows).count(_ % 7 < 3)
+      val (dfW, _) = JdbcExtract.extractTable(spark, conn, url, meta,
+        snapshot, user = "APP", password = "",
+        cfg = graft.core.TableConfig(where = Some("GRP < 3")),
+        pc = JdbcExtract.PlanConfig(quote = "\""))
+      assert(dfW.count() === expected)
+    } finally {
+      conn.close()
+      try DriverManager.getConnection(s"jdbc:derby:$dbDir/xtdb;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
 }
