@@ -44,6 +44,13 @@ object Dump {
       rowsPerChunk: Option[Long] = None,
       statementSize: Int = 1000000,
       compress: Boolean = false,
+      // --insert-ignore / --replace (mutually exclusive,
+      // mydumper_write.c:366-376): the SQL-dump INSERT verb
+      insertIgnore: Boolean = false,
+      replace: Boolean = false,
+      // --hex-blob; see SqlInsertWriter.Options.hexBlob for why our
+      // default differs from the reference's FALSE
+      hexBlob: Boolean = true,
       orderByPrimary: Boolean = false,  // --order-by-primary analog
       checksum: Boolean = true,         // --checksum-all analog
       noData: Boolean = false,          // --no-data / -d: schema-only dump
@@ -176,7 +183,9 @@ object Dump {
       case SqlFormat =>
         SqlInsertWriter.write(partitioned, cfg.db, stem, cfg.outDir,
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
-            compress = cfg.compress, execFilter = cfg.execFilter))
+            compress = cfg.compress, execFilter = cfg.execFilter,
+            insertIgnore = cfg.insertIgnore, replace = cfg.replace,
+            hexBlob = cfg.hexBlob, columnsOnInsert = conf.columnsOnInsert))
       case CsvFormat =>
         // Observation rides the write job — row count without a second scan
         val obs = new org.apache.spark.sql.Observation()

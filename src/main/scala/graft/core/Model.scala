@@ -41,6 +41,10 @@ final case class TableConfig(
     limit: Option[Long] = None,
     rows: Option[ChunkRows] = None,
     columnsOnSelect: Map[String, String] = Map.empty, // col -> replacement expr (P2)
+    // verbatim INSERT column list override (common.h:67 COLUMNS_ON_INSERT,
+    // mydumper_write.c:466-470) — the restore target's columns when they
+    // differ from the dumped SELECT's
+    columnsOnInsert: Option[String] = None,
     masks: Map[String, Seq[String]] = Map.empty,      // col -> mask fn chain (F10)
     partitionRegex: Option[String] = None,
     numThreads: Option[Int] = None,
@@ -93,6 +97,7 @@ object TableConfig {
         rows = hi.rows.orElse(lo.rows),
         columnsOnSelect =
           if (hi.columnsOnSelect.nonEmpty) hi.columnsOnSelect else lo.columnsOnSelect,
+        columnsOnInsert = hi.columnsOnInsert.orElse(lo.columnsOnInsert),
         masks = if (hi.masks.nonEmpty) hi.masks else lo.masks,
         partitionRegex = hi.partitionRegex.orElse(lo.partitionRegex),
         numThreads = hi.numThreads.orElse(lo.numThreads),

@@ -22,7 +22,13 @@ object CsvDump {
       // any Hadoop text codec: gzip always; zstd where the cluster has
       // native Hadoop libs (reference S9's gzip/zstd pair); lz4/snappy/
       // bzip2/deflate also pass through
-      codec: String = "gzip")
+      codec: String = "gzip",
+      // --load-data-character-set: CHARACTER SET clause, emitted only
+      // when set (mydumper_write.c:519-520)
+      characterSet: Option[String] = None,
+      // --lines-starting-by: LINES STARTING BY clause, emitted only when
+      // set (mydumper_write.c:528-529)
+      linesStartingBy: Option[String] = None)
 
   val LoadDataDefaults: Options =
     Options(fieldsTerminatedBy = "\t", fieldsEnclosedBy = "", header = false)
@@ -65,16 +71,51 @@ object CsvDump {
   }
 
   /** The `LOAD DATA` companion statement the reference writes next to
-    * each data file (mydumper_write.c:549-580). */
-  def loadDataStatement(db: String, table: String, file: String,
-      opts: Options = LoadDataDefaults): String = {
-    val enclosed =
-      if (opts.fieldsEnclosedBy.nonEmpty)
-        s" OPTIONALLY ENCLOSED BY '${opts.fieldsEnclosedBy}'" else ""
-    s"LOAD DATA LOCAL INFILE '$file' REPLACE INTO TABLE `$db`.`$table` " +
-      s"CHARACTER SET utf8mb4 FIELDS TERMINATED BY '${escape(opts.fieldsTerminatedBy)}'" +
-      s"$enclosed ESCAPED BY '${escape(opts.fieldsEscapedBy)}' " +
-      "LINES STARTING BY '' TERMINATED BY '\\n';"
+    * each data file — prefix + per-table suffix, clause-for-clause
+    * initialize_load_data_statement_suffix (mydumper_write.c:515-548,622;
+    * LOAD_DATA_PREFIX mydumper_write.h:21):
+    *
+    *   - NO verb: `LOAD DATA LOCAL INFILE '<file>' INTO TABLE` — the
+    *     reference never emits REPLACE/IGNORE here;
+    *   - table NOT db-qualified (myloader selects the schema on the
+    *     connection; the db travels in the file name);
+    *   - CHARACTER SET / ENCLOSED BY / LINES STARTING BY only when
+    *     configured; `ENCLOSED BY`, not `OPTIONALLY ENCLOSED BY`;
+    *   - `IGNORE 1 LINES` when the files carry a header row (:531-532);
+    *   - trailing column list (:533-545): binary columns route through a
+    *     `@var` + `SET col=UNHEX(@var)` pair exactly when the data file
+    *     carries them hex-encoded (append_load_data_columns's
+    *     is_hex_blob branch); `columnsOnInsert` replaces the whole list
+    *     verbatim (and then no SET is generated, :534-536).
+    */
+  def loadDataStatement(table: String, file: String,
+      opts: Options = LoadDataDefaults,
+      columns: Seq[String] = Nil,
+      hexCols: Set[String] = Set.empty,
+      columnsOnInsert: Option[String] = None): String = {
+    val sb = new StringBuilder
+    sb ++= s"LOAD DATA LOCAL INFILE '$file' INTO TABLE `$table` "
+    opts.characterSet.foreach(cs => sb ++= s"CHARACTER SET $cs ")
+    sb ++= s"FIELDS TERMINATED BY '${escape(opts.fieldsTerminatedBy)}' "
+    if (opts.fieldsEnclosedBy.nonEmpty)
+      sb ++= s"ENCLOSED BY '${opts.fieldsEnclosedBy}' "
+    sb ++= s"ESCAPED BY '${escape(opts.fieldsEscapedBy)}' "
+    sb ++= "LINES "
+    opts.linesStartingBy.foreach(ls => sb ++= s"STARTING BY '${escape(ls)}' ")
+    sb ++= "TERMINATED BY '\\n' "
+    if (opts.header) sb ++= "IGNORE 1 LINES "
+    columnsOnInsert match {
+      case Some(c) => sb ++= s"($c)"
+      case None if columns.nonEmpty =>
+        sb ++= columns.map(c =>
+          if (hexCols(c)) s"@$c" else s"`$c`").mkString("(", ",", ")")
+        val sets = columns.filter(hexCols)
+        if (sets.nonEmpty)
+          sb ++= sets.map(c => s"`$c`=UNHEX(@$c)").mkString("SET ", ",", "")
+      case None => ()
+    }
+    sb ++= ";"
+    sb.toString
   }
 
   private def escape(s: String): String =

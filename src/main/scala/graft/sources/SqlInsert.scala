@@ -17,8 +17,12 @@ import java.util.zip.GZIPOutputStream
   * INSERT statements packed to ≤ `statementSize` bytes (reference default
   * 1 MB, mydumper_write.c:50), rotation to `.<subpart 05d>` when a file
   * exceeds `fileSizeBytes` (C7, mydumper_write.c:992-1001). Escaping
-  * follows mysql_real_escape_string (\0 \n \r \ ' " ^Z), binary renders
-  * as 0x… hex (mydumper_write.c:684-689), NULL as the bare keyword.
+  * follows mysql_real_escape_string (\0 \n \r \ ' " ^Z); binary renders
+  * as 0x… hex (mydumper_write.c:684-689) or, with hexBlob off, the
+  * reference's default `_binary '…'` escaped-bytes literal (:694-703);
+  * NULL as the bare keyword. (The reference's JSON-column
+  * `CONVERT('…' USING UTF8MB4)` wrapper has no analog: Spark has no
+  * JSON column type — JSON text dumps as a plain string literal.)
   *
   * Scale design: a pure `foreachPartition` over the Hadoop FileSystem of
   * the target path — no driver collect, no shuffle; each task streams one
@@ -32,6 +36,25 @@ object SqlInsertWriter {
       fileSizeBytes: Long = 0L,         // --chunk-filesize (0 = no rotation)
       compress: Boolean = false,        // --compress (gzip)
       completeInsert: Boolean = true,   // column list in INSERT header
+      // --insert-ignore / --replace: the INSERT verb
+      // (mydumper_write.c:366-376) — mutually exclusive there
+      // ("You can't use --insert-ignore and --replace at the same time")
+      insertIgnore: Boolean = false,
+      replace: Boolean = false,
+      // --hex-blob (mydumper_write.c:73,684-689): binary as 0x… hex.
+      // The reference defaults this OFF and emits `_binary '<raw bytes,
+      // mysql_real_escape_string-escaped>'`; we default it ON because in
+      // a UTF-8 text pipeline the hex form is the one encoding that is
+      // byte-exact across tools (raw bytes ≥ 0x80 inside a quoted
+      // literal get transcoded by any text reader). hexBlob=false gives
+      // the reference's default form; our own loader round-trips it
+      // losslessly via ISO-8859-1 char↔byte mapping.
+      hexBlob: Boolean = true,
+      // per-table `columns_on_insert` (common.h:67, mydumper_write.c:
+      // 466-470): verbatim column list overriding the header's
+      // schema-derived one — used when the restore target's columns
+      // differ from the dumped SELECT (masked/generated columns)
+      columnsOnInsert: Option[String] = None,
       // --exec-per-thread: pipe each file's bytes through an external
       // filter process ([[ExecFilter]]); takes precedence over
       // `compress` and supplies its own file extension
@@ -42,7 +65,14 @@ object SqlInsertWriter {
       // read THIS instead of re-listing the output dir, which would pick
       // up stale files from earlier runs and returns nothing on
       // non-local filesystems
-      fileLog: Option[org.apache.spark.util.CollectionAccumulator[String]] = None)
+      fileLog: Option[org.apache.spark.util.CollectionAccumulator[String]] = None) {
+    require(!(insertIgnore && replace),
+      "--insert-ignore and --replace are mutually exclusive (mydumper_write.c:368)")
+    /** The statement verb (INSERT / INSERT IGNORE / REPLACE,
+      * mydumper_working_thread.h:22-24). */
+    def verb: String =
+      if (insertIgnore) "INSERT IGNORE" else if (replace) "REPLACE" else "INSERT"
+  }
 
   /** Dump `df` as SQL-INSERT files under `outDir`. Returns the row count
     * (via accumulator — no data rows cross to the driver).
@@ -58,12 +88,12 @@ object SqlInsertWriter {
     val conf = new SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val counts = df.sparkSession.sparkContext.longAccumulator(s"rows_dumped_$db.$table")
-    val header = insertHeader(db, table, schema, opts.completeInsert)
+    val header = insertHeader(table, schema, opts)
     df.queryExecution.toRdd.foreachPartition { rows =>
       val part = TaskContext.getPartitionId()
       var written = 0L
       if (rows.hasNext) {
-        val render = internalRenderers(schema)
+        val render = internalRenderers(schema, opts.hexBlob)
         val n = render.length
         val w = new PartitionWriter(conf.value, outDir, db, table, part, opts)
         try {
@@ -104,7 +134,8 @@ object SqlInsertWriter {
     (java.lang.StringBuilder, org.apache.spark.sql.catalyst.InternalRow) => Unit
 
   /** One renderer closure per column, dispatched on type exactly once. */
-  private def internalRenderers(schema: StructType): Array[FieldRenderer] = {
+  private def internalRenderers(schema: StructType,
+      hexBlob: Boolean): Array[FieldRenderer] = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     schema.fields.zipWithIndex.map { case (f, i) =>
       val r: FieldRenderer = f.dataType match {
@@ -119,11 +150,20 @@ object SqlInsertWriter {
         case BooleanType =>
           (sb, row) => sb.append(if (row.getBoolean(i)) '1' else '0')
         case BinaryType =>
-          (sb, row) => {
-            val b = row.getBinary(i)
-            if (b.isEmpty) sb.append("''")
-            else { sb.append("0x"); appendHex(sb, b) }
-          }
+          // empty → '' in BOTH modes (the reference's length==0 branch
+          // precedes the hex check, mydumper_write.c:682-684)
+          if (hexBlob)
+            (sb, row) => {
+              val b = row.getBinary(i)
+              if (b.isEmpty) sb.append("''")
+              else { sb.append("0x"); appendHex(sb, b) }
+            }
+          else
+            (sb, row) => {
+              val b = row.getBinary(i)
+              if (b.isEmpty) sb.append("''")
+              else { sb.append("_binary '"); escapeBinaryInto(sb, b); sb.append('\'') }
+            }
         case TimestampType =>
           // same rendering as the external path: java.sql.Timestamp.toString
           // in the JVM zone (reader round-trips with Timestamp.valueOf)
@@ -165,12 +205,20 @@ object SqlInsertWriter {
     }
   }
 
-  private def insertHeader(db: String, table: String, schema: StructType,
-      complete: Boolean): String = {
-    val cols =
-      if (complete) schema.fieldNames.map(c => s"`$c`").mkString("(", ",", ") ")
-      else ""
-    s"INSERT INTO `$db`.`$table` ${cols}VALUES\n"
+  /** The reference's build_insert_statement (mydumper_write.c:458-478):
+    * `<verb> INTO \`table\` [(cols)] VALUES` — table NOT db-qualified
+    * (myloader selects/remaps the schema on the connection; the db rides
+    * in the file NAME), columns_on_insert verbatim when configured, else
+    * the schema list under complete-insert. */
+  private def insertHeader(table: String, schema: StructType,
+      opts: Options): String = {
+    val cols = opts.columnsOnInsert match {
+      case Some(c) => s"($c) "
+      case None if opts.completeInsert =>
+        schema.fieldNames.map(c => s"`$c`").mkString("(", ",", ") ")
+      case None => ""
+    }
+    s"${opts.verb} INTO `$table` ${cols}VALUES\n"
   }
 
   /** One output file with size-based rotation (sub_part counter). */
@@ -277,6 +325,27 @@ object SqlInsertWriter {
     val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-${ldt.getDayOfMonth}%02d " +
       f"${ldt.getHour}%02d:${ldt.getMinute}%02d:${ldt.getSecond}%02d"
     if (ldt.getNano == 0) base else f"$base.${ldt.getNano}%09d"
+  }
+
+  /** mysql_real_escape_string over raw BYTES for `_binary '…'` literals
+    * (the reference's non-hex-blob default, mydumper_write.c:694-699):
+    * the escape set is byte-wise; unescaped bytes ride as chars 0-255
+    * (ISO-8859-1 mapping — the reader's exact inverse). */
+  def escapeBinaryInto(sb: java.lang.StringBuilder, b: Array[Byte]): Unit = {
+    var i = 0
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x00 => sb.append("\\0")
+        case 0x0a => sb.append("\\n")
+        case 0x0d => sb.append("\\r")
+        case 0x5c => sb.append("\\\\")
+        case 0x27 => sb.append("\\'")
+        case 0x22 => sb.append("\\\"")
+        case 0x1a => sb.append("\\Z")
+        case c    => sb.append(c.toChar)
+      }
+      i += 1
+    }
   }
 
   /** mysql_real_escape_string character set. */
@@ -486,6 +555,10 @@ object SqlInsertReader {
             case _: BooleanType => text == "1" || text.equalsIgnoreCase("true")
             case _: BinaryType  =>
               if (raw.startsWith("0x")) hexToBytes(raw.substring(2))
+              else if (raw.startsWith("_binary '") && raw.endsWith("'"))
+                // inverse of escapeBinaryInto: chars are bytes 0-255
+                unescape(raw.substring(9, raw.length - 1))
+                  .getBytes(StandardCharsets.ISO_8859_1)
               else text.getBytes(StandardCharsets.UTF_8)
             case _: TimestampType    => java.sql.Timestamp.valueOf(text)
             case _: TimestampNTZType => java.sql.Timestamp.valueOf(text).toLocalDateTime

@@ -70,6 +70,71 @@ class RoundTripSpec extends SparkTestBase {
       b.map(r => Option(r.getAs[Array[Byte]]("b")).map(_.toSeq)))
   }
 
+  test("insert verb: --insert-ignore / --replace, reference-exact header") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(2L, "b")), 1), schema)
+
+    // build_insert_statement (mydumper_write.c:458-478): verb INTO
+    // `table` — NOT db-qualified — (cols) VALUES; verbs from
+    // mydumper_working_thread.h:22-24
+    def headerOf(opts: SqlInsertWriter.Options): String = {
+      val dir = Files.createTempDirectory("graft_verb_").toString
+      SqlInsertWriter.write(df, "db", "t", dir, opts)
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".sql")).head
+      Files.readString(f.toPath).linesIterator.next()
+    }
+    assert(headerOf(SqlInsertWriter.Options()) ===
+      "INSERT INTO `t` (`id`,`s`) VALUES")
+    assert(headerOf(SqlInsertWriter.Options(insertIgnore = true)) ===
+      "INSERT IGNORE INTO `t` (`id`,`s`) VALUES")
+    assert(headerOf(SqlInsertWriter.Options(replace = true)) ===
+      "REPLACE INTO `t` (`id`,`s`) VALUES")
+    // columns_on_insert replaces the schema list verbatim (write.c:466-470)
+    assert(headerOf(SqlInsertWriter.Options(
+      columnsOnInsert = Some("`x`,`y`"))) === "INSERT INTO `t` (`x`,`y`) VALUES")
+    // mutual exclusion, the reference's m_error (mydumper_write.c:368-369)
+    intercept[IllegalArgumentException] {
+      SqlInsertWriter.Options(insertIgnore = true, replace = true)
+    }
+    // verb variants parse back identically — the reader keys on VALUES
+    val dir = Files.createTempDirectory("graft_verb_rt_").toString
+    SqlInsertWriter.write(df, "db", "t", dir,
+      SqlInsertWriter.Options(replace = true))
+    assert(SqlInsertReader.read(spark, dir, schema).count() === 2)
+  }
+
+  test("hex-blob off: _binary literal round-trips every byte value") {
+    // the reference's DEFAULT binary form (hex_blob=FALSE,
+    // mydumper_write.c:73): `_binary '<escaped raw bytes>'` (:694-703);
+    // empty stays '' in both modes (:682-684, length==0 precedes the
+    // hex check)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("b", BinaryType)))
+    val all = Array.tabulate(256)(_.toByte)
+    val rows = Seq(
+      Row(1L, all), Row(2L, Array[Byte]()), Row(3L, null),
+      Row(4L, "ascii'quote\\slash".getBytes("UTF-8")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val dir = Files.createTempDirectory("graft_binlit_").toString
+    SqlInsertWriter.write(df, "t", "bin", dir,
+      SqlInsertWriter.Options(hexBlob = false))
+    val text = Files.readString(
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".sql"))
+        .head.toPath)
+    assert(text.contains("_binary '"), "binary must use the _binary literal")
+    assert(!text.contains("0x"), "no hex literals with hexBlob off")
+    assert(text.contains(",''"), "empty binary stays '' (length==0 branch)")
+    val back = SqlInsertReader.read(spark, dir, schema)
+    val a = df.orderBy("id").collect().toSeq
+    val b = back.orderBy("id").collect().toSeq
+    assert(a.map(r => Option(r.getAs[Array[Byte]]("b")).map(_.toSeq)) ===
+      b.map(r => Option(r.getAs[Array[Byte]]("b")).map(_.toSeq)))
+  }
+
   test("csv dump round-trip preserves checksum") {
     val dir = Files.createTempDirectory("graft_csv_").toString
     val c = Tables.customer(spark, sf)
@@ -80,10 +145,34 @@ class RoundTripSpec extends SparkTestBase {
   }
 
   test("load-data companion statement matches reference shape") {
-    val stmt = CsvDump.loadDataStatement("db", "t", "/x/db.t.00000.dat")
-    assert(stmt.contains("LOAD DATA LOCAL INFILE '/x/db.t.00000.dat'"))
-    assert(stmt.contains("INTO TABLE `db`.`t`"))
-    assert(stmt.contains("FIELDS TERMINATED BY '\\t'"))
+    // clause-for-clause initialize_load_data_statement_suffix
+    // (mydumper_write.c:515-548) + LOAD_DATA_PREFIX (mydumper_write.h:21):
+    // no REPLACE/IGNORE verb, table NOT db-qualified, plain ENCLOSED BY,
+    // optional clauses absent unless configured
+    val stmt = CsvDump.loadDataStatement("t", "/x/db.t.00000.dat")
+    assert(stmt === "LOAD DATA LOCAL INFILE '/x/db.t.00000.dat' INTO TABLE " +
+      "`t` FIELDS TERMINATED BY '\\t' ESCAPED BY '\\\\' " +
+      "LINES TERMINATED BY '\\n' ;")
+    assert(!stmt.contains("REPLACE"), "the reference emits no LOAD DATA verb")
+
+    // hex-encoded binary columns route through @var + SET col=UNHEX(@var)
+    // (append_load_data_columns, mydumper_write.c:561-575); header files
+    // add IGNORE 1 LINES (:531-532); CHARACTER SET only when set (:519)
+    val full = CsvDump.loadDataStatement("t", "f.dat",
+      CsvDump.LoadDataDefaults.copy(header = true,
+        characterSet = Some("utf8mb4")),
+      columns = Seq("id", "blob", "name"), hexCols = Set("blob"))
+    assert(full.contains("CHARACTER SET utf8mb4 "))
+    assert(full.contains("IGNORE 1 LINES "))
+    assert(full.contains("(`id`,@blob,`name`)SET `blob`=UNHEX(@blob)"))
+
+    // columns_on_insert replaces the list verbatim, no SET generated
+    // (mydumper_write.c:534-536)
+    val coi = CsvDump.loadDataStatement("t", "f.dat",
+      columns = Seq("id", "blob"), hexCols = Set("blob"),
+      columnsOnInsert = Some("`a`,`b`"))
+    assert(coi.contains("(`a`,`b`);"))
+    assert(!coi.contains("UNHEX"))
   }
 
   test("csv codec option passes through to any Hadoop text codec") {
