@@ -21,12 +21,18 @@ package graft.extract
   */
 object Snapshot {
 
-  /** Server flavor (reference server_detect.h:22-31). */
+  /** Server flavor (reference server_detect.h:22-31; detection in
+    * [[ServerDetect]]). */
   sealed trait Flavor
   case object MySQL extends Flavor       // 5.7/8.x
   case object Percona extends Flavor
   case object MariaDB extends Flavor     // >= 10.5
   case object TiDB extends Flavor
+  case object Dolt extends Flavor        // MySQL wire protocol
+  case object Google extends Flavor      // CloudSQL; locks like MySQL
+  case object RDS extends Flavor         // Aurora; LockAll/SafeNoLock only
+  case object ClickHouse extends Flavor
+  case object Unknown extends Flavor     // mysql-like by default
 
   /** Lock mode matrix (reference AUTO/FTWRL/LOCK_ALL/GTID/NO_LOCK/…). */
   sealed trait LockMode
@@ -81,7 +87,20 @@ object Snapshot {
     * BACKUP` exists on MySQL/Percona 8+; Percona 5.7 has its own backup
     * locks; MariaDB's `BACKUP STAGE` arrived in 10.5. */
   def plan(mode: LockMode, flavor: Flavor, tables: Seq[String] = Nil,
-      serverMajor: Int = 8, serverMinor: Int = 0): Plan = {
+      serverMajor: Int = 8, serverMinor: Int = 0,
+      // --skip-ddl-locks: nulls the DDL slot in EVERY mode
+      // (mydumper_start_dump.c:1237-1240) and demotes MariaDB's BACKUP
+      // STAGE ladder to plain FTWRL (:749)
+      skipDdlLocks: Boolean = false,
+      // --no-backup-locks: suppresses ONLY Percona 5.7's backup-lock
+      // pair (mydumper_start_dump.c:707-709)
+      noBackupLocks: Boolean = false): Plan = {
+    // RDS/Aurora has no FTWRL worth trusting: the reference hard-errors
+    // for any mode outside LOCK_ALL / SAFE_NO_LOCK
+    // (mydumper_start_dump.c:730-731)
+    require(flavor != RDS || mode == LockAll || mode == SafeNoLock,
+      "We support LOCK_ALL and SAFE_NO_LOCK modes for RDS/Aurora. " +
+        "Select one of them to configure --sync-thread-lock-mode")
     val workerInit = Seq(
       "SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ",
       "SET TIME_ZONE = '+00:00'",
@@ -98,20 +117,27 @@ object Snapshot {
     // the plan
     val tidbInit = Seq("SET SESSION tidb_snapshot = <control TSO via TidbTsoProbe>")
     val ftwrl = Seq("FLUSH NO_WRITE_TO_BINLOG TABLES", "FLUSH TABLES WITH READ LOCK")
-    // the DDL-quiesce slot (reference send_ddl_lock_instance_backup /
-    // send_percona57_backup_locks, :617-625): MySQL and Percona 8+ hold
-    // LOCK INSTANCE FOR BACKUP alongside FTWRL; Percona 5.7 its own pair
-    val (ddlLock, ddlUnlock): (Seq[String], Seq[String]) = flavor match {
-      case MySQL | Percona if serverMajor >= 8 =>
-        (Seq("LOCK INSTANCE FOR BACKUP"), Seq("UNLOCK INSTANCE"))
-      case Percona if serverMajor == 5 && serverMinor == 7 =>
-        (Seq("LOCK TABLES FOR BACKUP", "LOCK BINLOG FOR BACKUP"),
-          Seq("UNLOCK TABLES", "UNLOCK BINLOG"))
-      case _ => (Nil, Nil)
-    }
-    val percona57 = flavor == Percona && serverMajor == 5 && serverMinor == 7
+    // the DDL-quiesce slot (reference determine_ddl_lock_function,
+    // mydumper_start_dump.c:693-767): MySQL/Percona/Google hold LOCK
+    // INSTANCE FOR BACKUP on major == 8 EXACTLY (`case 8:` — a 9.x
+    // server takes default_locking, no instance lock); Percona 5.7 its
+    // own pair unless --no-backup-locks; --skip-ddl-locks nulls the
+    // slot everywhere (:1237-1240)
+    val (ddlLock, ddlUnlock): (Seq[String], Seq[String]) =
+      if (skipDdlLocks) (Nil, Nil)
+      else flavor match {
+        case MySQL | Percona | Google if serverMajor == 8 =>
+          (Seq("LOCK INSTANCE FOR BACKUP"), Seq("UNLOCK INSTANCE"))
+        case Percona if serverMajor == 5 && serverMinor == 7 && !noBackupLocks =>
+          (Seq("LOCK TABLES FOR BACKUP", "LOCK BINLOG FOR BACKUP"),
+            Seq("UNLOCK TABLES", "UNLOCK BINLOG"))
+        case _ => (Nil, Nil)
+      }
+    val percona57 = flavor == Percona && serverMajor == 5 && serverMinor == 7 &&
+      !noBackupLocks && !skipDdlLocks
     val mariaBackupStage =
-      serverMajor > 10 || (serverMajor == 10 && serverMinor >= 5)
+      (serverMajor > 10 || (serverMajor == 10 && serverMinor >= 5)) &&
+        !skipDdlLocks
 
     (mode, flavor) match {
       case (NoLock, _) =>
@@ -146,11 +172,13 @@ object Snapshot {
         // MariaDB < 10.5, or FTWRL forced: plain global FTWRL, no stages
         Plan(Nil, Nil, ftwrl, workerInit, Seq("UNLOCK TABLES"),
           verifyMaria, abortOnDrift = false)
-      case (Ftwrl, _) | (Auto, MySQL | Percona) =>
+      case (Ftwrl, _) | (Auto, _) =>
         // FTWRL global lock; the flavor/version DDL slot rides along
         // (reference keeps determine_ddl_lock_function in FTWRL mode too,
         // :1229-1232). Only Percona 5.7's backup locks get their own
         // connection (:718); LOCK INSTANCE shares the control session.
+        // Dolt/Unknown/ClickHouse reach here via the reference's
+        // default_locking branch (:765-766).
         Plan(ddlLock, ddlUnlock, ftwrl, workerInit, Seq("UNLOCK TABLES"),
           verifyOf(flavor, verifyMySQL, verifyMaria), abortOnDrift = false,
           ddlOnSeparateConnection = percona57)
