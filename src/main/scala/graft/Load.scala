@@ -22,55 +22,155 @@ import scala.concurrent.ExecutionContext
 object Load {
 
   sealed trait FileType
-  case object Data extends FileType
+  case object Data extends FileType            // db.table[.NNNNN[.NNNNN]].sql
+  case object LoadData extends FileType        // db.table.NNNNN.dat (LOAD DATA text)
   case object Schema extends FileType          // db.table-schema.sql
   case object SchemaCreate extends FileType    // db-schema-create.sql
+  case object SchemaTablespace extends FileType // all-schema-create-tablespace.sql
   case object SchemaView extends FileType      // db.table-schema-view.sql
   case object SchemaSequence extends FileType  // db.table-schema-sequence.sql
   case object SchemaTriggers extends FileType  // db.table-schema-triggers.sql
   case object SchemaPost extends FileType      // db-schema-post.sql (routines/events)
   case object SchemaClickHouse extends FileType // db.table-schema-clickhouse.sql (S7)
   case object LoaderScript extends FileType    // db.table-load.sql (S7 INSERT..FROM INFILE)
-  case object Metadata extends FileType
-  case object Unknown extends FileType
+  case object Metadata extends FileType        // metadata / metadata.header (global)
+  case object MetadataPartial extends FileType // metadata.partial*, or bare metadata in stream mode
+  case object Resume extends FileType          // resume (only with resume enabled)
+  case object Unknown extends FileType         // reference IGNORED
 
-  /** S11 router: classify a dump file name — the full reference taxonomy
-    * (myloader_common.c:538-545,630-639, myloader_process.c:385):
-    * database creates, table schemas, views, sequences, triggers, post
-    * objects, data chunks, metadata. Schema files may be compressed like
-    * data files. Order sensitivity: `-schema-view.sql` must match before
-    * the generic `-schema.sql` suffix test. */
-  def classify(name: String): FileType = {
-    val n = name.stripSuffix(".gz").stripSuffix(".zst")
-    n match {
-      case _ if n.endsWith("-schema-create.sql")   => SchemaCreate
-      case _ if n.endsWith("-schema-view.sql")     => SchemaView
-      case _ if n.endsWith("-schema-sequence.sql") => SchemaSequence
-      case _ if n.endsWith("-schema-triggers.sql") => SchemaTriggers
-      case _ if n.endsWith("-schema-post.sql")     => SchemaPost
-      case _ if n.endsWith("-schema-clickhouse.sql") => SchemaClickHouse
-      case _ if n.endsWith("-load.sql")            => LoaderScript
-      case _ if n.endsWith("-schema.sql")          => Schema
-      case _ if n == "metadata" || n == "metadata.json" => Metadata
-      case _ if n.matches(""".+\.\d{5}(\.\d{5})?\.(sql|dat|csv|jsonl)""") => Data
-      case _ => Unknown
+  /** Strip the trailing compression / exec-filter extension the way the
+    * reference's suffix probe does (myloader_common.c:491-517
+    * m_filename_has_suffix: exec extension first, then .gz, then .zst —
+    * exactly one layer, and only a KNOWN extension; `db.t.sql.lz4` does
+    * NOT classify). */
+  private def stripCodecExt(name: String, execExt: Option[String]): String =
+    execExt.filter(e => e.nonEmpty && name.endsWith(e) && name.length > e.length)
+      .map(e => name.dropRight(e.length))
+      .getOrElse {
+        if (name.endsWith(".gz")) name.dropRight(3)
+        else if (name.endsWith(".zst")) name.dropRight(4)
+        else name
+      }
+
+  /** S11 router: classify a dump file name — the reference's
+    * get_file_type taxonomy and PROBE ORDER
+    * (myloader_process_filename.c:119-199): metadata names first
+    * (`metadata.header` global; bare `metadata` partial in stream mode,
+    * global otherwise; `metadata.partial*` prefix partial — none of them
+    * when the name carries `.sql` or the exec-filter extension), then the
+    * `--source-db` prefix gate, then `-schema.sql`, the tablespace file,
+    * `resume`/`resume.partial` (fatal unless resume mode, ditto the
+    * partial), the object-schema suffixes, and only then bare `.sql` →
+    * DATA and `.dat` → LOAD_DATA; anything else is ignored. Every suffix
+    * probe accepts one compression/exec extension layer
+    * (myloader_common.c:491 m_filename_has_suffix).
+    *
+    * Engine extensions beyond the reference: `-schema-clickhouse.sql` /
+    * `-load.sql` (S7 artifacts), `metadata.json` (manifest), and `.csv`/
+    * `.jsonl` chunk files from our own lake dumps. */
+  def classify(name: String, stream: Boolean = false,
+      resumeEnabled: Boolean = false, sourceDb: Option[String] = None,
+      execExt: Option[String] = None): FileType = {
+    val n = stripCodecExt(name, execExt)
+    // reference guard: a *.sql / exec-filtered name is never metadata
+    val metadataEligible =
+      !(name.endsWith(".sql") || execExt.exists(e => e.nonEmpty && name.endsWith(e)))
+    if (metadataEligible && name == "metadata.header") Metadata
+    else if (metadataEligible && name == "metadata")
+      (if (stream) MetadataPartial else Metadata)
+    else if (metadataEligible && name == "metadata.json") Metadata
+    else if (metadataEligible && name.startsWith("metadata.partial")) MetadataPartial
+    else if (sourceDb.exists(db => !sourceDbAdmits(name, db))) Unknown
+    else if (n.endsWith("-schema.sql")) Schema
+    else if (name == "all-schema-create-tablespace.sql") SchemaTablespace
+    else if (name == "resume") {
+      if (!resumeEnabled) throw new IllegalStateException(
+        "resume file found, but resume mode not enabled — remove it or restart with resume")
+      Resume
+    }
+    else if (name == "resume.partial") throw new IllegalStateException(
+      "resume.partial file found — remove it and restart if you consider it safe")
+    else if (n.endsWith("-schema-view.sql")) SchemaView
+    else if (n.endsWith("-schema-sequence.sql")) SchemaSequence
+    else if (n.endsWith("-schema-triggers.sql")) SchemaTriggers
+    else if (n.endsWith("-schema-post.sql")) SchemaPost
+    else if (n.endsWith("-schema-create.sql")) SchemaCreate
+    else if (n.endsWith("-schema-clickhouse.sql")) SchemaClickHouse
+    else if (n.endsWith("-load.sql")) LoaderScript
+    else if (n.endsWith(".sql")) Data
+    else if (n.endsWith(".dat")) LoadData
+    else if (n.matches(""".+\.\d{5}(\.\d{5})?\.(csv|jsonl)""")) Data
+    else Unknown
+  }
+
+  /** `--source-db` admission (myloader_process_filename.c:155): the name
+    * must start with the source db followed by `.` (table files) or `-`
+    * (the db's schema-create), or carry the `mydumper_` surrogate-stem
+    * prefix — everything else is ignored. */
+  def sourceDbAdmits(filename: String, sourceDb: String): Boolean =
+    (filename.startsWith(sourceDb) && filename.length > sourceDb.length &&
+      (filename.charAt(sourceDb.length) == '.' ||
+       filename.charAt(sourceDb.length) == '-')) ||
+      filename.startsWith("mydumper_")
+
+  /** (database, table) from a dump file name, the loader's filter hook
+    * (myloader_common.c:532-560 get_database_table_from_filename_for_
+    * filter): object-schema suffixes strip their marker then split on
+    * `.`; data files split on `.` and take the first two tokens. None
+    * when the name yields no pair (reference returns FALSE → the file
+    * passes filters unexamined). */
+  def databaseTableOf(name: String, execExt: Option[String] = None): Option[(String, String)] = {
+    val n = stripCodecExt(name, execExt)
+    val markers = Seq("-schema-view", "-schema-sequence", "-schema-triggers",
+      "-schema-post", "-schema")
+    markers.find(m => n.endsWith(m + ".sql")) match {
+      case Some(m) =>
+        val stem = n.dropRight(m.length + 4)
+        val parts = stem.split("\\.")
+        // >2 dots: the reference punts ("get the db and table from the
+        // create table statement", myloader_common.c:660-663)
+        if (parts.length == 2) Some((parts(0), parts(1))) else None
+      case None if n.endsWith(".sql") || n.endsWith(".dat") =>
+        val parts = n.split("\\.", 4)
+        if (parts.length >= 2) Some((parts(0), parts(1))) else None
+      case None => None
+    }
+  }
+
+  /** Filename-level table filtering, the loader's should_queue_filename
+    * (myloader_common.c:578-600): bare `metadata` is never queued, the
+    * tablespace file always is, no-filters short-circuits true, and
+    * otherwise the (db, table) parsed from the name runs the tables-list
+    * → skiplist → regex chain (eval_table, myloader_common.c:562-576);
+    * names that parse to no pair pass. */
+  def shouldQueueFilename(name: String,
+      spec: graft.extract.TableFilter.Spec,
+      execExt: Option[String] = None): Boolean = {
+    if (name == "metadata") false
+    else if (name == "all-schema-create-tablespace.sql") true
+    else if (spec.tablesList.isEmpty && spec.skiplist.isEmpty &&
+      spec.regex.isEmpty && spec.regexes.isEmpty) true
+    else databaseTableOf(name, execExt).forall { case (db, table) =>
+      graft.extract.TableFilter.evalNameOnly(spec, db, table)
     }
   }
 
   /** Phase rank for [[classify]] output, mirroring the reference restore
-    * order (databases → table schemas → data → triggers-after-their-
-    * table → views/sequences → post). Feeds
+    * order (tablespaces → databases → table schemas → data →
+    * triggers-after-their-table → views/sequences → post). Feeds
     * [[graft.load.DependencyScheduler.RestorePlan]]. */
   def phaseOf(t: FileType): Int = t match {
-    case SchemaCreate                  => 0
-    case Schema                        => 1
-    case Data                          => 2
-    case SchemaTriggers                => 3 // per-table, after its data
-    case SchemaView | SchemaSequence   => 4 // after ALL tables
-    case SchemaPost                    => 5
+    case SchemaTablespace              => 0 // CREATE TABLESPACE precedes any table
+    case SchemaCreate                  => 1
+    case Schema                        => 2
+    case Data | LoadData               => 3
+    case SchemaTriggers                => 4 // per-table, after its data
+    case SchemaView | SchemaSequence   => 5 // after ALL tables
+    case SchemaPost                    => 6
     // ClickHouse artifacts are consumed by clickhouse-client, not the
     // lake restore path — routed but never auto-executed here
-    case SchemaClickHouse | LoaderScript | Metadata | Unknown => 6
+    case SchemaClickHouse | LoaderScript | Metadata | MetadataPartial |
+         Resume | Unknown => 7
   }
 
   /** Discover (db.table → data files) groups under a dump dir.

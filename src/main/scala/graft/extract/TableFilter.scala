@@ -81,4 +81,19 @@ object TableFilter {
 
   def filter(spec: Spec, tables: Seq[TableMeta]): Seq[TableMeta] =
     tables.filter(accepts(spec, _))
+
+  /** Name-only filter chain, the loader's eval_table
+    * (myloader_common.c:519-529,562-576): tables-list, then skiplist,
+    * then regex — no engine / system-schema / updated-since knowledge at
+    * the filename level. Used by [[graft.Load.shouldQueueFilename]]. */
+  def evalNameOnly(spec: Spec, db: String, table: String): Boolean = {
+    val qualified = s"$db.$table"
+    (spec.tablesList.isEmpty ||
+      spec.tablesList.exists(tableListMatch(_, qualified))) &&
+      !spec.skiplist.contains(db) &&
+      !spec.skiplist.contains(qualified) && {
+        val patterns = spec.regex.toSeq ++ spec.regexes
+        patterns.isEmpty || patterns.exists(r => r.r.findFirstIn(qualified).isDefined)
+      }
+  }
 }

@@ -234,6 +234,150 @@ class DumpLoadSpec extends SparkTestBase {
     assert(Load.classify("metadata") === Load.Metadata)
   }
 
+  test("file-type router: reference get_file_type edge semantics") {
+    // metadata family (myloader_process_filename.c:119-148): header is
+    // always global; bare `metadata` is partial only in stream mode;
+    // the metadata.partial prefix is partial; a .sql suffix disqualifies
+    assert(Load.classify("metadata.header") === Load.Metadata)
+    assert(Load.classify("metadata", stream = true) === Load.MetadataPartial)
+    assert(Load.classify("metadata", stream = false) === Load.Metadata)
+    assert(Load.classify("metadata.partial.0") === Load.MetadataPartial)
+    // a .sql suffix disqualifies the metadata family entirely → DATA
+    assert(Load.classify("metadata.partial.sql") === Load.Data)
+    assert(Load.classify("metadata.sql") === Load.Data)
+    // tablespace file (exact name), reference line 160
+    assert(Load.classify("all-schema-create-tablespace.sql") === Load.SchemaTablespace)
+    // resume guards (lines 164-173): fatal without resume mode; the
+    // partial marker is fatal always
+    assertThrows[IllegalStateException](Load.classify("resume"))
+    assert(Load.classify("resume", resumeEnabled = true) === Load.Resume)
+    assertThrows[IllegalStateException](
+      Load.classify("resume.partial", resumeEnabled = true))
+    // non-chunked data files: ANY residual .sql is DATA (line 195 —
+    // the reference does not require part numbers), .dat is LOAD_DATA
+    assert(Load.classify("tpch.orders.sql") === Load.Data)
+    assert(Load.classify("tpch.orders.sql.gz") === Load.Data)
+    assert(Load.classify("tpch.orders.00000.dat") === Load.LoadData)
+    assert(Load.classify("tpch.orders.00000.dat.zst") === Load.LoadData)
+    // exactly ONE codec layer, and only known codecs (m_filename_has_suffix)
+    assert(Load.classify("tpch.orders.sql.gz.gz") === Load.Unknown)
+    assert(Load.classify("tpch.orders.sql.lz4") === Load.Unknown)
+    // exec-per-thread extension participates like a codec (line 497)
+    assert(Load.classify("tpch.orders.00000.sql.rot13",
+      execExt = Some(".rot13")) === Load.Data)
+    // --source-db gate (line 155): db prefix + '.' or '-', or the
+    // surrogate-stem prefix; prefix alone is not enough
+    assert(Load.classify("tpch.orders.00000.sql", sourceDb = Some("tpch")) === Load.Data)
+    assert(Load.classify("tpch-schema-create.sql", sourceDb = Some("tpch")) === Load.SchemaCreate)
+    assert(Load.classify("other.orders.00000.sql", sourceDb = Some("tpch")) === Load.Unknown)
+    assert(Load.classify("tpchx.orders.00000.sql", sourceDb = Some("tpch")) === Load.Unknown)
+    assert(Load.classify("mydumper_0.00000.sql", sourceDb = Some("tpch")) === Load.Data)
+    // but metadata is classified BEFORE the source-db gate (line 126)
+    assert(Load.classify("metadata", sourceDb = Some("tpch")) === Load.Metadata)
+    // tablespaces restore before anything else
+    assert(Load.phaseOf(Load.SchemaTablespace) < Load.phaseOf(Load.SchemaCreate))
+    assert(Load.phaseOf(Load.LoadData) === Load.phaseOf(Load.Data))
+  }
+
+  test("metadata file: parses the reference's exact layout") {
+    // byte-shape of a real mydumper metadata file (mydumper_start_dump.c:
+    // 1161-1182 header/config, mydumper_working_thread.c:536-560 source,
+    // mydumper_start_dump.c:774-797 table sections, :1711-1717 trailer)
+    val text =
+      """# Started dump at: 2026-08-13 10:00:00
+        |[config]
+        |quote-character = BACKTICK
+        |local-infile = 1
+        |
+        |[myloader_session_variables]
+        |SQL_MODE='NO_AUTO_VALUE_ON_ZERO' /*!40101
+        |
+        |[source]
+        |# Channel_Name = '' # It can be use to setup replication FOR CHANNEL
+        |# executed_gtid_set = "3beda9d8:1-1471"
+        |# SOURCE_LOG_FILE = "mysql-bin.000002"
+        |# SOURCE_LOG_POS = 53412
+        |
+        |[tpch.orders]
+        |real_table_name=orders
+        |rows = 15000
+        |data_checksum = 245197878
+        |schema_checksum = 3159576599
+        |
+        |[tpch.mydumper_0]
+        |real_table_name=weird table
+        |rows = 25
+        |is_view = 1
+        |
+        |[config]
+        |max-statement-size = 1000000
+        |
+        |# Finished dump at: 2026-08-13 10:00:05
+        |""".stripMargin
+    val m = sources.Manifest.parse(text)
+    assert(m.startedAt === "2026-08-13 10:00:00")
+    assert(m.finishedAt === "2026-08-13 10:00:05")
+    assert(m.quoteChar === "`")
+    // the commented coordinate block still yields a position (the
+    // no-source-data dump writes ONLY comments)
+    val coords = m.sourcePosition.flatMap(graft.extract.Replica.fromManifestPosition)
+    assert(coords.map(_.sourceLogFile) === Some("mysql-bin.000002"))
+    assert(coords.map(_.sourceLogPos) === Some(53412L))
+    assert(coords.flatMap(_.gtid) === Some("3beda9d8:1-1471"))
+    assert(m.tables.map(_.table) === Seq("orders", "weird table"))
+    assert(m.tables.head.filename === Some("tpch.orders"))
+    assert(m.tables.head.dataChecksum === Some("245197878"))
+    assert(m.tables.head.schemaChecksum === Some("3159576599"))
+    // surrogate stem round-trips through the real_table_name key
+    assert(m.tables(1).filename === Some("tpch.mydumper_0"))
+    assert(m.tables(1).rows === 25L)
+    // the trailing [config] block must NOT become a phantom table
+    assert(!m.tables.exists(_.table == "config"))
+    // DOUBLE_QUOTE symbolic form maps to the literal quote char
+    assert(sources.Manifest.parse(
+      "[config]\nquote-character = DOUBLE_QUOTE\n").quoteChar === "\"")
+    // and our writer emits the symbolic form + underscore keys
+    val out = sources.Manifest.render(graft.core.DumpManifest(
+      "s", "f", "`", None, Seq(graft.core.TableManifest("tpch.orders", 7,
+        Some("99"), files = Seq("tpch.orders.00000.sql")))))
+    assert(out.contains("quote-character = BACKTICK"))
+    assert(out.contains("real_table_name=tpch.orders"))
+    assert(out.contains("data_checksum = 99"))
+    assert(out.contains("[myloader_session_variables]"))
+  }
+
+  test("loader filename filters: databaseTableOf and shouldQueueFilename") {
+    // get_database_table_from_filename_for_filter (myloader_common.c:532-560)
+    assert(Load.databaseTableOf("tpch.orders.00003.sql") === Some(("tpch", "orders")))
+    assert(Load.databaseTableOf("tpch.orders.00003.00001.sql.gz") === Some(("tpch", "orders")))
+    assert(Load.databaseTableOf("tpch.orders.dat") === Some(("tpch", "orders")))
+    assert(Load.databaseTableOf("tpch.orders-schema.sql") === Some(("tpch", "orders")))
+    assert(Load.databaseTableOf("tpch.v1-schema-view.sql.zst") === Some(("tpch", "v1")))
+    assert(Load.databaseTableOf("tpch.t-schema-triggers.sql") === Some(("tpch", "t")))
+    // dotted stems on schema files: the reference punts (c:660-663)
+    assert(Load.databaseTableOf("a.b.c-schema.sql") === None)
+    assert(Load.databaseTableOf("metadata") === None)
+    // should_queue_filename (myloader_common.c:578-600)
+    import graft.extract.TableFilter
+    val spec = TableFilter.Spec(tablesList = Seq("tpch.orders"))
+    assert(!Load.shouldQueueFilename("metadata", spec))
+    assert(Load.shouldQueueFilename("all-schema-create-tablespace.sql", spec))
+    // no filters → everything queues
+    assert(Load.shouldQueueFilename("x.y.00000.sql", TableFilter.Spec()))
+    assert(Load.shouldQueueFilename("tpch.orders.00000.sql", spec))
+    assert(!Load.shouldQueueFilename("tpch.nation.00000.sql", spec))
+    // unparseable names pass filters unexamined (reference returns FALSE
+    // from the getter → matched stays TRUE)
+    assert(Load.shouldQueueFilename("strays.txt", spec))
+    // skiplist: bare db key skips the whole db; regex chain ORs
+    val skips = TableFilter.Spec(skiplist = Set("stage"))
+    assert(!Load.shouldQueueFilename("stage.t1.00000.sql", skips))
+    val rx = TableFilter.Spec(regexes = Seq("^tpch\\.o", "^tpch\\.l"))
+    assert(Load.shouldQueueFilename("tpch.orders.00000.sql", rx))
+    assert(Load.shouldQueueFilename("tpch.lineitem.00000.sql", rx))
+    assert(!Load.shouldQueueFilename("tpch.nation.00000.sql", rx))
+  }
+
   test("sourcesFromDir decompresses .gz/.zst schema files and rejects garbage") {
     val out = Files.createTempDirectory("graft_gz_schema_").toString
     Dump.run(spark, Seq(("region", Tables.region(spark, sf), true)),
@@ -284,9 +428,11 @@ class DumpLoadSpec extends SparkTestBase {
         |""".stripMargin
     val m = sources.Manifest.parse(text)
     assert(m.quoteChar === "`")
-    // only the FIRST [config] is config; both table sections parse with
-    // their rows/checksums intact
-    assert(m.tables.map(t => t.table -> t.rows) === Seq("db1.config" -> 42L, "config" -> 7L))
+    // a QUALIFIED db1.config section is a table; a bare [config] is
+    // always config — the reference's writer itself appends a trailing
+    // [config] max-statement-size block (mydumper_start_dump.c:1711), so
+    // bare config can never be a table section (stems are db-qualified)
+    assert(m.tables.map(t => t.table -> t.rows) === Seq("db1.config" -> 42L))
     assert(m.tables.head.dataChecksum === Some("987"))
   }
 
