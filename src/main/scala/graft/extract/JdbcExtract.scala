@@ -39,7 +39,12 @@ object JdbcExtract {
   def spec(url: String, table: String, chunks: ChunkSpec,
       snapshot: Snapshot.Plan, user: String, password: String,
       where: Option[String] = None, fetchSize: Int = 10000,
-      pinnedWorkers: Option[Int] = None, quote: String = "`"): Spec = {
+      pinnedWorkers: Option[Int] = None, quote: String = "`",
+      // connection preamble executed BEFORE the lock-mode statements on
+      // every worker (SET NAMES + session variables — the reference's
+      // m_connect + set_session order, connection.c:320-348); build with
+      // [[SessionVariables.dumperPreamble]]
+      sessionPreamble: Seq[String] = Nil): Spec = {
     // physical-partition plans MUST go through readPartitioned: their
     // placeholder predicates are all `1=1` (the PARTITION clause cannot
     // ride in a WHERE), so passing them here would scan the whole table
@@ -61,7 +66,8 @@ object JdbcExtract {
     // stream rows instead of buffering the result set (the reference's
     // mysql_use_result, mydumper_write.c:1047): MySQL Connector/J streams
     // when fetchsize = Integer.MIN_VALUE; other drivers honor fetchsize
-    graft.load.GraftConnectionProvider.options(snapshot.workerInit, pinnedWorkers)
+    graft.load.GraftConnectionProvider.options(
+        sessionPreamble ++ snapshot.workerInit, pinnedWorkers)
       .foreach { case (k, v) => props.setProperty(k, v) }
     Spec(url, table, preds, props)
   }

@@ -34,22 +34,43 @@ object JdbcLoad {
       mode: SaveMode,
       options: Map[String, String])
 
+  /** The loader's per-connection session statement list, exactly as the
+    * reference composes it (myloader.c:515-591): flavor base defaults →
+    * loader extras (AUTOCOMMIT with batched commits, SQL_LOG_BIN) →
+    * defaults-file `myloader_session_variables*` per-product groups →
+    * --ignore-set removal → render with the FOREIGN_KEY_CHECKS=0
+    * auto-default. Feed the result to [[spec]]'s `sessionStatements`. */
+  def sessionInit(info: graft.extract.ServerDetect.ServerInfo,
+      commitCount: Int = 1000, enableBinlog: Boolean = false,
+      ini: Option[graft.core.DefaultsFile.Ini] = None,
+      ignoreSet: Seq[String] = Nil): Seq[String] = {
+    import graft.extract.SessionVariables
+    var v = SessionVariables.loaderBase(info, commitCount, enableBinlog)
+    ini.foreach(i => v = SessionVariables.applyConfig(v, i,
+      "myloader_session_variables", info))
+    v = SessionVariables.removeIgnored(v, ignoreSet)
+    SessionVariables.renderSession(v)
+  }
+
   def spec(url: String, table: String, user: String, password: String,
       overwrite: Overwrite = Overwrite.Append,
       batchSize: Int = 1000,             // reference queries-per-transaction
       connections: Int = 4,              // reference --threads
-      disableChecks: Boolean = true): Spec = {
+      disableChecks: Boolean = true,
+      sessionStatements: Option[Seq[String]] = None): Spec = {
     val (mode, extra) = overwrite match {
       case Overwrite.Fail     => (SaveMode.ErrorIfExists, Map.empty[String, String])
       case Overwrite.Truncate => (SaveMode.Overwrite, Map("truncate" -> "true"))
       case Overwrite.Drop     => (SaveMode.Overwrite, Map.empty[String, String])
       case Overwrite.Append   => (SaveMode.Append, Map.empty[String, String])
     }
-    val session =
-      if (disableChecks)
+    val session = sessionStatements match {
+      case Some(stmts) => GraftConnectionProvider.options(stmts)
+      case None if disableChecks =>
         GraftConnectionProvider.options(Seq(
           "SET UNIQUE_CHECKS=0", "SET FOREIGN_KEY_CHECKS=0", "SET SQL_LOG_BIN=0"))
-      else Map.empty[String, String]
+      case None => Map.empty[String, String]
+    }
     Spec(mode, Map(
       "url" -> url, "dbtable" -> table,
       "user" -> user, "password" -> password,
