@@ -258,15 +258,33 @@ object Load {
     finally in.close()
   }
 
+  /** The loader's checksum treatment (myloader_arguments.c:78-92):
+    * `fail` aborts on mismatch, `warn` (the reference default) logs and
+    * continues, `skip` doesn't verify at all. */
+  sealed trait ChecksumMode
+  case object ChecksumFail extends ChecksumMode
+  case object ChecksumWarn extends ChecksumMode
+  case object ChecksumSkip extends ChecksumMode
+
+  /** `--checksum` value parse — unknown values reject with the
+    * reference's message (myloader_arguments.c:92). */
+  def checksumModeOf(v: Option[String]): ChecksumMode = v.map(_.toLowerCase) match {
+    case None | Some("warn") => ChecksumWarn
+    case Some("fail")        => ChecksumFail
+    case Some("skip")        => ChecksumSkip
+    case Some(other) => throw new IllegalArgumentException(
+      s"--checksum accepts: fail, warn (default), skip — got '$other'")
+  }
+
   /** Restore dumped tables through the dependency scheduler, verifying
-    * checksums against the manifest (the reference's --checksum=fail
-    * gate: a mismatch throws). `writeTarget` is the restore sink (lake
-    * write / JDBC batch write). `decode = Some((cmd, ext))` restores
-    * exec-per-thread dumps: data files carrying `ext` stream through
-    * the inverse child command ([[graft.sources.SqlInsertReader
-    * .readFiltered]]) instead of the codec-routed text reader. */
+    * checksums against the manifest per [[ChecksumMode]]. `writeTarget`
+    * is the restore sink (lake write / JDBC batch write). `decode =
+    * Some((cmd, ext))` restores exec-per-thread dumps: data files
+    * carrying `ext` stream through the inverse child command
+    * ([[graft.sources.SqlInsertReader.readFiltered]]) instead of the
+    * codec-routed text reader. */
   def run(spark: SparkSession, dumpDir: String, sources: Seq[TableSource],
-      failOnChecksum: Boolean = true,
+      checksumMode: ChecksumMode = ChecksumWarn,
       decode: Option[(Seq[String], String)] = None)(
       writeTarget: (String, DataFrame) => Unit): Seq[Result] = {
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -282,11 +300,22 @@ object Load {
             case None => SqlInsertReader.read(spark, dumpDir, src.schema,
               glob = s"${src.table}.*.sql*")
           }
-          val (rows, cs) = rowsAndChecksum(df)
-          val ok = src.expectedChecksum.map(_ == cs)
-          if (failOnChecksum && ok.contains(false))
-            throw new IllegalStateException(
-              s"checksum mismatch for ${src.table}: expected ${src.expectedChecksum.get}, got $cs")
+          // skip mode never computes the verification scan — at scale
+          // that's a whole extra pass over the data
+          val (rows, ok) = checksumMode match {
+            case ChecksumSkip => (df.count(), None)
+            case _ =>
+              val (r, cs) = rowsAndChecksum(df)
+              val matches = src.expectedChecksum.map(_ == cs)
+              if (matches.contains(false)) {
+                val msg = s"checksum mismatch for ${src.table}: " +
+                  s"expected ${src.expectedChecksum.get}, got $cs"
+                if (checksumMode == ChecksumFail)
+                  throw new IllegalStateException(msg)
+                else System.err.println(s"[graft] WARN $msg")
+              }
+              (r, matches)
+          }
           writeTarget(src.table, df)
           results.put(src.table, Result(src.table, rows, ok))
         }))

@@ -173,7 +173,7 @@ object Main {
   private def runLoad(spark: SparkSession, o: Map[String, String]): Unit = {
     val dir = o.getOrElse("directory", sys.error("-d/--directory required"))
     val target = o.getOrElse("target", sys.error("--target required"))
-    val failOnChecksum = o.get("checksum").contains("fail")
+    val checksumMode = Load.checksumModeOf(o.get("checksum"))
     // --exec-per-thread "gzip -dc" [--exec-per-thread-extension .sql.gzx]:
     // restore dumps whose bytes were filtered through an external
     // command at dump time (myloader's flag pair)
@@ -202,7 +202,7 @@ object Main {
     require(sources.nonEmpty || groups.isEmpty,
       s"dump dir $dir has data files but no schema source — " +
         "add --source-dir or ensure *-schema.sql files are present")
-    val results = Load.run(spark, dir, sources, failOnChecksum, decode) { (stem, df) =>
+    val results = Load.run(spark, dir, sources, checksumMode, decode) { (stem, df) =>
       df.write.mode("overwrite").parquet(s"$target/$stem")
     }
     results.foreach(r =>

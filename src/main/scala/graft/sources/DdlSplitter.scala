@@ -19,7 +19,18 @@ object DdlSplitter {
   final case class Split(
       create: String,             // bare CREATE TABLE (PK + auto-inc-leading keys kept)
       indexAlters: Seq[String],   // ALTER TABLE ... ADD KEY/UNIQUE/FULLTEXT/SPATIAL
-      constraintAlters: Seq[String]) // ALTER TABLE ... ADD CONSTRAINT
+      constraintAlters: Seq[String], // ALTER TABLE ... ADD CONSTRAINT
+      engine: Option[String] = None) // ENGINE= value, for optimize-keys gating
+
+  /** Engines whose CREATE is worth splitting — the reference's
+    * `--optimize-keys-engines` default (common_options.c:210-211);
+    * other engines load with indexes in place (IS_TRX_TABLE flag,
+    * common.c:1495-1504). */
+  val DefaultOptimizeEngines: Set[String] = Set("InnoDB", "ROCKSDB")
+
+  def optimizeEligible(s: Split,
+      engines: Set[String] = DefaultOptimizeEngines): Boolean =
+    s.engine.exists(e => engines.exists(_.equalsIgnoreCase(e)))
 
   private val IndexLine =
     """^\s*(UNIQUE KEY|UNIQUE INDEX|FULLTEXT KEY|FULLTEXT INDEX|SPATIAL KEY|SPATIAL INDEX|KEY|INDEX)\s.*""".r
@@ -27,8 +38,14 @@ object DdlSplitter {
   private val AutoIncCol = """`([^`]+)`[^,]*\bAUTO_INCREMENT\b""".r
 
   /** Split one CREATE TABLE statement. `batchSize` = index clauses per
-    * ALTER (reference optimize_keys_batchsize). */
-  def split(createTable: String, batchSize: Int = 4): Split = {
+    * ALTER; 0 (the reference default, common.c:41) means unlimited —
+    * one ALTER carries every moved index. Regardless of batch size, at
+    * most ONE FULLTEXT index rides per ALTER (MySQL cannot add two in
+    * one statement — the reference's fulltext_counter break,
+    * common.c:1464-1469). `splitIndexes = false` (SKIP mode / engine
+    * not in --optimize-keys-engines) keeps every key in the CREATE. */
+  def split(createTable: String, batchSize: Int = 0,
+      splitIndexes: Boolean = true): Split = {
     val lines = createTable.split("\n").toIndexedSeq
     val tableName = lines.headOption
       .flatMap("""CREATE TABLE\s+(`[^`]+`(?:\.`[^`]+`)?|\S+)""".r
@@ -37,13 +54,17 @@ object DdlSplitter {
     // per line: [^,]* in the pattern must not span column definitions
     val autoInc = lines.flatMap(l => AutoIncCol.findFirstMatchIn(l).map(_.group(1)))
       .headOption
+    // ENGINE= value, last occurrence wins (common.c:1495-1504)
+    val engine = lines.reverseIterator
+      .flatMap("""ENGINE=(\S+)""".r.findFirstMatchIn(_).map(_.group(1)))
+      .toSeq.headOption
 
     val body = scala.collection.mutable.ArrayBuffer.empty[String]
     val indexes = scala.collection.mutable.ArrayBuffer.empty[String]
     val constraints = scala.collection.mutable.ArrayBuffer.empty[String]
 
     lines.foreach {
-      case l @ IndexLine(_*) if !leadsWithAutoInc(l, autoInc) =>
+      case l @ IndexLine(_*) if splitIndexes && !leadsWithAutoInc(l, autoInc) =>
         indexes += l.trim.stripSuffix(",")
       case l @ ConstraintLine(_*) =>
         constraints += l.trim.stripSuffix(",")
@@ -53,14 +74,31 @@ object DdlSplitter {
     // drop a dangling comma on the last column/PK line before ')'
     val cleaned = fixTrailingCommas(body.toIndexedSeq)
 
-    val idxAlters = indexes.grouped(math.max(batchSize, 1)).map { g =>
+    // sequential batching, the reference's walk (common.c:1451-1480):
+    // a batch closes when it already holds batchSize indexes (0 = no
+    // cap) or when a second FULLTEXT would join it
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+    var batch = Vector.empty[String]
+    var fulltextInBatch = 0
+    indexes.foreach { clause =>
+      val isFulltext = clause.toUpperCase.startsWith("FULLTEXT")
+      val full = batchSize > 0 && batch.size >= batchSize
+      if (batch.nonEmpty && (full || (isFulltext && fulltextInBatch >= 1))) {
+        batches += batch; batch = Vector.empty; fulltextInBatch = 0
+      }
+      batch :+= clause
+      if (isFulltext) fulltextInBatch += 1
+    }
+    if (batch.nonEmpty) batches += batch
+
+    val idxAlters = batches.map { g =>
       s"ALTER TABLE $tableName " + g.map(clause => "ADD " + clause).mkString(", ") + ";"
     }.toSeq
     val conAlters =
       if (constraints.isEmpty) Nil
       else Seq(s"ALTER TABLE $tableName " +
         constraints.map(c => "ADD " + c).mkString(", ") + ";")
-    Split(cleaned.mkString("\n"), idxAlters, conAlters)
+    Split(cleaned.mkString("\n"), idxAlters, conAlters, engine)
   }
 
   /** True if the index's first column is the auto-increment column

@@ -50,6 +50,40 @@ class DdlSplitterSpec extends AnyFunSuite {
     assert(!beforeParen.trim.endsWith(","), s"dangling comma in:\n${s.create}")
   }
 
+  test("at most one FULLTEXT per ALTER; batchSize 0 = unlimited (common.c:1464-1480)") {
+    // reference default batchsize is 0 (common.c:41): everything in one
+    // ALTER except the fulltext split
+    val s = DdlSplitter.split(ddl)
+    assert(s.indexAlters.length === 2) // [idx_title, uq, ft_desc] [ft_title, sp_loc] — split at 2nd FULLTEXT
+    s.indexAlters.foreach { a =>
+      assert("FULLTEXT".r.findAllIn(a).size <= 1,
+        s"two FULLTEXT keys in one ALTER:\n$a")
+    }
+    assert(s.indexAlters.flatMap(a => "ADD ".r.findAllIn(a)).size === 5)
+    // batched mode also respects the fulltext cap
+    val b2 = DdlSplitter.split(ddl, batchSize = 2)
+    b2.indexAlters.foreach(a => assert("FULLTEXT".r.findAllIn(a).size <= 1))
+  }
+
+  test("engine extraction and optimize-keys gating (common.c:1495-1504, common_options.c:210)") {
+    val s = DdlSplitter.split(ddl)
+    assert(s.engine === Some("InnoDB"))
+    assert(DdlSplitter.optimizeEligible(s))
+    val myisam = DdlSplitter.split(ddl.replace("ENGINE=InnoDB", "ENGINE=MyISAM"))
+    assert(myisam.engine === Some("MyISAM"))
+    assert(!DdlSplitter.optimizeEligible(myisam))
+    // rocksdb is in the default list, case-insensitively
+    assert(DdlSplitter.optimizeEligible(
+      DdlSplitter.split(ddl.replace("ENGINE=InnoDB", "ENGINE=RocksDB"))))
+    // SKIP mode: keys stay in the CREATE
+    val skip = DdlSplitter.split(ddl, splitIndexes = false)
+    assert(skip.indexAlters.isEmpty)
+    assert(skip.create.contains("FULLTEXT KEY `ft_desc`"))
+    // constraints still split (the reference moves CONSTRAINT regardless
+    // of split_indexes, common.c:1481-1486)
+    assert(skip.constraintAlters.nonEmpty)
+  }
+
   test("table without secondary indexes passes through") {
     val simple = "CREATE TABLE `t` (\n  `id` int NOT NULL,\n  PRIMARY KEY (`id`)\n) ENGINE=InnoDB"
     val s = DdlSplitter.split(simple)

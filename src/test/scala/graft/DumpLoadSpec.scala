@@ -62,8 +62,15 @@ class DumpLoadSpec extends SparkTestBase {
     Dump.run(spark, Seq(("region", r, true)), Dump.Config(outDir = out, db = "tpch"))
     val badSource = Load.TableSource("tpch.region", r.schema, Some(12345L))
     val ex = intercept[Exception] {
-      Load.run(spark, out, Seq(badSource)) { (_, _) => () }
+      Load.run(spark, out, Seq(badSource), Load.ChecksumFail) { (_, _) => () }
     }
+    // warn (the reference default, myloader_arguments.c:193-194) records
+    // the mismatch but completes; skip doesn't verify at all
+    val warned = Load.run(spark, out, Seq(badSource)) { (_, _) => () }
+    assert(warned.head.checksumOk === Some(false))
+    val skipped = Load.run(spark, out, Seq(badSource), Load.ChecksumSkip) { (_, _) => () }
+    assert(skipped.head.checksumOk === None)
+    assert(skipped.head.rows > 0)
     def chain(e: Throwable): Seq[String] =
       if (e == null) Nil else e.getMessage +: chain(e.getCause)
     assert(chain(ex).exists(m => m != null && m.contains("checksum mismatch")))
