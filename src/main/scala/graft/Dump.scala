@@ -284,6 +284,29 @@ object Dump {
     p
   }
 
+  /** Dump a view as the reference's PAIR (write_view_definition_into_file,
+    * mydumper_jobs.c:472-620): `db.view-schema.sql` carries the
+    * dependency placeholder TABLE (so restore ordering can satisfy
+    * view-on-view/table dependencies before any view exists) and
+    * `db.view-schema-view.sql` the DROP+charset+CREATE VIEW payload.
+    * Under `viewsAsTables` only the placeholder (with REAL column
+    * types) is written — the view's data then dumps like a table's. */
+  def writeView(outDir: String, db: String, view: String,
+      columns: Seq[(String, String)], createViewDdl: String,
+      viewsAsTables: Boolean = false,
+      replaceDefiner: Option[String] = None,
+      skipDefiner: Boolean = false): Seq[java.nio.file.Path] = {
+    val dep = sources.SchemaObjects.viewDependencyTable(view, columns,
+      viewsAsTables = viewsAsTables)
+    val depPath = writeSchemaObject(outDir, db, SchemaKind.Table,
+      sources.SchemaObjects.fileHeader() + dep, Some(view))
+    if (viewsAsTables) Seq(depPath)
+    else Seq(depPath, writeSchemaObject(outDir, db, SchemaKind.View,
+      sources.SchemaObjects.createViewFile(view, createViewDdl,
+        replaceDefiner = replaceDefiner, skipDefiner = skipDefiner),
+      Some(view)))
+  }
+
   /** Dump a set of tables; transactional/non-transactional phase split
     * (T4) honored by ordering. Returns the manifest. */
   def run(spark: SparkSession, tables: Seq[(String, DataFrame, Boolean)],

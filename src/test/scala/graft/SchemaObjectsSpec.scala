@@ -1,0 +1,109 @@
+package graft
+
+import graft.sources.SchemaObjects
+import org.scalatest.funsuite.AnyFunSuite
+
+/** View-pair / header / definer fidelity vs the reference
+  * (mydumper_common.c:127-151,406-423; mydumper_jobs.c:472-620;
+  * common.c:799-837). */
+class SchemaObjectsSpec extends AnyFunSuite {
+
+  test("file header shapes per server family (mydumper_common.c:406-423)") {
+    assert(SchemaObjects.fileHeader() ===
+      "/*!40101 SET NAMES binary*/;\n" +
+      "/*!40014 SET FOREIGN_KEY_CHECKS=0*/;\n" +
+      "/*!40103 SET TIME_ZONE='+00:00' */;\n")
+    // sql_mode rides in the header unless --compact
+    val withMode = SchemaObjects.fileHeader(sqlMode = Some("''"))
+    assert(withMode.contains("/*!40101 SET SQL_MODE=''*/;\n"))
+    assert(!SchemaObjects.fileHeader(sqlMode = Some("''"), compact = true)
+      .contains("SQL_MODE"))
+    // TiDB: time zone only; other engines: bare FK line
+    assert(SchemaObjects.fileHeader(mysqlLike = false, tidb = true) ===
+      "/*!40103 SET TIME_ZONE='+00:00' */;\n")
+    assert(SchemaObjects.fileHeader(mysqlLike = false) ===
+      "SET FOREIGN_KEY_CHECKS=0;\n")
+    assert(SchemaObjects.fileHeader(skipTz = true) ===
+      "/*!40101 SET NAMES binary*/;\n/*!40014 SET FOREIGN_KEY_CHECKS=0*/;\n")
+  }
+
+  test("definer rewrite: 50-char window, CREATE-only, space-blank skip (common.c:799-837)") {
+    val ddl = "CREATE ALGORITHM=UNDEFINED DEFINER=`root`@`%` SQL SECURITY DEFINER VIEW `v1` AS select 1"
+    // skip blanks the token in place, preserving length
+    val skipped = SchemaObjects.updateDefiner(ddl, skip = true)
+    assert(skipped.length === ddl.length)
+    assert(!skipped.contains("DEFINER=`root`"))
+    // the trailing SQL SECURITY DEFINER survives (outside the token)
+    assert(skipped.contains("SQL SECURITY DEFINER"))
+    // replace swaps the token once
+    val replaced = SchemaObjects.updateDefiner(ddl, replace = Some("DEFINER=`app`@`localhost`"))
+    assert(replaced.contains("DEFINER=`app`@`localhost` SQL SECURITY"))
+    assert(!replaced.contains("`root`"))
+    // non-CREATE statements pass through
+    assert(SchemaObjects.updateDefiner("ALTER DEFINER=`x`@`%` EVENT e", skip = true)
+      === "ALTER DEFINER=`x`@`%` EVENT e")
+    // a DEFINER beyond the 50-char window is untouched (reference
+    // searches g_strstr_len(str, 50, ...))
+    val far = "CREATE VIEW `a_really_long_view_name_padding_x` AS /* DEFINER=`x`@`%` */ select 1"
+    assert(far.indexOf(" DEFINER=") > 50)
+    assert(SchemaObjects.updateDefiner(far, skip = true) === far)
+    // token at end of statement (no trailing space): the reference's
+    // `if (to)` guard bails — statement unchanged
+    val tail = "CREATE EVENT e DEFINER=`root`@`%`"
+    assert(SchemaObjects.updateDefiner(tail, skip = true) === tail)
+    assert(SchemaObjects.updateDefiner(tail, replace = Some("DEFINER=x")) === tail)
+  }
+
+  test("view dependency table: first column keeps its type, rest collapse to int (mydumper_jobs.c:519-540)") {
+    val t = SchemaObjects.viewDependencyTable("v1",
+      Seq("id" -> "bigint", "name" -> "varchar(64)", "total" -> "decimal(18,2)"))
+    assert(t ===
+      "CREATE TABLE IF NOT EXISTS `v1`(\n" +
+      "`id` bigint,\n" +
+      "`name` int,\n" +
+      "`total` int\n" +
+      ") ENGINE=MEMORY ENCRYPTION='N';\n")
+    // --views-as-tables keeps real types (the placeholder holds data)
+    val vat = SchemaObjects.viewDependencyTable("v1",
+      Seq("id" -> "bigint", "name" -> "varchar(64)"), viewsAsTables = true)
+    assert(vat.contains("`name` varchar(64)"))
+    // non-MySQL lineage: no ENCRYPTION clause
+    assert(!SchemaObjects.viewDependencyTable("v", Seq("a" -> "int"),
+      encryption = false).contains("ENCRYPTION"))
+  }
+
+  test("schema-view file: DROP pair, charset save/restore around the definer-rewritten view") {
+    val f = SchemaObjects.createViewFile("v1",
+      "CREATE DEFINER=`root`@`%` VIEW `v1` AS select `id` from `t`",
+      skipDefiner = true)
+    val lines = f.split("\n").toSeq
+    val dropTableAt = lines.indexWhere(_ == "DROP TABLE IF EXISTS `v1`;")
+    val dropViewAt = lines.indexWhere(_ == "DROP VIEW IF EXISTS `v1`;")
+    val saveAt = lines.indexWhere(_.startsWith("SET @PREV_CHARACTER_SET_CLIENT"))
+    val viewAt = lines.indexWhere(_.startsWith("CREATE "))
+    val restoreAt = lines.indexWhere(_ == "SET character_set_client = @PREV_CHARACTER_SET_CLIENT;")
+    assert(dropTableAt >= 0 && dropTableAt < dropViewAt)
+    assert(dropViewAt < saveAt && saveAt < viewAt && viewAt < restoreAt)
+    assert(!f.contains("DEFINER=`root`"))
+    assert(f.endsWith("SET collation_connection = @PREV_COLLATION_CONNECTION;\n"))
+  }
+
+  test("Dump.writeView emits the pair; router classifies both; views-as-tables emits one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_view_").toString
+    val paths = Dump.writeView(dir, "tpch", "v_totals",
+      Seq("o_custkey" -> "bigint", "total" -> "decimal(18,2)"),
+      "CREATE DEFINER=`root`@`%` VIEW `v_totals` AS select 1")
+    assert(paths.map(_.getFileName.toString) ===
+      Seq("tpch.v_totals-schema.sql", "tpch.v_totals-schema-view.sql"))
+    assert(Load.classify(paths.head.getFileName.toString) === Load.Schema)
+    assert(Load.classify(paths(1).getFileName.toString) === Load.SchemaView)
+    // placeholder restores before the view phase
+    assert(Load.phaseOf(Load.Schema) < Load.phaseOf(Load.SchemaView))
+    val dep = new String(java.nio.file.Files.readAllBytes(paths.head))
+    assert(dep.contains("CREATE TABLE IF NOT EXISTS `v_totals`("))
+    assert(dep.contains("ENGINE=MEMORY"))
+    val vat = Dump.writeView(dir, "tpch", "v2", Seq("a" -> "int"),
+      "CREATE VIEW `v2` AS select 1", viewsAsTables = true)
+    assert(vat.map(_.getFileName.toString) === Seq("tpch.v2-schema.sql"))
+  }
+}
