@@ -53,6 +53,10 @@ object Dump {
       hexBlob: Boolean = true,
       orderByPrimary: Boolean = false,  // --order-by-primary analog
       checksum: Boolean = true,         // --checksum-all analog
+      // per-file SQL header block (SET NAMES/FK/TZ, the reference's
+      // initialize_sql_statement); false gives headerless files like
+      // --compact (mydumper_common.c:406-433)
+      sqlFileHeaders: Boolean = true,
       noData: Boolean = false,          // --no-data / -d: schema-only dump
       noSchemas: Boolean = false,       // --no-schemas: data-only dump
       perTable: Map[String, TableConfig] = Map.empty,
@@ -185,7 +189,9 @@ object Dump {
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
             compress = cfg.compress, execFilter = cfg.execFilter,
             insertIgnore = cfg.insertIgnore, replace = cfg.replace,
-            hexBlob = cfg.hexBlob, columnsOnInsert = conf.columnsOnInsert))
+            hexBlob = cfg.hexBlob, columnsOnInsert = conf.columnsOnInsert,
+            fileHeader = if (cfg.sqlFileHeaders)
+              Some(sources.SchemaObjects.fileHeader()) else None))
       case CsvFormat =>
         // Observation rides the write job — row count without a second scan
         val obs = new org.apache.spark.sql.Observation()

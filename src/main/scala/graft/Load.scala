@@ -217,7 +217,16 @@ object Load {
       .map(_.tables.flatMap(t => t.filename.map(_ -> t)).toMap)
       .getOrElse(Map.empty)
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+    // a stem with a -schema-view.sql sibling is a VIEW: its -schema.sql
+    // is the dependency placeholder table (mydumper_jobs.c:472-556) and
+    // carries no data chunks — the view phase restores it, not the data
+    // phase (views-as-tables dumps have no sibling and DO load here)
+    val viewStems: Set[String] = files.map(_.getName)
+      .filter(n => classify(n) == SchemaView)
+      .map(_.replaceFirst("-schema-view\\.sql(\\.gz|\\.zst)?$", "")).toSet
     files.filter(f => classify(f.getName) == Schema).toSeq
+      .filterNot(f => viewStems.contains(
+        f.getName.replaceFirst("-schema\\.sql(\\.gz|\\.zst)?$", "")))
       .map { f =>
         val table = f.getName.stripSuffix("-schema.sql")
           .stripSuffix("-schema.sql.gz").stripSuffix("-schema.sql.zst")

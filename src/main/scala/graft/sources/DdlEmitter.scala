@@ -87,7 +87,13 @@ object DdlEmitter {
 
   /** Parse the column list back out of [[createTable]] output — the
     * loader-side inverse used when a dump's schema file is the only
-    * schema source. Returns (name, sqlType, nullable). */
+    * schema source. Returns (name, sqlType, nullable).
+    *
+    * Anchored on the CREATE TABLE line, so file headers (SET NAMES /
+    * FK / TZ blocks) and unindented foreign layouts — the reference's
+    * view-dependency placeholder writes columns with no indent
+    * (mydumper_jobs.c:519-533) — both parse; key/constraint lines are
+    * excluded by keyword, not indentation. */
   def parseColumns(ddl: String): Seq[(String, String, Boolean)] = {
     // the identifier is the leading quoted token — it may contain spaces
     // (createTable quotes it for exactly that reason), so it must be
@@ -95,9 +101,14 @@ object DdlEmitter {
     // the type; splitting first truncates `order date` to `order` and
     // reads "date`" as the type
     val Quoted = """^(?:`([^`]+)`|"([^"]+)")\s+(\S+)(.*)$""".r
-    ddl.linesIterator.toSeq
-      .filter(l => l.startsWith("  ") && !l.trim.startsWith("PRIMARY KEY"))
+    val NonColumn = """^(PRIMARY\s+KEY|UNIQUE\s|KEY\s|INDEX\s|FULLTEXT\s|SPATIAL\s|CONSTRAINT\s|\))""".r
+    val lines = ddl.linesIterator.toVector
+    val start = lines.indexWhere(_.contains("CREATE TABLE"))
+    if (start < 0) return Nil
+    lines.drop(start + 1)
+      .takeWhile(l => !l.trim.startsWith(")"))
       .map(_.trim.stripSuffix(","))
+      .filter(l => l.nonEmpty && NonColumn.findFirstIn(l.toUpperCase).isEmpty)
       .map {
         case l @ Quoted(bt, dq, sqlType, _) =>
           (Option(bt).getOrElse(dq), sqlType, !l.toUpperCase.endsWith("NOT NULL"))

@@ -59,6 +59,12 @@ object SqlInsertWriter {
       // filter process ([[ExecFilter]]); takes precedence over
       // `compress` and supplies its own file extension
       execFilter: Option[ExecFilter] = None,
+      // file header block written at the top of every physical data
+      // file (initialize_sql_statement, mydumper_common.c:406-433: SET
+      // NAMES / FOREIGN_KEY_CHECKS / TIME_ZONE) — every rotated file
+      // gets its own copy, like the reference's per-file statement
+      // initialization; None = headerless (engine-internal dumps)
+      fileHeader: Option[String] = None,
       // when set, every data file NAME the writer opens is recorded
       // (driver-side, via accumulator) — consumers that must pair a
       // statement with each produced file (the ClickHouse loader script)
@@ -257,6 +263,10 @@ object SqlInsertWriter {
         case None => new BufferedOutputStream(raw, 1 << 16)
       }
       bytes = 0L
+      opts.fileHeader.foreach { h =>
+        val b = h.getBytes(StandardCharsets.UTF_8)
+        out.write(b); bytes += b.length
+      }
     }
 
     def emit(statement: String): Unit = {

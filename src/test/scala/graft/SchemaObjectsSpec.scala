@@ -1,12 +1,11 @@
 package graft
 
 import graft.sources.SchemaObjects
-import org.scalatest.funsuite.AnyFunSuite
 
 /** View-pair / header / definer fidelity vs the reference
   * (mydumper_common.c:127-151,406-423; mydumper_jobs.c:472-620;
   * common.c:799-837). */
-class SchemaObjectsSpec extends AnyFunSuite {
+class SchemaObjectsSpec extends SparkTestBase {
 
   test("file header shapes per server family (mydumper_common.c:406-423)") {
     assert(SchemaObjects.fileHeader() ===
@@ -88,6 +87,31 @@ class SchemaObjectsSpec extends AnyFunSuite {
     assert(f.endsWith("SET collation_connection = @PREV_COLLATION_CONNECTION;\n"))
   }
 
+  test("SQL data files start with the header block; round trip unaffected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hdr_").toString
+    Dump.run(spark, Seq(("region", Tables.region(spark, sf), true)),
+      Dump.Config(outDir = dir, db = "tpch"))
+    val dataFile = new java.io.File(dir).listFiles()
+      .filter(f => Load.classify(f.getName) == Load.Data).minBy(_.getName)
+    val text = new String(java.nio.file.Files.readAllBytes(dataFile.toPath))
+    assert(text.startsWith("/*!40101 SET NAMES binary*/;\n" +
+      "/*!40014 SET FOREIGN_KEY_CHECKS=0*/;\n" +
+      "/*!40103 SET TIME_ZONE='+00:00' */;\n"))
+    // the reader skips the header statements and yields the same rows
+    val src = Load.sourcesFromDir(dir)
+    val back = graft.sources.SqlInsertReader.read(spark, dir,
+      src.head.schema, glob = "tpch.region.*.sql*")
+    assert(back.count() === Tables.region(spark, sf).count())
+    // headerless mode for engine-internal dumps
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_nohdr_").toString
+    Dump.run(spark, Seq(("region", Tables.region(spark, sf), true)),
+      Dump.Config(outDir = dir2, db = "tpch", sqlFileHeaders = false))
+    val f2 = new java.io.File(dir2).listFiles()
+      .filter(f => Load.classify(f.getName) == Load.Data).minBy(_.getName)
+    assert(new String(java.nio.file.Files.readAllBytes(f2.toPath))
+      .startsWith("INSERT INTO"))
+  }
+
   test("Dump.writeView emits the pair; router classifies both; views-as-tables emits one") {
     val dir = java.nio.file.Files.createTempDirectory("graft_view_").toString
     val paths = Dump.writeView(dir, "tpch", "v_totals",
@@ -105,5 +129,14 @@ class SchemaObjectsSpec extends AnyFunSuite {
     val vat = Dump.writeView(dir, "tpch", "v2", Seq("a" -> "int"),
       "CREATE VIEW `v2` AS select 1", viewsAsTables = true)
     assert(vat.map(_.getFileName.toString) === Seq("tpch.v2-schema.sql"))
+    // the placeholder parses despite its unindented reference layout +
+    // header, and a view stem is EXCLUDED from data-phase sources while
+    // the views-as-tables placeholder (no -schema-view sibling) loads
+    val parsed = graft.sources.DdlEmitter.parseColumns(
+      new String(java.nio.file.Files.readAllBytes(paths.head)))
+    assert(parsed.map(_._1) === Seq("o_custkey", "total"))
+    val srcs = Load.sourcesFromDir(dir)
+    assert(!srcs.exists(_.table.contains("v_totals")))
+    assert(srcs.exists(_.table.contains("v2")))
   }
 }
