@@ -109,6 +109,76 @@ object SchemaObjects {
     sb.result()
   }
 
+  /** The `-schema-triggers.sql` payload
+    * (write_triggers_definition_into_file, mydumper_jobs.c:344-407):
+    * header once, then per trigger a charset save block, DROP TRIGGER,
+    * the definer-rewritten CREATE TRIGGER — with every `;\n` inside the
+    * body rewritten to `; \n` so the restore-side statement splitter
+    * never breaks inside a trigger body (the reference's g_strsplit/
+    * g_strjoinv trick, :385-387) — a final `;`, and the charset
+    * restore. `triggers` = (name, createDdl, characterSetClient,
+    * collationConnection). */
+  def createTriggersFile(
+      triggers: Seq[(String, String, String, String)],
+      replaceDefiner: Option[String] = None, skipDefiner: Boolean = false,
+      header: String = fileHeader(), quote: String = "`"): String = {
+    def q(s: String) = s"$quote${s.replace(quote, quote + quote)}$quote"
+    val sb = new StringBuilder(header)
+    triggers.foreach { case (name, ddl, cs, coll) =>
+      sb ++= setCharset(cs, coll)
+      sb ++= s"DROP TRIGGER IF EXISTS ${q(name)};\n"
+      sb ++= updateDefiner(ddl, replaceDefiner, skipDefiner)
+        .split(";\n", -1).mkString("; \n")
+      sb ++= ";\n"
+      sb ++= RestoreCharset
+    }
+    sb.result()
+  }
+
+  /** The `-schema-sequence.sql` payload
+    * (write_sequence_definition_into_file, mydumper_jobs.c:623-693):
+    * header, DROP TABLE + DROP VIEW (DROP TABLE works for sequences),
+    * the definer-rewritten CREATE SEQUENCE, and the current position
+    * restored via `DO SETVAL(seq, next_not_cached_value, 0)`. */
+  def createSequenceFile(sequence: String, createDdl: String,
+      nextValue: Option[Long] = None,
+      replaceDefiner: Option[String] = None, skipDefiner: Boolean = false,
+      header: String = fileHeader(), quote: String = "`"): String = {
+    def q(s: String) = s"$quote${s.replace(quote, quote + quote)}$quote"
+    header +
+      s"DROP TABLE IF EXISTS ${q(sequence)};\n" +
+      s"DROP VIEW IF EXISTS ${q(sequence)};\n" +
+      updateDefiner(createDdl, replaceDefiner, skipDefiner) + ";\n" +
+      nextValue.map(v => s"DO SETVAL(${q(sequence)}, $v, 0);\n").getOrElse("")
+  }
+
+  /** The `-schema-post.sql` payload (write_post_into_file +
+    * write_routines/events_definition_into_file,
+    * mydumper_jobs.c:700-830): header once, then per object — FUNCTION
+    * and PROCEDURE first, then EVENT, the reference's emit order — a
+    * charset save block, `DROP <kind> IF EXISTS`, the CREATE with
+    * definer REMOVED under skipDefiner (routines/events support only
+    * the skip form, :729-731,785-787 — no replace), the `;\n`→`; \n`
+    * body guard, a final `;`, and the charset restore. `objects` =
+    * (kind, name, createDdl, characterSet, collation). */
+  def createPostFile(objects: Seq[(String, String, String, String, String)],
+      skipDefiner: Boolean = false, header: String = fileHeader(),
+      quote: String = "`"): String = {
+    def q(s: String) = s"$quote${s.replace(quote, quote + quote)}$quote"
+    val order = Map("FUNCTION" -> 0, "PROCEDURE" -> 1, "EVENT" -> 2)
+    val sb = new StringBuilder(header)
+    objects.sortBy(o => order.getOrElse(o._1.toUpperCase, 3)).foreach {
+      case (kind, name, ddl, cs, coll) =>
+        sb ++= setCharset(cs, coll)
+        sb ++= s"DROP ${kind.toUpperCase} IF EXISTS ${q(name)};\n"
+        sb ++= updateDefiner(ddl, replace = None, skip = skipDefiner)
+          .split(";\n", -1).mkString("; \n")
+        sb ++= ";\n"
+        sb ++= RestoreCharset
+    }
+    sb.result()
+  }
+
   /** The `-schema-view.sql` payload (mydumper_jobs.c:556-612): header,
     * DROP TABLE (the placeholder) + DROP VIEW, charset save block, the
     * definer-rewritten CREATE VIEW, charset restore. */

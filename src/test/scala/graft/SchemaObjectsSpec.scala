@@ -87,6 +87,58 @@ class SchemaObjectsSpec extends SparkTestBase {
     assert(f.endsWith("SET collation_connection = @PREV_COLLATION_CONNECTION;\n"))
   }
 
+  test("triggers file: per-trigger charset + DROP + body semicolon guard (mydumper_jobs.c:344-407)") {
+    val body = "CREATE DEFINER=`root`@`%` TRIGGER upd BEFORE UPDATE ON t FOR EACH ROW\nBEGIN\n  SET NEW.x = 1;\n  SET NEW.y = 2;\nEND"
+    val f = SchemaObjects.createTriggersFile(
+      Seq(("upd", body, "utf8mb4", "utf8mb4_0900_ai_ci")), skipDefiner = true)
+    assert(f.contains("DROP TRIGGER IF EXISTS `upd`;\n"))
+    assert(!f.contains("DEFINER=`root`"))
+    // the `;\n` → `; \n` rewrite: no statement terminator survives
+    // INSIDE the body (the final terminator is the appended one)
+    val bodyPart = f.substring(f.indexOf("CREATE"), f.indexOf("END;"))
+    assert(!bodyPart.contains(";\n"))
+    assert(bodyPart.contains("SET NEW.x = 1; \n"))
+    // charset restore follows the definition
+    assert(f.indexOf("SET character_set_client = @PREV_CHARACTER_SET_CLIENT;")
+      > f.indexOf("END;"))
+    // two triggers → two charset save blocks
+    val two = SchemaObjects.createTriggersFile(Seq(
+      ("a", "CREATE TRIGGER a BEFORE INSERT ON t FOR EACH ROW SET @x=1", "latin1", "latin1_swedish_ci"),
+      ("b", "CREATE TRIGGER b AFTER INSERT ON t FOR EACH ROW SET @y=2", "utf8mb4", "utf8mb4_0900_ai_ci")))
+    assert("SET @PREV_CHARACTER_SET_CLIENT".r.findAllIn(two).size === 2)
+    assert(two.contains("SET character_set_client = latin1;"))
+  }
+
+  test("sequence file: DROP pair, CREATE SEQUENCE, DO SETVAL (mydumper_jobs.c:623-693)") {
+    val f = SchemaObjects.createSequenceFile("s1",
+      "CREATE SEQUENCE `s1` start with 1 minvalue 1 maxvalue 9223372036854775806 increment by 1 cache 1000 nocycle ENGINE=InnoDB",
+      nextValue = Some(4242))
+    assert(f.contains("DROP TABLE IF EXISTS `s1`;\nDROP VIEW IF EXISTS `s1`;\n"))
+    assert(f.contains("CREATE SEQUENCE `s1` start with 1"))
+    assert(f.endsWith("DO SETVAL(`s1`, 4242, 0);\n"))
+    assert(Load.classify("tpch.s1-schema-sequence.sql") === Load.SchemaSequence)
+    // no captured position → no SETVAL line
+    assert(!SchemaObjects.createSequenceFile("s1", "CREATE SEQUENCE `s1`")
+      .contains("SETVAL"))
+  }
+
+  test("post file: functions/procedures before events, skip-only definer (mydumper_jobs.c:700-830)") {
+    val f = SchemaObjects.createPostFile(Seq(
+      ("EVENT", "ev1", "CREATE DEFINER=`root`@`%` EVENT ev1 ON SCHEDULE EVERY 1 DAY DO SET @x=1", "utf8mb4", "utf8mb4_0900_ai_ci"),
+      ("PROCEDURE", "p1", "CREATE DEFINER=`root`@`%` PROCEDURE p1()\nBEGIN\n  SET @a=1;\nEND", "utf8mb4", "utf8mb4_0900_ai_ci"),
+      ("FUNCTION", "f1", "CREATE DEFINER=`root`@`%` FUNCTION f1() RETURNS int RETURN 1", "utf8mb4", "utf8mb4_0900_ai_ci")),
+      skipDefiner = true)
+    // reference emit order: FUNCTION, PROCEDURE, then EVENT
+    val fAt = f.indexOf("DROP FUNCTION IF EXISTS `f1`;")
+    val pAt = f.indexOf("DROP PROCEDURE IF EXISTS `p1`;")
+    val eAt = f.indexOf("DROP EVENT IF EXISTS `ev1`;")
+    assert(fAt >= 0 && fAt < pAt && pAt < eAt)
+    assert(!f.contains("DEFINER=`root`"))
+    // procedure body semicolons guarded
+    assert(f.contains("SET @a=1; \n"))
+    assert(Load.classify("tpch-schema-post.sql") === Load.SchemaPost)
+  }
+
   test("SQL data files start with the header block; round trip unaffected") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hdr_").toString
     Dump.run(spark, Seq(("region", Tables.region(spark, sf), true)),
