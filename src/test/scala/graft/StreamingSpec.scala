@@ -236,6 +236,20 @@ class StreamingSpec extends SparkTestBase {
     // both snapshot dirs hold a complete dump
     assert(spark.read.parquet(s"$base/0").count() === 100)
     assert(spark.read.parquet(s"$base/1").count() === 100)
+    // last_dump names the last COMPLETE snapshot (run 3 landed in 0)
+    import graft.streaming.Daemon
+    assert(Daemon.lastComplete(base).map(_.getFileName.toString) === Some("0"))
+    // a restart resumes AFTER the symlink target (c:61-79 wrap rule)
+    assert(Daemon.nextDumpNumber(base, 2) === 1)
+    // an aborted dump leaves the symlink on the previous complete one
+    intercept[RuntimeException] {
+      Daemon.run(base, snapshotCount = 2, iterations = 1, intervalMs = 0) {
+        _ => throw new RuntimeException("disk full")
+      }
+    }
+    assert(Daemon.lastComplete(base).map(_.getFileName.toString) === Some("0"))
+    // and the NEXT attempt still targets the slot after the symlink
+    assert(Daemon.nextDumpNumber(base, 2) === 1)
   }
 
   test("mapGroupsWithState keyed totals match the batch aggregate") {
