@@ -111,7 +111,14 @@ object Dump {
     conf.limit.foreach(n => df = df.limit(n.toInt))
 
     // masquerade before serialization (reference applies between fetch
-    // and write, mydumper_write.c:709-771)
+    // and write, mydumper_write.c:709-771): per-table config chains
+    // (defaults-file `` `col` = function `` keys) first, then the
+    // CLI-registry rules
+    df = conf.masks.foldLeft(df) { case (d, (c, chain)) =>
+      if (d.columns.contains(c))
+        d.withColumn(c, Masquerade.chain(chain.map(Masquerade.parse))(col(c)))
+      else d
+    }
     df = cfg.masks(df, cfg.db, table)
 
     // chunk plan: for JDBC sources the chunk WHEREs become the

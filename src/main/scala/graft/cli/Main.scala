@@ -116,9 +116,20 @@ object Main {
           spec.tablesList.exists(TableFilter.tableListMatch(_, qualified)) ||
           spec.tablesList.contains(t))
     }
-    val perTable = o.get("where")
-      .map(w => Map(s"$db.*" -> TableConfig(where = Some(w))))
+    // --defaults-file: per-table `` `db`.`table` `` sections (where/rows/
+    // masks/skip-checksums, common.c:199-341) merge under any --where
+    // (the CLI flag is more specific than file config)
+    val fromFile: Map[String, TableConfig] = o.get("defaults-file")
+      .map(p => TableConfig.fromIni(graft.core.DefaultsFile.read(
+        java.nio.file.Paths.get(p))))
       .getOrElse(Map.empty)
+    val perTable = o.get("where") match {
+      case Some(w) =>
+        val k = s"$db.*"
+        fromFile.updated(k,
+          fromFile.getOrElse(k, TableConfig()).copy(where = Some(w)))
+      case None => fromFile
+    }
     val cfg = Dump.Config(
       outDir = outDir, format = fmt, db = db,
       // --rows N = rows per chunk (the reference's -r): dumpTable sizes

@@ -76,6 +76,68 @@ object ChunkRows {
 object TableConfig {
   val empty: TableConfig = TableConfig()
 
+  private val SkipChecksumKeys = Set(
+    "skip_index_checksums", "skip_database_checksums", "skip_view_checksums",
+    "skip_table_checksums", "skip_data_checksums", "skip_trigger_checksums",
+    "skip_routine_checksums", "skip_event_checksums")
+
+  /** Load the per-table config map from a defaults-file INI — the
+    * reference's load_per_table_info_from_key_file (common.c:199-341):
+    * sections named `` `db`.`table` `` (backtick-quoted, wildcard
+    * segments allowed) carry `where`/`limit`/`rows`/`num_threads`/
+    * `columns_on_insert` strings, `columns_on_select_replace` column
+    * maps, `partition_regex`, the `skip_*_checksums` family (any
+    * non-zero → skip), and backtick-leading keys as per-COLUMN
+    * masquerade function chains. Returned keys are unquoted
+    * `db.table` — [[resolve]]'s coalesce input. */
+  def fromIni(ini: graft.core.DefaultsFile.Ini): Map[String, TableConfig] = {
+    val out = Map.newBuilder[String, TableConfig]
+    ini.groups.foreach { case (group, kvs) =>
+      val isTableSection = group.startsWith("`") && group.endsWith("`") &&
+        group.contains("`.`")
+      if (isTableSection) {
+        val name = group.substring(1, group.length - 1).split("`\\.`") match {
+          case Array(db, table) => s"$db.$table"
+          case _                => group
+        }
+        var tc = TableConfig()
+        val masks = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+        kvs.foreach { case (k, v) =>
+          if (k.startsWith("`") && k.indexOf('`', 1) > 0) {
+            // masquerade column: key `col` (common.c:215-224); repeated
+            // keys chain functions on the column
+            val col = k.substring(1, k.indexOf('`', 1))
+            masks(col) = masks.getOrElse(col, Nil) :+ v
+          } else k match {
+            case "where"             => tc = tc.copy(where = Some(v))
+            case "limit"             => tc = tc.copy(limit = scala.util.Try(v.toLong).toOption)
+            case "rows"              => tc = tc.copy(rows = ChunkRows.parse(v))
+            case "num_threads"       => tc = tc.copy(numThreads = scala.util.Try(v.toInt).toOption)
+            case "columns_on_insert" => tc = tc.copy(columnsOnInsert = Some(v))
+            case "partition_regex"   => tc = tc.copy(partitionRegex = Some(v))
+            case "columns_on_select_replace" =>
+              // "col1:expr1,`col2:expr2" — entries split on ",`", keys
+              // lose their backtick after the first (common.c:246-266)
+              val m = v.split(",`").toSeq.flatMap { e =>
+                e.split(":", 2) match {
+                  case Array(c, expr) => Some(c.stripPrefix("`") -> expr)
+                  case _              => None
+                }
+              }.toMap
+              tc = tc.copy(columnsOnSelect = tc.columnsOnSelect ++ m)
+            case key if SkipChecksumKeys.contains(key) =>
+              if (scala.util.Try(v.trim.toLong).toOption.exists(_ != 0))
+                tc = tc.copy(skipChecksum = true)
+            case _ => () // unknown keys ignored like GKeyFile extras
+          }
+        }
+        if (masks.nonEmpty) tc = tc.copy(masks = masks.toMap)
+        out += name -> tc
+      }
+    }
+    out.result()
+  }
+
   /** 3-level PER-ATTRIBUTE coalesce `db.table` → `*.table` → `db.*`,
     * exactly the reference's resolution (common.c:1836 m_coalesce_hash,
     * applied once per attribute at mydumper_table.c:406-470): each field

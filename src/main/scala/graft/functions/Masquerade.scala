@@ -184,6 +184,9 @@ object Masquerade {
     val sp = d.indexOf(' ')
     val (kw, rest) = if (sp < 0) (d, "") else (d.take(sp), d.drop(sp + 1).trim)
     kw.toLowerCase match {
+      // random_format BEFORE the other random_* (the reference probes
+      // it first, get_function_pointer_for, mydumper_masquerade.c:628)
+      case "random_format" => parseFormat(rest)
       case "identity"      => Identity
       case "null"          => Null
       case "constant"      => Constant(stripQuotes(rest))
@@ -196,7 +199,12 @@ object Masquerade {
       case "apply" =>
         val parts = splitQuoted(rest)
         Affix(parts.headOption.getOrElse(""), parts.lift(1).getOrElse(""))
-      case other => throw new IllegalArgumentException(s"unknown mask function: $other")
+      // empty → identity; unknown → identity with a message, the
+      // reference's forgiving fallback (mydumper_masquerade.c:653-658)
+      case "" => Identity
+      case other =>
+        System.err.println(s"[graft] Function not found: Using default ($other)")
+        Identity
     }
   }
 

@@ -116,6 +116,57 @@ class DumpLoadSpec extends SparkTestBase {
     assert(TableConfig.resolve(conf, "other", "t") === TableConfig.empty)
   }
 
+  test("per-table config loads from a defaults-file INI (common.c:199-341)") {
+    val ini = graft.core.DefaultsFile.parse(
+      """[`tpch`.`customer`]
+        |where = c_custkey < 1000
+        |rows = 100:1000:100000
+        |num_threads = 4
+        |`c_name` = random_string
+        |`c_phone` = random_format <number 10>
+        |skip_data_checksums = 1
+        |columns_on_select_replace = c_comment:'masked',`c_address:'x'
+        |
+        |[`tpch`.`*`]
+        |limit = 500
+        |
+        |[mydumper_session_variables]
+        |wait_timeout = 300
+        |
+        |[not_a_table_section]
+        |where = ignored
+        |""".stripMargin)
+    val conf = TableConfig.fromIni(ini)
+    // only backtick-quoted `db`.`table` sections are per-table config
+    assert(conf.keySet === Set("tpch.customer", "tpch.*"))
+    val c = conf("tpch.customer")
+    assert(c.where === Some("c_custkey < 1000"))
+    assert(c.rows === Some(graft.core.ChunkRows(100, 1000, 100000)))
+    assert(c.numThreads === Some(4))
+    assert(c.skipChecksum)
+    assert(c.masks === Map("c_name" -> Seq("random_string"),
+      "c_phone" -> Seq("random_format <number 10>")))
+    assert(c.columnsOnSelect === Map("c_comment" -> "'masked'", "c_address" -> "'x'"))
+    // the mask strings parse into real functions
+    assert(graft.functions.Masquerade.parse(c.masks("c_name").head)
+      === graft.functions.Masquerade.RandomStringDet)
+    // and the map feeds resolve()'s coalesce
+    val r = TableConfig.resolve(conf, "tpch", "customer")
+    assert(r.where === Some("c_custkey < 1000") && r.limit === Some(500L))
+    // end-to-end: config-file masks apply during the dump
+    val dir = Files.createTempDirectory("graft_cfmask_").toString
+    val maskIni = graft.core.DefaultsFile.parse(
+      "[`tpch`.`region`]\n`r_name` = constant 'MASKED'\n")
+    Dump.run(spark, Seq(("region", Tables.region(spark, sf), true)),
+      Dump.Config(outDir = dir, db = "tpch",
+        perTable = TableConfig.fromIni(maskIni)))
+    val src = Load.sourcesFromDir(dir)
+    val back = graft.sources.SqlInsertReader.read(spark, dir,
+      src.head.schema, glob = "tpch.region.*.sql*")
+    assert(back.select("r_name").distinct().collect()
+      .map(_.getString(0)).toSet === Set("MASKED"))
+  }
+
   test("--rows accepts the reference's N / min:start / min:start:max forms") {
     import graft.core.ChunkRows
     assert(ChunkRows.parse("1000") === Some(ChunkRows(1000, 1000, 1000)))

@@ -52,7 +52,14 @@ class MasqueradeSpec extends SparkTestBase {
     assert(Masquerade.parse("apply 'p' 's'") === Affix("p", "s"))
     assert(Masquerade.parse("random_int") === RandomIntDet)
     assert(Masquerade.parse("null") === Null)
-    intercept[IllegalArgumentException](Masquerade.parse("bogus"))
+    // unknown functions fall back to identity with a message — the
+    // reference's forgiving default (mydumper_masquerade.c:653-658) —
+    // and random_format routes through the template parser
+    assert(Masquerade.parse("bogus") === Masquerade.Identity)
+    assert(Masquerade.parse("") === Masquerade.Identity)
+    assert(Masquerade.parse("random_format id-<number 4>") ===
+      Masquerade.Format(Seq(Masquerade.FormatPart.Lit("id-"),
+        Masquerade.FormatPart.Num(4))))
   }
 
   test("file dictionary part: deterministic, in-dictionary, null-safe (F5)") {
