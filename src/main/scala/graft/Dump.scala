@@ -99,6 +99,10 @@ object Dump {
   /** Dump one table DataFrame end-to-end; returns its manifest entry. */
   def dumpTable(df0: DataFrame, table: String, cfg: Config): TableResult = {
     val conf = TableConfig.resolve(cfg.perTable, cfg.db, table)
+    // per-table object scope narrows the global flags (object_to_export,
+    // mydumper_working_thread.c:1038-1065: each artifact gated by BOTH)
+    val noData = cfg.noData || conf.objectsToExport.exists(!_.data)
+    val noSchemas = cfg.noSchemas || conf.objectsToExport.exists(!_.schema)
     // all FILE names below use the stem; DDL text and loader-script
     // statements keep the real table name (see StemRegistry)
     val stem = cfg.stems.stem(table)
@@ -144,7 +148,7 @@ object Dump {
     // JDBC-extract side
     val effectiveRows = conf.rows.map(_.start).orElse(cfg.rowsPerChunk)
     val targetChunks = effectiveRows match {
-      case Some(r) if r > 0 && !cfg.noData =>
+      case Some(r) if r > 0 && !noData =>
         val est = math.max(ChunkPlanner.rowEstimate(df, sampleFraction = 0.05), 1L)
         math.max(1, math.min(4096, math.ceil(est.toDouble / r).toInt))
       case _ => cfg.targetChunks
@@ -156,7 +160,7 @@ object Dump {
     // a schema-only dump must not pay the planner's min/max probe (an
     // eager aggregation job per table) for a chunk plan it never uses
     val chunks: Seq[ChunkPlanner.Chunk] =
-      if (cfg.noData) Nil
+      if (noData) Nil
       else strategy match {
         case ChunkPlanner.Strategy.IntRange =>
           ChunkPlanner.planInteger(df, chunkCol.get, targetChunks)
@@ -187,10 +191,10 @@ object Dump {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val checksumF =
-      if (cfg.checksum && !cfg.noData)
+      if (cfg.checksum && !noData)
         Future(df.agg(Checksum.tableChecksum(df)).head().getLong(0))
       else Future.successful(0L)
-    val rows = if (cfg.noData) 0L else cfg.format match {
+    val rows = if (noData) 0L else cfg.format match {
       case SqlFormat =>
         SqlInsertWriter.write(partitioned, cfg.db, stem, cfg.outDir,
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
@@ -245,7 +249,7 @@ object Dump {
     // schema-only (--no-data) dumps, which previously lost it because it
     // rode inside the data branch; and suppressed by --no-schemas, which
     // previously still wrote it
-    if (cfg.format == ClickHouseFormat && !cfg.noSchemas)
+    if (cfg.format == ClickHouseFormat && !noSchemas)
       writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.ClickHouse,
         sources.ClickHouse.createTable(cfg.db, table, df.schema,
           orderBy = cfg.primaryKeys.getOrElse(table, Nil)),
@@ -254,12 +258,12 @@ object Dump {
     // db.table-schema.sql (reference mydumper_jobs.c:238 — every dump
     // carries its schema so a restore needs no live source catalog);
     // parquet embeds its schema already
-    if (cfg.format != ParquetFormat && !cfg.noSchemas)
+    if (cfg.format != ParquetFormat && !noSchemas)
       writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.Table,
         sources.DdlEmitter.createTable(cfg.db, table, df.schema, pk),
         Some(stem))
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),
-      if (cfg.noData) 0 else math.max(chunks.size, 1), stem = stem)
+      if (noData) 0 else math.max(chunks.size, 1), stem = stem)
   }
 
   /** Schema-object kinds a dump can carry besides table data — the

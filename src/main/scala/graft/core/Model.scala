@@ -48,7 +48,37 @@ final case class TableConfig(
     masks: Map[String, Seq[String]] = Map.empty,      // col -> mask fn chain (F10)
     partitionRegex: Option[String] = None,
     numThreads: Option[Int] = None,
-    skipChecksum: Boolean = false)
+    skipChecksum: Boolean = false,
+    // object_to_export (common.h:59, parsed at mydumper_table.c:408)
+    objectsToExport: Option[ObjectScope] = None)
+
+/** Per-table object scope — which artifacts dump for a table
+  * (parse_object_scope, common.c:1540-1569): the config value is a
+  * POSITIVE comma list (max 4 tokens, case-sensitive) of
+  * `DATA`/`SCHEMA`/`TRIGGER`; an absent keyword disables that
+  * artifact; `ALL` enables everything and `NONE` (applied last)
+  * disables everything. */
+final case class ObjectScope(
+    data: Boolean = true, schema: Boolean = true, trigger: Boolean = true,
+    view: Boolean = true, index: Boolean = true, constraint: Boolean = true)
+
+object ObjectScope {
+  def parse(v: String): ObjectScope = {
+    val tokens = v.split(",", 4).toSet
+    // only DATA/SCHEMA/TRIGGER are keyword-gated; view/index/constraint
+    // stay enabled unless NONE (the reference never recomputes them,
+    // common.c:1550-1552)
+    var s = ObjectScope(
+      data = tokens.contains("DATA"),
+      schema = tokens.contains("SCHEMA"),
+      trigger = tokens.contains("TRIGGER"))
+    if (tokens.contains("ALL")) s = ObjectScope()
+    if (tokens.contains("NONE")) s = ObjectScope(
+      data = false, schema = false, trigger = false,
+      view = false, index = false, constraint = false)
+    s
+  }
+}
 
 /** `--rows min:start:max` adaptive step bounds
   * (/root/reference/src/mydumper/mydumper_table.c:414-440). */
@@ -115,6 +145,7 @@ object TableConfig {
             case "num_threads"       => tc = tc.copy(numThreads = scala.util.Try(v.toInt).toOption)
             case "columns_on_insert" => tc = tc.copy(columnsOnInsert = Some(v))
             case "partition_regex"   => tc = tc.copy(partitionRegex = Some(v))
+            case "object_to_export"  => tc = tc.copy(objectsToExport = Some(ObjectScope.parse(v)))
             case "columns_on_select_replace" =>
               // "col1:expr1,`col2:expr2" — entries split on ",`", keys
               // lose their backtick after the first (common.c:246-266)
@@ -163,7 +194,8 @@ object TableConfig {
         masks = if (hi.masks.nonEmpty) hi.masks else lo.masks,
         partitionRegex = hi.partitionRegex.orElse(lo.partitionRegex),
         numThreads = hi.numThreads.orElse(lo.numThreads),
-        skipChecksum = hi.skipChecksum || lo.skipChecksum)
+        skipChecksum = hi.skipChecksum || lo.skipChecksum,
+        objectsToExport = hi.objectsToExport.orElse(lo.objectsToExport))
     }
   }
 }

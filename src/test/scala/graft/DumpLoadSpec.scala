@@ -167,6 +167,31 @@ class DumpLoadSpec extends SparkTestBase {
       .map(_.getString(0)).toSet === Set("MASKED"))
   }
 
+  test("object_to_export gates per-table artifacts (common.c:1540-1569)") {
+    import graft.core.ObjectScope
+    // positive list; absent keyword disables; view/index/constraint
+    // stay enabled unless NONE
+    val d = ObjectScope.parse("DATA")
+    assert(d.data && !d.schema && !d.trigger && d.view && d.index && d.constraint)
+    val ds = ObjectScope.parse("DATA,SCHEMA,TRIGGER")
+    assert(ds.data && ds.schema && ds.trigger)
+    assert(ObjectScope.parse("ALL") === ObjectScope())
+    val none = ObjectScope.parse("NONE")
+    assert(!none.data && !none.schema && !none.view)
+    // case-sensitive exact match like str_list_has_str (common.c:1530)
+    assert(!ObjectScope.parse("data").data)
+    // e2e: a SCHEMA-only table dumps its schema file but no data chunks
+    val dir = Files.createTempDirectory("graft_scope_").toString
+    val ini = graft.core.DefaultsFile.parse(
+      "[`tpch`.`region`]\nobject_to_export = SCHEMA\n")
+    Dump.run(spark, Seq(("region", Tables.region(spark, sf), true)),
+      Dump.Config(outDir = dir, db = "tpch",
+        perTable = TableConfig.fromIni(ini)))
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("tpch.region-schema.sql"))
+    assert(!names.exists(n => Load.classify(n) == Load.Data))
+  }
+
   test("--rows accepts the reference's N / min:start / min:start:max forms") {
     import graft.core.ChunkRows
     assert(ChunkRows.parse("1000") === Some(ChunkRows(1000, 1000, 1000)))
