@@ -71,7 +71,15 @@ object SqlInsertWriter {
       // read THIS instead of re-listing the output dir, which would pick
       // up stale files from earlier runs and returns nothing on
       // non-local filesystems
-      fileLog: Option[org.apache.spark.util.CollectionAccumulator[String]] = None) {
+      fileLog: Option[org.apache.spark.util.CollectionAccumulator[String]] = None,
+      // the --fields-terminated-by knob family, resolved through the
+      // reference's per-format default matrix ([[RowFormat.resolve]],
+      // mydumper_write.c:252-281): rows render as
+      // `lines_starting_by v1 fields_terminated_by v2 … lines_terminated_by`
+      // with the `,` row delimiter PREPENDED to each follow-on row and
+      // string values enclosed by detect_quote_character's pick (`"`
+      // under backtick identifier quoting, `'` under ANSI_QUOTES)
+      format: RowFormat.Resolved = RowFormat.SqlDefaults) {
     require(!(insertIgnore && replace),
       "--insert-ignore and --replace are mutually exclusive (mydumper_write.c:368)")
     /** The statement verb (INSERT / INSERT IGNORE / REPLACE,
@@ -95,35 +103,60 @@ object SqlInsertWriter {
       df.sparkSession.sparkContext.hadoopConfiguration)
     val counts = df.sparkSession.sparkContext.longAccumulator(s"rows_dumped_$db.$table")
     val header = insertHeader(table, schema, opts)
+    val headerBytes = RowFormat.utf8Length(header)
     df.queryExecution.toRdd.foreachPartition { rows =>
       val part = TaskContext.getPartitionId()
       var written = 0L
       if (rows.hasNext) {
-        val render = internalRenderers(schema, opts.hexBlob)
+        val fmt = opts.format
+        val render = internalRenderers(schema, opts.hexBlob, fmt.fieldsEnclosedBy)
         val n = render.length
+        val delimBytes = RowFormat.utf8Length(fmt.rowDelimiter)
         val w = new PartitionWriter(conf.value, outDir, db, table, part, opts)
         try {
+          // statement packing mirrors the reference's write loop
+          // (mydumper_write.c:946-1012): the size check runs BEFORE the
+          // row is appended (`statement->len + row->len + 1 >
+          // statement_size`) so no statement ever exceeds the cap —
+          // except a single row bigger than the cap, which ships as its
+          // own oversized statement (:956-963); lengths are UTF-8 BYTES
           val sb = new java.lang.StringBuilder(opts.statementSize + 4096)
-          var inStatement = false
+          val rowSb = new java.lang.StringBuilder(256)
+          var stmtBytes = 0L
+          var rowsInStmt = 0
+          sb.append(header); stmtBytes = headerBytes
           while (rows.hasNext) {
             val r = rows.next()
-            if (!inStatement) { sb.append(header); inStatement = true }
-            else sb.append(",\n")
-            sb.append('(')
+            rowSb.setLength(0)
+            rowSb.append(fmt.linesStartingBy)
             var i = 0
             while (i < n) {
-              if (i > 0) sb.append(',')
-              if (r.isNullAt(i)) sb.append("NULL") else render(i)(sb, r)
+              if (i > 0) rowSb.append(fmt.fieldsTerminatedBy)
+              if (r.isNullAt(i)) rowSb.append("NULL") else render(i)(rowSb, r)
               i += 1
             }
-            sb.append(')')
-            if (sb.length() >= opts.statementSize) {
-              sb.append(";\n")
-              w.emit(sb.toString); sb.setLength(0); inStatement = false
+            rowSb.append(fmt.linesTerminatedBy)
+            var rowBytes = RowFormat.utf8Length(rowSb)
+            if (stmtBytes + rowBytes + 1 > opts.statementSize) {
+              if (rowsInStmt == 0) { // oversized single row, ships alone
+                sb.append(rowSb); stmtBytes += rowBytes
+                rowSb.setLength(0); rowBytes = 0L
+              }
+              sb.append(fmt.statementTerminatedBy)
+              w.emit(sb.toString)
+              sb.setLength(0); sb.append(header)
+              stmtBytes = headerBytes; rowsInStmt = 0
+            }
+            if (rowSb.length() > 0) {
+              if (rowsInStmt > 0) { sb.append(fmt.rowDelimiter); stmtBytes += delimBytes }
+              sb.append(rowSb); stmtBytes += rowBytes
+              rowsInStmt += 1
             }
             written += 1
           }
-          if (inStatement) { sb.append(";\n"); w.emit(sb.toString) }
+          // a trailing header-only buffer (last row shipped oversized)
+          // is discarded, like the reference's num_rows_st>0 gate (:1016)
+          if (rowsInStmt > 0) { sb.append(fmt.statementTerminatedBy); w.emit(sb.toString) }
           w.close() // SUCCESS path: commit (rename temp → final name)
         } catch {
           case e: Throwable =>
@@ -139,9 +172,16 @@ object SqlInsertWriter {
   private type FieldRenderer =
     (java.lang.StringBuilder, org.apache.spark.sql.catalyst.InternalRow) => Unit
 
-  /** One renderer closure per column, dispatched on type exactly once. */
-  private def internalRenderers(schema: StructType,
-      hexBlob: Boolean): Array[FieldRenderer] = {
+  /** One renderer closure per column, dispatched on type exactly once.
+    *
+    * Non-numeric values are enclosed by `encl` — the write-side analog
+    * of write_sql_column_into_string (mydumper_write.c:676-707), whose
+    * NUM_FLAG branch leaves every numeric bare and whose string branch
+    * wraps `*fields_enclosed_by` around the escaped bytes (`"` under
+    * backtick identifier quoting; mysql_real_escape_string escapes both
+    * quote kinds, so either enclosure yields a valid literal). */
+  private def internalRenderers(schema: StructType, hexBlob: Boolean,
+      encl: String): Array[FieldRenderer] = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     schema.fields.zipWithIndex.map { case (f, i) =>
       val r: FieldRenderer = f.dataType match {
@@ -156,45 +196,49 @@ object SqlInsertWriter {
         case BooleanType =>
           (sb, row) => sb.append(if (row.getBoolean(i)) '1' else '0')
         case BinaryType =>
-          // empty → '' in BOTH modes (the reference's length==0 branch
-          // precedes the hex check, mydumper_write.c:682-684)
+          // empty → two enclosure chars in BOTH modes (the reference's
+          // length==0 branch precedes the hex check, write.c:682-684)
           if (hexBlob)
             (sb, row) => {
               val b = row.getBinary(i)
-              if (b.isEmpty) sb.append("''")
+              if (b.isEmpty) sb.append(encl).append(encl)
               else { sb.append("0x"); appendHex(sb, b) }
             }
           else
             (sb, row) => {
               val b = row.getBinary(i)
-              if (b.isEmpty) sb.append("''")
-              else { sb.append("_binary '"); escapeBinaryInto(sb, b); sb.append('\'') }
+              if (b.isEmpty) sb.append(encl).append(encl)
+              else {
+                sb.append("_binary ").append(encl)
+                escapeBinaryInto(sb, b)
+                sb.append(encl)
+              }
             }
         case TimestampType =>
           // same rendering as the external path: java.sql.Timestamp.toString
           // in the JVM zone (reader round-trips with Timestamp.valueOf)
-          (sb, row) => sb.append('\'')
+          (sb, row) => sb.append(encl)
             .append(DateTimeUtils.toJavaTimestamp(row.getLong(i)).toString)
-            .append('\'')
+            .append(encl)
         case TimestampNTZType =>
-          (sb, row) => sb.append('\'')
+          (sb, row) => sb.append(encl)
             .append(sqlTimestamp(DateTimeUtils.microsToLocalDateTime(row.getLong(i))))
-            .append('\'')
+            .append(encl)
         case DateType =>
-          (sb, row) => sb.append('\'')
+          (sb, row) => sb.append(encl)
             .append(DateTimeUtils.daysToLocalDate(row.getInt(i)).toString)
-            .append('\'')
+            .append(encl)
         case StringType =>
           (sb, row) => {
-            sb.append('\'')
+            sb.append(encl)
             escapeInto(sb, row.getUTF8String(i).toString)
-            sb.append('\'')
+            sb.append(encl)
           }
         case dt => // arrays/maps/structs have no SQL-dump form; quoted text
           (sb, row) => {
-            sb.append('\'')
+            sb.append(encl)
             escapeInto(sb, String.valueOf(row.get(i, dt)))
-            sb.append('\'')
+            sb.append(encl)
           }
       }
       r
@@ -219,12 +263,15 @@ object SqlInsertWriter {
   private def insertHeader(table: String, schema: StructType,
       opts: Options): String = {
     val cols = opts.columnsOnInsert match {
-      case Some(c) => s"($c) "
+      case Some(c) => s" ($c)"
       case None if opts.completeInsert =>
-        schema.fieldNames.map(c => s"`$c`").mkString("(", ",", ") ")
+        schema.fieldNames.map(c => s"`$c`").mkString(" (", ",", ")")
       case None => ""
     }
-    s"${opts.verb} INTO `$table` ${cols}VALUES\n"
+    // NO trailing newline: the first row's lines_starting_by follows
+    // " VALUES" directly (build_insert_statement ends the GString there;
+    // rows begin with "(" — write.c:477,775)
+    s"${opts.verb} INTO `$table`$cols VALUES"
   }
 
   /** One output file with size-based rotation (sub_part counter). */
@@ -295,40 +342,6 @@ object SqlInsertWriter {
       if (out != null) { try out.close() catch { case _: Throwable => () }; out = null }
       if (tmpPath != null) try fs.delete(tmpPath, false) catch { case _: Throwable => () }
     }
-  }
-
-  /** Render one external Row as a `(v1,v2,…)` tuple (test/debug surface;
-    * the write path renders InternalRow via [[internalRenderers]]). */
-  def renderRow(r: Row, schema: StructType): String = {
-    val sb = new java.lang.StringBuilder(128)
-    sb.append('(')
-    var i = 0
-    while (i < schema.length) {
-      if (i > 0) sb.append(',')
-      if (r.isNullAt(i)) sb.append("NULL")
-      else schema(i).dataType match {
-        case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
-             _: FloatType | _: DoubleType | _: DecimalType =>
-          sb.append(r.get(i).toString)
-        case _: BooleanType => sb.append(if (r.getBoolean(i)) "1" else "0")
-        case _: BinaryType =>
-          val b = r.getAs[Array[Byte]](i)
-          if (b.isEmpty) sb.append("''")
-          else { sb.append("0x"); appendHex(sb, b) }
-        case _: TimestampNTZType =>
-          // LocalDateTime.toString is ISO ("T", trailing zeros dropped) —
-          // render the SQL-standard form Timestamp.valueOf can re-parse
-          val ldt = r.getAs[java.time.LocalDateTime](i)
-          sb.append('\'').append(sqlTimestamp(ldt)).append('\'')
-        case _ => // strings, timestamps, dates, everything else: quoted text
-          sb.append('\'')
-          escapeInto(sb, r.get(i).toString)
-          sb.append('\'')
-      }
-      i += 1
-    }
-    sb.append(')')
-    sb.toString
   }
 
   private[sources] def sqlTimestamp(ldt: java.time.LocalDateTime): String = {
@@ -482,19 +495,22 @@ object SqlInsertReader {
   }
 
   /** Scan one parenthesized tuple starting at `start` (the '('); returns
-    * (inner text, index after ')'). Quote- and escape-aware. */
+    * (inner text, index after ')'). Quote- and escape-aware; both `'`
+    * and `"` open a literal (the writer encloses with whichever char
+    * detect_quote_character picked — `"` under backtick identifier
+    * quoting, `'` under ANSI_QUOTES), closed by the same char. */
   private def scanTuple(sql: String, start: Int): (String, Int) = {
     var j = start + 1
     var depth = 1
-    var inQuote = false
+    var quoteCh: Char = 0
     val sb = new java.lang.StringBuilder(64)
     while (j < sql.length && depth > 0) {
       val c = sql.charAt(j)
-      if (inQuote) {
+      if (quoteCh != 0) {
         if (c == '\\' && j + 1 < sql.length) { sb.append(c).append(sql.charAt(j + 1)); j += 2 }
-        else { if (c == '\'') inQuote = false; sb.append(c); j += 1 }
+        else { if (c == quoteCh) quoteCh = 0; sb.append(c); j += 1 }
       } else c match {
-        case '\'' => inQuote = true; sb.append(c); j += 1
+        case '\'' | '"' => quoteCh = c; sb.append(c); j += 1
         case '(' => depth += 1; sb.append(c); j += 1
         case ')' => depth -= 1; if (depth > 0) sb.append(c); j += 1
         case _ => sb.append(c); j += 1
@@ -503,18 +519,19 @@ object SqlInsertReader {
     (sb.toString, j)
   }
 
-  /** Split a tuple body into raw value tokens (quote-aware). */
+  /** Split a tuple body into raw value tokens (quote-aware, both quote
+    * chars). */
   def tupleToRow(tuple: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var j = 0
-    var inQuote = false
+    var quoteCh: Char = 0
     val sb = new java.lang.StringBuilder(32)
     while (j < tuple.length) {
       val c = tuple.charAt(j)
-      if (inQuote) {
+      if (quoteCh != 0) {
         if (c == '\\' && j + 1 < tuple.length) { sb.append(c).append(tuple.charAt(j + 1)); j += 2 }
-        else { if (c == '\'') inQuote = false; sb.append(c); j += 1 }
-      } else if (c == '\'') { inQuote = true; sb.append(c); j += 1 }
+        else { if (c == quoteCh) quoteCh = 0; sb.append(c); j += 1 }
+      } else if (c == '\'' || c == '"') { quoteCh = c; sb.append(c); j += 1 }
       else if (c == ',') { out += sb.toString.trim; sb.setLength(0); j += 1 }
       else { sb.append(c); j += 1 }
     }
@@ -550,8 +567,9 @@ object SqlInsertReader {
       out(i) =
         if (raw == "NULL") null
         else {
+          val q = if (raw.nonEmpty) raw.charAt(0) else ' '
           val text =
-            if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
+            if ((q == '\'' || q == '"') && raw.length >= 2 && raw.last == q)
               unescape(raw.substring(1, raw.length - 1))
             else raw
           schema(i).dataType match {
@@ -565,8 +583,11 @@ object SqlInsertReader {
             case _: BooleanType => text == "1" || text.equalsIgnoreCase("true")
             case _: BinaryType  =>
               if (raw.startsWith("0x")) hexToBytes(raw.substring(2))
-              else if (raw.startsWith("_binary '") && raw.endsWith("'"))
-                // inverse of escapeBinaryInto: chars are bytes 0-255
+              else if (raw.startsWith("_binary ") && raw.length >= 10 &&
+                  (raw.charAt(8) == '\'' || raw.charAt(8) == '"') &&
+                  raw.last == raw.charAt(8))
+                // inverse of escapeBinaryInto: chars are bytes 0-255;
+                // enclosure is whichever quote char the writer used
                 unescape(raw.substring(9, raw.length - 1))
                   .getBytes(StandardCharsets.ISO_8859_1)
               else text.getBytes(StandardCharsets.UTF_8)

@@ -79,22 +79,33 @@ class RoundTripSpec extends SparkTestBase {
     // build_insert_statement (mydumper_write.c:458-478): verb INTO
     // `table` — NOT db-qualified — (cols) VALUES; verbs from
     // mydumper_working_thread.h:22-24
-    def headerOf(opts: SqlInsertWriter.Options): String = {
+    def fileOf(opts: SqlInsertWriter.Options): String = {
       val dir = Files.createTempDirectory("graft_verb_").toString
       SqlInsertWriter.write(df, "db", "t", dir, opts)
       val f = new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".sql")).head
-      Files.readString(f.toPath).linesIterator.next()
+      Files.readString(f.toPath)
     }
-    assert(headerOf(SqlInsertWriter.Options()) ===
-      "INSERT INTO `t` (`id`,`s`) VALUES")
-    assert(headerOf(SqlInsertWriter.Options(insertIgnore = true)) ===
-      "INSERT IGNORE INTO `t` (`id`,`s`) VALUES")
-    assert(headerOf(SqlInsertWriter.Options(replace = true)) ===
-      "REPLACE INTO `t` (`id`,`s`) VALUES")
+    // full byte contract: " VALUES" runs straight into the first row's
+    // lines_starting_by (build_insert_statement ends there, write.c:477);
+    // rows end with lines_terminated_by ")\n" and the "," row delimiter
+    // is PREPENDED to follow-on rows (:1004-1007); strings enclose with
+    // `"` (detect_quote_character's backtick-mode pick,
+    // mydumper_start_dump.c:417); statement ends ";\n"
+    assert(fileOf(SqlInsertWriter.Options()) ===
+      "INSERT INTO `t` (`id`,`s`) VALUES(1,\"a\")\n,(2,\"b\")\n;\n")
+    assert(fileOf(SqlInsertWriter.Options(insertIgnore = true)).startsWith(
+      "INSERT IGNORE INTO `t` (`id`,`s`) VALUES("))
+    assert(fileOf(SqlInsertWriter.Options(replace = true)).startsWith(
+      "REPLACE INTO `t` (`id`,`s`) VALUES("))
     // columns_on_insert replaces the schema list verbatim (write.c:466-470)
-    assert(headerOf(SqlInsertWriter.Options(
-      columnsOnInsert = Some("`x`,`y`"))) === "INSERT INTO `t` (`x`,`y`) VALUES")
+    assert(fileOf(SqlInsertWriter.Options(
+      columnsOnInsert = Some("`x`,`y`"))).startsWith("INSERT INTO `t` (`x`,`y`) VALUES("))
+    // ANSI_QUOTES flips the enclosure to '\'' (mydumper_start_dump.c:424)
+    assert(fileOf(SqlInsertWriter.Options(
+      format = graft.sources.RowFormat.resolve(
+        graft.sources.RowFormat.SqlKind, ansiQuotes = true))) ===
+      "INSERT INTO `t` (`id`,`s`) VALUES(1,'a')\n,(2,'b')\n;\n")
     // mutual exclusion, the reference's m_error (mydumper_write.c:368-369)
     intercept[IllegalArgumentException] {
       SqlInsertWriter.Options(insertIgnore = true, replace = true)
@@ -108,9 +119,10 @@ class RoundTripSpec extends SparkTestBase {
 
   test("hex-blob off: _binary literal round-trips every byte value") {
     // the reference's DEFAULT binary form (hex_blob=FALSE,
-    // mydumper_write.c:73): `_binary '<escaped raw bytes>'` (:694-703);
-    // empty stays '' in both modes (:682-684, length==0 precedes the
-    // hex check)
+    // mydumper_write.c:73): `_binary <encl><escaped raw bytes><encl>`
+    // (:694-703) with the fields_enclosed_by char — `"` in backtick
+    // identifier mode; empty stays two enclosure chars in both modes
+    // (:682-684, length==0 precedes the hex check)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("b", BinaryType)))
     val all = Array.tabulate(256)(_.toByte)
@@ -125,9 +137,9 @@ class RoundTripSpec extends SparkTestBase {
     val text = Files.readString(
       new java.io.File(dir).listFiles().filter(_.getName.endsWith(".sql"))
         .head.toPath)
-    assert(text.contains("_binary '"), "binary must use the _binary literal")
+    assert(text.contains("_binary \""), "binary must use the _binary literal")
     assert(!text.contains("0x"), "no hex literals with hexBlob off")
-    assert(text.contains(",''"), "empty binary stays '' (length==0 branch)")
+    assert(text.contains(",\"\""), "empty binary stays \"\" (length==0 branch)")
     val back = SqlInsertReader.read(spark, dir, schema)
     val a = df.orderBy("id").collect().toSeq
     val b = back.orderBy("id").collect().toSeq
