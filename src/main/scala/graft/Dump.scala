@@ -3,7 +3,7 @@ package graft
 import graft.core.{ChunkSpec, DumpManifest, TableConfig, TableManifest}
 import graft.functions.{Checksum, Masquerade}
 import graft.operators.ChunkPlanner
-import graft.sources.{CsvDump, SqlInsertWriter}
+import graft.sources.{CsvDump, LoadDataWriter, RowFormat, SqlInsertWriter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -22,6 +22,15 @@ object Dump {
   sealed trait Format
   case object SqlFormat extends Format
   case object CsvFormat extends Format
+  /** Reference-exact LOAD_DATA / CSV text dumps (`--format LOAD_DATA` /
+    * `CSV`): `db.table.NNNNN.dat` data files shaped by
+    * write_load_data_column_into_string plus a per-chunk companion
+    * `.sql` carrying the LOAD DATA statement (write_load_data_statement,
+    * mydumper_write.c:616-625). `csvVariant` flips the delimiter
+    * defaults between the two reference formats. [[CsvFormat]] remains
+    * the Spark-native csv writer (splittable columnar-pipeline output);
+    * this is the byte-contract port. */
+  final case class LoadDataFormat(csvVariant: Boolean = false) extends Format
   case object ParquetFormat extends Format
   /** JSON-lines — the training-data interchange format (one JSON object
     * per row; not in the reference, which predates it). */
@@ -72,7 +81,13 @@ object Dump {
       primaryKeys: Map[String, Seq[String]] = Map.empty,
       // per-run surrogate-stem memo (each Config() gets a fresh one;
       // copies share it, so every table in one run sees one counter)
-      stems: StemRegistry = new StemRegistry)
+      stems: StemRegistry = new StemRegistry,
+      // the --fields-terminated-by knob family, raw CLI spellings;
+      // resolved per output format by RowFormat.resolve
+      rowFormatKnobs: RowFormat.Knobs = RowFormat.Knobs(),
+      // --include-header: first row of column names in LOAD_DATA/CSV
+      // data files + IGNORE 1 LINES in the companion statement
+      includeHeader: Boolean = false)
 
   /** File-stem resolution, the reference's determine_filename /
     * get_ref_table (mydumper_common.c:66-90): a table names its own
@@ -202,7 +217,48 @@ object Dump {
             insertIgnore = cfg.insertIgnore, replace = cfg.replace,
             hexBlob = cfg.hexBlob, columnsOnInsert = conf.columnsOnInsert,
             fileHeader = if (cfg.sqlFileHeaders)
-              Some(sources.SchemaObjects.fileHeader()) else None))
+              Some(sources.SchemaObjects.fileHeader()) else None,
+            format = RowFormat.resolve(RowFormat.SqlKind, cfg.rowFormatKnobs)))
+      case LoadDataFormat(csvVariant) =>
+        val fmt = RowFormat.resolve(
+          if (csvVariant) RowFormat.CsvKind else RowFormat.LoadDataKind,
+          cfg.rowFormatKnobs)
+        val fileLog = df.sparkSession.sparkContext
+          .collectionAccumulator[String](s"files_dumped_${cfg.db}.$stem")
+        val n = LoadDataWriter.write(partitioned, cfg.db, stem, cfg.outDir,
+          LoadDataWriter.Options(format = fmt, header = cfg.includeHeader,
+            hexBlob = cfg.hexBlob, statementSize = cfg.statementSize,
+            compress = cfg.compress, execFilter = cfg.execFilter,
+            fileLog = Some(fileLog)))
+        // one companion .sql per data chunk: SET-NAMES header + the
+        // LOAD DATA statement naming the chunk's BASENAME
+        // (write_load_data_statement, mydumper_write.c:616-625)
+        val schemaNames = partitioned.schema
+        val hexCols =
+          if (cfg.hexBlob)
+            schemaNames.fields.collect {
+              case f if f.dataType == org.apache.spark.sql.types.BinaryType => f.name
+            }.toSet
+          else Set.empty[String]
+        val ldOpts = CsvDump.Options(
+          fieldsTerminatedBy = fmt.fieldsTerminatedBy,
+          fieldsEnclosedBy = fmt.fieldsEnclosedBy,
+          fieldsEscapedBy = fmt.escapeChar.toString,
+          header = cfg.includeHeader,
+          linesStartingBy = Some(fmt.linesStartingBy))
+        import scala.jdk.CollectionConverters._
+        fileLog.value.asScala.toSeq.distinct.foreach { dataFile =>
+          val stmtName = dataFile.replaceFirst("\\.dat(\\.[a-z0-9]+)?$", ".sql")
+          val text = (if (cfg.sqlFileHeaders)
+            sources.SchemaObjects.fileHeader() else "") +
+            CsvDump.loadDataStatement(table, dataFile, ldOpts,
+              columns = schemaNames.fieldNames.toSeq, hexCols = hexCols,
+              columnsOnInsert = conf.columnsOnInsert)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(cfg.outDir, stmtName),
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        n
       case CsvFormat =>
         // Observation rides the write job — row count without a second scan
         val obs = new org.apache.spark.sql.Observation()

@@ -4,7 +4,7 @@ import graft.core.DumpManifest
 import graft.functions.Checksum
 import graft.load.DependencyScheduler
 import graft.load.DependencyScheduler.TablePlan
-import graft.sources.{CsvDump, SqlInsertReader}
+import graft.sources.{CsvDump, LoadDataReader, LoadDataStatement, LoadDataWriter, SqlInsertReader}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, row_number}
 import org.apache.spark.sql.types.StructType
@@ -306,8 +306,28 @@ object Load {
           val df = decode match {
             case Some((cmd, ext)) => SqlInsertReader.readFiltered(spark,
               dumpDir, src.schema, cmd, glob = s"${src.table}.*$ext")
-            case None => SqlInsertReader.read(spark, dumpDir, src.schema,
-              glob = s"${src.table}.*.sql*")
+            case None =>
+              // LOAD_DATA/CSV dumps restore through the .dat reader with
+              // the delimiters recovered FROM the companion statement —
+              // myloader likewise rewrites the statement it finds
+              // (myloader_process.c) instead of assuming defaults
+              val dirFiles = Option(new java.io.File(dumpDir).listFiles())
+                .getOrElse(Array.empty[java.io.File])
+                .filter(f => f.getName.startsWith(s"${src.table}."))
+              if (dirFiles.exists(f => classify(f.getName) == LoadData)) {
+                val opts = dirFiles
+                  .filter(_.getName.endsWith(".sql")).sortBy(_.getName)
+                  .iterator
+                  .flatMap(f => LoadDataStatement.parse(
+                    java.nio.file.Files.readString(f.toPath)))
+                  .nextOption()
+                  .map(p => LoadDataWriter.Options(format = p.format,
+                    header = p.header, hexBlob = p.hexCols.nonEmpty))
+                  .getOrElse(LoadDataWriter.Options())
+                LoadDataReader.read(spark, dumpDir, src.schema, opts,
+                  glob = s"${src.table}.*.dat*")
+              } else SqlInsertReader.read(spark, dumpDir, src.schema,
+                glob = s"${src.table}.*.sql*")
           }
           // skip mode never computes the verification scan — at scale
           // that's a whole extra pass over the data

@@ -17,9 +17,14 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.cli.Main dump --source-dir /data/sf0.01 -o /tmp/out \
-  *     [--format sql|csv|parquet|jsonl] [--compress] [--rows N] [--regex R]
+  *     [--format sql|LOAD_DATA|CSV|csv|parquet|jsonl] [--compress]
+  *     [--rows N] [--regex R]
   *     [--tables-list a,b] [--where COND] [--threads N] [--exec "cmd FILENAME"]
   *     [--exec-per-thread "cmd"] [--exec-per-thread-extension .sql.zst]
+  *     [--fields-terminated-by S] [--fields-enclosed-by C]
+  *     [--fields-escaped-by C] [--lines-starting-by S]
+  *     [--lines-terminated-by S] [--statement-terminated-by S]
+  *     [--include-header]
   *   graft.cli.Main load -d /tmp/out --target /tmp/restored [--checksum fail]
   */
 object Main {
@@ -95,11 +100,18 @@ object Main {
     val src = o.getOrElse("source-dir", sys.error("--source-dir required"))
     val outDir = o.getOrElse("outputdir", sys.error("-o/--outputdir required"))
     val db = o.getOrElse("database", "graft")
-    val fmt = o.getOrElse("format", "sql") match {
-      case "csv" => Dump.CsvFormat
-      case "parquet" => Dump.ParquetFormat
-      case "jsonl" => Dump.JsonlFormat
-      case "clickhouse" => Dump.ClickHouseFormat
+    // --format matches the reference case-insensitively
+    // (INSERT/LOAD_DATA/CSV/CLICKHOUSE, mydumper_arguments.c:99-123);
+    // LOAD_DATA and CSV route to the byte-contract .dat writer. Our
+    // spark-native extras keep their lowercase spellings; bare `csv`
+    // stays the spark-native csv writer for compatibility.
+    val fmt = o.getOrElse("format", "sql").toUpperCase match {
+      case "CSV" if o("format") == "csv" => Dump.CsvFormat
+      case "LOAD_DATA" => Dump.LoadDataFormat()
+      case "CSV" => Dump.LoadDataFormat(csvVariant = true)
+      case "PARQUET" => Dump.ParquetFormat
+      case "JSONL" => Dump.JsonlFormat
+      case "CLICKHOUSE" => Dump.ClickHouseFormat
       case _ => Dump.SqlFormat
     }
     val spec = TableFilter.Spec(
@@ -159,7 +171,17 @@ object Main {
             "--exec-per-thread-extension must be set with --exec-per-thread")))
       },
       masks = Masquerade.Registry(parseMasks(o.get("mask"))),
-      primaryKeys = Tables.primaryKeys)
+      primaryKeys = Tables.primaryKeys,
+      // the --fields-terminated-by knob family: raw spellings, decoded
+      // per format by RowFormat.resolve (replace_escaped_strings)
+      rowFormatKnobs = graft.sources.RowFormat.Knobs(
+        fieldsTerminatedBy = o.get("fields-terminated-by"),
+        fieldsEnclosedBy = o.get("fields-enclosed-by"),
+        fieldsEscapedBy = o.get("fields-escaped-by"),
+        linesStartingBy = o.get("lines-starting-by"),
+        linesTerminatedBy = o.get("lines-terminated-by"),
+        statementTerminatedBy = o.get("statement-terminated-by")),
+      includeHeader = o.contains("include-header"))
     val tables = all.map(t => (t, Tables.t(spark, src, t), true))
     val manifest = Dump.run(spark, tables, cfg)
     manifest.tables.foreach(t =>

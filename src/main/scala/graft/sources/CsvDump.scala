@@ -79,8 +79,10 @@ object CsvDump {
     *     reference never emits REPLACE/IGNORE here;
     *   - table NOT db-qualified (myloader selects the schema on the
     *     connection; the db travels in the file name);
-    *   - CHARACTER SET / ENCLOSED BY / LINES STARTING BY only when
-    *     configured; `ENCLOSED BY`, not `OPTIONALLY ENCLOSED BY`;
+    *   - CHARACTER SET only when configured; ENCLOSED BY / ESCAPED BY /
+    *     STARTING BY ALWAYS present (the `_ld` globals are back-filled
+    *     non-NULL, so defaults print `ENCLOSED BY ''` / `STARTING BY
+    *     ''`); `ENCLOSED BY`, not `OPTIONALLY ENCLOSED BY`;
     *   - `IGNORE 1 LINES` when the files carry a header row (:531-532);
     *   - trailing column list (:533-545): binary columns route through a
     *     `@var` + `SET col=UNHEX(@var)` pair exactly when the data file
@@ -96,12 +98,15 @@ object CsvDump {
     val sb = new StringBuilder
     sb ++= s"LOAD DATA LOCAL INFILE '$file' INTO TABLE `$table` "
     opts.characterSet.foreach(cs => sb ++= s"CHARACTER SET $cs ")
+    // every clause is ALWAYS present: the reference back-fills the _ld
+    // spellings to non-NULL (empty) strings, so defaults print as
+    // `ENCLOSED BY ''` / `STARTING BY ''` rather than dropping the
+    // clause (mydumper_write.c:283-285,314-317 feed :523-530)
     sb ++= s"FIELDS TERMINATED BY '${escape(opts.fieldsTerminatedBy)}' "
-    if (opts.fieldsEnclosedBy.nonEmpty)
-      sb ++= s"ENCLOSED BY '${opts.fieldsEnclosedBy}' "
+    sb ++= s"ENCLOSED BY '${opts.fieldsEnclosedBy}' "
     sb ++= s"ESCAPED BY '${escape(opts.fieldsEscapedBy)}' "
     sb ++= "LINES "
-    opts.linesStartingBy.foreach(ls => sb ++= s"STARTING BY '${escape(ls)}' ")
+    sb ++= s"STARTING BY '${escape(opts.linesStartingBy.getOrElse(""))}' "
     sb ++= "TERMINATED BY '\\n' "
     if (opts.header) sb ++= "IGNORE 1 LINES "
     columnsOnInsert match {
@@ -114,7 +119,8 @@ object CsvDump {
           sb ++= sets.map(c => s"`$c`=UNHEX(@$c)").mkString("SET ", ",", "")
       case None => ()
     }
-    sb ++= ";"
+    // statement ends `;\n` (initialize_load_data_statement_suffix :547)
+    sb ++= ";\n"
     sb.toString
   }
 

@@ -112,51 +112,12 @@ object SqlInsertWriter {
         val render = internalRenderers(schema, opts.hexBlob, fmt.fieldsEnclosedBy)
         val n = render.length
         val delimBytes = RowFormat.utf8Length(fmt.rowDelimiter)
-        val w = new PartitionWriter(conf.value, outDir, db, table, part, opts)
+        val w = new PartitionWriter(conf.value, outDir, db, table, part,
+          ".sql", opts.fileSizeBytes, opts.compress, opts.execFilter,
+          opts.fileHeader, opts.fileLog)
         try {
-          // statement packing mirrors the reference's write loop
-          // (mydumper_write.c:946-1012): the size check runs BEFORE the
-          // row is appended (`statement->len + row->len + 1 >
-          // statement_size`) so no statement ever exceeds the cap —
-          // except a single row bigger than the cap, which ships as its
-          // own oversized statement (:956-963); lengths are UTF-8 BYTES
-          val sb = new java.lang.StringBuilder(opts.statementSize + 4096)
-          val rowSb = new java.lang.StringBuilder(256)
-          var stmtBytes = 0L
-          var rowsInStmt = 0
-          sb.append(header); stmtBytes = headerBytes
-          while (rows.hasNext) {
-            val r = rows.next()
-            rowSb.setLength(0)
-            rowSb.append(fmt.linesStartingBy)
-            var i = 0
-            while (i < n) {
-              if (i > 0) rowSb.append(fmt.fieldsTerminatedBy)
-              if (r.isNullAt(i)) rowSb.append("NULL") else render(i)(rowSb, r)
-              i += 1
-            }
-            rowSb.append(fmt.linesTerminatedBy)
-            var rowBytes = RowFormat.utf8Length(rowSb)
-            if (stmtBytes + rowBytes + 1 > opts.statementSize) {
-              if (rowsInStmt == 0) { // oversized single row, ships alone
-                sb.append(rowSb); stmtBytes += rowBytes
-                rowSb.setLength(0); rowBytes = 0L
-              }
-              sb.append(fmt.statementTerminatedBy)
-              w.emit(sb.toString)
-              sb.setLength(0); sb.append(header)
-              stmtBytes = headerBytes; rowsInStmt = 0
-            }
-            if (rowSb.length() > 0) {
-              if (rowsInStmt > 0) { sb.append(fmt.rowDelimiter); stmtBytes += delimBytes }
-              sb.append(rowSb); stmtBytes += rowBytes
-              rowsInStmt += 1
-            }
-            written += 1
-          }
-          // a trailing header-only buffer (last row shipped oversized)
-          // is discarded, like the reference's num_rows_st>0 gate (:1016)
-          if (rowsInStmt > 0) { sb.append(fmt.statementTerminatedBy); w.emit(sb.toString) }
+          written = packRows(rows, render, n, fmt, header, headerBytes,
+            delimBytes, opts.statementSize, w)
           w.close() // SUCCESS path: commit (rename temp → final name)
         } catch {
           case e: Throwable =>
@@ -169,7 +130,63 @@ object SqlInsertWriter {
     counts.value
   }
 
-  private type FieldRenderer =
+  /** Statement packing shared by the SQL and LOAD-DATA/CSV writers,
+    * mirroring the reference's write loop (mydumper_write.c:946-1021):
+    * the size check runs BEFORE the row is appended (`statement->len +
+    * row->len + 1 > statement_size`) so no statement ever exceeds the
+    * cap — except a single row bigger than the cap, which ships as its
+    * own oversized statement (:956-963); lengths are UTF-8 BYTES. For
+    * LOAD-DATA shapes `statementHeader` is empty and the terminator /
+    * row delimiter resolve to "" — the same loop degrades to plain
+    * buffered row streaming, like the reference's shared code path. */
+  private[sources] def packRows(
+      rows: Iterator[org.apache.spark.sql.catalyst.InternalRow],
+      render: Array[FieldRenderer], n: Int, fmt: RowFormat.Resolved,
+      header: String, headerBytes: Long, delimBytes: Long,
+      statementSize: Int, w: PartitionWriter,
+      nullText: String = "NULL"): Long = {
+    var written = 0L
+    val sb = new java.lang.StringBuilder(statementSize + 4096)
+    val rowSb = new java.lang.StringBuilder(256)
+    var stmtBytes = 0L
+    var rowsInStmt = 0
+    sb.append(header); stmtBytes = headerBytes
+    while (rows.hasNext) {
+      val r = rows.next()
+      rowSb.setLength(0)
+      rowSb.append(fmt.linesStartingBy)
+      var i = 0
+      while (i < n) {
+        if (i > 0) rowSb.append(fmt.fieldsTerminatedBy)
+        if (r.isNullAt(i)) rowSb.append(nullText) else render(i)(rowSb, r)
+        i += 1
+      }
+      rowSb.append(fmt.linesTerminatedBy)
+      var rowBytes = RowFormat.utf8Length(rowSb)
+      if (stmtBytes + rowBytes + 1 > statementSize) {
+        if (rowsInStmt == 0) { // oversized single row, ships alone
+          sb.append(rowSb); stmtBytes += rowBytes
+          rowSb.setLength(0); rowBytes = 0L
+        }
+        sb.append(fmt.statementTerminatedBy)
+        w.emit(sb.toString)
+        sb.setLength(0); sb.append(header)
+        stmtBytes = headerBytes; rowsInStmt = 0
+      }
+      if (rowSb.length() > 0) {
+        if (rowsInStmt > 0) { sb.append(fmt.rowDelimiter); stmtBytes += delimBytes }
+        sb.append(rowSb); stmtBytes += rowBytes
+        rowsInStmt += 1
+      }
+      written += 1
+    }
+    // a trailing header-only buffer (last row shipped oversized)
+    // is discarded, like the reference's num_rows_st>0 gate (:1016)
+    if (rowsInStmt > 0) { sb.append(fmt.statementTerminatedBy); w.emit(sb.toString) }
+    written
+  }
+
+  private[sources] type FieldRenderer =
     (java.lang.StringBuilder, org.apache.spark.sql.catalyst.InternalRow) => Unit
 
   /** One renderer closure per column, dispatched on type exactly once.
@@ -274,9 +291,15 @@ object SqlInsertWriter {
     s"${opts.verb} INTO `$table`$cols VALUES"
   }
 
-  /** One output file with size-based rotation (sub_part counter). */
-  private final class PartitionWriter(conf: Configuration, outDir: String,
-      db: String, table: String, part: Int, opts: Options) {
+  /** One output file with size-based rotation (sub_part counter) —
+    * shared by the SQL and LOAD-DATA/CSV dump writers (`baseExt` is
+    * `.sql` or `.dat`, the reference's rows_file_extension,
+    * mydumper_arguments.c:39,108-120). */
+  private[sources] final class PartitionWriter(conf: Configuration, outDir: String,
+      db: String, table: String, part: Int, baseExt: String,
+      fileSizeBytes: Long, compress: Boolean, execFilter: Option[ExecFilter],
+      fileHeader: Option[String],
+      fileLog: Option[org.apache.spark.util.CollectionAccumulator[String]]) {
     private val fs = new Path(outDir).getFileSystem(conf)
     private var subPart = -1
     private var out: OutputStream = _
@@ -292,25 +315,25 @@ object SqlInsertWriter {
 
     private def open(): Unit = {
       subPart += 1
-      val sub = if (opts.fileSizeBytes > 0) f".$subPart%05d" else ""
-      val ext = opts.execFilter.map(_.ext)
-        .getOrElse(if (opts.compress) ".sql.gz" else ".sql")
+      val sub = if (fileSizeBytes > 0) f".$subPart%05d" else ""
+      val ext = execFilter.map(_.ext)
+        .getOrElse(if (compress) s"$baseExt.gz" else baseExt)
       val name = f"$db.$table.$part%05d$sub$ext"
-      opts.fileLog.foreach(_.add(name))
+      fileLog.foreach(_.add(name))
       finalPath = new Path(outDir, name)
       // hidden temp (leading dot): ignored by Hadoop input formats, the
       // loader's discover(), and the reader globs, so a failed attempt
       // leaves no half-written file under a data name
       tmpPath = new Path(outDir, s".$name.$attempt.tmp")
       val raw = fs.create(tmpPath, true)
-      out = opts.execFilter match {
+      out = execFilter match {
         case Some(f) => f.wrap(new BufferedOutputStream(raw, 1 << 16))
-        case None if opts.compress =>
+        case None if compress =>
           new GZIPOutputStream(new BufferedOutputStream(raw, 1 << 16))
         case None => new BufferedOutputStream(raw, 1 << 16)
       }
       bytes = 0L
-      opts.fileHeader.foreach { h =>
+      fileHeader.foreach { h =>
         val b = h.getBytes(StandardCharsets.UTF_8)
         out.write(b); bytes += b.length
       }
@@ -321,7 +344,7 @@ object SqlInsertWriter {
       val b = statement.getBytes(StandardCharsets.UTF_8)
       out.write(b)
       bytes += b.length
-      if (opts.fileSizeBytes > 0 && bytes >= opts.fileSizeBytes) { close(); open() }
+      if (fileSizeBytes > 0 && bytes >= fileSizeBytes) { close(); open() }
     }
 
     /** Commit-on-close: the completed temp file moves to the final name.

@@ -615,4 +615,46 @@ class DumpLoadSpec extends SparkTestBase {
     assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old gen -> null
     assert(rows(1).getDouble(rows(1).fieldIndex("score")) === 9.5)
   }
+
+  test("LOAD_DATA format: .dat chunks + companion statements restore end-to-end") {
+    // the reference's --format LOAD_DATA/CSV pairing: data in
+    // db.table.NNNNN.dat, a per-chunk .sql carrying the LOAD DATA
+    // statement (write_load_data_statement, mydumper_write.c:616-625);
+    // the restore recovers the delimiters FROM the companion statement
+    for (csvVariant <- Seq(false, true)) {
+      val out = Files.createTempDirectory("graft_ld_e2e_").toString
+      val tables = Seq(("nation", Tables.nation(spark, sf), true))
+      val manifest = Dump.run(spark, tables,
+        Dump.Config(outDir = out, db = "tpch",
+          format = Dump.LoadDataFormat(csvVariant)))
+      val files = new java.io.File(out).listFiles().map(_.getName)
+      val dats = files.filter(_.matches("tpch\\.nation\\.\\d{5}\\.dat"))
+      assert(dats.nonEmpty, files.mkString(","))
+      // one companion statement per data chunk, same stem
+      dats.foreach { d =>
+        val companion = d.stripSuffix(".dat") + ".sql"
+        assert(files.contains(companion), s"missing companion for $d")
+        val text = Files.readString(java.nio.file.Paths.get(out, companion))
+        assert(text.contains(s"LOAD DATA LOCAL INFILE '$d' INTO TABLE `nation`"))
+        val parsed = graft.sources.LoadDataStatement.parse(text).get
+        assert(parsed.infile === d)
+        assert(parsed.format.fieldsTerminatedBy ===
+          (if (csvVariant) "," else "\t"))
+        assert(parsed.format.fieldsEnclosedBy === (if (csvVariant) "\"" else ""))
+      }
+      val expected =
+        manifest.tables.find(_.table == "nation").get.dataChecksum.get.toLong
+      val src = Load.TableSource("tpch.nation",
+        Tables.nation(spark, sf).schema, Some(expected))
+      val restoredDir = Files.createTempDirectory("graft_ld_rest_").toString
+      val results = Load.run(spark, out, Seq(src),
+        checksumMode = Load.ChecksumFail) { (stem, df) =>
+        df.write.mode("overwrite").parquet(s"$restoredDir/$stem")
+      }
+      assert(results.forall(_.checksumOk.contains(true)),
+        s"csvVariant=$csvVariant checksum failed")
+      assert(spark.read.parquet(s"$restoredDir/tpch.nation").count()
+        === Tables.nation(spark, sf).count())
+    }
+  }
 }

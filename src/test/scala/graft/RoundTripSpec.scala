@@ -159,12 +159,14 @@ class RoundTripSpec extends SparkTestBase {
   test("load-data companion statement matches reference shape") {
     // clause-for-clause initialize_load_data_statement_suffix
     // (mydumper_write.c:515-548) + LOAD_DATA_PREFIX (mydumper_write.h:21):
-    // no REPLACE/IGNORE verb, table NOT db-qualified, plain ENCLOSED BY,
-    // optional clauses absent unless configured
+    // no REPLACE/IGNORE verb, table NOT db-qualified, plain ENCLOSED BY;
+    // ENCLOSED BY / ESCAPED BY / STARTING BY always present — the _ld
+    // globals are back-filled non-NULL empties (:283-285,314-317), so
+    // defaults print ENCLOSED BY '' and STARTING BY ''; ends `;\n` (:547)
     val stmt = CsvDump.loadDataStatement("t", "/x/db.t.00000.dat")
     assert(stmt === "LOAD DATA LOCAL INFILE '/x/db.t.00000.dat' INTO TABLE " +
-      "`t` FIELDS TERMINATED BY '\\t' ESCAPED BY '\\\\' " +
-      "LINES TERMINATED BY '\\n' ;")
+      "`t` FIELDS TERMINATED BY '\\t' ENCLOSED BY '' ESCAPED BY '\\\\' " +
+      "LINES STARTING BY '' TERMINATED BY '\\n' ;\n")
     assert(!stmt.contains("REPLACE"), "the reference emits no LOAD DATA verb")
 
     // hex-encoded binary columns route through @var + SET col=UNHEX(@var)
