@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{Checksum, Masquerade, TextFunctions, VectorFunctions}
+import graft.functions.{Checksum, Hashing, Masquerade, TextFunctions, VectorFunctions}
 import graft.operators.{AsofJoin, ChunkPlanner, Dedup, DocChunker, Similarity, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -374,13 +374,17 @@ object Queries {
     lineitem(s, d).groupBy("l_returnflag").agg(
       expr("approx_percentile(l_partkey, array(0.25, 0.5, 0.75), 10000)")
         .as("qa"),
-      percentile(col("l_partkey"), lit(0.25)).as("p25"),
-      percentile(col("l_partkey"), lit(0.5)).as("p50"),
-      percentile(col("l_partkey"), lit(0.75)).as("p75"))
-      .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
-        (abs(element_at(col("qa"), 1) - col("p25")) <= col("p25") * 0.01 &&
-         abs(element_at(col("qa"), 2) - col("p50")) <= col("p50") * 0.01 &&
-         abs(element_at(col("qa"), 3) - col("p75")) <= col("p75") * 0.01)
+      // ONE exact sort-aggregate for all three probabilities (array
+      // form) — three scalar percentile() calls each carry their own
+      // full per-group value buffer: 3x the agg state and 3x the sort
+      expr("percentile(l_partkey, array(0.25, 0.5, 0.75))").as("pe"))
+      .select(col("l_returnflag"),
+        element_at(col("pe"), 1).as("p25"),
+        element_at(col("pe"), 2).as("p50"),
+        element_at(col("pe"), 3).as("p75"),
+        (abs(element_at(col("qa"), 1) - element_at(col("pe"), 1)) <= element_at(col("pe"), 1) * 0.01 &&
+         abs(element_at(col("qa"), 2) - element_at(col("pe"), 2)) <= element_at(col("pe"), 2) * 0.01 &&
+         abs(element_at(col("qa"), 3) - element_at(col("pe"), 3)) <= element_at(col("pe"), 3) * 0.01)
           .as("approx_ok"))
       .orderBy("l_returnflag")
   val qApproxQuantileSql: String =
@@ -1282,12 +1286,55 @@ object Queries {
   val qDedupIncrementalSql: String =
     "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS consistent FROM documents"
 
-  /** Embedding-cosine near-dups via hyperplane LSH (rows-only check;
-    * testdata max pairwise cosine ≈0.51, so threshold 0.35 yields pairs). */
+  /** Embedding-cosine near-dups via hyperplane LSH at the PRODUCTION
+    * pruned setting (bits=2 bucket, hamming prefilter). Value-gated:
+    * the ±1 hyperplanes are data-independent (seeded splitmix64,
+    * Hashing.hyperplanes), so the oracle inlines them as literals and
+    * DuckDB replays the signature bit-for-bit — sign of a left-to-right
+    * double dot-product, same accumulation order as Hashing.lshSig64 —
+    * then the bucket/hamming candidate walls and the exact-cosine verify.
+    * (Testdata max pairwise cosine ≈0.51, so threshold 0.35 yields
+    * pairs.) */
   val qDedupEmbedding: QFn = (s, d) =>
     Dedup.embeddingNearDups(embeddings(s, d), "embedding", "vec_id",
       threshold = 0.35, bits = 2, dim = 64)
       .orderBy("id1", "id2")
+  /** ±1 hyperplane rows as DuckDB VALUES literals, from the SAME
+    * generator the engine uses (Hashing.hyperplanes) — a seed or dim
+    * change updates engine and oracle together. The signature replay is
+    * exact because the planes are data-independent and the sign decision
+    * is a left-to-right double dot-product in both engines. */
+  private def planeRows(bits: Int, seed: Long = 42L): String =
+    Hashing.hyperplanes(bits, 64, seed).zipWithIndex.map { case (pl, p) =>
+      s"($p, [${pl.map(x => if (x > 0) "1" else "-1").mkString(",")}]::DOUBLE[])"
+    }.mkString(", ")
+
+  val qDedupEmbeddingSql: String = {
+    val vals = planeRows(64)
+    val ham = Dedup.hammingLimit(0.35, slackBits = 4)
+    s"""WITH planes(p, pl) AS (VALUES $vals),
+       |sig AS (
+       |  SELECT vec_id, embedding,
+       |    string_agg(CASE WHEN list_sum(list_transform(list_zip(embedding, pl),
+       |      z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN '1' ELSE '0' END,
+       |      '' ORDER BY p) AS s
+       |  FROM embeddings, planes GROUP BY vec_id, embedding),
+       |cand AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    a.embedding AS v1, b.embedding AS v2
+       |  FROM sig a JOIN sig b
+       |    ON a.vec_id < b.vec_id
+       |   AND substring(a.s, 1, 2) = substring(b.s, 1, 2)
+       |   AND hamming(a.s, b.s) <= $ham),
+       |p2 AS (
+       |  SELECT id1, id2,
+       |    list_sum(list_transform(list_zip(v1, v2), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(v1, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(v2, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+       |  FROM cand)
+       |SELECT id1, id2, floor(cos * 10000.0) / 10000.0 AS cosine
+       |FROM p2 WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin
+  }
 
   /** Embedding near-dup recall, oracle-visible: DuckDB brute-forces the
     * exact cosine-≥0.35 pair count on the <150-id slice; the boolean
@@ -1636,8 +1683,11 @@ object Queries {
 
   /** IVF/LSH-bucketed approximate top-k (the 100 TB scale path of
     * q_ann_cosine: probe only cells within hamming ≤ nprobe of the query
-    * cell — a partition-prunable fraction of the corpus). Cell assignment
-    * is seeded-hyperplane LSH → rows-only check. */
+    * cell — a partition-prunable fraction of the corpus). Value-gated at
+    * the PRODUCTION nprobe=1 setting: the seeded hyperplane cells are
+    * data-independent, so the oracle inlines the planes and DuckDB
+    * replays cell assignment, the hamming-ball probe, and the cosine
+    * top-k bit-for-bit (same replay as qDedupEmbeddingSql). */
   val qAnnIvf: QFn = (s, d) => {
     val e = embeddings(s, d)
     val q = probeVec(s, d, 0L)
@@ -1648,6 +1698,28 @@ object Queries {
       .select(col("vec_id"),
         (floor(col("score") * lit(1000000.0)) / lit(1000000.0)).as("score"))
   }
+  val qAnnIvfSql: String =
+    s"""WITH planes(p, pl) AS (VALUES ${planeRows(2)}),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |sig AS (
+       |  SELECT vec_id, embedding,
+       |    string_agg(CASE WHEN list_sum(list_transform(list_zip(embedding, pl),
+       |      z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN '1' ELSE '0' END,
+       |      '' ORDER BY p) AS s
+       |  FROM embeddings, planes WHERE vec_id <> 0 GROUP BY vec_id, embedding),
+       |qsig AS (
+       |  SELECT string_agg(CASE WHEN list_sum(list_transform(list_zip(qv, pl),
+       |      z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN '1' ELSE '0' END,
+       |      '' ORDER BY p) AS s
+       |  FROM q, planes),
+       |c AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(list_zip(embedding, qv), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+       |  FROM sig, qsig, q WHERE hamming(sig.s, qsig.s) <= 1)
+       |SELECT vec_id, floor(cos * 1000000.0) / 1000000.0 AS score FROM c
+       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
 
   /** IVF at FULL probe width (nprobe = bits ⇒ the hamming ball reaches
     * every cell), VALUE-gated: the approximate path degenerates to exact
@@ -2110,14 +2182,48 @@ object Queries {
       |  floor(cos * 1000000.0) / 1000000.0 AS score
       |FROM r WHERE rank <= 3 ORDER BY id1, rank""".stripMargin
 
-  /** kNN graph, LSH-cell scale path (equi-join on the cell key — custom
-    * hyperplane hash, so rows-only at the gate; SimilaritySpec pins its
-    * recall against the exact baseline, and [[qKnnRecall]] makes the
-    * recall oracle-visible). */
+  /** kNN graph, LSH-cell scale path (single equi-join on the packed
+    * (table, cell) key). Value-gated at the PRODUCTION bits=3/tables=6
+    * setting: per-table seeded hyperplane cells are data-independent, so
+    * the oracle inlines all 6 plane tables and DuckDB replays cell
+    * assignment, the co-cell candidate union, dedup, cosine scoring,
+    * mirroring, and the per-node rank — bit-for-bit. Score floored like
+    * q_knn_exact to make the double hash-comparable. */
   val qKnnGraph: QFn = (s, d) =>
     Similarity.selfTopKLsh(embeddings(s, d), "embedding", "vec_id",
       k = 5, bits = 3, tables = 6)
+      .withColumn("score", floor(col("score") * lit(1000000.0)) / lit(1000000.0))
       .orderBy("id1", "rank")
+  val qKnnGraphSql: String = {
+    val vals = (0 until 6).flatMap { t =>
+      Hashing.hyperplanes(3, 64, 42L + t).zipWithIndex.map { case (pl, p) =>
+        s"($t, $p, [${pl.map(x => if (x > 0) "1" else "-1").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(", ")
+    s"""WITH planes(t, p, pl) AS (VALUES $vals),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |    string_agg(CASE WHEN list_sum(list_transform(list_zip(embedding, pl),
+       |      z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN '1' ELSE '0' END,
+       |      '' ORDER BY p) AS s
+       |  FROM embeddings, planes GROUP BY vec_id, t),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM sig a JOIN sig b ON a.t = b.t AND a.s = b.s AND a.vec_id < b.vec_id),
+       |sc AS (
+       |  SELECT id1, id2,
+       |    list_sum(list_transform(list_zip(e1.embedding, e2.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(e1.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(e2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+       |  FROM cand JOIN embeddings e1 ON cand.id1 = e1.vec_id
+       |            JOIN embeddings e2 ON cand.id2 = e2.vec_id),
+       |bdir AS (SELECT id1, id2, cos FROM sc UNION ALL SELECT id2, id1, cos FROM sc),
+       |r AS (SELECT id1, id2, cos,
+       |  row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank FROM bdir)
+       |SELECT id1, id2, CAST(rank AS BIGINT) AS rank,
+       |  floor(cos * 1000000.0) / 1000000.0 AS score
+       |FROM r WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
+  }
 
   /** Multi-table LSH kNN at the degenerate bits=0 setting, VALUE-gated:
     * zero hyperplanes put every row in the ONE cell of BOTH tables, so
@@ -2646,6 +2752,8 @@ object Queries {
     "q_zorder" -> qZorderSql,
     "q_ann_cosine" -> qAnnCosineSql,
     "q_ann_ivf_full" -> qAnnIvfFullSql,
+    "q_ann_ivf" -> qAnnIvfSql,
+    "q_knn_graph" -> qKnnGraphSql,
     "q_ann_index" -> qAnnIndexSql,
     "q_ann_batch" -> qAnnBatchSql,
     "q_embed_stats" -> qEmbedStatsSql,
@@ -2696,6 +2804,7 @@ object Queries {
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_embed_recall" -> qEmbedRecallSql,
     "q_dedup_embedding_exact" -> qDedupEmbeddingExactSql,
+    "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_pack_stats" -> qPackStatsSql,
     "q_ann_ivf_recall" -> qAnnIvfRecallSql,
     "q_approx_quantile" -> qApproxQuantileSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   * One parquet file per table under the scale-factor dir.
@@ -22,14 +22,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong, so the
-    * column arrives as LongType nanos — normalize to TimestampType (µs). */
+  /** events.ts arrives in whatever physical shape the generator last
+    * wrote — normalize every shape to TimestampType (UTC-adjusted µs),
+    * the one event-time type the whole engine (casts, watermarks)
+    * assumes:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; sessions
+    *    set spark.sql.legacy.parquet.nanosAsLong, so it lands as
+    *    LongType nanos → convert to µs.
+    *  - TIMESTAMP(isAdjustedToUTC=false): infers to TIMESTAMP_NTZ, which
+    *    `withWatermark` rejects and bigint casts refuse → cast to
+    *    TimestampType (value-stable: the session TZ is pinned UTC, so
+    *    wall-clock micros and instant micros coincide). */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = t(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -4,6 +4,41 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Dump one catalog query to `outDir/<name>.parquet`. If the query
+    * THROWS, write a one-row error-marker parquet under the same name
+    * (columns `graft_error`/`message`) and return the message: the
+    * driver's DuckDB compare then reports a visible schema/hash FAIL for
+    * that gate instead of the gate silently vanishing from the
+    * correctness artifact and shrinking the denominator (the round-6
+    * harness honesty gap: 2 broken gates were simply absent from
+    * CORRECTNESS_r06). */
+  def dumpOne(spark: SparkSession, sfDir: String, outDir: String,
+      name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] = {
+    val res =
+      try { fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name.parquet"); None }
+      catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        System.err.println(s"[verify] $name failed: $msg")
+        try {
+          import spark.implicits._
+          Seq(("ERROR", msg.take(500))).toDF("graft_error", "message")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name.parquet")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
+        }
+        Some(msg)
+      }
+    // free any storage blocks the query materialized (checkpointing
+    // operators) so 100+ queries can't accumulate pinned memory
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+    res
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -45,17 +80,24 @@ object Verify {
       case Some(re) => (n: String) => re.findFirstIn(n).isDefined
       case None     => (_: String) => true
     }
-    SparkEntry.queries.filter(t => keep(t._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    val failed = SparkEntry.queries.filter(t => keep(t._1)).toSeq
+      .flatMap { case (name, fn) =>
+        dumpOne(spark, sfDir, outDir, name, fn).map(name -> _)
       }
-      // free any storage blocks the query materialized (checkpointing
-      // operators) so 100+ queries can't accumulate pinned memory
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
+    // coverage assertion: every catalog key must have an output dir —
+    // success parquet or error marker — so a vanished gate fails LOUDLY
+    // here instead of shrinking the driver's denominator
+    val missing = SparkEntry.queries.keys.filter(keep).filterNot(n =>
+      new java.io.File(s"$outDir/$n.parquet").exists)
+    if (failed.nonEmpty || missing.nonEmpty) {
+      val report = (failed.map { case (n, m) =>
+          s"""{"query": ${q(n)}, "error": ${q(m.take(500))}}""" } ++
+        missing.map(n => s"""{"query": ${q(n)}, "error": "no output written"}"""))
+        .mkString("[", ",\n ", "]")
+      Files.writeString(Paths.get(s"$outDir/verify_errors.json"), report)
+      System.err.println(
+        s"[verify] ${failed.size} failed, ${missing.size} missing of " +
+        s"${SparkEntry.queries.size} gates — see verify_errors.json")
     }
     spark.stop()
   }

@@ -345,14 +345,20 @@ object Dedup {
     * value-gate setting (`q_dedup_embedding_exact`); the clamp is 64, not
     * 63, because a full-complement signature pair differs in all 64 bits
     * and a 63-bit window would silently drop it from "exact" output. */
+  /** Hamming prefilter budget for [[embeddingNearDups]]: expected
+    * differing bits at angle acos(threshold) plus slack, clamped to the
+    * 64-bit signature. Public so the DuckDB oracle replay
+    * (Queries.qDedupEmbeddingSql) derives the SAME constant. */
+  def hammingLimit(threshold: Double, slackBits: Int): Int = math.min(
+    math.round(64.0 * math.acos(math.max(math.min(threshold, 1.0), -1.0)) / math.Pi).toInt
+      + slackBits, 64)
+
   def embeddingNearDups(embs: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, bits: Int = 8, dim: Int = 64,
       slackBits: Int = 4): DataFrame = {
     val planes = Hashing.hyperplanes(64, dim)
     val sigUdf = udf((v: Seq[Float]) => Hashing.lshSig64(v, planes))
-    val hamLimit = math.min(
-      math.round(64.0 * math.acos(math.max(math.min(threshold, 1.0), -1.0)) / math.Pi).toInt
-        + slackBits, 64)
+    val hamLimit = hammingLimit(threshold, slackBits)
     val mask = (1L << bits) - 1
     val withB = embs.select(col(idCol), col(vecCol))
       .withColumn("sig", sigUdf(col(vecCol)))

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{DecimalType, StructType}
+import org.apache.spark.sql.types.{DecimalType, StructField, StructType, TimestampNTZType, TimestampType}
 
 /** Typed rows for the custom-state operator (schemas are fixed here —
   * the one place Dataset[T] beats DataFrame, SURVEY §1). */
@@ -30,6 +30,20 @@ object LandingStream {
   def produce(df: DataFrame, landingDir: String): Unit =
     df.write.mode("append").parquet(landingDir)
 
+  /** Rewrite TIMESTAMP_NTZ fields to TIMESTAMP in a declared read schema.
+    * `withWatermark` (and every downstream event-time op) requires the
+    * UTC-adjusted TimestampType; parquet written by Spark 3.4+ with
+    * isAdjustedToUTC=false infers to NTZ and would poison the stream.
+    * Declaring TimestampType makes the parquet reader surface the stored
+    * micros as instants — value-stable under a UTC session TZ (pinned in
+    * every graft session). */
+  def utcSchema(schema: StructType): StructType =
+    StructType(schema.fields.map {
+      case StructField(n, TimestampNTZType, nullable, m) =>
+        StructField(n, TimestampType, nullable, m)
+      case f => f
+    })
+
   /** Consumer half: stream the landing dir; `handle` runs per micro-batch
     * (the myloader "process file as it arrives" loop — e.g. a JDBC batch
     * write, S12). maxFilesPerTrigger bounds batch size like the
@@ -39,7 +53,7 @@ object LandingStream {
       maxFilesPerTrigger: Int = 1000)(
       handle: (DataFrame, Long) => Unit): StreamingQuery = {
     val src = spark.readStream
-      .schema(schema)
+      .schema(utcSchema(schema))
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(landingDir)
     val w = src.writeStream

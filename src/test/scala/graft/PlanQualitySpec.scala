@@ -29,6 +29,24 @@ class PlanQualitySpec extends SparkTestBase {
       s"scan reads unprojected columns: $read")
   }
 
+  test("q_approx_quantile runs ONE exact percentile aggregate, not three") {
+    // three scalar percentile() calls each buffer the full per-group
+    // value set; the array form shares one buffer and one sort (the
+    // round-6 verdict's 3.5 s regression). Guard: exactly one
+    // partial+final aggregate pair, and a single percentile expression.
+    // AQE's toString repeats the tree under "== Initial Plan ==" — count
+    // operators in the final section only
+    val p = planOf("q_approx_quantile").split("== Initial Plan ==")(0)
+    val aggs = "(?:SortAggregate|ObjectHashAggregate|HashAggregate)".r
+      .findAllIn(p).size
+    assert(aggs <= 2, s"expected one partial+final agg pair, got $aggs:\n" +
+      p.take(2000))
+    val percentiles = "(?<!approx_)percentile\\(".r.findAllIn(p).size
+    // partial + final rows each print the expression once per phase
+    assert(percentiles <= 2,
+      s"percentile state tripled ($percentiles occurrences):\n" + p.take(2000))
+  }
+
   test("q_join_revenue broadcasts dims and never sort-merge-joins the fact table") {
     val p = planOf("q_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
