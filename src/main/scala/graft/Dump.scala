@@ -87,7 +87,28 @@ object Dump {
       rowFormatKnobs: RowFormat.Knobs = RowFormat.Knobs(),
       // --include-header: first row of column names in LOAD_DATA/CSV
       // data files + IGNORE 1 LINES in the companion statement
-      includeHeader: Boolean = false)
+      includeHeader: Boolean = false,
+      // --chunk-filesize / -F (MB at the CLI; bytes here): rotate data
+      // files past this size — the reference's per-MB probe,
+      // mydumper_write.c:993. 0 = no rotation.
+      fileSizeBytes: Long = 0L,
+      // --complete-insert: every INSERT carries the full column list
+      // (build_insert_statement's fields path, mydumper_write.c:466-470);
+      // a per-table columns_on_insert override still wins. Defaults ON
+      // here (the reference defaults off but force-enables it per table
+      // when generated columns exist, mydumper_table.c:478 — a file
+      // engine can't probe that, so self-describing is the safe default;
+      // same documented-divergence rationale as hexBlob)
+      completeInsert: Boolean = true,
+      // --build-empty-files / -e: a zero-row table still emits one
+      // (header-only) data file instead of none
+      // (mydumper_file_handler.c:194,324 keeps the opened file)
+      buildEmptyFiles: Boolean = false,
+      // --set-names: charset in SQL file headers (reference default
+      // binary, mydumper_arguments.c "set-names")
+      setNamesCharset: String = "binary",
+      // --skip-tz-utc: omit the TIME_ZONE line from file headers
+      skipTzUtc: Boolean = false)
 
   /** File-stem resolution, the reference's determine_filename /
     * get_ref_table (mydumper_common.c:66-90): a table names its own
@@ -162,12 +183,17 @@ object Dump {
     // retarget/converge carries the adaptive [min,max] clamps on the
     // JDBC-extract side
     val effectiveRows = conf.rows.map(_.start).orElse(cfg.rowsPerChunk)
-    val targetChunks = effectiveRows match {
+    val sizedChunks = effectiveRows match {
       case Some(r) if r > 0 && !noData =>
         val est = math.max(ChunkPlanner.rowEstimate(df, sampleFraction = 0.05), 1L)
         math.max(1, math.min(4096, math.ceil(est.toDouble / r).toInt))
       case _ => cfg.targetChunks
     }
+    // --max-threads-per-table analog: the reference caps how many worker
+    // threads dump one table (mydumper_arguments.c); here the same knob
+    // caps the table's write parallelism (chunk count)
+    val targetChunks = conf.numThreads.filter(_ > 0)
+      .map(n => math.min(sizedChunks, n)).getOrElse(sizedChunks)
     val strategy = ChunkPlanner.choose(
       rowEstimate = -1L, // planner probes below instead of catalog stats
       pkType = chunkCol.map(_ => df.schema.fields.head.dataType.typeName),
@@ -207,7 +233,11 @@ object Dump {
     import scala.concurrent.duration.Duration
     val checksumF =
       if (cfg.checksum && !noData)
-        Future(df.agg(Checksum.tableChecksum(df)).head().getLong(0))
+        // coalesce: bit_xor over ZERO rows aggregates to NULL, and an
+        // empty table (or an all-excluding WHERE) must checksum as 0,
+        // not crash the dump
+        Future(df.agg(coalesce(Checksum.tableChecksum(df), lit(0L)))
+          .head().getLong(0))
       else Future.successful(0L)
     val rows = if (noData) 0L else cfg.format match {
       case SqlFormat =>
@@ -216,8 +246,12 @@ object Dump {
             compress = cfg.compress, execFilter = cfg.execFilter,
             insertIgnore = cfg.insertIgnore, replace = cfg.replace,
             hexBlob = cfg.hexBlob, columnsOnInsert = conf.columnsOnInsert,
+            completeInsert = cfg.completeInsert,
+            fileSizeBytes = cfg.fileSizeBytes,
             fileHeader = if (cfg.sqlFileHeaders)
-              Some(sources.SchemaObjects.fileHeader()) else None,
+              Some(sources.SchemaObjects.fileHeader(
+                charset = Some(cfg.setNamesCharset), skipTz = cfg.skipTzUtc))
+            else None,
             format = RowFormat.resolve(RowFormat.SqlKind, cfg.rowFormatKnobs)))
       case LoadDataFormat(csvVariant) =>
         val fmt = RowFormat.resolve(
@@ -229,6 +263,7 @@ object Dump {
           LoadDataWriter.Options(format = fmt, header = cfg.includeHeader,
             hexBlob = cfg.hexBlob, statementSize = cfg.statementSize,
             compress = cfg.compress, execFilter = cfg.execFilter,
+            fileSizeBytes = cfg.fileSizeBytes,
             fileLog = Some(fileLog)))
         // one companion .sql per data chunk: SET-NAMES header + the
         // LOAD DATA statement naming the chunk's BASENAME
@@ -250,7 +285,9 @@ object Dump {
         fileLog.value.asScala.toSeq.distinct.foreach { dataFile =>
           val stmtName = dataFile.replaceFirst("\\.dat(\\.[a-z0-9]+)?$", ".sql")
           val text = (if (cfg.sqlFileHeaders)
-            sources.SchemaObjects.fileHeader() else "") +
+            sources.SchemaObjects.fileHeader(
+              charset = Some(cfg.setNamesCharset), skipTz = cfg.skipTzUtc)
+          else "") +
             CsvDump.loadDataStatement(table, dataFile, ldOpts,
               columns = schemaNames.fieldNames.toSeq, hexCols = hexCols,
               columnsOnInsert = conf.columnsOnInsert)
@@ -299,6 +336,25 @@ object Dump {
           sources.ClickHouse.loaderScript(cfg.db, table, dataFiles)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         n
+    }
+    // --build-empty-files: the reference keeps the opened (header-only)
+    // file for a zero-row table instead of deleting it
+    // (mydumper_file_handler.c:194,324); our writers open lazily on the
+    // first row, so materialize the equivalent file here
+    if (rows == 0L && cfg.buildEmptyFiles && !noData) {
+      val emptyFile = cfg.format match {
+        case SqlFormat | ClickHouseFormat => Some((".sql",
+          if (cfg.sqlFileHeaders) sources.SchemaObjects.fileHeader(
+            charset = Some(cfg.setNamesCharset), skipTz = cfg.skipTzUtc)
+          else ""))
+        case LoadDataFormat(_) => Some((".dat", ""))
+        case _ => None // columnar formats write their own dir structure
+      }
+      emptyFile.foreach { case (ext, content) =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(cfg.outDir, f"${cfg.db}.$stem.${0}%05d$ext"),
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
     }
     // ClickHouse-dialect DDL is a SCHEMA artifact: emitted whenever the
     // dump format targets ClickHouse and schemas are wanted — including

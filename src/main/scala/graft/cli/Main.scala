@@ -18,13 +18,21 @@ import org.apache.spark.sql.SparkSession
   * Usage:
   *   graft.cli.Main dump --source-dir /data/sf0.01 -o /tmp/out \
   *     [--format sql|LOAD_DATA|CSV|csv|parquet|jsonl] [--compress]
-  *     [--rows N] [--regex R]
+  *     [--rows N|min:start:max] [--rows-hard ...] [--regex R]
   *     [--tables-list a,b] [--where COND] [--threads N] [--exec "cmd FILENAME"]
   *     [--exec-per-thread "cmd"] [--exec-per-thread-extension .sql.zst]
   *     [--fields-terminated-by S] [--fields-enclosed-by C]
   *     [--fields-escaped-by C] [--lines-starting-by S]
   *     [--lines-terminated-by S] [--statement-terminated-by S]
   *     [--include-header]
+  *     [-F/--chunk-filesize MB] [-e/--build-empty-files] [--compact]
+  *     [--insert-ignore | --replace] [--complete-insert]
+  *     [--set-names CS] [--skip-tz-utc] [--clear | --dirty]
+  *     [--checksum-all | --data-checksums]
+  *     [--max-threads-per-table N] [--masquerade-filename F.cnf]
+  *     [-L/--logfile F]
+  *     [-D/--daemon -I/--snapshot-interval MIN -X/--snapshot-count K
+  *      --snapshot-iterations N]
   *   graft.cli.Main load -d /tmp/out --target /tmp/restored [--checksum fail]
   */
 object Main {
@@ -56,15 +64,38 @@ object Main {
     } finally if (!hosted) spark.stop()
   }
 
+  /** Live-MySQL operational flags with no parquet-source analog —
+    * accepted so reference command lines run unmodified, warned about,
+    * and ignored. Their JDBC-side engine homes (extract/Snapshot,
+    * extract/Throttle, extract/SessionVariables, JdbcExtract partition
+    * pruning) take these through their own APIs. */
   private val Ignored = Set("pmm-path", "pmm-resolution", "ftwrl-max-wait-time",
-    "snapshot-interval", "daemon", "kill-long-queries", "long-query-guard")
+    "kill-long-queries", "long-query-guard",
+    "ftwrl-timeout-retries", "long-query-retries", "long-query-retry-interval",
+    "tidb-snapshot", "no-backup-locks", "skip-ddl-locks", "use-savepoints",
+    "sync-thread-lock-mode", "trx-tables", "no-trx-tables",
+    "updated-since", "disk-limits", "exit-if-broken-table-found",
+    "max-time-per-select", "split-partitions", "partition-regex",
+    "default-character-set", "load-data-character-set",
+    "all-tablespaces", "ignore-engines", "no-views", "views-as-tables",
+    "triggers", "events", "routines", "use-defer", "use-single-column",
+    "check-row-count", "skip-constraints", "skip-indexes",
+    // definer rewrite applies when REPLAYING DDL on a live server
+    // (load/RestoreStatements.prepare); the CLI's directory restore
+    // materializes parquet and never executes CREATEs
+    "skip-definer", "replace-definer")
 
   /** Flags that never take a value — everything else consumes the next
     * token as its value even when it starts with '-' (a dash-lookahead
     * heuristic mis-parsed `--regex '-internal$'` as two flags, and let
     * `--compress foo` swallow `foo`). */
   private val BoolFlags = Set("compress", "order-by-primary", "no-data",
-    "no-schemas", "help")
+    "no-schemas", "help",
+    "insert-ignore", "replace", "hex-blob", "compact", "complete-insert",
+    "no-complete-insert", "build-empty-files", "clear", "dirty", "daemon",
+    "skip-tz-utc", "tz-utc", "checksum-all", "data-checksums",
+    "no-data-checksums", "schema-checksums", "routine-checksums",
+    "no-schema-checksums")
 
   /** Last-value-wins view of [[parseFlagsMulti]] — the shape almost every
     * flag wants. Repeatable flags (--regex, reference regex.c:35) read
@@ -76,8 +107,19 @@ object Main {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
     def add(k: String, v: String): Unit = out(k) = out.getOrElse(k, Vector.empty) :+ v
     var i = 0
+    // reference short spellings (mydumper_arguments.c); `-d` stays
+    // myloader's --directory (the dump side requires long --no-data,
+    // documented at runDump)
     val aliases = Map("-o" -> "outputdir", "-d" -> "directory", "-B" -> "database",
-      "-x" -> "regex", "-r" -> "rows", "-c" -> "compress", "-t" -> "threads")
+      "-x" -> "regex", "-r" -> "rows", "-c" -> "compress", "-t" -> "threads",
+      "-F" -> "chunk-filesize", "-e" -> "build-empty-files",
+      "-D" -> "daemon", "-I" -> "snapshot-interval", "-X" -> "snapshot-count",
+      "-L" -> "logfile", "-s" -> "statement-size", "-m" -> "no-schemas",
+      "-N" -> "insert-ignore", "-M" -> "checksum-all",
+      "-K" -> "kill-long-queries", "-z" -> "tidb-snapshot",
+      "-i" -> "ignore-engines", "-U" -> "updated-since",
+      "-Y" -> "all-tablespaces", "-G" -> "triggers", "-E" -> "events",
+      "-R" -> "routines", "-W" -> "no-views")
     while (i < args.length) {
       val a = args(i)
       val key = if (a.startsWith("--")) a.drop(2)
@@ -130,17 +172,42 @@ object Main {
     }
     // --defaults-file: per-table `` `db`.`table` `` sections (where/rows/
     // masks/skip-checksums, common.c:199-341) merge under any --where
-    // (the CLI flag is more specific than file config)
-    val fromFile: Map[String, TableConfig] = o.get("defaults-file")
-      .map(p => TableConfig.fromIni(graft.core.DefaultsFile.read(
-        java.nio.file.Paths.get(p))))
-      .getOrElse(Map.empty)
-    val perTable = o.get("where") match {
-      case Some(w) =>
+    // (the CLI flag is more specific than file config).
+    // --masquerade-filename: a second INI read AFTER the defaults file
+    // (reference loads it on top, mydumper.c main), same section format
+    // — later file wins per attribute via TableConfig.merge
+    val fromFile: Map[String, TableConfig] =
+      Seq("defaults-file", "masquerade-filename").flatMap(o.get)
+        .map(p => TableConfig.fromIni(graft.core.DefaultsFile.read(
+          java.nio.file.Paths.get(p))))
+        .foldLeft(Map.empty[String, TableConfig]) { (acc, m) =>
+          (acc.keySet ++ m.keySet).map { k =>
+            k -> ((acc.get(k), m.get(k)) match {
+              case (Some(a), Some(b)) => TableConfig.merge(b, a)
+              case (a, b) => b.orElse(a).get
+            })
+          }.toMap
+        }
+    val cliWide: TableConfig => TableConfig = tc => {
+      val t1 = o.get("where").map(w => tc.copy(where = Some(w))).getOrElse(tc)
+      // --max-threads-per-table N: cap each table's write parallelism
+      o.get("max-threads-per-table").map(n =>
+        t1.copy(numThreads = Some(n.toInt))).getOrElse(t1)
+    }
+    val perTable =
+      if (o.contains("where") || o.contains("max-threads-per-table")) {
         val k = s"$db.*"
-        fromFile.updated(k,
-          fromFile.getOrElse(k, TableConfig()).copy(where = Some(w)))
-      case None => fromFile
+        fromFile.updated(k, cliWide(fromFile.getOrElse(k, TableConfig())))
+      } else fromFile
+    // --clear: empty the output dir first (reference clear_dumpdir);
+    // --dirty / --merge overwrite without clearing (the default here —
+    // merge additionally keeps prior metadata, which Manifest.write
+    // rewrites anyway on a file source)
+    if (o.contains("clear")) {
+      val d = new java.io.File(outDir)
+      Option(d.listFiles).foreach(_.foreach { f =>
+        if (f.isFile) f.delete()
+      })
     }
     val cfg = Dump.Config(
       outDir = outDir, format = fmt, db = db,
@@ -149,9 +216,30 @@ object Main {
       // default applies
       // accepts the reference's N / min:start / min:start:max forms;
       // the start step drives static sizing (ChunkRows.parse scaladoc)
-      rowsPerChunk = o.get("rows").flatMap(graft.core.ChunkRows.parse).map(_.start),
+      rowsPerChunk = o.get("rows").flatMap(graft.core.ChunkRows.parse).map(_.start)
+        // --rows-hard: same sizing grammar, hard variant (the reference
+        // keeps both; the hard form wins when both are present)
+        .orElse(o.get("rows-hard").flatMap(graft.core.ChunkRows.parse).map(_.start)),
       statementSize = o.get("statement-size").map(_.toInt).getOrElse(1000000),
       compress = o.contains("compress"),
+      // --chunk-filesize / -F: MB at the flag (mydumper_write.c:993
+      // compares ceil(filesize/1024/1024)), bytes in the engine
+      fileSizeBytes = o.get("chunk-filesize")
+        .map(_.toLong * 1024 * 1024).getOrElse(0L),
+      insertIgnore = o.contains("insert-ignore"),
+      replace = o.contains("replace"),
+      completeInsert = o.contains("complete-insert") ||
+        !o.contains("no-complete-insert"), // engine default stays ON
+      buildEmptyFiles = o.contains("build-empty-files"),
+      // --compact: headerless SQL files (mydumper_common.c:406-433)
+      sqlFileHeaders = !o.contains("compact"),
+      setNamesCharset = o.getOrElse("set-names", "binary"),
+      skipTzUtc = o.contains("skip-tz-utc"),
+      // --checksum-all / --data-checksums turn the dump checksum ON
+      // (our engine default is already on; the flags are the reference
+      // spellings for explicitness)
+      checksum = o.contains("checksum-all") || o.contains("data-checksums") ||
+        !o.contains("no-data-checksums"),
       orderByPrimary = o.contains("order-by-primary"),
       // long-form only: `-d` stays myloader's --directory alias here,
       // while mydumper's -d means --no-data — the shared parser can't
@@ -183,14 +271,41 @@ object Main {
         statementTerminatedBy = o.get("statement-terminated-by")),
       includeHeader = o.contains("include-header"))
     val tables = all.map(t => (t, Tables.t(spark, src, t), true))
-    val manifest = Dump.run(spark, tables, cfg)
-    manifest.tables.foreach(t =>
-      println(s"[graft] dumped ${t.table}: ${t.rows} rows, checksum ${t.dataChecksum.getOrElse("-")}"))
-    // --exec "cmd FILENAME": reference S10 per-file hook, driver-side
-    o.get("exec").foreach { tpl =>
-      val res = graft.sources.ExecHook.run(outDir, "*", tpl)
-      res.filter(_._2 != 0).foreach { case (f, rc) =>
-        System.err.println(s"[graft] exec failed ($rc) for $f") }
+    def oneDump(dir: String): Unit = {
+      val manifest = Dump.run(spark, tables, cfg.copy(outDir = dir))
+      manifest.tables.foreach(t =>
+        log(o, s"[graft] dumped ${t.table}: ${t.rows} rows, checksum ${t.dataChecksum.getOrElse("-")}"))
+      // --exec "cmd FILENAME": reference S10 per-file hook, driver-side
+      o.get("exec").foreach { tpl =>
+        val res = graft.sources.ExecHook.run(dir, "*", tpl)
+        res.filter(_._2 != 0).foreach { case (f, rc) =>
+          System.err.println(s"[graft] exec failed ($rc) for $f") }
+      }
+    }
+    if (o.contains("daemon")) {
+      // --daemon / -D with -I snapshot-interval (minutes) and -X
+      // snapshot-count: rotating re-dumps with the reference's
+      // `last_dump` symlink protocol (streaming/Daemon). The reference
+      // loops until killed; --snapshot-iterations (engine extra) bounds
+      // the loop for scripted runs.
+      val iters = o.get("snapshot-iterations").map(_.toInt)
+        .getOrElse(Int.MaxValue)
+      graft.streaming.Daemon.run(outDir,
+        snapshotCount = o.get("snapshot-count").map(_.toInt).getOrElse(2),
+        iterations = iters,
+        intervalMs = o.get("snapshot-interval").map(_.toLong * 60000)
+          .getOrElse(3600000L))(oneDump)
+    } else oneDump(outDir)
+  }
+
+  /** --logfile / -L: mirror engine log lines into the named file
+    * (reference set_verbose's logoutfile); stdout keeps them too. */
+  private def log(o: Map[String, String], line: String): Unit = {
+    println(line)
+    o.get("logfile").foreach { f =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        line + "\n", java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
   }
 

@@ -183,21 +183,25 @@ object TableConfig {
     val sections =
       Seq(s"$db.$table", s"*.$table", s"$db.*").flatMap(conf.get)
     if (sections.isEmpty) empty
-    else sections.reduceRight { (hi, lo) =>   // hi = more specific section
-      TableConfig(
-        where = hi.where.orElse(lo.where),
-        limit = hi.limit.orElse(lo.limit),
-        rows = hi.rows.orElse(lo.rows),
-        columnsOnSelect =
-          if (hi.columnsOnSelect.nonEmpty) hi.columnsOnSelect else lo.columnsOnSelect,
-        columnsOnInsert = hi.columnsOnInsert.orElse(lo.columnsOnInsert),
-        masks = if (hi.masks.nonEmpty) hi.masks else lo.masks,
-        partitionRegex = hi.partitionRegex.orElse(lo.partitionRegex),
-        numThreads = hi.numThreads.orElse(lo.numThreads),
-        skipChecksum = hi.skipChecksum || lo.skipChecksum,
-        objectsToExport = hi.objectsToExport.orElse(lo.objectsToExport))
-    }
+    else sections.reduceRight(merge)
   }
+
+  /** Per-attribute coalesce of two sections, `hi` more specific. Public:
+    * the CLI layers `--masquerade-filename` sections over
+    * `--defaults-file` ones with the same rule. */
+  def merge(hi: TableConfig, lo: TableConfig): TableConfig =
+    TableConfig(
+      where = hi.where.orElse(lo.where),
+      limit = hi.limit.orElse(lo.limit),
+      rows = hi.rows.orElse(lo.rows),
+      columnsOnSelect =
+        if (hi.columnsOnSelect.nonEmpty) hi.columnsOnSelect else lo.columnsOnSelect,
+      columnsOnInsert = hi.columnsOnInsert.orElse(lo.columnsOnInsert),
+      masks = if (hi.masks.nonEmpty) hi.masks else lo.masks,
+      partitionRegex = hi.partitionRegex.orElse(lo.partitionRegex),
+      numThreads = hi.numThreads.orElse(lo.numThreads),
+      skipChecksum = hi.skipChecksum || lo.skipChecksum,
+      objectsToExport = hi.objectsToExport.orElse(lo.objectsToExport))
 }
 
 /** Chunk-strategy ADT (SURVEY §2.7 C1): how a table is split into

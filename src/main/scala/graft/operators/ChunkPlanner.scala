@@ -122,11 +122,20 @@ object ChunkPlanner {
     }
   }
 
-  /** Probe min/max (A1 — one agg job, map-side combine). */
-  def intBounds(df: DataFrame, column: String): (Long, Long) = {
+  /** Probe min/max (A1 — one agg job, map-side combine). None = the
+    * table (or its filtered slice) has no rows — min/max aggregate to
+    * NULL, and a chunk plan over an empty range is the caller's no-op,
+    * not a crash (the reference's empty-table path writes nothing,
+    * mydumper_file_handler.c:194). */
+  def intBoundsOpt(df: DataFrame, column: String): Option[(Long, Long)] = {
     val r = df.agg(min(col(column)).cast("long"), max(col(column)).cast("long")).head()
-    (r.getLong(0), r.getLong(1))
+    if (r.isNullAt(0) || r.isNullAt(1)) None
+    else Some((r.getLong(0), r.getLong(1)))
   }
+
+  def intBounds(df: DataFrame, column: String): (Long, Long) =
+    intBoundsOpt(df, column).getOrElse(
+      throw new IllegalArgumentException(s"no rows to bound on $column"))
 
   /** C3 — chunk-timing feedback for JDBC extraction (reference
     * mydumper_integer_chunks.c:781-826): after a chunk of
@@ -176,12 +185,14 @@ object ChunkPlanner {
   /** Plan integer chunks sized for a target number of chunks (the Spark
     * replacement of adaptive 2 s/SELECT resizing, C3: we target
     * `chunks ≈ 4× parallelism` and let AQE coalesce). */
-  def planInteger(df: DataFrame, column: String, targetChunks: Int): Seq[Chunk] = {
-    val (lo, hi) = intBounds(df, column)
-    val span = math.max(hi - lo + 1, 1L)
-    val step = math.max(span / math.max(targetChunks, 1), 1L)
-    integerChunks(column, lo, hi, step)
-  }
+  def planInteger(df: DataFrame, column: String, targetChunks: Int): Seq[Chunk] =
+    intBoundsOpt(df, column) match {
+      case Some((lo, hi)) =>
+        val span = math.max(hi - lo + 1, 1L)
+        val step = math.max(span / math.max(targetChunks, 1), 1L)
+        integerChunks(column, lo, hi, step)
+      case None => Nil // empty table/slice: nothing to chunk
+    }
 
   /** C4 — string ranges from sampled quantiles (replaces the LEFT(f,len)
     * prefix walk: `approxQuantile` is one pass, error-bounded, no

@@ -138,3 +138,110 @@ class CliRunSpec extends SparkTestBase {
     assert(files2.exists(_.matches("""graft\.region\.\d{5}\.sql""")))
   }
 }
+
+/** Round-7 flag-surface additions: reference spellings wired to their
+  * engine homes (chunk-filesize rotation, compact headers, daemon
+  * rotation, build-empty-files, masquerade file, clear). */
+class CliFlagSurfaceSpec extends SparkTestBase {
+
+  private def names(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles).map(_.map(_.getName).toSet)
+      .getOrElse(Set.empty)
+
+  test("-F/--chunk-filesize rotates data files; --compact drops headers") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_F_").toString
+    // 1 MB rotation over sf0.001 lineitem (~6k rows, ~1 MB of SQL text)
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "lineitem", "-F", "1", "--compact", "-t", "2"))
+    val data = names(out).filter(_.matches("""graft\.lineitem\.\d{5}\.\d{5}\.sql"""))
+    assert(data.nonEmpty, s"rotation should name sub-parts: ${names(out)}")
+    val first = scala.io.Source.fromFile(s"$out/${data.min}").getLines().take(3).mkString("\n")
+    assert(!first.contains("SET NAMES"), s"--compact must drop the header: $first")
+    assert(first.contains("INSERT"))
+  }
+
+  test("--build-empty-files emits a data file for a zero-row table") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_e_").toString
+    // empty slice via a WHERE no row satisfies
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region", "--where", "r_regionkey < 0", "-e"))
+    assert(names(out).contains("graft.region.00000.sql"),
+      s"expected empty data file, got ${names(out)}")
+    // and without -e the zero-row table writes no data file
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cli_ne_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out2,
+      "--tables-list", "region", "--where", "r_regionkey < 0"))
+    assert(!names(out2).exists(_.matches("""graft\.region\.\d{5}\.sql""")),
+      s"no -e must mean no empty data file: ${names(out2)}")
+  }
+
+  test("--set-names and --skip-tz-utc shape the SQL file header") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_sn_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region", "--set-names", "utf8mb4", "--skip-tz-utc"))
+    val data = names(out).filter(_.matches("""graft\.region\.\d{5}\.sql""")).min
+    val head = scala.io.Source.fromFile(s"$out/$data").getLines().take(4).mkString("\n")
+    assert(head.contains("SET NAMES utf8mb4"), head)
+    assert(!head.contains("TIME_ZONE"), head)
+  }
+
+  test("--daemon rotates snapshot dirs and advances last_dump") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cli_D_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", base,
+      "--tables-list", "region", "-D", "-X", "2", "-I", "0",
+      "--snapshot-iterations", "3"))
+    assert(names(s"$base/0").contains("graft.region-schema.sql"))
+    assert(names(s"$base/1").contains("graft.region-schema.sql"))
+    // 3 iterations over 2 slots: last complete = slot 0 (0,1,0)
+    assert(graft.streaming.Daemon.lastComplete(base).map(_.getFileName.toString)
+      === Some("0"))
+  }
+
+  test("--masquerade-filename layers mask sections over --defaults-file") {
+    val ini = java.nio.file.Files.createTempFile("graft_masq_", ".cnf")
+    java.nio.file.Files.writeString(ini,
+      "[`graft`.`customer`]\n`c_name` = constant masked\n")
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_mf_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "customer", "--format", "jsonl",
+      "--masquerade-filename", ini.toString))
+    val back = spark.read.schema(Tables.t(spark, sf, "customer").schema)
+      .json(s"$out/graft.customer")
+    import org.apache.spark.sql.functions.col
+    assert(back.where(col("c_name") =!= "masked").count() === 0,
+      "mask from --masquerade-filename must apply")
+  }
+
+  test("--clear empties the output dir; default keeps leftovers") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_clear_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "stale.sql"), "leftover")
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region", "--clear"))
+    assert(!names(out).contains("stale.sql"))
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cli_dirty_").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out2, "stale.sql"), "leftover")
+    Main.main(Array("dump", "--source-dir", sf, "-o", out2,
+      "--tables-list", "region"))
+    assert(names(out2).contains("stale.sql"))
+  }
+
+  test("--max-threads-per-table caps a table's chunk-file count") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_mt_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "orders", "--rows", "100",
+      "--max-threads-per-table", "2"))
+    val chunks = names(out).count(_.matches("""graft\.orders\.\d{5}\.sql"""))
+    assert(chunks <= 2, s"cap of 2 violated: $chunks chunk files")
+  }
+
+  test("--logfile mirrors dump log lines to the named file") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_log_").toString
+    val lf = s"$out/.graft.log"
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region", "-L", lf))
+    val logged = scala.io.Source.fromFile(lf).getLines().toSeq
+    assert(logged.exists(_.contains("dumped region")), logged.toString)
+  }
+}
