@@ -224,6 +224,22 @@ object Bench {
           Seq("gzip", "-dc"), "graft.lineitem.*.sql.gzx")
           .write.format("noop").mode("overwrite").save()
       },
+      // streaming handoff leg: produce the fact table into a landing
+      // dir, then stream-consume it file-granularly (AvailableNow) —
+      // the measured twin of the reference's dump→stream→load pipe
+      // (mydumper_stream.c); previously the ST surface had specs only
+      "x_stream_land" -> { () =>
+        val landing = java.nio.file.Files
+          .createTempDirectory("graft_bench_land").toString
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_bench_ckpt").toString
+        streaming.LandingStream.produce(li, landing)
+        val q = streaming.LandingStream.consume(spark, landing, li.schema,
+          ckpt) { (batch, _) =>
+          batch.write.format("noop").mode("overwrite").save()
+        }
+        q.awaitTermination()
+      },
       // the engine's native 100 TB sink: columnar parquet out and back
       "x_dump_parquet" -> { () =>
         li.write.mode("overwrite").parquet(s"$csvDir/pq")

@@ -31,6 +31,13 @@ object VectorFunctions {
   def l2Dist(a: Column, b: Column): Column =
     sqrt(toCol(org.apache.spark.sql.graftnative.FloatVecL2Sq(toExpr(a), toExpr(b))))
 
+  /** Native codegen 64-bit hyperplane sign signature — bit-identical to
+    * `Hashing.lshSig64(vec, planes)` (same i-ascending accumulation);
+    * the ≤32-plane prefix is `Hashing.lshCell`. Replaces the boxed UDF
+    * at the head of the embedding LSH pipelines. */
+  def lshSig(a: Column, planes: Array[Array[Double]]): Column =
+    toCol(org.apache.spark.sql.graftnative.FloatVecLshSig(toExpr(a), planes))
+
   /** Sign bit of the projection onto a fixed ±1 hyperplane (host-side
     * literal — cheaper than hash-derived per-element planes). Used for
     * LSH bucketing of cosine similarity; see Hashing.hyperplanes for the

@@ -357,11 +357,10 @@ object Dedup {
       threshold: Double = 0.95, bits: Int = 8, dim: Int = 64,
       slackBits: Int = 4): DataFrame = {
     val planes = Hashing.hyperplanes(64, dim)
-    val sigUdf = udf((v: Seq[Float]) => Hashing.lshSig64(v, planes))
     val hamLimit = hammingLimit(threshold, slackBits)
     val mask = (1L << bits) - 1
     val withB = embs.select(col(idCol), col(vecCol))
-      .withColumn("sig", sigUdf(col(vecCol)))
+      .withColumn("sig", VectorFunctions.lshSig(col(vecCol), planes))
       .withColumn("nrm", VectorFunctions.norm(col(vecCol)))
       .withColumn("bucket", col("sig").bitwiseAND(lit(mask)))
     // candidate generation joins only (bucket, id, sig) — 24-byte rows —

@@ -32,8 +32,10 @@ object Similarity {
     * in a real pipeline this is written as a bucketed/partitioned column). */
   def withCell(embs: DataFrame, vecCol: String, bits: Int, dim: Int = 64): DataFrame = {
     val planes = graft.functions.Hashing.hyperplanes(bits, dim)
-    val cellUdf = udf((v: Seq[Float]) => graft.functions.Hashing.lshCell(v, planes))
-    embs.withColumn("cell", cellUdf(col(vecCol)))
+    // native codegen signature (≤32 planes ≡ lshCell); int cell keeps
+    // the persisted-index partition column type stable
+    embs.withColumn("cell",
+      VectorFunctions.lshSig(col(vecCol), planes).cast("int"))
   }
 
   /** Approximate top-k: search only cells within `nprobe` hamming distance
@@ -141,12 +143,14 @@ object Similarity {
     // a pair co-cells in table t iff it shares key (t, cell))
     val allPlanes = Array.tabulate(tables)(t =>
       graft.functions.Hashing.hyperplanes(bits, dim, 42L + t))
-    val keysUdf = udf { v: Seq[Float] =>
-      Array.tabulate(tables)(t =>
-        (t.toLong << 32) | graft.functions.Hashing.lshCell(v, allPlanes(t)).toLong)
-    }
+    // one native-codegen signature per table, packed to (table << 32 |
+    // cell) and exploded — same single vector pass as the former UDF,
+    // minus the boxed Seq[Float] round trip per row
+    val keyCols = (0 until tables).map(t =>
+      lit(t.toLong << 32)
+        .bitwiseOR(VectorFunctions.lshSig(col(vecCol), allPlanes(t))))
     val celled = base.select(col(idCol),
-      explode(keysUdf(col(vecCol))).as("cellkey"))
+      explode(array(keyCols: _*)).as("cellkey"))
     val l = celled.select(col("cellkey"), col(idCol).as("id1"))
     val r = celled.select(col("cellkey"), col(idCol).as("id2"))
     val pairs = l.join(r, Seq("cellkey")).where(col("id1") < col("id2"))

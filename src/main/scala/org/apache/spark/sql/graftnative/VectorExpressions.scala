@@ -143,3 +143,68 @@ case class FloatVecCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "float_vec_cosine"
 }
+
+/** 64-bit hyperplane sign signature — the LSH sketch at the head of the
+  * embedding dedup / kNN-graph / IVF pipelines (Dedup.embeddingNearDups,
+  * Similarity.withCell/selfTopKLsh), previously a boxed Scala UDF per
+  * row. Bit p of the result is set iff Σᵢ vecᵢ·planes[p][i] ≥ 0, with
+  * the SAME i-ascending double accumulation as Hashing.lshSig64 — so
+  * signatures (and therefore every bucket, hamming prefilter, and the
+  * inline-plane DuckDB oracle replays) stay bit-identical. The plane
+  * matrix is a constant reference object, not a child expression: it is
+  * data-independent (seeded, Hashing.hyperplanes) and regenerating it
+  * per-executor through codegen references costs nothing per row.
+  * At most the first 64 planes contribute (long width), matching
+  * Hashing.lshSig64's clamp; lshCell semantics are the ≤32-plane prefix
+  * of the same value. */
+case class FloatVecLshSig(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var sig = 0L
+    var p = 0
+    val np = math.min(planes.length, 64)
+    while (p < np) {
+      var dot = 0.0
+      val plane = planes(p)
+      var i = 0
+      val n = math.min(x.numElements(), plane.length)
+      while (i < n) { dot += x.getFloat(i) * plane(i); i += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val np = ctx.freshName("np"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val plane = ctx.freshName("plane")
+      val sig = ctx.freshName("sig")
+      s"""
+         |long $sig = 0L;
+         |int $np = java.lang.Math.min($planesRef.length, 64);
+         |for (int $p = 0; $p < $np; $p++) {
+         |  double $dot = 0.0;
+         |  double[] $plane = $planesRef[$p];
+         |  int $n = java.lang.Math.min($a.numElements(), $plane.length);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double)$a.getFloat($i) * $plane[$i];
+         |  }
+         |  if ($dot >= 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecLshSig =
+    copy(child = newChild)
+  override def prettyName: String = "float_vec_lsh_sig"
+}

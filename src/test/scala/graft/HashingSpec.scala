@@ -60,3 +60,28 @@ class HashingSpec extends AnyFunSuite {
   }
 
 }
+
+/** The native codegen LSH signature must equal the host-side fold
+  * bit-for-bit on real embeddings — buckets, hamming prefilters, and
+  * the inline-plane DuckDB oracles all assume it. */
+class LshSigExprSpec extends SparkTestBase {
+  test("FloatVecLshSig ≡ Hashing.lshSig64 on the embeddings table") {
+    import org.apache.spark.sql.functions._
+    val planes = functions.Hashing.hyperplanes(64, 64)
+    val udfSig = udf((v: Seq[Float]) => functions.Hashing.lshSig64(v, planes))
+    val df = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        functions.VectorFunctions.lshSig(col("embedding"), planes).as("native"),
+        udfSig(col("embedding")).as("host"))
+    assert(df.where(col("native") =!= col("host")).count() === 0)
+    assert(df.count() > 0)
+    // 2-plane prefix ≡ lshCell (the withCell path)
+    val planes2 = functions.Hashing.hyperplanes(2, 64)
+    val udfCell = udf((v: Seq[Float]) => functions.Hashing.lshCell(v, planes2))
+    val df2 = Tables.embeddings(spark, sf)
+      .select(functions.VectorFunctions.lshSig(col("embedding"), planes2)
+        .cast("int").as("native"),
+        udfCell(col("embedding")).as("host"))
+    assert(df2.where(col("native") =!= col("host")).count() === 0)
+  }
+}

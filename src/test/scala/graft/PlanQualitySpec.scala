@@ -47,6 +47,16 @@ class PlanQualitySpec extends SparkTestBase {
       s"percentile state tripled ($percentiles occurrences):\n" + p.take(2000))
   }
 
+  test("LSH pipelines run on native codegen expressions, no boxed UDF") {
+    // FloatVecLshSig replaced the Scala UDFs at the head of the
+    // embedding sketch paths; a UDF reappearing here would break
+    // whole-stage codegen exactly where the row volume is largest
+    for (q <- Seq("q_dedup_embedding", "q_knn_graph", "q_ann_ivf")) {
+      val p = planOf(q)
+      assert(!p.contains("UDF"), s"$q plan contains a UDF:\n" + p.take(2000))
+    }
+  }
+
   test("q_join_revenue broadcasts dims and never sort-merge-joins the fact table") {
     val p = planOf("q_join_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
