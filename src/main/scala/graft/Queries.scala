@@ -1286,6 +1286,25 @@ object Queries {
   val qDedupIncrementalSql: String =
     "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS consistent FROM documents"
 
+  /** Substring-level dedup: 8-word sliding spans duplicated across ≥2
+    * documents (Dedup.duplicatedSpans — the Lee-et-al. training-data op
+    * whole-document dedup misses). Fully oracle-replayable: both sides
+    * fingerprint with md5/16 over the identical span construction. */
+  val qDupSpans: QFn = (s, d) =>
+    Dedup.duplicatedSpans(documents(s, d), "text", "doc_id", window = 8)
+      .orderBy("fp")
+  val qDupSpansSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      |sp AS (SELECT doc_id,
+      |  unnest(list_transform(generate_series(1, len(w) - 7),
+      |    i -> substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16))) AS fp
+      |  FROM t WHERE len(w) >= 8)
+      |SELECT fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+      |  min(doc_id) AS keep_id
+      |FROM sp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY fp""".stripMargin
+
   /** Embedding-cosine near-dups via hyperplane LSH at the PRODUCTION
     * pruned setting (bits=2 bucket, hamming prefilter). Value-gated:
     * the ±1 hyperplanes are data-independent (seeded splitmix64,
@@ -2633,6 +2652,7 @@ object Queries {
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
     "q_dedup_exact" -> qDedupExact,
+    "q_dup_spans" -> qDupSpans,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_minhash_recall" -> qDedupMinhashRecall,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -2741,6 +2761,7 @@ object Queries {
     "q_pii_scan" -> qPiiScanSql,
     "q_repetition" -> qRepetitionSql,
     "q_dedup_exact" -> qDedupExactSql,
+    "q_dup_spans" -> qDupSpansSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_ngram" -> qDedupNgramSql,

@@ -167,7 +167,14 @@ object ScaleProbe {
       // per-partition sort; spill-free at 10× or the layout write
       // becomes the bottleneck it is meant to remove
       run("zorder_cluster", operators.Layout.clusterByZ(
-        li, "l_partkey", "l_suppkey", numPartitions = Some(128)))
+        li, "l_partkey", "l_suppkey", numPartitions = Some(128))),
+      // substring-level dedup at 10×: the inflated corpus repeats 1/3
+      // of docs verbatim (rep%3==0 keeps text identical), so duplicated
+      // spans explode in OCCURRENCES while the shuffle stays bounded by
+      // DISTINCT span fingerprints × 16 B (partial agg collapses the
+      // repeats map-side) — the property that carries to 100 TB
+      run("dup_spans", operators.Dedup.duplicatedSpans(
+        docs, "text", "doc_id", window = 8))
     )
     // broadcast stayed broadcast?
     require(heads.nonEmpty)

@@ -33,7 +33,10 @@ import org.apache.spark.sql.SparkSession
   *     [-L/--logfile F]
   *     [-D/--daemon -I/--snapshot-interval MIN -X/--snapshot-count K
   *      --snapshot-iterations N]
+  *     [--stream EVENTSDIR]
   *   graft.cli.Main load -d /tmp/out --target /tmp/restored [--checksum fail]
+  *     [-s/--source-db DB] [-B/--database NEWDB] [--stream EVENTSDIR]
+  *     [--exec-per-thread "gzip -dc" --exec-per-thread-extension .sql.gzx]
   */
 object Main {
 
@@ -272,9 +275,44 @@ object Main {
       includeHeader = o.contains("include-header"))
     val tables = all.map(t => (t, Tables.t(spark, src, t), true))
     def oneDump(dir: String): Unit = {
-      val manifest = Dump.run(spark, tables, cfg.copy(outDir = dir))
-      manifest.tables.foreach(t =>
-        log(o, s"[graft] dumped ${t.table}: ${t.rows} rows, checksum ${t.dataChecksum.getOrElse("-")}"))
+      val manifest = o.get("stream") match {
+        // --stream EVENTSDIR: announce every table's artifacts the
+        // moment that table CLOSES (reference stream mode,
+        // mydumper_stream.c: the loader starts on table 1 while table 2
+        // is still dumping). Event granularity is per data file; a
+        // concurrently-running `load --stream` consumes them through
+        // the incremental StreamingLoader.
+        case Some(evDir) =>
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
+          import graft.streaming.LandingStream
+          val results = tables.map { case (name, df, _) =>
+            val r = Dump.dumpTable(df, name, cfg.copy(outDir = dir))
+            val stem = s"${cfg.db}.${r.stem}"
+            val names = Option(new java.io.File(dir).listFiles)
+              .getOrElse(Array.empty).map(_.getName)
+            names.filter(n => n.startsWith(s"$stem.") &&
+                Load.classify(n) == Load.Data)
+              .sorted.foreach(n =>
+                LandingStream.announceFile(evDir, "data", stem, n))
+            names.filter(n => n.startsWith(s"$stem-schema"))
+              .foreach(n => LandingStream.announceFile(evDir, "schema", stem, n))
+            LandingStream.announceFile(evDir, "end", stem, "-")
+            log(o, s"[graft] dumped+announced ${r.table}: ${r.rows} rows")
+            r
+          }
+          val m = graft.core.DumpManifest(
+            startedAt = java.time.Instant.now().toString,
+            finishedAt = java.time.Instant.now().toString,
+            tables = results.map(r => graft.core.TableManifest(
+              r.table, r.rows, Some(r.checksum.toString),
+              filename = Some(r.stem).filter(_ != r.table))))
+          graft.sources.Manifest.write(dir, m)
+          m
+        case None => Dump.run(spark, tables, cfg.copy(outDir = dir))
+      }
+      if (!o.contains("stream"))
+        manifest.tables.foreach(t =>
+          log(o, s"[graft] dumped ${t.table}: ${t.rows} rows, checksum ${t.dataChecksum.getOrElse("-")}"))
       // --exec "cmd FILENAME": reference S10 per-file hook, driver-side
       o.get("exec").foreach { tpl =>
         val res = graft.sources.ExecHook.run(dir, "*", tpl)
@@ -322,6 +360,7 @@ object Main {
     val dir = o.getOrElse("directory", sys.error("-d/--directory required"))
     val target = o.getOrElse("target", sys.error("--target required"))
     val checksumMode = Load.checksumModeOf(o.get("checksum"))
+    if (o.contains("stream")) { runStreamLoad(spark, o, dir, target); return }
     // --exec-per-thread "gzip -dc" [--exec-per-thread-extension .sql.gzx]:
     // restore dumps whose bytes were filtered through an external
     // command at dump time (myloader's flag pair)
@@ -350,11 +389,77 @@ object Main {
     require(sources.nonEmpty || groups.isEmpty,
       s"dump dir $dir has data files but no schema source — " +
         "add --source-dir or ensure *-schema.sql files are present")
-    val results = Load.run(spark, dir, sources, checksumMode, decode) { (stem, df) =>
-      df.write.mode("overwrite").parquet(s"$target/$stem")
+    // --source-db / -s (myloader_process_filename.c:155): restore only
+    // tables whose dump db matches
+    val admitted = o.get("source-db") match {
+      case Some(sdb) => sources.filter(_.table.split("\\.", 2).head == sdb)
+      case None => sources
+    }
+    // --database / -B on load: restore INTO this db name (the
+    // reference's db-remap) — target paths swap the stem's db prefix
+    val remap: String => String = o.get("database") match {
+      case Some(db) => stem => db + stem.dropWhile(_ != '.')
+      case None => identity
+    }
+    val results = Load.run(spark, dir, admitted, checksumMode, decode) { (stem, df) =>
+      df.write.mode("overwrite").parquet(s"$target/${remap(stem)}")
     }
     results.foreach(r =>
-      println(s"[graft] restored ${r.table}: ${r.rows} rows, checksum ${r.checksumOk.map(if (_) "ok" else "MISMATCH").getOrElse("unverified")}"))
+      log(o, s"[graft] restored ${r.table}: ${r.rows} rows, checksum ${r.checksumOk.map(if (_) "ok" else "MISMATCH").getOrElse("unverified")}"))
+  }
+
+  /** `load --stream EVENTSDIR`: consume the dump's file-announce events
+    * and restore each table INCREMENTALLY through the StreamingLoader —
+    * data events may precede their schema event (the loader queues them
+    * on the schema promise, myloader's per-table state machine), per-file
+    * data jobs append to the table's parquet target, `end` seals the
+    * table. Run concurrently with `dump --stream` for overlapped
+    * dump→load, or after it for a catch-up restore. */
+  private def runStreamLoad(spark: SparkSession, o: Map[String, String],
+      dir: String, target: String): Unit = {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val evDir = o("stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_").toString
+    // per-table cap 1: concurrent append jobs into ONE parquet dir would
+    // race the output committer; cross-TABLE parallelism still applies
+    val loader = new graft.load.StreamingLoader(maxThreadsPerTable = 1)
+    // schema file -> StructType, completed by the schema event; data
+    // jobs run strictly after (StreamingLoader gates them), so the
+    // lookup inside a data job always hits
+    val schemas = new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+    val rows = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+    val finished = scala.collection.mutable.Buffer
+      .empty[(String, scala.concurrent.Future[Unit])]
+    val q = graft.streaming.LandingStream.consumeFileEvents(spark, evDir, ckpt) {
+      (kind, table, path) => kind match {
+        case "schema" => loader.offerSchema(table, () => {
+          val ddl = Load.readSmallText(java.nio.file.Paths.get(dir, path))
+          val schema = graft.sources.DdlEmitter.toStructType(ddl)
+          if (schema.isEmpty) throw new IllegalStateException(
+            s"schema file $path parsed to zero columns")
+          schemas.put(table, schema)
+        })
+        case "data" => loader.offerData(table, () => {
+          val df = graft.sources.SqlInsertReader.read(
+            spark, dir, schemas.get(table), glob = path)
+          rows.computeIfAbsent(table,
+            _ => new java.util.concurrent.atomic.AtomicLong())
+            .addAndGet(df.count())
+          df.write.mode("append").parquet(s"$target/$table")
+        })
+        case "end" =>
+          finished.synchronized { finished += table -> loader.finish(table) }
+        case other =>
+          System.err.println(s"[graft] unknown stream event kind: $other")
+      }
+    }
+    q.awaitTermination()
+    finished.foreach { case (t, f) =>
+      scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+      log(o, s"[graft] stream-restored $t: ${Option(rows.get(t)).map(_.get).getOrElse(0L)} rows")
+    }
   }
 
   private def usage(): Unit =

@@ -385,4 +385,44 @@ object Dedup {
       .select(col("id1"), col("id2"),
         (floor(col("cos") * lit(10000.0)) / lit(10000.0)).as("cosine"))
   }
+
+  /** Cross-document duplicated-SPAN detection — substring-level dedup,
+    * the training-data op of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (ACL 2022): whole-document dedup
+    * misses boilerplate/license blocks/templates repeated INSIDE
+    * otherwise-distinct documents. Every `window`-word sliding span is
+    * fingerprinted and fingerprints seen in ≥ `minDocs` distinct
+    * documents are duplicated spans.
+    *
+    * Spark shape: one generate (explode of the per-position span list —
+    * no shuffle, like DocChunker) into one hash-aggregate on the
+    * 16-hex-char md5 fingerprint. The fingerprint — not the raw span
+    * text — is the grouping key, so the exchange carries 16 bytes per
+    * span instead of the span itself; at 100 TB the shuffle is bounded
+    * by span count × 16 B and the aggregate state by DISTINCT spans
+    * (boilerplate collapses map-side via partial aggregation). md5 (not
+    * xxhash64) keeps the gate DuckDB-replayable, same trade as
+    * [[exact]]'s fingerprint.
+    *
+    * Output: (fp, n_docs, n_occurrences, keep_id) per duplicated span —
+    * keep_id = the lowest doc id, the canonical survivor convention of
+    * [[clusters]]. */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(window >= 1 && minDocs >= 1)
+    val spans = docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("w"))
+      .where(size(col("w")) >= window)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${window - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $window)))")).as("span"))
+    spans
+      .select(col("doc_id"), substring(md5(col("span")), 1, 16).as("fp"))
+      .groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("keep_id"))
+      .where(col("n_docs") >= minDocs)
+  }
 }

@@ -245,3 +245,49 @@ class CliFlagSurfaceSpec extends SparkTestBase {
     assert(logged.exists(_.contains("dumped region")), logged.toString)
   }
 }
+
+/** `dump --stream` + `load --stream`: the reference's flagship streamed
+  * pipe (mydumper_stream.c / myloader stream mode) as CLI glue over
+  * LandingStream events + StreamingLoader. */
+class CliStreamSpec extends SparkTestBase {
+  test("streamed dump -> streamed load restores every announced table") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_sd_").toString
+    val ev = java.nio.file.Files.createTempDirectory("graft_cli_sev_").toString
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_sr_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region,nation", "--stream", ev,
+      "--statement-size", "4096"))
+    // events announced per table: data files, schema, end
+    val events = Option(new java.io.File(ev).listFiles).get
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    assert(events.count(_.startsWith("end\t")) === 2, events.toString)
+    assert(events.exists(_.startsWith("schema\tgraft.region")))
+    assert(events.count(_.startsWith("data\tgraft.nation")) >= 1)
+
+    Main.main(Array("load", "-d", out, "--target", restored, "--stream", ev))
+    for (t <- Seq("region", "nation")) {
+      val back = spark.read.parquet(s"$restored/graft.$t")
+      assert(back.count() === Tables.t(spark, sf, t).count(),
+        s"stream-restored $t lost rows")
+    }
+  }
+}
+
+/** myloader-side routing flags: --source-db admission, --database remap. */
+class CliLoadFlagsSpec extends SparkTestBase {
+  test("--source-db admits only matching dumps; --database remaps the target db") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_sdb_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region"))
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_sdbr_").toString
+    // non-matching source-db restores nothing
+    Main.main(Array("load", "-d", out, "--target", restored,
+      "--source-db", "otherdb"))
+    assert(Option(new java.io.File(restored).listFiles).forall(_.isEmpty))
+    // matching source-db + -B remap restores under the NEW db name
+    Main.main(Array("load", "-d", out, "--target", restored,
+      "--source-db", "graft", "-B", "renamed"))
+    val back = spark.read.parquet(s"$restored/renamed.region")
+    assert(back.count() === Tables.t(spark, sf, "region").count())
+  }
+}
