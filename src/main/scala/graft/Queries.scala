@@ -1305,6 +1305,26 @@ object Queries {
       |FROM sp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY fp""".stripMargin
 
+  /** Per-document duplicated-span coverage (Dedup.spanDupRatio): the
+    * quality-filter threshold signal on top of q_dup_spans. */
+  val qDupSpanRatio: QFn = (s, d) =>
+    Dedup.spanDupRatio(documents(s, d), "text", "doc_id", window = 8)
+      .orderBy("doc_id")
+  val qDupSpanRatioSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+      |sp AS (SELECT doc_id,
+      |  unnest(list_transform(generate_series(1, len(w) - 7),
+      |    i -> substring(md5(array_to_string(w[i:i+7], ' ')), 1, 16))) AS fp
+      |  FROM t WHERE len(w) >= 8),
+      |dup AS (SELECT fp FROM sp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT sp.doc_id, count(*) AS n_spans,
+      |  CAST(sum(CASE WHEN dup.fp IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+      |  floor(sum(CASE WHEN dup.fp IS NULL THEN 0 ELSE 1 END)
+      |    / CAST(count(*) AS DOUBLE) * 10000.0) / 10000.0 AS dup_ratio
+      |FROM sp LEFT JOIN dup ON sp.fp = dup.fp
+      |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin
+
   /** Embedding-cosine near-dups via hyperplane LSH at the PRODUCTION
     * pruned setting (bits=2 bucket, hamming prefilter). Value-gated:
     * the ±1 hyperplanes are data-independent (seeded splitmix64,
@@ -2653,6 +2673,7 @@ object Queries {
     "q_repetition" -> qRepetition,
     "q_dedup_exact" -> qDedupExact,
     "q_dup_spans" -> qDupSpans,
+    "q_dup_span_ratio" -> qDupSpanRatio,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_minhash_recall" -> qDedupMinhashRecall,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -2762,6 +2783,7 @@ object Queries {
     "q_repetition" -> qRepetitionSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dup_spans" -> qDupSpansSql,
+    "q_dup_span_ratio" -> qDupSpanRatioSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_ngram" -> qDedupNgramSql,

@@ -407,22 +407,50 @@ object Dedup {
     * Output: (fp, n_docs, n_occurrences, keep_id) per duplicated span —
     * keep_id = the lowest doc id, the canonical survivor convention of
     * [[clusters]]. */
-  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
-      window: Int = 8, minDocs: Int = 2): DataFrame = {
-    require(window >= 1 && minDocs >= 1)
-    val spans = docs
+  /** (doc_id, fp) for every `window`-word sliding span — the shared
+    * front half of [[duplicatedSpans]] and [[spanDupRatio]]. */
+  private def spanFps(docs: DataFrame, textCol: String, idCol: String,
+      window: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+").as("w"))
       .where(size(col("w")) >= window)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(w) - ${window - 1}), " +
           s"i -> concat_ws(' ', slice(w, i, $window)))")).as("span"))
-    spans
       .select(col("doc_id"), substring(md5(col("span")), 1, 16).as("fp"))
+
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(window >= 1 && minDocs >= 1)
+    spanFps(docs, textCol, idCol, window)
       .groupBy("fp")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occurrences"),
         min(col("doc_id")).as("keep_id"))
       .where(col("n_docs") >= minDocs)
+  }
+
+  /** Per-document duplicated-span COVERAGE — the quality-filter signal
+    * built on [[duplicatedSpans]]: what fraction of a doc's spans also
+    * appear in other documents (1.0 = pure boilerplate, 0.0 = fully
+    * original). Training-data pipelines threshold on this to drop
+    * template-dominated documents rather than just cutting the spans.
+    * Shape: span fps → duplicated-fp set (cross-doc, ≥2 distinct docs) →
+    * one fp equi-join back → per-doc aggregate. Both shuffles are
+    * bounded by span count × ~24 B. Ratio floor-truncated to 4 decimals
+    * (oracle determinism, the engine's ratio convention). */
+  def spanDupRatio(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 8): DataFrame = {
+    val spans = spanFps(docs, textCol, idCol, window)
+    val dup = spans.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2).select(col("fp"), lit(1).as("is_dup"))
+    spans.join(dup, Seq("fp"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("is_dup"), lit(0))).as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        (floor(col("n_dup") / col("n_spans") * 10000.0) / 10000.0).as("dup_ratio"))
   }
 }

@@ -26,6 +26,20 @@ class DupSpansSpec extends SparkTestBase {
     assert(spans.forall(r => r.getAs[Long]("keep_id") === 1L))
   }
 
+  test("spanDupRatio: boilerplate-dominated doc scores high, fresh doc zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, boiler),                                   // 11 words, all boiler
+      (2L, s"$boiler plus a few original words here"),
+      (3L, "entirely original content that matches no other row of the corpus")
+    ).toDF("doc_id", "text")
+    val r = Dedup.spanDupRatio(docs, "text", "doc_id", window = 8)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("dup_ratio")).toMap
+    assert(r(1L) === 1.0, s"pure boilerplate must score 1.0: $r")
+    assert(r(2L) > 0.0 && r(2L) < 1.0, s"mixed doc strictly between: $r")
+    assert(r(3L) === 0.0, s"original doc must score 0.0: $r")
+  }
+
   test("a span repeated only WITHIN one doc stays below the cross-doc bar") {
     import spark.implicits._
     val docs = Seq(

@@ -80,6 +80,25 @@ class TimestampShapeSpec extends SparkTestBase {
       "UTC and NTZ dumps must restore identical instants")
   }
 
+  test("LOAD_DATA dump -> load round-trips both shapes to the same values") {
+    val rendered = fixtures.map { case (kind, dir) =>
+      val ev = Tables.t(spark, dir, "events") // RAW shape: the .dat
+      // writer's own TimestampNTZType branch (LoadDataDump.scala:147)
+      val out = Files.createTempDirectory(s"graft_tslddump_${kind}_").toString
+      Dump.dumpTable(ev, "events", Dump.Config(outDir = out,
+        format = Dump.LoadDataFormat(), checksum = false))
+      val back = graft.sources.LoadDataReader.read(
+        spark, out, ev.schema, graft.sources.LoadDataWriter.Options(),
+        glob = "graft.events.*.dat*")
+      assert(back.count() === nEvents, s"$kind LOAD_DATA round-trip lost rows")
+      kind -> back.select(col("event_id"),
+        col("ts").cast(TimestampType).cast(LongType).as("us"))
+    }
+    val (u, n) = (rendered("utc"), rendered("ntz"))
+    assert(u.exceptAll(n).isEmpty && n.exceptAll(u).isEmpty,
+      "UTC and NTZ LOAD_DATA dumps must restore identical instants")
+  }
+
   test("streaming watermark window runs on an NTZ landing dir") {
     val landing = s"${fixtures("ntz")}/events.parquet" // raw NTZ files
     val ckpt = Files.createTempDirectory("graft_tsshape_ckpt_").toString
