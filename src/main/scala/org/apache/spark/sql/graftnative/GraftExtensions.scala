@@ -23,6 +23,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => FloatVecL2Sq(args(0), args(1)))
     register(ext, "vec_cosine", "fused one-pass cosine similarity of two float vectors",
       args => FloatVecCosine(args(0), args(1)))
+    register(ext, "vec_lsh_sig",
+      "seeded hyperplane LSH sign signature: vec_lsh_sig(vec, bits, dim[, seed])",
+      args => {
+        // knobs must be literals: the plane matrix is built ONCE at
+        // resolution (data-independent, seeded) — per-row plane
+        // regeneration would defeat the whole design
+        def lit(i: Int, name: String): Long = args(i) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].longValue
+          case other => throw new IllegalArgumentException(
+            s"vec_lsh_sig: $name must be a literal, got $other")
+        }
+        val bits = lit(1, "bits").toInt
+        val dim = lit(2, "dim").toInt
+        val seed = if (args.length > 3) lit(3, "seed") else 42L
+        FloatVecLshSig(args(0),
+          graft.functions.Hashing.hyperplanes(bits, dim, seed))
+      })
   }
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,

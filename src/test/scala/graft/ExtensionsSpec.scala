@@ -38,6 +38,34 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("vec_lsh_sig in SQL matches the engine's signature bit-for-bit") {
+    val shared = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
+        .getOrCreate()
+      import org.apache.spark.sql.functions.col
+      Tables.embeddings(ext, sf).createOrReplaceTempView("ext_emb")
+      val sql = ext.sql(
+        "SELECT vec_id, vec_lsh_sig(embedding, 64, 64) AS s FROM ext_emb")
+      val planes = functions.Hashing.hyperplanes(64, 64)
+      val engine = Tables.embeddings(ext, sf).select(col("vec_id"),
+        functions.VectorFunctions.lshSig(col("embedding"), planes).as("s"))
+      assert(sql.exceptAll(engine).isEmpty && engine.exceptAll(sql).isEmpty)
+      // non-literal knobs are rejected with a clear message
+      val err = intercept[Exception](ext.sql(
+        "SELECT vec_lsh_sig(embedding, vec_id, 64) FROM ext_emb").head())
+      assert(err.getMessage.contains("must be a literal") ||
+        Option(err.getCause).exists(_.getMessage.contains("must be a literal")),
+        err.getMessage)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("RangeJoinRewrite turns a pure-inequality interval join into an equi-join") {
     val shared = spark
     SparkSession.clearActiveSession()
