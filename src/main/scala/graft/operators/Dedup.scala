@@ -437,9 +437,13 @@ object Dedup {
     * original). Training-data pipelines threshold on this to drop
     * template-dominated documents rather than just cutting the spans.
     * Shape: span fps → duplicated-fp set (cross-doc, ≥2 distinct docs) →
-    * one fp equi-join back → per-doc aggregate. Both shuffles are
-    * bounded by span count × ~24 B. Ratio floor-truncated to 4 decimals
-    * (oracle determinism, the engine's ratio convention). */
+    * one fp equi-join back → per-doc aggregate. The dup SET (duplicated
+    * fingerprints only, ≪ all spans) is what joins back — AQE broadcasts
+    * it, so the corpus-sized span stream is never shuffled for the join
+    * (plan: two Generate scans feeding one BroadcastHashJoin; the only
+    * big-side exchanges are the distinct aggregate's, bounded by span
+    * count × ~24 B). Ratio floor-truncated to 4 decimals (oracle
+    * determinism, the engine's ratio convention). */
   def spanDupRatio(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 8): DataFrame = {
     val spans = spanFps(docs, textCol, idCol, window)
