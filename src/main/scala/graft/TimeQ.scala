@@ -12,6 +12,9 @@ object TimeQ {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same extensions as Bench/Verify — without them q_range_join_auto
+      // would time the un-rewritten nested-loop plan
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -290,8 +290,14 @@ object Main {
             val stem = s"${cfg.db}.${r.stem}"
             val names = Option(new java.io.File(dir).listFiles)
               .getOrElse(Array.empty).map(_.getName)
+            // exec-filtered dumps name their own extension — classify
+            // through the same remap Load.discover uses
+            val execExt = cfg.execFilter.map(_.ext)
+            def asData(n: String): String = execExt
+              .filter(n.endsWith).map(e => n.dropRight(e.length) + ".sql")
+              .getOrElse(n)
             names.filter(n => n.startsWith(s"$stem.") &&
-                Load.classify(n) == Load.Data)
+                Load.classify(asData(n)) == Load.Data)
               .sorted.foreach(n =>
                 LandingStream.announceFile(evDir, "data", stem, n))
             names.filter(n => n.startsWith(s"$stem-schema"))
@@ -442,8 +448,15 @@ object Main {
           schemas.put(table, schema)
         })
         case "data" => loader.offerData(table, () => {
-          val df = graft.sources.SqlInsertReader.read(
-            spark, dir, schemas.get(table), glob = path)
+          // exec-filtered events decode through the inverse child, like
+          // the batch path (myloader's flag pair applies to stream mode)
+          val df = o.get("exec-per-thread") match {
+            case Some(cmd) => graft.sources.SqlInsertReader.readFiltered(
+              spark, dir, schemas.get(table), cmd.trim.split("\\s+").toSeq,
+              glob = path)
+            case None => graft.sources.SqlInsertReader.read(
+              spark, dir, schemas.get(table), glob = path)
+          }
           rows.computeIfAbsent(table,
             _ => new java.util.concurrent.atomic.AtomicLong())
             .addAndGet(df.count())

@@ -271,6 +271,25 @@ class CliStreamSpec extends SparkTestBase {
         s"stream-restored $t lost rows")
     }
   }
+
+  test("streamed pipeline composes with --exec-per-thread filters") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_sx_").toString
+    val ev = java.nio.file.Files.createTempDirectory("graft_cli_sxev_").toString
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_sxr_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region", "--stream", ev,
+      "--exec-per-thread", "gzip -c",
+      "--exec-per-thread-extension", ".sql.gzx"))
+    val events = Option(new java.io.File(ev).listFiles).get
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    assert(events.exists(e => e.startsWith("data\tgraft.region") &&
+      e.endsWith(".sql.gzx")), s"filtered data files must announce: $events")
+    Main.main(Array("load", "-d", out, "--target", restored, "--stream", ev,
+      "--exec-per-thread", "gzip -dc",
+      "--exec-per-thread-extension", ".sql.gzx"))
+    assert(spark.read.parquet(s"$restored/graft.region").count()
+      === Tables.t(spark, sf, "region").count())
+  }
 }
 
 /** myloader-side routing flags: --source-db admission, --database remap. */
