@@ -149,10 +149,12 @@ object Dedup {
     Scoped(pairs, release)
   }
 
-  /** 64-bit SimHash column (compiled kernel, single pass per row). */
+  /** 64-bit SimHash column — native codegen expression over the
+    * compiled kernel (bit-identical to the former UDF; null → 0L). */
   def simhash(text: Column): Column = {
-    val shUdf = udf((t: String) => if (t == null) 0L else Hashing.simhash(t))
-    shUdf(text)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.graftnative.SimHash64(
+      ColumnBridge.expression(text)))
   }
 
   /** SimHash near-dup pairs: bucket by 16-bit prefix (near-dups almost

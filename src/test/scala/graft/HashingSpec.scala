@@ -85,3 +85,23 @@ class LshSigExprSpec extends SparkTestBase {
     assert(df2.where(col("native") =!= col("host")).count() === 0)
   }
 }
+
+/** The native SimHash64 expression must equal the kernel (and the former
+  * UDF's null contract) on real documents — segment buckets and the
+  * simhash value gate depend on exact signatures. */
+class SimHashExprSpec extends SparkTestBase {
+  test("SimHash64 ≡ Hashing.simhash on documents; null sketches to 0") {
+    import org.apache.spark.sql.functions._
+    val udfSh = udf((t: String) => if (t == null) 0L else functions.Hashing.simhash(t))
+    val df = Tables.documents(spark, sf).select(col("doc_id"),
+      operators.Dedup.simhash(col("text")).as("native"),
+      udfSh(col("text")).as("host"))
+    assert(df.where(col("native") =!= col("host")).count() === 0)
+    assert(df.count() > 0)
+    import spark.implicits._
+    val withNull = Seq((1L, "hello world"), (2L, null))
+      .toDF("id", "t")
+      .select(operators.Dedup.simhash(col("t")).as("s")).collect()
+    assert(withNull(1).getLong(0) === 0L, "null must sketch to 0L")
+  }
+}
