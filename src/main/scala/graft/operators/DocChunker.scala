@@ -118,6 +118,12 @@ object DocChunker {
     }
     val bloom = benchSh.stat.bloomFilter("shingle", expected, fpp)
     val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    // deliberately a UDF over a BROADCAST filter, not a native
+    // expression: a multi-MB bloom image embedded in the plan (the
+    // addReferenceObj route a codegen Expression would take) ships with
+    // EVERY task binary, while the broadcast moves it once per executor
+    // — at 100 TB the broadcast wins and the per-row boxing is dwarfed
+    // by the string shingle work either side of it
     val mightContain = udf((s: String) => s != null && bloomBc.value.mightContainString(s))
     val survivors = shingles(corpus, textCol, idCol, n)
       .where(mightContain(col("shingle")))
