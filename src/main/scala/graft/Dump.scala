@@ -437,14 +437,37 @@ object Dump {
   }
 
   /** Dump a set of tables; transactional/non-transactional phase split
-    * (T4) honored by ordering. Returns the manifest. */
+    * (T4) honored by ordering. Returns the manifest.
+    *
+    * `tableThreads` > 1 dumps tables CONCURRENTLY within each phase —
+    * the reference's worker-thread pool, where one slow/large table must
+    * not serialize the whole dump behind it (mydumper's -t threads pull
+    * table jobs off a shared queue). Each table is still one set of
+    * distributed Spark jobs; concurrency here just keeps the scheduler
+    * fed, and Spark's fair/FIFO scheduling interleaves their tasks.
+    * Manifest order stays the input order regardless of completion
+    * order. Default 1 preserves strictly-sequential behavior (byte-level
+    * determinism of interleaved driver-side writes like shared stems is
+    * the caller's concern above 1). */
   def run(spark: SparkSession, tables: Seq[(String, DataFrame, Boolean)],
-      cfg: Config): DumpManifest = {
+      cfg: Config, tableThreads: Int = 1): DumpManifest = {
     val start = java.time.Instant.now().toString
     val (trx, nonTrx) = tables.partition(_._3)
-    val results = (nonTrx ++ trx).map { case (name, df, _) =>
-      dumpTable(df, name, cfg)
-    }
+    def phase(ts: Seq[(String, DataFrame, Boolean)]): Seq[TableResult] =
+      if (tableThreads <= 1) ts.map { case (name, df, _) => dumpTable(df, name, cfg) }
+      else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+          java.util.concurrent.Executors.newFixedThreadPool(tableThreads))
+        try Await.result(
+          Future.sequence(ts.map { case (name, df, _) =>
+            Future(dumpTable(df, name, cfg))
+          }), Duration.Inf)
+        finally ec.asInstanceOf[scala.concurrent.ExecutionContextExecutorService]
+          .shutdown()
+      }
+    val results = phase(nonTrx) ++ phase(trx)
     val manifest = DumpManifest(
       startedAt = start,
       finishedAt = java.time.Instant.now().toString,

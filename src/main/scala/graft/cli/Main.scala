@@ -314,7 +314,11 @@ object Main {
               filename = Some(r.stem).filter(_ != r.table))))
           graft.sources.Manifest.write(dir, m)
           m
-        case None => Dump.run(spark, tables, cfg.copy(outDir = dir))
+        case None => Dump.run(spark, tables, cfg.copy(outDir = dir),
+          // --table-threads N (engine spelling of the reference's
+          // worker-pool concurrency across tables): dump tables
+          // concurrently within each phase
+          tableThreads = o.get("table-threads").map(_.toInt).getOrElse(1))
       }
       if (!o.contains("stream"))
         manifest.tables.foreach(t =>

@@ -310,3 +310,25 @@ class CliLoadFlagsSpec extends SparkTestBase {
     assert(back.count() === Tables.t(spark, sf, "region").count())
   }
 }
+
+/** Concurrent per-table dump: --table-threads must change throughput
+  * shape only — identical artifacts and manifest as the sequential path. */
+class CliTableThreadsSpec extends SparkTestBase {
+  test("--table-threads 3 produces the same artifacts as sequential") {
+    def names(dir: String): Set[String] =
+      Option(new java.io.File(dir).listFiles).map(_.map(_.getName).toSet)
+        .getOrElse(Set.empty)
+    val seq = java.nio.file.Files.createTempDirectory("graft_tt_seq_").toString
+    val par = java.nio.file.Files.createTempDirectory("graft_tt_par_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", seq,
+      "--tables-list", "region,nation,supplier"))
+    Main.main(Array("dump", "--source-dir", sf, "-o", par,
+      "--tables-list", "region,nation,supplier", "--table-threads", "3"))
+    assert(names(par) === names(seq), "artifact sets must match")
+    val mSeq = graft.sources.Manifest.read(seq).get
+    val mPar = graft.sources.Manifest.read(par).get
+    assert(mPar.tables.map(t => (t.table, t.rows, t.dataChecksum))
+      === mSeq.tables.map(t => (t.table, t.rows, t.dataChecksum)),
+      "manifest rows/checksums/order must match")
+  }
+}
