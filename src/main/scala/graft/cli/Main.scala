@@ -35,7 +35,10 @@ import org.apache.spark.sql.SparkSession
   *      --snapshot-iterations N]
   *     [--stream EVENTSDIR]
   *   graft.cli.Main load -d /tmp/out --target /tmp/restored [--checksum fail]
-  *     [-s/--source-db DB] [-B/--database NEWDB] [--stream EVENTSDIR]
+  *     [-s/--source-db DB] [-B/--database NEWDB]
+  *     [--stream EVENTSDIR [--follow]]   (--follow = run concurrently
+  *      with `dump --stream`; without it the restore is a catch-up over
+  *      the already-announced events)
   *     [--exec-per-thread "gzip -dc" --exec-per-thread-extension .sql.gzx]
   */
 object Main {
@@ -43,7 +46,7 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val cmd = args.head
-    val multi = parseFlagsMulti(args.tail)
+    val multi = parseFlagsMulti(args.tail, cmd)
     val opts = multi.map { case (k, vs) => k -> vs.last }
     val threads = opts.getOrElse("threads", "4")
     // embeddable: when a host (test, notebook) already owns a session,
@@ -88,6 +91,18 @@ object Main {
     // materializes parquet and never executes CREATEs
     "skip-definer", "replace-definer")
 
+  /** The subset of [[Ignored]] that takes a VALUE in the reference
+    * (mydumper_arguments.c / myloader_arguments.c): only these consume
+    * the next token. Everything else ignored is a no-argument flag —
+    * `-G -E --rows 100` must leave `--rows 100` intact (an ignored
+    * boolean swallowing the next token silently ate real flags). */
+  private val IgnoredWithValue = Set("pmm-path", "pmm-resolution",
+    "ftwrl-max-wait-time", "long-query-guard", "ftwrl-timeout-retries",
+    "long-query-retries", "long-query-retry-interval", "tidb-snapshot",
+    "sync-thread-lock-mode", "updated-since", "disk-limits",
+    "max-time-per-select", "partition-regex", "default-character-set",
+    "load-data-character-set", "ignore-engines", "replace-definer")
+
   /** Flags that never take a value — everything else consumes the next
     * token as its value even when it starts with '-' (a dash-lookahead
     * heuristic mis-parsed `--regex '-internal$'` as two flags, and let
@@ -96,6 +111,7 @@ object Main {
     "no-schemas", "help",
     "insert-ignore", "replace", "hex-blob", "compact", "complete-insert",
     "no-complete-insert", "build-empty-files", "clear", "dirty", "daemon",
+    "follow",
     "skip-tz-utc", "tz-utc", "checksum-all", "data-checksums",
     "no-data-checksums", "schema-checksums", "routine-checksums",
     "no-schema-checksums")
@@ -103,21 +119,27 @@ object Main {
   /** Last-value-wins view of [[parseFlagsMulti]] — the shape almost every
     * flag wants. Repeatable flags (--regex, reference regex.c:35) read
     * the full list from parseFlagsMulti instead. */
-  def parseFlags(args: Array[String]): Map[String, String] =
-    parseFlagsMulti(args).map { case (k, vs) => k -> vs.last }
+  def parseFlags(args: Array[String], cmd: String = "dump"): Map[String, String] =
+    parseFlagsMulti(args, cmd).map { case (k, vs) => k -> vs.last }
 
-  def parseFlagsMulti(args: Array[String]): Map[String, Seq[String]] = {
+  def parseFlagsMulti(args: Array[String],
+      cmd: String = "dump"): Map[String, Seq[String]] = {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
     def add(k: String, v: String): Unit = out(k) = out.getOrElse(k, Vector.empty) :+ v
     var i = 0
     // reference short spellings (mydumper_arguments.c); `-d` stays
     // myloader's --directory (the dump side requires long --no-data,
-    // documented at runDump)
+    // documented at runDump). `-s` is command-aware like the
+    // reference's separate binaries: mydumper -s = --statement-size
+    // (mydumper_arguments.c), myloader -s = --source-db
+    // (myloader_arguments.c) — one shared alias silently skipped the
+    // load side's source-db admission filter.
     val aliases = Map("-o" -> "outputdir", "-d" -> "directory", "-B" -> "database",
       "-x" -> "regex", "-r" -> "rows", "-c" -> "compress", "-t" -> "threads",
       "-F" -> "chunk-filesize", "-e" -> "build-empty-files",
       "-D" -> "daemon", "-I" -> "snapshot-interval", "-X" -> "snapshot-count",
-      "-L" -> "logfile", "-s" -> "statement-size", "-m" -> "no-schemas",
+      "-L" -> "logfile", "-m" -> "no-schemas",
+      "-s" -> (if (cmd == "load") "source-db" else "statement-size"),
       "-N" -> "insert-ignore", "-M" -> "checksum-all",
       "-K" -> "kill-long-queries", "-z" -> "tidb-snapshot",
       "-i" -> "ignore-engines", "-U" -> "updated-since",
@@ -129,7 +151,8 @@ object Main {
                 else aliases.getOrElse(a, a.stripPrefix("-"))
       if (Ignored.contains(key)) {
         System.err.println(s"[graft] option --$key accepted but inapplicable on Spark; ignored")
-        if (i + 1 < args.length && !args(i + 1).startsWith("-")) i += 1
+        if (IgnoredWithValue.contains(key) && i + 1 < args.length &&
+          !args(i + 1).startsWith("-")) i += 1
       } else if (BoolFlags.contains(key)) {
         add(key, "true")
       } else if (i + 1 < args.length) {
@@ -138,6 +161,22 @@ object Main {
       i += 1
     }
     out.toMap
+  }
+
+  /** --rows / --rows-hard sizing: both take the N / min:start:max
+    * grammar; when both are present the HARD bounds clamp the --rows
+    * value (the reference always honors the hard min/max on top of
+    * --rows, mydumper_table.c:436 — rows-hard never just replaces it).
+    * hard.max == 0 keeps the reference's uncapped convention. */
+  private[graft] def rowsPerChunkOf(o: Map[String, String]): Option[Long] = {
+    val soft = o.get("rows").flatMap(graft.core.ChunkRows.parse)
+    val hard = o.get("rows-hard").flatMap(graft.core.ChunkRows.parse)
+    (soft, hard) match {
+      case (Some(s), Some(h)) =>
+        val cap = if (h.max > 0) h.max else Long.MaxValue
+        Some(math.min(math.max(s.start, h.min), cap))
+      case (s, h) => s.orElse(h).map(_.start)
+    }
   }
 
   private def runDump(spark: SparkSession, o: Map[String, String],
@@ -207,10 +246,14 @@ object Main {
     // merge additionally keeps prior metadata, which Manifest.write
     // rewrites anyway on a file source)
     if (o.contains("clear")) {
-      val d = new java.io.File(outDir)
-      Option(d.listFiles).foreach(_.foreach { f =>
-        if (f.isFile) f.delete()
-      })
+      // the reference's clear_dumpdir EMPTIES the dir — directory-shaped
+      // artifacts (parquet/jsonl table dirs) must go too, not just
+      // top-level plain files
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      Option(new java.io.File(outDir).listFiles).foreach(_.foreach(rm))
     }
     val cfg = Dump.Config(
       outDir = outDir, format = fmt, db = db,
@@ -219,10 +262,7 @@ object Main {
       // default applies
       // accepts the reference's N / min:start / min:start:max forms;
       // the start step drives static sizing (ChunkRows.parse scaladoc)
-      rowsPerChunk = o.get("rows").flatMap(graft.core.ChunkRows.parse).map(_.start)
-        // --rows-hard: same sizing grammar, hard variant (the reference
-        // keeps both; the hard form wins when both are present)
-        .orElse(o.get("rows-hard").flatMap(graft.core.ChunkRows.parse).map(_.start)),
+      rowsPerChunk = rowsPerChunkOf(o),
       statementSize = o.get("statement-size").map(_.toInt).getOrElse(1000000),
       compress = o.contains("compress"),
       // --chunk-filesize / -F: MB at the flag (mydumper_write.c:993
@@ -306,6 +346,11 @@ object Main {
             log(o, s"[graft] dumped+announced ${r.table}: ${r.rows} rows")
             r
           }
+          // terminal event: table count lets a CONCURRENT `load --stream
+          // --follow` know when every announced `end` has arrived and it
+          // can stop its ProcessingTime stream (the reference's analog
+          // is the producer closing the stream pipe, mydumper_stream.c)
+          LandingStream.announceFile(evDir, "done", "-", results.size.toString)
           val m = graft.core.DumpManifest(
             startedAt = java.time.Instant.now().toString,
             finishedAt = java.time.Instant.now().toString,
@@ -423,12 +468,22 @@ object Main {
     * data events may precede their schema event (the loader queues them
     * on the schema promise, myloader's per-table state machine), per-file
     * data jobs append to the table's parquet target, `end` seals the
-    * table. Run concurrently with `dump --stream` for overlapped
-    * dump→load, or after it for a catch-up restore. */
+    * table. Default trigger is AvailableNow — a CATCH-UP restore after
+    * the dump finished (events announced later are invisible to a
+    * latched file listing). For a restore running CONCURRENTLY with
+    * `dump --stream`, pass `--follow`: the consumer polls on a
+    * ProcessingTime cadence and stops itself once the producer's
+    * terminal `done` event arrives and every announced `end` is in. */
   private def runStreamLoad(spark: SparkSession, o: Map[String, String],
       dir: String, target: String): Unit = {
     import scala.concurrent.ExecutionContext.Implicits.global
     val evDir = o("stream")
+    // in --follow mode the loader may start BEFORE the dump created the
+    // events dir; readStream.text refuses a missing path
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
+    val follow = o.contains("follow")
+    val endsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val expectedTables = new java.util.concurrent.atomic.AtomicInteger(-1)
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_").toString
     // per-table cap 1: concurrent append jobs into ONE parquet dir would
     // race the output committer; cross-TABLE parallelism still applies
@@ -442,7 +497,8 @@ object Main {
       java.util.concurrent.atomic.AtomicLong]()
     val finished = scala.collection.mutable.Buffer
       .empty[(String, scala.concurrent.Future[Unit])]
-    val q = graft.streaming.LandingStream.consumeFileEvents(spark, evDir, ckpt) {
+    val q = graft.streaming.LandingStream.consumeFileEvents(spark, evDir, ckpt,
+      follow = follow) {
       (kind, table, path) => kind match {
         case "schema" => loader.offerSchema(table, () => {
           val ddl = Load.readSmallText(java.nio.file.Paths.get(dir, path))
@@ -468,9 +524,23 @@ object Main {
         })
         case "end" =>
           finished.synchronized { finished += table -> loader.finish(table) }
+          endsSeen.incrementAndGet(); ()
+        case "done" =>
+          // terminal producer event: path carries the table count
+          expectedTables.set(path.trim.toInt)
         case other =>
           System.err.println(s"[graft] unknown stream event kind: $other")
       }
+    }
+    if (follow) {
+      // concurrent mode: the stream never runs dry on its own — stop
+      // once the producer said how many tables there are AND that many
+      // `end` events have been handled (handlers run inside the batch,
+      // so at that point every event is consumed)
+      while (q.isActive && !(expectedTables.get() >= 0 &&
+          endsSeen.get() >= expectedTables.get()))
+        Thread.sleep(200)
+      if (q.isActive) q.stop()
     }
     q.awaitTermination()
     finished.foreach { case (t, f) =>

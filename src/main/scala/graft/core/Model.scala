@@ -221,6 +221,21 @@ object ChunkSpec {
       includeNullChunk: Boolean = true) extends ChunkSpec
   /** Physical-partition chunks (mydumper_partition_chunks.c:46-141). */
   final case class Partitions(partitions: Seq[String]) extends ChunkSpec
+  /** One leading-value slice of a [[MultiIntRange]]: all rows with
+    * `prefix = prefixValue` carry a nested integer range on the second
+    * key column. */
+  final case class MultiIntPart(prefixValue: Long, min: Long, max: Long,
+      step: Long)
+  /** Multi-column integer-PK descent (mydumper_integer_chunks.c:354-396,
+    * 640-699): when the leading PK column alone cannot split — a
+    * low-cardinality leading column over a composite key, the
+    * `(tenant_id, seq)` shape — each distinct leading value descends to
+    * integer range chunks on the SECOND key column. Predicates are the
+    * reference's nested shape: `(prefix = v AND (col >= lo AND col <= hi))`,
+    * with the first chunk OR-ing the NULL catch-alls. */
+  final case class MultiIntRange(prefixColumn: String, column: String,
+      parts: Seq[MultiIntPart],
+      includeNullChunk: Boolean = true) extends ChunkSpec
 }
 
 /** Dump manifest — the metadata-file equivalent

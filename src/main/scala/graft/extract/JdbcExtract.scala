@@ -169,6 +169,84 @@ object JdbcExtract {
   private val IntJdbcTypes: Set[Int] = Set(java.sql.Types.TINYINT,
     java.sql.Types.SMALLINT, java.sql.Types.INTEGER, java.sql.Types.BIGINT)
 
+  /** Integer type-NAME check for catalog metadata (the descent's second
+    * key column is typed off [[TableMeta]] column info, not a probe's
+    * JDBC metadata). Tolerates display widths and modifiers —
+    * `INT(11)`, `bigint unsigned`. */
+  private def isIntTypeName(t: String): Boolean = {
+    val head = t.toLowerCase.takeWhile(c => c != '(' && c != ' ')
+    Set("tinyint", "smallint", "mediumint", "int", "integer", "bigint",
+      "byte", "short", "long").contains(head)
+  }
+
+  /** Per-leading-value MIN/MAX bounds of the second key column — the
+    * descent's probe. The reference walks nested levels with one
+    * MIN/MAX query per prefix value (mydumper_integer_chunks.c:640-699,
+    * update_integer_min/max with the prefix pinned in the WHERE); one
+    * GROUP BY round trip returns the identical bounds for every prefix
+    * at once. NULL prefixes and all-NULL groups are skipped — those
+    * rows ride the plan's first-chunk NULL catch-all. */
+  def groupedMinMaxProbe(conn: Connection, qualifiedTable: String,
+      prefixColumn: String, column: String, where: Option[String],
+      quote: String): Seq[(Long, Long, Long)] = {
+    val qp = s"$quote$prefixColumn$quote"
+    val qc = s"$quote$column$quote"
+    val sql = s"SELECT $qp, MIN($qc), MAX($qc) FROM $qualifiedTable" +
+      where.map(w => s" WHERE $w").getOrElse("") +
+      s" GROUP BY $qp ORDER BY $qp"
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      try {
+        val buf = Seq.newBuilder[(Long, Long, Long)]
+        while (rs.next()) {
+          val v = rs.getString(1)
+          val lo = rs.getString(2)
+          val hi = rs.getString(3)
+          if (v != null && lo != null && hi != null)
+            buf += ((v.toLong, lo.toLong, hi.toLong))
+        }
+        buf.result()
+      } finally rs.close()
+    } finally st.close()
+  }
+
+  /** The descent itself (mydumper_integer_chunks.c:354-396: multicolumn
+    * keys split one more level when the leading column alone cannot):
+    * requires an INTEGER second PK column; each probed prefix gets the
+    * same auto-step formula the single-column path uses, applied to ITS
+    * gap (a prefix whose gap fits one step stays one chunk). Returns
+    * None — caller falls back to WholeTable — when there is no usable
+    * second column or the probe finds nothing to split. */
+  private def multiColumnDescent(conn: Connection, qualified: String,
+      meta: TableMeta, pk: String, minStep: Long, pc: PlanConfig,
+      where: Option[String]): Option[ChunkSpec] =
+    for {
+      pk2 <- meta.primaryKey.drop(1).headOption
+      pk2Meta <- meta.columns.find(_.name == pk2)
+      if isIntTypeName(pk2Meta.dataType)
+      groups = groupedMinMaxProbe(conn, qualified, pk, pk2, where, pc.quote)
+      if groups.nonEmpty
+      // descend only when it buys parallelism: >1 chunk total
+      if groups.size > 1 || groups.exists(g => math.abs(g._3 - g._2) > minStep)
+    } yield {
+      val parts = groups.map { case (v, lo2, hi2) =>
+        val gap2 = math.abs(hi2 - lo2)
+        val step =
+          if (gap2 <= minStep) gap2 + 1 // one chunk covers the prefix
+          else {
+            val auto = gap2 / (math.pow(2, pc.maxThreadsPerTable).toLong - 1)
+            val start = pc.rows.map(_.start).filter(_ > 0).getOrElse(auto)
+            val maxStep = pc.rows.map(_.max).filter(_ > 0).getOrElse(Long.MaxValue)
+            math.min(math.max(start, minStep), maxStep)
+          }
+        graft.core.ChunkSpec.MultiIntPart(v, lo2, hi2, step)
+      }
+      val nullable = meta.columns.find(_.name == pk).forall(_.nullable) ||
+        pk2Meta.nullable
+      ChunkSpec.MultiIntRange(pk, pk2, parts, includeNullChunk = nullable)
+    }
+
   /** Choose the chunk plan for one table, phase-for-phase the
     * reference's `set_chunk_strategy_for_dbt` (mydumper_chunks.c:312-345):
     *
@@ -187,11 +265,12 @@ object JdbcExtract {
     *     the LEFT(f,1) char walk);
     *  5. no usable key → whole table (new_none_chunk_step).
     *
-    * Divergence, documented: the reference descends one more PK level
-    * for multi-column integer keys (position ≤ 2, :107-108); chunking
-    * here drives Spark partition count only, so the first key column
-    * always carries enough parallelism. Returns the plan plus the
-    * probed row count (feeds manifests like dbt->rows_total). */
+    * Multi-column keys descend one level like the reference (position
+    * ≤ 2, mydumper_integer_chunks.c:107-108,354-396): an integer leading
+    * column whose gap ≤ min step but whose table still exceeds the step
+    * — the `(tenant_id, seq)` shape — splits on the SECOND key column
+    * per leading value ([[multiColumnDescent]]). Returns the plan plus
+    * the probed row count (feeds manifests like dbt->rows_total). */
   def chunkStrategy(conn: Connection, meta: TableMeta,
       cfg: TableConfig = TableConfig.empty,
       pc: PlanConfig = PlanConfig(),
@@ -222,7 +301,11 @@ object JdbcExtract {
       if (IntJdbcTypes.contains(jdbcType)) {
         val (lo, hi) = (mn.toLong, mx.toLong)
         val gap = math.abs(hi - lo)
-        if (gap <= minStep) ChunkSpec.WholeTable
+        if (gap <= minStep)
+          // the leading column alone can't split (low-cardinality head
+          // of a composite key): descend one level before giving up
+          multiColumnDescent(conn, qualified, meta, pk, minStep, pc,
+            cfg.where).getOrElse(ChunkSpec.WholeTable)
         else {
           val auto = gap / (math.pow(2, pc.maxThreadsPerTable).toLong - 1)
           val start = pc.rows.map(_.start).filter(_ > 0).getOrElse(auto)

@@ -102,6 +102,32 @@ object ChunkPlanner {
     }
   }
 
+  /** C2 descent — multi-column integer-PK chunks
+    * (mydumper_integer_chunks.c:354-396,640-699): per distinct leading
+    * value, nested [[integerChunks]] on the second key column, each
+    * wrapped in the prefix equality. The FIRST chunk overall ORs the
+    * NULL catch-alls (`prefix IS NULL OR col IS NULL`) so rows with a
+    * NULL anywhere in the key land exactly once — the same
+    * first-chunk-carries-NULLs convention as the single-column plan.
+    * `parts` = (prefixValue, min, max, step) per leading value. */
+  def multiIntChunks(prefixColumn: String, column: String,
+      parts: Seq[(Long, Long, Long, Long)], includeNull: Boolean = true,
+      quote: String = "`"): Seq[Chunk] = {
+    val qp = s"$quote$prefixColumn$quote"
+    val qc = s"$quote$column$quote"
+    val inner = parts.flatMap { case (v, mn, mx, step) =>
+      integerChunks(column, mn, mx, step, includeNull = false, quote)
+        .map(c => (s"($qp = $v AND ${c.where})",
+          col(prefixColumn) === v && c.filter))
+    }
+    inner.zipWithIndex.map { case ((w, f), i) =>
+      if (i == 0 && includeNull)
+        Chunk(i, s"($w OR $qp IS NULL OR $qc IS NULL)",
+          f || col(prefixColumn).isNull || col(column).isNull)
+      else Chunk(i, w, f)
+    }
+  }
+
   /** Probe min/max of a DECIMAL(20,0) (unsigned-bigint) key exactly. */
   def decimalBounds(df: DataFrame, column: String): (BigInt, BigInt) = {
     val r = df.agg(min(col(column)), max(col(column))).head()
@@ -299,6 +325,10 @@ object ChunkPlanner {
       integerChunks(c, lo, hi, step, nulls, quote).map(_.where).toArray
     case ChunkSpec.StringRange(c, bounds, _) =>
       stringChunksFromBounds(c, bounds, quote).map(_.where).toArray
+    case ChunkSpec.MultiIntRange(p, c, parts, nulls) =>
+      multiIntChunks(p, c,
+        parts.map(x => (x.prefixValue, x.min, x.max, x.step)), nulls, quote)
+        .map(_.where).toArray
     case ChunkSpec.Partitions(ps) => ps.map(p => s"/* PARTITION($p) */ 1=1").toArray
   }
 }

@@ -438,24 +438,26 @@ object Dedup {
     * appear in other documents (1.0 = pure boilerplate, 0.0 = fully
     * original). Training-data pipelines threshold on this to drop
     * template-dominated documents rather than just cutting the spans.
-    * Shape: span fps → duplicated-fp set (cross-doc, ≥2 distinct docs) →
-    * one fp equi-join back → per-doc aggregate. The dup SET (duplicated
-    * fingerprints only, ≪ all spans) is what joins back — AQE broadcasts
-    * it, so the corpus-sized span stream is never shuffled for the join
-    * (plan: two Generate scans feeding one BroadcastHashJoin; the only
-    * big-side exchanges are the distinct aggregate's, bounded by span
-    * count × ~24 B). Ratio floor-truncated to 4 decimals (oracle
+    * Shape: span fps → ONE hash-aggregate to (fp, doc_id, n_occ) pairs
+    * → a COUNT-over-fp window marks each pair with its fingerprint's
+    * distinct-doc count (pairs are unique per (fp, doc), so plain
+    * window COUNT IS the distinct-doc count — no second corpus scan,
+    * no join-back) → per-doc rollup. The corpus-sized span stream is
+    * generated and shuffled exactly once (plan: a single Generate
+    * subtree); every later exchange moves only the slim pair set
+    * (distinct (fp, doc) × ~28 B), the bound that survives a dup-dense
+    * 100 TB corpus. Ratio floor-truncated to 4 decimals (oracle
     * determinism, the engine's ratio convention). */
   def spanDupRatio(docs: DataFrame, textCol: String, idCol: String,
       window: Int = 8): DataFrame = {
-    val spans = spanFps(docs, textCol, idCol, window)
-    val dup = spans.groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .where(col("nd") >= 2).select(col("fp"), lit(1).as("is_dup"))
-    spans.join(dup, Seq("fp"), "left_outer")
+    import org.apache.spark.sql.expressions.Window
+    val pairs = spanFps(docs, textCol, idCol, window)
+      .groupBy("fp", "doc_id").agg(count(lit(1)).as("n_occ"))
+    pairs
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy("fp")))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(coalesce(col("is_dup"), lit(0))).as("n_dup"))
+      .agg(sum(col("n_occ")).as("n_spans"),
+        sum(when(col("nd") >= 2, col("n_occ")).otherwise(lit(0))).as("n_dup"))
       .select(col("doc_id"), col("n_spans"), col("n_dup"),
         (floor(col("n_dup") / col("n_spans") * 10000.0) / 10000.0).as("dup_ratio"))
   }

@@ -71,9 +71,18 @@ object LandingStream {
     * lines and routes each to `handle` in arrival order (driver-side —
     * orchestration state is O(files seen), the data work each event
     * triggers is a distributed action). Pair with
-    * [[graft.load.StreamingLoader]] for schema/data/finish routing. */
+    * [[graft.load.StreamingLoader]] for schema/data/finish routing.
+    *
+    * `follow = false` (catch-up restore after a finished dump) latches
+    * the available event files once and drains them —
+    * Trigger.AvailableNow. `follow = true` is the CONCURRENT mode
+    * (loader running while the dump still produces): a short
+    * ProcessingTime cadence keeps discovering events announced after
+    * query start — AvailableNow would silently never see them — and the
+    * caller stops the query from its own completion signal (the
+    * producer's terminal `done` event, see [[Dump]] stream mode). */
   def consumeFileEvents(spark: SparkSession, eventsDir: String,
-      checkpoint: String)(
+      checkpoint: String, follow: Boolean = false)(
       handle: (String, String, String) => Unit): StreamingQuery =
     spark.readStream.text(eventsDir)
       .withColumn("_src", input_file_name())
@@ -91,7 +100,8 @@ object LandingStream {
           }
         }
       }
-      .trigger(Trigger.AvailableNow())
+      .trigger(if (follow) Trigger.ProcessingTime("1 second")
+               else Trigger.AvailableNow())
       .start()
 
   /** Per-JVM tiebreaker for same-millisecond announcements. */

@@ -44,6 +44,31 @@ class ChunkPlannerSpec extends SparkTestBase {
     assert(unioned.count() === o.count())
   }
 
+  test("multi-column descent chunks a (tenant_id, seq) key exactly") {
+    // 3 tenants × 100k seqs: the leading column's gap (2) can't split,
+    // the nested plan must — reference mydumper_integer_chunks.c:354-396
+    val df = spark.range(0, 300000).select(
+      (col("id") % 3 + 1).as("tenant_id"),
+      expr("id div 3").as("seq"))
+    val parts = (1L to 3L).map(t => (t, 0L, 99999L, 25000L))
+    val chunks = multiIntChunks("tenant_id", "seq", parts, includeNull = false)
+    assert(chunks.length === 12, "3 tenants x 4 nested ranges")
+    assert(chunks.head.where ===
+      "(`tenant_id` = 1 AND (`seq` >= 0 AND `seq` <= 24999))")
+    // partition exactly: no loss, no overlap
+    val counts = chunks.map(c => df.filter(c.filter).count())
+    assert(counts.sum === 300000L)
+    assert(applyChunks(df, chunks).count() === 300000L)
+    assert(counts.forall(_ === 25000L), counts.toString)
+    // NULL catch-all rides the first chunk when keys are nullable
+    val withNulls = multiIntChunks("tenant_id", "seq", parts)
+    assert(withNulls.head.where.endsWith(
+      "OR `tenant_id` IS NULL OR `seq` IS NULL)"))
+    val dfN = df.unionAll(spark.range(1).select(
+      lit(null).cast("long").as("tenant_id"), lit(7L).as("seq")))
+    assert(withNulls.map(c => dfN.filter(c.filter).count()).sum === 300001L)
+  }
+
   test("string chunks from bounds: half-open, null-inclusive first") {
     val cs = stringChunksFromBounds("c_name", Seq("h", "p"))
     assert(cs.map(_.where) === Seq(

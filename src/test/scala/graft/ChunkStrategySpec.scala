@@ -14,9 +14,11 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class ChunkStrategySpec extends AnyFunSuite {
 
-  /** One canned result: a single row of string cells + the JDBC type
-    * reported for column 1 (the MIN/MAX probe types off it). */
-  private case class Res(row: Seq[String], colType: Int = java.sql.Types.VARCHAR)
+  /** One canned result: a row of string cells + the JDBC type reported
+    * for column 1 (the MIN/MAX probe types off it); `more` holds
+    * additional rows (the descent's GROUP BY probe is multi-row). */
+  private case class Res(row: Seq[String], colType: Int = java.sql.Types.VARCHAR,
+      more: Seq[Seq[String]] = Nil)
 
   /** Connection whose every query routes through `route`; executed SQL
     * accumulates in `log` (prepared-statement params appended). */
@@ -35,11 +37,12 @@ class ChunkStrategySpec extends AnyFunSuite {
         })
       Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[ResultSet]),
         new InvocationHandler {
+          val rows = (r.row +: r.more).filter(_.nonEmpty)
           def invoke(p: Any, m: Method, a: Array[AnyRef]): AnyRef = m.getName match {
-            case "next" => i += 1; java.lang.Boolean.valueOf(i == 0 && r.row.nonEmpty)
-            case "getString" => r.row(a(0).asInstanceOf[Integer] - 1)
+            case "next" => i += 1; java.lang.Boolean.valueOf(i < rows.length)
+            case "getString" => rows(i)(a(0).asInstanceOf[Integer] - 1)
             case "getLong" =>
-              java.lang.Long.valueOf(r.row(a(0).asInstanceOf[Integer] - 1).toLong)
+              java.lang.Long.valueOf(rows(i)(a(0).asInstanceOf[Integer] - 1).toLong)
             case "getMetaData" => meta
             case "close"       => null
             case other         => throw new UnsupportedOperationException(other)
@@ -134,6 +137,65 @@ class ChunkStrategySpec extends AnyFunSuite {
       ChunkSpec.IntRange("id", 0L, 12000L, 1000L, includeNullChunk = false))
     // gap ≤ min step → whole even though the rowcount is large (:156-157)
     assert(run(None, 100L, 900L) === ChunkSpec.WholeTable)
+  }
+
+  test("(tenant_id, seq) composite key descends to the second column") {
+    // reference behavior (mydumper_integer_chunks.c:354-396): 3 tenants
+    // in [1,3] (gap 2 ≤ min step) over 150k rows — the leading column
+    // alone can't split, so each tenant gets nested ranges on `seq`
+    val log = collection.mutable.Buffer.empty[String]
+    val conn = fakeConn(log, {
+      case q if q.startsWith("SELECT COUNT(*)") => Res(Seq("150000"))
+      case q if q.startsWith("SELECT MIN(`tenant_id`)") =>
+        Res(Seq("1", "3"), java.sql.Types.INTEGER)
+      case q if q.startsWith("SELECT `tenant_id`, MIN(`seq`), MAX(`seq`)") =>
+        Res(Seq("1", "0", "149999"), java.sql.Types.INTEGER,
+          more = Seq(Seq("2", "0", "89999"), Seq("3", "500", "700")))
+      case q => fail(s"unexpected probe: $q")
+    })
+    val composite = TableMeta("shop", "orders",
+      columns = Seq(ColumnMeta("tenant_id", "INT", nullable = false),
+        ColumnMeta("seq", "BIGINT", nullable = false),
+        ColumnMeta("note", "VARCHAR")),
+      primaryKey = Seq("tenant_id", "seq"))
+    val (plan, rows) = JdbcExtract.chunkStrategy(conn, composite)
+    assert(rows === 150000L)
+    plan match {
+      case ChunkSpec.MultiIntRange("tenant_id", "seq", parts, includeNull) =>
+        assert(!includeNull, "both key columns NOT NULL")
+        assert(parts.map(_.prefixValue) === Seq(1L, 2L, 3L))
+        // per-prefix auto step = gap/(2^4-1) on THAT prefix's gap
+        assert(parts(0) === graft.core.ChunkSpec.MultiIntPart(1L, 0L, 149999L, 9999L))
+        assert(parts(1) === graft.core.ChunkSpec.MultiIntPart(2L, 0L, 89999L, 5999L))
+        // tiny gap (200 ≤ min step) → one chunk covering the prefix
+        assert(parts(2) === graft.core.ChunkSpec.MultiIntPart(3L, 500L, 700L, 201L))
+      case other => fail(s"expected MultiIntRange, got $other")
+    }
+    // the descent probe is ONE grouped round trip, ordered by prefix
+    assert(log.exists(_.startsWith(
+      "SELECT `tenant_id`, MIN(`seq`), MAX(`seq`) FROM `shop`.`orders` " +
+        "GROUP BY `tenant_id` ORDER BY `tenant_id`")), log.mkString("\n"))
+    // predicates carry the reference's nested shape and count > 3
+    val preds = graft.operators.ChunkPlanner.toPredicates(plan)
+    assert(preds.length > 3, s"only ${preds.length} chunks")
+    assert(preds.head === "(`tenant_id` = 1 AND (`seq` >= 0 AND `seq` <= 9998))",
+      preds.head)
+    assert(preds.last === "(`tenant_id` = 3 AND (`seq` >= 500 AND `seq` <= 700))",
+      preds.last)
+  }
+
+  test("descent without a second integer column stays WholeTable") {
+    val conn = fakeConn(collection.mutable.Buffer.empty[String], {
+      case q if q.startsWith("SELECT COUNT(*)") => Res(Seq("150000"))
+      case q if q.startsWith("SELECT MIN(") =>
+        Res(Seq("1", "3"), java.sql.Types.INTEGER)
+      case q => fail(s"descent must not probe a VARCHAR second column: $q")
+    })
+    val composite = TableMeta("shop", "orders",
+      columns = Seq(ColumnMeta("tenant_id", "INT", nullable = false),
+        ColumnMeta("code", "VARCHAR")),
+      primaryKey = Seq("tenant_id", "code"))
+    assert(JdbcExtract.chunkStrategy(conn, composite)._1 === ChunkSpec.WholeTable)
   }
 
   test("string key splits the first-byte range; empty bounds fall back whole") {

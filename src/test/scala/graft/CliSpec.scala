@@ -30,6 +30,48 @@ class CliSpec extends AnyFunSuite {
     assert(o2("source-dir") === "/d")
   }
 
+  test("-s is command-aware: dump statement-size, load source-db") {
+    // the reference's binaries each own -s: mydumper -s=--statement-size,
+    // myloader -s=--source-db (myloader_arguments.c) — a shared alias
+    // silently skipped the load side's source-db admission filter
+    assert(Main.parseFlags(Array("-s", "4096"), cmd = "dump")
+      ("statement-size") === "4096")
+    assert(Main.parseFlags(Array("-s", "mydb"), cmd = "load")
+      ("source-db") === "mydb")
+  }
+
+  test("ignored no-arg reference flags stay positionally correct") {
+    // -K/-G/-E/-R/-W etc. take no argument in the reference; an ignored
+    // flag consuming the next token would swallow real flags/values
+    val o = Main.parseFlags(Array("-K", "-G", "-E", "--rows", "100"))
+    assert(o === Map("rows" -> "100"))
+    val o2 = Main.parseFlags(Array("--triggers", "--compress",
+      "--source-dir", "/d"))
+    assert(o2("compress") === "true" && o2("source-dir") === "/d")
+    // value-taking ignored flags still consume exactly their value
+    val o3 = Main.parseFlags(Array("--updated-since", "3", "--compress"))
+    assert(o3 === Map("compress" -> "true"))
+  }
+
+  test("--rows-hard clamps --rows instead of being shadowed by it") {
+    // mydumper_table.c:436: the hard min/max are always honored ON TOP
+    // of --rows; alone, rows-hard sizes like --rows
+    def m(kv: (String, String)*) = kv.toMap
+    assert(Main.rowsPerChunkOf(m("rows" -> "100000",
+      "rows-hard" -> "1000:5000:50000")) === Some(50000L))
+    assert(Main.rowsPerChunkOf(m("rows" -> "100",
+      "rows-hard" -> "1000:5000:50000")) === Some(1000L))
+    assert(Main.rowsPerChunkOf(m("rows" -> "20000",
+      "rows-hard" -> "1000:5000:50000")) === Some(20000L))
+    // hard max=0 = uncapped (the reference convention)
+    assert(Main.rowsPerChunkOf(m("rows" -> "999999",
+      "rows-hard" -> "1000:5000:0")) === Some(999999L))
+    assert(Main.rowsPerChunkOf(m("rows" -> "100000")) === Some(100000L))
+    assert(Main.rowsPerChunkOf(m("rows-hard" -> "1000:5000:50000"))
+      === Some(5000L))
+    assert(Main.rowsPerChunkOf(Map.empty) === None)
+  }
+
   test("repeated --regex accumulates and ORs like the reference's re_list") {
     // regex.c:35 appends every -x/--regex occurrence; eval_regex walks
     // the list until the first match
@@ -272,6 +314,33 @@ class CliStreamSpec extends SparkTestBase {
     }
   }
 
+  test("load --stream --follow consumes events announced AFTER it starts") {
+    // the concurrent mode of the reference's dump|load pipe: the loader
+    // starts FIRST (empty events dir), the dump announces while the
+    // loader's ProcessingTime stream is already running, and the
+    // producer's terminal `done` event stops the loader once every
+    // announced `end` is in — AvailableNow would latch the empty
+    // listing and restore nothing
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_fd_").toString
+    val ev = java.nio.file.Files.createTempDirectory("graft_cli_fev_").toString + "/ev"
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_fr_").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val loader = Future {
+      Main.main(Array("load", "-d", out, "--target", restored,
+        "--stream", ev, "--follow"))
+    }
+    Thread.sleep(1500) // let the follow stream start on the empty dir
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region,nation", "--stream", ev))
+    Await.result(loader, scala.concurrent.duration.Duration(120, "s"))
+    for (t <- Seq("region", "nation")) {
+      val back = spark.read.parquet(s"$restored/graft.$t")
+      assert(back.count() === Tables.t(spark, sf, t).count(),
+        s"follow-restored $t lost rows")
+    }
+  }
+
   test("streamed pipeline composes with --exec-per-thread filters") {
     val out = java.nio.file.Files.createTempDirectory("graft_cli_sx_").toString
     val ev = java.nio.file.Files.createTempDirectory("graft_cli_sxev_").toString
@@ -289,6 +358,26 @@ class CliStreamSpec extends SparkTestBase {
       "--exec-per-thread-extension", ".sql.gzx"))
     assert(spark.read.parquet(s"$restored/graft.region").count()
       === Tables.t(spark, sf, "region").count())
+  }
+}
+
+/** --clear must EMPTY the output dir like the reference's clear_dumpdir —
+  * including directory-shaped artifacts (parquet/jsonl table dirs). */
+class CliClearSpec extends SparkTestBase {
+  test("--clear removes stale directory-shaped artifacts too") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_clr_").toString
+    // stale artifacts from a prior dump: a plain file and a parquet dir
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "graft.old.00000.sql"), "stale")
+    val staleDir = java.nio.file.Paths.get(out, "graft.old")
+    java.nio.file.Files.createDirectories(staleDir)
+    java.nio.file.Files.writeString(staleDir.resolve("part-0.parquet"), "x")
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region", "--clear"))
+    val left = Option(new java.io.File(out).listFiles).get.map(_.getName)
+    assert(!left.exists(_.contains("old")),
+      s"stale artifacts survived --clear: ${left.mkString(",")}")
+    assert(left.exists(_.startsWith("graft.region")), left.mkString(","))
   }
 }
 

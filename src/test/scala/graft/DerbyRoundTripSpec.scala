@@ -148,6 +148,91 @@ class DerbyRoundTripSpec extends SparkTestBase {
     }
   }
 
+  test("tableThreads=4 live round trip: concurrent dump -> load -> checksum") {
+    // the round-7 concurrent pool (Dump.run tableThreads>1) was
+    // parity-tested on artifacts only; this drives it through a LIVE
+    // source: four Derby tables extracted over JDBC, dumped CONCURRENTLY
+    // (schema+data files interleaving in time), restored with checksum
+    // verification, one table written back to the server and
+    // checksum-compared there
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_tt").toString
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/ttdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    val out = java.nio.file.Files.createTempDirectory("graft_derby_ttd").toString
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA GRAFT_P")
+      val sizes = Seq("T1" -> 2000, "T2" -> 800, "T3" -> 300, "T4" -> 50)
+      sizes.foreach { case (t, n) =>
+        st.execute(s"CREATE TABLE GRAFT_P.$t " +
+          "(ID INT NOT NULL PRIMARY KEY, PAYLOAD VARCHAR(64))")
+        val ps = conn.prepareStatement(s"INSERT INTO GRAFT_P.$t VALUES (?, ?)")
+        (0 until n).foreach { i =>
+          ps.setInt(1, i)
+          if (i % 13 == 0) ps.setNull(2, java.sql.Types.VARCHAR)
+          else ps.setString(2, s"$t-payload-$i")
+          ps.addBatch()
+        }
+        ps.executeBatch(); ps.close()
+      }
+      st.execute("CREATE TABLE GRAFT_P.T1_OUT (ID INT NOT NULL, PAYLOAD CLOB)")
+      st.close()
+
+      val snapshot = Snapshot.Plan(
+        ddlLock = Nil, ddlUnlock = Nil, controlLock = Nil,
+        workerInit = Seq("SET SCHEMA GRAFT_P"), controlUnlock = Nil,
+        verify = Nil, abortOnDrift = false)
+      def dfOf(t: String) = JdbcExtract.read(spark, JdbcExtract.spec(url, t,
+        graft.core.ChunkSpec.WholeTable, snapshot, user = "APP", password = ""))
+      // mixed phases: T2/T4 non-transactional (dump first), T1/T3 trx
+      val tables = Seq(("t1", dfOf("T1"), true), ("t2", dfOf("T2"), false),
+        ("t3", dfOf("T3"), true), ("t4", dfOf("T4"), false))
+      val manifest = Dump.run(spark, tables,
+        Dump.Config(outDir = out, db = "derby"), tableThreads = 4)
+      // manifest order = input order within each phase, non-trx first,
+      // REGARDLESS of completion order under the 4-thread pool
+      assert(manifest.tables.map(_.table) === Seq("t2", "t4", "t1", "t3"))
+      assert(manifest.tables.map(_.rows).sum === 3150L)
+
+      // directory-only restore with checksum verification against the
+      // concurrently-written artifacts
+      val selfSources = Load.sourcesFromDir(out)
+      assert(selfSources.map(_.table).sorted ===
+        Seq("derby.t1", "derby.t2", "derby.t3", "derby.t4"))
+      val restoredDir = java.nio.file.Files
+        .createTempDirectory("graft_derby_ttr").toString
+      val results = Load.run(spark, out, selfSources) { (stem, df) =>
+        df.write.mode("overwrite").parquet(s"$restoredDir/$stem")
+      }
+      assert(results.forall(_.checksumOk.contains(true)),
+        s"concurrent dump artifacts failed checksum: $results")
+
+      // write the restored T1 back into the live server and checksum it
+      // there against the source table
+      val back = spark.read.parquet(s"$restoredDir/derby.t1")
+      val loadSpec = JdbcLoad.spec(url, "T1_OUT", user = "APP",
+        password = "", overwrite = JdbcLoad.Overwrite.Append,
+        batchSize = 500, connections = 2, disableChecks = false)
+      val withInit = loadSpec.copy(options = loadSpec.options ++
+        GraftConnectionProvider.options(Seq("SET SCHEMA GRAFT_P")))
+      JdbcLoad.write(back.repartition(2), withInit)
+      val plain = new Properties()
+      plain.setProperty("user", "APP")
+      val srcT1 = spark.read.jdbc(url, "GRAFT_P.T1", plain)
+      val dstT1 = spark.read.jdbc(url, "GRAFT_P.T1_OUT", plain)
+      val cols = Seq("ID", "PAYLOAD")
+      assert(dstT1.count() === 2000L)
+      assert(srcT1.agg(Checksum.tableChecksum(srcT1, cols)).head().getLong(0)
+        === dstT1.agg(Checksum.tableChecksum(dstT1, cols)).head().getLong(0),
+        "live write-back after concurrent dump changed data")
+    } finally {
+      conn.close()
+      try DriverManager.getConnection(s"jdbc:derby:$dbDir/ttdb;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("extractTable auto-plans the chunk strategy over live Derby") {
     val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_xt").toString
     System.setProperty("derby.system.home", dbDir)

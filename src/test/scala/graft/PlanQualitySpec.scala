@@ -79,6 +79,18 @@ class PlanQualitySpec extends SparkTestBase {
       "chunking must be a narrow map+generate (scan-speed at 100 TB):\n" + p.take(3000))
   }
 
+  test("q_dup_span_ratio generates the span stream exactly once") {
+    // the round-7 verdict's one fixable inefficiency: the old shape fed
+    // spanFps into BOTH the dup-set aggregate and the join-back, i.e.
+    // two full corpus scans + two explodes. The fused shape aggregates
+    // (fp, doc_id) pairs once and derives the distinct-doc count with a
+    // window COUNT over fp — a single Generate subtree in the plan
+    val p = planOf("q_dup_span_ratio").split("== Initial Plan ==")(0)
+    val gens = "Generate ".r.findAllIn(p).size
+    assert(gens == 1,
+      s"span stream generated $gens times (want 1):\n" + p.take(3000))
+  }
+
   test("decontamination joins on the shingle key, not a cartesian") {
     val df = Queries.all("q_decontam")(spark, sf)
     df.collect()
