@@ -139,9 +139,14 @@ object Dump {
     // mydumper_working_thread.c:1038-1065: each artifact gated by BOTH)
     val noData = cfg.noData || conf.objectsToExport.exists(!_.data)
     val noSchemas = cfg.noSchemas || conf.objectsToExport.exists(!_.schema)
-    // all FILE names below use the stem; DDL text and loader-script
-    // statements keep the real table name (see StemRegistry)
+    // all FILE names below use the stems; DDL text and loader-script
+    // statements keep the real db/table names (see StemRegistry). A
+    // filename-unsafe DATABASE name (dotted, e.g. `db.dot` — the
+    // reference's specific_32 shape) surrogates exactly like a table
+    // name would: the loader's `db.table.NNNNN` parse stays intact and
+    // the real name travels in the DDL + the db schema-create file.
     val stem = cfg.stems.stem(table)
+    val dbStem = cfg.stems.stem(cfg.db)
 
     // P2 computed projections, then P3 row filter, then P5 limit
     var df = conf.columnsOnSelect.foldLeft(df0) { case (d, (c, e)) =>
@@ -241,7 +246,7 @@ object Dump {
       else Future.successful(0L)
     val rows = if (noData) 0L else cfg.format match {
       case SqlFormat =>
-        SqlInsertWriter.write(partitioned, cfg.db, stem, cfg.outDir,
+        SqlInsertWriter.write(partitioned, dbStem, stem, cfg.outDir,
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
             compress = cfg.compress, execFilter = cfg.execFilter,
             insertIgnore = cfg.insertIgnore, replace = cfg.replace,
@@ -259,7 +264,7 @@ object Dump {
           cfg.rowFormatKnobs)
         val fileLog = df.sparkSession.sparkContext
           .collectionAccumulator[String](s"files_dumped_${cfg.db}.$stem")
-        val n = LoadDataWriter.write(partitioned, cfg.db, stem, cfg.outDir,
+        val n = LoadDataWriter.write(partitioned, dbStem, stem, cfg.outDir,
           LoadDataWriter.Options(format = fmt, header = cfg.includeHeader,
             hexBlob = cfg.hexBlob, statementSize = cfg.statementSize,
             compress = cfg.compress, execFilter = cfg.execFilter,
@@ -300,21 +305,21 @@ object Dump {
         // Observation rides the write job — row count without a second scan
         val obs = new org.apache.spark.sql.Observation()
         CsvDump.write(partitioned.observe(obs, count(lit(1)).as("rows")),
-          s"${cfg.outDir}/${cfg.db}.$stem",
+          s"${cfg.outDir}/$dbStem.$stem",
           CsvDump.Options(compress = cfg.compress))
         obs.get("rows").asInstanceOf[Long]
       case ParquetFormat =>
         val obs = new org.apache.spark.sql.Observation()
         partitioned.observe(obs, count(lit(1)).as("rows"))
           .write.mode("overwrite")
-          .parquet(s"${cfg.outDir}/${cfg.db}.$stem")
+          .parquet(s"${cfg.outDir}/$dbStem.$stem")
         obs.get("rows").asInstanceOf[Long]
       case JsonlFormat =>
         val obs = new org.apache.spark.sql.Observation()
         partitioned.observe(obs, count(lit(1)).as("rows"))
           .write.mode("overwrite")
           .option("compression", if (cfg.compress) "gzip" else "none")
-          .json(s"${cfg.outDir}/${cfg.db}.$stem")
+          .json(s"${cfg.outDir}/$dbStem.$stem")
         obs.get("rows").asInstanceOf[Long]
       case ClickHouseFormat =>
         // companion loader script: one INSERT..FROM INFILE per chunk
@@ -326,13 +331,13 @@ object Dump {
         // into the same dir and returns nothing on non-local filesystems.
         val fileLog = df.sparkSession.sparkContext
           .collectionAccumulator[String](s"files_dumped_${cfg.db}.$stem")
-        val n = SqlInsertWriter.write(partitioned, cfg.db, stem, cfg.outDir,
+        val n = SqlInsertWriter.write(partitioned, dbStem, stem, cfg.outDir,
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
             compress = cfg.compress, fileLog = Some(fileLog)))
         import scala.jdk.CollectionConverters._
         val dataFiles = fileLog.value.asScala.toSeq.distinct.sorted
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(cfg.outDir, s"${cfg.db}.$stem-load.sql"),
+          java.nio.file.Paths.get(cfg.outDir, s"$dbStem.$stem-load.sql"),
           sources.ClickHouse.loaderScript(cfg.db, table, dataFiles)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         n
@@ -352,7 +357,7 @@ object Dump {
       }
       emptyFile.foreach { case (ext, content) =>
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(cfg.outDir, f"${cfg.db}.$stem.${0}%05d$ext"),
+          java.nio.file.Paths.get(cfg.outDir, f"$dbStem.$stem.${0}%05d$ext"),
           content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
     }
@@ -362,7 +367,7 @@ object Dump {
     // rode inside the data branch; and suppressed by --no-schemas, which
     // previously still wrote it
     if (cfg.format == ClickHouseFormat && !noSchemas)
-      writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.ClickHouse,
+      writeSchemaObject(cfg.outDir, dbStem, SchemaKind.ClickHouse,
         sources.ClickHouse.createTable(cfg.db, table, df.schema,
           orderBy = cfg.primaryKeys.getOrElse(table, Nil)),
         Some(stem))
@@ -371,9 +376,17 @@ object Dump {
     // carries its schema so a restore needs no live source catalog);
     // parquet embeds its schema already
     if (cfg.format != ParquetFormat && !noSchemas)
-      writeSchemaObject(cfg.outDir, cfg.db, SchemaKind.Table,
+      writeSchemaObject(cfg.outDir, dbStem, SchemaKind.Table,
         sources.DdlEmitter.createTable(cfg.db, table, df.schema, pk),
         Some(stem))
+    // surrogate db: the REAL database name is only recoverable from
+    // DDL, so always pair it with a schema-create file (the reference
+    // renames to mydumper_N and keeps CREATE DATABASE in
+    // mydumper_N-schema-create.sql, specific_32 / mydumper_common.c)
+    if (dbStem != cfg.db && !noSchemas)
+      writeSchemaObject(cfg.outDir, dbStem, SchemaKind.Database,
+        sources.SchemaObjects.fileHeader() +
+          s"CREATE DATABASE /*!32312 IF NOT EXISTS*/ `${cfg.db}`;\n")
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),
       if (noData) 0 else math.max(chunks.size, 1), stem = stem)
   }

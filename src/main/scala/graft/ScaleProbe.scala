@@ -53,10 +53,14 @@ object ScaleProbe {
     val listener = new MetricsListener
     spark.sparkContext.addSparkListener(listener)
 
-    // ---- 10× inflation. Keys are remapped (id*10 + i) so key
+    // ---- X× inflation (default 10; SPARK_GRAFT_SCALE_X=100 for the
+    // heavy-head probes). Keys are remapped (id*X + i) so key
     // cardinality scales with the data — inflating rows under the SAME
     // keys would just deepen groups, which is the easy case.
-    val X = 10
+    // SPARK_GRAFT_SCALE_HEADS=regex runs only the matching heads (the
+    // 100× runs probe the two heaviest heads without paying the rest).
+    val X = sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "10").toInt
+    val headRe = sys.env.get("SPARK_GRAFT_SCALE_HEADS").map(_.r)
     val rep = explode(sequence(lit(0), lit(X - 1))).as("rep")
     val li0 = Tables.lineitem(spark, sfDir)
     val li = li0.select(col("*"), rep)
@@ -75,7 +79,8 @@ object ScaleProbe {
       .drop("rep")
 
     def run(name: String, df: => DataFrame, forbid: Seq[String] = Seq(
-        "BroadcastNestedLoopJoin", "CartesianProduct")): (String, Double) = {
+        "BroadcastNestedLoopJoin", "CartesianProduct")): Option[(String, Double)] = {
+      if (!headRe.forall(_.findFirstIn(name).isDefined)) return None
       listener.reset()
       // timer starts BEFORE construction: iterative operators (dedup
       // clustering) run their convergence actions while the DataFrame is
@@ -99,7 +104,7 @@ object ScaleProbe {
       println(f"$name%-18s ${sec}%7.2f s  shuffle=${listener.shuffleWrite / (1 << 20)}%5d MiB" +
         f"  spill(mem/disk)=${listener.memSpill / (1 << 20)}%d/${listener.diskSpill / (1 << 20)}%d MiB" +
         f"  peakTaskMem=${listener.maxTaskMem / (1 << 20)}%d MiB")
-      name -> sec
+      Some(name -> sec)
     }
 
     val heads = Seq(
@@ -174,8 +179,28 @@ object ScaleProbe {
       // DISTINCT span fingerprints × 16 B (partial agg collapses the
       // repeats map-side) — the property that carries to 100 TB
       run("dup_spans", operators.Dedup.duplicatedSpans(
-        docs, "text", "doc_id", window = 8))
-    )
+        docs, "text", "doc_id", window = 8)),
+      // kNN graph at X×: bits scale with log2(X) so the expected LSH
+      // cell SIZE stays ~constant — the knob a 100 TB deployment turns.
+      // Candidate volume is then O(n × cellSize × tables), linear in n;
+      // holding bits fixed while n grows 100× would be the quadratic
+      // mistake (cells 100× denser → 10,000× the pairs per cell).
+      run("knn_graph", {
+        val knnBits = 3 + math.ceil(math.log(X) / math.log(2)).toInt
+        val embs0 = Tables.embeddings(spark, sfDir)
+        val embs = embs0.select(col("*"), rep)
+          .withColumn("vec_id", col("vec_id") * X + col("rep"))
+          // perturb replicas so inflated vectors are near-dups of their
+          // source, not exact copies (exact copies would make every
+          // cosine 1.0 and the top-k degenerate)
+          .withColumn("embedding", transform(col("embedding"),
+            v => (v * (lit(1.0) + col("rep").cast("double") / lit(997.0)))
+              .cast("float")))
+          .drop("rep")
+        operators.Similarity.selfTopKLsh(embs, "embedding", "vec_id",
+          k = 5, bits = knnBits, tables = 6)
+      })
+    ).flatten
     // broadcast stayed broadcast?
     require(heads.nonEmpty)
     val total = heads.map(_._2).sum

@@ -317,6 +317,164 @@ class RoundTripSpec extends SparkTestBase {
     assert(script.contains("tpch.nation.00000"), "current chunks missing")
   }
 
+  test("dotted database name surrogates across every format (specific_32)") {
+    // reference test/specific_32: db `db.dot` triggers mydumper_N file
+    // renaming in stream mode; here the SAME contract across all five
+    // formats — raw dotted name never on disk, real name in DDL + a
+    // schema-create file, data round-trips under the surrogate stem
+    val o = Tables.region(spark, sf)
+    val want = checksumOf(o)
+    val formats = Seq[(String, Dump.Format)](
+      ("sql", Dump.SqlFormat), ("csv", Dump.CsvFormat),
+      ("jsonl", Dump.JsonlFormat), ("load_data", Dump.LoadDataFormat()),
+      ("parquet", Dump.ParquetFormat))
+    formats.foreach { case (label, format) =>
+      val dir = Files.createTempDirectory("graft_dotdb_").toString
+      val res = Dump.dumpTable(o, "region", Dump.Config(
+        outDir = dir, format = format, db = "db.dot"))
+      assert(res.rows === o.count(), label)
+      val names = new java.io.File(dir).listFiles().map(_.getName)
+      assert(!names.exists(_.startsWith("db.dot")),
+        s"$label: raw dotted db leaked to disk: ${names.mkString(",")}")
+      assert(names.exists(_.startsWith("mydumper_0.")), s"$label: ${names.mkString(",")}")
+      if (format != Dump.ParquetFormat) {
+        // real db name recoverable from the schema-create pair
+        val sc = Files.readString(
+          java.nio.file.Paths.get(dir, "mydumper_0-schema-create.sql"))
+        assert(sc.contains("`db.dot`"), s"$label: $sc")
+        val ddl = Files.readString(
+          java.nio.file.Paths.get(dir, "mydumper_0.region-schema.sql"))
+        assert(ddl.contains("db.dot"), s"$label DDL lost the real db: $ddl")
+      }
+      val back = format match {
+        case Dump.SqlFormat =>
+          SqlInsertReader.read(spark, dir, o.schema, "mydumper_0.region.*.sql*")
+        case Dump.JsonlFormat =>
+          spark.read.schema(o.schema).json(s"$dir/mydumper_0.region")
+        case Dump.ParquetFormat =>
+          spark.read.parquet(s"$dir/mydumper_0.region")
+        case Dump.LoadDataFormat(_) =>
+          graft.sources.LoadDataReader.read(spark, dir, o.schema)
+        case _ =>
+          CsvDump.reader(spark).schema(o.schema).csv(s"$dir/mydumper_0.region")
+      }
+      assert(checksumOf(back) === want, s"checksum mismatch after $label")
+    }
+  }
+
+  test("charset-heavy strings round-trip across text formats (specific_16/21)") {
+    // reference specific_16 (special characters/words in comments) and
+    // specific_21 (utf8mb4): multibyte, emoji, RTL, combining marks,
+    // quote-dense and escape-dense payloads must survive every TEXT
+    // serialization byte-for-byte
+    val rows = Seq(
+      (1L, "café crème üß"),             // latin-1 supplement
+      (2L, "日本語テスト"),          // CJK
+      (3L, "😀🎉 emoji 🔥"),   // astral plane
+      (4L, "العربية rtl"), // arabic
+      (5L, "combining: á ë ñ"),
+      (6L, "quotes '\" and `backticks` -- comment /* block */"),
+      (7L, "tabs\tand\nnewlines\\backslash"),
+      (8L, null.asInstanceOf[String]))
+    import spark.implicits._
+    val df = rows.toDF("id", "txt")
+    val want = checksumOf(df)
+    for (format <- Seq[Dump.Format](Dump.SqlFormat, Dump.LoadDataFormat(),
+        Dump.JsonlFormat)) {
+      val dir = Files.createTempDirectory("graft_charset_").toString
+      Dump.dumpTable(df, "uni", Dump.Config(outDir = dir, format = format,
+        db = "tpch", setNamesCharset = "utf8mb4"))
+      val back = format match {
+        case Dump.SqlFormat =>
+          SqlInsertReader.read(spark, dir, df.schema, "tpch.uni.*.sql*")
+        case Dump.JsonlFormat =>
+          spark.read.schema(df.schema).json(s"$dir/tpch.uni")
+        case _ => graft.sources.LoadDataReader.read(spark, dir, df.schema)
+      }
+      assert(back.count() === 8, format.toString)
+      assert(checksumOf(back) === want, s"charset loss under $format")
+    }
+  }
+
+  test("views + sequences + triggers dump together and phase-order correctly (specific_11/12/33/35)") {
+    // the reference's schema-object suites exercise views, routines and
+    // triggers in ONE dump; here: a data table with a trigger, a view
+    // (placeholder + view file), and a sequence — every artifact
+    // classified, the view placeholder excluded from the data phase,
+    // and the restore phases ordered schemas < data < triggers < views/
+    // sequences (myloader's intermediate/post queues)
+    val dir = Files.createTempDirectory("graft_objs_").toString
+    val o = Tables.region(spark, sf)
+    Dump.run(spark, Seq(("region", o, true)),
+      Dump.Config(outDir = dir, db = "tpch"))
+    Dump.writeView(dir, "tpch", "v_region",
+      columns = Seq(("r_regionkey", "bigint"), ("r_name", "varchar(64)")),
+      createViewDdl =
+        "CREATE VIEW `v_region` AS SELECT r_regionkey, r_name FROM region")
+    Dump.writeSchemaObject(dir, "tpch", Dump.SchemaKind.Sequence,
+      graft.sources.SchemaObjects.createSequenceFile("seq_r",
+        "CREATE SEQUENCE `seq_r` START WITH 1"), Some("seq_r"))
+    Dump.writeSchemaObject(dir, "tpch", Dump.SchemaKind.Triggers,
+      graft.sources.SchemaObjects.createTriggersFile(
+        Seq(("trg_r", "CREATE TRIGGER `trg_r` BEFORE INSERT ON `region` " +
+          "FOR EACH ROW SET @x = 1", "utf8mb4", "utf8mb4_general_ci"))),
+      Some("region"))
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    val classes = names.map(n => n -> Load.classify(n)).toMap
+    assert(classes("tpch.v_region-schema-view.sql") === Load.SchemaView)
+    assert(classes("tpch.seq_r-schema-sequence.sql") === Load.SchemaSequence)
+    assert(classes("tpch.region-schema-triggers.sql") === Load.SchemaTriggers)
+    assert(classes("tpch.v_region-schema.sql") === Load.Schema,
+      "view dependency placeholder table missing")
+    // phase order: the invariant the dependency scheduler runs on
+    assert(Load.phaseOf(Load.Schema) < Load.phaseOf(Load.Data))
+    assert(Load.phaseOf(Load.Data) < Load.phaseOf(Load.SchemaTriggers))
+    assert(Load.phaseOf(Load.SchemaTriggers) < Load.phaseOf(Load.SchemaView))
+    assert(Load.phaseOf(Load.SchemaView) === Load.phaseOf(Load.SchemaSequence))
+    // the view placeholder must NOT become a data-phase table source
+    val srcs = Load.sourcesFromDir(dir)
+    assert(srcs.map(_.table) === Seq("tpch.region"),
+      s"view placeholder leaked into the data phase: ${srcs.map(_.table)}")
+    // and the real table still restores green
+    val restored = Files.createTempDirectory("graft_objs_r_").toString
+    val results = Load.run(spark, dir, srcs) { (stem, df) =>
+      df.write.mode("overwrite").parquet(s"$restored/$stem")
+    }
+    assert(results.forall(_.checksumOk.contains(true)))
+  }
+
+  test("multicolumn-PK table: chunked dump + composite order round-trips (specific_17/31)") {
+    // reference specific_17/31 (multicolumn / large multi-PK tables):
+    // a (tenant_id, seq) key whose leading column cannot split — dumped
+    // with order-by-primary over the COMPOSITE key and a rows cap, then
+    // restored checksum-green; the nested chunk plan itself is covered
+    // by ChunkPlannerSpec/ChunkStrategySpec
+    val df = spark.range(0, 30000).select(
+      (col("id") % 3 + 1).as("tenant_id"),
+      expr("id div 3").as("seq"),
+      concat(lit("payload-"), col("id")).as("payload"))
+    val want = checksumOf(df)
+    val dir = Files.createTempDirectory("graft_mcpk_").toString
+    val res = Dump.dumpTable(df, "tenanted", Dump.Config(
+      outDir = dir, db = "tpch", orderByPrimary = true,
+      rowsPerChunk = Some(5000L),
+      primaryKeys = Map("tenanted" -> Seq("tenant_id", "seq"))))
+    assert(res.rows === 30000L)
+    assert(res.chunks >= 1)
+    val back = SqlInsertReader.read(spark, dir, df.schema,
+      "tpch.tenanted.*.sql*")
+    assert(checksumOf(back) === want)
+    // composite ordering: within every file, rows sort by (tenant, seq)
+    val first = new java.io.File(dir).listFiles()
+      .filter(_.getName.matches("tpch\\.tenanted\\.\\d{5}\\.sql")).head
+    val pairs = scala.io.Source.fromFile(first).getLines()
+      .flatMap(l => "\\((\\d+),(\\d+),".r.findAllMatchIn(l)
+        .map(m => (m.group(1).toLong, m.group(2).toLong))).toSeq
+    assert(pairs.nonEmpty)
+    assert(pairs === pairs.sorted,
+      "rows within a dump file must follow the composite PK order")
+  }
+
   test("config matrix: format × compression × ordering all round-trip (specific_N analog)") {
     val o = Tables.orders(spark, sf)
     val want = checksumOf(o)
