@@ -23,17 +23,22 @@ object ScaleProbe {
     @volatile var shuffleWrite = 0L
     @volatile var memSpill = 0L
     @volatile var diskSpill = 0L
-    @volatile var maxTaskMem = 0L
+    // StageInfo.taskMetrics AGGREGATES across the stage's tasks, so this
+    // peak is the summed execution memory of the heaviest STAGE (divide
+    // by task count for a per-task scale), not any single task's peak —
+    // earlier rounds printed it as "peakTaskMem", which overstated
+    // per-task pressure by the parallelism factor
+    @volatile var peakStageMem = 0L
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
         shuffleWrite += m.shuffleWriteMetrics.bytesWritten
         memSpill += m.memoryBytesSpilled
         diskSpill += m.diskBytesSpilled
-        maxTaskMem = math.max(maxTaskMem, m.peakExecutionMemory)
+        peakStageMem = math.max(peakStageMem, m.peakExecutionMemory)
       }
     }
-    def reset(): Unit = { shuffleWrite = 0; memSpill = 0; diskSpill = 0; maxTaskMem = 0 }
+    def reset(): Unit = { shuffleWrite = 0; memSpill = 0; diskSpill = 0; peakStageMem = 0 }
   }
 
   def main(args: Array[String]): Unit = {
@@ -103,7 +108,7 @@ object ScaleProbe {
         .foreach(_.unpersist(blocking = false))
       println(f"$name%-18s ${sec}%7.2f s  shuffle=${listener.shuffleWrite / (1 << 20)}%5d MiB" +
         f"  spill(mem/disk)=${listener.memSpill / (1 << 20)}%d/${listener.diskSpill / (1 << 20)}%d MiB" +
-        f"  peakTaskMem=${listener.maxTaskMem / (1 << 20)}%d MiB")
+        f"  peakStageMem=${listener.peakStageMem / (1 << 20)}%d MiB")
       Some(name -> sec)
     }
 
