@@ -219,6 +219,13 @@ object ChunkSpec {
     * mydumper_string_chunks.c:404-480). */
   final case class StringRange(column: String, boundaries: Seq[String],
       includeNullChunk: Boolean = true) extends ChunkSpec
+  /** Binary PK range chunks (the reference's specific_19 BINARY(16)-key
+    * suite): boundaries are lowercase hex byte-prefixes, rendered as
+    * standard `X'..'` literals so the predicates stay comparable to the
+    * binary column on ANSI servers and MySQL alike (a plain quoted
+    * string literal is a collation/type error on both). */
+  final case class BinaryRange(column: String, boundaries: Seq[String],
+      includeNullChunk: Boolean = true) extends ChunkSpec
   /** Physical-partition chunks (mydumper_partition_chunks.c:46-141). */
   final case class Partitions(partitions: Seq[String]) extends ChunkSpec
   /** One leading-value slice of a [[MultiIntRange]]: all rows with

@@ -169,6 +169,33 @@ object JdbcExtract {
   private val IntJdbcTypes: Set[Int] = Set(java.sql.Types.TINYINT,
     java.sql.Types.SMALLINT, java.sql.Types.INTEGER, java.sql.Types.BIGINT)
 
+  private val BinaryJdbcTypes: Set[Int] = Set(java.sql.Types.BINARY,
+    java.sql.Types.VARBINARY, java.sql.Types.LONGVARBINARY)
+
+  /** MIN/MAX bounds of a BINARY key, read as bytes — `getString` on a
+    * binary column is driver-defined (Derby hex-encodes, MySQL returns
+    * the raw bytes as a charset-mangled string), so the binary branch
+    * re-probes through the one representation every driver agrees on. */
+  def minMaxBytesProbe(conn: Connection, qualifiedTable: String,
+      column: String, where: Option[String], quote: String)
+      : Option[(Array[Byte], Array[Byte])] = {
+    val qc = s"$quote$column$quote"
+    val sql = s"SELECT MIN($qc), MAX($qc) FROM $qualifiedTable" +
+      where.map(w => s" WHERE $w").getOrElse("")
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery(sql)
+      try {
+        if (!rs.next()) None
+        else {
+          val mn = rs.getBytes(1)
+          val mx = rs.getBytes(2)
+          if (mn == null || mx == null) None else Some((mn, mx))
+        }
+      } finally rs.close()
+    } finally st.close()
+  }
+
   /** Integer type-NAME check for catalog metadata (the descent's second
     * key column is typed off [[TableMeta]] column info, not a probe's
     * JDBC metadata). Tolerates display widths and modifiers —
@@ -313,6 +340,31 @@ object JdbcExtract {
           val step = math.min(math.max(start, minStep), maxStep)
           ChunkSpec.IntRange(pk, lo, hi, step, includeNullChunk = nullable)
         }
+      } else if (BinaryJdbcTypes.contains(jdbcType)) {
+        // BINARY key (the reference's specific_19 BINARY(16)-PK suite):
+        // the probe's string form is driver-defined, so re-probe as
+        // bytes and split on the FIRST BYTE — the binary analog of the
+        // char walk, with X'..' boundaries ([[ChunkSpec.BinaryRange]])
+        // because a quoted string literal cannot compare against a
+        // binary column
+        val plan = for {
+          (b0, b1) <- minMaxBytesProbe(conn, qualified, pk, cfg.where, q)
+          if b0.nonEmpty && b1.nonEmpty
+          lo = b0.head & 0xff
+          hi = b1.head & 0xff
+          span = hi - lo
+          if span > 0
+        } yield {
+          val cuts = math.min(span, pc.maxThreadsPerTable * 4)
+          val bounds = (1 to cuts)
+            .map(i => f"${lo + i * span / (cuts + 1) + 1}%02x")
+            .distinct
+          ChunkSpec.BinaryRange(pk, bounds, includeNullChunk = nullable)
+        }
+        plan.getOrElse(ChunkSpec.WholeTable)
+      } else if (mn.isEmpty || mx.isEmpty) {
+        // an empty-string MIN has no first character to walk from
+        ChunkSpec.WholeTable
       } else {
         // first-byte split across the probed [min,max] character range —
         // the reference's initial char step (LEFT(MIN(f),1)/LEFT(MAX(f),1),

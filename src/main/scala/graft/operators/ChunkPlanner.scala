@@ -267,6 +267,37 @@ object ChunkPlanner {
     }
   }
 
+  /** Half-open binary chunks from hex byte-prefix boundaries — the
+    * [[stringChunksFromBounds]] shape with `X'..'` literals (a quoted
+    * string literal cannot compare against a binary column: type error
+    * on Derby, charset coercion on MySQL). Filters compare against
+    * byte-array literals, which Spark's BinaryType orders by unsigned
+    * byte-wise lexicographic comparison — the same order the server's
+    * binary collation applies, so file-side and JDBC-side chunking
+    * agree. */
+  def binaryChunksFromBounds(column: String, hexBounds: Seq[String],
+      quote: String = "`"): Seq[Chunk] = {
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val b = hexBounds.map(_.toLowerCase).distinct.sorted
+    val ranges: Seq[(Option[String], Option[String])] =
+      if (b.isEmpty) Seq((None, None))
+      else (None +: b.map(Option(_))).zip(b.map(Option(_)) :+ None)
+    ranges.zipWithIndex.map { case ((lo, hi), i) =>
+      val qc = s"$quote$column$quote"
+      val conds = Seq(
+        lo.map(v => s"$qc >= X'$v'"),
+        hi.map(v => s"$qc < X'$v'")).flatten
+      val where0 = if (conds.isEmpty) "(1=1)" else conds.mkString("(", " AND ", ")")
+      val where = if (i == 0) s"($where0 OR $qc IS NULL)" else where0
+      val f0 = Seq(lo.map(v => col(column) >= lit(bytes(v))),
+          hi.map(v => col(column) < lit(bytes(v))))
+        .flatten.reduceOption(_ && _).getOrElse(lit(true))
+      val f = if (i == 0) f0 || col(column).isNull else f0
+      Chunk(i, where, f)
+    }
+  }
+
   /** Apply a chunk plan: per-chunk filtered scans unioned back — the
     * file-source analog of jdbc(predicates). Catalyst pushes each range
     * filter to the scan; AQE coalesces small outputs. */
@@ -325,6 +356,8 @@ object ChunkPlanner {
       integerChunks(c, lo, hi, step, nulls, quote).map(_.where).toArray
     case ChunkSpec.StringRange(c, bounds, _) =>
       stringChunksFromBounds(c, bounds, quote).map(_.where).toArray
+    case ChunkSpec.BinaryRange(c, bounds, _) =>
+      binaryChunksFromBounds(c, bounds, quote).map(_.where).toArray
     case ChunkSpec.MultiIntRange(p, c, parts, nulls) =>
       multiIntChunks(p, c,
         parts.map(x => (x.prefixValue, x.min, x.max, x.step)), nulls, quote)

@@ -281,4 +281,87 @@ class DerbyRoundTripSpec extends SparkTestBase {
       catch { case _: java.sql.SQLException => () }
     }
   }
+
+  test("binary(16) and char(5) primary keys chunk and extract live " +
+      "(reference specific_19 / specific_20)") {
+    // the reference's non-integer-key suites: a BINARY(16) PK must split
+    // through X'..' hex-literal ranges (a quoted string literal is a
+    // type error against a binary column) and a CHAR(5) PK through the
+    // first-character walk — both as LIVE auto-planned extracts, not
+    // hand-built chunk lists
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_bk").toString
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/bkdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA GRAFT_B")
+      st.execute("CREATE TABLE GRAFT_B.BIN16 " +
+        "(ID CHAR(16) FOR BIT DATA NOT NULL PRIMARY KEY, V INT)")
+      st.execute("CREATE TABLE GRAFT_B.CH5 " +
+        "(ID CHAR(5) NOT NULL PRIMARY KEY, V INT)")
+      st.close()
+      val pb = conn.prepareStatement("INSERT INTO GRAFT_B.BIN16 VALUES (?, ?)")
+      (0 until Rows).foreach { i =>
+        // first byte spreads the full 0..250 range; tail disambiguates
+        val b = new Array[Byte](16)
+        b(0) = ((i * 7) % 251).toByte
+        b(1) = (i >> 8).toByte; b(2) = i.toByte
+        pb.setBytes(1, b); pb.setInt(2, i); pb.addBatch()
+        if (i % 500 == 499) pb.executeBatch()
+      }
+      pb.executeBatch(); pb.close()
+      val pc5 = conn.prepareStatement("INSERT INTO GRAFT_B.CH5 VALUES (?, ?)")
+      (0 until Rows).foreach { i =>
+        val s5 = f"${('a' + i % 26).toChar}${i}%04d"
+        pc5.setString(1, s5); pc5.setInt(2, i); pc5.addBatch()
+        if (i % 500 == 499) pc5.executeBatch()
+      }
+      pc5.executeBatch(); pc5.close()
+
+      val snapshot = Snapshot.Plan(
+        ddlLock = Nil, ddlUnlock = Nil, controlLock = Nil,
+        workerInit = Nil, controlUnlock = Nil, verify = Nil,
+        abortOnDrift = false)
+      val metas = Discovery.allTables(conn,
+        TableFilter.Spec(regex = Some("^GRAFT_B\\.")))
+      val binMeta = metas.find(_.table == "BIN16").get
+      val ch5Meta = metas.find(_.table == "CH5").get
+
+      // the auto-planner must pick the binary branch with >1 X'..' chunk
+      val (binPlan, binRows) = JdbcExtract.chunkStrategy(conn, binMeta,
+        pc = JdbcExtract.PlanConfig(quote = "\""))
+      assert(binRows === Rows.toLong)
+      binPlan match {
+        case graft.core.ChunkSpec.BinaryRange(c, bounds, _) =>
+          assert(c === "ID")
+          assert(bounds.nonEmpty && bounds.forall(_.matches("[0-9a-f]{2}")))
+        case other => fail(s"binary PK planned $other, expected BinaryRange")
+      }
+      val (binDf, _) = JdbcExtract.extractTable(spark, conn, url, binMeta,
+        snapshot, user = "APP", password = "",
+        pc = JdbcExtract.PlanConfig(quote = "\""))
+      assert(binDf.rdd.getNumPartitions > 1,
+        "binary key must yield a parallel extract")
+      assert(binDf.count() === Rows.toLong)
+      // every row lands in exactly one chunk (half-open ranges):
+      // distinct IDs prove no chunk overlap double-reads a row
+      assert(binDf.select("ID").distinct().count() === Rows.toLong)
+
+      val (ch5Plan, _) = JdbcExtract.chunkStrategy(conn, ch5Meta,
+        pc = JdbcExtract.PlanConfig(quote = "\""))
+      assert(ch5Plan.isInstanceOf[graft.core.ChunkSpec.StringRange],
+        s"char(5) PK planned $ch5Plan")
+      val (ch5Df, _) = JdbcExtract.extractTable(spark, conn, url, ch5Meta,
+        snapshot, user = "APP", password = "",
+        pc = JdbcExtract.PlanConfig(quote = "\""))
+      assert(ch5Df.rdd.getNumPartitions > 1)
+      assert(ch5Df.count() === Rows.toLong)
+      assert(ch5Df.select("ID").distinct().count() === Rows.toLong)
+    } finally {
+      conn.close()
+      try DriverManager.getConnection(s"jdbc:derby:$dbDir/bkdb;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
 }
