@@ -465,6 +465,17 @@ object Dump {
   def run(spark: SparkSession, tables: Seq[(String, DataFrame, Boolean)],
       cfg: Config, tableThreads: Int = 1): DumpManifest = {
     val start = java.time.Instant.now().toString
+    // every dump carries its database's CREATE: the reference writes
+    // db-schema-create.sql per dumped database whenever schemas are
+    // wanted (write_schema_create; specific_15 pins that an EMPTY
+    // database dumps exactly this file + metadata), and the loader
+    // replays it in phase 1. Emitted once here — not per table — so a
+    // tableThreads>1 run never races writers on the shared file;
+    // dumpTable keeps its surrogate-name pair for standalone callers.
+    if (!cfg.noSchemas)
+      writeSchemaObject(cfg.outDir, cfg.stems.stem(cfg.db), SchemaKind.Database,
+        sources.SchemaObjects.fileHeader() +
+          s"CREATE DATABASE /*!32312 IF NOT EXISTS*/ `${cfg.db}`;\n")
     val (trx, nonTrx) = tables.partition(_._3)
     def phase(ts: Seq[(String, DataFrame, Boolean)]): Seq[TableResult] =
       if (tableThreads <= 1) ts.map { case (name, df, _) => dumpTable(df, name, cfg) }

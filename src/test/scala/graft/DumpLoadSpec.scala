@@ -657,4 +657,29 @@ class DumpLoadSpec extends SparkTestBase {
         === Tables.nation(spark, sf).count())
     }
   }
+
+  test("empty database dumps schema-create + metadata only (specific_15)") {
+    // the reference's empty-db suite: a database with zero tables still
+    // produces a self-describing dump — exactly db-schema-create.sql
+    // (CREATE DATABASE, phase-1 in the loader) plus the metadata
+    // manifest — and a directory-only restore of it is a clean no-op
+    val out = Files.createTempDirectory("graft_empty_db_").toString
+    val manifest = Dump.run(spark, Seq.empty,
+      Dump.Config(outDir = out, db = "empty_db"))
+    assert(manifest.tables.isEmpty)
+    val files = new java.io.File(out).listFiles.map(_.getName).toSet
+    assert(files === Set("metadata", "empty_db-schema-create.sql"), files)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out, "empty_db-schema-create.sql")), "UTF-8")
+    assert(text.contains("CREATE DATABASE /*!32312 IF NOT EXISTS*/ `empty_db`"))
+    assert(Load.classify("empty_db-schema-create.sql") === Load.SchemaCreate)
+    assert(Load.sourcesFromDir(out).isEmpty)
+    assert(Load.run(spark, out, Nil) { (_, _) => () }.isEmpty)
+    // --no-schemas suppresses the db file too: nothing but the manifest
+    val out2 = Files.createTempDirectory("graft_empty_db2_").toString
+    Dump.run(spark, Seq.empty,
+      Dump.Config(outDir = out2, db = "empty_db", noSchemas = true))
+    assert(new java.io.File(out2).listFiles.map(_.getName).toSet
+      === Set("metadata"))
+  }
 }
