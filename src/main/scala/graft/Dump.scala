@@ -386,7 +386,8 @@ object Dump {
     if (dbStem != cfg.db && !noSchemas)
       writeSchemaObject(cfg.outDir, dbStem, SchemaKind.Database,
         sources.SchemaObjects.fileHeader() +
-          s"CREATE DATABASE /*!32312 IF NOT EXISTS*/ `${cfg.db}`;\n")
+          s"CREATE DATABASE /*!32312 IF NOT EXISTS*/ `${cfg.db}`;\n",
+        ifAbsent = true)
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),
       if (noData) 0 else math.max(chunks.size, 1), stem = stem)
   }
@@ -413,7 +414,8 @@ object Dump {
     * comes from the source (SHOW CREATE … on MySQL lineage, or the
     * engine's own DDL emitter); this writer only owns naming+placement. */
   def writeSchemaObject(outDir: String, db: String, kind: SchemaKind,
-      ddl: String, table: Option[String] = None): java.nio.file.Path = {
+      ddl: String, table: Option[String] = None,
+      ifAbsent: Boolean = false): java.nio.file.Path = {
     require(!kind.perTable || table.isDefined, s"$kind needs a table name")
     val base = table match {
       case Some(t) if kind.perTable => s"$db.$t${kind.suffix}"
@@ -421,8 +423,18 @@ object Dump {
     }
     val p = java.nio.file.Paths.get(outDir, base)
     java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p,
-      ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ifAbsent: shared single-content files (the db schema-create) may
+    // be attempted by several table threads at once; CREATE_NEW makes
+    // first-writer-wins atomic, so no reader ever observes a
+    // truncated-mid-rewrite file
+    if (ifAbsent)
+      try java.nio.file.Files.write(p,
+        ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    else
+      java.nio.file.Files.write(p,
+        ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     p
   }
 

@@ -53,8 +53,12 @@ object MakeScaled {
     def scaleKey(c: String) = col(c) * x + col("rep")
 
     def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[make-scaled] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
+      // row count observed on the write job itself — re-reading a 10x
+      // or 100x table just to count it would double the build's I/O
+      val obs = org.apache.spark.sql.Observation()
+      df.observe(obs, count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      println(s"[make-scaled] $name: ${obs.get("n")} rows")
     }
 
     write("region", Tables.region(spark, srcDir))

@@ -36,9 +36,12 @@ import org.apache.spark.sql.SparkSession
   *     [--stream EVENTSDIR]
   *   graft.cli.Main load -d /tmp/out --target /tmp/restored [--checksum fail]
   *     [-s/--source-db DB] [-B/--database NEWDB]
-  *     [--stream EVENTSDIR [--follow]]   (--follow = run concurrently
-  *      with `dump --stream`; without it the restore is a catch-up over
-  *      the already-announced events)
+  *     [--stream EVENTSDIR [--follow] [--follow-timeout SECONDS]]
+  *      (--follow = run concurrently with `dump --stream`, requires a
+  *      fresh events dir; without it the restore is a catch-up over the
+  *      already-announced events. --follow-timeout: fail if no event
+  *      arrives for this long before the producer's done event —
+  *      default 600, 0 disables)
   *     [--exec-per-thread "gzip -dc" --exec-per-thread-extension .sql.gzx]
   */
 object Main {
@@ -248,9 +251,13 @@ object Main {
     if (o.contains("clear")) {
       // the reference's clear_dumpdir EMPTIES the dir — directory-shaped
       // artifacts (parquet/jsonl table dirs) must go too, not just
-      // top-level plain files
+      // top-level plain files. Symlinks are unlinked, never followed:
+      // File.isDirectory is true for a link TO a directory, and
+      // recursing through one (e.g. a `latest ->` rotation link, or the
+      // daemon's `last_dump`) would delete data OUTSIDE the dump dir.
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        val isLink = java.nio.file.Files.isSymbolicLink(f.toPath)
+        if (!isLink && f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(); ()
       }
       Option(new java.io.File(outDir).listFiles).foreach(_.foreach(rm))
@@ -325,9 +332,24 @@ object Main {
         case Some(evDir) =>
           java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
           import graft.streaming.LandingStream
+          // the reference streams the database schema-create FIRST
+          // (mydumper_stream.c: metadata/schema files precede data), so
+          // a follow-mode restore has its CREATE DATABASE phase before
+          // any table arrives; batch dumps get this from Dump.run
+          val dbStem = cfg.stems.stem(cfg.db)
+          if (!cfg.noSchemas) {
+            Dump.writeSchemaObject(dir, dbStem, Dump.SchemaKind.Database,
+              graft.sources.SchemaObjects.fileHeader() +
+                s"CREATE DATABASE /*!32312 IF NOT EXISTS*/ `${cfg.db}`;\n")
+            LandingStream.announceFile(evDir, "dbschema", dbStem,
+              s"$dbStem-schema-create.sql")
+          }
           val results = tables.map { case (name, df, _) =>
             val r = Dump.dumpTable(df, name, cfg.copy(outDir = dir))
-            val stem = s"${cfg.db}.${r.stem}"
+            // file stems use the SURROGATE db stem (dumpTable writes
+            // files under it for filename-unsafe db names); announcing
+            // the raw db name would match zero files for a dotted db
+            val stem = s"$dbStem.${r.stem}"
             val names = Option(new java.io.File(dir).listFiles)
               .getOrElse(Array.empty).map(_.getName)
             // exec-filtered dumps name their own extension — classify
@@ -482,8 +504,30 @@ object Main {
     // events dir; readStream.text refuses a missing path
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
     val follow = o.contains("follow")
+    // --follow stops on the producer's terminal `done` event; a REUSED
+    // events dir would replay a PREVIOUS run's done/end events through
+    // the fresh checkpoint and satisfy the stop condition before the new
+    // dump announces anything (silently restoring zero new tables), so
+    // follow mode requires a fresh dir and fails loudly otherwise
+    if (follow) {
+      val stale = Option(new java.io.File(evDir).listFiles).getOrElse(Array.empty)
+        .exists(f => f.isFile && f.getName.startsWith("ev_") &&
+          scala.util.Try(java.nio.file.Files.readString(f.toPath))
+            .toOption.exists(_.startsWith("done\t")))
+      require(!stale, s"--follow needs a FRESH events dir: $evDir already " +
+        "contains a terminal done event from a previous run (its replay " +
+        "would stop this load before the new dump announces its tables)")
+    }
     val endsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     val expectedTables = new java.util.concurrent.atomic.AtomicInteger(-1)
+    // liveness: --follow polls until done; if the producer DIES before
+    // announcing it (any dumpTable throw aborts the dump), the loop
+    // would spin forever — an idle timeout since the last handled event
+    // turns a dead producer into a loud failure. 0 disables.
+    val followTimeoutMs = o.get("follow-timeout")
+      .map(_.toLong * 1000L).getOrElse(600_000L)
+    val lastEventAt = new java.util.concurrent.atomic.AtomicLong(
+      System.currentTimeMillis())
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt_").toString
     // per-table cap 1: concurrent append jobs into ONE parquet dir would
     // race the output committer; cross-TABLE parallelism still applies
@@ -499,7 +543,7 @@ object Main {
       .empty[(String, scala.concurrent.Future[Unit])]
     val q = graft.streaming.LandingStream.consumeFileEvents(spark, evDir, ckpt,
       follow = follow) {
-      (kind, table, path) => kind match {
+      (kind, table, path) => { lastEventAt.set(System.currentTimeMillis()); kind } match {
         case "schema" => loader.offerSchema(table, () => {
           val ddl = Load.readSmallText(java.nio.file.Paths.get(dir, path))
           val schema = graft.sources.DdlEmitter.toStructType(ddl)
@@ -525,9 +569,27 @@ object Main {
         case "end" =>
           finished.synchronized { finished += table -> loader.finish(table) }
           endsSeen.incrementAndGet(); ()
+        case "dbschema" =>
+          // the db's CREATE-DATABASE artifact: carried alongside the
+          // restored tables so the stream restore stays self-describing
+          // (lake targets need no CREATE DATABASE executed)
+          val src = java.nio.file.Paths.get(dir, path)
+          if (java.nio.file.Files.exists(src)) {
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(target))
+            java.nio.file.Files.copy(src,
+              java.nio.file.Paths.get(target, path),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+          }
         case "done" =>
-          // terminal producer event: path carries the table count
-          expectedTables.set(path.trim.toInt)
+          // terminal producer event: path carries the table count; a
+          // malformed line must not kill the stream mid-restore
+          path.trim.toIntOption match {
+            case Some(n) => expectedTables.set(n)
+            case None => System.err.println(
+              s"[graft] malformed done event payload: '$path'")
+          }
         case other =>
           System.err.println(s"[graft] unknown stream event kind: $other")
       }
@@ -537,10 +599,17 @@ object Main {
       // once the producer said how many tables there are AND that many
       // `end` events have been handled (handlers run inside the batch,
       // so at that point every event is consumed)
+      def idleTooLong(): Boolean = followTimeoutMs > 0 &&
+        System.currentTimeMillis() - lastEventAt.get() > followTimeoutMs
       while (q.isActive && !(expectedTables.get() >= 0 &&
-          endsSeen.get() >= expectedTables.get()))
+          endsSeen.get() >= expectedTables.get()) && !idleTooLong())
         Thread.sleep(200)
       if (q.isActive) q.stop()
+      require(!idleTooLong() || (expectedTables.get() >= 0 &&
+          endsSeen.get() >= expectedTables.get()),
+        s"--follow saw no events for ${followTimeoutMs / 1000}s and no " +
+          "terminal done event — the producer likely died mid-dump; " +
+          "restored tables may be partial (tune with --follow-timeout SECONDS)")
     }
     q.awaitTermination()
     finished.foreach { case (t, f) =>

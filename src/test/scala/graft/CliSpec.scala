@@ -269,6 +269,23 @@ class CliFlagSurfaceSpec extends SparkTestBase {
     assert(names(out2).contains("stale.sql"))
   }
 
+  test("--clear unlinks directory symlinks without following them") {
+    // a `latest ->` rotation link (or the daemon's last_dump) inside the
+    // output dir must be UNLINKED, never recursed into: File.isDirectory
+    // is true for a link to a dir, and deleting through it would destroy
+    // data OUTSIDE the dump dir
+    val outside = java.nio.file.Files.createTempDirectory("graft_cli_keep_")
+    java.nio.file.Files.writeString(outside.resolve("precious.txt"), "keep me")
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_sym_").toString
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(out, "latest"), outside)
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region", "--clear"))
+    assert(!names(out).contains("latest"), "link itself must be removed")
+    assert(java.nio.file.Files.exists(outside.resolve("precious.txt")),
+      "--clear followed a symlink and deleted files outside the dump dir")
+  }
+
   test("--max-threads-per-table caps a table's chunk-file count") {
     val out = java.nio.file.Files.createTempDirectory("graft_cli_mt_").toString
     Main.main(Array("dump", "--source-dir", sf, "-o", out,
@@ -358,6 +375,53 @@ class CliStreamSpec extends SparkTestBase {
       "--exec-per-thread-extension", ".sql.gzx"))
     assert(spark.read.parquet(s"$restored/graft.region").count()
       === Tables.t(spark, sf, "region").count())
+  }
+
+  test("streamed dump announces surrogate stems for a dotted db and " +
+      "carries the db schema-create (specific_32 stream shape)") {
+    // dumpTable writes files under the SURROGATE stem for a
+    // filename-unsafe db; the announce events must use the same stem or
+    // they match zero files and the loader restores nothing. The db's
+    // CREATE DATABASE artifact streams FIRST (dbschema event) and lands
+    // beside the restored tables.
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_dd_").toString
+    val ev = java.nio.file.Files.createTempDirectory("graft_cli_ddev_").toString
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_ddr_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region,nation", "--stream", ev, "-B", "db.dot"))
+    val events = Option(new java.io.File(ev).listFiles).get
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).toSeq
+    val dataEvents = events.filter(_.startsWith("data\t"))
+    assert(dataEvents.nonEmpty, s"no data events announced: $events")
+    assert(dataEvents.forall(_.startsWith("data\tmydumper_")),
+      s"dotted db must announce under its surrogate stem: $dataEvents")
+    assert(events.exists(e => e.startsWith("dbschema\t") &&
+      e.endsWith("-schema-create.sql")), s"db schema-create must stream: $events")
+    Main.main(Array("load", "-d", out, "--target", restored, "--stream", ev))
+    val stem = dataEvents.head.split("\t")(1).split("\\.")(0)
+    for (t <- Seq("region", "nation")) {
+      assert(spark.read.parquet(s"$restored/$stem.$t").count()
+        === Tables.t(spark, sf, t).count(), s"stream-restored $t lost rows")
+    }
+    assert(new java.io.File(restored).listFiles
+      .exists(_.getName.endsWith("-schema-create.sql")),
+      "restored dir must carry the streamed db schema-create")
+  }
+
+  test("load --stream --follow refuses a reused events dir") {
+    // a stale terminal `done` from a previous run would replay through
+    // the fresh checkpoint and stop the loader before the new dump
+    // announces anything — follow mode fails loudly instead
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_st_").toString
+    val ev = java.nio.file.Files.createTempDirectory("graft_cli_stev_").toString
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_str_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region", "--stream", ev)) // leaves a done event
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("load", "-d", out, "--target", restored,
+        "--stream", ev, "--follow"))
+    }
+    assert(e.getMessage.contains("FRESH events dir"), e.getMessage)
   }
 }
 
