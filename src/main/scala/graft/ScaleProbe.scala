@@ -151,6 +151,13 @@ object ScaleProbe {
         operators.Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)),
       run("dedup_minhash",
         operators.Dedup.minhashPairs(docs, "text", "doc_id")),
+      // prefix-bucket candidates + hashed-shingle-array verify: the
+      // exchange carries each doc's distinct shingle set as 8 B/shingle
+      // long arrays, and per-pair cost is one array intersect — the
+      // round-8 rewrite that replaced the per-pair raw-text UDF (which
+      // went quadratic-in-CPU on dup-dense corpora)
+      run("dedup_ngram",
+        operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id")),
       run("dedup_clusters", {
         val pairs = operators.Dedup.minhashPairs(docs, "text", "doc_id",
           verifyJaccard = None).select("id1", "id2")
