@@ -108,7 +108,13 @@ object Dump {
       // binary, mydumper_arguments.c "set-names")
       setNamesCharset: String = "binary",
       // --skip-tz-utc: omit the TIME_ZONE line from file headers
-      skipTzUtc: Boolean = false)
+      skipTzUtc: Boolean = false,
+      // --partition-by (lake formats only; beyond the reference): hive-
+      // style directory partitioning of the parquet/jsonl table output
+      // on these columns — the layout a 100 TB lake dump wants, because
+      // downstream scans prune whole directories on partition-column
+      // predicates instead of reading row-group stats
+      partitionBy: Seq[String] = Nil)
 
   /** File-stem resolution, the reference's determine_filename /
     * get_ref_table (mydumper_common.c:66-90): a table names its own
@@ -312,12 +318,14 @@ object Dump {
         val obs = new org.apache.spark.sql.Observation()
         partitioned.observe(obs, count(lit(1)).as("rows"))
           .write.mode("overwrite")
+          .partitionBy(cfg.partitionBy: _*)
           .parquet(s"${cfg.outDir}/$dbStem.$stem")
         obs.get("rows").asInstanceOf[Long]
       case JsonlFormat =>
         val obs = new org.apache.spark.sql.Observation()
         partitioned.observe(obs, count(lit(1)).as("rows"))
           .write.mode("overwrite")
+          .partitionBy(cfg.partitionBy: _*)
           .option("compression", if (cfg.compress) "gzip" else "none")
           .json(s"${cfg.outDir}/$dbStem.$stem")
         obs.get("rows").asInstanceOf[Long]

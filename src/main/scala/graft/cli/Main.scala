@@ -28,6 +28,7 @@ import org.apache.spark.sql.SparkSession
   *     [-F/--chunk-filesize MB] [-e/--build-empty-files] [--compact]
   *     [--insert-ignore | --replace] [--complete-insert]
   *     [--set-names CS] [--skip-tz-utc] [--clear | --dirty]
+  *     [--partition-by col[,col...]]   (parquet/jsonl: hive-style layout)
   *     [--checksum-all | --data-checksums]
   *     [--max-threads-per-table N] [--masquerade-filename F.cnf]
   *     [-L/--logfile F]
@@ -285,6 +286,10 @@ object Main {
       sqlFileHeaders = !o.contains("compact"),
       setNamesCharset = o.getOrElse("set-names", "binary"),
       skipTzUtc = o.contains("skip-tz-utc"),
+      // --partition-by col[,col...]: hive-style layout for lake formats
+      partitionBy = o.get("partition-by")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil),
       // --checksum-all / --data-checksums turn the dump checksum ON
       // (our engine default is already on; the flags are the reference
       // spellings for explicitness)

@@ -658,6 +658,40 @@ class DumpLoadSpec extends SparkTestBase {
     }
   }
 
+  test("--partition-by lays out lake formats hive-style and prunes") {
+    // the 100 TB lake-dump layout: partition-column predicates prune
+    // whole directories at scan time instead of reading row-group stats
+    val out = Files.createTempDirectory("graft_pby_").toString
+    val li = Tables.lineitem(spark, sf)
+    Dump.dumpTable(li, "lineitem", Dump.Config(outDir = out, db = "tpch",
+      format = Dump.ParquetFormat, checksum = false,
+      partitionBy = Seq("l_returnflag")))
+    val dirs = new java.io.File(s"$out/tpch.lineitem").listFiles
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("l_returnflag=")), dirs.toSeq)
+    val back = spark.read.parquet(s"$out/tpch.lineitem")
+    assert(back.count() === li.count())
+    // per-partition-value counts survive the layout round trip
+    val srcCounts = li.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dstCounts = back.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dstCounts === srcCounts)
+    // pruning is visible in the plan: a partition-column predicate lands
+    // in PartitionFilters, not PushedFilters
+    val plan = back.filter(org.apache.spark.sql.functions.col("l_returnflag") === "A")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("l_returnflag"), plan.take(600))
+    // jsonl takes the same layout
+    Dump.dumpTable(li.limit(1000), "li_j", Dump.Config(outDir = out,
+      db = "tpch", format = Dump.JsonlFormat, checksum = false,
+      partitionBy = Seq("l_returnflag")))
+    assert(new java.io.File(s"$out/tpch.li_j").listFiles
+      .exists(f => f.isDirectory && f.getName.startsWith("l_returnflag=")))
+  }
+
   test("empty database dumps schema-create + metadata only (specific_15)") {
     // the reference's empty-db suite: a database with zero tables still
     // produces a self-describing dump — exactly db-schema-create.sql
