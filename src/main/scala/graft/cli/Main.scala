@@ -488,6 +488,55 @@ object Main {
     }
     results.foreach(r =>
       log(o, s"[graft] restored ${r.table}: ${r.rows} rows, checksum ${r.checksumOk.map(if (_) "ok" else "MISMATCH").getOrElse("unverified")}"))
+    // directory-shaped LAKE artifacts (parquet/jsonl dumps): no schema
+    // files exist — the data is self-describing — so the SQL router
+    // above finds nothing and the load used to exit 0 as a silent no-op.
+    // Restore them here: read by format, verify against the manifest's
+    // recorded checksum when one was dumped, write like any other table.
+    if (results.isEmpty && groups.isEmpty) {
+      val manifest = graft.sources.Manifest.read(dir)
+      val checksums: Map[String, String] = manifest
+        .map(_.tables.flatMap(t => t.dataChecksum.map(c =>
+          t.filename.getOrElse(t.table) -> c)).toMap).getOrElse(Map.empty)
+      val lakeDirs = Option(new java.io.File(dir).listFiles)
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.contains("."))
+        .sortBy(_.getName)
+      val restored = for {
+        d <- lakeDirs
+        stem = d.getName
+        if o.get("source-db").forall(_ == stem.split("\\.", 2).head)
+        inner = Option(d.listFiles).getOrElse(Array.empty).map(_.getName)
+        plainParquet = inner.exists(_.endsWith(".parquet"))
+        partitionedParquet = inner.exists(_.contains("="))
+        jsonl = inner.exists(_.contains(".json"))
+        if plainParquet || partitionedParquet || jsonl
+      } yield {
+        val data = if (jsonl) spark.read.json(d.getPath)
+          else spark.read.parquet(d.getPath)
+        data.write.mode("overwrite").parquet(s"$target/${remap(stem)}")
+        val back = spark.read.parquet(s"$target/${remap(stem)}")
+        // checksum verification needs the dump-time COLUMN ORDER, which
+        // only the plain parquet layout preserves (partitionBy appends
+        // partition columns on read; JSON inference alphabetizes and
+        // widens types) — the others restore as "unverified"
+        val bare = stem.split("\\.", 2).last
+        val ok =
+          if (!plainParquet || partitionedParquet) None
+          else checksums.get(bare).orElse(checksums.get(stem)).map { c =>
+            back.agg(graft.functions.Checksum
+              .tableChecksum(back, back.columns.toSeq)).head().getLong(0)
+              .toString == c
+          }
+        require(!ok.contains(false) || checksumMode != Load.ChecksumFail,
+          s"lake restore of $stem failed checksum verification")
+        log(o, s"[graft] restored $stem: ${back.count()} rows, checksum " +
+          ok.map(if (_) "ok" else "MISMATCH").getOrElse("unverified"))
+        stem
+      }
+      if (lakeDirs.nonEmpty && restored.isEmpty)
+        log(o, s"[graft] no lake artifacts admitted from $dir")
+    }
   }
 
   /** `load --stream EVENTSDIR`: consume the dump's file-announce events

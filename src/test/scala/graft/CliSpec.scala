@@ -269,6 +269,33 @@ class CliFlagSurfaceSpec extends SparkTestBase {
     assert(names(out2).contains("stale.sql"))
   }
 
+  test("load restores directory-shaped lake dumps (parquet/jsonl)") {
+    // parquet/jsonl dumps carry no schema files (the data is self-
+    // describing), so the SQL router finds zero sources — loading one
+    // used to exit 0 as a silent no-op; the lake fallback restores it,
+    // checksum-verified for the plain parquet layout
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_lk_").toString
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_lkr_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region,nation", "--format", "parquet"))
+    Main.main(Array("load", "-d", out, "--target", restored,
+      "--checksum", "fail")) // fail mode: a mismatch would throw
+    for (t <- Seq("region", "nation"))
+      assert(spark.read.parquet(s"$restored/graft.$t").count()
+        === Tables.t(spark, sf, t).count(), s"lake-restored $t lost rows")
+    // hive-partitioned layout restores too (unverified: read-back
+    // column order differs from dump time)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cli_lk2_").toString
+    val restored2 = java.nio.file.Files.createTempDirectory("graft_cli_lk2r_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out2,
+      "--tables-list", "nation", "--format", "parquet",
+      "--partition-by", "n_regionkey"))
+    Main.main(Array("load", "-d", out2, "--target", restored2))
+    val back = spark.read.parquet(s"$restored2/graft.nation")
+    assert(back.count() === Tables.t(spark, sf, "nation").count())
+    assert(back.columns.contains("n_regionkey"))
+  }
+
   test("--clear unlinks directory symlinks without following them") {
     // a `latest ->` rotation link (or the daemon's last_dump) inside the
     // output dir must be UNLINKED, never recursed into: File.isDirectory
