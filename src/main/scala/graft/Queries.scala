@@ -2222,30 +2222,40 @@ object Queries {
       |FROM r WHERE rank <= 3 ORDER BY id1, rank""".stripMargin
 
   /** kNN graph, LSH-cell scale path (single equi-join on the packed
-    * (table, cell) key). Value-gated at the PRODUCTION bits=3/tables=6
-    * setting: per-table seeded hyperplane cells are data-independent, so
-    * the oracle inlines all 6 plane tables and DuckDB replays cell
-    * assignment, the co-cell candidate union, dedup, cosine scoring,
-    * mirroring, and the per-node rank — bit-for-bit. Score floored like
-    * q_knn_exact to make the double hash-comparable. */
-  val qKnnGraph: QFn = (s, d) =>
-    Similarity.selfTopKLsh(embeddings(s, d), "embedding", "vec_id",
-      k = 5, bits = 3, tables = 6)
+    * (table, cell) key). Value-gated at the PRODUCTION setting — tables=6
+    * with bits chosen by corpus size ([[Similarity.lshBitsFor]]:
+    * clamp(bitlen(n)−6, 3, 24), constant ~32–64 rows/cell) so the gate
+    * itself scales instead of pinning one corpus's bit count. Per-table
+    * seeded hyperplane cells are data-independent and prefix-stable in
+    * bits (plane p depends only on (seed, p)), so the oracle inlines the
+    * full 24-plane tables, computes the SAME integer bit count from
+    * count(*) (`length(bin(n)) − 6`), keeps planes p < nbits, and DuckDB
+    * replays cell assignment, the co-cell candidate union, dedup, cosine
+    * scoring, mirroring, and the per-node rank — bit-for-bit at any sf.
+    * Score floored like q_knn_exact to make the double hash-comparable. */
+  val qKnnGraph: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    Similarity.selfTopKLsh(e, "embedding", "vec_id",
+      k = 5, bits = Similarity.lshBitsFor(e.count()), tables = 6)
       .withColumn("score", floor(col("score") * lit(1000000.0)) / lit(1000000.0))
       .orderBy("id1", "rank")
+  }
   val qKnnGraphSql: String = {
     val vals = (0 until 6).flatMap { t =>
-      Hashing.hyperplanes(3, 64, 42L + t).zipWithIndex.map { case (pl, p) =>
+      Hashing.hyperplanes(24, 64, 42L + t).zipWithIndex.map { case (pl, p) =>
         s"($t, $p, [${pl.map(x => if (x > 0) "1" else "-1").mkString(",")}]::DOUBLE[])"
       }
     }.mkString(", ")
     s"""WITH planes(t, p, pl) AS (VALUES $vals),
+       |nb AS (SELECT greatest(3, least(24, length(bin(count(*))) - 6)) AS nbits
+       |       FROM embeddings),
        |sig AS (
        |  SELECT vec_id, t,
        |    string_agg(CASE WHEN list_sum(list_transform(list_zip(embedding, pl),
        |      z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN '1' ELSE '0' END,
        |      '' ORDER BY p) AS s
-       |  FROM embeddings, planes GROUP BY vec_id, t),
+       |  FROM embeddings, planes WHERE p < (SELECT nbits FROM nb)
+       |  GROUP BY vec_id, t),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
        |  FROM sig a JOIN sig b ON a.t = b.t AND a.s = b.s AND a.vec_id < b.vec_id),

@@ -129,6 +129,20 @@ object Similarity {
     * Recall/cost knobs: fewer bits = bigger cells = more candidates =
     * higher recall; SimilaritySpec pins the floor vs [[selfTopK]].
     * Rows sharing no cell with anyone emit nothing. */
+  /** Corpus-size-aware LSH bit count: bits = clamp(bitlen(n) − 6, 3, 24),
+    * i.e. the smallest b keeping expected cell density n/2ᵇ in [32, 64).
+    * Constant density is what makes [[selfTopKLsh]] linear in n: candidate
+    * pairs per table ≈ n·density/2, so doubling the corpus adds one bit
+    * instead of doubling every cell. Pure integer arithmetic
+    * (no float log2) so the inlined DuckDB oracle — `length(bin(n)) - 6`
+    * — computes the identical value at every scale, keeping the gate
+    * replayable without pinning bits to one corpus size. Floor 3 matches
+    * the historical small-corpus setting; cap 24 keeps the cell id inside
+    * the packed (table << 32 | cell) key with headroom (a 2²⁴-cell table
+    * serves ~10⁹ rows at target density; beyond that raise `tables`). */
+  def lshBitsFor(n: Long): Int =
+    math.max(3, math.min(24, 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L)) - 6))
+
   def selfTopKLsh(embs: DataFrame, vecCol: String, idCol: String, k: Int,
       bits: Int, tables: Int = 6, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
