@@ -136,7 +136,7 @@ object Dump {
   }
 
   final case class TableResult(table: String, rows: Long, checksum: Long,
-      chunks: Int, stem: String = "")
+      chunks: Int, stem: String = "", schemaJson: Option[String] = None)
 
   /** Dump one table DataFrame end-to-end; returns its manifest entry. */
   def dumpTable(df0: DataFrame, table: String, cfg: Config): TableResult = {
@@ -397,7 +397,13 @@ object Dump {
           s"CREATE DATABASE /*!32312 IF NOT EXISTS*/ `${cfg.db}`;\n",
         ifAbsent = true)
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),
-      if (noData) 0 else math.max(chunks.size, 1), stem = stem)
+      if (noData) 0 else math.max(chunks.size, 1), stem = stem,
+      // lake layouts read back in a different shape than they dumped
+      // (partitionBy appends partition columns; JSON inference
+      // alphabetizes and widens) — record the dump-time schema so the
+      // loader can conform before checksum verification
+      schemaJson = Some(df.schema.json)
+        .filter(_ => cfg.format == ParquetFormat || cfg.format == JsonlFormat))
   }
 
   /** Schema-object kinds a dump can carry besides table data — the
@@ -517,7 +523,8 @@ object Dump {
       finishedAt = java.time.Instant.now().toString,
       tables = results.map(r =>
         TableManifest(r.table, r.rows, Some(r.checksum.toString),
-          filename = Some(r.stem).filter(_ != r.table))))
+          filename = Some(r.stem).filter(_ != r.table),
+          sparkSchema = r.schemaJson)))
     // persist as the dump dir's `metadata` file (reference
     // mydumper_start_dump.c:1161-1182) so the dump is self-describing
     sources.Manifest.write(cfg.outDir, manifest)

@@ -257,7 +257,13 @@ final case class TableManifest(
     // surrogate file stem when the table name is not filename-safe
     // (reference determine_filename, mydumper_common.c:66-77); None
     // means files carry the table's own name
-    filename: Option[String] = None)
+    filename: Option[String] = None,
+    // engine-extension key (the reference ignores unknown keys): the
+    // dump-time Spark schema as single-line StructType JSON, recorded
+    // for lake-layout dumps whose read-back shape differs from dump
+    // shape (partitionBy reorders columns; JSON inference alphabetizes
+    // and widens) — restore conforms to this before checksum-verifying
+    sparkSchema: Option[String] = None)
 
 final case class DumpManifest(
     startedAt: String,

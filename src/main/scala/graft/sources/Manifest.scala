@@ -66,6 +66,7 @@ object Manifest {
       t.dataChecksum.foreach(c => sb ++= s"data_checksum = $c\n")
       t.schemaChecksum.foreach(c => sb ++= s"schema_checksum = $c\n")
       if (t.files.nonEmpty) sb ++= s"files = ${t.files.mkString(",")}\n"
+      t.sparkSchema.foreach(s => sb ++= s"spark_schema = $s\n")
     }
     sb ++= "\n[config]\nmax-statement-size = 1000000\n"
     sb ++= s"\n# Finished dump at: ${m.finishedAt}\n"
@@ -161,6 +162,7 @@ object Manifest {
               cur = Some(t.copy(schemaChecksum = Some(v)))
             case "files"           => cur = Some(t.copy(files = v.split(",").toSeq))
             case "filename"        => cur = Some(t.copy(filename = Some(v)))
+            case "spark_schema"    => cur = Some(t.copy(sparkSchema = Some(v)))
             case _                 => ()
           }
         }
