@@ -202,6 +202,14 @@ object Main {
       case "CLICKHOUSE" => Dump.ClickHouseFormat
       case _ => Dump.SqlFormat
     }
+    // --partition-by is a lake-layout knob; only the parquet/jsonl
+    // writers apply it. Accepting it silently under --format sql reads
+    // as a successful partitioned dump, so fail fast instead.
+    require(!o.contains("partition-by") ||
+        fmt == Dump.ParquetFormat || fmt == Dump.JsonlFormat,
+      s"--partition-by applies only to lake formats (parquet/jsonl); " +
+        s"--format ${o.getOrElse("format", "sql")} writes row files and " +
+        "would ignore it")
     val spec = TableFilter.Spec(
       regexes = regexes,
       tablesList = o.get("tables-list").map(_.split(",").toSeq).getOrElse(Nil))
@@ -483,7 +491,19 @@ object Main {
       case Some(db) => stem => db + stem.dropWhile(_ != '.')
       case None => identity
     }
-    val results = Load.run(spark, dir, admitted, checksumMode, decode) { (stem, df) =>
+    // a jsonl dump is self-describing DDL-wise (db.table-schema.sql
+    // rides along like every non-parquet format) but its DATA is a
+    // directory of json part files, not .sql chunks — globbing
+    // `stem.*.sql*` for it dies with PATH_NOT_FOUND. Route a source to
+    // the SQL reader only when top-level chunk files exist for its stem;
+    // a data DIRECTORY named after the stem goes to the lake fallback.
+    val topFiles = Option(new java.io.File(dir).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+    val sqlRouted = admitted.filter { s =>
+      topFiles.exists(f => f.isFile && f.getName.startsWith(s.table + ".")) ||
+        !topFiles.exists(f => f.isDirectory && f.getName == s.table)
+    }
+    val results = Load.run(spark, dir, sqlRouted, checksumMode, decode) { (stem, df) =>
       df.write.mode("overwrite").parquet(s"$target/${remap(stem)}")
     }
     results.foreach(r =>
@@ -495,34 +515,69 @@ object Main {
     // recorded checksum when one was dumped, write like any other table.
     if (results.isEmpty && groups.isEmpty) {
       val manifest = graft.sources.Manifest.read(dir)
-      val checksums: Map[String, String] = manifest
-        .map(_.tables.flatMap(t => t.dataChecksum.map(c =>
-          t.filename.getOrElse(t.table) -> c)).toMap).getOrElse(Map.empty)
+      def byStem(f: graft.core.TableManifest => Option[String]): Map[String, String] =
+        manifest.map(_.tables.flatMap(t => f(t).map(
+          t.filename.getOrElse(t.table) -> _)).toMap).getOrElse(Map.empty)
+      val checksums = byStem(_.dataChecksum)
+      val schemas = byStem(_.sparkSchema)
       val lakeDirs = Option(new java.io.File(dir).listFiles)
         .getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.contains("."))
         .sortBy(_.getName)
+      // format sniff on LEAF data files: a --partition-by dump's top
+      // level holds only `col=value` subdirs, so walk into them (depth-
+      // bounded by partition-column count) until a data file appears
+      def leafData(f: java.io.File, depth: Int = 8): Option[String] = {
+        val kids = Option(f.listFiles).getOrElse(Array.empty)
+        kids.collectFirst {
+          case k if k.isFile && k.getName.matches(".*\\.json(\\.[a-z0-9]+)?$") => "jsonl"
+          case k if k.isFile && k.getName.endsWith(".parquet") => "parquet"
+        }.orElse(if (depth <= 0) None
+          else kids.filter(k => k.isDirectory && k.getName.contains("="))
+            .sortBy(_.getName).iterator.flatMap(leafData(_, depth - 1))
+            .nextOption())
+      }
       val restored = for {
         d <- lakeDirs
         stem = d.getName
         if o.get("source-db").forall(_ == stem.split("\\.", 2).head)
-        inner = Option(d.listFiles).getOrElse(Array.empty).map(_.getName)
-        plainParquet = inner.exists(_.endsWith(".parquet"))
-        partitionedParquet = inner.exists(_.contains("="))
-        jsonl = inner.exists(_.contains(".json"))
-        if plainParquet || partitionedParquet || jsonl
+        kind <- leafData(d)
       } yield {
-        val data = if (jsonl) spark.read.json(d.getPath)
+        val data = if (kind == "jsonl") spark.read.json(d.getPath)
           else spark.read.parquet(d.getPath)
-        data.write.mode("overwrite").parquet(s"$target/${remap(stem)}")
-        val back = spark.read.parquet(s"$target/${remap(stem)}")
-        // checksum verification needs the dump-time COLUMN ORDER, which
-        // only the plain parquet layout preserves (partitionBy appends
-        // partition columns on read; JSON inference alphabetizes and
-        // widens types) — the others restore as "unverified"
+        // conform the read-back to the manifest's recorded dump-time
+        // schema — partitionBy appends partition columns, JSON inference
+        // alphabetizes column order and widens types — so the restored
+        // table AND its checksum match the dump shape exactly (the
+        // reference's loader never restores unverified, myloader.c:684)
         val bare = stem.split("\\.", 2).last
+        val recorded = schemas.get(bare).orElse(schemas.get(stem)).map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        import org.apache.spark.sql.functions.{col, lit, unbase64}
+        val conformed = recorded match {
+          case Some(sc) => data.select(sc.fields.map { fld =>
+            if (!data.columns.contains(fld.name))
+              // JSON writers drop all-null fields; restore the column
+              lit(null).cast(fld.dataType).as(fld.name)
+            else if (fld.dataType == org.apache.spark.sql.types.BinaryType &&
+                data.schema(fld.name).dataType == org.apache.spark.sql.types.StringType)
+              unbase64(col(fld.name)).as(fld.name) // JSON base64-encodes binary
+            else col(fld.name).cast(fld.dataType).as(fld.name)
+          }.toSeq: _*)
+          case None => data
+        }
+        conformed.write.mode("overwrite").parquet(s"$target/${remap(stem)}")
+        val back = spark.read.parquet(s"$target/${remap(stem)}")
+        // plain parquet preserves dump shape even without a recorded
+        // schema (pre-extension dumps); partitioned/jsonl layouts need
+        // the manifest schema to verify
+        val shapeTrusted = recorded.isDefined ||
+          (kind == "parquet" && leafData(d).contains("parquet") &&
+            !Option(d.listFiles).getOrElse(Array.empty)
+              .exists(k => k.isDirectory && k.getName.contains("=")))
         val ok =
-          if (!plainParquet || partitionedParquet) None
+          if (!shapeTrusted) None
           else checksums.get(bare).orElse(checksums.get(stem)).map { c =>
             back.agg(graft.functions.Checksum
               .tableChecksum(back, back.columns.toSeq)).head().getLong(0)
@@ -558,19 +613,19 @@ object Main {
     // events dir; readStream.text refuses a missing path
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
     val follow = o.contains("follow")
-    // --follow stops on the producer's terminal `done` event; a REUSED
-    // events dir would replay a PREVIOUS run's done/end events through
-    // the fresh checkpoint and satisfy the stop condition before the new
-    // dump announces anything (silently restoring zero new tables), so
-    // follow mode requires a fresh dir and fails loudly otherwise
+    // --follow replays EVERY pre-existing event through the fresh
+    // checkpoint: a dir left by a completed run would satisfy the stop
+    // condition before the new dump announces anything, and a dir left
+    // by a CRASHED run (data/end events, no done) would re-append old
+    // tables' data and inflate endsSeen — so follow mode requires a dir
+    // with no ev_* files at all and fails loudly otherwise
     if (follow) {
       val stale = Option(new java.io.File(evDir).listFiles).getOrElse(Array.empty)
-        .exists(f => f.isFile && f.getName.startsWith("ev_") &&
-          scala.util.Try(java.nio.file.Files.readString(f.toPath))
-            .toOption.exists(_.startsWith("done\t")))
+        .exists(f => f.isFile && f.getName.startsWith("ev_"))
       require(!stale, s"--follow needs a FRESH events dir: $evDir already " +
-        "contains a terminal done event from a previous run (its replay " +
-        "would stop this load before the new dump announces its tables)")
+        "contains ev_* events from a previous run (their replay would " +
+        "re-apply stale data or stop this load before the new dump " +
+        "announces its tables)")
     }
     val endsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
     val expectedTables = new java.util.concurrent.atomic.AtomicInteger(-1)

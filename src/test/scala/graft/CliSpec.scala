@@ -190,6 +190,18 @@ class CliFlagSurfaceSpec extends SparkTestBase {
     Option(new java.io.File(dir).listFiles).map(_.map(_.getName).toSet)
       .getOrElse(Set.empty)
 
+  test("--partition-by with a non-lake format fails fast") {
+    // only the parquet/jsonl writers apply the hive layout; under
+    // --format sql the flag used to be silently ignored, which reads as
+    // a successful partitioned dump
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_pbf_").toString
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("dump", "--source-dir", sf, "-o", out,
+        "--tables-list", "region", "--partition-by", "r_regionkey"))
+    }
+    assert(e.getMessage.contains("lake formats"), e.getMessage)
+  }
+
   test("-F/--chunk-filesize rotates data files; --compact drops headers") {
     val out = java.nio.file.Files.createTempDirectory("graft_cli_F_").toString
     // 1 MB rotation over sf0.001 lineitem (~6k rows, ~1 MB of SQL text)
@@ -273,27 +285,64 @@ class CliFlagSurfaceSpec extends SparkTestBase {
     // parquet/jsonl dumps carry no schema files (the data is self-
     // describing), so the SQL router finds zero sources — loading one
     // used to exit 0 as a silent no-op; the lake fallback restores it,
-    // checksum-verified for the plain parquet layout
+    // checksum-VERIFIED on every layout: the manifest records the
+    // dump-time Spark schema (engine-extension key) and the loader
+    // conforms the read-back — partition columns move back in place,
+    // JSON-widened types cast back — before checksumming (the
+    // reference's loader never restores unverified, myloader.c:684-715)
     val out = java.nio.file.Files.createTempDirectory("graft_cli_lk_").toString
     val restored = java.nio.file.Files.createTempDirectory("graft_cli_lkr_").toString
+    val lf = java.nio.file.Files.createTempFile("graft_cli_lk_log", ".txt").toString
     Main.main(Array("dump", "--source-dir", sf, "-o", out,
       "--tables-list", "region,nation", "--format", "parquet"))
     Main.main(Array("load", "-d", out, "--target", restored,
-      "--checksum", "fail")) // fail mode: a mismatch would throw
+      "--checksum", "fail", "--logfile", lf)) // fail mode: mismatch throws
     for (t <- Seq("region", "nation"))
       assert(spark.read.parquet(s"$restored/graft.$t").count()
         === Tables.t(spark, sf, t).count(), s"lake-restored $t lost rows")
-    // hive-partitioned layout restores too (unverified: read-back
-    // column order differs from dump time)
+    def verifiedLines(f: String): Seq[String] = {
+      val ls = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+      scala.jdk.CollectionConverters.ListHasAsScala(ls).asScala.toSeq
+        .filter(_.startsWith("[graft] restored"))
+    }
+    val plain = verifiedLines(lf)
+    assert(plain.size === 2 && plain.forall(_.endsWith("checksum ok")), plain)
+    // hive-partitioned parquet: read-back appends the partition column;
+    // the recorded schema restores dump order, so it verifies too
     val out2 = java.nio.file.Files.createTempDirectory("graft_cli_lk2_").toString
     val restored2 = java.nio.file.Files.createTempDirectory("graft_cli_lk2r_").toString
+    val lf2 = java.nio.file.Files.createTempFile("graft_cli_lk2_log", ".txt").toString
     Main.main(Array("dump", "--source-dir", sf, "-o", out2,
       "--tables-list", "nation", "--format", "parquet",
       "--partition-by", "n_regionkey"))
-    Main.main(Array("load", "-d", out2, "--target", restored2))
+    Main.main(Array("load", "-d", out2, "--target", restored2,
+      "--checksum", "fail", "--logfile", lf2))
     val back = spark.read.parquet(s"$restored2/graft.nation")
     assert(back.count() === Tables.t(spark, sf, "nation").count())
-    assert(back.columns.contains("n_regionkey"))
+    assert(back.columns.toSeq ===
+      Tables.t(spark, sf, "nation").columns.toSeq) // dump-order restored
+    val part = verifiedLines(lf2)
+    assert(part.size === 1 && part.head.endsWith("checksum ok"), part)
+    // jsonl (inference alphabetizes + widens) and PARTITIONED jsonl
+    // (no top-level .json files at all — the sniffer must walk into the
+    // col=value dirs to pick the json reader, not parquet): both verify
+    for (partBy <- Seq(None, Some("n_regionkey"))) {
+      val out3 = java.nio.file.Files.createTempDirectory("graft_cli_lk3_").toString
+      val restored3 = java.nio.file.Files.createTempDirectory("graft_cli_lk3r_").toString
+      val lf3 = java.nio.file.Files.createTempFile("graft_cli_lk3_log", ".txt").toString
+      Main.main(Array("dump", "--source-dir", sf, "-o", out3,
+        "--tables-list", "nation", "--format", "jsonl") ++
+        partBy.toSeq.flatMap(c => Seq("--partition-by", c)))
+      Main.main(Array("load", "-d", out3, "--target", restored3,
+        "--checksum", "fail", "--logfile", lf3))
+      val back3 = spark.read.parquet(s"$restored3/graft.nation")
+      assert(back3.count() === Tables.t(spark, sf, "nation").count())
+      assert(back3.schema === Tables.t(spark, sf, "nation").schema,
+        s"jsonl restore (partitionBy=$partBy) must recover dump types")
+      val js = verifiedLines(lf3)
+      assert(js.size === 1 && js.head.endsWith("checksum ok"),
+        s"partitionBy=$partBy: $js")
+    }
   }
 
   test("--clear unlinks directory symlinks without following them") {
@@ -449,6 +498,17 @@ class CliStreamSpec extends SparkTestBase {
         "--stream", ev, "--follow"))
     }
     assert(e.getMessage.contains("FRESH events dir"), e.getMessage)
+    // a dir left by a CRASHED run (data/end events but no done) is just
+    // as stale: its replay would re-append old tables' data and inflate
+    // endsSeen — ANY pre-existing ev_* file must refuse
+    val ev2 = java.nio.file.Files.createTempDirectory("graft_cli_stev2_")
+    java.nio.file.Files.writeString(ev2.resolve("ev_000001"),
+      "data\tgraft.region\t/gone/file.parquet\n")
+    val e2 = intercept[IllegalArgumentException] {
+      Main.main(Array("load", "-d", out, "--target", restored,
+        "--stream", ev2.toString, "--follow"))
+    }
+    assert(e2.getMessage.contains("FRESH events dir"), e2.getMessage)
   }
 }
 
