@@ -349,15 +349,27 @@ object JdbcExtract {
         // binary column
         val plan = for {
           (b0, b1) <- minMaxBytesProbe(conn, qualified, pk, cfg.where, q)
-          if b0.nonEmpty && b1.nonEmpty
-          lo = b0.head & 0xff
-          hi = b1.head & 0xff
+          if b1.nonEmpty
+          // walk to the FIRST DIFFERING byte (the binary analog of the
+          // string branch's char walk): fixed-prefix keys — a version
+          // byte, a tenant prefix, time-ordered UUIDv7 — share byte 0,
+          // and a first-byte-only split would silently degrade to
+          // WholeTable, losing all extract parallelism
+          diff = (0 until math.min(b0.length, b1.length))
+            .find(i => b0(i) != b1(i))
+            .getOrElse(math.min(b0.length, b1.length))
+          if diff < b1.length // min == max: a single key value can't split
+          prefix = b0.take(diff).map(b => f"${b & 0xff}%02x").mkString
+          // a MIN that ENDS at the divergence point sorts before every
+          // continuation byte — treat its missing byte as -1
+          lo = if (diff < b0.length) b0(diff) & 0xff else -1
+          hi = b1(diff) & 0xff
           span = hi - lo
           if span > 0
         } yield {
           val cuts = math.min(span, pc.maxThreadsPerTable * 4)
           val bounds = (1 to cuts)
-            .map(i => f"${lo + i * span / (cuts + 1) + 1}%02x")
+            .map(i => prefix + f"${lo + i * span / (cuts + 1) + 1}%02x")
             .distinct
           ChunkSpec.BinaryRange(pk, bounds, includeNullChunk = nullable)
         }

@@ -300,6 +300,8 @@ class DerbyRoundTripSpec extends SparkTestBase {
         "(ID CHAR(16) FOR BIT DATA NOT NULL PRIMARY KEY, V INT)")
       st.execute("CREATE TABLE GRAFT_B.CH5 " +
         "(ID CHAR(5) NOT NULL PRIMARY KEY, V INT)")
+      st.execute("CREATE TABLE GRAFT_B.BINPFX " +
+        "(ID CHAR(16) FOR BIT DATA NOT NULL PRIMARY KEY, V INT)")
       st.close()
       val pb = conn.prepareStatement("INSERT INTO GRAFT_B.BIN16 VALUES (?, ?)")
       (0 until Rows).foreach { i =>
@@ -318,6 +320,20 @@ class DerbyRoundTripSpec extends SparkTestBase {
         if (i % 500 == 499) pc5.executeBatch()
       }
       pc5.executeBatch(); pc5.close()
+      // fixed-prefix keys (version byte + tenant prefix, the UUIDv7 /
+      // time-ordered shape): every key shares bytes 0..2, spread starts
+      // at byte 3 — a first-byte-only planner degrades this to
+      // WholeTable and a serial extract
+      val pfx = conn.prepareStatement("INSERT INTO GRAFT_B.BINPFX VALUES (?, ?)")
+      (0 until Rows).foreach { i =>
+        val b = new Array[Byte](16)
+        b(0) = 0x42; b(1) = 0x00; b(2) = 0x07
+        b(3) = ((i * 7) % 251).toByte
+        b(4) = (i >> 8).toByte; b(5) = i.toByte
+        pfx.setBytes(1, b); pfx.setInt(2, i); pfx.addBatch()
+        if (i % 500 == 499) pfx.executeBatch()
+      }
+      pfx.executeBatch(); pfx.close()
 
       val snapshot = Snapshot.Plan(
         ddlLock = Nil, ddlUnlock = Nil, controlLock = Nil,
@@ -347,6 +363,28 @@ class DerbyRoundTripSpec extends SparkTestBase {
       // every row lands in exactly one chunk (half-open ranges):
       // distinct IDs prove no chunk overlap double-reads a row
       assert(binDf.select("ID").distinct().count() === Rows.toLong)
+
+      // the planner walks to the first DIFFERING byte: bounds carry the
+      // 3-byte shared prefix plus the split byte (8 hex chars), and the
+      // extract stays parallel with no row loss or double-read
+      val pfxMeta = metas.find(_.table == "BINPFX").get
+      val (pfxPlan, _) = JdbcExtract.chunkStrategy(conn, pfxMeta,
+        pc = JdbcExtract.PlanConfig(quote = "\""))
+      pfxPlan match {
+        case graft.core.ChunkSpec.BinaryRange(c, bounds, _) =>
+          assert(c === "ID")
+          assert(bounds.nonEmpty && bounds.forall(_.matches("420007[0-9a-f]{2}")),
+            s"expected prefix-walked bounds, got $bounds")
+        case other => fail(s"fixed-prefix binary PK planned $other, " +
+          "expected BinaryRange (first-differing-byte walk)")
+      }
+      val (pfxDf, _) = JdbcExtract.extractTable(spark, conn, url, pfxMeta,
+        snapshot, user = "APP", password = "",
+        pc = JdbcExtract.PlanConfig(quote = "\""))
+      assert(pfxDf.rdd.getNumPartitions > 1,
+        "fixed-prefix binary key must still yield a parallel extract")
+      assert(pfxDf.count() === Rows.toLong)
+      assert(pfxDf.select("ID").distinct().count() === Rows.toLong)
 
       val (ch5Plan, _) = JdbcExtract.chunkStrategy(conn, ch5Meta,
         pc = JdbcExtract.PlanConfig(quote = "\""))
