@@ -176,13 +176,15 @@ object Load {
   /** Discover (db.table → data files) groups under a dump dir.
     * `extraDataExt` admits exec-per-thread dumps whose filter chose its
     * own extension (classified as if the custom suffix were `.sql`). */
-  def discover(dir: String, extraDataExt: Option[String] = None): Map[String, Seq[String]] = {
+  def discover(dir: String, extraDataExt: Option[String] = None,
+      resumeEnabled: Boolean = false): Map[String, Seq[String]] = {
     val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filterNot(_.getName.startsWith("."))
     def effectiveName(n: String): String =
       extraDataExt.filter(n.endsWith)
         .map(e => n.dropRight(e.length) + ".sql").getOrElse(n)
-    files.filter(f => classify(effectiveName(f.getName)) == Data)
+    files.filter(f =>
+        classify(effectiveName(f.getName), resumeEnabled = resumeEnabled) == Data)
       .groupBy { f =>
         // db.table.NNNNN... → db.table
         f.getName.split("\\.").take(2).mkString(".")
@@ -196,7 +198,11 @@ object Load {
       expectedChecksum: Option[Long] = None,
       // real table name when the dump used a surrogate stem for a
       // filename-unsafe name (manifest `filename` key; Dump.StemRegistry)
-      realTable: Option[String] = None)
+      realTable: Option[String] = None,
+      // --resume (myloader_directory.c:83-113): restrict the restore to
+      // exactly these dump file NAMES — the files a crashed prior run
+      // left unprocessed. None = every file matching the stem's glob.
+      onlyFiles: Option[Seq[String]] = None)
 
   final case class Result(table: String, rows: Long, checksumOk: Option[Boolean])
 
@@ -206,7 +212,7 @@ object Load {
     * needs NOTHING but the directory, exactly the reference's contract
     * (myloader consumes only dump files). Tables without a schema file
     * are skipped (parquet dumps embed their schema and load directly). */
-  def sourcesFromDir(dir: String): Seq[TableSource] = {
+  def sourcesFromDir(dir: String, resumeEnabled: Boolean = false): Seq[TableSource] = {
     val manifest = graft.sources.Manifest.read(dir)
     val checksums: Map[String, Long] = manifest
       .map(_.tables.flatMap(t => t.dataChecksum.map(c => t.table -> c.toLong)).toMap)
@@ -222,9 +228,10 @@ object Load {
     // carries no data chunks — the view phase restores it, not the data
     // phase (views-as-tables dumps have no sibling and DO load here)
     val viewStems: Set[String] = files.map(_.getName)
-      .filter(n => classify(n) == SchemaView)
+      .filter(n => classify(n, resumeEnabled = resumeEnabled) == SchemaView)
       .map(_.replaceFirst("-schema-view\\.sql(\\.gz|\\.zst)?$", "")).toSet
-    files.filter(f => classify(f.getName) == Schema).toSeq
+    files.filter(f =>
+        classify(f.getName, resumeEnabled = resumeEnabled) == Schema).toSeq
       .filterNot(f => viewStems.contains(
         f.getName.replaceFirst("-schema\\.sql(\\.gz|\\.zst)?$", "")))
       .map { f =>
@@ -303,9 +310,16 @@ object Load {
         name = src.table,
         createSchema = () => (), // lake targets: schema = parquet metadata
         dataJobs = Seq(() => {
+          // --resume: a file whitelist replaces the stem glob — Hadoop
+          // brace alternation reads exactly the listed chunks
+          def globOr(default: String): String = src.onlyFiles match {
+            case Some(fs) if fs.size == 1 => fs.head
+            case Some(fs) => s"{${fs.mkString(",")}}"
+            case None => default
+          }
           val df = decode match {
             case Some((cmd, ext)) => SqlInsertReader.readFiltered(spark,
-              dumpDir, src.schema, cmd, glob = s"${src.table}.*$ext")
+              dumpDir, src.schema, cmd, glob = globOr(s"${src.table}.*$ext"))
             case None =>
               // LOAD_DATA/CSV dumps restore through the .dat reader with
               // the delimiters recovered FROM the companion statement —
@@ -314,6 +328,8 @@ object Load {
               val dirFiles = Option(new java.io.File(dumpDir).listFiles())
                 .getOrElse(Array.empty[java.io.File])
                 .filter(f => f.getName.startsWith(s"${src.table}."))
+                .filter(f => src.onlyFiles.forall(fs =>
+                  fs.contains(f.getName) || f.getName.endsWith(".sql")))
               if (dirFiles.exists(f => classify(f.getName) == LoadData)) {
                 val opts = dirFiles
                   .filter(_.getName.endsWith(".sql")).sortBy(_.getName)
@@ -325,9 +341,9 @@ object Load {
                     header = p.header, hexBlob = p.hexCols.nonEmpty))
                   .getOrElse(LoadDataWriter.Options())
                 LoadDataReader.read(spark, dumpDir, src.schema, opts,
-                  glob = s"${src.table}.*.dat*")
+                  glob = globOr(s"${src.table}.*.dat*"))
               } else SqlInsertReader.read(spark, dumpDir, src.schema,
-                glob = s"${src.table}.*.sql*")
+                glob = globOr(s"${src.table}.*.sql*"))
           }
           // skip mode never computes the verification scan — at scale
           // that's a whole extra pass over the data

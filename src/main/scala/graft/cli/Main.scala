@@ -50,7 +50,40 @@ object Main {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) { usage(); sys.exit(2) }
     val cmd = args.head
-    val multi = parseFlagsMulti(args.tail, cmd)
+    // --defaults-file / --defaults-extra-file [mydumper]/[myloader]
+    // group injection, the reference's exact mechanism (common.c:
+    // 746-776 → parse_key_file_group:141-165): the command's group
+    // turns into synthetic `--key value` argv PREPENDED to the real
+    // argv, so explicit CLI flags override file config last-value-wins.
+    // A reference mydumper.cnf/myloader.cnf therefore drives this CLI
+    // with zero hand translation. (The per-table `` `db`.`table` ``
+    // sections of the same file keep their own runDump consumer.)
+    def cnfPathsOf(name: String): Seq[String] = {
+      val pair = args.tail.sliding(2)
+        .collect { case Array(f, v) if f == s"--$name" => v }.toSeq
+      val eq = args.tail
+        .collect { case a if a.startsWith(s"--$name=") =>
+          a.drop(name.length + 3) }.toSeq
+      pair ++ eq
+    }
+    // defaults-file groups load first, extra-file groups after — later
+    // synthetic argv wins under last-value-wins, the reference's
+    // override order (common.c:746 then :768)
+    val cfgArgs: Array[String] =
+      (cnfPathsOf("defaults-file") ++ cnfPathsOf("defaults-extra-file"))
+        .toArray.flatMap { path =>
+      val ini = graft.core.DefaultsFile.read(java.nio.file.Paths.get(path))
+      val groupName = if (cmd == "load") "myloader" else "mydumper"
+      ini.groupIgnoreCase(groupName).getOrElse(Vector.empty).flatMap {
+        // a BARE key line is a boolean switch (the reference's loader
+        // injects "= 1" and GOption's ARG_NONE discards the value,
+        // load_config_file common.c:107-118) — emit the flag alone so
+        // an unknown-but-boolean key can't swallow the next token
+        case (k, v) if v.isEmpty || BoolFlags.contains(k) => Seq(s"--$k")
+        case (k, v) => Seq(s"--$k", v)
+      }
+    }
+    val multi = parseFlagsMulti(cfgArgs ++ args.tail, cmd)
     val opts = multi.map { case (k, vs) => k -> vs.last }
     val threads = opts.getOrElse("threads", "4")
     // embeddable: when a host (test, notebook) already owns a session,
@@ -84,7 +117,11 @@ object Main {
     "ftwrl-timeout-retries", "long-query-retries", "long-query-retry-interval",
     "tidb-snapshot", "no-backup-locks", "skip-ddl-locks", "use-savepoints",
     "sync-thread-lock-mode", "trx-tables", "no-trx-tables",
-    "updated-since", "disk-limits", "exit-if-broken-table-found",
+    "disk-limits", "exit-if-broken-table-found",
+    // worker-pool sizing the Spark scheduler subsumes (our schema/data/
+    // post phases parallelize by task, not by a fixed thread count)
+    "max-threads-for-schema-creation", "max-threads-for-index-creation",
+    "max-threads-for-post-actions", "fifodir",
     "max-time-per-select", "split-partitions", "partition-regex",
     "default-character-set", "load-data-character-set",
     "all-tablespaces", "ignore-engines", "no-views", "views-as-tables",
@@ -103,7 +140,9 @@ object Main {
   private val IgnoredWithValue = Set("pmm-path", "pmm-resolution",
     "ftwrl-max-wait-time", "long-query-guard", "ftwrl-timeout-retries",
     "long-query-retries", "long-query-retry-interval", "tidb-snapshot",
-    "sync-thread-lock-mode", "updated-since", "disk-limits",
+    "sync-thread-lock-mode", "disk-limits",
+    "max-threads-for-schema-creation", "max-threads-for-index-creation",
+    "max-threads-for-post-actions", "fifodir",
     "max-time-per-select", "partition-regex", "default-character-set",
     "load-data-character-set", "ignore-engines", "replace-definer")
 
@@ -112,7 +151,12 @@ object Main {
     * heuristic mis-parsed `--regex '-internal$'` as two flags, and let
     * `--compress foo` swallow `foo`). */
   private val BoolFlags = Set("compress", "order-by-primary", "no-data",
-    "no-schemas", "help",
+    "no-schemas", "help", "resume",
+    // -o/--overwrite-tables and its bare-cnf spelling: the lake
+    // target's default overwrite IS the drop-and-recreate analog
+    // (purge-mode governs the exact behavior; JdbcLoad.purge is the
+    // live-server form)
+    "drop-table", "overwrite-tables",
     "insert-ignore", "replace", "hex-blob", "compact", "complete-insert",
     "no-complete-insert", "build-empty-files", "clear", "dirty", "daemon",
     "follow",
@@ -147,18 +191,29 @@ object Main {
       "-N" -> "insert-ignore", "-M" -> "checksum-all",
       "-K" -> "kill-long-queries", "-z" -> "tidb-snapshot",
       "-i" -> "ignore-engines", "-U" -> "updated-since",
+      "-O" -> "omit-from-file",
       "-Y" -> "all-tablespaces", "-G" -> "triggers", "-E" -> "events",
       "-R" -> "routines", "-W" -> "no-views")
     while (i < args.length) {
       val a = args(i)
-      val key = if (a.startsWith("--")) a.drop(2)
-                else aliases.getOrElse(a, a.stripPrefix("-"))
+      // GOption accepts both `--key value` and `--key=value` (the
+      // reference's own test harness passes --defaults-extra-file=FILE)
+      val (key, inline) =
+        if (a.startsWith("--")) {
+          val body = a.drop(2)
+          val eq = body.indexOf('=')
+          if (eq >= 0) (body.take(eq), Some(body.drop(eq + 1)))
+          else (body, None)
+        } else (aliases.getOrElse(a, a.stripPrefix("-")),
+          None: Option[String])
       if (Ignored.contains(key)) {
         System.err.println(s"[graft] option --$key accepted but inapplicable on Spark; ignored")
-        if (IgnoredWithValue.contains(key) && i + 1 < args.length &&
-          !args(i + 1).startsWith("-")) i += 1
+        if (inline.isEmpty && IgnoredWithValue.contains(key) &&
+          i + 1 < args.length && !args(i + 1).startsWith("-")) i += 1
       } else if (BoolFlags.contains(key)) {
         add(key, "true")
+      } else if (inline.isDefined) {
+        add(key, inline.get)
       } else if (i + 1 < args.length) {
         add(key, args(i + 1)); i += 1
       } else add(key, "true")
@@ -210,10 +265,35 @@ object Main {
       s"--partition-by applies only to lake formats (parquet/jsonl); " +
         s"--format ${o.getOrElse("format", "sql")} writes row files and " +
         "would ignore it")
+    // --omit-from-file / -O (common_options.c:222-224): a file of
+    // db.table lines to skip, applied before the regex — a bare db line
+    // skips the whole database (tables_skiplist.c:72-75)
+    val skiplist: Set[String] = o.get("omit-from-file").map(readListFile)
+      .getOrElse(Set.empty)
     val spec = TableFilter.Spec(
       regexes = regexes,
+      skiplist = skiplist,
       tablesList = o.get("tables-list").map(_.split(",").toSeq).getOrElse(Nil))
-    val all = Tables.all.filter { t =>
+    // --updated-since / -U (mydumper_arguments.c:332, get_not_updated
+    // mydumper_start_dump.c:525-545): dump only tables updated in the
+    // last U days. The file source's UPDATE_TIME analog is the table's
+    // newest parquet mtime (the JDBC path feeds TableFilter.accepts an
+    // information_schema probe instead); tables that miss the window are
+    // listed one-per-line in the dump dir's not_updated_tables file,
+    // exactly like the reference's nufile.
+    val updatedSinceCut: Option[Long] =
+      o.get("updated-since").map(_.toLong).filter(_ > 0)
+        .map(days => System.currentTimeMillis() - days * 86400000L)
+    def newestMtime(t: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles).getOrElse(Array.empty).map(walk)
+            .foldLeft(f.lastModified)(math.max)
+        else f.lastModified
+      val p = new java.io.File(s"$src/$t.parquet")
+      if (p.exists) walk(p) else Long.MaxValue // unknown age: never skip
+    }
+    val admittedAll = Tables.all.filter { t =>
       val qualified = s"$db.$t"
       val patterns = spec.regex.toSeq ++ spec.regexes
       (patterns.isEmpty || patterns.exists(_.r.findFirstIn(qualified).isDefined)) &&
@@ -222,7 +302,13 @@ object Main {
           // qualified name, plus bare-table convenience the reference
           // rejects (it errors on entries without a dot)
           spec.tablesList.exists(TableFilter.tableListMatch(_, qualified)) ||
-          spec.tablesList.contains(t))
+          spec.tablesList.contains(t)) &&
+        !spec.skiplist.contains(db) && !spec.skiplist.contains(qualified) &&
+        !spec.skiplist.contains(t)
+    }
+    val (all, notUpdated) = updatedSinceCut match {
+      case Some(cut) => admittedAll.partition(t => newestMtime(t) >= cut)
+      case None => (admittedAll, Nil)
     }
     // --defaults-file: per-table `` `db`.`table` `` sections (where/rows/
     // masks/skip-checksums, common.c:199-341) merge under any --where
@@ -231,7 +317,8 @@ object Main {
     // (reference loads it on top, mydumper.c main), same section format
     // — later file wins per attribute via TableConfig.merge
     val fromFile: Map[String, TableConfig] =
-      Seq("defaults-file", "masquerade-filename").flatMap(o.get)
+      Seq("defaults-file", "defaults-extra-file", "masquerade-filename")
+        .flatMap(o.get)
         .map(p => TableConfig.fromIni(graft.core.DefaultsFile.read(
           java.nio.file.Paths.get(p))))
         .foldLeft(Map.empty[String, TableConfig]) { (acc, m) =>
@@ -335,6 +422,19 @@ object Main {
       includeHeader = o.contains("include-header"))
     val tables = all.map(t => (t, Tables.t(spark, src, t), true))
     def oneDump(dir: String): Unit = {
+      // --updated-since skips land in the dump dir's not_updated_tables
+      // file, one db.table per line (the reference's nufile,
+      // mydumper_start_dump.c:1138-1146) — a consumer can tell the dump
+      // is deliberately partial and exactly what it omitted
+      if (updatedSinceCut.isDefined) {
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, "not_updated_tables"),
+          notUpdated.map(t => s"$db.$t\n").mkString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        notUpdated.foreach(t =>
+          log(o, s"[graft] skipping $db.$t: not updated since window"))
+      }
       val manifest = o.get("stream") match {
         // --stream EVENTSDIR: announce every table's artifacts the
         // moment that table CLOSES (reference stream mode,
@@ -426,6 +526,16 @@ object Main {
     } else oneDump(outDir)
   }
 
+  /** One-entry-per-line list file (--omit-from-file skiplists,
+    * tables_skiplist.c:35-60; --resume file lists,
+    * myloader_directory.c:95-113): trimmed verbatim lines, blanks and
+    * #-comments dropped (the comment tolerance is an engine
+    * convenience; the reference reads lines verbatim). */
+  private def readListFile(path: String): Set[String] =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)))
+      .asScala.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+
   /** --logfile / -L: mirror engine log lines into the named file
     * (reference set_verbose's logoutfile); stdout keeps them too. */
   private def log(o: Map[String, String], line: String): Unit = {
@@ -459,7 +569,21 @@ object Main {
         o.getOrElse("exec-per-thread-extension", sys.error(
           "--exec-per-thread-extension must be set with --exec-per-thread")))
     }
-    val groups = Load.discover(dir, decode.map(_._2))
+    // --resume (myloader.c:549-557): the dump dir's `resume` file lists
+    // the files a crashed prior run left unprocessed; with the flag we
+    // process ONLY those (myloader_directory.c:83-113), appending to
+    // whatever the prior run already restored. A resume file without the
+    // flag is fatal in Load.classify, and the flag without the file is
+    // fatal here — both exactly the reference's m_critical pair.
+    val resumeEnabled = o.contains("resume")
+    val resumeList: Option[Set[String]] =
+      if (!resumeEnabled) None
+      else {
+        val rf = new java.io.File(dir, "resume")
+        require(rf.exists, "Resume file not found") // myloader.c:555
+        Some(readListFile(rf.getPath).filter(_.length > 2)) // :107 len guard
+      }
+    val groups = Load.discover(dir, decode.map(_._2), resumeEnabled)
     // schema source: sibling parquet dump or caller-provided; dev slice
     // infers from the source dir if given
     val srcDir = o.get("source-dir")
@@ -474,16 +598,38 @@ object Main {
         // reconstruct from the dump's own db.table-schema.sql files —
         // silently restoring ZERO tables here was a bug, so an empty
         // result now fails loudly instead of exiting 0
-        Load.sourcesFromDir(dir)
+        Load.sourcesFromDir(dir, resumeEnabled)
     }
     require(sources.nonEmpty || groups.isEmpty,
       s"dump dir $dir has data files but no schema source — " +
         "add --source-dir or ensure *-schema.sql files are present")
     // --source-db / -s (myloader_process_filename.c:155): restore only
     // tables whose dump db matches
-    val admitted = o.get("source-db") match {
+    val admitted0 = o.get("source-db") match {
       case Some(sdb) => sources.filter(_.table.split("\\.", 2).head == sdb)
       case None => sources
+    }
+    // --omit-from-file applies to the load side too (the reference's
+    // common_filter_entries is shared by both binaries,
+    // common_options.c:221-228): skip by db.table, bare db, or bare
+    // table, at the filename level like myloader's eval_table
+    val loadSkip: Set[String] = o.get("omit-from-file").map(readListFile)
+      .getOrElse(Set.empty)
+    val skipAdmits: String => Boolean = stem => {
+      val sdb = stem.split("\\.", 2).head
+      val bare = stem.split("\\.", 2).last
+      !(loadSkip.contains(sdb) || loadSkip.contains(stem) ||
+        loadSkip.contains(bare))
+    }
+    val admitted1 = admitted0.filter(s => skipAdmits(s.table))
+    // --resume: only stems with at least one LISTED data chunk restore,
+    // and each restores exactly its listed subset
+    val admitted = resumeList match {
+      case Some(listed) => admitted1.flatMap { s =>
+        val mine = listed.filter(_.startsWith(s.table + ".")).toSeq.sorted
+        if (mine.isEmpty) None else Some(s.copy(onlyFiles = Some(mine)))
+      }
+      case None => admitted1
     }
     // --database / -B on load: restore INTO this db name (the
     // reference's db-remap) — target paths swap the stem's db prefix
@@ -503,11 +649,53 @@ object Main {
       topFiles.exists(f => f.isFile && f.getName.startsWith(s.table + ".")) ||
         !topFiles.exists(f => f.isDirectory && f.getName == s.table)
     }
-    val results = Load.run(spark, dir, sqlRouted, checksumMode, decode) { (stem, df) =>
-      df.write.mode("overwrite").parquet(s"$target/${remap(stem)}")
+    // resume APPENDS to the prior run's partial restore, so the in-run
+    // checksum (which only sees this run's chunks) is meaningless —
+    // verify the read-back TARGET against the manifest instead, the
+    // same shape as the reference's post-load server-side CHECKSUM
+    // --purge-mode FAIL|NONE|DROP|TRUNCATE|DELETE (myloader.h:35) on the
+    // lake target: DROP/TRUNCATE/DELETE all reduce to a directory
+    // overwrite (the default — what --drop-table/-o selects), NONE
+    // appends to an existing table, FAIL refuses to replace one.
+    // JdbcLoad.purge is the live-server form with the distinct DDL
+    // behaviors the file target can't express.
+    val writeMode: String =
+      if (resumeEnabled) "append"
+      else o.get("purge-mode").map(_.toUpperCase) match {
+        case Some("NONE") => "append"
+        case Some("FAIL") => "errorifexists"
+        case Some("DROP") | Some("TRUNCATE") | Some("DELETE") | None => "overwrite"
+        case Some(other) => throw new IllegalArgumentException(
+          s"--purge-mode accepts FAIL, NONE, DROP, TRUNCATE, DELETE — got '$other'")
+      }
+    val results = Load.run(spark, dir, sqlRouted,
+      if (resumeEnabled) Load.ChecksumSkip else checksumMode, decode) {
+      (stem, df) =>
+        df.write.mode(writeMode).parquet(s"$target/${remap(stem)}")
     }
-    results.foreach(r =>
-      log(o, s"[graft] restored ${r.table}: ${r.rows} rows, checksum ${r.checksumOk.map(if (_) "ok" else "MISMATCH").getOrElse("unverified")}"))
+    val postVerified: Map[String, Boolean] =
+      if (!resumeEnabled || checksumMode == Load.ChecksumSkip) Map.empty
+      else {
+        val expected: Map[String, String] = graft.sources.Manifest.read(dir)
+          .map(_.tables.flatMap(t => t.dataChecksum.map(c =>
+            t.filename.getOrElse(t.table) -> c)).toMap).getOrElse(Map.empty)
+        results.flatMap { r =>
+          val bare = r.table.split("\\.", 2).last
+          expected.get(bare).orElse(expected.get(r.table)).map { c =>
+            val back = spark.read.parquet(s"$target/${remap(r.table)}")
+            val ok = back.agg(graft.functions.Checksum
+              .tableChecksum(back, back.columns.toSeq)).head().getLong(0)
+              .toString == c
+            require(ok || checksumMode != Load.ChecksumFail,
+              s"resume restore of ${r.table} failed checksum verification")
+            r.table -> ok
+          }
+        }.toMap
+      }
+    results.foreach { r =>
+      val ok = postVerified.get(r.table).orElse(r.checksumOk)
+      log(o, s"[graft] restored ${r.table}: ${r.rows} rows, checksum ${ok.map(if (_) "ok" else "MISMATCH").getOrElse("unverified")}")
+    }
     // directory-shaped LAKE artifacts (parquet/jsonl dumps): no schema
     // files exist — the data is self-describing — so the SQL router
     // above finds nothing and the load used to exit 0 as a silent no-op.
@@ -541,6 +729,7 @@ object Main {
         d <- lakeDirs
         stem = d.getName
         if o.get("source-db").forall(_ == stem.split("\\.", 2).head)
+        if skipAdmits(stem)
         kind <- leafData(d)
       } yield {
         val data = if (kind == "jsonl") spark.read.json(d.getPath)

@@ -42,6 +42,12 @@ object DefaultsFile {
         val Array(k, v) = line.split("=", 2).map(_.trim)
         // GKeyFile: a repeated key replaces the earlier value
         entries = entries.filterNot(_._1 == k) :+ (k -> v)
+      } else if (current.isDefined) {
+        // bare key = boolean switch: the reference preprocesses these
+        // to `key= 1` before the GKeyFile parse (load_config_file,
+        // common.c:107-118) — record with an EMPTY value so consumers
+        // can tell flag-form from a real `key=1` value
+        entries = entries.filterNot(_._1 == line) :+ (line -> "")
       }
     }
     flush()

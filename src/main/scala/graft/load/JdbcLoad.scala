@@ -24,10 +24,59 @@ object JdbcLoad {
 
   sealed trait Overwrite
   object Overwrite {
-    case object Fail extends Overwrite      // error if table has data
+    case object Fail extends Overwrite      // error if table exists
     case object Truncate extends Overwrite  // keep DDL, truncate + insert
     case object Drop extends Overwrite      // drop + recreate
-    case object Append extends Overwrite
+    case object Delete extends Overwrite    // keep DDL, DELETE FROM + insert
+    case object Append extends Overwrite    // the reference's NONE
+  }
+
+  /** Pre-restore purge of an EXISTING target table on a live connection
+    * — the loader's overwrite_table switch (myloader_restore_job.c:
+    * 121-168, purge modes myloader.h:35):
+    *
+    *  - `Drop`     → `DROP TABLE IF EXISTS` (:127-138; the caller then
+    *    replays the dump's DDL, like the reference's CREATE retry path).
+    *    Engines without IF EXISTS (Derby) swallow the missing-object
+    *    error instead.
+    *  - `Truncate` → `TRUNCATE TABLE` (:140-150) — DDL and indexes stay.
+    *  - `Delete`   → `DELETE FROM` (:151-162) — transactional row purge.
+    *  - `Fail`     → restoring onto an existing table is an error (the
+    *    default purge_mode, myloader_restore_job.c:44): probe catalog
+    *    metadata and throw if present.
+    *  - `Append`   → no purge (the reference's NONE).
+    */
+  def purge(conn: java.sql.Connection, db: String, table: String,
+      mode: Overwrite, quote: String = "\""): Unit = {
+    val q = quote
+    val target = s"$q$db$q.$q$table$q"
+    def exec(sql: String, swallowMissing: Boolean): Unit = {
+      val st = conn.createStatement()
+      try st.execute(sql)
+      catch {
+        case e: java.sql.SQLException
+          if swallowMissing &&
+            (e.getSQLState == "42Y55" || e.getSQLState == "42X05" ||
+              Option(e.getMessage).exists(_.toLowerCase.contains("does not exist"))) => ()
+      } finally st.close()
+    }
+    def exists: Boolean = {
+      val rs = conn.getMetaData.getTables(null, db, table, null)
+      try rs.next() finally rs.close()
+    }
+    mode match {
+      case Overwrite.Drop =>
+        exec(s"DROP TABLE $target", swallowMissing = true)
+      case Overwrite.Truncate =>
+        exec(s"TRUNCATE TABLE $target", swallowMissing = false)
+      case Overwrite.Delete =>
+        exec(s"DELETE FROM $target", swallowMissing = false)
+      case Overwrite.Fail =>
+        if (exists) throw new IllegalStateException(
+          s"table $db.$table already exists and purge mode is FAIL " +
+            "(myloader_restore_job.c:44 default)")
+      case Overwrite.Append => ()
+    }
   }
 
   final case class Spec(
@@ -62,6 +111,9 @@ object JdbcLoad {
       case Overwrite.Fail     => (SaveMode.ErrorIfExists, Map.empty[String, String])
       case Overwrite.Truncate => (SaveMode.Overwrite, Map("truncate" -> "true"))
       case Overwrite.Drop     => (SaveMode.Overwrite, Map.empty[String, String])
+      // Delete purges rows via [[purge]] on a live connection first;
+      // the write itself then appends into the kept DDL
+      case Overwrite.Delete   => (SaveMode.Append, Map.empty[String, String])
       case Overwrite.Append   => (SaveMode.Append, Map.empty[String, String])
     }
     val session = sessionStatements match {

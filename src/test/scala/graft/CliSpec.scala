@@ -49,8 +49,13 @@ class CliSpec extends AnyFunSuite {
       "--source-dir", "/d"))
     assert(o2("compress") === "true" && o2("source-dir") === "/d")
     // value-taking ignored flags still consume exactly their value
-    val o3 = Main.parseFlags(Array("--updated-since", "3", "--compress"))
+    val o3 = Main.parseFlags(Array("--tidb-snapshot", "3", "--compress"))
     assert(o3 === Map("compress" -> "true"))
+    // formerly-ignored flags that are now implemented parse normally
+    val o4 = Main.parseFlags(Array("-U", "3", "-O", "/tmp/skip.txt",
+      "--compress"))
+    assert(o4 === Map("updated-since" -> "3",
+      "omit-from-file" -> "/tmp/skip.txt", "compress" -> "true"))
   }
 
   test("--rows-hard clamps --rows instead of being shadowed by it") {
@@ -189,6 +194,163 @@ class CliFlagSurfaceSpec extends SparkTestBase {
   private def names(dir: String): Set[String] =
     Option(new java.io.File(dir).listFiles).map(_.map(_.getName).toSet)
       .getOrElse(Set.empty)
+
+  test("--omit-from-file skiplist applies on dump AND load " +
+      "(common_options.c:222, tables_skiplist.c:35-88)") {
+    val skipF = java.nio.file.Files.createTempFile("graft_skip_", ".txt")
+    java.nio.file.Files.writeString(skipF, "graft.nation\n# comment\n\n")
+    // dump side: nation filtered out before anything is written
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_omd_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region,nation", "-O", skipF.toString))
+    assert(names(out).exists(_.startsWith("graft.region.")))
+    assert(!names(out).exists(_.startsWith("graft.nation.")),
+      s"skiplisted table dumped: ${names(out)}")
+    // load side: a full dump restores everything EXCEPT the skiplisted
+    // stem (myloader's shared common_filter_entries)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cli_oml_").toString
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_omr_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out2,
+      "--tables-list", "region,nation"))
+    Main.main(Array("load", "-d", out2, "--target", restored,
+      "--omit-from-file", skipF.toString))
+    assert(new java.io.File(s"$restored/graft.region").exists)
+    assert(!new java.io.File(s"$restored/graft.nation").exists,
+      "skiplisted table restored")
+  }
+
+  test("--updated-since dumps only recently-updated tables and records " +
+      "the rest in not_updated_tables (mydumper_start_dump.c:525-545)") {
+    // file-source UPDATE_TIME analog = the table's newest parquet mtime:
+    // copy the source slice and age one table far past the window
+    val src2 = java.nio.file.Files.createTempDirectory("graft_cli_us_src_")
+    for (t <- Seq("region", "nation")) {
+      val from = java.nio.file.Paths.get(sf, s"$t.parquet")
+      java.nio.file.Files.copy(from, src2.resolve(s"$t.parquet"))
+    }
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 86400000L)
+    java.nio.file.Files.setLastModifiedTime(
+      src2.resolve("nation.parquet"), old)
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_us_").toString
+    Main.main(Array("dump", "--source-dir", src2.toString, "-o", out,
+      "--tables-list", "region,nation", "-U", "3"))
+    assert(names(out).exists(_.startsWith("graft.region.")))
+    assert(!names(out).exists(_.startsWith("graft.nation.")),
+      s"stale table dumped: ${names(out)}")
+    val nu = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "not_updated_tables"))
+    assert(nu.trim === "graft.nation", s"not_updated_tables: '$nu'")
+  }
+
+  test("--resume restores exactly the files the resume list names " +
+      "(myloader.c:549-557, myloader_directory.c:83-113)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_rs_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "region,nation"))
+    // --resume without a resume file is fatal (myloader.c:555)
+    val r0 = java.nio.file.Files.createTempDirectory("graft_cli_rs0_").toString
+    val eNoFile = intercept[IllegalArgumentException] {
+      Main.main(Array("load", "-d", out, "--target", r0, "--resume"))
+    }
+    assert(eNoFile.getMessage.contains("Resume file not found"))
+    // a resume file without --resume is fatal (myloader_common.c:620-623)
+    val nationData = names(out)
+      .filter(_.matches("""graft\.nation\.\d{5}\.sql""")).toSeq.sorted
+    assert(nationData.nonEmpty)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "resume"),
+      (Seq("graft.nation-schema.sql") ++ nationData).mkString("", "\n", "\n"))
+    val eNoFlag = intercept[IllegalStateException] {
+      Main.main(Array("load", "-d", out, "--target", r0))
+    }
+    assert(eNoFlag.getMessage.contains("resume"))
+    // with both: ONLY the listed table restores, full and checksum-ok
+    val lf = java.nio.file.Files.createTempFile("graft_cli_rs_log", ".txt").toString
+    Main.main(Array("load", "-d", out, "--target", r0, "--resume",
+      "--checksum", "fail", "--logfile", lf))
+    assert(!new java.io.File(s"$r0/graft.region").exists,
+      "unlisted table restored under --resume")
+    val back = spark.read.parquet(s"$r0/graft.nation")
+    assert(back.count() === Tables.t(spark, sf, "nation").count())
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(lf)))
+      .asScala.filter(_.startsWith("[graft] restored"))
+    assert(lines.size === 1 && lines.head.endsWith("checksum ok"), lines)
+  }
+
+  test("--resume at chunk granularity appends only the listed files") {
+    // a crashed prior run left SOME chunks restored; the resume list
+    // names the remainder — the loader must read exactly those and
+    // APPEND to the partial target instead of overwriting it
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_rc_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "lineitem", "-r", "2000"))
+    val chunks = names(out)
+      .filter(_.matches("""graft\.lineitem\.\d{5}\.sql""")).toSeq.sorted
+    assert(chunks.size > 1, s"need a multi-chunk dump, got $chunks")
+    val total = Tables.t(spark, sf, "lineitem").count()
+    // prior run: everything but the last chunk
+    val r1 = java.nio.file.Files.createTempDirectory("graft_cli_rc1_").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out, "resume"),
+      chunks.init.mkString("", "\n", "\n"))
+    Main.main(Array("load", "-d", out, "--target", r1, "--resume",
+      "--checksum", "skip"))
+    val partial = spark.read.parquet(s"$r1/graft.lineitem").count()
+    assert(partial > 0 && partial < total, s"partial=$partial total=$total")
+    // resumed run: just the last chunk — lands on top, completing the
+    // table, and the post-append read-back checksum verifies vs manifest
+    val lf = java.nio.file.Files.createTempFile("graft_cli_rc_log", ".txt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out, "resume"),
+      chunks.last + "\n")
+    Main.main(Array("load", "-d", out, "--target", r1, "--resume",
+      "--checksum", "fail", "--logfile", lf))
+    assert(spark.read.parquet(s"$r1/graft.lineitem").count() === total)
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(lf)))
+      .asScala.filter(_.startsWith("[graft] restored"))
+    assert(lines.size === 1 && lines.head.endsWith("checksum ok"), lines)
+  }
+
+  test("reference specific_24 cnf pair drives dump -> load -> checksum " +
+      "end-to-end with zero flag translation") {
+    // the reference's own config bytes (test/specific_24: mydumper
+    // threads=8 + outputdir + database rename; myloader threads=8,
+    // worker-pool caps, bare drop-table, directory) feed
+    // --defaults-extra-file exactly as test_mydumper.sh composes it —
+    // proving the option surface COMPOSES through core/DefaultsFile,
+    // not just parses. Only the harness-style wrapper flags (source,
+    // target, checksum, logfile) ride along, as they do in the
+    // reference harness (test_mydumper.sh:249-250).
+    val mcnf = "/root/reference/test/specific_24/mydumper.cnf"
+    val lcnf = "/root/reference/test/specific_24/myloader.cnf"
+    assume(new java.io.File(mcnf).exists && new java.io.File(lcnf).exists)
+    // the cnf pins outputdir=/tmp/data (the harness wipes it per case)
+    val data = new java.io.File("/tmp/data")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(data)
+    Main.main(Array("dump", s"--defaults-extra-file=$mcnf",
+      "--source-dir", sf, "--tables-list", "region,nation"))
+    // database=specific_24 renames the dump db; threads=8 comes from cnf
+    val dumped = names("/tmp/data")
+    assert(dumped.exists(_.startsWith("specific_24.region.")), dumped)
+    assert(dumped.exists(_.startsWith("specific_24.nation.")), dumped)
+    val restored = java.nio.file.Files.createTempDirectory("graft_cli_s24_").toString
+    val lf = java.nio.file.Files.createTempFile("graft_cli_s24_log", ".txt").toString
+    Main.main(Array("load", s"--defaults-extra-file=$lcnf",
+      "--target", restored, "--checksum", "fail", "--logfile", lf))
+    for (t <- Seq("region", "nation"))
+      assert(spark.read.parquet(s"$restored/specific_24.$t").count()
+        === Tables.t(spark, sf, t).count())
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(lf)))
+      .asScala.filter(_.startsWith("[graft] restored"))
+    assert(lines.size === 2 && lines.forall(_.endsWith("checksum ok")), lines)
+    rm(data)
+  }
 
   test("--partition-by with a non-lake format fails fast") {
     // only the parquet/jsonl writers apply the hive layout; under

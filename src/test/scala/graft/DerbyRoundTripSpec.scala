@@ -402,4 +402,103 @@ class DerbyRoundTripSpec extends SparkTestBase {
       catch { case _: java.sql.SQLException => () }
     }
   }
+
+  test("overwrite-mode matrix FAIL/NONE/DROP/TRUNCATE/DELETE against " +
+      "live Derby (myloader.h:35, myloader_restore_job.c:121-168)") {
+    // each purge mode restores dump rows onto a PRE-EXISTING populated
+    // table and must leave exactly the reference-specified state:
+    // FAIL errors, NONE appends, DROP recreates clean, TRUNCATE and
+    // DELETE empty in place (DDL kept — the index survives both)
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_ow").toString
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/owdb;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA GRAFT_O")
+      st.close()
+      val oldRows = 7
+      val newRows = 100
+      def seed(t: String): Unit = {
+        val s = conn.createStatement()
+        s.execute(s"CREATE TABLE GRAFT_O.$t " +
+          "(ID INT NOT NULL PRIMARY KEY, PAYLOAD VARCHAR(32))")
+        s.execute(s"CREATE INDEX ${t}_PIDX ON GRAFT_O.$t (PAYLOAD)")
+        s.close()
+        val ps = conn.prepareStatement(s"INSERT INTO GRAFT_O.$t VALUES (?, ?)")
+        (1000 until 1000 + oldRows).foreach { i =>
+          ps.setInt(1, i); ps.setString(2, s"old-$i"); ps.addBatch()
+        }
+        ps.executeBatch(); ps.close()
+      }
+      def indexExists(t: String): Boolean = {
+        val rs = conn.getMetaData.getIndexInfo(null, "GRAFT_O", t, false, false)
+        try {
+          var found = false
+          while (rs.next() && !found)
+            found = Option(rs.getString("INDEX_NAME")).contains(s"${t}_PIDX")
+          found
+        } finally rs.close()
+      }
+      import spark.implicits._
+      val dump = (0 until newRows)
+        .map(i => (i, s"new-$i")).toDF("ID", "PAYLOAD")
+      def count(t: String): Long = {
+        val s = conn.createStatement()
+        val rs = s.executeQuery(s"SELECT COUNT(*) FROM GRAFT_O.$t")
+        try { rs.next(); rs.getLong(1) } finally { rs.close(); s.close() }
+      }
+      def restore(t: String, mode: JdbcLoad.Overwrite): Unit = {
+        JdbcLoad.purge(conn, "GRAFT_O", t, mode)
+        if (mode == JdbcLoad.Overwrite.Drop) {
+          // the reference replays the dump's CREATE after a DROP
+          // (schema_state=NOT_CREATED retry, myloader_restore_job.c:364)
+          val s = conn.createStatement()
+          s.execute(s"CREATE TABLE GRAFT_O.$t " +
+            "(ID INT NOT NULL PRIMARY KEY, PAYLOAD VARCHAR(32))")
+          s.close()
+        }
+        JdbcLoad.write(dump.repartition(2), JdbcLoad.spec(url, s"GRAFT_O.$t",
+          user = "APP", password = "",
+          overwrite = if (mode == JdbcLoad.Overwrite.Drop ||
+            mode == JdbcLoad.Overwrite.Truncate) JdbcLoad.Overwrite.Append
+          else mode,
+          connections = 2, disableChecks = false))
+      }
+
+      seed("T_FAIL")
+      val e = intercept[IllegalStateException] {
+        restore("T_FAIL", JdbcLoad.Overwrite.Fail)
+      }
+      assert(e.getMessage.contains("FAIL"))
+      assert(count("T_FAIL") === oldRows, "FAIL mode must not touch rows")
+
+      seed("T_NONE") // the reference's NONE: no purge, dump appends
+      restore("T_NONE", JdbcLoad.Overwrite.Append)
+      assert(count("T_NONE") === oldRows + newRows)
+
+      seed("T_DROP")
+      restore("T_DROP", JdbcLoad.Overwrite.Drop)
+      assert(count("T_DROP") === newRows)
+      assert(!indexExists("T_DROP"),
+        "DROP recreates from dump DDL; the pre-existing index is gone")
+
+      seed("T_TRUNC")
+      restore("T_TRUNC", JdbcLoad.Overwrite.Truncate)
+      assert(count("T_TRUNC") === newRows)
+      assert(indexExists("T_TRUNC"), "TRUNCATE keeps DDL and indexes")
+
+      seed("T_DEL")
+      restore("T_DEL", JdbcLoad.Overwrite.Delete)
+      assert(count("T_DEL") === newRows)
+      assert(indexExists("T_DEL"), "DELETE keeps DDL and indexes")
+
+      // DROP on a missing table is tolerated (IF EXISTS semantics)
+      JdbcLoad.purge(conn, "GRAFT_O", "T_GONE", JdbcLoad.Overwrite.Drop)
+    } finally {
+      conn.close()
+      try DriverManager.getConnection(s"jdbc:derby:$dbDir/owdb;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
 }
