@@ -311,15 +311,22 @@ object Load {
         createSchema = () => (), // lake targets: schema = parquet metadata
         dataJobs = Seq(() => {
           // --resume: a file whitelist replaces the stem glob — Hadoop
-          // brace alternation reads exactly the listed chunks
-          def globOr(default: String): String = src.onlyFiles match {
-            case Some(fs) if fs.size == 1 => fs.head
-            case Some(fs) => s"{${fs.mkString(",")}}"
-            case None => default
-          }
+          // brace alternation reads exactly the listed chunks. Each
+          // reader keeps only ITS extension: a LOAD_DATA resume list
+          // names .dat chunks alongside their .sql companion
+          // statements, which must not reach the row reader.
+          def globOr(default: String, keepExt: String): String =
+            src.onlyFiles.map(_.filter(_.contains(keepExt))) match {
+              case Some(fs) if fs.isEmpty =>
+                throw new IllegalStateException(
+                  s"--resume lists no $keepExt files for ${src.table}")
+              case Some(fs) if fs.size == 1 => fs.head
+              case Some(fs) => s"{${fs.mkString(",")}}"
+              case None => default
+            }
           val df = decode match {
             case Some((cmd, ext)) => SqlInsertReader.readFiltered(spark,
-              dumpDir, src.schema, cmd, glob = globOr(s"${src.table}.*$ext"))
+              dumpDir, src.schema, cmd, glob = globOr(s"${src.table}.*$ext", ext))
             case None =>
               // LOAD_DATA/CSV dumps restore through the .dat reader with
               // the delimiters recovered FROM the companion statement —
@@ -341,9 +348,9 @@ object Load {
                     header = p.header, hexBlob = p.hexCols.nonEmpty))
                   .getOrElse(LoadDataWriter.Options())
                 LoadDataReader.read(spark, dumpDir, src.schema, opts,
-                  glob = globOr(s"${src.table}.*.dat*"))
+                  glob = globOr(s"${src.table}.*.dat*", ".dat"))
               } else SqlInsertReader.read(spark, dumpDir, src.schema,
-                glob = globOr(s"${src.table}.*.sql*"))
+                glob = globOr(s"${src.table}.*.sql*", ".sql"))
           }
           // skip mode never computes the verification scan — at scale
           // that's a whole extra pass over the data

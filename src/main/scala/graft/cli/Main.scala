@@ -31,6 +31,9 @@ import org.apache.spark.sql.SparkSession
   *     [--partition-by col[,col...]]   (parquet/jsonl: hive-style layout)
   *     [--checksum-all | --data-checksums]
   *     [--max-threads-per-table N] [--masquerade-filename F.cnf]
+  *     [-O/--omit-from-file F] [-U/--updated-since DAYS]
+  *     [--defaults-file F.cnf | --defaults-extra-file F.cnf]
+  *      ([mydumper]/[myloader] groups become flag defaults; CLI wins)
   *     [-L/--logfile F]
   *     [-D/--daemon -I/--snapshot-interval MIN -X/--snapshot-count K
   *      --snapshot-iterations N]
@@ -44,6 +47,9 @@ import org.apache.spark.sql.SparkSession
   *      arrives for this long before the producer's done event —
   *      default 600, 0 disables)
   *     [--exec-per-thread "gzip -dc" --exec-per-thread-extension .sql.gzx]
+  *     [--resume]   (process only the files the dump dir's resume file
+  *      lists, appending to the prior partial restore)
+  *     [-O/--omit-from-file F] [--purge-mode FAIL|NONE|DROP|TRUNCATE|DELETE]
   */
 object Main {
 

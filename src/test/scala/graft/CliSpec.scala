@@ -352,6 +352,32 @@ class CliFlagSurfaceSpec extends SparkTestBase {
     rm(data)
   }
 
+  test("--resume on a LOAD_DATA dump keeps .sql companions away from " +
+      "the row reader") {
+    // a LOAD_DATA resume list names .dat chunks alongside their .sql
+    // LOAD DATA statements (the reference queues every listed file);
+    // the row reader must consume only the .dat side while delimiter
+    // recovery still reads the companions
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_rld_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "nation", "--format", "load_data"))
+    val all = names(out).filter(_.startsWith("graft.nation."))
+    val dats = all.filter(_.endsWith(".dat")).toSeq.sorted
+    assert(dats.nonEmpty, s"no .dat chunks in $all")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out, "resume"),
+      all.toSeq.sorted.mkString("", "\n", "\n")) // .dat AND .sql listed
+    val r = java.nio.file.Files.createTempDirectory("graft_cli_rldr_").toString
+    val lf = java.nio.file.Files.createTempFile("graft_cli_rld_log", ".txt").toString
+    Main.main(Array("load", "-d", out, "--target", r, "--resume",
+      "--checksum", "fail", "--logfile", lf))
+    assert(spark.read.parquet(s"$r/graft.nation").count()
+      === Tables.t(spark, sf, "nation").count())
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(lf)))
+      .asScala.filter(_.startsWith("[graft] restored"))
+    assert(lines.size === 1 && lines.head.endsWith("checksum ok"), lines)
+  }
+
   test("--partition-by with a non-lake format fails fast") {
     // only the parquet/jsonl writers apply the hive layout; under
     // --format sql the flag used to be silently ignored, which reads as
