@@ -403,6 +403,63 @@ class DerbyRoundTripSpec extends SparkTestBase {
     }
   }
 
+  test("degenerate --rows 2:2:1 over a sparse integer PK extracts " +
+      "complete and non-overlapping (reference specific_34)") {
+    // the reference's specific_34 regression: sysbench-style ids spaced
+    // 3 apart dumped with the degenerate min:start:max = 2:2:1 triple
+    // (max < start) caused inconsistencies in its adaptive walker. Our
+    // planner clamps step = min(max(start, min), max) = 1 and the
+    // min-aligned inclusive ranges must still cover every row exactly
+    // once — no loss, no double-read, at ~600 one-id chunks.
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_s34").toString
+    System.setProperty("derby.system.home", dbDir)
+    val url = s"jdbc:derby:$dbDir/s34db;create=true"
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE SCHEMA GRAFT_34")
+      st.execute("CREATE TABLE GRAFT_34.SBTEST " +
+        "(ID INT NOT NULL PRIMARY KEY, K INT NOT NULL, C VARCHAR(120))")
+      st.close()
+      val n = 200
+      val ps = conn.prepareStatement("INSERT INTO GRAFT_34.SBTEST VALUES (?, ?, ?)")
+      (1 to n).foreach { i =>
+        ps.setInt(1, i * 3); ps.setInt(2, 500 + i % 60)
+        ps.setString(3, s"payload-$i"); ps.addBatch()
+        if (i % 100 == 0) ps.executeBatch()
+      }
+      ps.executeBatch(); ps.close()
+      val metas = Discovery.allTables(conn,
+        TableFilter.Spec(regex = Some("^GRAFT_34\\.")))
+      val meta = metas.find(_.table == "SBTEST").get
+      val pc = JdbcExtract.PlanConfig(quote = "\"",
+        rows = Some(graft.core.ChunkRows(2, 2, 1)))
+      val (plan, rows) = JdbcExtract.chunkStrategy(conn, meta, pc = pc)
+      assert(rows === n.toLong)
+      plan match {
+        case graft.core.ChunkSpec.IntRange(c, lo, hi, step, _) =>
+          assert(c === "ID" && lo === 3 && hi === n * 3)
+          assert(step === 1, s"2:2:1 must clamp the step to max=1, got $step")
+        case other => fail(s"sparse PK planned $other, expected IntRange")
+      }
+      val snapshot = Snapshot.Plan(
+        ddlLock = Nil, ddlUnlock = Nil, controlLock = Nil,
+        workerInit = Nil, controlUnlock = Nil, verify = Nil,
+        abortOnDrift = false)
+      val (df, _) = JdbcExtract.extractTable(spark, conn, url, meta,
+        snapshot, user = "APP", password = "", pc = pc)
+      assert(df.count() === n.toLong, "degenerate step lost rows")
+      assert(df.select("ID").distinct().count() === n.toLong,
+        "degenerate step double-read rows")
+      assert(df.rdd.getNumPartitions > 1,
+        "the clamped step must still split the extract")
+    } finally {
+      conn.close()
+      try DriverManager.getConnection(s"jdbc:derby:$dbDir/s34db;shutdown=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("overwrite-mode matrix FAIL/NONE/DROP/TRUNCATE/DELETE against " +
       "live Derby (myloader.h:35, myloader_restore_job.c:121-168)") {
     // each purge mode restores dump rows onto a PRE-EXISTING populated
