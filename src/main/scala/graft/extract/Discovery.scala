@@ -117,12 +117,43 @@ object Discovery {
     }
   }
 
+  /** UPDATE_TIME per table in `schema` — the `--updated-since` probe
+    * (the reference's get_not_updated queries
+    * information_schema.TABLES.UPDATE_TIME,
+    * mydumper_start_dump.c:525-545). Servers without the view (Derby
+    * here) or with NULL UPDATE_TIME return no entry for the table —
+    * and an UNKNOWN age never skips (TableFilter.accepts treats a
+    * missing updateTime as passing, the safe direction: better to dump
+    * a table twice than silently drop one). */
+  def updateTimes(conn: Connection, schema: String): Map[String, java.time.Instant] =
+    try {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(
+          "SELECT TABLE_NAME, UPDATE_TIME FROM information_schema.TABLES " +
+            s"WHERE TABLE_SCHEMA = '$schema' AND TABLE_TYPE = 'BASE TABLE'")
+        try {
+          val out = Map.newBuilder[String, java.time.Instant]
+          while (rs.next()) {
+            val ts = rs.getTimestamp(2)
+            if (ts != null) out += rs.getString(1) -> ts.toInstant
+          }
+          out.result()
+        } finally rs.close()
+      } finally st.close()
+    } catch { case _: java.sql.SQLException => Map.empty }
+
   /** The full discovery walk: all schemas × tables, filtered (S3 — the
     * reference's `--all-databases` with `--regex`/`--tables-list`/
-    * skiplist applied before any scan). */
+    * skiplist applied before any scan; `updatedSince` consults the
+    * per-schema [[updateTimes]] probe only when set). */
   def allTables(conn: Connection, spec: TableFilter.Spec): Seq[TableMeta] =
-    TableFilter.filter(spec,
-      schemas(conn).flatMap(s => tables(conn, s)))
+    schemas(conn).flatMap { s =>
+      val ut =
+        if (spec.updatedSince.isDefined) updateTimes(conn, s)
+        else Map.empty[String, java.time.Instant]
+      tables(conn, s).filter(t => TableFilter.accepts(spec, t, ut.get(t.table)))
+    }
 
   /** Physical-partition discovery (C5 input;
     * mydumper_partition_chunks.c:119-141 get_partitions_for_table): the

@@ -102,6 +102,61 @@ class DiscoveryCatalogSpec extends AnyFunSuite {
       s"table-name pattern was not escaped: $patterns")
   }
 
+  test("updated-since probes information_schema UPDATE_TIME and skips " +
+      "only KNOWN-stale tables (get_not_updated, mydumper_start_dump.c:525)") {
+    val cutoff = java.time.Instant.parse("2026-08-01T00:00:00Z")
+    val stale = java.sql.Timestamp.from(cutoff.minusSeconds(86400 * 30))
+    def utRs(rows: Seq[(String, java.sql.Timestamp)]): ResultSet = {
+      var i = -1
+      Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[ResultSet]),
+        new InvocationHandler {
+          def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+            case "next" => i += 1; java.lang.Boolean.valueOf(i < rows.length)
+            case "getString" => rows(i)._1
+            case "getTimestamp" => rows(i)._2
+            case "close" => null
+            case other => throw new UnsupportedOperationException(other)
+          }
+        }).asInstanceOf[ResultSet]
+    }
+    val observedSql = scala.collection.mutable.Buffer.empty[String]
+    val stmt = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array(classOf[java.sql.Statement]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "executeQuery" =>
+            observedSql += args(0).asInstanceOf[String]
+            // order1items is KNOWN stale; order_items has NULL
+            // UPDATE_TIME (InnoDB after restart) → no row survives the
+            // null filter → unknown age → must be KEPT
+            utRs(Seq("order1items" -> stale))
+          case "close" => null
+          case other => throw new UnsupportedOperationException(other)
+        }
+      }).asInstanceOf[java.sql.Statement]
+    val meta = fakeMeta(scala.collection.mutable.Buffer.empty[String])
+    val conn = Proxy.newProxyInstance(getClass.getClassLoader, Array(classOf[Connection]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = m.getName match {
+          case "getMetaData" => meta
+          case "createStatement" => stmt
+          case "close" => null
+          case other => throw new UnsupportedOperationException(other)
+        }
+      }).asInstanceOf[Connection]
+    val kept = Discovery.allTables(conn,
+      graft.extract.TableFilter.Spec(updatedSince = Some(cutoff)))
+    assert(kept.map(_.table) === Seq("order_items"),
+      s"stale table kept or unknown-age table dropped: ${kept.map(_.table)}")
+    assert(observedSql.exists(s => s.contains("information_schema.TABLES") &&
+      s.contains("UPDATE_TIME")), observedSql)
+    // without the knob, no probe fires at all (no wasted catalog query)
+    observedSql.clear()
+    val all = Discovery.allTables(conn, graft.extract.TableFilter.Spec())
+    assert(all.size === 2 && observedSql.isEmpty,
+      s"updated-since probe must be lazy: $observedSql")
+  }
+
   test("partition discovery replays the reference query and filters by regex") {
     def positionalRs(names: Seq[String]): ResultSet = {
       var i = -1
