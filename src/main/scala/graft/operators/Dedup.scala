@@ -36,7 +36,7 @@ object Dedup {
   /** Checkpoint `df` and capture exactly the storage blocks the
     * checkpoint added, so the caller can free them without guessing
     * (Dataset.localCheckpoint offers no public handle to its RDD). */
-  private def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
+  private[graft] def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val cp = df.localCheckpoint() // eager: materializes before we diff
@@ -95,13 +95,24 @@ object Dedup {
   }
 
   /** Exact shingle-Jaccard verification of candidate (id1, id2) pairs —
-    * texts join back only for the candidate ids, never the corpus. */
+    * texts join back only for the candidate ids, never the corpus.
+    *
+    * The explicit-width repartition is load-bearing: AQE coalesces the
+    * upstream candidate `distinct()` by BYTES, and a pair is 16 bytes —
+    * a dup-dense corpus' 200 k pairs look like one ~3 MB partition, so
+    * the whole verify pipeline (two joins + per-pair tokenization, the
+    * per-ROW-expensive part) collapsed onto 1-2 tasks (measured 8.8 s
+    * on 2 tasks at sf1; the numbered repartition is exempt from AQE
+    * coalescing and restores session-width parallelism for ~0.1 s of
+    * exchange). */
   private def verifyCandidates(cand: DataFrame, texts: DataFrame,
       textCol: String, idCol: String, shingleSize: Int, th: Double): DataFrame = {
     val jaccardUdf = udf((a: String, b: String) =>
       Hashing.jaccard(a, b, shingleSize))
     val txt = texts.select(col(idCol), col(textCol))
+    val width = cand.sparkSession.sessionState.conf.numShufflePartitions
     cand
+      .repartition(width, col("id1"))
       .join(txt.select(col(idCol).as("id1"), col(textCol).as("t1")), "id1")
       .join(txt.select(col(idCol).as("id2"), col(textCol).as("t2")), "id2")
       .withColumn("jaccard",
