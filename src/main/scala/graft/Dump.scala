@@ -114,7 +114,19 @@ object Dump {
       // on these columns — the layout a 100 TB lake dump wants, because
       // downstream scans prune whole directories on partition-column
       // predicates instead of reading row-group stats
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      // ANSI_QUOTES identifier mode — the detect_quote_character analog
+      // (mydumper_start_dump.c:403-427; reference specific_6): the
+      // session sql_mode (defaults-file `[mydumper_session_variables]`,
+      // or a live server probe) decides whether identifiers quote with
+      // `"` (ANSI) or backtick, which in turn flips the SQL string
+      // enclosure (RowFormat.resolve's ansiQuotes) and the manifest's
+      // symbolic quote-character
+      ansiQuotes: Boolean = false)
+
+  /** Identifier quote char for `cfg` — one symbol, used by the DDL
+    * emitter, the database schema-create text, and the manifest. */
+  def quoteOf(cfg: Config): String = if (cfg.ansiQuotes) "\"" else "`"
 
   /** File-stem resolution, the reference's determine_filename /
     * get_ref_table (mydumper_common.c:66-90): a table names its own
@@ -256,6 +268,7 @@ object Dump {
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
             compress = cfg.compress, execFilter = cfg.execFilter,
             insertIgnore = cfg.insertIgnore, replace = cfg.replace,
+            identQuote = quoteOf(cfg),
             hexBlob = cfg.hexBlob, columnsOnInsert = conf.columnsOnInsert,
             completeInsert = cfg.completeInsert,
             fileSizeBytes = cfg.fileSizeBytes,
@@ -263,7 +276,8 @@ object Dump {
               Some(sources.SchemaObjects.fileHeader(
                 charset = Some(cfg.setNamesCharset), skipTz = cfg.skipTzUtc))
             else None,
-            format = RowFormat.resolve(RowFormat.SqlKind, cfg.rowFormatKnobs)))
+            format = RowFormat.resolve(RowFormat.SqlKind, cfg.rowFormatKnobs,
+              ansiQuotes = cfg.ansiQuotes)))
       case LoadDataFormat(csvVariant) =>
         val fmt = RowFormat.resolve(
           if (csvVariant) RowFormat.CsvKind else RowFormat.LoadDataKind,
@@ -385,7 +399,8 @@ object Dump {
     // parquet embeds its schema already
     if (cfg.format != ParquetFormat && !noSchemas)
       writeSchemaObject(cfg.outDir, dbStem, SchemaKind.Table,
-        sources.DdlEmitter.createTable(cfg.db, table, df.schema, pk),
+        sources.DdlEmitter.createTable(cfg.db, table, df.schema, pk,
+          quote = quoteOf(cfg)),
         Some(stem))
     // surrogate db: the REAL database name is only recoverable from
     // DDL, so always pair it with a schema-create file (the reference
@@ -394,7 +409,7 @@ object Dump {
     if (dbStem != cfg.db && !noSchemas)
       writeSchemaObject(cfg.outDir, dbStem, SchemaKind.Database,
         sources.SchemaObjects.fileHeader() +
-          s"CREATE DATABASE /*!32312 IF NOT EXISTS*/ `${cfg.db}`;\n",
+          s"CREATE DATABASE /*!32312 IF NOT EXISTS*/ ${quoteOf(cfg)}${cfg.db}${quoteOf(cfg)};\n",
         ifAbsent = true)
     TableResult(table, rows, Await.result(checksumF, Duration.Inf),
       if (noData) 0 else math.max(chunks.size, 1), stem = stem,
@@ -501,7 +516,7 @@ object Dump {
     if (!cfg.noSchemas)
       writeSchemaObject(cfg.outDir, cfg.stems.stem(cfg.db), SchemaKind.Database,
         sources.SchemaObjects.fileHeader() +
-          s"CREATE DATABASE /*!32312 IF NOT EXISTS*/ `${cfg.db}`;\n")
+          s"CREATE DATABASE /*!32312 IF NOT EXISTS*/ ${quoteOf(cfg)}${cfg.db}${quoteOf(cfg)};\n")
     val (trx, nonTrx) = tables.partition(_._3)
     def phase(ts: Seq[(String, DataFrame, Boolean)]): Seq[TableResult] =
       if (tableThreads <= 1) ts.map { case (name, df, _) => dumpTable(df, name, cfg) }
@@ -521,6 +536,7 @@ object Dump {
     val manifest = DumpManifest(
       startedAt = start,
       finishedAt = java.time.Instant.now().toString,
+      quoteChar = quoteOf(cfg),
       tables = results.map(r =>
         TableManifest(r.table, r.rows, Some(r.checksum.toString),
           filename = Some(r.stem).filter(_ != r.table),

@@ -403,6 +403,20 @@ object Main {
       noData = o.contains("no-data"),
       noSchemas = o.contains("no-schemas"),
       perTable = perTable,
+      // ANSI_QUOTES detection from the defaults-file session group —
+      // detect_quote_character's config half (mydumper_start_dump.c:
+      // 403-427; the server-probe half needs a live connection). A
+      // `[mydumper_session_variables] sql_mode='...ANSI_QUOTES...'`
+      // flips identifier quoting to `"` in DDL, INSERT headers, the
+      // database schema-create, and the manifest's symbolic
+      // quote-character (reference specific_6).
+      ansiQuotes = Seq("defaults-file", "defaults-extra-file")
+        .flatMap(o.get)
+        .map(p => graft.core.DefaultsFile.read(java.nio.file.Paths.get(p)))
+        .exists(_.groupIgnoreCase("mydumper_session_variables")
+          .exists(_.exists { case (k, v) =>
+            k.equalsIgnoreCase("sql_mode") &&
+              v.toUpperCase.contains("ANSI_QUOTES") })),
       // --exec-per-thread "zstd -c" --exec-per-thread-extension .sql.zst:
       // the reference's per-writer stream filter (mydumper.c:275-298).
       // The extension is MANDATORY, as in the reference (:270-271) — a
@@ -495,6 +509,7 @@ object Main {
           val m = graft.core.DumpManifest(
             startedAt = java.time.Instant.now().toString,
             finishedAt = java.time.Instant.now().toString,
+            quoteChar = Dump.quoteOf(cfg),
             tables = results.map(r => graft.core.TableManifest(
               r.table, r.rows, Some(r.checksum.toString),
               filename = Some(r.stem).filter(_ != r.table))))

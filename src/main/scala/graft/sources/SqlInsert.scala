@@ -40,6 +40,9 @@ object SqlInsertWriter {
       // (mydumper_write.c:366-376) — mutually exclusive there
       // ("You can't use --insert-ignore and --replace at the same time")
       insertIgnore: Boolean = false,
+      // identifier quote char in the INSERT header (backtick, or `"`
+      // under ANSI_QUOTES — detect_quote_character's pick)
+      identQuote: String = "`",
       replace: Boolean = false,
       // --hex-blob (mydumper_write.c:73,684-689): binary as 0x… hex.
       // The reference defaults this OFF and emits `_binary '<raw bytes,
@@ -282,13 +285,14 @@ object SqlInsertWriter {
     val cols = opts.columnsOnInsert match {
       case Some(c) => s" ($c)"
       case None if opts.completeInsert =>
-        schema.fieldNames.map(c => s"`$c`").mkString(" (", ",", ")")
+        schema.fieldNames.map(c => s"${opts.identQuote}$c${opts.identQuote}")
+          .mkString(" (", ",", ")")
       case None => ""
     }
     // NO trailing newline: the first row's lines_starting_by follows
     // " VALUES" directly (build_insert_statement ends the GString there;
     // rows begin with "(" — write.c:477,775)
-    s"${opts.verb} INTO `$table`$cols VALUES"
+    s"${opts.verb} INTO ${opts.identQuote}$table${opts.identQuote}$cols VALUES"
   }
 
   /** One output file with size-based rotation (sub_part counter) —

@@ -378,6 +378,48 @@ class CliFlagSurfaceSpec extends SparkTestBase {
     assert(lines.size === 1 && lines.head.endsWith("checksum ok"), lines)
   }
 
+  test("ANSI_QUOTES session mode flips identifier quoting end-to-end " +
+      "(reference specific_6, detect_quote_character)") {
+    // [mydumper_session_variables] sql_mode carrying ANSI_QUOTES makes
+    // `"` the identifier quote — in DDL, INSERT headers, and the
+    // manifest's symbolic quote-character — and therefore `'` the SQL
+    // string enclosure (the reference's detect_quote_character pair,
+    // mydumper_start_dump.c:403-427); the restore must round-trip
+    // checksum-exact through the quote-aware reader
+    val cnf = java.nio.file.Files.createTempFile("graft_ansi_", ".cnf")
+    java.nio.file.Files.writeString(cnf,
+      "[mydumper]\ntables-list=region\n\n" +
+        "[mydumper_session_variables]\nsql_mode='ANSI_QUOTES'\n")
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_aq_").toString
+    Main.main(Array("dump", s"--defaults-extra-file=${cnf.toString}",
+      "--source-dir", sf, "-o", out))
+    val ddl = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "graft.region-schema.sql"))
+    assert(ddl.contains("\"region\"") && ddl.contains("\"r_name\""), ddl)
+    assert(!ddl.contains("`"), s"backticks in ANSI DDL: $ddl")
+    val dataFile = names(out).filter(_.matches("""graft\.region\.\d{5}\.sql"""))
+      .toSeq.sorted.head
+    val data = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, dataFile))
+    assert(data.contains("INSERT INTO \"region\""), data.take(200))
+    assert(data.matches("(?s).*VALUES\\(\\d+,'.*"),
+      s"ANSI mode must enclose strings with ': ${data.take(300)}")
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "metadata"))
+    assert(meta.contains("quote-character = DOUBLE_QUOTE"), meta.take(200))
+    // restore round-trips checksum-exact
+    val r = java.nio.file.Files.createTempDirectory("graft_cli_aqr_").toString
+    val lf = java.nio.file.Files.createTempFile("graft_cli_aq_log", ".txt").toString
+    Main.main(Array("load", "-d", out, "--target", r,
+      "--checksum", "fail", "--logfile", lf))
+    assert(spark.read.parquet(s"$r/graft.region").count()
+      === Tables.t(spark, sf, "region").count())
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(lf)))
+      .asScala.filter(_.startsWith("[graft] restored"))
+    assert(lines.size === 1 && lines.head.endsWith("checksum ok"), lines)
+  }
+
   test("--partition-by with a non-lake format fails fast") {
     // only the parquet/jsonl writers apply the hive layout; under
     // --format sql the flag used to be silently ignored, which reads as
