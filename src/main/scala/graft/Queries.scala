@@ -323,12 +323,19 @@ object Queries {
 
   /** Exact interpolated percentiles (sort-based agg). Quartiles on an
     * integer column interpolate at g ∈ {0, ¼, ½, ¾} — exactly
-    * representable in binary, so Spark and DuckDB agree bit-for-bit. */
+    * representable in binary, so Spark and DuckDB agree bit-for-bit.
+    * One ARRAY-percentile buffer serves all three quartiles — the
+    * three-separate-aggs form maintains three copies of the per-group
+    * value-counts map and merges each across partitions (3× the agg
+    * state and exchange payload for identical output). */
   val qPercentile: QFn = (s, d) =>
     lineitem(s, d).groupBy("l_returnflag").agg(
-      percentile(col("l_partkey"), lit(0.25)).as("p25"),
-      percentile(col("l_partkey"), lit(0.5)).as("p50"),
-      percentile(col("l_partkey"), lit(0.75)).as("p75"))
+      percentile(col("l_partkey"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+      .select(col("l_returnflag"),
+        col("ps").getItem(0).as("p25"),
+        col("ps").getItem(1).as("p50"),
+        col("ps").getItem(2).as("p75"))
       .orderBy("l_returnflag")
   val qPercentileSql: String =
     """SELECT l_returnflag,
