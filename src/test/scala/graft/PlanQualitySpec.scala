@@ -157,6 +157,43 @@ class PlanQualitySpec extends SparkTestBase {
     scoped.release()
   }
 
+  test("candidate verification keeps session-width parallelism past " +
+      "AQE byte-coalescing") {
+    // AQE sizes post-shuffle partitions by BYTES, and a candidate pair
+    // is 16 bytes — a dup-dense corpus' pairs coalesce to 1-2
+    // partitions, collapsing the whole verify pipeline (two joins +
+    // per-pair Jaccard) onto 1-2 tasks (round 9: 8.8 s on 2 tasks at
+    // sf1). The fix is a NUMBERED repartition (exempt from AQE
+    // coalescing) on the candidate stream; this guards the plan shape
+    // AND the executed width.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val pairs = operators.Dedup.minhashPairs(docs, "text", "doc_id",
+      verifyJaccard = Some(0.5))
+    var maxTasks = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        maxTasks = math.max(maxTasks, sc.stageInfo.numTasks)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      pairs.collect()
+      val p = pairs.queryExecution.executedPlan.toString
+      // the numbered repartition survives into the executed plan as a
+      // REPARTITION_BY_NUM shuffle origin
+      assert(p.contains("REPARTITION_BY_NUM"),
+        "verify lost its pinned-width repartition:\n" + p.take(1500))
+      // listener events are async; poll briefly for the last stage
+      val width = spark.sessionState.conf.numShufflePartitions
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (maxTasks < width && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(maxTasks >= width,
+        s"verify ran at $maxTasks tasks < session width $width")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("row estimate stays within 25% of the true count without a full scan") {
     val o = Tables.orders(spark, sf)
     val actual = o.count()
