@@ -306,7 +306,14 @@ class DumpLoadSpec extends SparkTestBase {
       tables = Seq(
         graft.core.TableManifest("tpch.orders", 15000, Some("12345"),
           Some("abcd"), Seq("tpch.orders.00000.sql")),
-        graft.core.TableManifest("tpch.nation", 25, Some("777"))))
+        // spark_schema engine-extension key (lake dumps): JSON value
+        // containing '=' and quotes must survive the key=value line
+        graft.core.TableManifest("tpch.nation", 25, Some("777"),
+          sparkSchema = Some(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("n_nationkey",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("n_name",
+              org.apache.spark.sql.types.StringType))).json))))
     val parsed = sources.Manifest.parse(sources.Manifest.render(m))
     assert(parsed === m)
     assert(parsed.sourcePosition.flatMap(graft.extract.Replica.fromManifestPosition)

@@ -93,4 +93,29 @@ class SimilaritySpec extends SparkTestBase {
     assert(scanned.toDouble / total < 0.35,
       s"probe scanned $scanned of $total rows — cell pruning not working")
   }
+
+  test("lshBitsFor holds expected cell density in [32, 64) with clamps " +
+      "and matches the oracle's integer bit-length formula") {
+    import Similarity.lshBitsFor
+    // the constant-density invariant that makes the LSH kNN graph
+    // linear in n: candidate pairs per table ≈ n·density/2
+    for (n <- Seq(512L, 1000L, 5000L, 65536L, 1000000L, 123456789L)) {
+      val b = lshBitsFor(n)
+      val density = n.toDouble / (1L << b)
+      assert(density >= 32.0 && density < 64.0,
+        s"n=$n bits=$b density=$density outside [32, 64)")
+    }
+    // clamps: tiny corpora floor at the historical bits=3; the cap
+    // keeps the cell id inside the packed (table<<32 | cell) key
+    assert(lshBitsFor(1L) === 3 && lshBitsFor(500L) === 3)
+    assert(lshBitsFor(Long.MaxValue) === 24)
+    // monotone non-decreasing (a growing corpus never loses bits)
+    val seq = (1 to 40).map(i => lshBitsFor(1L << (i / 2)))
+    assert(seq === seq.sorted)
+    // exact agreement with the DuckDB oracle's length(bin(n)) - 6 form
+    def oracleBits(n: Long): Int =
+      math.max(3, math.min(24, java.lang.Long.toBinaryString(n).length - 6))
+    for (n <- Seq(1L, 2L, 500L, 511L, 512L, 513L, 2000L, 20000L, 1L << 40))
+      assert(lshBitsFor(n) === oracleBits(n), s"divergence at n=$n")
+  }
 }
