@@ -84,8 +84,11 @@ object Main {
         // a BARE key line is a boolean switch (the reference's loader
         // injects "= 1" and GOption's ARG_NONE discards the value,
         // load_config_file common.c:107-118) — emit the flag alone so
-        // an unknown-but-boolean key can't swallow the next token
-        case (k, v) if v.isEmpty || BoolFlags.contains(k) => Seq(s"--$k")
+        // an unknown-but-boolean key can't swallow the next token.
+        // A VALUED boolean key (`compress=0`) keeps its value through
+        // the `=` spelling so explicit-disable survives to the parser.
+        case (k, v) if v.isEmpty => Seq(s"--$k")
+        case (k, v) if BoolFlags.contains(k) => Seq(s"--$k=$v")
         case (k, v) => Seq(s"--$k", v)
       }
     }
@@ -217,16 +220,39 @@ object Main {
         if (inline.isEmpty && IgnoredWithValue.contains(key) &&
           i + 1 < args.length && !args(i + 1).startsWith("-")) i += 1
       } else if (BoolFlags.contains(key)) {
-        add(key, "true")
+        // explicit-disable spellings (`--compress=false`, cnf
+        // `compress=0`) must actually disable — GOption's own
+        // last-value-wins lets a CLI `=0` override a cnf `=1`
+        add(key, if (inline.exists(isFalsy)) "false" else "true")
       } else if (inline.isDefined) {
         add(key, inline.get)
+      } else if (i + 1 < args.length && args(i + 1).startsWith("--")) {
+        // an unknown switch must not swallow the next OPTION as its
+        // value (the reference ignores unknown keys,
+        // g_option_context_set_ignore_unknown_options; a cnf-injected
+        // bare key eating `--threads 8` silently reverted threads).
+        // A genuine value starting with `--` still has the `=` form.
+        System.err.println(s"[graft] option --$key has no value " +
+          s"(next token ${args(i + 1)} is an option); treating as boolean")
+        add(key, "true")
       } else if (i + 1 < args.length) {
         add(key, args(i + 1)); i += 1
       } else add(key, "true")
       i += 1
     }
+    // a boolean whose LAST spelling was a disable must read as absent —
+    // every consumer gates on presence (`o.contains(flag)`), so a
+    // surviving "false" entry would still enable it
+    out.filterInPlace { case (k, vs) =>
+      !(BoolFlags.contains(k) && vs.last == "false") }
     out.toMap
   }
+
+  /** Disable spellings a boolean flag honors: GOption itself only sees
+    * 0/1 through cnf injection (load_config_file common.c:107-118);
+    * false/off/no are engine tolerance for hand-written flags. */
+  private def isFalsy(v: String): Boolean =
+    Set("false", "0", "off", "no").contains(v.toLowerCase)
 
   /** --rows / --rows-hard sizing: both take the N / min:start:max
     * grammar; when both are present the HARD bounds clamp the --rows
@@ -512,7 +538,11 @@ object Main {
             quoteChar = Dump.quoteOf(cfg),
             tables = results.map(r => graft.core.TableManifest(
               r.table, r.rows, Some(r.checksum.toString),
-              filename = Some(r.stem).filter(_ != r.table))))
+              filename = Some(r.stem).filter(_ != r.table),
+              // record the dump-time schema exactly as Dump.run does —
+              // without it a stream/daemon lake dump's partitioned or
+              // jsonl restore cannot conform-and-verify (ok=None)
+              sparkSchema = r.schemaJson)))
           graft.sources.Manifest.write(dir, m)
           m
         case None => Dump.run(spark, tables, cfg.copy(outDir = dir),
@@ -746,6 +776,13 @@ object Main {
             .sortBy(_.getName).iterator.flatMap(leafData(_, depth - 1))
             .nextOption())
       }
+      // a lake dump has no chunk files for a resume list to name —
+      // honoring the flag would silently re-restore every table in
+      // full (append mode) against the listed-files-only contract, so
+      // refuse loudly like the reference's m_critical on a bad resume
+      require(lakeDirs.isEmpty || !resumeEnabled,
+        "--resume is not applicable to lake-format (parquet/jsonl) dumps" +
+          " — their restores are whole-directory, not chunk-file, units")
       val restored = for {
         d <- lakeDirs
         stem = d.getName
@@ -777,7 +814,10 @@ object Main {
           }.toSeq: _*)
           case None => data
         }
-        conformed.write.mode("overwrite").parquet(s"$target/${remap(stem)}")
+        // honor --purge-mode exactly as the SQL-routed path does:
+        // FAIL refuses an existing target, NONE appends, the
+        // DROP/TRUNCATE/DELETE family (and the default) overwrite
+        conformed.write.mode(writeMode).parquet(s"$target/${remap(stem)}")
         val back = spark.read.parquet(s"$target/${remap(stem)}")
         // plain parquet preserves dump shape even without a recorded
         // schema (pre-extension dumps); partitioned/jsonl layouts need

@@ -802,3 +802,123 @@ class CliTableThreadsSpec extends SparkTestBase {
       "manifest rows/checksums/order must match")
   }
 }
+
+/** Parser hardening: unknown switches, explicit-disable booleans
+  * (round-10 ADVICE items on parseFlags). */
+class CliParseHardeningSpec extends AnyFunSuite {
+  import graft.cli.Main
+
+  test("an unknown bare switch never swallows the next option") {
+    // a cnf-injected bare key unknown to BoolFlags/Ignored used to
+    // consume `--threads` as its value, quietly reverting threads to
+    // the default (the reference IGNORES unknown options instead,
+    // g_option_context_set_ignore_unknown_options)
+    val o = Main.parseFlags(Array("--frobnicate", "--threads", "8"))
+    assert(o("threads") === "8")
+    assert(o("frobnicate") === "true") // parsed as boolean, not eaten
+    // a genuine value that starts with `--` still has the `=` spelling
+    assert(Main.parseFlags(Array("--where=--weird"))("where") === "--weird")
+    // single-dash values (regex patterns) keep their value semantics
+    assert(Main.parseFlags(Array("--regex", "-internal$"))("regex")
+      === "-internal$")
+  }
+
+  test("boolean flags honor explicit-disable spellings") {
+    // --compress=false / cnf compress=0 used to ENABLE compression
+    for (off <- Seq("false", "0", "off", "no", "FALSE"))
+      assert(!Main.parseFlags(Array(s"--compress=$off")).contains("compress"),
+        s"--compress=$off must disable")
+    // last-value-wins: CLI disable overrides cnf enable and vice versa
+    assert(!Main.parseFlags(Array("--compress", "--compress=false"))
+      .contains("compress"))
+    assert(Main.parseFlags(Array("--compress=0", "--compress"))("compress")
+      === "true")
+    // enable spellings stay enabled
+    assert(Main.parseFlags(Array("--compress=1"))("compress") === "true")
+    assert(Main.parseFlags(Array("--compress=true"))("compress") === "true")
+  }
+
+  test("a cnf-valued boolean key round-trips its disable through injection") {
+    // DefaultsFile group injection emits `--k=v` for valued booleans so
+    // `compress=0` in [mydumper] reaches the parser as a disable
+    val cnf = java.nio.file.Files.createTempFile("graft_boolcnf_", ".cnf")
+    java.nio.file.Files.writeString(cnf,
+      "[mydumper]\ncompress=0\nthreads=8\nno-data\n")
+    val ini = graft.core.DefaultsFile.read(cnf)
+    val injected = ini.groupIgnoreCase("mydumper").get.flatMap {
+      case (k, v) if v.isEmpty => Seq(s"--$k")
+      case (k, v) => Seq(s"--$k=$v")
+    }
+    val o = Main.parseFlags(injected.toArray)
+    assert(!o.contains("compress") && o("threads") === "8" &&
+      o("no-data") === "true", o)
+  }
+}
+
+/** Lake-target loader flags: --purge-mode matrix and --resume rejection
+  * on directory-shaped (parquet/jsonl) dumps; stream-mode manifests
+  * record the dump-time schema (round-10 ADVICE items). */
+class CliLakeModeSpec extends SparkTestBase {
+  import graft.cli.Main
+
+  private def dumpParquet(tables: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_lkm_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", tables, "--format", "parquet"))
+    out
+  }
+
+  test("--purge-mode governs the lake fallback write like the SQL path") {
+    val out = dumpParquet("region")
+    val target = java.nio.file.Files.createTempDirectory("graft_lkmt_").toString
+    val n = Tables.t(spark, sf, "region").count()
+    Main.main(Array("load", "-d", out, "--target", target))
+    assert(spark.read.parquet(s"$target/graft.region").count() === n)
+    // FAIL refuses to replace an existing table (myloader.h:35)
+    intercept[Exception] {
+      Main.main(Array("load", "-d", out, "--target", target,
+        "--purge-mode", "FAIL"))
+    }
+    // NONE appends instead of overwriting
+    Main.main(Array("load", "-d", out, "--target", target,
+      "--purge-mode", "NONE"))
+    assert(spark.read.parquet(s"$target/graft.region").count() === 2 * n)
+    // default / DROP overwrite back to one copy
+    Main.main(Array("load", "-d", out, "--target", target,
+      "--purge-mode", "DROP"))
+    assert(spark.read.parquet(s"$target/graft.region").count() === n)
+  }
+
+  test("--resume is refused for lake-format dumps instead of re-restoring") {
+    val out = dumpParquet("region")
+    // a crashed prior run's resume file (content irrelevant here: lake
+    // restores are whole-directory units, no chunk files to list)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "resume"), "graft.region.00000.sql\n")
+    val target = java.nio.file.Files.createTempDirectory("graft_lkmr_").toString
+    val e = intercept[IllegalArgumentException] {
+      Main.main(Array("load", "-d", out, "--target", target, "--resume"))
+    }
+    assert(e.getMessage.contains("lake-format"), e.getMessage)
+  }
+
+  test("stream-mode lake dumps record the dump-time schema and verify") {
+    // the stream/daemon manifest used to omit sparkSchema, so its
+    // partitioned/jsonl restores fell back to unverified (ok=None)
+    val out = java.nio.file.Files.createTempDirectory("graft_lkms_").toString
+    val ev = java.nio.file.Files.createTempDirectory("graft_lkms_ev_").toString
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "nation", "--format", "jsonl", "--stream", ev))
+    val m = graft.sources.Manifest.read(out).get
+    assert(m.tables.forall(_.sparkSchema.isDefined),
+      "stream manifest must record dump-time schemas")
+    val target = java.nio.file.Files.createTempDirectory("graft_lkmst_").toString
+    val lf = java.nio.file.Files.createTempFile("graft_lkms_log", ".txt").toString
+    Main.main(Array("load", "-d", out, "--target", target,
+      "--checksum", "fail", "--logfile", lf))
+    val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(lf)))
+      .asScala.filter(_.startsWith("[graft] restored"))
+    assert(lines.size === 1 && lines.head.endsWith("checksum ok"), lines)
+  }
+}
