@@ -29,22 +29,30 @@ class PlanQualitySpec extends SparkTestBase {
       s"scan reads unprojected columns: $read")
   }
 
-  test("q_approx_quantile runs ONE exact percentile aggregate, not three") {
-    // three scalar percentile() calls each buffer the full per-group
-    // value set; the array form shares one buffer and one sort (the
-    // round-6 verdict's 3.5 s regression). Guard: exactly one
-    // partial+final aggregate pair, and a single percentile expression.
+  test("q_approx_quantile: one array percentile per side, codegen counts " +
+      "reduction, broadcast recombine") {
+    // round-6 regression: three scalar percentile() calls tripled the
+    // per-group value buffer. Round-10 shape: the exact side reduces to
+    // (group, value, count) in a CODEGEN HashAggregate before ONE
+    // frequency-form array percentile; the sketch side keeps its own
+    // one-pass GK summary (fusing both object buffers into a single
+    // ObjectHashAggregate measured 3.2 s vs 1.9 s split at sf1); the
+    // 3-row sides recombine under a broadcast join.
     // AQE's toString repeats the tree under "== Initial Plan ==" — count
     // operators in the final section only
     val p = planOf("q_approx_quantile").split("== Initial Plan ==")(0)
-    val aggs = "(?:SortAggregate|ObjectHashAggregate|HashAggregate)".r
-      .findAllIn(p).size
-    assert(aggs <= 2, s"expected one partial+final agg pair, got $aggs:\n" +
-      p.take(2000))
     val percentiles = "(?<!approx_)percentile\\(".r.findAllIn(p).size
     // partial + final rows each print the expression once per phase
     assert(percentiles <= 2,
       s"percentile state tripled ($percentiles occurrences):\n" + p.take(2000))
+    val approxes = "approx_percentile\\(".r.findAllIn(p).size
+    assert(approxes <= 2,
+      s"approx_percentile state multiplied ($approxes):\n" + p.take(2000))
+    assert(p.contains("HashAggregate"),
+      s"raw-pass counts reduction must run in codegen HashAggregate:\n" +
+        p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"3-row recombine must broadcast:\n" + p.take(2000))
   }
 
   test("LSH pipelines run on native codegen expressions, no boxed UDF") {
