@@ -90,35 +90,142 @@ object Dedup {
       .select("id1", "id2").distinct()
     verifyJaccard match {
       case None     => cand
+      case Some(th) =>
+        // convenience overload: verification blocks live until the
+        // session sweeps persistent RDDs (bench/verify harnesses do);
+        // lifecycle-strict callers use [[minhashPairsScoped]]
+        verifyCandidates(cand, docs, textCol, idCol, shingleSize, th).df
+    }
+  }
+
+  /** [[minhashPairs]] with the verification pair-set's storage
+    * lifecycle in the caller's hands: consume `df`, then `release()`. */
+  def minhashPairsScoped(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      verifyJaccard: Option[Double] = Some(0.7)): Scoped = {
+    val b = minhashBands(docs, textCol, idCol, shingleSize, bands, rowsPerBand)
+    val l = b.select(col("band"), col("bucket"), col(idCol).as("id1"))
+    val r = b.select(col("band"), col("bucket"), col(idCol).as("id2"))
+    val cand = l.join(r, Seq("band", "bucket"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    verifyJaccard match {
+      case None     => Scoped(cand, () => ())
       case Some(th) => verifyCandidates(cand, docs, textCol, idCol, shingleSize, th)
     }
   }
 
+  /** Adaptive-verify regime switch: a corpus is "dup-dense" when the
+    * candidate set carries at least this many pairs per involved doc
+    * (and enough absolute pairs for the extra stages to amortize).
+    * Per-pair UDF verify re-tokenizes BOTH texts for every pair — cost
+    * ∝ pairs — so it loses when duplicate density multiplies pairs per
+    * doc; per-doc hash-array verify tokenizes each involved doc ONCE
+    * and pays a long-array intersect per pair, but its build stages
+    * (semi-join + array exchange) are pure overhead when candidates are
+    * few. Measured crossover on the sf0.1 corpus at duplicate
+    * multiplicities K = 2/8/16/32 (pairs/doc 1.1/4.4/10.4/18.5): UDF
+    * wins 2.0×/1.3× below ratio ~10, the branches tie at ~10, hash-array
+    * wins from there and its lead grows with density (SCALE.md round-10
+    * table; the intersect's per-pair cost is ~3× cheaper than the
+    * UDF's double tokenization, so the asymptotic win tracks ratio). */
+  private[graft] val DenseVerifyPairsPerDoc = 10.0
+  private[graft] val DenseVerifyMinPairs = 512L
+
   /** Exact shingle-Jaccard verification of candidate (id1, id2) pairs —
     * texts join back only for the candidate ids, never the corpus.
     *
-    * The explicit-width repartition is load-bearing: AQE coalesces the
-    * upstream candidate `distinct()` by BYTES, and a pair is 16 bytes —
-    * a dup-dense corpus' 200 k pairs look like one ~3 MB partition, so
-    * the whole verify pipeline (two joins + per-pair tokenization, the
-    * per-ROW-expensive part) collapsed onto 1-2 tasks (measured 8.8 s
-    * on 2 tasks at sf1; the numbered repartition is exempt from AQE
-    * coalescing and restores session-width parallelism for ~0.1 s of
-    * exchange). */
-  private def verifyCandidates(cand: DataFrame, texts: DataFrame,
-      textCol: String, idCol: String, shingleSize: Int, th: Double): DataFrame = {
-    val jaccardUdf = udf((a: String, b: String) =>
-      Hashing.jaccard(a, b, shingleSize))
-    val txt = texts.select(col(idCol), col(textCol))
+    * REGIME-ADAPTIVE (one code path, the engine picks): the pair set is
+    * localCheckpointed once (it feeds the stats probe and the verify —
+    * without it each action would replay the band join), its pair count
+    * and involved-doc count read from the materialized blocks, and the
+    * pairs-per-doc ratio picks the branch:
+    *   - few-candidate (clean corpus): per-pair UDF over the raw texts —
+    *     two joins and one tokenization per pair, no per-doc build cost;
+    *   - dup-dense ([[DenseVerifyPairsPerDoc]]+ pairs/doc): per-doc
+    *     64-bit shingle-hash arrays built ONCE per involved id
+    *     (candidate-id semi-join, pure codegen Columns), pairs verified
+    *     by long-array intersect — identical Jaccard values (64-bit
+    *     collisions across ~10²-shingle sets are ~2⁻⁵⁰ events; same
+    *     argument as [[ngramJaccardPairs]]).
+    *
+    * The explicit-width repartition is load-bearing in BOTH branches:
+    * AQE coalesces the upstream candidate `distinct()` by BYTES, and a
+    * pair is 16 bytes — a dup-dense corpus' 200 k pairs look like one
+    * ~3 MB partition, so the whole verify pipeline (two joins +
+    * per-pair work, the per-ROW-expensive part) collapsed onto 1-2
+    * tasks (measured 8.8 s on 2 tasks at sf1; the numbered repartition
+    * is exempt from AQE coalescing and restores session-width
+    * parallelism for ~0.1 s of exchange). */
+  private def verifyCandidates(cand0: DataFrame, texts: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int, th: Double): Scoped = {
+    val (cand, release) = checkpointTracked(cand0)
     val width = cand.sparkSession.sessionState.conf.numShufflePartitions
-    cand
-      .repartition(width, col("id1"))
-      .join(txt.select(col(idCol).as("id1"), col(textCol).as("t1")), "id1")
-      .join(txt.select(col(idCol).as("id2"), col(textCol).as("t2")), "id2")
-      .withColumn("jaccard",
-        TextFunctions.trunc4(jaccardUdf(col("t1"), col("t2"))))
-      .where(col("jaccard") >= th)
-      .select("id1", "id2", "jaccard")
+    val stats = cand.agg(count(lit(1)).as("n"),
+      approx_count_distinct(col("id1")).as("d1"),
+      approx_count_distinct(col("id2")).as("d2")).head()
+    val nPairs = stats.getLong(0)
+    // every pair's ids split across the two columns; the larger side's
+    // distinct count lower-bounds involved docs well enough to branch
+    val docsInvolved = math.max(math.max(stats.getLong(1), stats.getLong(2)), 1L)
+    val ratioTh = cand.sparkSession.conf
+      .getOption("spark.graft.verify.densePairsPerDoc")
+      .map(_.toDouble).getOrElse(DenseVerifyPairsPerDoc)
+    val dense = nPairs >= DenseVerifyMinPairs &&
+      nPairs.toDouble / docsInvolved >= ratioTh
+    if (sys.env.contains("GRAFT_VERIFY_DEBUG"))
+      System.err.println(s"[graft] verifyCandidates: pairs=$nPairs " +
+        s"docsInvolved=$docsInvolved ratio=${nPairs.toDouble / docsInvolved}" +
+        s" branch=${if (dense) "hash-array" else "udf"}")
+    val part = cand.repartition(width, col("id1"))
+    var releaseSh: () => Unit = () => ()
+    val verified =
+      if (!dense) {
+        val jaccardUdf = udf((a: String, b: String) =>
+          Hashing.jaccard(a, b, shingleSize))
+        val txt = texts.select(col(idCol), col(textCol))
+        part
+          .join(txt.select(col(idCol).as("id1"), col(textCol).as("t1")), "id1")
+          .join(txt.select(col(idCol).as("id2"), col(textCol).as("t2")), "id2")
+          .withColumn("jaccard",
+            TextFunctions.trunc4(jaccardUdf(col("t1"), col("t2"))))
+          .where(col("jaccard") >= th)
+          .select("id1", "id2", "jaccard")
+      } else {
+        // distinct shingle-hash set per involved doc, built once —
+        // CHECKPOINTED once too: the array table feeds BOTH join sides
+        // as separate plan branches, so without it the corpus
+        // tokenization (the dominant build cost) runs twice
+        val ids = cand.select(col("id1").as(idCol))
+          .unionByName(cand.select(col("id2").as(idCol))).distinct()
+        // the token array materializes in its OWN projection before the
+        // shingle transform slices it (same shape as ngramJaccardPairs):
+        // inlining the split into the lambda re-evaluates it per shingle
+        // element — interpreted HOFs don't share subtrees — which made
+        // the array build O(words²) per doc (measured 7 s vs 0.9 s for
+        // a 35 k-doc build)
+        val (sh, relSh) = checkpointTracked(
+          texts.join(ids, Seq(idCol), "left_semi")
+            .select(col(idCol),
+              split(lower(trim(col(textCol))), "\\s+").as("w"))
+            .select(col(idCol), array_distinct(
+              when(size(col("w")) < shingleSize,
+                array(xxhash64(concat_ws(" ", col("w")))))
+              .otherwise(transform(
+                sequence(lit(1), size(col("w")) - (shingleSize - 1)),
+                i => xxhash64(concat_ws(" ",
+                  slice(col("w"), i, lit(shingleSize))))))).as("sh")))
+        releaseSh = relSh
+        val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+        val j = inter / (size(col("sh1")) + size(col("sh2")) - inter)
+        part
+          .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+          .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+          .withColumn("jaccard", TextFunctions.trunc4(j))
+          .where(col("jaccard") >= th)
+          .select("id1", "id2", "jaccard")
+      }
+    Scoped(verified, () => { release(); releaseSh() })
   }
 
   /** Incremental MinHash dedup — the 100 TB workflow: the corpus is
@@ -153,11 +260,12 @@ object Dedup {
       .select(least(col("idN"), col("idO")).as("id1"),
         greatest(col("idN"), col("idO")).as("id2"))
       .distinct()
-    val pairs = verifyJaccard match {
-      case None     => cand
-      case Some(th) => verifyCandidates(cand, allTexts, textCol, idCol, shingleSize, th)
+    verifyJaccard match {
+      case None     => Scoped(cand, release)
+      case Some(th) =>
+        val v = verifyCandidates(cand, allTexts, textCol, idCol, shingleSize, th)
+        Scoped(v.df, () => { release(); v.release() })
     }
-    Scoped(pairs, release)
   }
 
   /** 64-bit SimHash column — native codegen expression over the

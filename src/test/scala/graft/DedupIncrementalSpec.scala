@@ -21,10 +21,12 @@ class DedupIncrementalSpec extends SparkTestBase {
     val scoped = Dedup.minhashIncrementalPairs(newDocs, store, docs,
       "text", "doc_id", verifyJaccard = Some(0.5))
     val incr = scoped.df.select("id1", "id2")
-    val oldPairs = Dedup.minhashPairs(oldDocs, "text", "doc_id",
-      verifyJaccard = Some(0.5)).select("id1", "id2")
-    val full = Dedup.minhashPairs(docs, "text", "doc_id",
-      verifyJaccard = Some(0.5)).select("id1", "id2")
+    val oldScoped = Dedup.minhashPairsScoped(oldDocs, "text", "doc_id",
+      verifyJaccard = Some(0.5))
+    val fullScoped = Dedup.minhashPairsScoped(docs, "text", "doc_id",
+      verifyJaccard = Some(0.5))
+    val oldPairs = oldScoped.df.select("id1", "id2")
+    val full = fullScoped.df.select("id1", "id2")
     val union = incr.unionByName(oldPairs).distinct()
     assert(full.exceptAll(union).count() === 0,
       "incremental path MISSED pairs the batch run finds")
@@ -33,7 +35,7 @@ class DedupIncrementalSpec extends SparkTestBase {
     assert(full.count() > 0, "test premise: corpus must contain near-dups")
     // every incremental pair touches at least one new (odd) doc
     assert(incr.where(col("id1") % 2 === 0 && col("id2") % 2 === 0).count() === 0)
-    scoped.release()
+    scoped.release(); oldScoped.release(); fullScoped.release()
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- blocksBefore
     assert(leaked.isEmpty, s"incremental dedup leaked storage blocks: $leaked")
   }
@@ -131,5 +133,75 @@ class DedupIncrementalSpec extends SparkTestBase {
     assert(bloom.exceptAll(exact).count() === 0)
     // premise: contamination exists, so equality is not vacuous
     assert(exact.where(col("n_hits") > 0).count() > 0)
+  }
+}
+
+/** Round-10: candidate verification is regime-adaptive — one code path,
+  * the engine picks per corpus. Few-candidate corpora take the per-pair
+  * UDF branch; dup-dense corpora take the per-doc hash-array branch
+  * (SCALE.md measured the branches 28x apart at the regime extremes). */
+class AdaptiveVerifySpec extends SparkTestBase {
+  import graft.operators.Dedup
+
+  private def dupDense = {
+    // 24 verbatim copies of every doc under fresh ids: every LSH bucket
+    // holds the copy set, so pairs-per-involved-doc ~ 11.5 — above the
+    // measured ratio-10 crossover where hash-array verification wins
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    (0 until 24).map(r => docs.select(
+      (col("doc_id") * 32 + lit(r)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+  }
+
+  test("clean corpus takes the per-pair UDF branch") {
+    val scoped = Dedup.minhashPairsScoped(
+      Tables.documents(spark, sf), "text", "doc_id",
+      verifyJaccard = Some(0.5))
+    try {
+      assert(scoped.df.queryExecution.executedPlan.toString.contains("UDF"),
+        "few-candidate corpus must verify with the per-pair UDF")
+    } finally scoped.release()
+  }
+
+  test("dup-dense corpus takes the hash-array branch automatically") {
+    val scoped = Dedup.minhashPairsScoped(dupDense, "text", "doc_id",
+      verifyJaccard = Some(0.5))
+    try {
+      val p = scoped.df.queryExecution.executedPlan.toString
+      assert(p.contains("array_intersect"),
+        "dup-dense corpus must verify with hash-array intersect:\n" +
+          p.take(1500))
+      assert(!p.contains("UDF"),
+        "hash-array branch must stay pure-codegen (no UDF):\n" + p.take(1500))
+    } finally scoped.release()
+  }
+
+  test("hash-array branch returns exactly the UDF branch's pairs and values") {
+    val corpus = dupDense
+    val dense = Dedup.minhashPairsScoped(corpus, "text", "doc_id",
+      verifyJaccard = Some(0.5))
+    try {
+      // hand-built UDF-branch equivalent over the SAME candidate set
+      val candScoped = Dedup.minhashPairsScoped(corpus, "text", "doc_id",
+        verifyJaccard = None)
+      try {
+        val jUdf = udf((a: String, b: String) =>
+          graft.functions.Hashing.jaccard(a, b, 3))
+        val txt = corpus.select(col("doc_id"), col("text"))
+        val expected = candScoped.df
+          .join(txt.select(col("doc_id").as("id1"), col("text").as("t1")), "id1")
+          .join(txt.select(col("doc_id").as("id2"), col("text").as("t2")), "id2")
+          .withColumn("jaccard",
+            graft.functions.TextFunctions.trunc4(jUdf(col("t1"), col("t2"))))
+          .where(col("jaccard") >= 0.5)
+          .select("id1", "id2", "jaccard")
+        assert(expected.count() > 1000,
+          "test premise: the dup-dense corpus must be dup-dense")
+        assert(dense.df.exceptAll(expected).count() === 0,
+          "hash-array branch INVENTED pairs or drifted jaccard values")
+        assert(expected.exceptAll(dense.df).count() === 0,
+          "hash-array branch MISSED pairs the UDF verification keeps")
+      } finally candScoped.release()
+    } finally dense.release()
   }
 }
