@@ -53,6 +53,9 @@ object Dump {
       rowsPerChunk: Option[Long] = None,
       statementSize: Int = 1000000,
       compress: Boolean = false,
+      // --compress GZIP|ZSTD (mydumper_arguments.c compress_method):
+      // which codec `compress` selects; the loader reads both
+      compressCodec: String = "gzip",
       // --insert-ignore / --replace (mutually exclusive,
       // mydumper_write.c:366-376): the SQL-dump INSERT verb
       insertIgnore: Boolean = false,
@@ -266,7 +269,8 @@ object Dump {
       case SqlFormat =>
         SqlInsertWriter.write(partitioned, dbStem, stem, cfg.outDir,
           SqlInsertWriter.Options(statementSize = cfg.statementSize,
-            compress = cfg.compress, execFilter = cfg.execFilter,
+            compress = cfg.compress, compressCodec = cfg.compressCodec,
+            execFilter = cfg.execFilter,
             insertIgnore = cfg.insertIgnore, replace = cfg.replace,
             identQuote = quoteOf(cfg),
             hexBlob = cfg.hexBlob, columnsOnInsert = conf.columnsOnInsert,
@@ -287,7 +291,8 @@ object Dump {
         val n = LoadDataWriter.write(partitioned, dbStem, stem, cfg.outDir,
           LoadDataWriter.Options(format = fmt, header = cfg.includeHeader,
             hexBlob = cfg.hexBlob, statementSize = cfg.statementSize,
-            compress = cfg.compress, execFilter = cfg.execFilter,
+            compress = cfg.compress, compressCodec = cfg.compressCodec,
+            execFilter = cfg.execFilter,
             fileSizeBytes = cfg.fileSizeBytes,
             fileLog = Some(fileLog)))
         // one companion .sql per data chunk: SET-NAMES header + the
@@ -326,7 +331,7 @@ object Dump {
         val obs = new org.apache.spark.sql.Observation()
         CsvDump.write(partitioned.observe(obs, count(lit(1)).as("rows")),
           s"${cfg.outDir}/$dbStem.$stem",
-          CsvDump.Options(compress = cfg.compress))
+          CsvDump.Options(compress = cfg.compress, codec = cfg.compressCodec))
         obs.get("rows").asInstanceOf[Long]
       case ParquetFormat =>
         val obs = new org.apache.spark.sql.Observation()
@@ -340,6 +345,9 @@ object Dump {
         partitioned.observe(obs, count(lit(1)).as("rows"))
           .write.mode("overwrite")
           .partitionBy(cfg.partitionBy: _*)
+          // jsonl is an engine extension (no reference analog), and
+          // Spark's zstd text codec needs native Hadoop libs — the lake
+          // format stays on gzip regardless of --compress's codec
           .option("compression", if (cfg.compress) "gzip" else "none")
           .json(s"${cfg.outDir}/$dbStem.$stem")
         obs.get("rows").asInstanceOf[Long]

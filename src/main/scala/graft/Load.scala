@@ -324,7 +324,19 @@ object Load {
               case Some(fs) => s"{${fs.mkString(",")}}"
               case None => default
             }
-          val df = decode match {
+          // data chunks all start with `stem.` (schema siblings use the
+          // `stem-` dash forms); a stem with ZERO chunks is a --no-data /
+          // schema-only dump — the reference CREATES those tables empty
+          // (myloader restores the DDL with no data jobs), so the lake
+          // analog is an empty frame with the dump's schema, not a
+          // zero-files glob crash
+          val stemFiles = Option(new java.io.File(dumpDir).listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.getName.startsWith(s"${src.table}."))
+          val df = if (stemFiles.isEmpty && src.onlyFiles.isEmpty) {
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              src.schema)
+          } else decode match {
             case Some((cmd, ext)) => SqlInsertReader.readFiltered(spark,
               dumpDir, src.schema, cmd, glob = globOr(s"${src.table}.*$ext", ext))
             case None =>
@@ -332,9 +344,7 @@ object Load {
               // the delimiters recovered FROM the companion statement —
               // myloader likewise rewrites the statement it finds
               // (myloader_process.c) instead of assuming defaults
-              val dirFiles = Option(new java.io.File(dumpDir).listFiles())
-                .getOrElse(Array.empty[java.io.File])
-                .filter(f => f.getName.startsWith(s"${src.table}."))
+              val dirFiles = stemFiles
                 .filter(f => src.onlyFiles.forall(fs =>
                   fs.contains(f.getName) || f.getName.endsWith(".sql")))
               if (dirFiles.exists(f => classify(f.getName) == LoadData)) {
@@ -381,7 +391,9 @@ object Load {
       org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)),
       Checksum.tableChecksum(df)).head()
-    (r.getLong(0), r.getLong(1))
+    // zero-row table: the checksum agg yields NULL; the dump side
+    // records 0 for it (schema-only / --no-data dumps)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   /** Verify a manifest against restored tables (L5 standalone form). */

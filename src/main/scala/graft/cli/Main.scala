@@ -222,8 +222,12 @@ object Main {
       } else if (BoolFlags.contains(key)) {
         // explicit-disable spellings (`--compress=false`, cnf
         // `compress=0`) must actually disable — GOption's own
-        // last-value-wins lets a CLI `=0` override a cnf `=1`
-        add(key, if (inline.exists(isFalsy)) "false" else "true")
+        // last-value-wins lets a CLI `=0` override a cnf `=1`. Any
+        // other inline value is KEPT: some booleans carry an optional
+        // argument in the reference (`--compress ZSTD`,
+        // mydumper_arguments.c compress_method)
+        add(key,
+          if (inline.exists(isFalsy)) "false" else inline.getOrElse("true"))
       } else if (inline.isDefined) {
         add(key, inline.get)
       } else if (i + 1 < args.length && args(i + 1).startsWith("--")) {
@@ -400,6 +404,15 @@ object Main {
       rowsPerChunk = rowsPerChunkOf(o),
       statementSize = o.get("statement-size").map(_.toInt).getOrElse(1000000),
       compress = o.contains("compress"),
+      // --compress's optional codec argument (GZIP default, ZSTD the
+      // alternative, mydumper_arguments.c compress_method); the loader
+      // reads .gz and .zst symmetrically
+      compressCodec = o.get("compress").map(_.toLowerCase) match {
+        case Some("zstd") => "zstd"
+        case Some("gzip") | Some("true") | Some("1") | None => "gzip"
+        case Some(other) => throw new IllegalArgumentException(
+          s"--compress accepts GZIP or ZSTD — got '$other'")
+      },
       // --chunk-filesize / -F: MB at the flag (mydumper_write.c:993
       // compares ceil(filesize/1024/1024)), bytes in the engine
       fileSizeBytes = o.get("chunk-filesize")
@@ -640,9 +653,19 @@ object Main {
     val srcDir = o.get("source-dir")
     val sources = srcDir match {
       case Some(sd) =>
+        // manifest checksums apply regardless of where the SCHEMA comes
+        // from — a --source-dir restore used to come back "unverified"
+        // because this branch dropped them
+        val expected: Map[String, Long] = graft.sources.Manifest.read(dir)
+          .map(_.tables.flatMap(t => t.dataChecksum.map(c =>
+            t.filename.getOrElse(t.table) -> c.toLong)).toMap)
+          .getOrElse(Map.empty)
         groups.keys.toSeq.sorted.map { stem =>
           val table = stem.split("\\.", 2).last
-          Load.TableSource(stem, Tables.t(spark, sd, table).schema)
+          // manifest entries key by bare table name (stem recorded
+          // separately under `filename` when they differ)
+          Load.TableSource(stem, Tables.t(spark, sd, table).schema,
+            expectedChecksum = expected.get(stem).orElse(expected.get(table)))
         }
       case None =>
         // directory-only restore (the documented default usage): schemas

@@ -41,6 +41,7 @@ object LoadDataWriter {
       statementSize: Int = 1000000,
       fileSizeBytes: Long = 0L,
       compress: Boolean = false,
+      compressCodec: String = "gzip",
       execFilter: Option[ExecFilter] = None,
       fileLog: Option[org.apache.spark.util.CollectionAccumulator[String]] = None)
 
@@ -61,7 +62,7 @@ object LoadDataWriter {
         val render = renderers(schema, opts.hexBlob, opts.format)
         val w = new SqlInsertWriter.PartitionWriter(conf.value, outDir, db,
           table, part, ".dat", opts.fileSizeBytes, opts.compress,
-          opts.execFilter, fileHeader, opts.fileLog)
+          opts.execFilter, fileHeader, opts.fileLog, opts.compressCodec)
         try {
           written = SqlInsertWriter.packRows(rows, render, render.length,
             opts.format, header = "", headerBytes = 0L, delimBytes = 0L,
@@ -185,9 +186,7 @@ object LoadDataReader {
         .stripSuffix(fmt.linesTerminatedBy))
     else None
     val hexBlob = opts.hexBlob
-    val rdd = spark.read.option("wholetext", "true")
-      .textFile(s"$dir/$glob")
-      .rdd
+    val rdd = SqlInsertReader.wholeTextFiles(spark, s"$dir/$glob")
       .flatMap { text =>
         val records = splitRecords(text, fmt.linesTerminatedBy)
         val body = headerLine match {

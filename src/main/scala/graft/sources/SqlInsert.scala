@@ -34,7 +34,8 @@ object SqlInsertWriter {
   final case class Options(
       statementSize: Int = 1000000,     // --statement-size
       fileSizeBytes: Long = 0L,         // --chunk-filesize (0 = no rotation)
-      compress: Boolean = false,        // --compress (gzip)
+      compress: Boolean = false,        // --compress
+      compressCodec: String = "gzip",   // --compress GZIP|ZSTD
       completeInsert: Boolean = true,   // column list in INSERT header
       // --insert-ignore / --replace: the INSERT verb
       // (mydumper_write.c:366-376) — mutually exclusive there
@@ -117,7 +118,7 @@ object SqlInsertWriter {
         val delimBytes = RowFormat.utf8Length(fmt.rowDelimiter)
         val w = new PartitionWriter(conf.value, outDir, db, table, part,
           ".sql", opts.fileSizeBytes, opts.compress, opts.execFilter,
-          opts.fileHeader, opts.fileLog)
+          opts.fileHeader, opts.fileLog, opts.compressCodec)
         try {
           written = packRows(rows, render, n, fmt, header, headerBytes,
             delimBytes, opts.statementSize, w)
@@ -303,7 +304,11 @@ object SqlInsertWriter {
       db: String, table: String, part: Int, baseExt: String,
       fileSizeBytes: Long, compress: Boolean, execFilter: Option[ExecFilter],
       fileHeader: Option[String],
-      fileLog: Option[org.apache.spark.util.CollectionAccumulator[String]]) {
+      fileLog: Option[org.apache.spark.util.CollectionAccumulator[String]],
+      // --compress GZIP|ZSTD (mydumper_arguments.c compress_method):
+      // codec only applies when `compress` is set; zstd via zstd-jni
+      // (already a Spark dependency), matching the loader's .zst reader
+      codec: String = "gzip") {
     private val fs = new Path(outDir).getFileSystem(conf)
     private var subPart = -1
     private var out: OutputStream = _
@@ -321,7 +326,8 @@ object SqlInsertWriter {
       subPart += 1
       val sub = if (fileSizeBytes > 0) f".$subPart%05d" else ""
       val ext = execFilter.map(_.ext)
-        .getOrElse(if (compress) s"$baseExt.gz" else baseExt)
+        .getOrElse(if (!compress) baseExt
+          else if (codec == "zstd") s"$baseExt.zst" else s"$baseExt.gz")
       val name = f"$db.$table.$part%05d$sub$ext"
       fileLog.foreach(_.add(name))
       finalPath = new Path(outDir, name)
@@ -332,6 +338,9 @@ object SqlInsertWriter {
       val raw = fs.create(tmpPath, true)
       out = execFilter match {
         case Some(f) => f.wrap(new BufferedOutputStream(raw, 1 << 16))
+        case None if compress && codec == "zstd" =>
+          new com.github.luben.zstd.ZstdOutputStream(
+            new BufferedOutputStream(raw, 1 << 16))
         case None if compress =>
           new GZIPOutputStream(new BufferedOutputStream(raw, 1 << 16))
         case None => new BufferedOutputStream(raw, 1 << 16)
@@ -425,13 +434,28 @@ object SqlInsertWriter {
   */
 object SqlInsertReader {
 
+  /** Whole-file text with extension-routed decompression, one string per
+    * file: gzip via the JVM, zstd via zstd-jni — NOT Hadoop's
+    * ZStandardCodec, which needs native libhadoop+libzstd and silently
+    * absent on plain-JVM clusters (the same decode matrix the DDL parse
+    * side uses, Load.scala). Plain files pass through as UTF-8. */
+  private[graft] def wholeTextFiles(spark: SparkSession,
+      glob: String): org.apache.spark.rdd.RDD[String] =
+    spark.sparkContext.binaryFiles(glob).map { case (name, pds) =>
+      val raw = pds.open()
+      val in: java.io.InputStream =
+        if (name.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+        else if (name.endsWith(".zst")) new com.github.luben.zstd.ZstdInputStream(raw)
+        else raw
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    }
+
   /** `glob` selects which dump files to load — default all SQL dumps in
     * the dir; pass `"db.table.*.sql*"` for one table's files. */
   def read(spark: SparkSession, dir: String, schema: StructType,
       glob: String = "*.sql*"): DataFrame = {
-    val rdd = spark.read.option("wholetext", "true")
-      .textFile(s"$dir/$glob") // .sql and .sql.gz (Hadoop decompresses by extension)
-      .rdd
+    val rdd = wholeTextFiles(spark, s"$dir/$glob")
       .flatMap(f => parseStatements(f).flatten)
       .map(t => coerce(tupleToRow(t), schema))
     spark.createDataFrame(rdd, schema)

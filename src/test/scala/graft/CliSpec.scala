@@ -833,9 +833,11 @@ class CliParseHardeningSpec extends AnyFunSuite {
       .contains("compress"))
     assert(Main.parseFlags(Array("--compress=0", "--compress"))("compress")
       === "true")
-    // enable spellings stay enabled
-    assert(Main.parseFlags(Array("--compress=1"))("compress") === "true")
+    // enable spellings stay enabled (the VALUE is preserved — some
+    // booleans carry an optional argument, e.g. --compress=ZSTD)
+    assert(Main.parseFlags(Array("--compress=1")).contains("compress"))
     assert(Main.parseFlags(Array("--compress=true"))("compress") === "true")
+    assert(Main.parseFlags(Array("--compress=ZSTD"))("compress") === "ZSTD")
   }
 
   test("a cnf-valued boolean key round-trips its disable through injection") {
