@@ -333,16 +333,34 @@ object Bench {
       "x_load_parquet" -> { () =>
         spark.read.parquet(s"$csvDir/pq")
           .write.format("noop").mode("overwrite").save()
-      }).filter(t => keep(t._1)).map { case (name, thunk) =>
-      val t0 = System.nanoTime()
-      val r = try { thunk(); None } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        Some(name)
+      }).filter(t => keep(t._1))
+    // x-legs take the same min-across-passes treatment as the q_*
+    // catalog (round-9 record: single-shot legs carried one IO-jitter
+    // blip per run that MOVED between legs). Every leg is idempotent
+    // re-run work: dumps overwrite their dir, loads re-read it, and the
+    // stream legs land + drain the same volume through the shared
+    // checkpoint each pass (pass 1's cold leg keeps the startup cost;
+    // later passes measure the same produce+drain volume warm, which is
+    // exactly what a floor should be).
+    val pipelinePasses: Seq[Seq[(String, Double, Option[String])]] =
+      (1 to reps).map { _ =>
+        pipeline.map { case (name, thunk) =>
+          val t0 = System.nanoTime()
+          val r = try { thunk(); None } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Some(name)
+          }
+          (name, (System.nanoTime() - t0) / 1e9, r)
+        }
       }
-      (name, (System.nanoTime() - t0) / 1e9, r)
-    }
-    val results = catalog ++ pipeline.collect { case (n, t, None) => n -> t }
-    val errors = catalogErrs ++ pipeline.collect { case (n, _, Some(_)) => n }
+    val pipelineMin: Seq[(String, Double, Option[String])] =
+      pipeline.map(_._1).zipWithIndex.map { case (name, i) =>
+        val runs = pipelinePasses.map(_(i))
+        runs.collectFirst { case (_, _, Some(err)) => (name, 0.0, Some(err)) }
+          .getOrElse((name, runs.map(_._2).min, None))
+      }
+    val results = catalog ++ pipelineMin.collect { case (n, t, None) => n -> t }
+    val errors = catalogErrs ++ pipelineMin.collect { case (n, _, Some(_)) => n }
     val sfName = new java.io.File(sfDir).getName
     // The driver captures only the LAST 2000 chars of stdout and parses
     // the JSON line from that tail, so the whole line must fit there
