@@ -329,7 +329,18 @@ object Main {
       val p = new java.io.File(s"$src/$t.parquet")
       if (p.exists) walk(p) else Long.MaxValue // unknown age: never skip
     }
-    val admittedAll = Tables.all.filter { t =>
+    // table discovery = the source DIRECTORY's *.parquet entries (the
+    // file-source analog of SHOW TABLES), not a hardcoded catalog — a
+    // user table outside the TPC-H set must dump too. Tables.all keeps
+    // the canonical order for the known names; extras append sorted.
+    val discovered: Seq[String] = {
+      val listed = Option(new java.io.File(src).listFiles)
+        .getOrElse(Array.empty)
+        .map(_.getName).filter(_.endsWith(".parquet"))
+        .map(_.stripSuffix(".parquet")).toSet
+      Tables.all.filter(listed) ++ (listed -- Tables.all).toSeq.sorted
+    }
+    val admittedAll = discovered.filter { t =>
       val qualified = s"$db.$t"
       val patterns = spec.regex.toSeq ++ spec.regexes
       (patterns.isEmpty || patterns.exists(_.r.findFirstIn(qualified).isDefined)) &&

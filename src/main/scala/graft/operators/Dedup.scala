@@ -467,6 +467,8 @@ object Dedup {
       throw new IllegalStateException(
         s"clusters() did not converge in $maxIter rounds — raise maxIter")
     }
+    if (sys.env.contains("GRAFT_VERIFY_DEBUG"))
+      System.err.println(s"[graft] clusters: converged after $iter rounds")
     Scoped(labels, releaseLabels)
   }
 
