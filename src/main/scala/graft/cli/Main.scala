@@ -125,6 +125,9 @@ object Main {
     "kill-long-queries", "long-query-guard",
     "ftwrl-timeout-retries", "long-query-retries", "long-query-retry-interval",
     "tidb-snapshot", "no-backup-locks", "skip-ddl-locks", "use-savepoints",
+    // myloader --skip-create-database (specific_38): the lake target
+    // has no CREATE DATABASE phase to skip — directories appear on write
+    "skip-create-database",
     "sync-thread-lock-mode", "trx-tables", "no-trx-tables",
     "disk-limits", "exit-if-broken-table-found",
     // worker-pool sizing the Spark scheduler subsumes (our schema/data/
@@ -578,9 +581,16 @@ object Main {
       if (!o.contains("stream"))
         manifest.tables.foreach(t =>
           log(o, s"[graft] dumped ${t.table}: ${t.rows} rows, checksum ${t.dataChecksum.getOrElse("-")}"))
-      // --exec "cmd FILENAME": reference S10 per-file hook, driver-side
+      // --exec "cmd FILENAME": reference S10 per-file hook, driver-side.
+      // Table files only — the reference's exec queue receives each
+      // closed WRITER file (mydumper_exec_command.c); the run's control
+      // files (metadata/manifest, resume lists, not_updated_tables) are
+      // main-thread artifacts the hook must not touch (a gzipped
+      // `metadata` loses the manifest, so restores come back unverified)
       o.get("exec").foreach { tpl =>
-        val res = graft.sources.ExecHook.run(dir, "*", tpl)
+        val control = Set("metadata", "resume", "not_updated_tables")
+        val res = graft.sources.ExecHook.run(dir, "*", tpl,
+          exclude = control.contains)
         res.filter(_._2 != 0).foreach { case (f, rc) =>
           System.err.println(s"[graft] exec failed ($rc) for $f") }
       }

@@ -22,6 +22,12 @@ object TableFilter {
   private val SystemSchemas =
     Set("mysql", "sys", "information_schema", "performance_schema")
 
+  /** `--ignore-engines MyISAM[,InnoDB...]` (reference specific_1/2;
+    * mydumper_start_dump.c splits on "," case-insensitively): the flag's
+    * comma list as the Spec's lowercase engine-exclude set. */
+  def engineSetOf(flag: String): Set[String] =
+    flag.split(",").iterator.map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+
   /** `--tables-list` entry match, reference semantics (common.c:648-670
     * is_table_in_list): case-insensitive; entries containing `%`/`_`
     * match SQL-LIKE style (common.c:618 matchText — `%` any run, `_` any

@@ -14,14 +14,19 @@ object ExecHook {
   /** Run `cmdTemplate` per file under `dir` whose NAME matches `glob`
     * (every `FILENAME` occurrence replaced by the absolute path).
     * Returns (path, exit-code) per file. `runner` is injectable so specs
-    * capture invocations without spawning processes. */
+    * capture invocations without spawning processes. `exclude` drops
+    * files by NAME after the glob (control files like `metadata` that
+    * the reference's exec queue never sees). */
   def run(dir: String, glob: String, cmdTemplate: String,
-      runner: Seq[String] => Int = shellRunner): Seq[(String, Int)] = {
+      runner: Seq[String] => Int = shellRunner,
+      exclude: String => Boolean = _ => false): Seq[(String, Int)] = {
     val matcher = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$glob")
     val listing = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
     val files =
       try listing.iterator().asScala
-        .filter(p => matcher.matches(p.getFileName)).map(_.toString).toSeq.sorted
+        .filter(p => matcher.matches(p.getFileName) &&
+          !exclude(p.getFileName.toString))
+        .map(_.toString).toSeq.sorted
       finally listing.close()
     files.map { p =>
       // the path rides as a POSITIONAL ARGUMENT ($1), never spliced into

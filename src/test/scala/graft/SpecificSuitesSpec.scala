@@ -211,3 +211,160 @@ class SpecificSuitesSpec extends SparkTestBase {
       s"tables-list ∩ regex must admit exactly region+supplier: $stems")
   }
 }
+
+/** Second round-10 tranche batch: exec hook, INSERT column list,
+  * hex-blob binary literals, ignore-engines lists, and the operational
+  * flags whose suites exist to prove they don't corrupt a run. */
+class SpecificSuitesSpec2 extends SparkTestBase {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def names(dir: String): Set[String] =
+    Option(new java.io.File(dir).listFiles).map(_.map(_.getName).toSet)
+      .getOrElse(Set.empty)
+
+  private def cnf(content: String): String = {
+    val f = java.nio.file.Files.createTempFile("graft_spec2_", ".cnf")
+    java.nio.file.Files.writeString(f, content)
+    f.toString
+  }
+
+  private def restoredOk(logfile: String): Seq[String] = {
+    val ls = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(logfile))
+    scala.jdk.CollectionConverters.ListHasAsScala(ls).asScala.toSeq
+      .filter(_.startsWith("[graft] restored"))
+  }
+
+  test("specific_5: --exec gzip FILENAME publishes .sql.gz files the " +
+      "loader reads natively") {
+    val c = cnf("[mydumper]\ntables-list=region\nexec=gzip FILENAME\n\n" +
+      "[myloader]\ndrop-table\n")
+    val out = tmp("graft_s5_")
+    Main.main(Array("dump", s"--defaults-extra-file=$c",
+      "--source-dir", sf, "-o", out))
+    // gzip FILENAME replaces each published file with FILENAME.gz
+    assert(names(out).exists(_.matches("""graft\.region\.\d{5}\.sql\.gz""")),
+      s"exec hook must leave gzipped data files: ${names(out)}")
+    assert(!names(out).exists(_.matches("""graft\.region\.\d{5}\.sql""")),
+      s"original uncompressed file must be consumed: ${names(out)}")
+    val target = tmp("graft_s5_t_")
+    val lf = java.nio.file.Files.createTempFile("graft_s5_log", ".txt").toString
+    Main.main(Array("load", s"--defaults-extra-file=$c", "-d", out,
+      "--target", target, "--checksum", "fail", "--logfile", lf))
+    val lines = restoredOk(lf)
+    assert(lines.size === 1 && lines.head.endsWith("checksum ok"), lines)
+  }
+
+  test("specific_9: --complete-insert writes the column list; " +
+      "--no-complete-insert drops it") {
+    def dataText(flag: String): String = {
+      val out = tmp("graft_s9_")
+      Main.main(Array("dump", "--source-dir", sf, "-o", out,
+        "--tables-list", "region", flag))
+      val f = names(out).find(_.matches("""graft\.region\.\d{5}\.sql"""))
+        .getOrElse(fail(s"no data file: ${names(out)}"))
+      java.nio.file.Files.readString(java.nio.file.Paths.get(out, f))
+    }
+    val withCols = dataText("--complete-insert")
+    assert(withCols.contains("INSERT INTO `region` (`r_regionkey`,"),
+      withCols.take(200))
+    val without = dataText("--no-complete-insert")
+    assert(without.contains("INSERT INTO `region` VALUES"), without.take(200))
+  }
+
+  test("specific_10: --hex-blob renders a binary column as 0x literals " +
+      "and round-trips checksum-exact") {
+    // synthetic binary-column table through directory discovery
+    val srcDir = tmp("graft_s10_src_")
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = true)))
+    val rows = (0 until 50).map { i =>
+      Row(i.toLong,
+        if (i % 7 == 0) null
+        else Array.tabulate[Byte](12)(j => ((i * 31 + j * 7) % 256 - 128).toByte))
+    }
+    spark.createDataFrame(new java.util.ArrayList[Row](
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .repartition(2).write.mode("overwrite").parquet(s"$srcDir/blobs.parquet")
+    val c = cnf("[mydumper]\ntables-list=blobs\nhex-blob\n\n" +
+      "[myloader]\ndrop-table\n")
+    val out = tmp("graft_s10_")
+    Main.main(Array("dump", s"--defaults-extra-file=$c",
+      "--source-dir", srcDir, "-o", out))
+    val dataFile = names(out).find(_.matches("""graft\.blobs\.\d{5}\.sql"""))
+      .getOrElse(fail(s"no data file: ${names(out)}"))
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, dataFile))
+    assert("0x[0-9A-Fa-f]{24}".r.findFirstIn(text).isDefined,
+      s"binary must render as 0x hex: ${text.take(300)}")
+    val target = tmp("graft_s10_t_")
+    val lf = java.nio.file.Files.createTempFile("graft_s10_log", ".txt").toString
+    Main.main(Array("load", s"--defaults-extra-file=$c", "-d", out,
+      "--target", target, "--checksum", "fail", "--logfile", lf))
+    assert(restoredOk(lf).forall(_.endsWith("checksum ok")))
+    val back = spark.read.parquet(s"$target/graft.blobs")
+    assert(back.count() === 50)
+  }
+
+  test("specific_1/2: --ignore-engines single and comma-list exclude by " +
+      "engine, case-insensitively") {
+    import graft.core.{ColumnMeta, TableMeta}
+    import graft.extract.TableFilter
+    def tm(t: String, engine: String) =
+      TableMeta("db", t, Seq(ColumnMeta("id", "bigint")), engine = engine)
+    // specific_1: single engine
+    val one = TableFilter.Spec(
+      ignoreEngines = TableFilter.engineSetOf("MyISAM"))
+    assert(!TableFilter.accepts(one, tm("a", "MyISAM")))
+    assert(!TableFilter.accepts(one, tm("a", "myisam")))
+    assert(TableFilter.accepts(one, tm("b", "InnoDB")))
+    // specific_2: comma list (reference splits on ",")
+    val two = TableFilter.Spec(
+      ignoreEngines = TableFilter.engineSetOf("MyISAM, InnoDB"))
+    assert(!TableFilter.accepts(two, tm("a", "MyISAM")))
+    assert(!TableFilter.accepts(two, tm("b", "innodb")))
+    assert(TableFilter.accepts(two, tm("c", "Aria")))
+    // the CLI accepts the reference spelling without misparsing
+    // neighbors (-i is ignored on the file source, warned)
+    val o = Main.parseFlags(Array("-i", "MyISAM,InnoDB", "--threads", "8"))
+    assert(o("threads") === "8" && !o.contains("ignore-engines"))
+  }
+
+  test("specific_26/27/29/30/38: operational flag suites run clean " +
+      "(bulk-metadata-prefetch, skip-metadata-sorting, worker-pool caps, " +
+      "trx-tables=0, skip-create-database)") {
+    // the reference suites exist to prove these flags don't corrupt a
+    // dump/restore; on the file source they are accept-and-ignore — the
+    // assertion is a green checksum round trip WITH them present
+    val cd = cnf(
+      """[mydumper]
+        |tables-list=region
+        |threads=4
+        |bulk-metadata-prefetch
+        |skip-metadata-sorting
+        |trx-tables=0
+        |""".stripMargin)
+    val cl = cnf(
+      """[myloader]
+        |threads=4
+        |drop-table
+        |max-threads-for-schema-creation=4
+        |max-threads-for-index-creation=2
+        |max-threads-for-post-actions=2
+        |skip-create-database=1
+        |""".stripMargin)
+    val out = tmp("graft_s26_")
+    Main.main(Array("dump", s"--defaults-extra-file=$cd",
+      "--source-dir", sf, "-o", out))
+    val target = tmp("graft_s26_t_")
+    val lf = java.nio.file.Files.createTempFile("graft_s26_log", ".txt").toString
+    Main.main(Array("load", s"--defaults-extra-file=$cl", "-d", out,
+      "--target", target, "--checksum", "fail", "--logfile", lf))
+    val lines = restoredOk(lf)
+    assert(lines.size === 1 && lines.head.endsWith("checksum ok"), lines)
+  }
+}
