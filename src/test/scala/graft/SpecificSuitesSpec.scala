@@ -200,6 +200,25 @@ class SpecificSuitesSpec extends SparkTestBase {
     assert(names(target).isEmpty, "nothing to restore")
   }
 
+  test("specific_18: integer-PK chunked dump (--rows) rotates per-chunk " +
+      "files and restores checksum-exact") {
+    // the reference's integer-PK suite: chunking on the key must
+    // neither lose nor double rows across chunk files
+    val out = tmp("graft_s18_")
+    Main.main(Array("dump", "--source-dir", sf, "-o", out,
+      "--tables-list", "orders", "--rows", "300"))
+    val chunks = names(out).filter(_.matches("""graft\.orders\.\d{5}\.sql"""))
+    assert(chunks.size >= 2,
+      s"--rows 300 over 1500 orders must produce multiple chunk files: ${names(out)}")
+    val target = tmp("graft_s18_t_")
+    val lf = java.nio.file.Files.createTempFile("graft_s18_log", ".txt").toString
+    Main.main(Array("load", "-d", out, "--target", target,
+      "--checksum", "fail", "--logfile", lf))
+    assert(spark.read.parquet(s"$target/graft.orders").count()
+      === Tables.t(spark, sf, "orders").count())
+    assert(restoredOk(lf).forall(_.endsWith("checksum ok")))
+  }
+
   test("--tables-list and --regex compose (eval_regex applies both filters)") {
     val out = tmp("graft_tlr_")
     Main.main(Array("dump", "--source-dir", sf, "-o", out,
