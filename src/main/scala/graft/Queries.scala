@@ -2022,7 +2022,10 @@ object Queries {
     * with per-rule attribution kept for audit. */
   val qQualityFilter: QFn = (s, d) => {
     val toks = size(split(trim(col("text")), "\\s+")).cast(LongType)
-    val alphaRatio = length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast(DoubleType) /
+    // alpha chars counted by the native byte-scan expression — same
+    // value as length(regexp_replace(text, "[^A-Za-z ]", "")) (the
+    // oracle's form) without regex cost on every corpus byte
+    val alphaRatio = TextFunctions.alphaSpaceCount(col("text")).cast(DoubleType) /
       greatest(length(col("text")), lit(1)).cast(DoubleType)
     val reasons = concat_ws(",",
       when(toks < 20, lit("too_short")),

@@ -17,6 +17,16 @@ object TextFunctions {
     * semantics), which the DuckDB oracle comparison relies on. */
   def trunc4(c: Column): Column = floor(c * lit(10000.0)) / lit(10000.0)
 
+  /** Count of `[A-Za-z ]` characters — native codegen byte scan,
+    * value-identical to `length(regexp_replace(text, "[^A-Za-z ]", ""))`
+    * without the per-row automaton + replaced-string allocation (the
+    * quality pass's alpha-ratio numerator runs over every corpus byte). */
+  def alphaSpaceCount(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(org.apache.spark.sql.graftnative.AsciiAlphaSpaceCount(
+      ColumnBridge.expression(text)))
+  }
+
   /** Whitespace-token count; empty/blank text → 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
