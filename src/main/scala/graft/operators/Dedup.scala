@@ -66,12 +66,14 @@ object Dedup {
     * digest: cardinality ≈ #docs × bands, uniform. */
   def minhashBands(docs: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val bandsUdf = udf { (t: String) =>
-      if (t == null) Array.empty[Long]
-      else Hashing.bandKeys(Hashing.minhash(t, shingleSize, bands * rowsPerBand),
-        bands, rowsPerBand)
-    }
-    docs.select(col(idCol), posexplode(bandsUdf(col(textCol))))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // Native codegen expression over the compiled sketch kernel —
+    // bit-identical band digests to the former UDF (null → empty array),
+    // minus the per-row converter round trip on the corpus-wide map.
+    val bandCol = ColumnBridge.column(
+      org.apache.spark.sql.graftnative.MinHashBandKeys(
+        ColumnBridge.expression(col(textCol)), shingleSize, bands, rowsPerBand))
+    docs.select(col(idCol), posexplode(bandCol))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
   }

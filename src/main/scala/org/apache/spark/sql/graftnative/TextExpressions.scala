@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
 
 /** 64-bit SimHash of a string — the sketch head of the simhash dedup
   * pipeline (Dedup.simhashPairs), previously a boxed Scala UDF per row
@@ -93,4 +93,64 @@ object AsciiAlphaSpaceCount {
     }
     n
   }
+}
+
+/** MinHash-LSH band keys of a string — the sketch head of the minhash
+  * dedup family (Dedup.minhashBands and the incremental store path),
+  * previously a boxed Scala UDF over the whole corpus: the UDF wrapper
+  * paid a CatalystTypeConverter round trip per row on BOTH sides
+  * (UTF8String → String in, Array[Long] → boxed GenericArrayData out).
+  * Delegates to the SAME compiled kernel (graft.functions.Hashing
+  * .minhash + .bandKeys — single shingle pass, k minima by per-hash
+  * reseeding) from the interpreted and generated paths, so band digests
+  * are bit-identical to the UDF and the five q_dedup_minhash* /
+  * q_dedup_incremental value gates are unaffected; the output is written
+  * as an UnsafeArrayData (primitive longs, no boxing) and the enclosing
+  * whole-stage-codegen span stays unbroken.
+  *
+  * NULL text yields an EMPTY array (the prior UDF's contract): a null
+  * doc has no shingles, lands in no bucket, and never pairs. */
+case class MinHashBandKeys(child: Expression, shingleSize: Int,
+    bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    MinHashBandKeys.keys(if (v == null) null else v.toString,
+      shingleSize, bands, rowsPerBand)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          org.apache.spark.sql.graftnative.MinHashBandKeys$$.MODULE$$.keys(
+            ${c.isNull} ? null : ${c.value}.toString(),
+            $shingleSize, $bands, $rowsPerBand);
+      """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_band_keys"
+}
+
+object MinHashBandKeys {
+  private val empty =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.empty[Long])
+
+  /** Shared kernel for the interpreted and generated paths. */
+  def keys(t: String, shingleSize: Int, bands: Int,
+      rowsPerBand: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    if (t == null) empty
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(graft.functions.Hashing.bandKeys(
+        graft.functions.Hashing.minhash(t, shingleSize, bands * rowsPerBand),
+        bands, rowsPerBand))
 }

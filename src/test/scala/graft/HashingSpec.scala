@@ -105,3 +105,29 @@ class SimHashExprSpec extends SparkTestBase {
     assert(withNull(1).getLong(0) === 0L, "null must sketch to 0L")
   }
 }
+
+/** The native MinHashBandKeys expression must equal the compiled kernel
+  * (and the former UDF's null → empty-array contract) on real
+  * documents — every minhash bucket key and therefore the whole
+  * candidate walk depends on exact band digests. */
+class MinHashBandKeysExprSpec extends SparkTestBase {
+  test("MinHashBandKeys ≡ Hashing band keys on documents; null is empty") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    def native(c: org.apache.spark.sql.Column) = ColumnBridge.column(
+      org.apache.spark.sql.graftnative.MinHashBandKeys(
+        ColumnBridge.expression(c), 3, 8, 4))
+    val udfBands = udf { (t: String) =>
+      if (t == null) Array.empty[Long]
+      else functions.Hashing.bandKeys(functions.Hashing.minhash(t, 3, 32), 8, 4)
+    }
+    val df = Tables.documents(spark, sf).select(col("doc_id"),
+      native(col("text")).as("native"), udfBands(col("text")).as("host"))
+    assert(df.where(not(col("native") <=> col("host"))).count() === 0)
+    assert(df.count() > 0)
+    import spark.implicits._
+    val withNull = Seq((1L, "hello world"), (2L, null)).toDF("id", "t")
+      .select(native(col("t")).as("b")).collect()
+    assert(withNull(1).getSeq[Long](0).isEmpty, "null must yield no buckets")
+  }
+}
