@@ -1856,6 +1856,65 @@ object Queries {
       |t AS (SELECT vec_id FROM c ORDER BY cos DESC, vec_id LIMIT 10)
       |SELECT count(*) AS n_exact, TRUE AS recall_ok FROM t""".stripMargin
 
+  /** Int8 scalar-quantized ANN top-k — the 100 TB memory/shuffle path:
+    * unit-normalize, scale to ±127, store bytes (4× smaller than
+    * float32), rank by exact INTEGER dot product (norms are all ≈127, so
+    * the integer dot is a monotone cosine estimate and the scan needs no
+    * float math). VALUE-gated, not rows-only: quantization is a fixed
+    * IEEE op sequence (sequential-fold norm, then per-coordinate
+    * `floor(x/‖v‖·127 + 0.5)`), so DuckDB replays the exact bytes and
+    * the integer scores — not just the ranking — hash-match. */
+  val qAnnQuantized: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    val q = probeVec(s, d, 0L)
+    Similarity.quantizedTopK(e.where(col("vec_id") =!= 0), "embedding", "vec_id", q, 20)
+  }
+  val qAnnQuantizedSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |qn AS (SELECT qe,
+      |  sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+      |  FROM q),
+      |qq AS (SELECT list_transform(qe,
+      |  x -> CAST(floor(CAST(x AS DOUBLE) / nq * 127.0 + 0.5) AS BIGINT)) AS qv FROM qn),
+      |e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings WHERE vec_id <> 0),
+      |eq AS (SELECT vec_id, list_transform(embedding,
+      |  x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0 + 0.5) AS BIGINT)) AS ev FROM e),
+      |c AS (SELECT vec_id,
+      |  CAST(list_sum(list_transform(list_zip(ev, qv), p -> p[1] * p[2])) AS BIGINT) AS score_q
+      |  FROM eq, qq)
+      |SELECT vec_id, score_q FROM c ORDER BY score_q DESC, vec_id LIMIT 20""".stripMargin
+
+  /** Quantization error bound, oracle-visible (same contract as
+    * [[qAnnIvfRecall]]): the exact cosine top-10 replays in DuckDB; the
+    * boolean asserts the int8 integer-dot ranking recovered ≥80% of it
+    * (the ±1/254 per-coordinate error can only reorder near-ties). */
+  val qAnnQuantizedRecall: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    val q = probeVec(s, d, 0L)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", q, 10)
+      .select("vec_id")
+    val quant = Similarity.quantizedTopK(corpus, "embedding", "vec_id", q, 10)
+      .select("vec_id").withColumn("hit", lit(1))
+    exact.join(quant, Seq("vec_id"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        when(count(lit(1)) === 0, lit(true))
+          .otherwise(sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.8))
+          .as("recall_ok"))
+  }
+  val qAnnQuantizedRecallSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |c AS (SELECT vec_id,
+      |  list_sum(list_transform(list_zip(embedding, qe),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings, q WHERE vec_id <> 0),
+      |t AS (SELECT vec_id FROM c ORDER BY cos DESC, vec_id LIMIT 10)
+      |SELECT count(*) AS n_exact, TRUE AS recall_ok FROM t""".stripMargin
+
   val qAnnBatch: QFn = (s, d) => {
     val e = embeddings(s, d)
     val probes = e.where(col("vec_id") < 3)
@@ -2762,6 +2821,8 @@ object Queries {
     "q_knn_recall" -> qKnnRecall,
     "q_embed_recall" -> qEmbedRecall,
     "q_ann_ivf_recall" -> qAnnIvfRecall,
+    "q_ann_quantized" -> qAnnQuantized,
+    "q_ann_quantized_recall" -> qAnnQuantizedRecall,
     "q_cond_agg" -> qCondAgg,
     "q_asof_fwd" -> qAsofFwd,
     "q_merge_upsert" -> qMergeUpsert,
@@ -2895,6 +2956,8 @@ object Queries {
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_pack_stats" -> qPackStatsSql,
     "q_ann_ivf_recall" -> qAnnIvfRecallSql,
+    "q_ann_quantized" -> qAnnQuantizedSql,
+    "q_ann_quantized_recall" -> qAnnQuantizedRecallSql,
     "q_approx_quantile" -> qApproxQuantileSql,
     "q_scd2" -> qScd2Sql,
     "q_ratio_report" -> qRatioReportSql,

@@ -38,6 +38,16 @@ object VectorFunctions {
   def lshSig(a: Column, planes: Array[Array[Double]]): Column =
     toCol(org.apache.spark.sql.graftnative.FloatVecLshSig(toExpr(a), planes))
 
+  /** Int8 scalar quantization (unit-normalize then scale to ±127) —
+    * 4× smaller vectors for the ANN scan/shuffle path; see
+    * [[org.apache.spark.sql.graftnative.FloatVecQuantizeI8]]. */
+  def quantizeI8(a: Column): Column =
+    toCol(org.apache.spark.sql.graftnative.FloatVecQuantizeI8(toExpr(a)))
+
+  /** Exact integer dot product over two int8 vectors. */
+  def dotI8(a: Column, b: Column): Column =
+    toCol(org.apache.spark.sql.graftnative.I8VecDot(toExpr(a), toExpr(b)))
+
   /** Sign bit of the projection onto a fixed ±1 hyperplane (host-side
     * literal — cheaper than hash-derived per-element planes). Used for
     * LSH bucketing of cosine similarity; see Hashing.hyperplanes for the

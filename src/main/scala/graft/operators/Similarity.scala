@@ -28,6 +28,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar-quantized corpus: adds `qvec` (unit-normalized, scaled
+    * to ±127, stored as bytes). At 100 TB this is the column a serving
+    * index materializes instead of the float embedding — 4× less scan
+    * IO and shuffle, and the scan kernel becomes exact integer
+    * arithmetic ([[quantizedTopK]]). Quantization is deterministic
+    * (fixed IEEE op sequence), so like the LSH cells it is
+    * batch-appendable: a re-quantized batch always matches the store. */
+  def withQuantized(embs: DataFrame, vecCol: String,
+      outCol: String = "qvec"): DataFrame =
+    embs.withColumn(outCol, VectorFunctions.quantizeI8(col(vecCol)))
+
+  /** Top-k by integer dot product over int8-quantized vectors — the
+    * quantized twin of [[bruteForceTopK]]. Because corpus and query are
+    * unit-normalized BEFORE quantization, every norm is ≈127 and the
+    * integer dot is a monotone cosine estimate — ranking needs no float
+    * division, ties break on id, and the whole scan stays in exact
+    * integer arithmetic (deterministic across engines; the recall gate
+    * pins what the ±1/254 coordinate error may cost vs exact cosine).
+    * Same plan shape as the exact scan: one codegen map +
+    * TakeOrderedAndProject, no wide shuffle. */
+  def quantizedTopK(embs: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val qq = org.apache.spark.sql.graftnative.FloatVecQuantizeI8.quantize(query)
+    val q = typedLit(qq.toSeq)
+    embs.select(col(idCol),
+        VectorFunctions.dotI8(VectorFunctions.quantizeI8(col(vecCol)), q)
+          .as("score_q"))
+      .orderBy(col("score_q").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Assign each row its LSH cell (precompute once, reuse across queries —
     * in a real pipeline this is written as a bucketed/partitioned column). */
   def withCell(embs: DataFrame, vecCol: String, bits: Int, dim: Int = 64): DataFrame = {

@@ -208,3 +208,113 @@ case class FloatVecLshSig(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
   override def prettyName: String = "float_vec_lsh_sig"
 }
+
+/** Int8 scalar quantization of a float vector: unit-normalize, then map
+  * each coordinate to `floor(x/‖v‖ · 127 + 0.5)` ∈ [−127, 127] stored as
+  * a byte — the 100 TB ANN memory/shuffle path (a 64-dim embedding drops
+  * 256 B → 64 B, and the scan dot product becomes integer arithmetic).
+  * Normalizing BEFORE quantization makes the integer dot product of two
+  * quantized vectors a monotone cosine estimate (all norms ≈ 127), so
+  * ranking needs no float division at scan time. The arithmetic is a
+  * fixed IEEE op sequence (sequential-fold norm, then per-coordinate
+  * divide/scale/floor), so a DuckDB oracle replaying the same ops gets
+  * bit-identical bytes. A zero vector quantizes to all zeros (its cosine
+  * is undefined; scoring treats it as orthogonal-to-everything). */
+case class FloatVecQuantizeI8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    FloatVecQuantizeI8.kernel(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  org.apache.spark.sql.graftnative.FloatVecQuantizeI8$$.MODULE$$.kernel($a);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecQuantizeI8 =
+    copy(child = newChild)
+  override def prettyName: String = "float_vec_quantize_i8"
+}
+
+object FloatVecQuantizeI8 {
+  /** Shared kernel for the interpreted and generated paths. */
+  def kernel(x: ArrayData): ArrayData = {
+    val n = x.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val v = x.getFloat(i).toDouble; ss += v * v; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Byte](n)
+    if (norm > 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(x.getFloat(i).toDouble / norm * 127.0 + 0.5).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Host-side twin for query vectors — the same op sequence, so a
+    * driver-quantized probe matches the executor-quantized corpus. */
+  def quantize(v: Seq[Float]): Array[Byte] = {
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i).toDouble; ss += x * x; i += 1 }
+    val norm = math.sqrt(ss)
+    val out = new Array[Byte](v.length)
+    if (norm > 0.0) {
+      i = 0
+      while (i < v.length) {
+        out(i) = math.floor(v(i).toDouble / norm * 127.0 + 0.5).toByte
+        i += 1
+      }
+    }
+    out
+  }
+}
+
+/** Σ aᵢ·bᵢ over two int8 vectors — exact integer arithmetic (order-free,
+  * no float summation to keep deterministic), the scan kernel on top of
+  * [[FloatVecQuantizeI8]] columns. */
+case class I8VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getByte(i).toLong * y.getByte(i).toLong; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (long)$a.getByte($i) * (long)$b.getByte($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): I8VecDot =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "i8_vec_dot"
+}

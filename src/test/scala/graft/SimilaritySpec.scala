@@ -118,4 +118,32 @@ class SimilaritySpec extends SparkTestBase {
     for (n <- Seq(1L, 2L, 500L, 511L, 512L, 513L, 2000L, 20000L, 1L << 40))
       assert(lshBitsFor(n) === oracleBits(n), s"divergence at n=$n")
   }
+
+  test("int8 quantization: executor bytes equal the host twin, recall@10 " +
+      "vs exact cosine holds, zero vector quantizes to zeros") {
+    import org.apache.spark.sql.graftnative.FloatVecQuantizeI8
+    val e = Tables.embeddings(spark, sf)
+    // executor-quantized corpus vs the host-side kernel on collected rows:
+    // a probe quantized on the driver MUST match the store's bytes or the
+    // integer dot silently scores against a different lattice
+    val rows = Similarity.withQuantized(e, "embedding")
+      .select("vec_id", "embedding", "qvec").limit(50).collect()
+    for (r <- rows) {
+      val host = FloatVecQuantizeI8.quantize(r.getSeq[Float](1))
+      assert(r.getSeq[Byte](2) === host.toSeq, s"vec ${r.getLong(0)}")
+    }
+    // range: unit-normalized coordinates scale into [-127, 127]
+    assert(rows.flatMap(_.getSeq[Byte](2)).forall(b => b >= -127 && b <= 127))
+    // recall@10 of the integer-dot ranking vs exact cosine
+    val q = queryVec()
+    val corpus = e.where(col("vec_id") =!= 1)
+    val exact = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedTopK(corpus, "embedding", "vec_id", q, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(quant).size >= 8,
+      s"int8 recall ${exact.intersect(quant).size}/10")
+    // zero vector: all-zero bytes, not NaN propagation
+    assert(FloatVecQuantizeI8.quantize(Seq(0f, 0f, 0f)).toSeq === Seq[Byte](0, 0, 0))
+  }
 }
