@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Checksum, Hashing, Masquerade, TextFunctions, VectorFunctions}
-import graft.operators.{AsofJoin, ChunkPlanner, Dedup, DocChunker, Similarity, Skew}
+import graft.operators.{AsofJoin, ChunkPlanner, Dedup, DocChunker, NgramLm, Similarity, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1005,6 +1005,42 @@ object Queries {
       |            / length(text) * 10000.0) / 10000.0 END AS punct_ratio,
       |  substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stupid-backoff bigram LM quality score (NgramLm.score): counts
+    * train on the doc_id%10<8 split, every doc scores Σ floor(ln p·10⁴)
+    * over its bigrams — FIXED-POINT per-bigram truncation makes the
+    * per-doc reduction an integer sum (order-free), so the gate hashes
+    * exact values instead of trusting a float fold's partial-agg order.
+    * The held-out 20% exercises both backoff paths (seen-unigram and
+    * OOV-floor). */
+  val qLmScore: QFn = (s, d) =>
+    NgramLm.score(documents(s, d), "text", "doc_id",
+      col("doc_id") % 10 < 8).orderBy("doc_id")
+  val qLmScoreSql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |           FROM documents),
+      |bg0 AS (SELECT doc_id,
+      |        list_transform(generate_series(1, len(w)-1),
+      |          i -> struct_pack(w1 := w[i], w2 := w[i+1])) AS pairs FROM d),
+      |bgu AS (SELECT doc_id, unnest(pairs) AS p FROM bg0),
+      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bgu),
+      |trtok AS (SELECT unnest(w) AS w FROM d WHERE doc_id % 10 < 8),
+      |uni AS (SELECT w, count(*) AS c1 FROM trtok GROUP BY w),
+      |tt AS (SELECT count(*) AS t FROM trtok),
+      |big AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE doc_id % 10 < 8
+      |        GROUP BY w1, w2),
+      |sc AS (SELECT bg.doc_id,
+      |   CASE WHEN big.c2 IS NOT NULL THEN CAST(big.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+      |        ELSE (0.4 * CAST(coalesce(u2.c1, 1) AS DOUBLE)) / CAST(tt.t AS DOUBLE) END AS p
+      |   FROM bg LEFT JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+      |       LEFT JOIN uni u1 ON bg.w1 = u1.w
+      |       LEFT JOIN uni u2 ON bg.w2 = u2.w, tt),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |        CAST(sum(CAST(floor(ln(p)*10000.0) AS BIGINT)) AS BIGINT) AS lp_sum
+      |        FROM sc GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+      |       coalesce(agg.lp_sum, 0) AS lp_sum
+      |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** Within-document repetition: fraction of duplicated word-3-grams —
     * the repetitive-document quality filter of web-corpus pipelines.
@@ -2775,6 +2811,7 @@ object Queries {
     "q_rolling_fp" -> qRollingFp,
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
+    "q_lm_score" -> qLmScore,
     "q_dedup_exact" -> qDedupExact,
     "q_dup_spans" -> qDupSpans,
     "q_dup_span_ratio" -> qDupSpanRatio,
@@ -2887,6 +2924,7 @@ object Queries {
     "q_text_metrics" -> qTextMetricsSql,
     "q_pii_scan" -> qPiiScanSql,
     "q_repetition" -> qRepetitionSql,
+    "q_lm_score" -> qLmScoreSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_dup_span_ratio" -> qDupSpanRatioSql,

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** N-gram language-model quality scoring — the perplexity-proxy filter of
+  * large-scale training-data pipelines: train bigram/unigram counts on a
+  * held-in split of the corpus, score every document by its mean token
+  * log-probability under stupid backoff (Brants et al. 2007, "Large
+  * Language Models in Machine Translation": score = c₂(w₁w₂)/c₁(w₁) when
+  * the bigram was seen, else α·c₁(w₂)/T with α = 0.4, no normalization —
+  * the backoff that scales to web corpora precisely because it needs
+  * nothing but raw counts). Low-scoring documents are boilerplate,
+  * gibberish, or wrong-language — the same signal CCNet/RefinedWeb-style
+  * pipelines use for quality bucketing.
+  *
+  * Determinism across engines (the DuckDB value gate hashes per-doc
+  * sums): each bigram's log-prob is truncated to FIXED-POINT
+  * (`floor(ln p · 10⁴)` as a long) BEFORE aggregation, so the per-doc
+  * reduction is an integer sum — order-free and exact — rather than a
+  * float fold whose result depends on partial-aggregation order. The p
+  * values themselves are single IEEE-exact op chains over integer
+  * counts (one divide, or multiply-then-divide), identical in any
+  * IEEE-754 engine.
+  *
+  * Scale shape (100 TB corpus):
+  *  - the token/bigram count tables are vocabulary-bounded, built with
+  *    map-side partial aggregation (`groupBy.count` — shuffle carries
+  *    distinct keys, not token occurrences);
+  *  - scoring joins shuffle on token keys, which are Zipf-skewed ("the"
+  *    heads a constant fraction of rows) — AQE skew-join splits the hot
+  *    keys; when the vocabulary fits the broadcast threshold the unigram
+  *    side broadcasts and only the bigram join shuffles;
+  *  - the corpus total T rides along as a broadcast one-row join, never
+  *    a driver-side collect;
+  *  - bigram extraction is a per-row array transform (no shuffle, no
+  *    self-join): tokens each pair with their successor inside one
+  *    Generate pass.
+  */
+object NgramLm {
+
+  /** Per-document stupid-backoff score parts: (id, n_bigrams, lp_sum)
+    * where lp_sum = Σ floor(ln p · 10⁴) over the doc's bigrams (fixed-
+    * point; divide by 10⁴·n_bigrams for mean log-prob, negate/exp for a
+    * perplexity). Documents with fewer than two tokens score (0, 0).
+    *
+    * @param trainPred rows satisfying it form the count (training) split;
+    *                  score is computed for ALL rows. Backoff paths only
+    *                  fire for scored docs outside the split (a training
+    *                  doc's bigrams are by construction all seen).
+    */
+  def score(docs: DataFrame, textCol: String, idCol: String,
+      trainPred: Column): DataFrame = {
+    val toks = docs.select(col(idCol), col(textCol),
+      split(lower(trim(col(textCol))), "\\s+").as("w"))
+    // bigrams in ONE narrow pass: sequence guard keeps size<2 docs at
+    // zero pairs (sequence(0, -1) would step DOWNWARD, not empty)
+    val bigrams = toks.select(col(idCol),
+        explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+
+    val trainToks = toks.where(trainPred)
+      .select(explode(col("w")).as("w"))
+    val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val total = trainToks.agg(count(lit(1)).as("tt"))
+    val big = bigrams.where(trainPred)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+
+    val d = "double"
+    val scored = bigrams
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("p",
+        when(col("c2").isNotNull, col("c2").cast(d) / col("c1w1").cast(d))
+          .otherwise((lit(0.4) * coalesce(col("c1w2"), lit(1L)).cast(d))
+            / col("tt").cast(d)))
+      .withColumn("lp", floor(log(col("p")) * lit(10000.0)).cast(LongType))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("lp_sum"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("lp_sum"), lit(0L)).as("lp_sum"))
+  }
+}
