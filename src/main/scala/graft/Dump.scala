@@ -32,6 +32,10 @@ object Dump {
     * this is the byte-contract port. */
   final case class LoadDataFormat(csvVariant: Boolean = false) extends Format
   case object ParquetFormat extends Format
+  /** ORC — the other mainstream columnar lake format (engine extension,
+    * like jsonl): same self-describing, partitionable directory layout
+    * as parquet, for pipelines whose warehouse standardized on ORC. */
+  case object OrcFormat extends Format
   /** JSON-lines — the training-data interchange format (one JSON object
     * per row; not in the reference, which predates it). */
   case object JsonlFormat extends Format
@@ -340,6 +344,13 @@ object Dump {
           .partitionBy(cfg.partitionBy: _*)
           .parquet(s"${cfg.outDir}/$dbStem.$stem")
         obs.get("rows").asInstanceOf[Long]
+      case OrcFormat =>
+        val obs = new org.apache.spark.sql.Observation()
+        partitioned.observe(obs, count(lit(1)).as("rows"))
+          .write.mode("overwrite")
+          .partitionBy(cfg.partitionBy: _*)
+          .orc(s"${cfg.outDir}/$dbStem.$stem")
+        obs.get("rows").asInstanceOf[Long]
       case JsonlFormat =>
         val obs = new org.apache.spark.sql.Observation()
         partitioned.observe(obs, count(lit(1)).as("rows"))
@@ -404,8 +415,8 @@ object Dump {
     // self-describing dump: the table DDL rides along as
     // db.table-schema.sql (reference mydumper_jobs.c:238 — every dump
     // carries its schema so a restore needs no live source catalog);
-    // parquet embeds its schema already
-    if (cfg.format != ParquetFormat && !noSchemas)
+    // parquet/orc embed their schemas already
+    if (cfg.format != ParquetFormat && cfg.format != OrcFormat && !noSchemas)
       writeSchemaObject(cfg.outDir, dbStem, SchemaKind.Table,
         sources.DdlEmitter.createTable(cfg.db, table, df.schema, pk,
           quote = quoteOf(cfg)),
@@ -426,7 +437,8 @@ object Dump {
       // alphabetizes and widens) — record the dump-time schema so the
       // loader can conform before checksum verification
       schemaJson = Some(df.schema.json)
-        .filter(_ => cfg.format == ParquetFormat || cfg.format == JsonlFormat))
+        .filter(_ => cfg.format == ParquetFormat || cfg.format == OrcFormat ||
+          cfg.format == JsonlFormat))
   }
 
   /** Schema-object kinds a dump can carry besides table data — the

@@ -292,6 +292,7 @@ object Main {
       case "LOAD_DATA" => Dump.LoadDataFormat()
       case "CSV" => Dump.LoadDataFormat(csvVariant = true)
       case "PARQUET" => Dump.ParquetFormat
+      case "ORC" => Dump.OrcFormat
       case "JSONL" => Dump.JsonlFormat
       case "CLICKHOUSE" => Dump.ClickHouseFormat
       case _ => Dump.SqlFormat
@@ -300,8 +301,9 @@ object Main {
     // writers apply it. Accepting it silently under --format sql reads
     // as a successful partitioned dump, so fail fast instead.
     require(!o.contains("partition-by") ||
-        fmt == Dump.ParquetFormat || fmt == Dump.JsonlFormat,
-      s"--partition-by applies only to lake formats (parquet/jsonl); " +
+        fmt == Dump.ParquetFormat || fmt == Dump.OrcFormat ||
+        fmt == Dump.JsonlFormat,
+      s"--partition-by applies only to lake formats (parquet/orc/jsonl); " +
         s"--format ${o.getOrElse("format", "sql")} writes row files and " +
         "would ignore it")
     // --omit-from-file / -O (common_options.c:222-224): a file of
@@ -815,6 +817,7 @@ object Main {
         kids.collectFirst {
           case k if k.isFile && k.getName.matches(".*\\.json(\\.[a-z0-9]+)?$") => "jsonl"
           case k if k.isFile && k.getName.endsWith(".parquet") => "parquet"
+          case k if k.isFile && k.getName.endsWith(".orc") => "orc"
         }.orElse(if (depth <= 0) None
           else kids.filter(k => k.isDirectory && k.getName.contains("="))
             .sortBy(_.getName).iterator.flatMap(leafData(_, depth - 1))
@@ -825,7 +828,7 @@ object Main {
       // full (append mode) against the listed-files-only contract, so
       // refuse loudly like the reference's m_critical on a bad resume
       require(lakeDirs.isEmpty || !resumeEnabled,
-        "--resume is not applicable to lake-format (parquet/jsonl) dumps" +
+        "--resume is not applicable to lake-format (parquet/orc/jsonl) dumps" +
           " — their restores are whole-directory, not chunk-file, units")
       val restored = for {
         d <- lakeDirs
@@ -834,8 +837,11 @@ object Main {
         if skipAdmits(stem)
         kind <- leafData(d)
       } yield {
-        val data = if (kind == "jsonl") spark.read.json(d.getPath)
-          else spark.read.parquet(d.getPath)
+        val data = kind match {
+          case "jsonl" => spark.read.json(d.getPath)
+          case "orc"   => spark.read.orc(d.getPath)
+          case _       => spark.read.parquet(d.getPath)
+        }
         // conform the read-back to the manifest's recorded dump-time
         // schema — partitionBy appends partition columns, JSON inference
         // alphabetizes column order and widens types — so the restored
@@ -863,11 +869,11 @@ object Main {
         // DROP/TRUNCATE/DELETE family (and the default) overwrite
         conformed.write.mode(writeMode).parquet(s"$target/${remap(stem)}")
         val back = spark.read.parquet(s"$target/${remap(stem)}")
-        // plain parquet preserves dump shape even without a recorded
+        // plain parquet/orc preserve dump shape even without a recorded
         // schema (pre-extension dumps); partitioned/jsonl layouts need
         // the manifest schema to verify
         val shapeTrusted = recorded.isDefined ||
-          (kind == "parquet" && leafData(d).contains("parquet") &&
+          ((kind == "parquet" || kind == "orc") &&
             !Option(d.listFiles).getOrElse(Array.empty)
               .exists(k => k.isDirectory && k.getName.contains("=")))
         val ok =

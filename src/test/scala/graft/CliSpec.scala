@@ -575,6 +575,40 @@ class CliFlagSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("orc lake dumps restore and checksum-verify, plain and partitioned") {
+    // --format orc: the other columnar lake layout — same self-
+    // describing directory contract as parquet (no schema files, data
+    // carries types), routed by the .orc leaf-file sniff and verified
+    // through the same manifest-conform path; the partitioned variant
+    // proves the recorded dump-time schema restores column order after
+    // read-back appends the partition column
+    def verifiedLines(f: String): Seq[String] = {
+      val ls = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f))
+      scala.jdk.CollectionConverters.ListHasAsScala(ls).asScala.toSeq
+        .filter(_.startsWith("[graft] restored"))
+    }
+    for (partBy <- Seq(None, Some("n_regionkey"))) {
+      val out = java.nio.file.Files.createTempDirectory("graft_cli_orc_").toString
+      val restored = java.nio.file.Files.createTempDirectory("graft_cli_orcr_").toString
+      val lf = java.nio.file.Files.createTempFile("graft_cli_orc_log", ".txt").toString
+      Main.main(Array("dump", "--source-dir", sf, "-o", out,
+        "--tables-list", "nation", "--format", "orc") ++
+        partBy.toSeq.flatMap(c => Seq("--partition-by", c)))
+      // self-describing: no schema .sql files, only the data dir + metadata
+      assert(!new java.io.File(out).listFiles().exists(
+        _.getName.endsWith("-schema.sql")), "orc dump must not write DDL")
+      Main.main(Array("load", "-d", out, "--target", restored,
+        "--checksum", "fail", "--logfile", lf))
+      val back = spark.read.parquet(s"$restored/graft.nation")
+      assert(back.count() === Tables.t(spark, sf, "nation").count())
+      assert(back.columns.toSeq === Tables.t(spark, sf, "nation").columns.toSeq,
+        s"orc restore (partitionBy=$partBy) must recover dump column order")
+      val lines = verifiedLines(lf)
+      assert(lines.size === 1 && lines.head.endsWith("checksum ok"),
+        s"partitionBy=$partBy: $lines")
+    }
+  }
+
   test("--clear unlinks directory symlinks without following them") {
     // a `latest ->` rotation link (or the daemon's last_dump) inside the
     // output dir must be UNLINKED, never recursed into: File.isDirectory

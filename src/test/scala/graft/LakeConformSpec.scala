@@ -11,8 +11,8 @@ import org.apache.spark.sql.types._
   * (replayable) from a pool of the shapes that hide edge cases: binary,
   * nested struct, array, timestamp, decimal, all-null columns, plus a
   * low-cardinality partition column; every case round-trips through all
-  * four lake layouts (parquet, hive-partitioned parquet, jsonl,
-  * hive-partitioned jsonl) with --checksum fail — the dump-side CRC is
+  * six lake layouts (parquet, orc, jsonl — each plain and
+  * hive-partitioned) with --checksum fail — the dump-side CRC is
   * the equality oracle. */
 class LakeConformSpec extends SparkTestBase {
 
@@ -64,7 +64,7 @@ class LakeConformSpec extends SparkTestBase {
       df.repartition(4).write.mode("overwrite")
         .parquet(s"$srcDir/$table.parquet")
       for {
-        fmt <- Seq("parquet", "jsonl")
+        fmt <- Seq("parquet", "orc", "jsonl")
         partitioned <- Seq(false, true)
       } {
         val label = s"case $case_ $fmt partitioned=$partitioned " +
