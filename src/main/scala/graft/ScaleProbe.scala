@@ -192,6 +192,32 @@ object ScaleProbe {
       // repeats map-side) — the property that carries to 100 TB
       run("dup_spans", operators.Dedup.duplicatedSpans(
         docs, "text", "doc_id", window = 8)),
+      // stupid-backoff LM scoring at X×: the count tables stay
+      // vocabulary-bounded (inflated replicas add occurrences, not
+      // distinct keys — the hard case for the scoring joins is the
+      // Zipf-skewed token keys, which AQE skew-split handles), the
+      // corpus total is a broadcast one-row join, and the shuffle must
+      // be bounded by distinct-(bi)gram counts, not token occurrences
+      // (the one-row broadcast total is a BNLJ by plan name but O(n·1)
+      // by construction — only the cartesian stays forbidden)
+      run("lm_score", operators.NgramLm.score(
+        docs, "text", "doc_id", col("doc_id") % 10 < 8),
+        forbid = Seq("CartesianProduct")),
+      // int8-quantized ANN at X×: one narrow codegen map (quantize +
+      // integer dot) + TakeOrdered — the probe asserts the scan shape
+      // survives inflation with zero wide shuffle
+      run("ann_quantized", {
+        val q = Tables.embeddings(spark, sfDir)
+          .where(col("vec_id") === 0).select("embedding")
+          .head().getSeq[Float](0)
+        val embs = Tables.embeddings(spark, sfDir).select(col("*"), rep)
+          .withColumn("vec_id", col("vec_id") * X + col("rep"))
+          .withColumn("embedding", transform(col("embedding"),
+            v => (v * (lit(1.0) + col("rep").cast("double") / lit(997.0)))
+              .cast("float")))
+          .drop("rep")
+        operators.Similarity.quantizedTopK(embs, "embedding", "vec_id", q, 20)
+      }),
       // kNN graph at X×: bits scale with log2(X) so the expected LSH
       // cell SIZE stays ~constant — the knob a 100 TB deployment turns.
       // Candidate volume is then O(n × cellSize × tables), linear in n;

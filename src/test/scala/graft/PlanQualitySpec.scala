@@ -226,9 +226,12 @@ class PlanQualitySpec extends SparkTestBase {
     // 500-doc brute-force ground-truth stage (the LSH path under test
     // is the equi-join side); round 6's value-gated q_dedup_simhash
     // embeds the same bounded truth stage to emit the recovered tier
+    // q_lm_score crossJoins the ONE-ROW training-token total (O(n·1)),
+    // the same bounded shape as q_tfidf's corpus-size aggregate
     val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact",
       "q_range_join_auto", "q_knn_recall", "q_dedup_minhash_recall",
-      "q_dedup_simhash_recall", "q_embed_recall", "q_dedup_simhash")
+      "q_dedup_simhash_recall", "q_embed_recall", "q_dedup_simhash",
+      "q_lm_score")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { name =>
