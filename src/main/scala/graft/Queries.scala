@@ -1042,6 +1042,37 @@ object Queries {
       |       coalesce(agg.lp_sum, 0) AS lp_sum
       |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** Corpus-scale BPE tokenizer training (BpeTrain.merges): the top-8
+    * learned merges, VALUE-gated — the oracle replays all 8 rounds in
+    * DuckDB as chained CTEs over the same spaced-symbol representation
+    * (literal `replace(s, " l r ", " lr ")` has identical left-to-right
+    * non-overlapping semantics in both engines; argmax tie-breaks are a
+    * total order: freq DESC, lhs, rhs in binary collation). */
+  val qBpeMerges: QFn = (s, d) =>
+    graft.operators.BpeTrain.merges(documents(s, d), "text", 8).orderBy("rank")
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wc AS (SELECT w, count(*) AS cnt FROM (
+      |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+      |  FROM documents) GROUP BY w),
+      |v0 AS (SELECT ' ' || array_to_string(regexp_split_to_array(w, ''), ' ')
+      |       || ' </w> ' AS s, cnt FROM wc)""".stripMargin
+    for (i <- 1 to k) sb ++= s""",
+      |a$i AS (SELECT string_split(trim(s), ' ') AS a, cnt FROM v${i - 1}),
+      |pu$i AS (SELECT cnt, unnest(list_transform(generate_series(1, len(a)-1),
+      |  x -> struct_pack(l := a[x], r := a[x+1]))) AS p FROM a$i),
+      |pc$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS f
+      |  FROM pu$i GROUP BY p.l, p.r),
+      |b$i AS (SELECT l, r, f FROM pc$i ORDER BY f DESC, l, r LIMIT 1),
+      |v$i AS (SELECT replace(s, ' ' || b.l || ' ' || b.r || ' ',
+      |  ' ' || b.l || b.r || ' ') AS s, cnt FROM v${i - 1}, b$i b)""".stripMargin
+    sb ++= "\n" + (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, f AS freq FROM b$i")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rank")
+    sb.toString
+  }
+  val qBpeMergesSql: String = bpeOracle(8)
+
   /** Within-document repetition: fraction of duplicated word-3-grams —
     * the repetitive-document quality filter of web-corpus pipelines.
     * Compiled kernel, not HOF shingles: the Column-expression form
@@ -2812,6 +2843,7 @@ object Queries {
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
     "q_lm_score" -> qLmScore,
+    "q_bpe_merges" -> qBpeMerges,
     "q_dedup_exact" -> qDedupExact,
     "q_dup_spans" -> qDupSpans,
     "q_dup_span_ratio" -> qDupSpanRatio,
@@ -2925,6 +2957,7 @@ object Queries {
     "q_pii_scan" -> qPiiScanSql,
     "q_repetition" -> qRepetitionSql,
     "q_lm_score" -> qLmScoreSql,
+    "q_bpe_merges" -> qBpeMergesSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_dup_span_ratio" -> qDupSpanRatioSql,

@@ -218,6 +218,10 @@ object ScaleProbe {
           .drop("rep")
         operators.Similarity.quantizedTopK(embs, "embedding", "vec_id", q, 20)
       }),
+      // BPE training at X×: after the first word-count groupBy the loop
+      // runs on the VOCABULARY table — wall must grow far slower than X
+      // (the corpus scan is the only X-proportional stage)
+      run("bpe_train", operators.BpeTrain.merges(docs, "text", 8)),
       // kNN graph at X×: bits scale with log2(X) so the expected LSH
       // cell SIZE stays ~constant — the knob a 100 TB deployment turns.
       // Candidate volume is then O(n × cellSize × tables), linear in n;

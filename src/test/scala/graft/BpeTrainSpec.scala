@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.BpeTrain
+import org.apache.spark.sql.functions._
+
+/** BPE training semantics: hand-checkable merges on a tiny corpus, the
+  * classic overlapping-pair rule, early exhaustion, and the apply-side
+  * reconstruction property (subwords concatenate back to the word). */
+class BpeTrainSpec extends SparkTestBase {
+
+  test("merges learn the most frequent pair first, with deterministic ties") {
+    import spark.implicits._
+    // "aaab" x3: pairs (a,a)x2, (a,b) per word -> (a,a) f=6 wins round 1;
+    // round 2: " aa a b </w> " pairs (aa,a) f=3, (a,b) f=3, (b,</w>) f=3
+    // -> tie broken by lhs ASC: ("a","b") < ("aa","a") < ("b","</w>")
+    val docs = Seq((1L, "aaab aaab aaab")).toDF("doc_id", "text")
+    val m = BpeTrain.merges(docs, "text", 2).orderBy("rank").collect()
+    assert(m(0).getString(1) === "a" && m(0).getString(2) === "a" &&
+      m(0).getLong(3) === 6L, m.mkString(";"))
+    assert(m(1).getString(1) === "a" && m(1).getString(2) === "b" &&
+      m(1).getLong(3) === 3L, m.mkString(";"))
+  }
+
+  test("overlapping pairs merge left-to-right non-overlapping (aaa -> aa a)") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val m = BpeTrain.merges(docs, "text", 1).collect()
+    // pairs of " a a a </w> ": (a,a)x2 beats (a,</w>)x1
+    assert(m(0).getString(1) === "a" && m(0).getString(2) === "a" &&
+      m(0).getLong(3) === 2L)
+  }
+
+  test("training stops early when every word is fully merged") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    // " a b </w> " -> (a,b) -> " ab </w> " -> (ab,</w>) -> one symbol;
+    // requesting 10 yields exactly 2 rows
+    val m = BpeTrain.merges(docs, "text", 10).collect()
+    assert(m.length === 2, m.mkString(";"))
+  }
+
+  test("segment applies learned merges and reconstructs words exactly") {
+    val docs = Tables.documents(spark, sf).limit(100)
+    val table = BpeTrain.merges(docs, "text", 16).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(table.size === 16)
+    val seg = BpeTrain.segment(docs, "text", table)
+    // lossless: subwords concatenate (minus the </w> marker) back to
+    // the word, for every word occurrence in the corpus slice
+    val broken = seg.withColumn("rebuilt",
+        regexp_replace(concat_ws("", col("subwords")), "</w>$", ""))
+      .where(col("rebuilt") =!= col("word"))
+    assert(broken.count() === 0)
+    // merges actually fire: some word segments to fewer symbols than
+    // chars+1 (the unmerged spaced form)
+    val fused = seg.where(size(col("subwords")) < length(col("word")) + 1)
+    assert(fused.count() > 0, "no merge ever applied")
+  }
+}
