@@ -333,6 +333,14 @@ object Bench {
       "x_load_parquet" -> { () =>
         spark.read.parquet(s"$csvDir/pq")
           .write.format("noop").mode("overwrite").save()
+      },
+      // the orc twins of the parquet legs (round-10 lake format)
+      "x_dump_orc" -> { () =>
+        li.write.mode("overwrite").orc(s"$csvDir/orc")
+      },
+      "x_load_orc" -> { () =>
+        spark.read.orc(s"$csvDir/orc")
+          .write.format("noop").mode("overwrite").save()
       }).filter(t => keep(t._1))
     // x-legs take the same min-across-passes treatment as the q_*
     // catalog (round-9 record: single-shot legs carried one IO-jitter
