@@ -1044,10 +1044,12 @@ object Queries {
 
   /** Corpus-scale BPE tokenizer training (BpeTrain.merges): the top-8
     * learned merges, VALUE-gated — the oracle replays all 8 rounds in
-    * DuckDB as chained CTEs over the same spaced-symbol representation
-    * (literal `replace(s, " l r ", " lr ")` has identical left-to-right
-    * non-overlapping semantics in both engines; argmax tie-breaks are a
-    * total order: freq DESC, lhs, rhs in binary collation). */
+    * DuckDB as chained CTEs over the same DOUBLE-spaced symbol
+    * representation (every boundary carries two spaces so a literal
+    * `replace(s, " l  r ", " lr ")` implements exact greedy
+    * left-to-right non-overlapping BPE merging — identical semantics in
+    * both engines; argmax tie-breaks are a total order: freq DESC, lhs,
+    * rhs in binary collation). */
   val qBpeMerges: QFn = (s, d) =>
     graft.operators.BpeTrain.merges(documents(s, d), "text", 8).orderBy("rank")
   private def bpeOracle(k: Int): String = {
@@ -1055,16 +1057,16 @@ object Queries {
     sb ++= """WITH wc AS (SELECT w, count(*) AS cnt FROM (
       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
       |  FROM documents) GROUP BY w),
-      |v0 AS (SELECT ' ' || array_to_string(regexp_split_to_array(w, ''), ' ')
-      |       || ' </w> ' AS s, cnt FROM wc)""".stripMargin
+      |v0 AS (SELECT ' ' || array_to_string(regexp_split_to_array(w, ''), '  ')
+      |       || '  </w> ' AS s, cnt FROM wc)""".stripMargin
     for (i <- 1 to k) sb ++= s""",
-      |a$i AS (SELECT string_split(trim(s), ' ') AS a, cnt FROM v${i - 1}),
+      |a$i AS (SELECT string_split(trim(s), '  ') AS a, cnt FROM v${i - 1}),
       |pu$i AS (SELECT cnt, unnest(list_transform(generate_series(1, len(a)-1),
       |  x -> struct_pack(l := a[x], r := a[x+1]))) AS p FROM a$i),
       |pc$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS f
       |  FROM pu$i GROUP BY p.l, p.r),
       |b$i AS (SELECT l, r, f FROM pc$i ORDER BY f DESC, l, r LIMIT 1),
-      |v$i AS (SELECT replace(s, ' ' || b.l || ' ' || b.r || ' ',
+      |v$i AS (SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
       |  ' ' || b.l || b.r || ' ') AS s, cnt FROM v${i - 1}, b$i b)""".stripMargin
     sb ++= "\n" + (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, f AS freq FROM b$i")

@@ -17,7 +17,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage:
   *   graft.cli.Main dump --source-dir /data/sf0.01 -o /tmp/out \
-  *     [--format sql|LOAD_DATA|CSV|csv|parquet|jsonl] [--compress]
+  *     [--format sql|LOAD_DATA|CSV|csv|parquet|orc|jsonl] [--compress]
   *     [--rows N|min:start:max] [--rows-hard ...] [--regex R]
   *     [--tables-list a,b] [--where COND] [--threads N] [--exec "cmd FILENAME"]
   *     [--exec-per-thread "cmd"] [--exec-per-thread-extension .sql.zst]
@@ -28,7 +28,7 @@ import org.apache.spark.sql.SparkSession
   *     [-F/--chunk-filesize MB] [-e/--build-empty-files] [--compact]
   *     [--insert-ignore | --replace] [--complete-insert]
   *     [--set-names CS] [--skip-tz-utc] [--clear | --dirty]
-  *     [--partition-by col[,col...]]   (parquet/jsonl: hive-style layout)
+  *     [--partition-by col[,col...]]   (parquet/orc/jsonl: hive-style layout)
   *     [--checksum-all | --data-checksums]
   *     [--max-threads-per-table N] [--masquerade-filename F.cnf]
   *     [-O/--omit-from-file F] [-U/--updated-since DAYS]

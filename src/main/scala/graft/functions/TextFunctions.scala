@@ -27,6 +27,22 @@ object TextFunctions {
       ColumnBridge.expression(text)))
   }
 
+  /** Adjacent element pairs of a string array as `struct<l, r>` —
+    * shared by the bigram-LM and BPE pair extractions. The `size >= 2`
+    * guard is load-bearing: `sequence(0, -1)` steps DOWNWARD (yielding
+    * [0, -1]), it is not empty, so sub-2-element arrays must
+    * short-circuit to an explicit empty. */
+  def adjacentPairs(arr: Column): Column = {
+    val pairsOf = (a: Column) => {
+      val zipped = org.apache.spark.sql.functions.transform(
+        sequence(lit(0), size(a) - 2),
+        i => struct(element_at(a, i + 1).as("l"), element_at(a, i + 2).as("r")))
+      zipped
+    }
+    when(size(arr) >= 2, pairsOf(arr))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+  }
+
   /** Whitespace-token count; empty/blank text → 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.TextFunctions
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -16,11 +17,17 @@ import org.apache.spark.sql.types._
   *
   * Representation trick that keeps the whole loop in Column expressions
   * AND makes a DuckDB oracle replay possible: a word's symbol sequence
-  * is a single-space-joined string with sentinel spaces
-  * (`" h e l l o </w> "`), and applying merge (l, r) is the literal
-  * `replace(s, " l r ", " lr ")` — left-to-right non-overlapping, the
-  * exact merge semantics of the reference BPE ("aaa" + (a,a) → "aa a"),
-  * identical in Spark and DuckDB. No UDF anywhere.
+  * is a DOUBLE-space-joined string with single sentinel spaces
+  * (`" h  e  l  l  o  </w> "`), and applying merge (l, r) is the
+  * literal `replace(s, " l  r ", " lr ")`. The double separator is
+  * load-bearing: every symbol boundary carries two spaces, a match
+  * consumes ONE from each end, so immediately-repeating pairs still
+  * find their delimiter and the scan implements exactly the reference
+  * BPE's greedy left-to-right non-overlapping merge — "abab" + (a,b) →
+  * "ab ab" (a single-space form loses the shared delimiter and yields
+  * "ab a b"), "aaa" + (a,a) → "aa a". Literal replace semantics are
+  * identical in Spark and DuckDB; symbols never contain spaces, so a
+  * match can only align on symbol boundaries. No UDF anywhere.
   *
   * Each round: pair counts (weighted by word count) → argmax with a
   * total tie-break (freq DESC, then both symbols ASC — deterministic
@@ -31,6 +38,11 @@ import org.apache.spark.sql.types._
   */
 object BpeTrain {
 
+  /** `" h  e  l  l  o  </w> "` — double-space separators, single
+    * sentinel spaces (see class doc for why double). */
+  private def spacedSymbols(word: org.apache.spark.sql.Column) =
+    concat(lit(" "), array_join(split(word, ""), "  "), lit("  </w> "))
+
   /** Learned merge table: (rank 1..numMerges, lhs, rhs, freq). Stops
     * early if the vocabulary runs out of adjacent pairs (every word
     * fully merged) — rank is then < numMerges. */
@@ -39,8 +51,7 @@ object BpeTrain {
     val wc = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(" "), array_join(split(col("w"), ""), " "),
-        lit(" </w> ")).as("s"), col("cnt"))
+      .select(spacedSymbols(col("w")).as("s"), col("cnt"))
 
     val sc = spark.sparkContext
     def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
@@ -56,10 +67,8 @@ object BpeTrain {
     var exhausted = false
     while (k < numMerges && !exhausted) {
       val pairs = vocab
-        .select(col("cnt"), split(trim(col("s")), " ").as("a"))
-        .select(col("cnt"), explode(when(size(col("a")) >= 2,
-          expr("transform(sequence(0, size(a)-2), i -> struct(a[i] AS l, a[i+1] AS r))"))
-          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+        .select(col("cnt"), split(trim(col("s")), "  ").as("a"))
+        .select(col("cnt"), explode(TextFunctions.adjacentPairs(col("a"))).as("p"))
         .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("f"))
       val best = pairs.orderBy(col("f").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
@@ -70,7 +79,7 @@ object BpeTrain {
         learned += Row(k.toLong, l, r, f)
         val merged = vocab.select(
           call_function("replace", col("s"),
-            lit(s" $l $r "), lit(s" $l$r ")).as("s"), col("cnt"))
+            lit(s" $l  $r "), lit(s" $l$r ")).as("s"), col("cnt"))
         val (next, nextRelease) = checkpointTracked(merged)
         release(); vocab = next; release = nextRelease
       }
@@ -97,12 +106,11 @@ object BpeTrain {
   def segment(docs: DataFrame, textCol: String,
       mergeTable: Seq[(String, String)], outCol: String = "subwords"): DataFrame = {
     val word = explode(split(lower(trim(col(textCol))), "\\s+")).as("word")
-    val spaced = concat(lit(" "),
-      array_join(split(col("word"), ""), " "), lit(" </w> "))
-    val appliedAll = mergeTable.foldLeft(spaced) { case (s, (l, r)) =>
-      call_function("replace", s, lit(s" $l $r "), lit(s" $l$r "))
+    val appliedAll = mergeTable.foldLeft(spacedSymbols(col("word"))) {
+      case (s, (l, r)) =>
+        call_function("replace", s, lit(s" $l  $r "), lit(s" $l$r "))
     }
     docs.select(col("*"), word).drop(textCol)
-      .withColumn(outCol, split(trim(appliedAll), " "))
+      .withColumn(outCol, split(trim(appliedAll), "  "))
   }
 }

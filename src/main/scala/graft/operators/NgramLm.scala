@@ -19,10 +19,14 @@ import org.apache.spark.sql.types.LongType
   * sums): each bigram's log-prob is truncated to FIXED-POINT
   * (`floor(ln p · 10⁴)` as a long) BEFORE aggregation, so the per-doc
   * reduction is an integer sum — order-free and exact — rather than a
-  * float fold whose result depends on partial-aggregation order. The p
-  * values themselves are single IEEE-exact op chains over integer
-  * counts (one divide, or multiply-then-divide), identical in any
-  * IEEE-754 engine.
+  * float fold whose result depends on partial-aggregation order (the
+  * systematic cross-engine risk). The p values are single IEEE-exact op
+  * chains over integer counts (divide, or multiply-then-divide —
+  * correctly-rounded operations, identical in any IEEE-754 engine); ln
+  * itself carries NO correct-rounding guarantee, so JVM and libm may
+  * differ by 1 ulp — a gate flip needs ln(p)·10⁴ within that ulp of an
+  * integer, a ~10⁻¹¹-per-distinct-ratio event (p ranges over count
+  * ratios, so distinct values number in the thousands; none observed).
   *
   * Scale shape (100 TB corpus):
   *  - the token/bigram count tables are vocabulary-bounded, built with
@@ -52,25 +56,29 @@ object NgramLm {
     */
   def score(docs: DataFrame, textCol: String, idCol: String,
       trainPred: Column): DataFrame = {
-    val toks = docs.select(col(idCol), col(textCol),
-      split(lower(trim(col(textCol))), "\\s+").as("w"))
-    // bigrams in ONE narrow pass: sequence guard keeps size<2 docs at
-    // zero pairs (sequence(0, -1) would step DOWNWARD, not empty)
-    val bigrams = toks.select(col(idCol),
-        explode(when(size(col("w")) >= 2,
-          expr("transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
-      .select(col(idCol), col("bg.w1"), col("bg.w2"))
+    // trainPred may reference ANY docs column (text length, source, …),
+    // so it is materialized as a flag BEFORE the projection down to
+    // tokens/bigrams — filtering the projected frames directly would
+    // throw UNRESOLVED_COLUMN for any predicate beyond the id column
+    val flag = "__graft_is_train"
+    val toks = docs.withColumn(flag, trainPred)
+      .select(col(idCol), col(flag),
+        split(lower(trim(col(textCol))), "\\s+").as("w"))
+    // bigrams in ONE narrow pass (shared guard in adjacentPairs)
+    val bigrams = toks.select(col(idCol), col(flag),
+        explode(graft.functions.TextFunctions.adjacentPairs(col("w"))).as("bg"))
+      .select(col(idCol), col(flag),
+        col("bg.l").as("w1"), col("bg.r").as("w2"))
 
-    val trainToks = toks.where(trainPred)
+    val trainToks = toks.where(col(flag))
       .select(explode(col("w")).as("w"))
     val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
     val total = trainToks.agg(count(lit(1)).as("tt"))
-    val big = bigrams.where(trainPred)
+    val big = bigrams.where(col(flag))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
 
     val d = "double"
-    val scored = bigrams
+    val scored = bigrams.drop(flag)
       .join(big, Seq("w1", "w2"), "left")
       .join(uni.select(col("w").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
       .join(uni.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")

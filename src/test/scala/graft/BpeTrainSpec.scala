@@ -25,9 +25,30 @@ class BpeTrainSpec extends SparkTestBase {
     import spark.implicits._
     val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
     val m = BpeTrain.merges(docs, "text", 1).collect()
-    // pairs of " a a a </w> ": (a,a)x2 beats (a,</w>)x1
+    // pairs of " a  a  a  </w> ": (a,a)x2 beats (a,</w>)x1
     assert(m(0).getString(1) === "a" && m(0).getString(2) === "a" &&
       m(0).getLong(3) === 2L)
+  }
+
+  test("immediately-repeating pairs all merge in one pass (abab -> ab ab)") {
+    import spark.implicits._
+    // the double-space separator is what makes this work: a match
+    // consumes one space from each boundary, so back-to-back
+    // occurrences keep their delimiter — single-space forms lose the
+    // shared space and leave "ab a b" (divergent from reference BPE)
+    val docs = Seq((1L, "abab")).toDF("doc_id", "text")
+    val seg = BpeTrain.segment(docs, "text", Seq(("a", "b")))
+    val subs = seg.select("subwords").head().getSeq[String](0)
+    assert(subs === Seq("ab", "ab", "</w>"), subs.mkString("|"))
+    // and "aaaa" + (a,a) -> aa aa, not aa a a
+    val docs2 = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val subs2 = BpeTrain.segment(docs2, "text", Seq(("a", "a")))
+      .select("subwords").head().getSeq[String](0)
+    assert(subs2 === Seq("aa", "aa", "</w>"), subs2.mkString("|"))
+    // odd run stays greedy: "aaa" -> aa a
+    val subs3 = BpeTrain.segment(Seq((1L, "aaa")).toDF("doc_id", "text"),
+      "text", Seq(("a", "a"))).select("subwords").head().getSeq[String](0)
+    assert(subs3 === Seq("aa", "a", "</w>"), subs3.mkString("|"))
   }
 
   test("training stops early when every word is fully merged") {

@@ -46,6 +46,19 @@ class NgramLmSpec extends SparkTestBase {
     assert(out(1).getLong(2) === fixed((0.4 * 1.0) / 4.0))
   }
 
+  test("trainPred may reference any docs column, not just the id") {
+    import spark.implicits._
+    // regression: the predicate used to be applied to the projected
+    // bigram frame (id, w1, w2 only), so anything beyond the id column
+    // threw UNRESOLVED_COLUMN
+    val docs = Seq((0L, "a b c d"), (1L, "xx"), (2L, "c a"))
+      .toDF("doc_id", "text")
+    val out = NgramLm.score(docs, "text", "doc_id",
+      length(col("text")) > 3).orderBy("doc_id").collect()
+    // only doc 0 trains (len 7): same counts as the seen-unigram case
+    assert(out(2).getLong(2) === fixed((0.4 * 1.0) / 4.0))
+  }
+
   test("training docs outscore gibberish on the real corpus") {
     val docs = Tables.documents(spark, sf)
     val scored = NgramLm.score(docs, "text", "doc_id", col("doc_id") % 10 < 8)
