@@ -132,6 +132,14 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, session-build time only: the 115-gate pass holds
+      // far more generated classes than the 100-entry default cache, so
+      // every pass re-paid whole-stage codegen for the class-heavy
+      // gates (q_dedup_incremental stamped ~2x its warm floor from
+      // exactly this — SCALE.md round-10). A wide-catalog session wants
+      // the cache sized to its plan count; same recommendation applies
+      // to any deployment running a large query catalog per JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1537,6 +1537,60 @@ object Queries {
       |SELECT id1, id2, floor(cos * 10000.0) / 10000.0 AS cosine
       |FROM p WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * embedding near-dup pairs (deterministic LSH cells in place of the
+    * paper's k-means — same role, batch-appendable) → connected
+    * components → keep the min-id representative per semantic cluster.
+    * The full composed pipeline is VALUE-gated: DuckDB replays the
+    * inline-plane pair construction (qDedupEmbedding's oracle), a
+    * recursive-CTE transitive closure (qDedupClusters' oracle), and the
+    * survivor anti-join. */
+  val qSemDedup: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    val pairs = Dedup.embeddingNearDups(e, "embedding", "vec_id",
+      threshold = 0.35, bits = 2, dim = 64).select("id1", "id2")
+    val labels = Dedup.clusters(pairs)
+    val dropped = labels.where(col("id") =!= col("cluster"))
+      .select(col("id").as("vec_id"))
+    e.select("vec_id").join(dropped, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+  val qSemDedupSql: String = {
+    val vals = planeRows(64)
+    val ham = Dedup.hammingLimit(0.35, slackBits = 4)
+    s"""WITH RECURSIVE planes(p, pl) AS (VALUES $vals),
+       |sig AS (
+       |  SELECT vec_id, embedding,
+       |    string_agg(CASE WHEN list_sum(list_transform(list_zip(embedding, pl),
+       |      z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN '1' ELSE '0' END,
+       |      '' ORDER BY p) AS s
+       |  FROM embeddings, planes GROUP BY vec_id, embedding),
+       |cand AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    a.embedding AS v1, b.embedding AS v2
+       |  FROM sig a JOIN sig b
+       |    ON a.vec_id < b.vec_id
+       |   AND substring(a.s, 1, 2) = substring(b.s, 1, 2)
+       |   AND hamming(a.s, b.s) <= $ham),
+       |pr AS (
+       |  SELECT id1, id2 FROM cand
+       |  WHERE list_sum(list_transform(list_zip(v1, v2), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(v1, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(v2, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+       |    >= 0.35),
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM pr
+       |          UNION SELECT id2, id1 FROM pr),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.id),
+       |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+       |SELECT vec_id FROM embeddings
+       |WHERE vec_id NOT IN (SELECT id FROM lab WHERE id <> cluster)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** n-gram Jaccard dedup: prefix-bucket candidates + exact shingle-set
     * Jaccard verify (fully SQL-replayable — shingles and set overlap are
     * string ops, no hashing involved). */
@@ -2858,6 +2912,7 @@ object Queries {
     "q_dedup_embedding_exact" -> qDedupEmbeddingExact,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_semdedup" -> qSemDedup,
     "q_tfidf" -> qTfidf,
     "q_sample_hash" -> qSampleHash,
     "q_stratified" -> qStratified,
@@ -2967,6 +3022,7 @@ object Queries {
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_ngram" -> qDedupNgramSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_semdedup" -> qSemDedupSql,
     "q_tfidf" -> qTfidfSql,
     "q_sample_hash" -> qSampleHashSql,
     "q_stratified" -> qStratifiedSql,
