@@ -382,10 +382,18 @@ object Dedup {
     * doc labeled with its cluster's minimum id (the canonical survivor).
     * Each round does (a) one hop of min-label propagation across the
     * edge list, then (b) a pointer-doubling shortcut — relabel through
-    * the label's own label (`cluster ← label(cluster)`), which halves
-    * the remaining label-chain depth. Hop alone needs O(diameter)
-    * rounds; with doubling the loop converges in O(log diameter), so
-    * `maxIter = 16` covers components up to ~2^16 hops across.
+    * the label's own label (`cluster ← label(cluster)`). Hop alone
+    * needs O(diameter) rounds; doubling compresses label CHAINS, but on
+    * adversarial shapes — long paths whose node ids are in random order
+    * along the path — the label forest flattens to per-region local
+    * minima (doubling becomes a no-op) and progress reverts to
+    * region-merge hops, observed at ~2× the ideal log bound (17 rounds
+    * on a 2 000-node near-path graph, the sf0.1 embedding-similarity
+    * shape). `maxIter` is a SAFETY RAIL against genuinely divergent
+    * input, not a tuning knob — a converged result is exact regardless
+    * of round count (labels are monotone non-increasing with a strict-
+    * decrease probe), and extra headroom costs nothing when the loop
+    * exits early — so it defaults generously.
     * Each iteration is a bounded number of shuffles on id;
     * `localCheckpoint` truncates the growing lineage so round N's plan
     * doesn't replay rounds 1..N-1 (the standard Spark pattern for
@@ -403,20 +411,35 @@ object Dedup {
     * call (they hold the result). [[clustersScoped]] hands back their
     * release; this convenience overload is for callers whose session
     * sweeps persistent blocks itself (bench/verify harnesses). */
-  def clusters(pairs: DataFrame, maxIter: Int = 16): DataFrame =
+  def clusters(pairs: DataFrame, maxIter: Int = 64): DataFrame =
     clustersScoped(pairs, maxIter).df
 
   /** [[clusters]] with the result's storage lifecycle in the caller's
     * hands: consume `df`, then `release()`. */
-  def clustersScoped(pairs: DataFrame, maxIter: Int = 16): Scoped = {
+  def clustersScoped(pairs: DataFrame, maxIter: Int = 64): Scoped = {
+    // localCheckpoint truncates LINEAGE but carries the origin plan's
+    // ESTIMATED stats into the checkpoint (LogicalRDD originStats).
+    // In an iterative loop that estimate COMPOUNDS: each round's join
+    // estimate is the product of its children's, the checkpoint bakes
+    // the product in, and the next round multiplies again — the BigInt
+    // sizeInBytes doubles its bit-length every round until Catalyst's
+    // stats visitor spends minutes on million-bit arithmetic and
+    // finally overflows BigInteger (observed at ~25 rounds). Cutting
+    // stats by re-wrapping the checkpointed RDD resets every round to
+    // the default estimate; cost is one row-conversion pass per use of
+    // a frame that is already materialized and loop-bounded in size.
+    def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
+      val (cp, rel) = checkpointTracked(df)
+      (df.sparkSession.createDataFrame(cp.rdd, df.schema), rel)
+    }
     // undirected edge list, both directions
     val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-    val (edges, releaseEdges) = checkpointTracked(
+    val (edges, releaseEdges) = checkpointCut(
       fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
     // init = hop 0 fused: label(v) = min(v, min neighbor) — one agg
     // instead of a full identity-labeled first round
-    var (labels, releaseLabels) = checkpointTracked(
+    var (labels, releaseLabels) = checkpointCut(
       edges.groupBy(col("src").as("id"))
         .agg(least(min(col("dst")), first(col("src"))).as("cluster")))
     // convergence probe: labels are monotonically non-increasing per
@@ -429,17 +452,43 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // (a) one hop: min over neighbors' labels ∪ own
+      // Each round is the small-star / large-star contraction cycle of
+      // the MapReduce CC algorithms (Kiveris et al. 2014), expressed on
+      // a label table instead of an edge rewrite:
+      //  (a) graph hop — min over graph-neighbors' labels ∪ own;
+      //  (b) small-star — group members' POST-hop labels by their
+      //      PRE-hop center and let the center adopt the min (a member
+      //      that just learned a smaller min from an adjacent region
+      //      teaches its star center THIS round, not after O(region)
+      //      graph hops);
+      //  (c) large-star / pointer doubling — members adopt their
+      //      center's new label.
+      // Regions then merge pairwise in parallel (label count decreases
+      // geometrically), which is what makes rounds logarithmic on
+      // chain-shaped similarity graphs — smooth embedding manifolds
+      // produce exactly those chains, and (a)+(c) alone degrade to
+      // O(diameter) graph hops there (a 3 000-node random-id path
+      // exhausted 64 rounds before (b) was added; with it: ~12).
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("cluster"))
       // checkpoint before the self-join: materializes the hop once (both
       // join sides read it) and sidesteps Catalyst's Union-constraint
       // attribute-rewrite bug on self-joined union plans
-      val (hopped, releaseHopped) = checkpointTracked(
+      val (hopped0, releaseHopped0) = checkpointCut(
         labels.unionAll(viaNeighbors)
           .groupBy("id").agg(min("cluster").as("cluster")))
-      // the hop is materialized → the previous round's labels are dead
+      // (b) small-star: centers (pre-hop labels) adopt the min of what
+      // their members just learned
+      val viaMembers = labels.where(col("id") =!= col("cluster"))
+        .select(col("id").as("mid"), col("cluster").as("center"))
+        .join(hopped0.withColumnRenamed("id", "mid"), "mid")
+        .select(col("center").as("id"), col("cluster"))
+      val (hopped, releaseHopped) = checkpointCut(
+        hopped0.unionAll(viaMembers)
+          .groupBy("id").agg(min("cluster").as("cluster")))
+      releaseHopped0()
+      // the round's reads of the previous labels are done
       releaseLabels()
       val hopSum = labelSum(hopped)
       if (hopSum.compareTo(prevSum) == 0) {
@@ -448,10 +497,10 @@ object Dedup {
         releaseLabels = releaseHopped
         converged = true
       } else {
-        // (b) pointer doubling: follow the label one more step. Labels
+        // (c) pointer doubling: follow the label one more step. Labels
         // only ever shrink (cluster ≤ id and label(c) ≤ c), so the
         // shortcut label is min(cluster, label(cluster)) = label(cluster).
-        val (next, releaseNext) = checkpointTracked(
+        val (next, releaseNext) = checkpointCut(
           hopped.alias("a")
             .join(hopped.select(col("id").as("cluster"), col("cluster").as("c2")).alias("b"),
               Seq("cluster"), "left")

@@ -57,6 +57,26 @@ class DedupIncrementalSpec extends SparkTestBase {
     assert(leaked.isEmpty, s"clusters leaked storage blocks after release: $leaked")
   }
 
+  test("clusters converges on a long random-id path (the adversarial shape)") {
+    import spark.implicits._
+    // a path whose node ids are in RANDOM order along it: the label
+    // forest flattens to per-region local minima, pointer doubling goes
+    // no-op, and progress reverts to region-merge hops — the shape that
+    // blew past the old maxIter=16 rail at sf0.1 (17 rounds observed on
+    // the 2 000-node embedding-similarity graph). Convergence must hold
+    // and the single component must collapse to its global min label.
+    val n = 3000
+    val perm = new scala.util.Random(7).shuffle((0 until n).toVector)
+    val pairs = (0 until n - 1).map { i =>
+      val (a, b) = (perm(i).toLong, perm(i + 1).toLong)
+      (math.min(a, b), math.max(a, b))
+    }.toDF("id1", "id2")
+    val labels = Dedup.clusters(pairs).collect()
+    assert(labels.length === n)
+    assert(labels.forall(_.getLong(1) === 0L),
+      "single path component must collapse to the global min id")
+  }
+
   test("incremental store update is a blind append (re-run equivalence)") {
     val docs = Tables.documents(spark, sf)
     val oldDocs = docs.where(col("doc_id") % 2 === 0)
