@@ -2038,6 +2038,93 @@ object Queries {
       |t AS (SELECT vec_id FROM c ORDER BY cos DESC, vec_id LIMIT 10)
       |SELECT count(*) AS n_exact, TRUE AS recall_ok FROM t""".stripMargin
 
+  // (gates below this line are the round-10 final-session additions)
+  /** BM25 keyword retrieval (operators.Retrieval): top-20 docs for a
+    * 3-term query. VALUE-gated — per-term contributions floor to integer
+    * micro-points BEFORE the per-doc sum, so the score is exact integer
+    * arithmetic on both sides (see Retrieval scaladoc); the constants
+    * are written as the same foldable expressions ((1.2 + 1.0), (1.0 -
+    * 0.75)) in both engines so they round identically. */
+  val qBm25: QFn = (s, d) =>
+    graft.operators.Retrieval.bm25(documents(s, d), "text", "doc_id",
+      Seq("spark", "join", "filter"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
+  val qBm25Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+      |                 (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS tok_total),
+      |qt AS (SELECT doc_id, term FROM tok
+      |       WHERE term IN ('spark', 'join', 'filter')),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |          FROM qt GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    floor(ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |         / (CAST(tf AS DOUBLE)
+      |            + 1.2 * ((1.0 - 0.75)
+      |                     + 0.75 * (CAST(dl AS DOUBLE) / (tok_total / n_docs)))))
+      |      * 1000000.0) AS micro
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats)
+      |SELECT doc_id, count(*) AS matched, CAST(sum(micro) AS BIGINT) AS score_micro
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Int8 k-means (operators.Clustering): one Lloyd round from the
+    * deterministic seed (quantized vectors of the 8 smallest ids),
+    * per-cluster stats. All-integer end to end — quantization replays in
+    * DuckDB (same op sequence as q_ann_quantized), distances and the
+    * centroid floor-division update are exact integer arithmetic, so the
+    * gate is hash-exact where float k-means could never be. The
+    * multi-round engine path is spec-covered (ClusteringSpec). */
+  val qKmeans: QFn = (s, d) =>
+    graft.operators.Clustering.kmeansI8(embeddings(s, d), "embedding",
+        "vec_id", k = 8, iters = 1)
+      .groupBy(col("cluster").cast(LongType).as("cluster"))
+      .agg(count(lit(1)).as("cnt"), sum("vec_id").as("sum_ids"),
+        sum("dist_sq").as("sum_dist"))
+      .orderBy("cluster")
+  val qKmeansSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      |  FROM embeddings),
+      |q0 AS (SELECT vec_id, list_transform(embedding,
+      |  x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 127.0 + 0.5) AS BIGINT)) AS qv FROM e),
+      |qn AS (SELECT vec_id, qv,
+      |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nsq FROM q0),
+      |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+      |         qv AS cv
+      |       FROM (SELECT vec_id, qv FROM q0 ORDER BY vec_id LIMIT 8)),
+      |cn0 AS (SELECT cid, cv,
+      |  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnsq FROM c0),
+      |a1 AS (SELECT vec_id, qv, cid,
+      |  nsq - 2 * CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS BIGINT) + cnsq AS dist
+      |  FROM qn, cn0
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+      |u1 AS (SELECT cid, unnest(generate_series(1, len(qv))) AS i, unnest(qv) AS v
+      |       FROM a1),
+      |s1 AS (SELECT cid, i,
+      |         CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS nv
+      |       FROM u1 GROUP BY 1, 2),
+      |c1x AS (SELECT cid, list(nv ORDER BY i) AS cv FROM s1 GROUP BY cid),
+      |c1 AS (SELECT c0.cid, coalesce(c1x.cv, c0.cv) AS cv
+      |       FROM c0 LEFT JOIN c1x ON c0.cid = c1x.cid),
+      |cn1 AS (SELECT cid, cv,
+      |  CAST(list_sum(list_transform(cv, x -> x * x)) AS BIGINT) AS cnsq FROM c1),
+      |a2 AS (SELECT vec_id, cid,
+      |  nsq - 2 * CAST(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) AS BIGINT) + cnsq AS dist
+      |  FROM qn, cn1
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)
+      |SELECT cid AS cluster, count(*) AS cnt,
+      |  CAST(sum(vec_id) AS BIGINT) AS sum_ids,
+      |  CAST(sum(dist) AS BIGINT) AS sum_dist
+      |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin
+
   val qAnnBatch: QFn = (s, d) => {
     val e = embeddings(s, d)
     val probes = e.where(col("vec_id") < 3)
@@ -2949,6 +3036,8 @@ object Queries {
     "q_ann_ivf_recall" -> qAnnIvfRecall,
     "q_ann_quantized" -> qAnnQuantized,
     "q_ann_quantized_recall" -> qAnnQuantizedRecall,
+    "q_bm25" -> qBm25,
+    "q_kmeans" -> qKmeans,
     "q_cond_agg" -> qCondAgg,
     "q_asof_fwd" -> qAsofFwd,
     "q_merge_upsert" -> qMergeUpsert,
@@ -3087,6 +3176,8 @@ object Queries {
     "q_ann_ivf_recall" -> qAnnIvfRecallSql,
     "q_ann_quantized" -> qAnnQuantizedSql,
     "q_ann_quantized_recall" -> qAnnQuantizedRecallSql,
+    "q_bm25" -> qBm25Sql,
+    "q_kmeans" -> qKmeansSql,
     "q_approx_quantile" -> qApproxQuantileSql,
     "q_scd2" -> qScd2Sql,
     "q_ratio_report" -> qRatioReportSql,

@@ -222,6 +222,27 @@ object ScaleProbe {
       // runs on the VOCABULARY table — wall must grow far slower than X
       // (the corpus scan is the only X-proportional stage)
       run("bpe_train", operators.BpeTrain.merges(docs, "text", 8)),
+      // BM25 at X×: ONE corpus-scale shuffle (the per-doc conditional
+      // aggregation), then everything is bounded by matching docs; the
+      // corpus-constants row is a broadcast O(n·1) join (BNLJ by plan
+      // name, same ruling as lm_score)
+      run("bm25", operators.Retrieval.bm25(docs, "text", "doc_id",
+        Seq("spark", "join", "filter")),
+        forbid = Seq("CartesianProduct")),
+      // int8 k-means at X×: per round, one corpus scan + a k·dim-row
+      // partial-agg shuffle (centroid sums collapse map-side); the
+      // assignment kernel is broadcast centroid literals — shuffle must
+      // stay centroid-bounded, NOT corpus-bounded, at any X
+      run("kmeans", {
+        val embs = Tables.embeddings(spark, sfDir).select(col("*"), rep)
+          .withColumn("vec_id", col("vec_id") * X + col("rep"))
+          .withColumn("embedding", transform(col("embedding"),
+            v => (v * (lit(1.0) + col("rep").cast("double") / lit(997.0)))
+              .cast("float")))
+          .drop("rep")
+        operators.Clustering.kmeansI8(embs, "embedding", "vec_id",
+          k = 8, iters = 3)
+      }),
       // kNN graph at X×: bits scale with log2(X) so the expected LSH
       // cell SIZE stays ~constant — the knob a 100 TB deployment turns.
       // Candidate volume is then O(n × cellSize × tables), linear in n;

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Keyword retrieval scoring over the corpus — Okapi BM25 (Robertson &
+  * Zaragoza 2009), the lexical complement to the embedding ANN path: a
+  * training-data pipeline uses it for query-based corpus slicing and as
+  * the sparse half of hybrid (BM25 + cosine) retrieval.
+  *
+  * Scale shape: ONE corpus-scale shuffle. Per-doc length and every
+  * query-term tf come out of a single conditional aggregation keyed by
+  * doc (map-side combine collapses the exploded tokens back to one row
+  * per doc per partition before the exchange), and the corpus constants
+  * (N, avgdl, per-term df) reduce from that same aggregate into one
+  * broadcast row. Docs with zero query-term hits are filtered before
+  * scoring, so everything downstream of the shuffle is bounded by
+  * matching docs. A naive tf⋈dl formulation re-shuffles the corpus-wide
+  * doc-length table a second time — at 10^11 docs that join is TBs of
+  * avoidable exchange.
+  *
+  * Determinism contract (the reason scores are integers): each term's
+  * contribution is floor-truncated to integer micro-points (1e-6) BEFORE
+  * the per-doc sum, so the sum is exact integer arithmetic — immune to
+  * float summation order across partitions, engines, and retries. The
+  * double math inside one contribution is a fixed IEEE op sequence that
+  * DuckDB replays literally (same trick as the int8 ANN quantizer).
+  */
+object Retrieval {
+
+  /** BM25 scores for `terms` against every matching document.
+    *
+    * @return (idCol, matched, score_micro): number of distinct query
+    *         terms present and the BM25 score in integer micro-points.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val tokens = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    // the one corpus-scale pass: per-doc length + per-query-term tf
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      count(when(col("term") === t, 1)).as(s"tf_$i")
+    }
+    val perDoc = tokens.groupBy(idCol)
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    // corpus constants, reduced from the aggregate: one broadcast row
+    val statCols =
+      Seq(count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum("dl").cast(DoubleType).as("tok_total")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    // long form (doc, term, tf) for matching docs only
+    val termTf = map(terms.zipWithIndex.flatMap { case (t, i) =>
+      Seq(lit(t), col(s"tf_$i")) }: _*)
+    val matched = perDoc
+      .where(terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .select(col(idCol), col("dl"),
+        explode(termTf).as(Seq("term", "tf")))
+      .where(col("tf") > 0)
+    val termDf = element_at(
+      map(terms.zipWithIndex.flatMap { case (t, i) =>
+        Seq(lit(t), col(s"df_$i")) }: _*), col("term"))
+    // idf = ln(1 + (N - df + 0.5) / (df + 0.5)); Okapi's +1 form stays
+    // positive for df > N/2 terms
+    val idf = log(lit(1.0) +
+      ((col("n_docs") - termDf) + lit(0.5)) / (termDf + lit(0.5)))
+    val avgdl = col("tok_total") / col("n_docs")
+    val tfd = col("tf").cast(DoubleType)
+    val denom = tfd +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl))
+    val contrib = idf * ((tfd * lit(k1 + 1.0)) / denom)
+    matched.crossJoin(broadcast(stats))
+      .select(col(idCol), floor(contrib * lit(1000000.0)).as("micro"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched"), sum("micro").as("score_micro"))
+  }
+}

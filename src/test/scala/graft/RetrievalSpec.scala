@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Retrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 semantics: tf saturation, length normalization, idf ordering,
+  * and the integer-micro determinism contract the value gate relies on. */
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark spark spark join"),          // dense in query terms
+    (1L, "spark and some other words here"), // one hit, longer
+    (2L, "join filter"),                     // two distinct terms, short
+    (3L, "nothing relevant at all"),         // no hits
+    (4L, "rare rare rare rare")              // no hits
+  ).toDF("doc_id", "text")
+
+  private def scores(terms: Seq[String]): Map[Long, (Long, Long)] =
+    Retrieval.bm25(docs, "text", "doc_id", terms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("docs without query terms never appear; matched counts distinct terms") {
+    val s = scores(Seq("spark", "join", "filter"))
+    assert(!s.contains(3L) && !s.contains(4L))
+    assert(s(0L)._1 === 2L, "doc 0 matches spark + join")
+    assert(s(2L)._1 === 2L, "doc 2 matches join + filter")
+    assert(s(1L)._1 === 1L)
+  }
+
+  test("higher tf and shorter docs score higher; all scores positive") {
+    val s = scores(Seq("spark"))
+    assert(s(0L)._2 > s(1L)._2,
+      "3x tf in a shorter doc must outscore 1x tf in a longer doc")
+    assert(s.values.forall(_._2 > 0L), "Okapi +1 idf keeps scores positive")
+  }
+
+  test("a rarer term contributes more than a common one (idf ordering)") {
+    val common = Seq((0L, "x a"), (1L, "x b"), (2L, "x c"), (3L, "x d"),
+      (4L, "y e")).toDF("doc_id", "text")
+    val sx = Retrieval.bm25(common, "text", "doc_id", Seq("x"))
+      .where(col("doc_id") === 0).head().getLong(2)
+    val sy = Retrieval.bm25(common, "text", "doc_id", Seq("y"))
+      .where(col("doc_id") === 4).head().getLong(2)
+    assert(sy > sx, s"df=1 term must outscore df=4 term: y=$sy x=$sx")
+  }
+
+  test("scores are stable under repartitioning (integer-sum contract)") {
+    val base = Retrieval.bm25(docs, "text", "doc_id", Seq("spark", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    val re = Retrieval.bm25(docs.repartition(5), "text", "doc_id",
+        Seq("spark", "join"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(base.sameElements(re))
+  }
+}
