@@ -2075,6 +2075,103 @@ object Queries {
       |FROM contrib GROUP BY doc_id
       |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Hybrid retrieval — reciprocal-rank fusion of the BM25 top-50 and
+    * the dense cosine top-50 (operators.Retrieval.rrfFuse). Rank-based,
+    * so no score calibration crosses the two lists; contributions are a
+    * fixed two-term IEEE sum over integer ranks, floor-truncated to
+    * micro-points — bit-replayable in DuckDB. */
+  val qHybridRrf: QFn = (s, d) => {
+    val lex = graft.operators.Retrieval.bm25(documents(s, d), "text",
+        "doc_id", Seq("spark", "join", "filter"))
+      .orderBy(col("score_micro").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).as("rank"))
+    val q = probeVec(s, d, 0L)
+    val dense = Similarity.bruteForceTopK(
+        embeddings(s, d).where(col("vec_id") =!= 0), "embedding", "vec_id",
+        q, 50)
+      .select(col("vec_id").as("doc_id"), row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))).as("rank"))
+    graft.operators.Retrieval.rrfFuse(Seq(lex, dense), "doc_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id")).limit(20)
+  }
+  val qHybridRrfSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+      |                 (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS tok_total),
+      |qt AS (SELECT doc_id, term FROM tok
+      |       WHERE term IN ('spark', 'join', 'filter')),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |          FROM qt GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id,
+      |    floor(ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |         / (CAST(tf AS DOUBLE)
+      |            + 1.2 * ((1.0 - 0.75)
+      |                     + 0.75 * (CAST(dl AS DOUBLE) / (tok_total / n_docs)))))
+      |      * 1000000.0) AS micro
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats),
+      |lexs AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+      |         FROM contrib GROUP BY doc_id),
+      |lex AS (SELECT doc_id,
+      |          row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r_lex
+      |        FROM (SELECT * FROM lexs ORDER BY score_micro DESC, doc_id LIMIT 50)),
+      |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |cs AS (SELECT vec_id,
+      |  list_sum(list_transform(list_zip(embedding, qe),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings, qv WHERE vec_id <> 0),
+      |den AS (SELECT vec_id AS doc_id,
+      |          row_number() OVER (ORDER BY cos DESC, vec_id) AS r_dense
+      |        FROM (SELECT * FROM cs ORDER BY cos DESC, vec_id LIMIT 50)),
+      |f AS (SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id,
+      |        coalesce(1.0 / (60.0 + CAST(r_lex AS DOUBLE)), 0.0)
+      |      + coalesce(1.0 / (60.0 + CAST(r_dense AS DOUBLE)), 0.0) AS s
+      |      FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+      |SELECT doc_id, CAST(floor(s * 1000000.0) AS BIGINT) AS rrf_micro
+      |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin
+
+  /** k-means IVF ANN (operators.Similarity.ivfKmeansTopK): spherical
+    * learned coarse quantizer over int8 cells, nprobe=4 of 8. Same
+    * oracle contract as [[qAnnIvfRecall]]: DuckDB replays the exact
+    * cosine top-10; the boolean asserts the learned-cell probe
+    * recovered ≥60% of it (measured: a deterministic 0.7 at sf0.01 AND
+    * sf0.1 — this corpus is near-uniform on the sphere, where recall ≈
+    * probed fraction for ANY partitioner; the blob-corpus spec in
+    * ClusteringSpec shows the concentration a structured corpus gets). */
+  val qAnnIvfKmeans: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    val q = probeVec(s, d, 0L)
+    val corpus = e.where(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", q, 10)
+      .select("vec_id")
+    val ivf = Similarity.ivfKmeansTopK(corpus, "embedding", "vec_id", q,
+        k = 10, cells = 8, nprobe = 4, iters = 2)
+      .select("vec_id").withColumn("hit", lit(1))
+    exact.join(ivf, Seq("vec_id"), "left_outer")
+      .agg(count(lit(1)).as("n_exact"),
+        when(count(lit(1)) === 0, lit(true))
+          .otherwise(sum(coalesce(col("hit"), lit(0))) / count(lit(1)) >= lit(0.6))
+          .as("recall_ok"))
+  }
+  val qAnnIvfKmeansSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |c AS (SELECT vec_id,
+      |  list_sum(list_transform(list_zip(embedding, qe),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |     * sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      |  FROM embeddings, q WHERE vec_id <> 0),
+      |t AS (SELECT vec_id FROM c ORDER BY cos DESC, vec_id LIMIT 10)
+      |SELECT count(*) AS n_exact, TRUE AS recall_ok FROM t""".stripMargin
+
   /** Int8 k-means (operators.Clustering): one Lloyd round from the
     * deterministic seed (quantized vectors of the 8 smallest ids),
     * per-cluster stats. All-integer end to end — quantization replays in
@@ -3037,7 +3134,9 @@ object Queries {
     "q_ann_quantized" -> qAnnQuantized,
     "q_ann_quantized_recall" -> qAnnQuantizedRecall,
     "q_bm25" -> qBm25,
+    "q_hybrid_rrf" -> qHybridRrf,
     "q_kmeans" -> qKmeans,
+    "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_cond_agg" -> qCondAgg,
     "q_asof_fwd" -> qAsofFwd,
     "q_merge_upsert" -> qMergeUpsert,
@@ -3177,7 +3276,9 @@ object Queries {
     "q_ann_quantized" -> qAnnQuantizedSql,
     "q_ann_quantized_recall" -> qAnnQuantizedRecallSql,
     "q_bm25" -> qBm25Sql,
+    "q_hybrid_rrf" -> qHybridRrfSql,
     "q_kmeans" -> qKmeansSql,
+    "q_ann_ivf_kmeans" -> qAnnIvfKmeansSql,
     "q_approx_quantile" -> qApproxQuantileSql,
     "q_scd2" -> qScd2Sql,
     "q_ratio_report" -> qRatioReportSql,

@@ -77,4 +77,36 @@ object Retrieval {
       .groupBy(idCol)
       .agg(count(lit(1)).as("matched"), sum("micro").as("score_micro"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR 2009) — the standard
+    * hybrid-retrieval combiner: each ranked list contributes
+    * 1/(k + rank) and lists need no score calibration against each
+    * other (ranks, not scores, fuse). The inputs are top-N lists — by
+    * construction tiny — so the full-outer joins broadcast; nothing
+    * here touches the corpus.
+    *
+    * Determinism: ranks are integers, each list's contribution is a
+    * fixed IEEE division, and the sum runs in the (fixed) list order —
+    * left-to-right over `rankings`, absent entries contributing an
+    * exact 0.0 — so the fused score replays bit-identically in the
+    * oracle. The output is floor-truncated micro-points.
+    *
+    * @param rankings each `(idCol, rank)` with rank 1-based
+    * @return (idCol, rrf_micro)
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrf needs at least one ranking")
+    val named = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").as(s"r_$i"))
+    }
+    val joined = named.reduce(_.join(_, Seq(idCol), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(
+        lit(1.0) / (lit(k.toDouble) + col(s"r_$i").cast(DoubleType)),
+        lit(0.0)))
+      .reduce(_ + _)
+    joined.select(col(idCol),
+      floor(score * lit(1000000.0)).as("rrf_micro"))
+  }
 }

@@ -85,6 +85,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF with LEARNED cells — the classic k-means coarse quantizer
+    * (trained via [[Clustering.trainI8]] in the exact-integer int8
+    * domain), complementing the data-independent hyperplane cells of
+    * [[ivfTopK]]: learned cells adapt to the corpus distribution
+    * (tighter cells where vectors are dense → better recall at the same
+    * probe fraction), at the cost of the LSH variant's blind-append
+    * property — a retrained quantizer re-partitions the index, exactly
+    * the trade a production IVF schedules as periodic reindexing. At
+    * 100 TB the `cluster` column is written as the partition key (same
+    * layout as [[writeIndex]]), so the nprobe cells prune at
+    * file-listing time; probe routing is k·dim bytes of driver math. */
+  def ivfKmeansTopK(embs: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, cells: Int, nprobe: Int,
+      iters: Int = 2): DataFrame = {
+    require(nprobe > 0 && nprobe <= cells, s"nprobe=$nprobe cells=$cells")
+    val centroids = Clustering.trainSphericalI8(embs, vecCol, idCol,
+      cells, iters, Clustering.SeedFarthest)
+    val qq = org.apache.spark.sql.graftnative.FloatVecQuantizeI8.quantize(query)
+    // route the probe by max dot — the same rule the index rows used
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, cid) =>
+        var dot = 0L; var i = 0
+        val n = math.min(qq.length, c.length)
+        while (i < n) { dot += qq(i).toLong * c(i).toLong; i += 1 }
+        (-dot, cid)
+      }
+      .sorted.take(nprobe).map(_._2)
+    val assigned = Clustering.assignSphericalI8(embs, vecCol, centroids)
+    bruteForceTopK(
+      assigned.where(col("cluster").isin(probeCells: _*))
+        .drop("cluster", "score_q"),
+      vecCol, idCol, query, k)
+  }
+
   /** Persist an ANN index: cell assignments written as a PARTITIONED
     * lake table (`.../cell=N/...`), so a probe's cell predicate prunes
     * whole directories at file-listing time — the strongest form of

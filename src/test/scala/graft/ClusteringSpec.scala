@@ -49,6 +49,59 @@ class ClusteringSpec extends SparkTestBase {
     assert(out.forall(_.getLong(2) === 0L), "distance to own centroid is 0")
   }
 
+  test("kmeans IVF: full probe equals brute force; partial probe recalls") {
+    import graft.operators.Similarity
+    val e = Tables.embeddings(spark, sf)
+    val q = e.where(col("vec_id") === 1).select("embedding")
+      .head().getSeq[Float](0)
+    val corpus = e.where(col("vec_id") =!= 1)
+    val exact = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    // probing every cell degenerates to the exact scan
+    val full = Similarity.ivfKmeansTopK(corpus, "embedding", "vec_id", q,
+        k = 10, cells = 4, nprobe = 4, iters = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === exact, "nprobe=cells must be exact")
+  }
+
+  test("kmeans IVF concentrates a STRUCTURED corpus: 1-of-3 probe, full recall") {
+    import graft.operators.Similarity
+    // 3 well-separated direction blobs; within-blob cosine ~1, cross ~0.
+    // On this shape the learned cells must align with the blobs and a
+    // single-cell probe (1/3 of the data) must recover the entire exact
+    // top-10 — the property a REAL embedding corpus (which clusters)
+    // buys from learned cells, and the contrast to the near-uniform
+    // testdata corpus where recall ≈ probed fraction for any partitioner.
+    val rows = (0L until 60L).map { i =>
+      val blob = (i % 3).toInt
+      val v = Array.fill(6)(0.001f * (i % 7))
+      v(blob) = 1f
+      i -> v.toSeq
+    }
+    val corpus = df(rows)
+    val q = rows.find(_._1 == 0L).get._2 // a blob-0 member's direction
+    val exact = Similarity.bruteForceTopK(corpus, "vec", "id",
+        q.map(x => x), 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfKmeansTopK(corpus, "vec", "id", q, k = 10,
+        cells = 3, nprobe = 1, iters = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivf === exact,
+      s"1-of-3 probe must be exact on blob data: $ivf vs $exact")
+  }
+
+  test("trainI8 + assignI8 compose to kmeansI8's assignments") {
+    import graft.operators.Clustering
+    val e = Tables.embeddings(spark, sf)
+    val direct = Clustering.kmeansI8(e, "embedding", "vec_id", k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val c = Clustering.trainI8(e, "embedding", "vec_id", k = 4, iters = 2)
+    val composed = Clustering.assignI8(e, "embedding", c)
+      .select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(direct === composed)
+  }
+
   test("negative coordinates floor-divide like the oracle") {
     // mean of quantized -x-ish vectors is negative; floorDiv(-a, n) must
     // round toward -inf exactly like the oracle's floor(sum/cnt)

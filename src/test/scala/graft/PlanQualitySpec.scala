@@ -230,11 +230,12 @@ class PlanQualitySpec extends SparkTestBase {
     // the same bounded shape as q_tfidf's corpus-size aggregate
     // q_bm25 crossJoins the ONE-ROW corpus-constants aggregate
     // (N/avgdl/df) into the matched-docs scorer — O(n·1), and n there is
-    // already filtered to docs containing a query term
+    // already filtered to docs containing a query term; q_hybrid_rrf
+    // embeds the same bm25 stage (its fusion join is a ≤50-row equi-join)
     val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact",
       "q_range_join_auto", "q_knn_recall", "q_dedup_minhash_recall",
       "q_dedup_simhash_recall", "q_embed_recall", "q_dedup_simhash",
-      "q_lm_score", "q_bm25")
+      "q_lm_score", "q_bm25", "q_hybrid_rrf")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { name =>

@@ -45,6 +45,27 @@ class RetrievalSpec extends SparkTestBase {
     assert(sy > sx, s"df=1 term must outscore df=4 term: y=$sy x=$sx")
   }
 
+  test("rrf: a doc in both lists outscores a doc in one; absent docs contribute 0") {
+    val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val den = Seq((11L, 1), (13L, 2)).toDF("doc_id", "rank")
+    val f = Retrieval.rrfFuse(Seq(lex, den), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 11: rank 2 lexical + rank 1 dense beats doc 10's rank-1 single list
+    assert(f(11L) > f(10L))
+    // single-list docs score exactly 1/(60+rank) micro-floored
+    assert(f(10L) === math.floor(1.0 / 61.0 * 1e6).toLong)
+    assert(f(13L) === math.floor(1.0 / 62.0 * 1e6).toLong)
+    assert(f.keySet === Set(10L, 11L, 12L, 13L), "full outer union of lists")
+  }
+
+  test("rrf: better rank in either list never scores lower") {
+    val lex = Seq((0L, 1), (1L, 2)).toDF("doc_id", "rank")
+    val den = Seq((0L, 5), (1L, 5)).toDF("doc_id", "rank")
+    val f = Retrieval.rrfFuse(Seq(lex, den), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f(0L) > f(1L))
+  }
+
   test("scores are stable under repartitioning (integer-sum contract)") {
     val base = Retrieval.bm25(docs, "text", "doc_id", Seq("spark", "join"))
       .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
