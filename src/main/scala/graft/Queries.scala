@@ -1684,6 +1684,31 @@ object Queries {
       |WHERE doc_id < 100
       |ORDER BY doc_id, term""".stripMargin
 
+  /** Deterministic corpus shuffle + sharding (operators.Sampling
+    * .shuffledShards): reproducible training order (md5 sort key) and
+    * hex-prefix shard buckets — per-shard counts, order boundaries and
+    * the first doc in reading order, all engine-replayable. */
+  val qShuffleShards: QFn = (s, d) =>
+    graft.operators.Sampling.shuffledShards(documents(s, d), "doc_id", 10)
+      .groupBy(col("shard").cast(LongType).as("shard"))
+      .agg(count(lit(1)).as("cnt"),
+        min("ord").as("first_ord"), max("ord").as("last_ord"),
+        min_by(col("doc_id"), col("ord")).as("first_doc"))
+      .orderBy("shard")
+  val qShuffleShardsSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ord,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |   + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 10
+      |      AS shard
+      |  FROM documents)
+      |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS cnt,
+      |  min(ord) AS first_ord, max(ord) AS last_ord,
+      |  arg_min(doc_id, ord) AS first_doc
+      |FROM s GROUP BY 1 ORDER BY shard""".stripMargin
+
   /** Deterministic hash sampling (corpus downsampling that is stable
     * across runs AND engines — no RNG): keep keys whose md5 prefix falls
     * under the fraction. The engine's fast path is xxhash64
@@ -3099,6 +3124,7 @@ object Queries {
     "q_semdedup" -> qSemDedup,
     "q_tfidf" -> qTfidf,
     "q_sample_hash" -> qSampleHash,
+    "q_shuffle_shards" -> qShuffleShards,
     "q_stratified" -> qStratified,
     "q_reservoir" -> qReservoir,
     "q_zorder" -> qZorder,
@@ -3279,6 +3305,7 @@ object Queries {
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_kmeans" -> qKmeansSql,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeansSql,
+    "q_shuffle_shards" -> qShuffleShardsSql,
     "q_approx_quantile" -> qApproxQuantileSql,
     "q_scd2" -> qScd2Sql,
     "q_ratio_report" -> qRatioReportSql,

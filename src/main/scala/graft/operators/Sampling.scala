@@ -95,4 +95,27 @@ object Sampling {
       seed: Long = 42L): DataFrame =
     sources.map { case (df, key, frac) => byKeyHash(df, key, frac, seed) }
       .reduce(_ unionByName _)
+
+  /** Deterministic corpus shuffle + shard assignment — the "fix the
+    * training order" step: every row gets a reproducible pseudo-random
+    * sort key (`ord` = md5 of its id — stable across engines, retries
+    * and re-runs, unlike an RNG shuffle) and a `shard` in [0, nShards)
+    * from the key's leading hex digits, so loader files are both
+    * equal-sized in expectation AND internally order-stable. At 100 TB
+    * the write is `repartitionByRange(ord)` + sortWithinPartitions —
+    * one range exchange emits every shard already in reading order.
+    * nShards ≤ 65536 (16 bits of prefix drive the bucket). */
+  def shuffledShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0 && nShards <= 65536, s"nShards=$nShards")
+    val ord = md5(col(keyCol).cast("string"))
+    // hex prefix -> int via a digit-value walk (conv() is Spark-only;
+    // this form replays in any engine with substring/strpos)
+    val hex = "0123456789abcdef"
+    val d1 = (instr(lit(hex), substring(ord, 1, 1)) - 1) * 4096
+    val d2 = (instr(lit(hex), substring(ord, 2, 1)) - 1) * 256
+    val d3 = (instr(lit(hex), substring(ord, 3, 1)) - 1) * 16
+    val d4 = instr(lit(hex), substring(ord, 4, 1)) - 1
+    df.withColumn("ord", ord)
+      .withColumn("shard", pmod(d1 + d2 + d3 + d4, lit(nShards)).cast("int"))
+  }
 }

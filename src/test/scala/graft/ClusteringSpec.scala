@@ -90,6 +90,22 @@ class ClusteringSpec extends SparkTestBase {
       s"1-of-3 probe must be exact on blob data: $ivf vs $exact")
   }
 
+  test("spherical centroids stay unit-norm after every update round") {
+    import graft.operators.Clustering
+    val e = Tables.embeddings(spark, sf)
+    for (iters <- Seq(1, 3)) {
+      val cents = Clustering.trainSphericalI8(e, "embedding", "vec_id",
+        k = 4, iters = iters)
+      cents.foreach { c =>
+        val norm = math.sqrt(c.map(x => x.toDouble * x.toDouble).sum)
+        // re-quantized direction: norm ~127 within per-coordinate
+        // rounding slack — a shrunken (L2-mean) centroid would read far
+        // lower (the defect spherical mode exists to avoid)
+        assert(norm > 120 && norm < 134, s"centroid norm $norm")
+      }
+    }
+  }
+
   test("trainI8 + assignI8 compose to kmeansI8's assignments") {
     import graft.operators.Clustering
     val e = Tables.embeddings(spark, sf)

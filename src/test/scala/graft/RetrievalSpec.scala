@@ -45,6 +45,42 @@ class RetrievalSpec extends SparkTestBase {
     assert(sy > sx, s"df=1 term must outscore df=4 term: y=$sy x=$sx")
   }
 
+  test("bm25 equals an independent driver-side reference on random corpora") {
+    // the reference re-derives every quantity from scratch (no shared
+    // code with the operator), so an op-order or aggregation bug in the
+    // DataFrame pipeline cannot cancel itself out of the comparison
+    val words = Vector("spark", "join", "filter", "a", "b", "c", "dd", "eee")
+    val terms = Seq("spark", "join", "filter")
+    for (seed <- Seq(1, 2, 3, 4)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 30L).map(i =>
+        i -> (1 to (1 + rnd.nextInt(20)))
+          .map(_ => words(rnd.nextInt(words.size))).mkString(" "))
+      val tok = corpus.map { case (id, t) =>
+        id -> t.trim.toLowerCase.split("\\s+").toSeq }
+      val n = corpus.size.toDouble
+      val avgdl = tok.map(_._2.size).sum.toDouble / n
+      val dfreq = terms.map(t => t -> tok.count(_._2.contains(t)).toDouble).toMap
+      val expect = tok.flatMap { case (id, ws) =>
+        val micro = terms.flatMap { t =>
+          val tf = ws.count(_ == t).toDouble
+          if (tf == 0) None
+          else {
+            val idf = math.log(1.0 + ((n - dfreq(t)) + 0.5) / (dfreq(t) + 0.5))
+            val denom = tf +
+              1.2 * ((1.0 - 0.75) + 0.75 * (ws.size.toDouble / avgdl))
+            Some(math.floor(idf * ((tf * (1.2 + 1.0)) / denom) * 1000000.0).toLong)
+          }
+        }
+        if (micro.isEmpty) None else Some(id -> (micro.size.toLong, micro.sum))
+      }.toMap
+      val got = Retrieval.bm25(corpus.toDF("doc_id", "text"), "text",
+          "doc_id", terms)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === expect, s"seed=$seed")
+    }
+  }
+
   test("rrf: a doc in both lists outscores a doc in one; absent docs contribute 0") {
     val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
     val den = Seq((11L, 1), (13L, 2)).toDF("doc_id", "rank")

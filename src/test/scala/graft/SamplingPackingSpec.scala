@@ -88,6 +88,26 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(sampled.exceptAll(again).count() === 0)
   }
 
+  test("shuffledShards: every row sharded in range, order stable, buckets balanced") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val s = Sampling.shuffledShards(docs, "doc_id", 10)
+    val perShard = s.groupBy("shard").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perShard.keys.forall(k => k >= 0 && k < 10))
+    assert(perShard.values.sum === total, "shards partition the corpus")
+    // md5 buckets are uniform: no shard holds > 3x its fair share
+    assert(perShard.values.max <= 3 * total / 10 + 1, s"skew: $perShard")
+    // the order key is deterministic: repartitioning changes nothing
+    val a = s.select("doc_id", "ord", "shard").collect().map(_.toSeq).sortBy(_.toString)
+    val b = Sampling.shuffledShards(docs.repartition(7), "doc_id", 10)
+      .select("doc_id", "ord", "shard").collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b))
+    // ord is collision-free on ids (it IS the reading order)
+    assert(s.select("ord").distinct().count() === total)
+  }
+
   test("packing respects the token budget and reports utilization") {
     val docs = Tables.documents(spark, sf)
     val budget = 256
