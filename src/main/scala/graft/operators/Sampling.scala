@@ -102,9 +102,15 @@ object Sampling {
     * and re-runs, unlike an RNG shuffle) and a `shard` in [0, nShards)
     * from the key's leading hex digits, so loader files are both
     * equal-sized in expectation AND internally order-stable. At 100 TB
-    * the write is `repartitionByRange(ord)` + sortWithinPartitions —
+    * the write is `repartitionByRange(col("shard"), col("ord"))` +
+    * `sortWithinPartitions("shard", "ord")` + `partitionBy("shard")` —
     * one range exchange emits every shard already in reading order.
-    * nShards ≤ 65536 (16 bits of prefix drive the bucket). */
+    * Sorting by ord ALONE is a trap: the dynamic-partition writer
+    * re-sorts each task's rows by the partition column (shard) with an
+    * unstable sort, scrambling the reading order inside every file —
+    * the leading shard key keeps the writer's required ordering already
+    * satisfied (spec-pinned). nShards ≤ 65536 (16 bits of prefix drive
+    * the bucket). */
   def shuffledShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards > 0 && nShards <= 65536, s"nShards=$nShards")
     val ord = md5(col(keyCol).cast("string"))

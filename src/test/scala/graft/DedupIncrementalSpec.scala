@@ -40,6 +40,27 @@ class DedupIncrementalSpec extends SparkTestBase {
     assert(leaked.isEmpty, s"incremental dedup leaked storage blocks: $leaked")
   }
 
+  test("batch pairs restrict to subsets: pairs(half) == pairs(all) ∩ half²") {
+    // the property q_dedup_incremental's harness now RELIES on to derive
+    // the old half's pair set from the full one instead of re-running a
+    // third sketch pipeline: signatures and band keys are per-doc
+    // (corpus-independent), so restriction commutes with the operator
+    val docs = Tables.documents(spark, sf)
+    val half = docs.where(col("doc_id") % 2 === 0)
+    val sub = Dedup.minhashPairsScoped(half, "text", "doc_id",
+      verifyJaccard = Some(0.5))
+    val all = Dedup.minhashPairsScoped(docs, "text", "doc_id",
+      verifyJaccard = Some(0.5))
+    try {
+      val direct = sub.df.select("id1", "id2")
+      val derived = all.df.select("id1", "id2")
+        .where(col("id1") % 2 === 0 && col("id2") % 2 === 0)
+      assert(direct.exceptAll(derived).count() === 0 &&
+        derived.exceptAll(direct).count() === 0,
+        "restriction must commute with the pair operator")
+    } finally { sub.release(); all.release() }
+  }
+
   test("clusters frees intermediate checkpoints; scoped release frees the result") {
     val docs = Tables.documents(spark, sf)
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",

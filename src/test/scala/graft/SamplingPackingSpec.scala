@@ -108,6 +108,29 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(s.select("ord").distinct().count() === total)
   }
 
+  test("shuffledShards write path: range-partitioned shards land in reading order") {
+    import graft.operators.Sampling
+    // the documented 100 TB write shape: range exchange + in-partition
+    // sort, both led by the PARTITION column — sorting by ord alone is
+    // scrambled by the dynamic-partition writer's own unstable re-sort
+    // on shard (measured: files came back order-shuffled)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Sampling.shuffledShards(Tables.documents(spark, sf), "doc_id", 4)
+      .repartitionByRange(4, col("shard"), col("ord"))
+      .sortWithinPartitions("shard", "ord")
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
+    // read ONE shard back file-by-file: rows inside each file must be
+    // ord-sorted (input_file_name groups rows by physical file)
+    val back = spark.read.parquet(out)
+      .withColumn("file", input_file_name())
+      .select("file", "ord").collect()
+      .groupBy(_.getString(0)).values
+    back.foreach { rows =>
+      val ords = rows.map(_.getString(1)).toSeq
+      assert(ords == ords.sorted, "a shard file is out of reading order")
+    }
+  }
+
   test("packing respects the token budget and reports utilization") {
     val docs = Tables.documents(spark, sf)
     val budget = 256
