@@ -243,8 +243,14 @@ object Dump {
         // within files by the WHOLE composite key — sorting on the head
         // column alone leaves rows within one key-group in run-dependent
         // order, breaking the reference's ORDER BY pk contract and
-        // byte-stability across runs
-        val sortCols = if (pk.nonEmpty) pk else orderCol.toSeq
+        // byte-stability across runs. With --partition-by the sort must
+        // LEAD with the partition columns: the dynamic-partition writer
+        // re-sorts each task's rows by those columns with an UNSTABLE
+        // sort unless the input already satisfies that ordering — a
+        // pk-only sort came back scrambled inside every partition dir
+        // (same trap as the shard-write recipe, SamplingPackingSpec)
+        val keyCols = if (pk.nonEmpty) pk else orderCol.toSeq
+        val sortCols = (cfg.partitionBy ++ keyCols).distinct
         df.repartitionByRange(targetChunks, col(orderCol.get))
           .sortWithinPartitions(sortCols.map(col): _*)
       } else {

@@ -2105,6 +2105,50 @@ object Queries {
       |FROM contrib GROUP BY doc_id
       |ORDER BY score_micro DESC, doc_id LIMIT 20""".stripMargin
 
+  /** Batch BM25 (operators.Retrieval.bm25Batch): two queries scored in
+    * ONE shared corpus pass (the per-(doc, term) contribution is
+    * query-independent), top-5 per query. Same integer-micro
+    * determinism contract as [[qBm25]]. */
+  val qBm25Batch: QFn = (s, d) =>
+    graft.operators.Retrieval.bm25Batch(documents(s, d), "text", "doc_id",
+        Map("q_data" -> Seq("data", "table"),
+          "q_sparkjoin" -> Seq("spark", "join", "filter")))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score_micro").desc, col("doc_id"))))
+      .where(col("rn") <= 5).drop("rn")
+      .orderBy("query_id", "doc_id")
+  val qBm25BatchSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+      |                 (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS tok_total),
+      |qmap(query_id, term) AS (VALUES
+      |  ('q_data', 'data'), ('q_data', 'table'),
+      |  ('q_sparkjoin', 'spark'), ('q_sparkjoin', 'join'), ('q_sparkjoin', 'filter')),
+      |qt AS (SELECT doc_id, term FROM tok
+      |       WHERE term IN ('data', 'table', 'spark', 'join', 'filter')),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM qt GROUP BY 1, 2),
+      |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      |          FROM qt GROUP BY 1),
+      |contrib AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    floor(ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5))
+      |      * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |         / (CAST(tf AS DOUBLE)
+      |            + 1.2 * ((1.0 - 0.75)
+      |                     + 0.75 * (CAST(dl AS DOUBLE) / (tok_total / n_docs)))))
+      |      * 1000000.0) AS micro
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), stats),
+      |scored AS (SELECT query_id, doc_id, count(*) AS matched,
+      |             CAST(sum(micro) AS BIGINT) AS score_micro
+      |           FROM contrib JOIN qmap USING (term) GROUP BY 1, 2),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      |        ORDER BY score_micro DESC, doc_id) AS rn FROM scored)
+      |SELECT query_id, doc_id, matched, score_micro FROM r
+      |WHERE rn <= 5 ORDER BY query_id, doc_id""".stripMargin
+
   /** Hybrid retrieval — reciprocal-rank fusion of the BM25 top-50 and
     * the dense cosine top-50 (operators.Retrieval.rrfFuse). Rank-based,
     * so no score calibration crosses the two lists; contributions are a
@@ -3165,6 +3209,7 @@ object Queries {
     "q_ann_quantized" -> qAnnQuantized,
     "q_ann_quantized_recall" -> qAnnQuantizedRecall,
     "q_bm25" -> qBm25,
+    "q_bm25_batch" -> qBm25Batch,
     "q_hybrid_rrf" -> qHybridRrf,
     "q_kmeans" -> qKmeans,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
@@ -3307,6 +3352,7 @@ object Queries {
     "q_ann_quantized" -> qAnnQuantizedSql,
     "q_ann_quantized_recall" -> qAnnQuantizedRecallSql,
     "q_bm25" -> qBm25Sql,
+    "q_bm25_batch" -> qBm25BatchSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_kmeans" -> qKmeansSql,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeansSql,

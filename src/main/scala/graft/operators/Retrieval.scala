@@ -35,7 +35,43 @@ object Retrieval {
     *         terms present and the BM25 score in integer micro-points.
     */
   def bm25(docs: DataFrame, textCol: String, idCol: String,
-      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    termContribs(docs, textCol, idCol, terms, k1, b)
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched"), sum("micro").as("score_micro"))
+
+  /** Batch BM25 — MANY queries against one shared corpus pass. The
+    * per-(doc, term) contribution is query-independent (tf, dl, df, N
+    * are corpus facts), so the corpus is tokenized, aggregated and
+    * scored ONCE over the union of all query terms; fanning out to
+    * per-query scores is a broadcast join of the tiny (query, term)
+    * map against the matched contributions. N queries cost one corpus
+    * pass + N×matched-docs of post-shuffle work — the same batching
+    * move as [[Similarity.batchTopK]].
+    *
+    * @return (query_id, idCol, matched, score_micro)
+    */
+  def bm25Batch(docs: DataFrame, textCol: String, idCol: String,
+      queries: Map[String, Seq[String]], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.values.forall(_.nonEmpty))
+    val allTerms = queries.values.flatten.toSeq.distinct.sorted
+    val contribs = termContribs(docs, textCol, idCol, allTerms, k1, b)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qt = queries.toSeq.sortBy(_._1)
+      .flatMap { case (q, ts) => ts.distinct.map(q -> _) }
+      .toDF("query_id", "term")
+    contribs.join(broadcast(qt), "term")
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("matched"), sum("micro").as("score_micro"))
+  }
+
+  /** The shared scoring core: one corpus-scale shuffle producing the
+    * floor-truncated integer micro-contribution of every (matching doc,
+    * query term) pair. */
+  private def termContribs(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double, b: Double): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     val tokens = docs.select(col(idCol),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
@@ -73,9 +109,8 @@ object Retrieval {
       lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl))
     val contrib = idf * ((tfd * lit(k1 + 1.0)) / denom)
     matched.crossJoin(broadcast(stats))
-      .select(col(idCol), floor(contrib * lit(1000000.0)).as("micro"))
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("matched"), sum("micro").as("score_micro"))
+      .select(col(idCol), col("term"),
+        floor(contrib * lit(1000000.0)).as("micro"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. SIGIR 2009) — the standard

@@ -699,6 +699,29 @@ class DumpLoadSpec extends SparkTestBase {
       .exists(f => f.isDirectory && f.getName.startsWith("l_returnflag=")))
   }
 
+  test("--partition-by + --order-by-primary keeps pk order INSIDE partition files") {
+    // the dynamic-partition writer re-sorts each task's rows by the
+    // partition columns with an unstable sort; without the partition
+    // column leading the dump's in-partition sort, every file came back
+    // pk-scrambled — the ORDER BY pk contract held only for
+    // unpartitioned layouts
+    val out = Files.createTempDirectory("graft_pby_ord_").toString
+    Dump.dumpTable(Tables.orders(spark, sf), "orders",
+      Dump.Config(outDir = out, db = "tpch", format = Dump.ParquetFormat,
+        checksum = false, orderByPrimary = true,
+        partitionBy = Seq("o_orderstatus")))
+    val byFile = spark.read.parquet(s"$out/tpch.orders")
+      .withColumn("file", org.apache.spark.sql.functions.input_file_name())
+      .select("file", "o_orderkey").collect()
+      .groupBy(_.getString(0)).values
+    assert(byFile.nonEmpty)
+    byFile.foreach { rows =>
+      val keys = rows.map(_.getLong(1)).toSeq
+      assert(keys == keys.sorted,
+        "a partitioned dump file lost the ORDER BY pk contract")
+    }
+  }
+
   test("empty database dumps schema-create + metadata only (specific_15)") {
     // the reference's empty-db suite: a database with zero tables still
     // produces a self-describing dump — exactly db-schema-create.sql

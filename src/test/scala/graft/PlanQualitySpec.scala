@@ -235,7 +235,7 @@ class PlanQualitySpec extends SparkTestBase {
     val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact",
       "q_range_join_auto", "q_knn_recall", "q_dedup_minhash_recall",
       "q_dedup_simhash_recall", "q_embed_recall", "q_dedup_simhash",
-      "q_lm_score", "q_bm25", "q_hybrid_rrf")
+      "q_lm_score", "q_bm25", "q_bm25_batch", "q_hybrid_rrf")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { name =>

@@ -81,6 +81,23 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("bm25Batch per-query scores equal the single-query operator exactly") {
+    // the batching claim: sharing one corpus pass must not move a single
+    // micro-point — per-(doc, term) contributions are query-independent
+    val queries = Map("a" -> Seq("spark", "join"), "b" -> Seq("filter"))
+    val batch = Retrieval.bm25Batch(docs, "text", "doc_id", queries)
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sorted.toSeq).toMap
+    for ((q, terms) <- queries) {
+      val single = Retrieval.bm25(docs, "text", "doc_id", terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(batch(q) === single, s"query $q diverged from the single path")
+    }
+  }
+
   test("rrf: a doc in both lists outscores a doc in one; absent docs contribute 0") {
     val lex = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
     val den = Seq((11L, 1), (13L, 2)).toDF("doc_id", "rank")
