@@ -82,6 +82,17 @@ object ScaleProbe {
     val orders = orders0.select(col("*"), rep)
       .withColumn("o_orderkey", col("o_orderkey") * X + col("rep"))
       .drop("rep")
+    // direction-CHANGING replica perturbation for embedding heads: bump
+    // coordinate (rep mod dim) by a rep-dependent amount. The earlier
+    // uniform scale (v * (1 + rep/997)) preserved direction, which is a
+    // NO-OP for every cosine/quantized-dot/LSH-cell pipeline (scaled
+    // copies rank, quantize and bucket identically) — the inflated
+    // corpus was X stacked copies, not X-fold vector diversity.
+    def perturbDir(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(vec, (v, i) =>
+        when(i === pmod(col("rep"), lit(64)),
+          v + lit(0.05f) * (lit(1.0f) + pmod(col("rep"), lit(7)).cast("float")))
+          .otherwise(v).cast("float"))
 
     def run(name: String, df: => DataFrame, forbid: Seq[String] = Seq(
         "BroadcastNestedLoopJoin", "CartesianProduct")): Option[(String, Double)] = {
@@ -212,9 +223,7 @@ object ScaleProbe {
           .head().getSeq[Float](0)
         val embs = Tables.embeddings(spark, sfDir).select(col("*"), rep)
           .withColumn("vec_id", col("vec_id") * X + col("rep"))
-          .withColumn("embedding", transform(col("embedding"),
-            v => (v * (lit(1.0) + col("rep").cast("double") / lit(997.0)))
-              .cast("float")))
+          .withColumn("embedding", perturbDir(col("embedding")))
           .drop("rep")
         operators.Similarity.quantizedTopK(embs, "embedding", "vec_id", q, 20)
       }),
@@ -236,29 +245,31 @@ object ScaleProbe {
       run("kmeans", {
         val embs = Tables.embeddings(spark, sfDir).select(col("*"), rep)
           .withColumn("vec_id", col("vec_id") * X + col("rep"))
-          .withColumn("embedding", transform(col("embedding"),
-            v => (v * (lit(1.0) + col("rep").cast("double") / lit(997.0)))
-              .cast("float")))
+          .withColumn("embedding", perturbDir(col("embedding")))
           .drop("rep")
         operators.Clustering.kmeansI8(embs, "embedding", "vec_id",
           k = 8, iters = 3)
       }),
-      // kNN graph at X×: bits scale with log2(X) so the expected LSH
-      // cell SIZE stays ~constant — the knob a 100 TB deployment turns.
-      // Candidate volume is then O(n × cellSize × tables), linear in n;
-      // holding bits fixed while n grows 100× would be the quadratic
-      // mistake (cells 100× denser → 10,000× the pairs per cell).
+      // kNN graph at X×: bits follow the ENGINE's corpus-size rule
+      // (lshBitsFor holds expected cell density in [32, 64)) — the knob
+      // a 100 TB deployment turns. Candidate volume is then
+      // O(n × cellSize × tables), linear in n; holding bits fixed while
+      // n grows 100× would be the quadratic mistake. The probe's old
+      // hand-rolled `3 + log2(X)` under-bucketed 4× vs the rule and,
+      // once replicas were direction-perturbed into REAL near-dups,
+      // spilled 4.6 GB at X=100 — the degenerate scale-only
+      // perturbation had been hiding exactly the density defect
+      // lshBitsFor exists to prevent.
       run("knn_graph", {
-        val knnBits = 3 + math.ceil(math.log(X) / math.log(2)).toInt
         val embs0 = Tables.embeddings(spark, sfDir)
+        val knnBits = operators.Similarity.lshBitsFor(embs0.count() * X)
         val embs = embs0.select(col("*"), rep)
           .withColumn("vec_id", col("vec_id") * X + col("rep"))
           // perturb replicas so inflated vectors are near-dups of their
-          // source, not exact copies (exact copies would make every
-          // cosine 1.0 and the top-k degenerate)
-          .withColumn("embedding", transform(col("embedding"),
-            v => (v * (lit(1.0) + col("rep").cast("double") / lit(997.0)))
-              .cast("float")))
+          // source, not exact copies (a uniform SCALE is not enough:
+          // cosine and LSH cells are scale-invariant, so scaled copies
+          // were still exact dups to this pipeline)
+          .withColumn("embedding", perturbDir(col("embedding")))
           .drop("rep")
         operators.Similarity.selfTopKLsh(embs, "embedding", "vec_id",
           k = 5, bits = knnBits, tables = 6)

@@ -174,11 +174,13 @@ object Clustering {
       .map(_.getAs[scala.collection.Seq[Byte]]("qvec").toArray)
 
   private def seedFarthest(q: DataFrame, k: Int): Array[Array[Byte]] = {
+    val first = q.orderBy("id").limit(1).collect()
+    require(first.nonEmpty, "k-means seeding needs a non-empty corpus")
     val chosen = scala.collection.mutable.ArrayBuffer(
-      q.orderBy("id").limit(1).collect()(0)
-        .getAs[scala.collection.Seq[Byte]]("qvec").toArray)
+      first(0).getAs[scala.collection.Seq[Byte]]("qvec").toArray)
     val nsq = VectorFunctions.dotI8(col("qvec"), col("qvec"))
-    while (chosen.size < k) {
+    var exhausted = false
+    while (chosen.size < k && !exhausted) {
       val dists: Seq[Column] = chosen.toIndexedSeq.map { c =>
         val cl = typedLit(c.toSeq)
         val cn = c.map(v => v.toLong * v.toLong).sum
@@ -188,7 +190,11 @@ object Clustering {
       val next = q
         .select(col("id"), col("qvec"), array_min(array(dists: _*)).as("d"))
         .orderBy(col("d").desc, col("id").asc).limit(1).collect()(0)
-      chosen += next.getAs[scala.collection.Seq[Byte]]("qvec").toArray
+      // every remaining point coincides with a chosen centroid: adding
+      // duplicates would differ from FirstK's fewer-than-k behavior on
+      // tiny corpora — stop, matching the min(k, distinct-points) contract
+      if (next.getLong(2) == 0L) exhausted = true
+      else chosen += next.getAs[scala.collection.Seq[Byte]]("qvec").toArray
     }
     chosen.toArray
   }
@@ -241,17 +247,4 @@ object Clustering {
         + lit(cNormSq)).as("dist"), lit(cid).as("cid"))
     }
 
-  /** Exact integer squared L2 between two quantized vectors —
-    * driver-side twin of the assignment kernel, for probe routing. */
-  def distSqI8(a: Array[Byte], b: Array[Byte]): Long = {
-    var acc = 0L
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val d = a(i).toLong - b(i).toLong
-      acc += d * d
-      i += 1
-    }
-    acc
-  }
 }

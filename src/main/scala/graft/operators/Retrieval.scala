@@ -36,7 +36,10 @@ object Retrieval {
     */
   def bm25(docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame =
-    termContribs(docs, textCol, idCol, terms, k1, b)
+    // distinct: a repeated query term would both double-count its
+    // contribution and blow up the term->tf map (duplicate map keys
+    // throw under Spark's default EXCEPTION dedup policy)
+    termContribs(docs, textCol, idCol, terms.distinct, k1, b)
       .groupBy(idCol)
       .agg(count(lit(1)).as("matched"), sum("micro").as("score_micro"))
 
@@ -81,13 +84,17 @@ object Retrieval {
     }
     val perDoc = tokens.groupBy(idCol)
       .agg(count(lit(1)).as("dl"), tfCols: _*)
-    // corpus constants, reduced from the aggregate: one broadcast row
-    val statCols =
-      Seq(count(lit(1)).cast(DoubleType).as("n_docs"),
-        sum("dl").cast(DoubleType).as("tok_total")) ++
+    // corpus constants: tok_total and per-term df reduce from the
+    // aggregate, but N counts ALL docs — a NULL-text doc produces no
+    // token rows (explode drops it), and deriving N from the token
+    // aggregate would silently deflate idf/avgdl on partially-null
+    // corpora and diverge from the oracle's count(*) FROM documents
+    val tokStatCols =
+      Seq(sum("dl").cast(DoubleType).as("tok_total")) ++
       terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
-    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+    val stats = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      .crossJoin(perDoc.agg(tokStatCols.head, tokStatCols.tail: _*))
     // long form (doc, term, tf) for matching docs only
     val termTf = map(terms.zipWithIndex.flatMap { case (t, i) =>
       Seq(lit(t), col(s"tf_$i")) }: _*)

@@ -109,10 +109,12 @@ object Sampling {
     * re-sorts each task's rows by the partition column (shard) with an
     * unstable sort, scrambling the reading order inside every file —
     * the leading shard key keeps the writer's required ordering already
-    * satisfied (spec-pinned). nShards ≤ 65536 (16 bits of prefix drive
-    * the bucket). */
+    * satisfied (spec-pinned). nShards ≤ 4096: the bucket has 16 bits of
+    * md5-prefix resolution, so with ≥16 prefixes per shard the worst
+    * residue imbalance is ≤ 17/16 (~6%); allowing nShards near 65536
+    * would let non-divisors give some shards exactly 2× the rows. */
   def shuffledShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
-    require(nShards > 0 && nShards <= 65536, s"nShards=$nShards")
+    require(nShards > 0 && nShards <= 4096, s"nShards=$nShards")
     val ord = md5(col(keyCol).cast("string"))
     // hex prefix -> int via a digit-value walk (conv() is Spark-only;
     // this form replays in any engine with substring/strpos)

@@ -81,6 +81,32 @@ class RetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("a NULL-text doc counts toward N (oracle parity) but never scores") {
+    // explode drops the null doc's (absent) tokens, but N is a corpus
+    // fact: the oracle counts ALL documents, so the engine must too —
+    // deriving N from the token aggregate silently deflated idf/avgdl
+    val corpus = Seq((0L, "spark x"), (1L, "spark y z"), (2L, "w"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Retrieval.bm25(corpus, "text", "doc_id", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(!got.contains(3L), "a null doc can never match")
+    // exact expectation with N=4 (null counted), tok_total=6, df=2
+    def expect(tf: Double, dl: Double): Long = {
+      val idf = math.log(1.0 + ((4.0 - 2.0) + 0.5) / (2.0 + 0.5))
+      val denom = tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / (6.0 / 4.0)))
+      math.floor(idf * ((tf * (1.2 + 1.0)) / denom) * 1000000.0).toLong
+    }
+    assert(got === Map(0L -> expect(1, 2), 1L -> expect(1, 3)))
+  }
+
+  test("a repeated query term neither throws nor double-counts") {
+    val once = Retrieval.bm25(docs, "text", "doc_id", Seq("spark"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val twice = Retrieval.bm25(docs, "text", "doc_id", Seq("spark", "spark"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(twice === once)
+  }
+
   test("bm25Batch per-query scores equal the single-query operator exactly") {
     // the batching claim: sharing one corpus pass must not move a single
     // micro-point — per-(doc, term) contributions are query-independent
