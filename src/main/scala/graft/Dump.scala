@@ -516,6 +516,37 @@ object Dump {
       Some(view)))
   }
 
+  /** Route a discovered view set through the reference's three modes
+    * (specific_33/35): default emits the placeholder + CREATE VIEW pair
+    * per view and NO data; `--no-views` emits nothing view-related at
+    * all (mydumper skips views entirely,
+    * mydumper_working_thread.c no-views branch); `--views-as-tables`
+    * emits ONE placeholder with the view's REAL column types and then
+    * dumps the view's ROWS like a table's, so the restore produces a
+    * materialized base table. `readView` supplies the data frame (live
+    * JDBC read of the view, or any equivalent source) and is only
+    * invoked under viewsAsTables. Returns the data-phase TableResults
+    * (non-empty only under viewsAsTables) for the caller's manifest. */
+  def dumpViews(views: Seq[graft.extract.Discovery.ViewMeta], cfg: Config,
+      noViews: Boolean = false, viewsAsTables: Boolean = false,
+      readView: String => DataFrame = null,
+      replaceDefiner: Option[String] = None,
+      skipDefiner: Boolean = false): Seq[TableResult] =
+    if (noViews) Nil
+    else views.flatMap { v =>
+      writeView(cfg.outDir, cfg.stems.stem(cfg.db), v.name, v.columns,
+        // a backend without retrievable view DDL still gets its
+        // placeholder; the view file then carries a bare re-creatable
+        // shell (never silently dropped — restores fail loudly there
+        // rather than quietly missing a view)
+        v.definition.getOrElse(
+          s"CREATE VIEW ${v.name} AS SELECT 1 /* definition unavailable */"),
+        viewsAsTables = viewsAsTables, replaceDefiner = replaceDefiner,
+        skipDefiner = skipDefiner)
+      if (viewsAsTables) Some(dumpTable(readView(v.name), v.name, cfg))
+      else None
+    }
+
   /** Dump a set of tables; transactional/non-transactional phase split
     * (T4) honored by ordering. Returns the manifest.
     *

@@ -155,6 +155,74 @@ object Discovery {
       tables(conn, s).filter(t => TableFilter.accepts(spec, t, ut.get(t.table)))
     }
 
+  /** A discovered view: its name, typed column list (for the
+    * dependency-placeholder table and for --views-as-tables, where the
+    * REAL types matter because the placeholder holds data), and the
+    * CREATE VIEW text when the backend exposes one. */
+  final case class ViewMeta(schema: String, name: String,
+      columns: Seq[(String, String)], definition: Option[String])
+
+  /** View discovery (specific_33/35 surface: `--views-as-tables` /
+    * `--no-views` both need the view LIST before they can route it).
+    * Standard JDBC metadata — `getTables(types=VIEW)` + `getColumns` —
+    * so it runs live on any driver; the definition text comes from
+    * [[viewDefinition]]'s per-backend probe and may be absent (a view
+    * without retrievable DDL still dumps its placeholder, and under
+    * views-as-tables its data — the reference too dumps the placeholder
+    * before the `SHOW CREATE VIEW` round trip,
+    * mydumper_jobs.c:472-620). */
+  def views(conn: Connection, schema: String): Seq[ViewMeta] = {
+    val md = conn.getMetaData
+    val (cat, sch) =
+      if (usesCatalogs(conn)) (schema, null) else (null, schema)
+    val names = {
+      val rs = md.getTables(cat, sch, "%", Array("VIEW"))
+      try {
+        val out = Seq.newBuilder[String]
+        while (rs.next()) out += rs.getString("TABLE_NAME")
+        out.result()
+      } finally rs.close()
+    }
+    names.map { v =>
+      val cols = {
+        val rs = md.getColumns(cat, sch, escapePattern(md, v), "%")
+        try {
+          val out = Seq.newBuilder[(Int, String, String)]
+          while (rs.next()) out += ((rs.getInt("ORDINAL_POSITION"),
+            rs.getString("COLUMN_NAME"), rs.getString("TYPE_NAME").toLowerCase))
+          out.result()
+        } finally rs.close()
+      }
+      ViewMeta(schema, v, cols.sortBy(_._1).map(c => (c._2, c._3)),
+        viewDefinition(conn, schema, v))
+    }
+  }
+
+  /** Best-effort CREATE VIEW text: `SHOW CREATE VIEW` on MySQL lineage
+    * (column 2, `mydumper_jobs.c:556-612`), else Derby's SYS.SYSVIEWS
+    * catalog (which stores the submitted CREATE VIEW statement), else
+    * None — callers degrade to placeholder-only artifacts. */
+  def viewDefinition(conn: Connection, schema: String,
+      view: String): Option[String] = {
+    def probe(sql: String, col: Int): Option[String] =
+      try {
+        val st = conn.createStatement()
+        try {
+          val rs = st.executeQuery(sql)
+          try { if (rs.next()) Option(rs.getString(col)) else None }
+          finally rs.close()
+        } finally st.close()
+      } catch { case _: java.sql.SQLException => None }
+    val esc = view.replace("`", "``")
+    probe(s"SHOW CREATE VIEW `${schema.replace("`", "``")}`.`$esc`", 2)
+      .orElse(probe(
+        "SELECT V.VIEWDEFINITION FROM SYS.SYSVIEWS V " +
+          "JOIN SYS.SYSTABLES T ON V.TABLEID = T.TABLEID " +
+          "JOIN SYS.SYSSCHEMAS S ON T.SCHEMAID = S.SCHEMAID " +
+          s"WHERE S.SCHEMANAME = '${schema.replace("'", "''")}' " +
+          s"AND T.TABLENAME = '${view.replace("'", "''")}'", 1))
+  }
+
   /** Physical-partition discovery (C5 input;
     * mydumper_partition_chunks.c:119-141 get_partitions_for_table): the
     * reference's exact information_schema query, filtered through the
