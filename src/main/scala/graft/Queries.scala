@@ -2296,6 +2296,136 @@ object Queries {
       |  CAST(sum(dist) AS BIGINT) AS sum_dist
       |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin
 
+  /** DSIR importance weights (operators.Dsir — Xie et al. NeurIPS 2023):
+    * hashed unigram+bigram bag models of a TARGET slice (source=src0)
+    * vs the rest of the corpus, add-one smoothing over a 512-bucket
+    * space, per-doc weight = order-free integer sum of fixed-point
+    * per-bucket log-ratios. VALUE gate over EVERY document — DuckDB
+    * replays the md5 feature hashing, the smoothed ratio arithmetic,
+    * and the integer sums. */
+  val qDsir: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val ratios = graft.operators.Dsir.logRatios(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"), "text", "doc_id", 512,
+      portableHash = true)
+    graft.operators.Dsir.importanceWeights(docs, "text", "doc_id", ratios,
+        512, portableHash = true)
+      .orderBy("doc_id")
+  }
+  private val dsirRatioCte: String =
+    """d AS (SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |      FROM documents),
+      |uni AS (SELECT doc_id, source, unnest(w) AS f FROM d),
+      |bg0 AS (SELECT doc_id, source,
+      |        list_transform(generate_series(1, len(w)-1),
+      |          i -> w[i] || ' ' || w[i+1]) AS fs FROM d),
+      |bi AS (SELECT doc_id, source, unnest(fs) AS f FROM bg0),
+      |feat AS (SELECT doc_id, source,
+      |         CAST(('0x' || substring(md5(f), 1, 15)) AS BIGINT) % 512 AS bucket
+      |         FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+      |ctt AS (SELECT bucket, count(*) AS ct FROM feat WHERE source = 'src0' GROUP BY 1),
+      |crr AS (SELECT bucket, count(*) AS cr FROM feat WHERE source <> 'src0' GROUP BY 1),
+      |tt AS (SELECT coalesce(sum(ct), 0) AS tt FROM ctt),
+      |tr AS (SELECT coalesce(sum(cr), 0) AS tr FROM crr),
+      |bk AS (SELECT unnest(generate_series(0, 511)) AS bucket),
+      |lr AS (SELECT bk.bucket,
+      |       CAST(floor((ln(CAST(coalesce(ctt.ct, 0) + 1 AS DOUBLE)
+      |                      / CAST(tt.tt + 512 AS DOUBLE))
+      |                 - ln(CAST(coalesce(crr.cr, 0) + 1 AS DOUBLE)
+      |                      / CAST(tr.tr + 512 AS DOUBLE))) * 10000.0) AS BIGINT) AS lr_fp
+      |       FROM bk LEFT JOIN ctt ON bk.bucket = ctt.bucket
+      |                LEFT JOIN crr ON bk.bucket = crr.bucket, tt, tr),
+      |wagg AS (SELECT f.doc_id, count(*) AS n_feats,
+      |           CAST(sum(lr.lr_fp) AS BIGINT) AS w_fp
+      |         FROM feat f JOIN lr ON f.bucket = lr.bucket GROUP BY 1),
+      |wts AS (SELECT d.doc_id, coalesce(wagg.n_feats, 0) AS n_feats,
+      |          coalesce(wagg.w_fp, 0) AS w_fp
+      |        FROM d LEFT JOIN wagg ON d.doc_id = wagg.doc_id)""".stripMargin
+  val qDsirSql: String =
+    s"""WITH $dsirRatioCte
+       |SELECT doc_id, n_feats, w_fp FROM wts ORDER BY doc_id""".stripMargin
+
+  /** DSIR Gumbel top-k resampling (operators.Dsir.gumbelTopK): the
+    * paper's without-replacement sampler with md5-seeded Gumbel noise
+    * instead of RNG, so both engines (and any retry) select the
+    * IDENTICAL 50 documents with identical perturbed keys. */
+  val qDsirSample: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val ratios = graft.operators.Dsir.logRatios(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"), "text", "doc_id", 512,
+      portableHash = true)
+    val w = graft.operators.Dsir.importanceWeights(docs, "text", "doc_id",
+      ratios, 512, portableHash = true)
+    graft.operators.Dsir.gumbelTopK(w, "doc_id", 50, "dsir0")
+  }
+  val qDsirSampleSql: String =
+    s"""WITH $dsirRatioCte,
+       |gm AS (SELECT doc_id, w_fp,
+       |  (CAST(CAST(('0x' || substring(md5('dsir0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+       |     AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0 AS u
+       |  FROM wts)
+       |SELECT doc_id,
+       |  CAST(floor((CAST(w_fp AS DOUBLE) / 10000.0 + (-ln(-ln(u)))) * 1000000.0)
+       |    AS BIGINT) AS key_micro
+       |FROM gm ORDER BY key_micro DESC, doc_id LIMIT 50""".stripMargin
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+    * head/middle/tail tertiles of the stupid-backoff LM score
+    * (operators.NgramLm) — the quality stratification step between LM
+    * scoring and mixture sampling in a web-corpus pipeline. ntile is
+    * rank-based (no float aggregation), the ordering key is a fixed
+    * per-row IEEE division with doc_id tie-break, and the per-bucket
+    * sums are integer — all DuckDB-replayable. */
+  val qLmBuckets: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val scored = graft.operators.NgramLm.score(docs, "text", "doc_id",
+        col("doc_id") % 10 < 8)
+      .where(col("n_bigrams") > 0)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val mean = col("lp_sum").cast("double") / col("n_bigrams").cast("double")
+    scored.withColumn("bucket",
+        ntile(3).over(Window.partitionBy("lang")
+          .orderBy(mean.desc, col("doc_id"))).cast(LongType))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("tok_pairs"),
+        sum("lp_sum").as("lp_total"))
+      .orderBy("lang", "bucket")
+  }
+  val qLmBucketsSql: String =
+    """WITH d AS (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |           FROM documents),
+      |bg0 AS (SELECT doc_id,
+      |        list_transform(generate_series(1, len(w)-1),
+      |          i -> struct_pack(w1 := w[i], w2 := w[i+1])) AS pairs FROM d),
+      |bgu AS (SELECT doc_id, unnest(pairs) AS p FROM bg0),
+      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bgu),
+      |trtok AS (SELECT unnest(w) AS w FROM d WHERE doc_id % 10 < 8),
+      |uni AS (SELECT w, count(*) AS c1 FROM trtok GROUP BY w),
+      |ttl AS (SELECT count(*) AS t FROM trtok),
+      |big AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE doc_id % 10 < 8
+      |        GROUP BY w1, w2),
+      |sc AS (SELECT bg.doc_id,
+      |   CASE WHEN big.c2 IS NOT NULL THEN CAST(big.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+      |        ELSE (0.4 * CAST(coalesce(u2.c1, 1) AS DOUBLE)) / CAST(ttl.t AS DOUBLE) END AS p
+      |   FROM bg LEFT JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+      |       LEFT JOIN uni u1 ON bg.w1 = u1.w
+      |       LEFT JOIN uni u2 ON bg.w2 = u2.w, ttl),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |        CAST(sum(CAST(floor(ln(p)*10000.0) AS BIGINT)) AS BIGINT) AS lp_sum
+      |        FROM sc GROUP BY doc_id),
+      |bkt AS (SELECT d.lang, agg.n_bigrams, agg.lp_sum,
+      |          ntile(3) OVER (PARTITION BY d.lang
+      |            ORDER BY CAST(agg.lp_sum AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE) DESC,
+      |                     agg.doc_id) AS bucket
+      |        FROM agg JOIN d ON agg.doc_id = d.doc_id
+      |        WHERE agg.n_bigrams > 0)
+      |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+      |  CAST(sum(n_bigrams) AS BIGINT) AS tok_pairs,
+      |  CAST(sum(lp_sum) AS BIGINT) AS lp_total
+      |FROM bkt GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   val qAnnBatch: QFn = (s, d) => {
     val e = embeddings(s, d)
     val probes = e.where(col("vec_id") < 3)
@@ -3213,6 +3343,9 @@ object Queries {
     "q_hybrid_rrf" -> qHybridRrf,
     "q_kmeans" -> qKmeans,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
+    "q_dsir" -> qDsir,
+    "q_dsir_sample" -> qDsirSample,
+    "q_lm_buckets" -> qLmBuckets,
     "q_cond_agg" -> qCondAgg,
     "q_asof_fwd" -> qAsofFwd,
     "q_merge_upsert" -> qMergeUpsert,
@@ -3356,6 +3489,9 @@ object Queries {
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_kmeans" -> qKmeansSql,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeansSql,
+    "q_dsir" -> qDsirSql,
+    "q_dsir_sample" -> qDsirSampleSql,
+    "q_lm_buckets" -> qLmBucketsSql,
     "q_shuffle_shards" -> qShuffleShardsSql,
     "q_approx_quantile" -> qApproxQuantileSql,
     "q_scd2" -> qScd2Sql,

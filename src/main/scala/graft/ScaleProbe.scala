@@ -214,6 +214,19 @@ object ScaleProbe {
       run("lm_score", operators.NgramLm.score(
         docs, "text", "doc_id", col("doc_id") % 10 < 8),
         forbid = Seq("CartesianProduct")),
+      // DSIR at X×: the raw corpus inflates, the target slice stays
+      // fixed (the realistic shape — the quality exemplar is small).
+      // Both feature-count tables are BUCKET-bounded (B=4096 rows), the
+      // ratio table broadcasts into scoring, and the only corpus-scale
+      // exchange is the per-doc weight aggregation — shuffle must scale
+      // with docs, never features×docs (the one-row feature totals are
+      // broadcast O(n·1) joins, same BNLJ ruling as lm_score)
+      run("dsir", {
+        val target = docs0.where(col("source") === "src0")
+        val ratios = operators.Dsir.logRatios(target,
+          docs.where(col("source") =!= "src0"), "text", "doc_id", 4096)
+        operators.Dsir.importanceWeights(docs, "text", "doc_id", ratios, 4096)
+      }, forbid = Seq("CartesianProduct")),
       // int8-quantized ANN at X×: one narrow codegen map (quantize +
       // integer dot) + TakeOrdered — the probe asserts the scan shape
       // survives inflation with zero wide shuffle
