@@ -2296,6 +2296,39 @@ object Queries {
       |  CAST(sum(dist) AS BIGINT) AS sum_dist
       |FROM a2 GROUP BY cid ORDER BY cluster""".stripMargin
 
+  /** Persisted BM25 inverted index (operators.Retrieval.writeIndexBm25 /
+    * appendIndexBm25 / queryIndexBm25): posting lists partitioned by
+    * term-hash bucket (listing-time pruning), per-batch stats rows
+    * summed on read (blind append, retry-neutral). Built in two batches;
+    * the gate pins that index-served scores are BIT-identical to the
+    * fresh in-memory corpus pass (same q_ann_index contract: the
+    * consistency boolean is the gate, n_docs anchors the oracle). */
+  private val bm25IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val qBm25Index: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val dir = bm25IndexCache.computeIfAbsent(d, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+      graft.operators.Retrieval.writeIndexBm25(
+        docs.where(col("doc_id") % 2 === 0), "text", "doc_id", t,
+        batchId = "even")
+      graft.operators.Retrieval.appendIndexBm25(
+        docs.where(col("doc_id") % 2 === 1), "text", "doc_id", t,
+        batchId = "odd")
+      t
+    })
+    val viaIndex = graft.operators.Retrieval.queryIndexBm25(s, dir,
+      "doc_id", Seq("spark", "join", "filter"))
+    val direct = graft.operators.Retrieval.bm25(docs, "text", "doc_id",
+      Seq("spark", "join", "filter"))
+    val consistent = viaIndex.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaIndex).count() == 0
+    docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
+      .withColumn("consistent", lit(consistent))
+  }
+  val qBm25IndexSql: String =
+    "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS consistent FROM documents"
+
   /** DSIR importance weights (operators.Dsir — Xie et al. NeurIPS 2023):
     * hashed unigram+bigram bag models of a TARGET slice (source=src0)
     * vs the rest of the corpus, add-one smoothing over a 512-bucket
@@ -3343,6 +3376,7 @@ object Queries {
     "q_hybrid_rrf" -> qHybridRrf,
     "q_kmeans" -> qKmeans,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
+    "q_bm25_index" -> qBm25Index,
     "q_dsir" -> qDsir,
     "q_dsir_sample" -> qDsirSample,
     "q_lm_buckets" -> qLmBuckets,
@@ -3489,6 +3523,7 @@ object Queries {
     "q_hybrid_rrf" -> qHybridRrfSql,
     "q_kmeans" -> qKmeansSql,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeansSql,
+    "q_bm25_index" -> qBm25IndexSql,
     "q_dsir" -> qDsirSql,
     "q_dsir_sample" -> qDsirSampleSql,
     "q_lm_buckets" -> qLmBucketsSql,

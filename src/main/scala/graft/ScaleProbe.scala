@@ -251,6 +251,14 @@ object ScaleProbe {
       run("bm25", operators.Retrieval.bm25(docs, "text", "doc_id",
         Seq("spark", "join", "filter")),
         forbid = Seq("CartesianProduct")),
+      // inverted-index build at X×: the corpus-scale half of the BM25
+      // index dump — one tokenize pass, per-(doc,term)/per-doc
+      // aggregations on the SAME doc key (exchange reuse), bucket
+      // column for the partitioned write. Shuffle scales with distinct
+      // (doc, term) pairs; at 100 TB this is the one-time cost that
+      // every later pruned query amortizes
+      run("bm25_index", operators.Retrieval.postingsFor(
+        docs, "text", "doc_id", buckets = 64)),
       // int8 k-means at X×: per round, one corpus scan + a k·dim-row
       // partial-agg shuffle (centroid sums collapse map-side); the
       // assignment kernel is broadcast centroid literals — shuffle must

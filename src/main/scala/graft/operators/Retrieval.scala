@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -70,6 +70,24 @@ object Retrieval {
       .agg(count(lit(1)).as("matched"), sum("micro").as("score_micro"))
   }
 
+  /** One (doc, term) micro-contribution — the exact IEEE op sequence
+    * both the in-memory path and the persisted-index path must share,
+    * so index-served scores are BIT-identical to a fresh corpus pass
+    * (the q_bm25_index gate pins this identity). All stat inputs are
+    * doubles. */
+  private def microContrib(tf: Column, dl: Column, df: Column,
+      nDocs: Column, tokTotal: Column, k1: Double, b: Double): Column = {
+    val d = DoubleType
+    // idf = ln(1 + (N - df + 0.5) / (df + 0.5)); Okapi's +1 form stays
+    // positive for df > N/2 terms
+    val idf = log(lit(1.0) + ((nDocs - df) + lit(0.5)) / (df + lit(0.5)))
+    val avgdl = tokTotal / nDocs
+    val tfd = tf.cast(d)
+    val denom = tfd +
+      lit(k1) * (lit(1.0 - b) + lit(b) * (dl.cast(d) / avgdl))
+    floor(idf * ((tfd * lit(k1 + 1.0)) / denom) * lit(1000000.0))
+  }
+
   /** The shared scoring core: one corpus-scale shuffle producing the
     * floor-truncated integer micro-contribution of every (matching doc,
     * query term) pair. */
@@ -106,18 +124,102 @@ object Retrieval {
     val termDf = element_at(
       map(terms.zipWithIndex.flatMap { case (t, i) =>
         Seq(lit(t), col(s"df_$i")) }: _*), col("term"))
-    // idf = ln(1 + (N - df + 0.5) / (df + 0.5)); Okapi's +1 form stays
-    // positive for df > N/2 terms
-    val idf = log(lit(1.0) +
-      ((col("n_docs") - termDf) + lit(0.5)) / (termDf + lit(0.5)))
-    val avgdl = col("tok_total") / col("n_docs")
-    val tfd = col("tf").cast(DoubleType)
-    val denom = tfd +
-      lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast(DoubleType) / avgdl))
-    val contrib = idf * ((tfd * lit(k1 + 1.0)) / denom)
     matched.crossJoin(broadcast(stats))
       .select(col(idCol), col("term"),
-        floor(contrib * lit(1000000.0)).as("micro"))
+        microContrib(col("tf"), col("dl"), termDf,
+          col("n_docs"), col("tok_total"), k1, b).as("micro"))
+  }
+
+  /** Persist a BM25-ready INVERTED INDEX: posting rows
+    * `(idCol, term, tf, dl)` written as a lake table PARTITIONED by
+    * `bucket = xxhash64(term) mod buckets`, so a query's term set
+    * prunes whole directories at file-listing time (the lexical analog
+    * of [[Similarity.writeIndex]]'s cell partitioning). `dl` is
+    * denormalized onto every posting (impact-style) so scoring never
+    * joins a corpus-wide doc-length table. Corpus constants land in a
+    * side `stats` table as ONE ROW PER BATCH `(batch_id, n_docs,
+    * tok_total)` — the read side dedups by batch_id then SUMS, which
+    * makes [[appendIndexBm25]] a blind append that is also safe under
+    * at-least-once retries (a replayed batch changes nothing).
+    *
+    * At 100 TB: tokenize+aggregate once at dump time; every later query
+    * costs only the pruned buckets of its terms instead of a corpus
+    * re-tokenization. */
+  def writeIndexBm25(docs: DataFrame, textCol: String, idCol: String,
+      path: String, buckets: Int = 64, batchId: String = "batch-0",
+      mode: String = "overwrite"): Unit = {
+    val postings = postingsFor(docs, textCol, idCol, buckets)
+    postings.write.mode(mode).partitionBy("bucket")
+      .parquet(s"$path/postings")
+    // N counts ALL docs (a NULL-text doc has no postings but still
+    // deflates idf/avgdl if dropped — same rule as the in-memory path)
+    docs.agg(count(lit(1)).as("n_docs"))
+      // Σ tf over all (doc, term) rows = total tokens = Σ per-doc dl
+      .crossJoin(postings.agg(coalesce(sum("tf"), lit(0L)).as("tok_total")))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).parquet(s"$path/stats")
+  }
+
+  /** The index's posting rows `(idCol, term, tf, dl, bucket)` — the
+    * corpus-scale half of [[writeIndexBm25]], exposed for the scale
+    * probe: one tokenize pass, two doc-keyed aggregations (per-(doc,
+    * term) tf; per-doc dl rejoined — both shuffle on the SAME doc key,
+    * so the exchange is reused), one term-hash bucket column. */
+  def postingsFor(docs: DataFrame, textCol: String, idCol: String,
+      buckets: Int): DataFrame = {
+    val tokens = docs.select(col(idCol),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val dl = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    tokens.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, Seq(idCol))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+  }
+
+  /** Blind-append a new corpus batch to an existing index. Give each
+    * batch a distinct `batchId`; replaying the SAME batchId is safe
+    * (stats dedup by batch_id; postings dedup at query time). */
+  def appendIndexBm25(newDocs: DataFrame, textCol: String, idCol: String,
+      path: String, buckets: Int = 64, batchId: String): Unit =
+    writeIndexBm25(newDocs, textCol, idCol, path, buckets, batchId,
+      mode = "append")
+
+  /** BM25 from the persisted index — BIT-identical scores to [[bm25]]
+    * over the same corpus (shared [[microContrib]] op sequence; the
+    * gate pins the identity). The term set's bucket predicate prunes
+    * partitions at listing time, so the scan touches only
+    * ~|terms|/buckets of the index; df per term is re-counted from the
+    * pruned postings themselves and the corpus constants come from the
+    * summed stats rows. Retried appends are neutralized here:
+    * postings dedup on (idCol, term), stats on batch_id. */
+  def queryIndexBm25(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, buckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val ts = terms.distinct
+    // driver-side replay of the writer's bucket fold (catalyst eval of
+    // the same XxHash64 expression — no job, k·1 expressions)
+    val tBuckets = ts.map { t =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+      // seed 42 = the seed functions.xxhash64 hard-codes
+      val h = XxHash64(Seq(Literal(t)), 42L).eval().asInstanceOf[Long]
+      ((h % buckets) + buckets) % buckets
+    }.distinct
+    val post = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(tBuckets: _*) && col("term").isin(ts: _*))
+      .dropDuplicates(idCol, "term")
+    val d = DoubleType
+    val stats = spark.read.parquet(s"$path/stats")
+      .dropDuplicates("batch_id")
+      .agg(sum("n_docs").cast(d).as("n_docs"),
+        sum("tok_total").cast(d).as("tok_total"))
+    val df = post.groupBy("term").agg(count(lit(1)).cast(d).as("df"))
+    post.join(broadcast(df), Seq("term")).crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"),
+        microContrib(col("tf"), col("dl"), col("df"),
+          col("n_docs"), col("tok_total"), k1, b).as("micro"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("matched"), sum("micro").as("score_micro"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al. SIGIR 2009) — the standard
