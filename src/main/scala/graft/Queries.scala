@@ -2300,9 +2300,9 @@ object Queries {
     * appendIndexBm25 / queryIndexBm25): posting lists partitioned by
     * term-hash bucket (listing-time pruning), per-batch stats rows
     * summed on read (blind append, retry-neutral). Built in two batches;
-    * the gate pins that index-served scores are BIT-identical to the
-    * fresh in-memory corpus pass (same q_ann_index contract: the
-    * consistency boolean is the gate, n_docs anchors the oracle). */
+    * VALUE-gated: the index-served top-20 must hash-match the same
+    * DuckDB oracle as q_bm25 (shared microContrib IEEE sequence), and
+    * RetrievalIndexSpec pins full index-vs-direct identity. */
   private val bm25IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val qBm25Index: QFn = (s, d) => {
@@ -2317,17 +2317,46 @@ object Queries {
         batchId = "odd")
       t
     })
-    val viaIndex = graft.operators.Retrieval.queryIndexBm25(s, dir,
-      "doc_id", Seq("spark", "join", "filter"))
-    val direct = graft.operators.Retrieval.bm25(docs, "text", "doc_id",
-      Seq("spark", "join", "filter"))
-    val consistent = viaIndex.exceptAll(direct).count() == 0 &&
-      direct.exceptAll(viaIndex).count() == 0
-    docs.agg(count(lit(1)).cast(LongType).as("n_docs"))
-      .withColumn("consistent", lit(consistent))
+    // the index-served top-20 must hash-match qBm25's ORACLE — a value
+    // gate on the stored postings + summed stats (index-vs-direct
+    // identity over the FULL result is RetrievalIndexSpec's job)
+    graft.operators.Retrieval.queryIndexBm25(s, dir,
+        "doc_id", Seq("spark", "join", "filter"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(20)
   }
-  val qBm25IndexSql: String =
-    "SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS consistent FROM documents"
+  val qBm25IndexSql: String = qBm25Sql
+
+  /** Persisted LM count store (operators.NgramLm.writeCounts /
+    * appendCounts / scoreWithStore): n-gram counts are additive, so the
+    * store blind-appends batch by batch (per-batch rows, deduped by
+    * batch_id and summed on read — retry-neutral). Built in two
+    * batches; VALUE-gated: store-served per-doc scores must hash-match
+    * the same DuckDB oracle as q_lm_score, and NgramLmStoreSpec pins
+    * store-vs-fresh-train identity and replay neutrality. */
+  private val lmStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val qLmStore: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val train = docs.where(col("doc_id") % 10 < 8)
+    val dir = lmStoreCache.computeIfAbsent(d, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft_lmstore").toString
+      graft.operators.NgramLm.writeCounts(
+        train.where(col("doc_id") % 3 === 0), "text", "doc_id", t,
+        batchId = "b0")
+      graft.operators.NgramLm.appendCounts(
+        train.where(col("doc_id") % 3 =!= 0), "text", "doc_id", t,
+        batchId = "b1")
+      t
+    })
+    // store-served per-doc scores must hash-match the LM ORACLE (the
+    // stored two-batch counts sum to the same training split the SQL
+    // trains on) — a value gate over every doc; store-vs-direct
+    // identity on the engine side is NgramLmStoreSpec's job
+    graft.operators.NgramLm.scoreWithStore(s, docs, "text", "doc_id", dir)
+      .orderBy("doc_id")
+  }
+  val qLmStoreSql: String = qLmScoreSql
 
   /** DSIR importance weights (operators.Dsir — Xie et al. NeurIPS 2023):
     * hashed unigram+bigram bag models of a TARGET slice (source=src0)
@@ -3377,6 +3406,7 @@ object Queries {
     "q_kmeans" -> qKmeans,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_bm25_index" -> qBm25Index,
+    "q_lm_store" -> qLmStore,
     "q_dsir" -> qDsir,
     "q_dsir_sample" -> qDsirSample,
     "q_lm_buckets" -> qLmBuckets,
@@ -3524,6 +3554,7 @@ object Queries {
     "q_kmeans" -> qKmeansSql,
     "q_ann_ivf_kmeans" -> qAnnIvfKmeansSql,
     "q_bm25_index" -> qBm25IndexSql,
+    "q_lm_store" -> qLmStoreSql,
     "q_dsir" -> qDsirSql,
     "q_dsir_sample" -> qDsirSampleSql,
     "q_lm_buckets" -> qLmBucketsSql,

@@ -64,21 +64,28 @@ object NgramLm {
     val toks = docs.withColumn(flag, trainPred)
       .select(col(idCol), col(flag),
         split(lower(trim(col(textCol))), "\\s+").as("w"))
-    // bigrams in ONE narrow pass (shared guard in adjacentPairs)
-    val bigrams = toks.select(col(idCol), col(flag),
-        explode(graft.functions.TextFunctions.adjacentPairs(col("w"))).as("bg"))
-      .select(col(idCol), col(flag),
-        col("bg.l").as("w1"), col("bg.r").as("w2"))
-
     val trainToks = toks.where(col(flag))
       .select(explode(col("w")).as("w"))
     val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
     val total = trainToks.agg(count(lit(1)).as("tt"))
-    val big = bigrams.where(col(flag))
+    val big = bigramsOf(toks.where(col(flag)), idCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    scoreWith(docs, textCol, idCol, uni, big, total)
+  }
 
+  /** Score every document against EXPLICIT count tables — the scoring
+    * half of [[score]], shared with the persisted-store path
+    * ([[scoreWithStore]]) so stored-count scores are bit-identical to a
+    * fresh train over the same split. `uni` = (w, c1), `big` =
+    * (w1, w2, c2), `total` = one row (tt). */
+  def scoreWith(docs: DataFrame, textCol: String, idCol: String,
+      uni: DataFrame, big: DataFrame, total: DataFrame): DataFrame = {
+    val toks = docs.select(col(idCol),
+      split(lower(trim(col(textCol))), "\\s+").as("w"))
+    // bigrams in ONE narrow pass (shared guard in adjacentPairs)
+    val bigrams = bigramsOf(toks, idCol)
     val d = "double"
-    val scored = bigrams.drop(flag)
+    val scored = bigrams
       .join(big, Seq("w1", "w2"), "left")
       .join(uni.select(col("w").as("w1"), col("c1").as("c1w1")), Seq("w1"), "left")
       .join(uni.select(col("w").as("w2"), col("c1").as("c1w2")), Seq("w2"), "left")
@@ -95,5 +102,62 @@ object NgramLm {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("lp_sum"), lit(0L)).as("lp_sum"))
+  }
+
+  private def bigramsOf(toks: DataFrame, idCol: String): DataFrame =
+    toks.select(col(idCol),
+        explode(graft.functions.TextFunctions.adjacentPairs(col("w"))).as("bg"))
+      .select(col(idCol), col("bg.l").as("w1"), col("bg.r").as("w2"))
+
+  /** Persist the LM's count tables — n-gram counts are ADDITIVE, so the
+    * store is blind-appendable batch by batch (the same per-batch
+    * pattern as the BM25 index's stats): every row carries its
+    * `batch_id`, and the read side dedups on (batch_id, gram) then SUMS
+    * across batches — a replayed batch changes nothing. At 100 TB the
+    * quality LM trains ONCE on the held-in split at dump time; every
+    * later crawl batch scores against the stored counts without
+    * re-reading the training corpus. The tables are vocabulary-bounded
+    * (distinct grams, not occurrences), so the store stays small
+    * relative to the corpus and needs no partition pruning. */
+  def writeCounts(train: DataFrame, textCol: String, idCol: String,
+      path: String, batchId: String = "batch-0",
+      mode: String = "overwrite"): Unit = {
+    val toks = train.select(col(idCol),
+      split(lower(trim(col(textCol))), "\\s+").as("w"))
+    val trainToks = toks.select(explode(col("w")).as("w"))
+    trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).parquet(s"$path/uni")
+    bigramsOf(toks, idCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).parquet(s"$path/big")
+    trainToks.agg(count(lit(1)).as("tt"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).parquet(s"$path/stats")
+  }
+
+  /** Blind-append a new training batch's counts. Distinct `batchId` per
+    * batch; replaying the same batchId is neutral. */
+  def appendCounts(train: DataFrame, textCol: String, idCol: String,
+      path: String, batchId: String): Unit =
+    writeCounts(train, textCol, idCol, path, batchId, mode = "append")
+
+  /** Score documents against a persisted count store — bit-identical to
+    * [[score]] with a fresh train over the union of the stored batches
+    * (shared [[scoreWith]] arithmetic; the gate pins the identity). */
+  def scoreWithStore(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, textCol: String, idCol: String,
+      path: String): DataFrame = {
+    val uni = spark.read.parquet(s"$path/uni")
+      .dropDuplicates("batch_id", "w")
+      .groupBy("w").agg(sum("c1").as("c1"))
+    val big = spark.read.parquet(s"$path/big")
+      .dropDuplicates("batch_id", "w1", "w2")
+      .groupBy("w1", "w2").agg(sum("c2").as("c2"))
+    val total = spark.read.parquet(s"$path/stats")
+      .dropDuplicates("batch_id")
+      .agg(coalesce(sum("tt"), lit(0L)).as("tt"))
+    scoreWith(docs, textCol, idCol, uni, big, total)
   }
 }

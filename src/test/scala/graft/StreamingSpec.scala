@@ -26,6 +26,39 @@ class StreamingSpec extends SparkTestBase {
     assert(batches >= 1)
   }
 
+  test("streaming DSIR scoring matches the batch weights") {
+    // the deployment shape for importance resampling: the ratio table
+    // trains ONCE offline (target + raw snapshot), then crawl batches
+    // stream in and score against the frozen broadcast table — weights
+    // are per-doc with no cross-doc state, so the union of per-batch
+    // scores must equal the one-shot batch recompute exactly
+    val landing = Files.createTempDirectory("graft_dsir_landing_").toString
+    val ckpt = Files.createTempDirectory("graft_dsir_ckpt_").toString
+    val docs = Tables.documents(spark, sf)
+    val ratios = operators.Dsir.logRatios(
+      docs.where(col("source") === "src0"),
+      docs.where(col("source") =!= "src0"), "text", "doc_id", 512)
+    LandingStream.produce(docs.filter(col("doc_id") % 2 === 0), landing)
+    LandingStream.produce(docs.filter(col("doc_id") % 2 === 1), landing)
+    val got = scala.collection.mutable.Map[Long, (Long, Long)]()
+    var batches = 0
+    val q = LandingStream.consume(spark, landing, docs.schema, ckpt,
+      maxFilesPerTrigger = 1) { (batch, _) =>
+      got ++= operators.Dsir.importanceWeights(batch, "text", "doc_id",
+          ratios, 512)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      batches += 1
+    }
+    q.awaitTermination(180000)
+    assert(batches >= 2, s"want multiple micro-batches, got $batches")
+    val full = operators.Dsir.importanceWeights(docs, "text", "doc_id",
+        ratios, 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.toMap === full,
+      s"streamed weights ${got.size} != batch weights ${full.size}")
+    assert(full.values.exists(_._1 > 0), "test premise: docs have features")
+  }
+
   test("streaming ANN index appends equal the one-shot index") {
     // the similarity analog of the incremental-dedup stream: embedding
     // batches arrive via the landing dir, each micro-batch blind-appends
