@@ -63,6 +63,11 @@ object Dsir {
       buckets: Int, portable: Boolean): DataFrame = {
     val toks = docs.select(col(idCol),
       split(lower(trim(col(textCol))), "\\s+").as("w"))
+    // two explodes unioned, NOT one Generate over a concatenated
+    // feature array: the single-Generate form (transform(adjacentPairs)
+    // → concat → explode) was MEASURED 40% slower warm (3.1 vs 2.2 s at
+    // sf0.1) — building the per-row combined array costs more than the
+    // second scan, and the union's two branches pipeline independently
     val uni = toks.select(col(idCol), explode(col("w")).as("f"))
     val bi = toks.select(col(idCol),
         explode(graft.functions.TextFunctions.adjacentPairs(col("w"))).as("bg"))
