@@ -2358,6 +2358,43 @@ object Queries {
   }
   val qLmStoreSql: String = qLmScoreSql
 
+  /** Persisted mergeable HLL sketch store (operators.SketchStore): each
+    * batch writes per-group distinct sketches; estimates are a
+    * sketch-union over (groups × batches) rows, never a corpus rescan.
+    * The gate anchors the ORACLE on exact per-lang distinct counts
+    * (DuckDB-replayable) and pins two in-query booleans: the merged
+    * two-batch estimate EQUALS the one-shot sketch (register max is
+    * partitioning-invariant) and lands within 5% of truth. */
+  private val sketchStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val qSketchStore: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val dir = sketchStoreCache.computeIfAbsent(d, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft_hll").toString + "/s"
+      graft.operators.SketchStore.writeDistinct(
+        docs.where(col("doc_id") % 2 === 0), "text", "lang", t,
+        batchId = "even")
+      graft.operators.SketchStore.appendDistinct(
+        docs.where(col("doc_id") % 2 === 1), "text", "lang", t,
+        batchId = "odd")
+      t
+    })
+    val merged = graft.operators.SketchStore.estimateDistinct(s, dir, "lang")
+    val direct = graft.operators.SketchStore.distinctDirect(docs, "text", "lang")
+      .withColumnRenamed("distinct_est", "direct_est")
+    docs.groupBy("lang").agg(countDistinct("text").as("n_exact"))
+      .join(merged, Seq("lang")).join(direct, Seq("lang"))
+      .select(col("lang"), col("n_exact"),
+        (abs(col("distinct_est") - col("n_exact")) <=
+          greatest(lit(2L), floor(col("n_exact") * lit(0.05)))).as("est_ok"),
+        (col("distinct_est") === col("direct_est")).as("merged_consistent"))
+      .orderBy("lang")
+  }
+  val qSketchStoreSql: String =
+    """SELECT lang, count(DISTINCT text) AS n_exact,
+      |  TRUE AS est_ok, TRUE AS merged_consistent
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** DSIR importance weights (operators.Dsir — Xie et al. NeurIPS 2023):
     * hashed unigram+bigram bag models of a TARGET slice (source=src0)
     * vs the rest of the corpus, add-one smoothing over a 512-bucket
@@ -3407,6 +3444,7 @@ object Queries {
     "q_ann_ivf_kmeans" -> qAnnIvfKmeans,
     "q_bm25_index" -> qBm25Index,
     "q_lm_store" -> qLmStore,
+    "q_sketch_store" -> qSketchStore,
     "q_dsir" -> qDsir,
     "q_dsir_sample" -> qDsirSample,
     "q_lm_buckets" -> qLmBuckets,
@@ -3555,6 +3593,7 @@ object Queries {
     "q_ann_ivf_kmeans" -> qAnnIvfKmeansSql,
     "q_bm25_index" -> qBm25IndexSql,
     "q_lm_store" -> qLmStoreSql,
+    "q_sketch_store" -> qSketchStoreSql,
     "q_dsir" -> qDsirSql,
     "q_dsir_sample" -> qDsirSampleSql,
     "q_lm_buckets" -> qLmBucketsSql,
