@@ -1163,6 +1163,30 @@ object Queries {
       |    (a, b) -> (a * 1000003 + b) % 2147483647) AS rolling_fp
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Winnowing fingerprints (Dedup.winnowFingerprints — Schleimer et
+    * al. SIGMOD 2003, k=5 w=4): the guaranteed-coverage sparse
+    * fingerprint set, selected entirely in array arithmetic (zero
+    * shuffle; see operator scaladoc). VALUE gate over every selected
+    * (doc, pos, fp) — DuckDB replays the 28-bit md5 gram hashes, the
+    * arithmetic rightmost-min encoding, and the window minima. */
+  val qWinnow: QFn = (s, d) =>
+    Dedup.winnowFingerprints(documents(s, d), "text", "doc_id")
+      .orderBy("doc_id", "pos")
+  val qWinnowSql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wd
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_transform(generate_series(1, len(wd) - 4),
+      |          i -> CAST(('0x' || substring(md5(array_to_string(wd[i:i+4], ' ')), 1, 7)) AS BIGINT)
+      |               * 2147483648 + (2147483647 - (i - 1))) AS keys
+      |      FROM d WHERE len(wd) >= 8),
+      |s AS (SELECT doc_id,
+      |        unnest(list_distinct(list_transform(generate_series(4, len(keys)),
+      |          e -> list_min(keys[e-3:e])))) AS key
+      |      FROM g)
+      |SELECT doc_id, 2147483647 - (key & 2147483647) AS pos, key >> 31 AS fp
+      |FROM s ORDER BY doc_id, pos""".stripMargin
+
   // ---------------------------------------------------------------- dedup
   /** Exact dedup via normalized-text fingerprint (hash-groupBy). */
   val qDedupExact: QFn = (s, d) =>
@@ -3383,6 +3407,7 @@ object Queries {
     "q_token_totals" -> qTokenTotals,
     "q_text_metrics" -> qTextMetrics,
     "q_rolling_fp" -> qRollingFp,
+    "q_winnow" -> qWinnow,
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
     "q_lm_score" -> qLmScore,
@@ -3570,6 +3595,7 @@ object Queries {
     "q_interval_arith" -> qIntervalArithSql,
     "q_setops_all" -> qSetopsAllSql,
     "q_rolling_fp" -> qRollingFpSql,
+    "q_winnow" -> qWinnowSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum" -> qChecksumSql,
     "q_checksum_md5" -> qChecksumMd5Sql,

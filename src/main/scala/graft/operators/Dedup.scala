@@ -656,4 +656,51 @@ object Dedup {
       .select(col("doc_id"), col("n_spans"), col("n_dup"),
         (floor(col("n_dup") / col("n_spans") * 10000.0) / 10000.0).as("dup_ratio"))
   }
+
+  /** WINNOWING fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    * 2003) — the local document-fingerprinting algorithm with the
+    * guarantee sliding-span hashing lacks: from every window of `w`
+    * consecutive k-gram hashes, select the MINIMUM (rightmost on ties),
+    * so any shared substring of length ≥ w + k − 1 between two
+    * documents is caught by at least one shared fingerprint while only
+    * ~2/(w+1) of positions are kept. The sparse (pos, fp) set is what
+    * plagiarism/near-dup systems (MOSS) store instead of every span.
+    *
+    * Scale shape: ZERO shuffle — gram hashing, window minima, and
+    * per-doc dedup are all array arithmetic inside one codegen
+    * projection + one Generate; nothing exchanges until whatever the
+    * caller aggregates. (The window-function formulation — min OVER
+    * (PARTITION BY doc ROWS w−1 PRECEDING) — costs a full corpus
+    * exchange keyed by doc; per-row arrays need none.)
+    *
+    * Engine portability (the gate replays bit-for-bit in DuckDB): gram
+    * hash = 28-bit md5 prefix; rightmost-min tie-break is encoded
+    * arithmetically as key = h·2³¹ + (2³¹−1−pos), so ONE integer
+    * `array_min` per window picks both the min hash and its rightmost
+    * position — no argmin lambda, no float anywhere.
+    *
+    * Output: (doc_id, pos, fp) — 0-based gram position, one row per
+    * distinct selected fingerprint position; docs with fewer than
+    * w + k − 1 tokens emit nothing (no complete window). */
+  def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val M = 2147483648L // 2^31: pos fits far below, h is 28-bit
+    docs
+      .select(col(idCol).as("doc_id"),
+        split(lower(trim(col(textCol))), "\\s+").as("wd"))
+      .where(size(col("wd")) >= k + w - 1)
+      // keys[i] = h(gram at i)·2³¹ + (2³¹−1−i), i 0-based
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, size(wd) - ${k - 1}),
+           |  i -> conv(substring(md5(concat_ws(' ', slice(wd, i, $k))), 1, 7), 16, 10)
+           |       * ${M}L + (${M - 1}L - (i - 1)))""".stripMargin).as("keys"))
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence($w, size(keys)),
+           |  e -> array_min(slice(keys, e - ${w - 1}, $w))))""".stripMargin))
+        .as("key"))
+      .select(col("doc_id"),
+        (lit(M - 1) - col("key").bitwiseAND(lit(M - 1))).as("pos"),
+        shiftright(col("key"), 31).as("fp"))
+  }
 }
