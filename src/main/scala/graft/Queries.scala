@@ -2549,6 +2549,65 @@ object Queries {
       |  CAST(sum(lp_sum) AS BIGINT) AS lp_total
       |FROM bkt GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** Quality-curriculum sampling — the step after bucketing: keep the
+    * head bucket whole, downsample middle/tail (1.0 / 0.5 / 0.1), all
+    * through the deterministic md5-prefix rule, so the SAMPLED TRAINING
+    * SET is identical in any engine and on any retry. Composes
+    * NgramLm.score → per-lang ntile(3) → Sampling.stratifiedByMd5;
+    * the gate rolls the kept set up per (lang, bucket) with an id-sum
+    * anchor so the oracle pins exactly WHICH docs survived. */
+  val qCurriculum: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val scored = graft.operators.NgramLm.score(docs, "text", "doc_id",
+        col("doc_id") % 10 < 8)
+      .where(col("n_bigrams") > 0)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val mean = col("lp_sum").cast("double") / col("n_bigrams").cast("double")
+    val bucketed = scored.withColumn("bucket",
+        ntile(3).over(Window.partitionBy("lang")
+          .orderBy(mean.desc, col("doc_id"))).cast(LongType))
+      .withColumn("b", col("bucket").cast("string"))
+    graft.operators.Sampling.stratifiedByMd5(bucketed, "b", "doc_id",
+        Map("1" -> 1.0, "2" -> 0.5, "3" -> 0.1))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+      .orderBy("lang", "bucket")
+  }
+  val qCurriculumSql: String =
+    """WITH d AS (SELECT doc_id, lang, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      |           FROM documents),
+      |bg0 AS (SELECT doc_id,
+      |        list_transform(generate_series(1, len(w)-1),
+      |          i -> struct_pack(w1 := w[i], w2 := w[i+1])) AS pairs FROM d),
+      |bgu AS (SELECT doc_id, unnest(pairs) AS p FROM bg0),
+      |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bgu),
+      |trtok AS (SELECT unnest(w) AS w FROM d WHERE doc_id % 10 < 8),
+      |uni AS (SELECT w, count(*) AS c1 FROM trtok GROUP BY w),
+      |ttl AS (SELECT count(*) AS t FROM trtok),
+      |big AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE doc_id % 10 < 8
+      |        GROUP BY w1, w2),
+      |sc AS (SELECT bg.doc_id,
+      |   CASE WHEN big.c2 IS NOT NULL THEN CAST(big.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+      |        ELSE (0.4 * CAST(coalesce(u2.c1, 1) AS DOUBLE)) / CAST(ttl.t AS DOUBLE) END AS p
+      |   FROM bg LEFT JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+      |       LEFT JOIN uni u1 ON bg.w1 = u1.w
+      |       LEFT JOIN uni u2 ON bg.w2 = u2.w, ttl),
+      |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+      |        CAST(sum(CAST(floor(ln(p)*10000.0) AS BIGINT)) AS BIGINT) AS lp_sum
+      |        FROM sc GROUP BY doc_id),
+      |bkt AS (SELECT agg.doc_id, d.lang,
+      |          ntile(3) OVER (PARTITION BY d.lang
+      |            ORDER BY CAST(agg.lp_sum AS DOUBLE) / CAST(agg.n_bigrams AS DOUBLE) DESC,
+      |                     agg.doc_id) AS bucket
+      |        FROM agg JOIN d ON agg.doc_id = d.doc_id
+      |        WHERE agg.n_bigrams > 0),
+      |kept AS (SELECT * FROM bkt
+      |         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |           CASE bucket WHEN 1 THEN 'g' WHEN 2 THEN '8000' ELSE '1999' END)
+      |SELECT lang, CAST(bucket AS BIGINT) AS bucket, count(*) AS n_kept,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM kept GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   val qAnnBatch: QFn = (s, d) => {
     val e = embeddings(s, d)
     val probes = e.where(col("vec_id") < 3)
@@ -3473,6 +3532,7 @@ object Queries {
     "q_dsir" -> qDsir,
     "q_dsir_sample" -> qDsirSample,
     "q_lm_buckets" -> qLmBuckets,
+    "q_curriculum" -> qCurriculum,
     "q_cond_agg" -> qCondAgg,
     "q_asof_fwd" -> qAsofFwd,
     "q_merge_upsert" -> qMergeUpsert,
@@ -3623,6 +3683,7 @@ object Queries {
     "q_dsir" -> qDsirSql,
     "q_dsir_sample" -> qDsirSampleSql,
     "q_lm_buckets" -> qLmBucketsSql,
+    "q_curriculum" -> qCurriculumSql,
     "q_shuffle_shards" -> qShuffleShardsSql,
     "q_approx_quantile" -> qApproxQuantileSql,
     "q_scd2" -> qScd2Sql,
