@@ -87,6 +87,19 @@ class PlanQualitySpec extends SparkTestBase {
       "chunking must be a narrow map+generate (scan-speed at 100 TB):\n" + p.take(3000))
   }
 
+  test("winnowing selects fingerprints with zero shuffle") {
+    // the operator's scale contract: gram hashing, window minima and
+    // per-doc dedup are array arithmetic in one projection + Generate —
+    // nothing may exchange before the caller aggregates
+    val df = operators.Dedup.winnowFingerprints(
+      Tables.documents(spark, sf), "text", "doc_id")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), p.take(2000))
+    assert(!p.contains("Exchange"),
+      "winnowing must be shuffle-free (scan-speed at 100 TB):\n" + p.take(3000))
+  }
+
   test("q_dup_span_ratio generates the span stream exactly once") {
     // the round-7 verdict's one fixable inefficiency: the old shape fed
     // spanFps into BOTH the dup-set aggregate and the join-back, i.e.
@@ -232,10 +245,17 @@ class PlanQualitySpec extends SparkTestBase {
     // (N/avgdl/df) into the matched-docs scorer — O(n·1), and n there is
     // already filtered to docs containing a query term; q_hybrid_rrf
     // embeds the same bm25 stage (its fusion join is a ≤50-row equi-join)
+    // q_dsir / q_dsir_sample crossJoin the ONE-ROW feature totals
+    // (O(n·1), bm25's stats idiom); q_lm_buckets / q_curriculum /
+    // q_lm_store embed q_lm_score's one-row training-total crossJoin;
+    // q_bm25_index embeds q_bm25's one-row corpus-constants crossJoin
+    // (summed from the KB-sized stats table, not the corpus)
     val whitelist = Set("q_ann_batch", "q_tfidf", "q_knn_exact",
       "q_range_join_auto", "q_knn_recall", "q_dedup_minhash_recall",
       "q_dedup_simhash_recall", "q_embed_recall", "q_dedup_simhash",
-      "q_lm_score", "q_bm25", "q_bm25_batch", "q_hybrid_rrf")
+      "q_lm_score", "q_bm25", "q_bm25_batch", "q_hybrid_rrf",
+      "q_dsir", "q_dsir_sample", "q_lm_buckets", "q_curriculum",
+      "q_lm_store", "q_bm25_index")
     val offenders = Queries.all.keys.toSeq.sorted
       .filterNot(whitelist)
       .flatMap { name =>
