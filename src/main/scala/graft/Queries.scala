@@ -1187,6 +1187,38 @@ object Queries {
       |SELECT doc_id, 2147483647 - (key & 2147483647) AS pos, key >> 31 AS fp
       |FROM s ORDER BY doc_id, pos""".stripMargin
 
+  /** MOSS-style winnow near-dup pairs (Dedup.winnowPairs): candidates
+    * AND containment scores from the sparse fingerprint set — the one
+    * dedup path whose full pipeline (no seeds anywhere) the oracle
+    * replays value-for-value, stop-fingerprint cap included. */
+  val qWinnowPairs: QFn = (s, d) =>
+    Dedup.winnowPairs(documents(s, d), "text", "doc_id")
+      .orderBy("id1", "id2")
+  val qWinnowPairsSql: String =
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS wd
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |        list_transform(generate_series(1, len(wd) - 4),
+      |          i -> CAST(('0x' || substring(md5(array_to_string(wd[i:i+4], ' ')), 1, 7)) AS BIGINT)
+      |               * 2147483648 + (2147483647 - (i - 1))) AS keys
+      |      FROM d WHERE len(wd) >= 8),
+      |s0 AS (SELECT doc_id,
+      |         unnest(list_distinct(list_transform(generate_series(4, len(keys)),
+      |           e -> list_min(keys[e-3:e])))) AS key
+      |       FROM g),
+      |s AS (SELECT DISTINCT doc_id, key >> 31 AS fp FROM s0),
+      |nf AS (SELECT doc_id, count(*) AS nf FROM s GROUP BY 1),
+      |live AS (SELECT * FROM (SELECT doc_id, fp,
+      |           count(*) OVER (PARTITION BY fp) AS df FROM s)
+      |         WHERE df <= 100),
+      |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+      |      FROM live a JOIN live b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT id1, id2, shared,
+      |  floor(shared / least(n1.nf, n2.nf) * 10000.0) / 10000.0 AS overlap
+      |FROM p JOIN nf n1 ON p.id1 = n1.doc_id JOIN nf n2 ON p.id2 = n2.doc_id
+      |ORDER BY id1, id2""".stripMargin
+
   // ---------------------------------------------------------------- dedup
   /** Exact dedup via normalized-text fingerprint (hash-groupBy). */
   val qDedupExact: QFn = (s, d) =>
@@ -3467,6 +3499,7 @@ object Queries {
     "q_text_metrics" -> qTextMetrics,
     "q_rolling_fp" -> qRollingFp,
     "q_winnow" -> qWinnow,
+    "q_winnow_pairs" -> qWinnowPairs,
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
     "q_lm_score" -> qLmScore,
@@ -3656,6 +3689,7 @@ object Queries {
     "q_setops_all" -> qSetopsAllSql,
     "q_rolling_fp" -> qRollingFpSql,
     "q_winnow" -> qWinnowSql,
+    "q_winnow_pairs" -> qWinnowPairsSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum" -> qChecksumSql,
     "q_checksum_md5" -> qChecksumMd5Sql,

@@ -169,6 +169,19 @@ object ScaleProbe {
       // went quadratic-in-CPU on dup-dense corpora)
       run("dedup_ngram",
         operators.Dedup.ngramJaccardPairs(docs, "text", "doc_id")),
+      // winnow near-dup pairs at X×. The exchange volume here is
+      // OUTPUT-bound: pair enumeration is Σ_fp C(df, 2), and the
+      // inflated corpus makes every doc an ~X-way near-dup (replicas
+      // differ by one trailing token, so ~95% of fingerprints collide
+      // across all X copies) — at X=100 that is ~10⁹ GENUINE pairs, 3
+      // orders denser than any real corpus; measured 154 s / 31 GiB
+      // spill producing them (recorded in SCALE.md, not a plan defect).
+      // The df cap is the operator's knob for exactly this density —
+      // probed HERE at the MOSS-style cap, which excludes fps hot
+      // beyond evidence-of-copying (df > X/5) before the pair join
+      run("winnow_pairs", operators.Dedup.winnowPairs(
+        docs, "text", "doc_id", maxDocsPerFp = math.max(2, X / 5),
+        portableHash = false)),
       run("dedup_clusters", {
         val pairs = operators.Dedup.minhashPairs(docs, "text", "doc_id",
           verifyJaccard = None).select("id1", "id2")

@@ -683,9 +683,18 @@ object Dedup {
     * distinct selected fingerprint position; docs with fewer than
     * w + k − 1 tokens emit nothing (no complete window). */
   def winnowFingerprints(docs: DataFrame, textCol: String, idCol: String,
-      k: Int = 5, w: Int = 4): DataFrame = {
+      k: Int = 5, w: Int = 4, portableHash: Boolean = true): DataFrame = {
     require(k >= 1 && w >= 1)
     val M = 2147483648L // 2^31: pos fits far below, h is 28-bit
+    // gram-hash tiers, the Dsir trade: md5 prefix (default — the value
+    // gates replay it in DuckDB) vs codegen xxhash64 folded to 28 bits
+    // (for production corpora where the hash dominates the scan CPU;
+    // any stable hash selects valid winnow fingerprints)
+    val gramHash =
+      if (portableHash)
+        "conv(substring(md5(concat_ws(' ', slice(wd, i, %d))), 1, 7), 16, 10)".format(k)
+      else
+        "(xxhash64(concat_ws(' ', slice(wd, i, %d))) & 268435455)".format(k)
     docs
       .select(col(idCol).as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+").as("wd"))
@@ -693,7 +702,7 @@ object Dedup {
       // keys[i] = h(gram at i)·2³¹ + (2³¹−1−i), i 0-based
       .select(col("doc_id"), expr(
         s"""transform(sequence(1, size(wd) - ${k - 1}),
-           |  i -> conv(substring(md5(concat_ws(' ', slice(wd, i, $k))), 1, 7), 16, 10)
+           |  i -> $gramHash
            |       * ${M}L + (${M - 1}L - (i - 1)))""".stripMargin).as("keys"))
       .select(col("doc_id"), explode(expr(
         s"""array_distinct(transform(sequence($w, size(keys)),
@@ -702,5 +711,49 @@ object Dedup {
       .select(col("doc_id"),
         (lit(M - 1) - col("key").bitwiseAND(lit(M - 1))).as("pos"),
         shiftright(col("key"), 31).as("fp"))
+  }
+
+  /** MOSS-style near-dup pairs over [[winnowFingerprints]] — candidate
+    * generation AND scoring from the same sparse fingerprint set, so
+    * (unlike the seeded minhash path) the ENTIRE pipeline is integer
+    * md5 arithmetic a value oracle replays. Output: (id1, id2, shared,
+    * overlap) with overlap = shared / min(|fps₁|, |fps₂|) floored to 4
+    * decimals — the containment-style score plagiarism detectors rank
+    * by.
+    *
+    * Scale shape: fingerprints are ~2/(w+1) of gram positions, so the
+    * pair join moves a fraction of what span-level joins move; the
+    * quadratic hot-key risk (a boilerplate fingerprint shared by
+    * thousands of docs) is cut by STOP-FINGERPRINT removal —
+    * `maxDocsPerFp` drops fps above the document-frequency cap before
+    * pairing, the standard MOSS move (an fp that common is boilerplate,
+    * not evidence of copying). The cap is computed with one aggregate
+    * on the already-shuffled fp key, no extra corpus pass. */
+  def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      maxDocsPerFp: Int = 100, portableHash: Boolean = true): DataFrame = {
+    require(minShared >= 1 && maxDocsPerFp >= 2)
+    val fps = winnowFingerprints(docs, textCol, idCol, k, w, portableHash)
+      .select(col("doc_id"), col("fp")).distinct()
+    val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+    // df via aggregate + semi-style join, NOT a count-over-fp window:
+    // the window form sorts the ENTIRE selected set per partition and
+    // spilled 31 GiB at the 100× probe; the aggregate collapses to
+    // (fp, df) map-side and hot fps are excluded BEFORE the pair join
+    // ever sees their rows
+    val liveFps = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocsPerFp).select("fp")
+    val live = fps.join(liveFps, Seq("fp"))
+    val pairs = live.select(col("doc_id").as("id1"), col("fp"))
+      .join(live.select(col("doc_id").as("id2"), col("fp")), Seq("fp"))
+      .where(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    pairs
+      .join(nf.select(col("doc_id").as("id1"), col("nf").as("nf1")), Seq("id1"))
+      .join(nf.select(col("doc_id").as("id2"), col("nf").as("nf2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("shared"),
+        (floor(col("shared") / least(col("nf1"), col("nf2")) * 10000.0)
+          / 10000.0).as("overlap"))
   }
 }

@@ -73,6 +73,43 @@ class WinnowSpec extends SparkTestBase {
     assert(r > 0.1 && r < 0.6, s"winnow density $r outside sanity band")
   }
 
+  test("winnowPairs recovers >=90% of the verified near-dup pairs") {
+    // cross-operator recall vs the exact-shingle ngram path. NOT 100%
+    // by design: a Jaccard-0.5 pair may share only SCATTERED 5-gram
+    // shingles — the winnow guarantee needs a contiguous run of
+    // w+k-1 = 8 tokens, so run-less pairs can legitimately miss
+    // (measured: exactly one such pair in this corpus, J≈0.5 with no
+    // 8-token run)
+    val docs = Tables.documents(spark, sf)
+    val truth = Dedup.ngramJaccardPairs(docs, "text", "doc_id")
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.winnowPairs(docs, "text", "doc_id")
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test premise: corpus contains near-dups")
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.9,
+      s"winnow recall $recall; missed: ${(truth -- got).take(5)}")
+  }
+
+  test("the df cap drops stop-fingerprints before pairing") {
+    import spark.implicits._
+    // 30 IDENTICAL boilerplate docs: every selected fp has df=30, so
+    // with maxDocsPerFp=10 nothing pairs; lifting the cap pairs all
+    // C(30,2). The cap applies to SELECTED-set document frequency (the
+    // index, as in MOSS) — which is the quantity that drives the
+    // pair-join blowup.
+    val docs = (0L until 30L).map(i =>
+      (i, "all rights reserved copyright notice footer text here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(docs, "text", "doc_id",
+      minShared = 1, maxDocsPerFp = 10).count() === 0,
+      "df-capped boilerplate must not explode into O(n^2) pairs")
+    assert(Dedup.winnowPairs(docs, "text", "doc_id",
+      minShared = 1, maxDocsPerFp = 100).count() === 435L)
+  }
+
   test("short docs (< w+k-1 tokens) emit nothing") {
     val got = fps(Seq(5L -> "only seven words in this tiny doc"))
     assert(got.getOrElse(5L, Set.empty).isEmpty)
