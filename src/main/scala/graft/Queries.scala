@@ -1052,7 +1052,7 @@ object Queries {
     * rhs in binary collation). */
   val qBpeMerges: QFn = (s, d) =>
     graft.operators.BpeTrain.merges(documents(s, d), "text", 8).orderBy("rank")
-  private def bpeOracle(k: Int): String = {
+  private def bpeOracle(k: Int, finalSelect: String = ""): String = {
     val sb = new StringBuilder
     sb ++= """WITH wc AS (SELECT w, count(*) AS cnt FROM (
       |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
@@ -1068,12 +1068,36 @@ object Queries {
       |b$i AS (SELECT l, r, f FROM pc$i ORDER BY f DESC, l, r LIMIT 1),
       |v$i AS (SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
       |  ' ' || b.l || b.r || ' ') AS s, cnt FROM v${i - 1}, b$i b)""".stripMargin
-    sb ++= "\n" + (1 to k).map(i =>
+    sb ++= "\n" + (if (finalSelect.nonEmpty) finalSelect
+    else (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, f AS freq FROM b$i")
-      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rank")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY rank"))
     sb.toString
   }
   val qBpeMergesSql: String = bpeOracle(8)
+
+  /** BPE ENCODE (operators.BpeTrain.segment): train 8 merges, then
+    * tokenize the corpus with them and emit the corpus token-frequency
+    * table — the apply side of the tokenizer, what a 100 TB pipeline
+    * runs per crawl batch (training runs once; the merge table folds
+    * into a constant replace chain in every task, no join/broadcast).
+    * The 8-row merge table is collected driver-side (control-plane
+    * metadata, same standing ruling as the stream file-announce list).
+    * Oracle: the training replay's final vocabulary v8 IS the
+    * segmented (distinct-word × count) table, so corpus token counts =
+    * v8 exploded, weighted by word count. */
+  val qBpeEncode: QFn = (s, d) => {
+    val mt = graft.operators.BpeTrain.merges(documents(s, d), "text", 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.BpeTrain.segment(documents(s, d), "text", mt)
+      .select(explode(col("subwords")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy("token")
+  }
+  val qBpeEncodeSql: String = bpeOracle(8,
+    """SELECT token, CAST(sum(cnt) AS BIGINT) AS n FROM (
+      |  SELECT unnest(string_split(trim(s), '  ')) AS token, cnt FROM v8)
+      |GROUP BY token ORDER BY token""".stripMargin)
 
   /** Within-document repetition: fraction of duplicated word-3-grams —
     * the repetitive-document quality filter of web-corpus pipelines.
@@ -2443,7 +2467,13 @@ object Queries {
       .select(col("lang"), col("n_exact"),
         (abs(col("distinct_est") - col("n_exact")) <=
           greatest(lit(2L), floor(col("n_exact") * lit(0.05)))).as("est_ok"),
-        (col("distinct_est") === col("direct_est")).as("merged_consistent"))
+        // merged vs one-shot agree WITHIN sketch error, not bit-for-bit:
+        // DataSketches HLL promotes sparse→dense at a coupon threshold
+        // and the two paths can land in different modes (seen at sf0.1;
+        // SketchStore scaladoc). The exact invariant — replayed batch is
+        // a no-op — is spec-pinned in SketchStoreSpec.
+        (abs(col("distinct_est") - col("direct_est")) <=
+          greatest(lit(2L), floor(col("n_exact") * lit(0.05)))).as("merged_consistent"))
       .orderBy("lang")
   }
   val qSketchStoreSql: String =
@@ -3453,6 +3483,74 @@ object Queries {
       |  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS epoch_hr
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Edit-distance near-dup join (operators.Dedup.editDistancePairs,
+    * FastSS deletion neighborhoods): all customer-name pairs within
+    * Levenshtein distance 1, aggregated to (dist, pair count, id-sum
+    * hash) so the gate pins EXACT pair discovery — the padded
+    * sequential c_name digits make thousands of genuine distance-1
+    * pairs, so a missed deletion-variant bucket or a broken length
+    * band shows up as a count/hash mismatch. The oracle replays the
+    * SEMANTICS (all-pairs levenshtein with the length band) rather
+    * than the algorithm, so candidate completeness is what's tested. */
+  val qDedupEdit: QFn = (s, d) =>
+    graft.operators.Dedup.editDistancePairs(customer(s, d), "c_custkey", "c_name", 1)
+      .groupBy("dist")
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("id1") * lit(100003L) + col("id2")).as("ids_hash"))
+      .orderBy("dist")
+  val qDedupEditSql: String =
+    """SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+      |  CAST(count(*) AS BIGINT) AS pairs,
+      |  CAST(sum(a.c_custkey * 100003 + b.c_custkey) AS BIGINT) AS ids_hash
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** PageRank link authority (operators.Graphs.pageRank): 6 damped
+    * power-iteration rounds over the event "handoff" graph (per
+    * (event_type, day) stream, each event's user links to the next
+    * event's user), all arithmetic in scaled BIGINT so both engines
+    * produce the IDENTICAL fixed-point ranks — the oracle replays every
+    * round as an unrolled WITH chain generated from the same constants.
+    * Crawl-pipeline shape: domain authority computed once per snapshot,
+    * joined onto documents as a quality prior. */
+  val qPageRank: QFn = (s, d) =>
+    graft.operators.Graphs.pageRank(
+        graft.operators.Graphs.eventHandoffEdges(events(s, d)), "src", "dst",
+        iters = pageRankIters, scale = pageRankScale)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(25)
+  private val pageRankIters = 6
+  private val pageRankScale = 1000000000000L
+  val qPageRankSql: String = {
+    val (num, den) = (85L, 100L)
+    val teleport = pageRankScale / den * (den - num) +
+      pageRankScale % den * (den - num) / den
+    val rounds = (1 to pageRankIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, sum(r.rank // e.outdeg) AS m
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |  CAST($teleport + ($num * COALESCE(c.m, 0)) // $den AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT user_id AS src,
+       |    lead(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+       |                        ORDER BY event_id) AS dst
+       |  FROM events),
+       |e0 AS (SELECT DISTINCT src, dst FROM raw
+       |       WHERE dst IS NOT NULL AND dst <> src),
+       |od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.src, e0.dst, od.outdeg FROM e0 JOIN od ON e0.src = od.src),
+       |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       |r0 AS (SELECT node, CAST($pageRankScale AS BIGINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, rank FROM r$pageRankIters
+       |ORDER BY rank DESC, node LIMIT 25""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -3500,10 +3598,13 @@ object Queries {
     "q_rolling_fp" -> qRollingFp,
     "q_winnow" -> qWinnow,
     "q_winnow_pairs" -> qWinnowPairs,
+    "q_dedup_edit" -> qDedupEdit,
+    "q_pagerank" -> qPageRank,
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
     "q_lm_score" -> qLmScore,
     "q_bpe_merges" -> qBpeMerges,
+    "q_bpe_encode" -> qBpeEncode,
     "q_dedup_exact" -> qDedupExact,
     "q_dup_spans" -> qDupSpans,
     "q_dup_span_ratio" -> qDupSpanRatio,
@@ -3632,6 +3733,7 @@ object Queries {
     "q_repetition" -> qRepetitionSql,
     "q_lm_score" -> qLmScoreSql,
     "q_bpe_merges" -> qBpeMergesSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_dup_span_ratio" -> qDupSpanRatioSql,
@@ -3690,6 +3792,8 @@ object Queries {
     "q_rolling_fp" -> qRollingFpSql,
     "q_winnow" -> qWinnowSql,
     "q_winnow_pairs" -> qWinnowPairsSql,
+    "q_dedup_edit" -> qDedupEditSql,
+    "q_pagerank" -> qPageRankSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum" -> qChecksumSql,
     "q_checksum_md5" -> qChecksumMd5Sql,

@@ -307,7 +307,35 @@ object ScaleProbe {
           .drop("rep")
         operators.Similarity.selfTopKLsh(embs, "embedding", "vec_id",
           k = 5, bits = knnBits, tables = 6)
-      })
+      }),
+      // edit-distance join at X×: key cardinality scales (names are
+      // re-derived from the remapped key, so digit-typo pair density
+      // grows the way a real key space grows). Variant generation is a
+      // zero-shuffle codegen map; the exchanges are the variant-key
+      // self-join and the pair distinct — both bounded by candidates,
+      // never all-pairs
+      run("dedup_edit", {
+        val cust = Tables.customer(spark, sfDir).select(col("*"), rep)
+          .withColumn("c_custkey", col("c_custkey") * X + col("rep"))
+          .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+          .drop("rep")
+        operators.Dedup.editDistancePairs(cust, "c_custkey", "c_name", 1)
+      }, forbid = Seq("CartesianProduct")),
+      // PageRank at X×: events inflate with remapped event AND user ids
+      // (node count scales ∝ X, replicas interleave inside each
+      // (type, day) stream so the graph densifies rather than splitting
+      // into X disjoint copies). Cost model: per round, one shuffle of
+      // the rank table onto edge sources + one contribution aggregation
+      // on dst — shuffle must scale with edges, and lineage is cut per
+      // round, so 6 rounds cost 6× one round, not a compounding replay
+      run("pagerank", {
+        val ev = Tables.events(spark, sfDir).select(col("*"), rep)
+          .withColumn("event_id", col("event_id") * X + col("rep"))
+          .withColumn("user_id", col("user_id") * X + col("rep"))
+          .drop("rep")
+        operators.Graphs.pageRank(operators.Graphs.eventHandoffEdges(ev),
+          "src", "dst", iters = 6)
+      }, forbid = Seq("CartesianProduct"))
     ).flatten
     // broadcast stayed broadcast?
     require(heads.nonEmpty)

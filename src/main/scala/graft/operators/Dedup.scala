@@ -756,4 +756,71 @@ object Dedup {
         (floor(col("shared") / least(col("nf1"), col("nf2")) * 10000.0)
           / 10000.0).as("overlap"))
   }
+
+  /** Edit-distance (Levenshtein) near-dup join via deletion
+    * neighborhoods — FastSS (Bocek et al., 2007). Completeness: an
+    * optimal edit script with k ≤ d operations names ≤ k positions per
+    * side; deleting exactly those positions from each string leaves the
+    * two sides IDENTICAL, so any pair within distance d shares at least
+    * one member of their ≤d-deletion neighborhoods. Candidate
+    * generation is therefore a self-equi-join on a 64-bit hash of the
+    * deletion variant — bucket-bounded like every dedup variant in this
+    * file, never all-pairs — and verification is Spark's codegen
+    * `levenshtein` on the distinct candidate pairs (plus the necessary
+    * |len(s)−len(t)| ≤ d band before the string join).
+    *
+    * Intended domain: SHORT key-like strings — names, titles, URLs,
+    * IDs (≤ ~64 chars). The neighborhood is O(L^d) variants per row
+    * (all codegen higher-order-function array ops, zero UDF), so
+    * long-document near-dup belongs to minhash/simhash/winnowing, not
+    * here. `maxBucket > 0` drops variant keys shared by more than that
+    * many rows before the pair join — the stop-fingerprint pattern from
+    * [[winnowPairs]] for adversarially dense key spaces; 0 keeps the
+    * operator exact (the gate's setting).
+    *
+    * Output: (id1, id2, dist) with id1 < id2, dist ≤ maxDist.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, maxBucket: Int = 0): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2,
+      s"maxDist must be 1 or 2 (got $maxDist): the variant count is " +
+        "O(L^d) per row — beyond d=2 use a sketch-based variant")
+    val s   = col(strCol)
+    val len = length(s)
+    // Deletion variants as codegen array ops. sequence(a, b) runs
+    // DESCENDING when a > b, so each tier is guarded on the minimum
+    // length instead of relying on an empty sequence.
+    val del1 = when(len >= lit(1), transform(sequence(lit(1), len),
+      i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), len))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    val del2 =
+      if (maxDist < 2) array().cast(ArrayType(StringType))
+      else when(len >= lit(2), flatten(transform(sequence(lit(1), len - lit(1)),
+        i => transform(sequence(i + lit(1), len),
+          j => concat(s.substr(lit(1), i - lit(1)),
+            s.substr(i + lit(1), j - i - lit(1)),
+            s.substr(j + lit(1), len))))))
+        .otherwise(array().cast(ArrayType(StringType)))
+    val variants = array_distinct(concat(array(s), del1, del2))
+    val keyed = df.select(col(idCol).as("id"), len.as("len"),
+        explode(transform(variants, v => xxhash64(v))).as("vk"))
+    val live =
+      if (maxBucket <= 0) keyed
+      else keyed.join(
+        keyed.groupBy("vk").agg(count(lit(1)).as("bn"))
+          .where(col("bn") <= maxBucket).select("vk"), Seq("vk"))
+    val cand = live.select(col("id").as("id1"), col("len").as("len1"), col("vk"))
+      .join(live.select(col("id").as("id2"), col("len").as("len2"), col("vk")),
+        Seq("vk"))
+      .where(col("id1") < col("id2") &&
+        abs(col("len1") - col("len2")) <= lit(maxDist))
+      .select("id1", "id2").distinct()
+    val strs = df.select(col(idCol).as("id"), s.as("s"))
+    cand
+      .join(strs.select(col("id").as("id1"), col("s").as("s1")), Seq("id1"))
+      .join(strs.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .where(col("dist") <= lit(maxDist))
+      .select(col("id1"), col("id2"), col("dist").cast(LongType).as("dist"))
+  }
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph operators for corpus curation: PageRank-style link authority.
+  *
+  * Why it belongs in a training-data engine: crawl-scale pipelines
+  * (Common Crawl curation, OpenWebText-style filtering) weight document
+  * quality by the link authority of the source domain — a PageRank over
+  * the domain link graph computed once per snapshot, then joined onto
+  * every document as a quality prior. The graph is edges-as-a-table; the
+  * iteration is the standard Pregel shape (join ranks to edges on src,
+  * aggregate contributions by dst), which Spark executes as two
+  * exchanges per round with the edge table's partitioning reused.
+  */
+object Graphs {
+
+  /** Fixed-point integer PageRank: `iters` damped power-iteration
+    * rounds over an edge table, all arithmetic in scaled BIGINT
+    * (`rank` starts at `scale`; damping is the exact ratio
+    * `dampNum/dampDen`; every division is a floor). Exactness is the
+    * point: integer sums are associative, so the result is independent
+    * of partitioning/merge order and replayable bit-for-bit by any
+    * engine — the same no-RNG determinism contract every sampling
+    * operator in this repo follows, applied to an iterative numeric
+    * kernel. (Float PageRank sums diverge in the last ulp across
+    * reduction orders, which a value-hash gate cannot tolerate.)
+    *
+    * Semantics pinned by the gate:
+    *  - edges are de-duplicated and self-loops dropped;
+    *  - node set = sources ∪ destinations;
+    *  - per-round: rank'(v) = scale·(dampDen−dampNum)/dampDen
+    *      + (dampNum · Σ_{(u,v)∈E} (rank(u) div outdeg(u))) div dampDen;
+    *  - dangling nodes (no out-edges) keep the teleport term and their
+    *    mass is NOT redistributed — one aggregate cheaper per round,
+    *    and the floor-truncated mass loss is irrelevant for RANKING,
+    *    which is what curation uses (the classic redistribution variant
+    *    changes scores, not order, on link graphs without huge sinks).
+    *
+    * Scale: edge table is checkpointed once with outdeg denormalized
+    * onto it (the join to outdeg happens once, not per round); each
+    * round is a shuffle of the rank table on node (to meet edges on
+    * src) plus the contribution aggregation on dst. Lineage is cut per
+    * round exactly like [[Dedup.clustersScoped]] (localCheckpoint +
+    * stats re-wrap). Rounds are fixed-count, not convergence-probed:
+    * curation wants a reproducible snapshot artifact, and fixed `iters`
+    * keeps engine and oracle in lockstep.
+    *
+    * Output: (node, rank) — `rank` the scaled BIGINT after `iters`
+    * rounds.
+    */
+  def pageRank(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 6, scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen && scale > 0)
+    def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
+      val (cp, rel) = Dedup.checkpointTracked(df)
+      (df.sparkSession.createDataFrame(cp.rdd, df.schema), rel)
+    }
+    val e0 = edgesIn
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    // outdeg rides on the edge table so the per-round join is
+    // edges ⋈ ranks only
+    val (edges, releaseEdges) = checkpointCut(
+      e0.join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")))
+    val (nodes, releaseNodes) = checkpointCut(
+      e0.select(col("src").as("node"))
+        .union(e0.select(col("dst").as("node"))).distinct())
+    val teleport = scale / dampDen * (dampDen - dampNum) +
+      scale % dampDen * (dampDen - dampNum) / dampDen // exact floor of scale·(1−d)
+    var (ranks, releaseRanks) = checkpointCut(
+      nodes.withColumn("rank", lit(scale)))
+    try {
+      for (_ <- 1 to iters) {
+        val contrib = edges
+          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"),
+            expr("rank DIV outdeg").as("m"))
+          .groupBy("node").agg(sum(col("m")).as("m"))
+        val next = nodes
+          .join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(teleport) +
+              expr(s"($dampNum * coalesce(m, 0L)) DIV $dampDen")).as("rank"))
+        val (cp, rel) = checkpointCut(next)
+        releaseRanks(); ranks = cp; releaseRanks = rel
+      }
+      ranks
+    } finally {
+      releaseEdges(); releaseNodes()
+    }
+  }
+
+  /** The gate's edge derivation: a "handoff" graph over the events
+    * stream — within each (event_type, day) stream ordered by event_id,
+    * an edge from each event's user to the next event's user. Windowed
+    * per type-day (not a global sort): the partition count scales with
+    * the time span, the standard way a 100 TB event log derives a
+    * session graph without a single-task ORDER BY. */
+  def eventHandoffEdges(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"), to_date(col("ts")))
+      .orderBy(col("event_id"))
+    events.select(col("user_id").as("src"),
+        lead(col("user_id"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull && col("dst") =!= col("src"))
+  }
+}

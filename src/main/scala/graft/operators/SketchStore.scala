@@ -12,13 +12,21 @@ import org.apache.spark.sql.functions._
   * estimate is one read + `hll_union_agg` over sketches — never over
   * rows.
   *
-  * Why HLL makes this exact-composable: a register is a MAX over hashed
-  * observations, so (a) merging partition/batch sketches equals
-  * sketching the whole (the estimate is partitioning-invariant — the
-  * spec pins merged == one-shot EQUALITY, not approximate agreement),
-  * and (b) re-merging a replayed batch is a no-op (max is idempotent) —
-  * retry neutrality needs no batch_id dedup, unlike the additive LM
-  * counts. batch_id is still recorded for lineage/debugging.
+  * The mergeability contract, stated precisely (the first draft of this
+  * file over-claimed it): re-merging a replayed batch is EXACTLY a
+  * no-op (coupon/register max is idempotent — the spec pins equality),
+  * but a merged-batch estimate only agrees with the one-shot sketch
+  * WITHIN SKETCH ERROR, not bit-for-bit. Spark's hll_* functions are
+  * Apache DataSketches HLL, which starts in a sparse coupon-list mode
+  * (exact) and promotes to dense registers past ~3/4·2^lgK coupons; a
+  * per-batch sketch can stay sparse while the one-shot sketch over the
+  * union promotes (or vice versa), and the two modes use different
+  * estimators — observed at sf0.1, where ~700 distincts per group sat
+  * exactly across that boundary and merged != direct by a fraction of a
+  * percent. Ranking/stat consumers only ever needed the error bound;
+  * retry neutrality (the 100 TB property) needed the exact idempotency,
+  * and that one genuinely holds. batch_id is recorded for
+  * lineage/debugging, not for dedup.
   */
 object SketchStore {
 

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Graphs
+import org.apache.spark.sql.functions._
+
+/** Integer PageRank: exactness against a driver-side replica of the
+  * fixed-point arithmetic, edge hygiene, dangling semantics, and the
+  * checkpoint lifecycle. */
+class GraphsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Driver-side replica of the operator's exact integer contract. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L, num: Long = 85, den: Long = 100): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2).distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val teleport = scale / den * (den - num) + scale % den * (den - num) / den
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => rank(u) / outdeg(u) }.sum).toMap
+      rank = nodes.map(n => n -> (teleport + num * in.getOrElse(n, 0L) / den)).toMap
+    }
+    rank
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graphs.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the integer reference on a cyclic graph with a hub") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1),          // cycle
+      (4, 1), (5, 1), (6, 1),          // hub fan-in
+      (1, 4),                          // partial back-edge
+      (7, 8))                          // isolated pair; 8 is dangling
+    for (iters <- Seq(1, 3, 6))
+      assert(run(edges, iters) === reference(edges, iters), s"iters=$iters")
+  }
+
+  test("self-loops and duplicate edges are dropped before ranking") {
+    val dirty = Seq[(Long, Long)]((1, 2), (1, 2), (2, 2), (2, 1), (3, 3), (3, 1))
+    assert(run(dirty, 4) === reference(dirty, 4))
+  }
+
+  test("dangling node keeps exactly the teleport term") {
+    val got = run(Seq((1L, 2L)), 5)
+    // node 2 has no out-edges; node 1 receives nothing after round 1
+    val teleport = 1000000000000L / 100 * 15
+    assert(got(1L) === teleport)
+    assert(got(2L) > teleport)
+  }
+
+  test("rank order is stable under input permutation/partitioning") {
+    val edges = (0L until 400L).map(i => (i % 37, (i * 31) % 41))
+    val a = run(edges, 6)
+    val b = Graphs.pageRank(
+      scala.util.Random.shuffle(edges).toDF("src", "dst").repartition(13),
+      "src", "dst", 6).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
+  test("no checkpoint blocks survive the call") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = run(Seq((1L, 2L), (2L, 3L), (3L, 1L)), 4)
+    assert(out.size === 3)
+    val after = sc.getPersistentRDDs.keySet -- before
+    // the final rank table's blocks are the only permissible survivors
+    assert(after.size <= 1, s"leaked checkpoints: $after")
+  }
+
+  test("handoff edges: per (type, day) stream, next user, no self-loops") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10L, "click"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 11L, "click"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 11L, "click"), // self-handoff: dropped
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:03:00"), 12L, "click"),
+      (5L, java.sql.Timestamp.valueOf("2024-01-02 09:00:00"), 13L, "click"), // next day: new stream
+      (6L, java.sql.Timestamp.valueOf("2024-01-01 10:00:30"), 14L, "view")   // other type
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = Graphs.eventHandoffEdges(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 11L), (11L, 12L)))
+  }
+}

@@ -3,9 +3,11 @@ package graft
 import graft.operators.SketchStore
 import org.apache.spark.sql.functions._
 
-/** Mergeable HLL sketch store: merged-equals-one-shot EXACT equality
-  * (register max is partitioning-invariant), replay idempotence, and
-  * estimate accuracy against true distinct counts. */
+/** Mergeable HLL sketch store: replay idempotence is EXACT (coupon/
+  * register max), merged-vs-one-shot agreement is within-sketch-error
+  * only — DataSketches HLL promotes sparse→dense at a coupon threshold
+  * and the two paths can land in different modes with different
+  * estimators (caught by the sf0.1 value gate; SketchStore scaladoc). */
 class SketchStoreSpec extends SparkTestBase {
 
   private def docs = Tables.documents(spark, sf)
@@ -13,7 +15,8 @@ class SketchStoreSpec extends SparkTestBase {
   private def collectEst(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
     df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  test("two-batch store estimates EQUAL the one-shot sketch exactly") {
+  test("two-batch store estimates agree with the one-shot sketch within " +
+      "sketch error (bit-equality is NOT the contract past the coupon mode)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_hll_").toString + "/s"
     SketchStore.writeDistinct(docs.where(col("doc_id") % 2 === 0),
       "text", "lang", dir, batchId = "even")
@@ -21,9 +24,12 @@ class SketchStoreSpec extends SparkTestBase {
       "text", "lang", dir, batchId = "odd")
     val merged = collectEst(SketchStore.estimateDistinct(spark, dir, "lang"))
     val direct = collectEst(SketchStore.distinctDirect(docs, "text", "lang"))
-    assert(merged === direct,
-      "HLL register max must make merged == one-shot, not approximately")
-    assert(merged.nonEmpty)
+    assert(merged.nonEmpty && merged.keySet === direct.keySet)
+    merged.foreach { case (lang, m) =>
+      val d = direct(lang)
+      assert(math.abs(m - d) <= math.max(2L, (d * 0.05).toLong),
+        s"$lang: merged $m vs one-shot $d outside sketch error")
+    }
   }
 
   test("a replayed batch is a no-op (register max is idempotent)") {
