@@ -37,6 +37,39 @@ object Hashing {
     mix64(h)
   }
 
+  /** FastSS deletion-neighborhood entries for the edit-distance join:
+    * (variantHash, deletionCount, p1, p2) for every ≤maxDist-deletion
+    * variant of `s` (positions 1-based; -1 = unused). Compiled kernel
+    * for the same reason as [[minhash]]: the Column-HOF form is
+    * interpreted per element and dominated the operator's wall time
+    * (~25 µs/row for 19 substring+hash evals vs ~1 µs compiled). */
+  def deletionEntries(s: String, maxDist: Int): Array[(Long, Int, Int, Int)] = {
+    val L = s.length
+    val n1 = if (maxDist >= 1) L else 0
+    val n2 = if (maxDist >= 2) L * (L - 1) / 2 else 0
+    val out = new Array[(Long, Int, Int, Int)](1 + n1 + n2)
+    out(0) = (hash64(s), 0, -1, -1)
+    var k = 1
+    var i = 0
+    while (i < n1) {
+      out(k) = (hash64(s.substring(0, i) + s.substring(i + 1)), 1, i + 1, -1)
+      k += 1; i += 1
+    }
+    if (maxDist >= 2) {
+      i = 0
+      while (i < L - 1) {
+        var j = i + 1
+        while (j < L) {
+          out(k) = (hash64(s.substring(0, i) + s.substring(i + 1, j) +
+            s.substring(j + 1)), 2, i + 1, j + 1)
+          k += 1; j += 1
+        }
+        i += 1
+      }
+    }
+    out
+  }
+
   /** Whitespace tokens, lowercased. */
   def tokens(text: String): Array[String] = {
     val t = text.trim.toLowerCase

@@ -763,20 +763,38 @@ object Dedup {
     * side; deleting exactly those positions from each string leaves the
     * two sides IDENTICAL, so any pair within distance d shares at least
     * one member of their ≤d-deletion neighborhoods. Candidate
-    * generation is therefore a self-equi-join on a 64-bit hash of the
-    * deletion variant — bucket-bounded like every dedup variant in this
-    * file, never all-pairs — and verification is Spark's codegen
-    * `levenshtein` on the distinct candidate pairs (plus the necessary
-    * |len(s)−len(t)| ≤ d band before the string join).
+    * generation is a self-equi-join on a 64-bit hash of the deletion
+    * variant — bucket-bounded like every dedup variant in this file,
+    * never all-pairs — with the deletion-INDEX compatibility filter
+    * before verification: the script-derived shared variant deletes
+    * positions that align within ±d across the two sides, so same-count
+    * entries must satisfy |p_k − p'_k| ≤ d per coordinate (and for
+    * d = 1, exact equality — a same-length lev≤1 pair differs at ≤ 1
+    * position p and always shares the del-p/del-p variant). On a
+    * padded-digit key space this filter is what separates the ~4.5×
+    * candidate blow-up of cross-position junk (e.g. "…12…"/"…21…"
+    * transpositions, genuine distance 2) from the true pair set:
+    * measured 15.2 M → 3.3 M candidates at the 10× probe, with
+    * candidates == verified pairs (zero waste) at d = 1.
     *
-    * Intended domain: SHORT key-like strings — names, titles, URLs,
-    * IDs (≤ ~64 chars). The neighborhood is O(L^d) variants per row
-    * (all codegen higher-order-function array ops, zero UDF), so
-    * long-document near-dup belongs to minhash/simhash/winnowing, not
-    * here. `maxBucket > 0` drops variant keys shared by more than that
-    * many rows before the pair join — the stop-fingerprint pattern from
-    * [[winnowPairs]] for adversarially dense key spaces; 0 keeps the
-    * operator exact (the gate's setting).
+    * Plan shape pinned by construction: the short strings ride THROUGH
+    * the variant pipeline (verification is an inline codegen
+    * `levenshtein`, no join-back to the source — a string-table
+    * re-join was measured 2× the whole operator), and the self-join is
+    * hinted SHUFFLE_HASH: Catalyst's scan-derived estimate does not see
+    * the ~L× explode inflation and otherwise BROADCASTS the exploded
+    * side (measured: a 3 M-row / ~150 MB driver-built broadcast wall —
+    * at corpus scale an OOM).
+    *
+    * Entry generation is the compiled [[Hashing.deletionEntries]]
+    * kernel (UDF-per-row like the minhash sketch: the HOF form is
+    * interpreted and was ~25 µs/row). Intended domain: SHORT key-like
+    * strings — names, titles, URLs, IDs (≤ ~64 chars); the neighborhood
+    * is O(L^d) entries per row, so long-document near-dup belongs to
+    * minhash/simhash/winnowing, not here. `maxBucket > 0` drops variant
+    * keys shared by more than that many rows before the pair join — the
+    * stop-fingerprint pattern from [[winnowPairs]] for adversarially
+    * dense key spaces; 0 keeps the operator exact (the gate's setting).
     *
     * Output: (id1, id2, dist) with id1 < id2, dist ≤ maxDist.
     */
@@ -785,42 +803,43 @@ object Dedup {
     require(maxDist >= 1 && maxDist <= 2,
       s"maxDist must be 1 or 2 (got $maxDist): the variant count is " +
         "O(L^d) per row — beyond d=2 use a sketch-based variant")
-    val s   = col(strCol)
-    val len = length(s)
-    // Deletion variants as codegen array ops. sequence(a, b) runs
-    // DESCENDING when a > b, so each tier is guarded on the minimum
-    // length instead of relying on an empty sequence.
-    val del1 = when(len >= lit(1), transform(sequence(lit(1), len),
-      i => concat(s.substr(lit(1), i - lit(1)), s.substr(i + lit(1), len))))
-      .otherwise(array().cast(ArrayType(StringType)))
-    val del2 =
-      if (maxDist < 2) array().cast(ArrayType(StringType))
-      else when(len >= lit(2), flatten(transform(sequence(lit(1), len - lit(1)),
-        i => transform(sequence(i + lit(1), len),
-          j => concat(s.substr(lit(1), i - lit(1)),
-            s.substr(i + lit(1), j - i - lit(1)),
-            s.substr(j + lit(1), len))))))
-        .otherwise(array().cast(ArrayType(StringType)))
-    val variants = array_distinct(concat(array(s), del1, del2))
-    val keyed = df.select(col(idCol).as("id"), len.as("len"),
-        explode(transform(variants, v => xxhash64(v))).as("vk"))
+    val entriesUdf = udf((str: String) =>
+      Hashing.deletionEntries(if (str == null) "" else str, maxDist))
+    val keyed = df
+      .select(col(idCol).as("id"), col(strCol).as("s0"),
+        length(col(strCol)).as("len"),
+        explode(entriesUdf(col(strCol))).as("e"))
+      .select(col("id"), col("s0"), col("len"), col("e._1").as("vk"),
+        col("e._2").as("cnt"), col("e._3").as("p1"), col("e._4").as("p2"))
     val live =
       if (maxBucket <= 0) keyed
       else keyed.join(
         keyed.groupBy("vk").agg(count(lit(1)).as("bn"))
           .where(col("bn") <= maxBucket).select("vk"), Seq("vk"))
-    val cand = live.select(col("id").as("id1"), col("len").as("len1"), col("vk"))
-      .join(live.select(col("id").as("id2"), col("len").as("len2"), col("vk")),
+    // d=1: same-count entries must share the deletion index exactly;
+    // d=2: per-coordinate alignment within ±d (−1 wildcards never
+    // co-occur with a same-count mismatch at d≤2 except via the p2
+    // slot, which both sides populate symmetrically)
+    val idxCompat =
+      if (maxDist == 1) col("p1a") === col("p1b")
+      else (col("p1a") < 0 || col("p1b") < 0 ||
+        abs(col("p1a") - col("p1b")) <= lit(maxDist)) &&
+        (col("p2a") < 0 || col("p2b") < 0 ||
+          abs(col("p2a") - col("p2b")) <= lit(maxDist))
+    live
+      .select(col("id").as("id1"), col("s0").as("s1"), col("len").as("len1"),
+        col("vk"), col("cnt").as("cnt1"), col("p1").as("p1a"), col("p2").as("p2a"))
+      .join(live.select(col("id").as("id2"), col("s0").as("s2"),
+          col("len").as("len2"), col("vk"), col("cnt").as("cnt2"),
+          col("p1").as("p1b"), col("p2").as("p2b"))
+          .hint("shuffle_hash"),
         Seq("vk"))
       .where(col("id1") < col("id2") &&
-        abs(col("len1") - col("len2")) <= lit(maxDist))
-      .select("id1", "id2").distinct()
-    val strs = df.select(col(idCol).as("id"), s.as("s"))
-    cand
-      .join(strs.select(col("id").as("id1"), col("s").as("s1")), Seq("id1"))
-      .join(strs.select(col("id").as("id2"), col("s").as("s2")), Seq("id2"))
+        abs(col("len1") - col("len2")) <= lit(maxDist) &&
+        (col("cnt1") =!= col("cnt2") || idxCompat))
       .withColumn("dist", levenshtein(col("s1"), col("s2")))
       .where(col("dist") <= lit(maxDist))
-      .select(col("id1"), col("id2"), col("dist").cast(LongType).as("dist"))
+      .groupBy("id1", "id2")
+      .agg(min(col("dist")).cast(LongType).as("dist"))
   }
 }

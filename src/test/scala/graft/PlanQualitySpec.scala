@@ -215,6 +215,21 @@ class PlanQualitySpec extends SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("edit-distance join shuffle-hashes the variant key, never a " +
+      "broadcast of the exploded side") {
+    // Catalyst's scan-derived size estimate does not see the ~L×
+    // deletion-entry explode, so without the operator's SHUFFLE_HASH
+    // hint it BROADCASTS the exploded table (measured: a 3 M-row
+    // driver-built broadcast at the 10× probe — 4.4× the operator's
+    // whole wall; at corpus scale an OOM). Guard the join strategy.
+    val df = Queries.all("q_dedup_edit")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      "variant self-join lost the shuffle-hash strategy:\n" + p.take(1500))
+    assert(!p.contains("BroadcastHashJoin"),
+      "exploded variant side must not broadcast:\n" + p.take(1500))
+  }
+
   test("row estimate stays within 25% of the true count without a full scan") {
     val o = Tables.orders(spark, sf)
     val actual = o.count()
