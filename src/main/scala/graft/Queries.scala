@@ -3551,6 +3551,35 @@ object Queries {
        |ORDER BY rank DESC, node LIMIT 25""".stripMargin
   }
 
+  /** Per-node triangle counts (operators.Graphs.triangleCounts) over
+    * the same event handoff graph as [[qPageRank]] — local clustering
+    * signal for link-farm/clique detection. Engine uses degree-ordered
+    * orientation (O(m^1.5) wedge bound); the oracle replays the
+    * SEMANTICS with the simpler id-canonical 3-way self-join —
+    * triangle counts are orientation-invariant, so the two agree
+    * exactly. */
+  val qTriangles: QFn = (s, d) =>
+    graft.operators.Graphs.triangleCounts(
+        graft.operators.Graphs.eventHandoffEdges(events(s, d)), "src", "dst")
+      .orderBy(col("tri").desc, col("node"))
+      .limit(20)
+  val qTrianglesSql: String =
+    """WITH raw AS (
+      |  SELECT user_id AS src,
+      |    lead(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                        ORDER BY event_id) AS dst
+      |  FROM events),
+      |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      |      FROM raw WHERE dst IS NOT NULL AND dst <> src),
+      |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+      |      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      |      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+      |SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+      |  SELECT x AS node FROM t
+      |  UNION ALL SELECT y FROM t
+      |  UNION ALL SELECT z FROM t)
+      |GROUP BY node ORDER BY tri DESC, node LIMIT 20""".stripMargin
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -3600,6 +3629,7 @@ object Queries {
     "q_winnow_pairs" -> qWinnowPairs,
     "q_dedup_edit" -> qDedupEdit,
     "q_pagerank" -> qPageRank,
+    "q_triangles" -> qTriangles,
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
     "q_lm_score" -> qLmScore,
@@ -3794,6 +3824,7 @@ object Queries {
     "q_winnow_pairs" -> qWinnowPairsSql,
     "q_dedup_edit" -> qDedupEditSql,
     "q_pagerank" -> qPageRankSql,
+    "q_triangles" -> qTrianglesSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum" -> qChecksumSql,
     "q_checksum_md5" -> qChecksumMd5Sql,

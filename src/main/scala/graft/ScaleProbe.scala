@@ -335,6 +335,19 @@ object ScaleProbe {
           .drop("rep")
         operators.Graphs.pageRank(operators.Graphs.eventHandoffEdges(ev),
           "src", "dst", iters = 6)
+      }, forbid = Seq("CartesianProduct")),
+      // triangle counting at X×: degree-ordered orientation bounds the
+      // wedge intermediate at Σ outdeg² = O(m^1.5) independent of skew
+      // (the star-hub case: orientation points INTO high-degree nodes,
+      // so hubs generate ~zero wedges). Shuffle = degrees + two
+      // equi-joins; must stay spill-free as the graph densifies
+      run("triangles", {
+        val ev = Tables.events(spark, sfDir).select(col("*"), rep)
+          .withColumn("event_id", col("event_id") * X + col("rep"))
+          .withColumn("user_id", col("user_id") * X + col("rep"))
+          .drop("rep")
+        operators.Graphs.triangleCounts(
+          operators.Graphs.eventHandoffEdges(ev), "src", "dst")
       }, forbid = Seq("CartesianProduct"))
     ).flatten
     // broadcast stayed broadcast?

@@ -98,6 +98,64 @@ object Graphs {
     }
   }
 
+  /** Per-node triangle counts over an undirected graph — the local
+    * clustering signal crawl curation uses to separate organic link
+    * neighborhoods from link-farm cliques (and the classic bounded
+    * multi-way self-join: the one query shape where naive composition
+    * is O(m·n) and the right orientation makes it O(m^1.5)).
+    *
+    * Degree-ordered orientation (Cohen 2009; Suri & Vassilvitskii
+    * 2011): each undirected edge points from its (degree, id)-smaller
+    * endpoint to the larger, so every triangle is generated by exactly
+    * ONE wedge at its smallest vertex and the wedge intermediate is
+    * Σ_u outdeg(u)² = O(m^1.5) regardless of skew — a star's hub gets
+    * outdegree ~0 because the orientation points INTO high-degree
+    * nodes, which is the whole trick; orienting by id alone would give
+    * the hub m wedges. Plan: degrees (one agg) ride onto the edge
+    * table, wedges are an equi-join of the oriented adjacency with
+    * itself on the source, and closure is one more equi-join of the
+    * wedge's (v, w) against the oriented edge set. Counts are exact
+    * integers; no orientation leaks into the RESULT (triangles are
+    * orientation-invariant), which is what lets the DuckDB oracle use
+    * the simpler id-canonical 3-way join.
+    *
+    * Output: (node, tri) — triangles each node participates in;
+    * nodes with zero triangles are absent.
+    */
+  def triangleCounts(edgesIn: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edgesIn
+      .select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // (deg, id)-lexicographic orientation: u -> v iff rank(u) < rank(v)
+    val ranked = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = ranked.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("db")).otherwise(col("da")).as("dv"))
+    // wedge at u between its two larger-ranked neighbors, ends ordered
+    // by the SAME rank so the closing edge's orientation is known
+    val e1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val e2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = e1.join(e2, Seq("u"))
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val triangles = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    triangles
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+  }
+
   /** The gate's edge derivation: a "handoff" graph over the events
     * stream — within each (event_type, day) stream ordered by event_id,
     * an edge from each event's user to the next event's user. Windowed

@@ -71,6 +71,45 @@ class GraphsSpec extends SparkTestBase {
     assert(after.size <= 1, s"leaked checkpoints: $after")
   }
 
+  private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
+    val es = und.toSet
+    val nodes = (und.map(_._1) ++ und.map(_._2)).distinct.sorted
+    val counts = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- i + 1 until nodes.length
+      k <- j + 1 until nodes.length
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if es((a, b)) && es((a, c)) && es((b, c))
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    counts.toMap
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graphs.triangleCounts(edges.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangle counts match brute force on a clique+path+star mix") {
+    val clique = for (i <- 1L to 5L; j <- i + 1 to 5L) yield (i, j)
+    val path = Seq[(Long, Long)]((5, 6), (6, 7), (7, 8))
+    val star = (20L to 30L).map(i => (100L, i))
+    val extra = Seq[(Long, Long)]((20, 21), (2, 1), (3, 3)) // dup reversed + self
+    val edges = clique ++ path ++ star ++ extra
+    assert(runTriangles(edges) === refTriangles(edges))
+  }
+
+  test("triangle counts match brute force on a random graph (seeded)") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    assert(runTriangles(edges) === refTriangles(edges))
+  }
+
+  test("triangle-free graph returns no rows") {
+    val bipartite = for (i <- 1L to 5L; j <- 10L to 15L) yield (i, j)
+    assert(runTriangles(bipartite) === Map.empty)
+  }
+
   test("handoff edges: per (type, day) stream, next user, no self-loops") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10L, "click"),
