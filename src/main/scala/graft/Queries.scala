@@ -2445,6 +2445,63 @@ object Queries {
     * (DuckDB-replayable) and pins two in-query booleans: the merged
     * two-batch estimate EQUALS the one-shot sketch (register max is
     * partitioning-invariant) and lands within 5% of truth. */
+  /** Mergeable heavy-hitters store (operators.FreqStore, the fourth
+    * blind-append store): two-batch truncated top-50 token tables per
+    * language, read back as exact [lo, hi] frequency intervals — the
+    * DETERMINISTIC merge contract (integer sums over replayable
+    * truncations), deliberately not a sketch estimate (the HLL lesson).
+    * Gate emits each language's top-3 items by lower bound with both
+    * bounds; the oracle replays the per-batch row_number truncation,
+    * the threshold bookkeeping, and the interval arithmetic verbatim. */
+  private val freqStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val qFreqStore: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val dir = freqStoreCache.computeIfAbsent(d, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft_freq").toString + "/s"
+      graft.operators.FreqStore.writeTopK(
+        docs.where(col("doc_id") % 2 === 0)
+          .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok")),
+        "tok", "lang", t, k = 50, batchId = "even")
+      graft.operators.FreqStore.appendTopK(
+        docs.where(col("doc_id") % 2 === 1)
+          .select(col("lang"), explode(split(lower(trim(col("text"))), "\\s+")).as("tok")),
+        "tok", "lang", t, k = 50, batchId = "odd")
+      t
+    })
+    val iv = graft.operators.FreqStore.intervals(s, dir)
+    iv.withColumn("rn", row_number().over(Window.partitionBy("grp")
+        .orderBy(col("lo").desc, col("item"))))
+      .where(col("rn") <= 3)
+      .select(col("grp").as("lang"), col("item"), col("lo"), col("hi"))
+      .orderBy(col("lang"), col("lo").desc, col("item"))
+  }
+  val qFreqStoreSql: String =
+    """WITH tok AS (
+      |  SELECT lang AS grp, doc_id,
+      |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS item
+      |  FROM documents),
+      |cb AS (SELECT (doc_id % 2) AS b, grp, item, count(*) AS cnt
+      |       FROM tok GROUP BY 1, 2, 3),
+      |rk AS (SELECT b, grp, item, cnt,
+      |    row_number() OVER (PARTITION BY b, grp ORDER BY cnt DESC, item) AS rn
+      |  FROM cb),
+      |items AS (SELECT b, grp, item, cnt FROM rk WHERE rn <= 50),
+      |st AS (SELECT b, grp, cnt AS thresh FROM rk WHERE rn = 50),
+      |ts AS (SELECT grp, sum(thresh) AS tsum FROM st GROUP BY 1),
+      |pres AS (SELECT i.grp, i.item, CAST(sum(i.cnt) AS BIGINT) AS lo,
+      |    sum(COALESCE(s.thresh, 0)) AS tpresent
+      |  FROM items i LEFT JOIN st s ON s.b = i.b AND s.grp = i.grp
+      |  GROUP BY 1, 2),
+      |iv AS (SELECT p.grp, p.item, p.lo,
+      |    CAST(p.lo + COALESCE(t.tsum, 0) - p.tpresent AS BIGINT) AS hi
+      |  FROM pres p LEFT JOIN ts t ON t.grp = p.grp),
+      |top AS (SELECT grp, item, lo, hi,
+      |    row_number() OVER (PARTITION BY grp ORDER BY lo DESC, item) AS rn
+      |  FROM iv)
+      |SELECT grp AS lang, item, lo, hi FROM top WHERE rn <= 3
+      |ORDER BY lang, lo DESC, item""".stripMargin
+
   private val sketchStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val qSketchStore: QFn = (s, d) => {
@@ -3524,32 +3581,58 @@ object Queries {
       .limit(25)
   private val pageRankIters = 6
   private val pageRankScale = 1000000000000L
-  val qPageRankSql: String = {
+  private def pageRankOracle(weighted: Boolean): String = {
     val (num, den) = (85L, 100L)
     val teleport = pageRankScale / den * (den - num) +
       pageRankScale % den * (den - num) / den
+    // the engine's overflow-free exact floor(rank·w / wsum); for the
+    // unweighted graph w = 1 and this reduces to rank // wsum
+    val contrib = "(r.rank // e.wsum) * e.w + ((r.rank % e.wsum) * e.w) // e.wsum"
     val rounds = (1 to pageRankIters).map { i =>
-      s"""c$i AS (SELECT e.dst AS node, sum(r.rank // e.outdeg) AS m
+      s"""c$i AS (SELECT e.dst AS node, sum($contrib) AS m
          |  FROM e JOIN r${i - 1} r ON e.src = r.node GROUP BY 1),
          |r$i AS (SELECT n.node,
          |  CAST($teleport + ($num * COALESCE(c.m, 0)) // $den AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
     }.mkString(",\n")
+    val e0 =
+      if (weighted)
+        """e0 AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM raw
+          |       WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2),""".stripMargin
+      else
+        """e0 AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM (
+          |       SELECT DISTINCT src, dst FROM raw
+          |       WHERE dst IS NOT NULL AND dst <> src)),""".stripMargin
     s"""WITH raw AS (
        |  SELECT user_id AS src,
        |    lead(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
        |                        ORDER BY event_id) AS dst
        |  FROM events),
-       |e0 AS (SELECT DISTINCT src, dst FROM raw
-       |       WHERE dst IS NOT NULL AND dst <> src),
-       |od AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1),
-       |e AS (SELECT e0.src, e0.dst, od.outdeg FROM e0 JOIN od ON e0.src = od.src),
+       |$e0
+       |od AS (SELECT src, sum(w) AS wsum FROM e0 GROUP BY 1),
+       |e AS (SELECT e0.src, e0.dst, e0.w, od.wsum
+       |      FROM e0 JOIN od ON e0.src = od.src),
        |nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
        |r0 AS (SELECT node, CAST($pageRankScale AS BIGINT) AS rank FROM nodes),
        |$rounds
        |SELECT node, rank FROM r$pageRankIters
        |ORDER BY rank DESC, node LIMIT 25""".stripMargin
   }
+  val qPageRankSql: String = pageRankOracle(weighted = false)
+
+  /** Weighted PageRank (operators.Graphs.pageRankWeighted): handoff
+    * FREQUENCY as the edge weight — a user's rank splits
+    * proportionally across observed transitions instead of uniformly
+    * across distinct neighbors. Same unrolled-WITH-chain oracle, with
+    * the engine's overflow-free floor(rank·w/W) decomposition replayed
+    * verbatim. */
+  val qPageRankWeighted: QFn = (s, d) =>
+    graft.operators.Graphs.pageRankWeighted(
+        graft.operators.Graphs.eventHandoffEdges(events(s, d)), "src", "dst",
+        iters = pageRankIters, scale = pageRankScale)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(25)
+  val qPageRankWeightedSql: String = pageRankOracle(weighted = true)
 
   /** Per-node triangle counts (operators.Graphs.triangleCounts) over
     * the same event handoff graph as [[qPageRank]] — local clustering
@@ -3630,6 +3713,8 @@ object Queries {
     "q_dedup_edit" -> qDedupEdit,
     "q_pagerank" -> qPageRank,
     "q_triangles" -> qTriangles,
+    "q_freq_store" -> qFreqStore,
+    "q_pagerank_weighted" -> qPageRankWeighted,
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
     "q_lm_score" -> qLmScore,
@@ -3825,6 +3910,8 @@ object Queries {
     "q_dedup_edit" -> qDedupEditSql,
     "q_pagerank" -> qPageRankSql,
     "q_triangles" -> qTrianglesSql,
+    "q_freq_store" -> qFreqStoreSql,
+    "q_pagerank_weighted" -> qPageRankWeightedSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum" -> qChecksumSql,
     "q_checksum_md5" -> qChecksumMd5Sql,

@@ -55,21 +55,45 @@ object Graphs {
   def pageRank(edgesIn: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 6, scale: Long = 1000000000000L,
       dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
-    require(iters >= 1 && dampNum > 0 && dampNum < dampDen && scale > 0)
-    def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
-      val (cp, rel) = Dedup.checkpointTracked(df)
-      (df.sparkSession.createDataFrame(cp.rdd, df.schema), rel)
-    }
     val e0 = edgesIn
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-      .distinct()
-    // outdeg rides on the edge table so the per-round join is
+      .distinct().withColumn("w", lit(1L))
+    pageRankCore(e0, iters, scale, dampNum, dampDen)
+  }
+
+  /** Weighted PageRank: multi-edges aggregate to an integer weight per
+    * (src, dst) (e.g. handoff FREQUENCY, not mere existence) and each
+    * source's rank splits proportionally — contribution
+    * floor(rank·w / W) computed overflow-free as
+    * (rank div W)·w + ((rank mod W)·w) div W (rank·w alone would
+    * overflow BIGINT at corpus scale: rank ≤ N·scale ~ 1e16, w ~ 1e4).
+    * Same exact-integer replayability contract as [[pageRank]]. */
+  def pageRankWeighted(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 6, scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    val e0 = edgesIn
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    pageRankCore(e0, iters, scale, dampNum, dampDen)
+  }
+
+  private def pageRankCore(e0: DataFrame, iters: Int, scale: Long,
+      dampNum: Long, dampDen: Long): DataFrame = {
+    require(iters >= 1 && dampNum > 0 && dampNum < dampDen && scale > 0)
+    def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
+      val (cp, rel) = Dedup.checkpointTracked(df)
+      (df.sparkSession.createDataFrame(cp.rdd, df.schema), rel)
+    }
+    // the out-weight rides on the edge table so the per-round join is
     // edges ⋈ ranks only
     val (edges, releaseEdges) = checkpointCut(
-      e0.join(e0.groupBy("src").agg(count(lit(1)).as("outdeg")), Seq("src")))
+      e0.join(e0.groupBy("src").agg(sum(col("w")).as("wsum")), Seq("src")))
     val (nodes, releaseNodes) = checkpointCut(
       e0.select(col("src").as("node"))
         .union(e0.select(col("dst").as("node"))).distinct())
@@ -82,7 +106,8 @@ object Graphs {
         val contrib = edges
           .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
           .select(col("dst").as("node"),
-            expr("rank DIV outdeg").as("m"))
+            // exact floor(rank·w / wsum), overflow-free (scaladoc above)
+            expr("(rank DIV wsum) * w + ((rank % wsum) * w) DIV wsum").as("m"))
           .groupBy("node").agg(sum(col("m")).as("m"))
         val next = nodes
           .join(contrib, Seq("node"), "left")

@@ -71,6 +71,36 @@ class GraphsSpec extends SparkTestBase {
     assert(after.size <= 1, s"leaked checkpoints: $after")
   }
 
+  /** Driver replica of the weighted contract: multi-edges sum to w,
+    * contribution = exact floor(rank·w / W) via BigInt. */
+  private def referenceWeighted(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L, num: Long = 85, den: Long = 100): Map[Long, Long] = {
+    val e = edges.filter(p => p._1 != p._2)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nodes = (e.keys.map(_._1) ++ e.keys.map(_._2)).toSeq.distinct
+    val wsum = e.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val teleport = scale / den * (den - num) + scale % den * (den - num) / den
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to iters) {
+      val in = e.toSeq.groupBy(_._1._2).view.mapValues(_.map { case ((u, _), w) =>
+        (BigInt(rank(u)) * w / wsum(u)).toLong
+      }.sum).toMap
+      rank = nodes.map(n => n -> (teleport + num * in.getOrElse(n, 0L) / den)).toMap
+    }
+    rank
+  }
+
+  test("weighted ranks match the BigInt reference; multi-edges weigh in") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (1, 2), (1, 2), (1, 3),      // 1 favors 2 at 3:1
+      (2, 1), (3, 1), (3, 1), (2, 3), (4, 1))
+    val got = Graphs.pageRankWeighted(edges.toDF("src", "dst"), "src", "dst", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === referenceWeighted(edges, 5))
+    // and the weighting actually matters: node 2 outranks node 3
+    assert(got(2L) > got(3L))
+  }
+
   private def refTriangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val und = edges.filter(p => p._1 != p._2)
       .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).distinct
