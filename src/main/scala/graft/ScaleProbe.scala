@@ -348,7 +348,20 @@ object ScaleProbe {
           .drop("rep")
         operators.Graphs.triangleCounts(
           operators.Graphs.eventHandoffEdges(ev), "src", "dst")
-      }, forbid = Seq("CartesianProduct"))
+      }, forbid = Seq("CartesianProduct")),
+      // heavy-hitters store build at X×: the corpus-scale cost is the
+      // (grp, item) count aggregation; ranking is salted two-stage so
+      // no task sorts a whole group's vocabulary, and the store rows
+      // written are (groups × k) regardless of X
+      run("freq_store", {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_freq_probe").toString
+        operators.FreqStore.writeTopK(
+          docs.select(col("lang"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("tok")),
+          "tok", "lang", s"$dir/s", k = 50, batchId = "probe")
+        spark.read.parquet(s"$dir/s/items")
+      })
     ).flatten
     // broadcast stayed broadcast?
     require(heads.nonEmpty)

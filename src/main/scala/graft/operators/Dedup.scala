@@ -796,6 +796,14 @@ object Dedup {
     * stop-fingerprint pattern from [[winnowPairs]] for adversarially
     * dense key spaces; 0 keeps the operator exact (the gate's setting).
     *
+    * Character model: deletions operate on UTF-16 units while
+    * `levenshtein` counts code points, so completeness is guaranteed
+    * for BMP text only — an astral-plane character (emoji, rare CJK)
+    * is two units, and a pair differing by one such character needs
+    * d+1 unit-deletions to meet. Key-like strings (names, URLs, IDs)
+    * are BMP in practice; normalize or widen d by one if the key space
+    * is emoji-bearing.
+    *
     * Output: (id1, id2, dist) with id1 < id2, dist ≤ maxDist.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
