@@ -3663,6 +3663,49 @@ object Queries {
       |  UNION ALL SELECT z FROM t)
       |GROUP BY node ORDER BY tri DESC, node LIMIT 20""".stripMargin
 
+  /** Deterministic label-propagation communities
+    * (operators.Graphs.labelPropagation) over the SUPPORT-FILTERED
+    * handoff graph (a pair must hand off ≥3 times to count as an edge —
+    * on the raw graph the dense one-off noise collapses everything into
+    * one community; with support the sf0.01 graph keeps 25): 4
+    * synchronous rounds, most-frequent-neighbor-label with the
+    * count-DESC/label-ASC total tie order, so the oracle replays every
+    * round as an unrolled window-argmax chain. Output: the 20 largest
+    * communities. */
+  val qLabelProp: QFn = (s, d) => {
+    val supported = graft.operators.Graphs.eventHandoffEdges(events(s, d))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .where(col("w") >= 3).select("src", "dst")
+    graft.operators.Graphs.labelPropagation(supported, "src", "dst", iters = 4)
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(20)
+  }
+  val qLabelPropSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT e.a AS node, l.label, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.b = l.node GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (
+         |  SELECT node, label,
+         |    row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |  FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH raw AS (
+       |  SELECT user_id AS src,
+       |    lead(user_id) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+       |                        ORDER BY event_id) AS dst
+       |  FROM events),
+       |f AS (SELECT src, dst FROM raw WHERE dst IS NOT NULL AND dst <> src
+       |      GROUP BY 1, 2 HAVING count(*) >= 3),
+       |e AS (SELECT DISTINCT a, b FROM (
+       |  SELECT src AS a, dst AS b FROM f
+       |  UNION ALL SELECT dst AS a, src AS b FROM f)),
+       |l0 AS (SELECT DISTINCT a AS node, a AS label FROM e),
+       |$rounds
+       |SELECT label AS community, CAST(count(*) AS BIGINT) AS size
+       |FROM l4 GROUP BY 1 ORDER BY size DESC, community LIMIT 20""".stripMargin
+  }
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -3715,6 +3758,7 @@ object Queries {
     "q_triangles" -> qTriangles,
     "q_freq_store" -> qFreqStore,
     "q_pagerank_weighted" -> qPageRankWeighted,
+    "q_label_prop" -> qLabelProp,
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
     "q_lm_score" -> qLmScore,
@@ -3912,6 +3956,7 @@ object Queries {
     "q_triangles" -> qTrianglesSql,
     "q_freq_store" -> qFreqStoreSql,
     "q_pagerank_weighted" -> qPageRankWeightedSql,
+    "q_label_prop" -> qLabelPropSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum" -> qChecksumSql,
     "q_checksum_md5" -> qChecksumMd5Sql,

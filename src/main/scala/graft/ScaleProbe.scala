@@ -349,6 +349,20 @@ object ScaleProbe {
         operators.Graphs.triangleCounts(
           operators.Graphs.eventHandoffEdges(ev), "src", "dst")
       }, forbid = Seq("CartesianProduct")),
+      // label propagation at X×: per round one edges⋈labels join + a
+      // (node, label) count + a per-node argmax window (groups = a
+      // node's distinct neighbor labels — small by construction);
+      // support-filtered edges as in the gate
+      run("label_prop", {
+        val ev = Tables.events(spark, sfDir).select(col("*"), rep)
+          .withColumn("event_id", col("event_id") * X + col("rep"))
+          .withColumn("user_id", col("user_id") * X + col("rep"))
+          .drop("rep")
+        val supported = operators.Graphs.eventHandoffEdges(ev)
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+          .where(col("w") >= 3).select("src", "dst")
+        operators.Graphs.labelPropagation(supported, "src", "dst", iters = 4)
+      }, forbid = Seq("CartesianProduct")),
       // heavy-hitters store build at X×: the corpus-scale cost is the
       // (grp, item) count aggregation; ranking is salted two-stage so
       // no task sorts a whole group's vocabulary, and the store rows

@@ -123,6 +123,56 @@ object Graphs {
     }
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007), made fully
+    * deterministic: labels start as node ids; each round every node
+    * adopts the most frequent label among its neighbors with the tie
+    * broken by smallest label (a TOTAL order — count DESC, label ASC —
+    * so engines and re-runs agree bit-for-bit), for a FIXED round
+    * count. Curation use: near-dup/link communities finer than
+    * connected components ([[Dedup.clusters]] merges everything
+    * reachable; LPA splits weakly-joined regions), reproducible because
+    * the round count is part of the artifact's contract — the classic
+    * async/random LPA is deliberately NOT what this is.
+    *
+    * Per round: one join of the label table onto the symmetrized edge
+    * list + one (node, label) count + one per-node argmax window
+    * (small groups — a node's distinct neighbor labels), lineage cut
+    * per round like [[pageRankCore]]. Output: (node, community) after
+    * `iters` rounds.
+    */
+  def labelPropagation(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 4): DataFrame = {
+    require(iters >= 1)
+    def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
+      val (cp, rel) = Dedup.checkpointTracked(df)
+      (df.sparkSession.createDataFrame(cp.rdd, df.schema), rel)
+    }
+    val fwd = edgesIn
+      .select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    val (edges, releaseEdges) = checkpointCut(
+      fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
+    var (labels, releaseLabels) = checkpointCut(
+      edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")))
+    try {
+      for (_ <- 1 to iters) {
+        val votes = edges
+          .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+          .groupBy(col("a").as("node"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("node")
+          .orderBy(col("c").desc, col("label").asc)
+        val next = votes.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select("node", "label")
+        val (cp, rel) = checkpointCut(next)
+        releaseLabels(); labels = cp; releaseLabels = rel
+      }
+      labels.select(col("node"), col("label").as("community"))
+    } finally releaseEdges()
+  }
+
   /** Per-node triangle counts over an undirected graph — the local
     * clustering signal crawl curation uses to separate organic link
     * neighborhoods from link-farm cliques (and the classic bounded

@@ -140,6 +140,51 @@ class GraphsSpec extends SparkTestBase {
     assert(runTriangles(bipartite) === Map.empty)
   }
 
+  /** Driver replica of the deterministic synchronous LPA contract. */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(p => p._1 != p._2)
+      .flatMap(p => Seq(p, p.swap)).distinct
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var label = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters)
+      label = adj.map { case (n, ns) =>
+        val votes = ns.map(label).groupBy(identity).view.mapValues(_.size)
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    label
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graphs.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("label propagation matches the reference; two cliques stay apart") {
+    val cliqueA = for (i <- 1L to 5L; j <- i + 1 to 5L) yield (i, j)
+    val cliqueB = for (i <- 11L to 15L; j <- i + 1 to 15L) yield (i, j)
+    val bridge = Seq((5L, 11L))
+    val edges = cliqueA ++ cliqueB ++ bridge
+    for (iters <- Seq(1, 2, 4)) {
+      val got = runLpa(edges, iters)
+      assert(got === refLpa(edges, iters), s"iters=$iters")
+    }
+    val communities = runLpa(edges, 4)
+    assert(communities(2L) === communities(4L))
+    assert(communities(12L) === communities(14L))
+    assert(communities(2L) !== communities(12L),
+      "bridged cliques must keep distinct communities")
+  }
+
+  test("label propagation is partitioning-invariant (seeded random graph)") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2)
+    val a = runLpa(edges, 3)
+    val b = Graphs.labelPropagation(
+      scala.util.Random.shuffle(edges).toDF("src", "dst").repartition(17),
+      "src", "dst", 3).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b && a === refLpa(edges, 3))
+  }
+
   test("handoff edges: per (type, day) stream, next user, no self-loops") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 10L, "click"),
