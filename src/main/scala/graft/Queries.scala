@@ -3565,6 +3565,47 @@ object Queries {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Edit-distance join at the CAPPED production shape (maxBucket = 8):
+    * the exact gate above measures pair fan-out (output-bound at sf1);
+    * this one pins the plan the operator runs in production — hot
+    * deletion-variant buckets (shared by > 8 entries) are dropped
+    * before the pair join, bounding the blow-up on adversarially dense
+    * key spaces. The oracle replays the ALGORITHM (deletion
+    * neighborhoods + entry-count bucket cap + d=1 index filter +
+    * levenshtein verify) in SQL, so the cap semantics themselves are
+    * value-checked: on the padded-digit keys cap=8 keeps the 5/6/7-entry
+    * buckets and drops the 12/32/37-entry ones — a cap applied to the
+    * wrong side (distinct ids vs entries) or after the join mismatches. */
+  val qDedupEditCapped: QFn = (s, d) =>
+    graft.operators.Dedup.editDistancePairs(customer(s, d), "c_custkey", "c_name",
+        maxDist = 1, maxBucket = 8)
+      .groupBy("dist")
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("id1") * lit(100003L) + col("id2")).as("ids_hash"))
+      .orderBy("dist")
+  val qDedupEditCappedSql: String =
+    """WITH ent AS (
+      |  SELECT c_custkey AS id, c_name AS s, length(c_name) AS len,
+      |         CASE WHEN i = 0 THEN c_name
+      |              ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1) END AS vk,
+      |         CASE WHEN i = 0 THEN 0 ELSE 1 END AS cnt, i AS p
+      |  FROM customer, (SELECT unnest(range(0, 65)) AS i) g
+      |  WHERE i <= length(c_name)
+      |),
+      |live AS (
+      |  SELECT * FROM ent
+      |  WHERE vk IN (SELECT vk FROM ent GROUP BY vk HAVING count(*) <= 8)
+      |),
+      |pairs AS (
+      |  SELECT DISTINCT a.id AS id1, b.id AS id2, levenshtein(a.s, b.s) AS dist
+      |  FROM live a JOIN live b ON a.vk = b.vk AND a.id < b.id
+      |   AND abs(a.len - b.len) <= 1 AND (a.cnt <> b.cnt OR a.p = b.p)
+      |  WHERE levenshtein(a.s, b.s) <= 1
+      |)
+      |SELECT CAST(dist AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS pairs,
+      |       CAST(sum(id1 * 100003 + id2) AS BIGINT) AS ids_hash
+      |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** PageRank link authority (operators.Graphs.pageRank): 6 damped
     * power-iteration rounds over the event "handoff" graph (per
     * (event_type, day) stream, each event's user links to the next
@@ -3754,6 +3795,7 @@ object Queries {
     "q_winnow" -> qWinnow,
     "q_winnow_pairs" -> qWinnowPairs,
     "q_dedup_edit" -> qDedupEdit,
+    "q_dedup_edit_capped" -> qDedupEditCapped,
     "q_pagerank" -> qPageRank,
     "q_triangles" -> qTriangles,
     "q_freq_store" -> qFreqStore,
@@ -3952,6 +3994,7 @@ object Queries {
     "q_winnow" -> qWinnowSql,
     "q_winnow_pairs" -> qWinnowPairsSql,
     "q_dedup_edit" -> qDedupEditSql,
+    "q_dedup_edit_capped" -> qDedupEditCappedSql,
     "q_pagerank" -> qPageRankSql,
     "q_triangles" -> qTrianglesSql,
     "q_freq_store" -> qFreqStoreSql,

@@ -766,16 +766,24 @@ object Dedup {
     * generation is a self-equi-join on a 64-bit hash of the deletion
     * variant — bucket-bounded like every dedup variant in this file,
     * never all-pairs — with the deletion-INDEX compatibility filter
-    * before verification: the script-derived shared variant deletes
-    * positions that align within ±d across the two sides, so same-count
-    * entries must satisfy |p_k − p'_k| ≤ d per coordinate (and for
-    * d = 1, exact equality — a same-length lev≤1 pair differs at ≤ 1
-    * position p and always shares the del-p/del-p variant). On a
-    * padded-digit key space this filter is what separates the ~4.5×
-    * candidate blow-up of cross-position junk (e.g. "…12…"/"…21…"
-    * transpositions, genuine distance 2) from the true pair set:
-    * measured 15.2 M → 3.3 M candidates at the 10× probe, with
-    * candidates == verified pairs (zero waste) at d = 1.
+    * before verification AT d = 1 ONLY: a same-length lev≤1 pair
+    * differs at ≤ 1 position p and always shares the del-p/del-p
+    * variant, so same-count (cnt=1/cnt=1) entries may be required to
+    * agree on the deletion index exactly. On a padded-digit key space
+    * this filter is what separates the ~4.5× candidate blow-up of
+    * cross-position junk (e.g. "…12…"/"…21…" transpositions, genuine
+    * distance 2) from the true pair set: measured 15.2 M → 3.3 M
+    * candidates at the 10× probe, with candidates == verified pairs
+    * (zero waste) at d = 1. At d = 2 NO index filter is sound:
+    * shift-shaped pairs ("9012345"/"0123458", lev 2 via delete-front +
+    * append-back) share only deletion variants whose indices differ by
+    * up to L−1, so d=2 relies on the `levenshtein` verification alone
+    * (an earlier ±d per-coordinate bound silently dropped such pairs).
+    *
+    * Null strings are excluded up front (explicitly, not silently):
+    * a NULL key has no deletion neighborhood and `levenshtein` would
+    * null out any distance against it; callers wanting empty-string
+    * semantics must coalesce before the call.
     *
     * Plan shape pinned by construction: the short strings ride THROUGH
     * the variant pipeline (verification is an inline codegen
@@ -812,39 +820,36 @@ object Dedup {
       s"maxDist must be 1 or 2 (got $maxDist): the variant count is " +
         "O(L^d) per row — beyond d=2 use a sketch-based variant")
     val entriesUdf = udf((str: String) =>
-      Hashing.deletionEntries(if (str == null) "" else str, maxDist))
+      Hashing.deletionEntries(str, maxDist))
     val keyed = df
+      .where(col(strCol).isNotNull)
       .select(col(idCol).as("id"), col(strCol).as("s0"),
         length(col(strCol)).as("len"),
         explode(entriesUdf(col(strCol))).as("e"))
       .select(col("id"), col("s0"), col("len"), col("e._1").as("vk"),
-        col("e._2").as("cnt"), col("e._3").as("p1"), col("e._4").as("p2"))
+        col("e._2").as("cnt"), col("e._3").as("p1"))
     val live =
       if (maxBucket <= 0) keyed
       else keyed.join(
         keyed.groupBy("vk").agg(count(lit(1)).as("bn"))
           .where(col("bn") <= maxBucket).select("vk"), Seq("vk"))
-    // d=1: same-count entries must share the deletion index exactly;
-    // d=2: per-coordinate alignment within ±d (−1 wildcards never
-    // co-occur with a same-count mismatch at d≤2 except via the p2
-    // slot, which both sides populate symmetrically)
-    val idxCompat =
-      if (maxDist == 1) col("p1a") === col("p1b")
-      else (col("p1a") < 0 || col("p1b") < 0 ||
-        abs(col("p1a") - col("p1b")) <= lit(maxDist)) &&
-        (col("p2a") < 0 || col("p2b") < 0 ||
-          abs(col("p2a") - col("p2b")) <= lit(maxDist))
+    // d=1 only: same-count entries must share the deletion index
+    // exactly (provably exact — see scaladoc). d=2 has no sound index
+    // bound (shift-shaped pairs); levenshtein verification decides.
+    val cntIdxFilter =
+      if (maxDist == 1) col("cnt1") =!= col("cnt2") || col("p1a") === col("p1b")
+      else lit(true)
     live
       .select(col("id").as("id1"), col("s0").as("s1"), col("len").as("len1"),
-        col("vk"), col("cnt").as("cnt1"), col("p1").as("p1a"), col("p2").as("p2a"))
+        col("vk"), col("cnt").as("cnt1"), col("p1").as("p1a"))
       .join(live.select(col("id").as("id2"), col("s0").as("s2"),
           col("len").as("len2"), col("vk"), col("cnt").as("cnt2"),
-          col("p1").as("p1b"), col("p2").as("p2b"))
+          col("p1").as("p1b"))
           .hint("shuffle_hash"),
         Seq("vk"))
       .where(col("id1") < col("id2") &&
         abs(col("len1") - col("len2")) <= lit(maxDist) &&
-        (col("cnt1") =!= col("cnt2") || idxCompat))
+        cntIdxFilter)
       .withColumn("dist", levenshtein(col("s1"), col("s2")))
       .where(col("dist") <= lit(maxDist))
       .groupBy("id1", "id2")

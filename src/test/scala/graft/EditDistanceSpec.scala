@@ -58,6 +58,27 @@ class EditDistanceSpec extends SparkTestBase {
     assert(got(rows, 1) === allPairs(rows, 1))
   }
 
+  test("shift-shaped d=2 pairs survive (regression: index-compat over-prune)") {
+    // "9012345" vs "0123458": lev 2 (delete leading char + append
+    // trailing), every shared deletion variant has index offset 6 — a
+    // per-coordinate ±2 index filter silently dropped this shape.
+    val rows = Seq(0L -> "9012345", 1L -> "0123458",
+      2L -> "abcdefg", 3L -> "bcdefgh") // second shift pair, letters
+    assert(got(rows, 2) === allPairs(rows, 2))
+    assert(got(rows, 2).contains((0L, 1L, 2L)), "the shift pair itself")
+    assert(got(rows, 2).contains((2L, 3L, 2L)), "letter shift pair")
+  }
+
+  test("null strings are excluded explicitly; empty strings still pair") {
+    val df = spark.createDataFrame(Seq(
+      (0L, "ab"), (1L, null.asInstanceOf[String]), (2L, "a"), (3L, "")))
+      .toDF("id", "s")
+    val out = Dedup.editDistancePairs(df, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nulls never pair (even with ""); ("a","ab"), ("a",""), and no null legs
+    assert(out === Set((0L, 2L, 1L), (2L, 3L, 1L)))
+  }
+
   test("maxBucket cap drops hot-variant keys but keeps exact elsewhere") {
     // 50 identical strings make every variant bucket hot; two unrelated
     // near-pairs survive a cap that excludes the hot buckets.
