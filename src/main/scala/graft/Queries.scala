@@ -1049,7 +1049,10 @@ object Queries {
     * `replace(s, " l  r ", " lr ")` implements exact greedy
     * left-to-right non-overlapping BPE merging — identical semantics in
     * both engines; argmax tie-breaks are a total order: freq DESC, lhs,
-    * rhs in binary collation). */
+    * rhs in binary collation). An EXHAUSTED round (corpus fully merged
+    * before k rounds → b_i empty) leaves v_i = v_{i-1} via the LEFT
+    * JOIN instead of emptying the chain through a bare cross join —
+    * matching the engine, which simply learns fewer merges. */
   val qBpeMerges: QFn = (s, d) =>
     graft.operators.BpeTrain.merges(documents(s, d), "text", 8).orderBy("rank")
   private def bpeOracle(k: Int, finalSelect: String = ""): String = {
@@ -1066,8 +1069,10 @@ object Queries {
       |pc$i AS (SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS f
       |  FROM pu$i GROUP BY p.l, p.r),
       |b$i AS (SELECT l, r, f FROM pc$i ORDER BY f DESC, l, r LIMIT 1),
-      |v$i AS (SELECT replace(s, ' ' || b.l || '  ' || b.r || ' ',
-      |  ' ' || b.l || b.r || ' ') AS s, cnt FROM v${i - 1}, b$i b)""".stripMargin
+      |v$i AS (SELECT CASE WHEN b.l IS NULL THEN s
+      |  ELSE replace(s, ' ' || b.l || '  ' || b.r || ' ',
+      |  ' ' || b.l || b.r || ' ') END AS s, cnt
+      |  FROM v${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
     sb ++= "\n" + (if (finalSelect.nonEmpty) finalSelect
     else (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, f AS freq FROM b$i")
@@ -2765,14 +2770,25 @@ object Queries {
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ----------------------------------------------------------- multimodal
-  /** Multimodal plumbing (rows-only check): synthesize deterministic fake
-    * media payloads keyed by doc_id, decode metadata through the stubbed
-    * decoder, embed via the mapPartitions encoder — exercises the binary
-    * column path end-to-end (operators.Multimodal). */
+  /** Multimodal decode, REAL formats (round 11): synthesize genuine
+    * BMP / WAV / Y4M payloads keyed by doc_id (real headers, real row
+    * padding, real RIFF chunks, real FRAME markers), decode them through
+    * the pure-JVM binary parsers, embed via the mapPartitions encoder.
+    * The header fields remain closed-form arithmetic on doc_id — BMP
+    * payload_bytes includes the 4-byte ROW PADDING formula
+    * (floor((3w+3)/4)·4·h), so a codec that forgets the padding, reads
+    * big-endian, or mis-walks a RIFF chunk breaks value parity. */
   val qMultimodal: QFn = (s, d) => {
-    val mediaUdf = udf((id: Long) =>
-      graft.operators.Multimodal.fakeMedia((id % 3).toInt,
-        640 + (id % 100).toInt, 480 + (id % 50).toInt, id))
+    val mediaUdf = udf { (id: Long) =>
+      val m = graft.operators.Multimodal
+      (id % 3) match {
+        case 0 => m.bmpMedia(16 + (id % 8).toInt, 8 + (id % 4).toInt, id)
+        case 1 => m.wavMedia(8000 + (id % 100).toInt, 1 + (id % 2).toInt,
+          32 + (id % 16).toInt, id)
+        case _ => m.y4mMedia(8 + (id % 4).toInt, 6 + (id % 2).toInt,
+          2 + (id % 3).toInt, id)
+      }
+    }
     val docs = documents(s, d).select(col("doc_id"))
       .withColumn("media", mediaUdf(col("doc_id")))
     val withMeta = graft.operators.Multimodal.withMediaMeta(docs, "media")
@@ -2784,16 +2800,24 @@ object Queries {
       size(col("embedding")).cast(LongType).as("dim"))
       .orderBy("doc_id")
   }
-  /** The fake payload header is closed-form arithmetic on doc_id, so
-    * DuckDB replays what the binary encode → decode-stub → embed chain
-    * must reproduce: any wrong byte offset in the codec breaks parity. */
   val qMultimodalSql: String =
     """SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
       |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-      |  CAST(640 + doc_id % 100 AS INTEGER) AS width,
-      |  CAST(480 + doc_id % 50 AS INTEGER) AS height,
-      |  CAST(256 AS INTEGER) AS payload_bytes,
+      |  CASE CAST(doc_id % 3 AS INTEGER)
+      |       WHEN 0 THEN CAST(16 + doc_id % 8 AS INTEGER)
+      |       WHEN 1 THEN CAST(8000 + doc_id % 100 AS INTEGER)
+      |       ELSE CAST(8 + doc_id % 4 AS INTEGER) END AS width,
+      |  CASE CAST(doc_id % 3 AS INTEGER)
+      |       WHEN 0 THEN CAST(8 + doc_id % 4 AS INTEGER)
+      |       WHEN 1 THEN CAST(1 + doc_id % 2 AS INTEGER)
+      |       ELSE CAST(6 + doc_id % 2 AS INTEGER) END AS height,
+      |  CASE CAST(doc_id % 3 AS INTEGER)
+      |       WHEN 0 THEN CAST(((3 * (16 + doc_id % 8) + 3) // 4) * 4
+      |                        * (8 + doc_id % 4) AS INTEGER)
+      |       WHEN 1 THEN CAST((32 + doc_id % 16) * (1 + doc_id % 2) * 2 AS INTEGER)
+      |       ELSE CAST((2 + doc_id % 3) * (8 + doc_id % 4)
+      |                 * (6 + doc_id % 2) * 3 AS INTEGER) END AS payload_bytes,
       |  CAST(8 AS BIGINT) AS dim
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -3165,6 +3189,73 @@ object Queries {
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
        |  FROM sig a JOIN sig b ON a.t = b.t AND a.s = b.s AND a.vec_id < b.vec_id),
+       |sc AS (
+       |  SELECT id1, id2,
+       |    list_sum(list_transform(list_zip(e1.embedding, e2.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(e1.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform(e2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+       |  FROM cand JOIN embeddings e1 ON cand.id1 = e1.vec_id
+       |            JOIN embeddings e2 ON cand.id2 = e2.vec_id),
+       |bdir AS (SELECT id1, id2, cos FROM sc UNION ALL SELECT id2, id1, cos FROM sc),
+       |r AS (SELECT id1, id2, cos,
+       |  row_number() OVER (PARTITION BY id1 ORDER BY cos DESC, id2) AS rank FROM bdir)
+       |SELECT id1, id2, CAST(rank AS BIGINT) AS rank,
+       |  floor(cos * 1000000.0) / 1000000.0 AS score
+       |FROM r WHERE rank <= 5 ORDER BY id1, rank""".stripMargin
+  }
+
+  /** kNN graph at the HOT-CELL-CAPPED production shape
+    * ([[Similarity.selfTopKLsh]] maxCell/hotWindow): cells ≤ 60 members
+    * keep the exact all-pairs candidate union; hotter cells switch to
+    * id-ordered sliding-window pairing (next 8 in-cell ids per row) so a
+    * near-dup cluster contributes O(m·8) candidates instead of O(m²) —
+    * the knob that keeps the 100× replica probe linear (lshBitsFor holds
+    * EXPECTED density, but dup clusters co-cell at any bit count). The
+    * cap binds on this corpus: measured cell sizes straddle 60 at both
+    * sf0.01 (41..81) and sf0.1 (34..109), so the oracle replays BOTH
+    * paths — count/row_number over the (table, cell) partition, the rn
+    * band for the windowed pairs, union, dedup, cosine, mirror, rank. */
+  val qKnnGraphCapped: QFn = (s, d) => {
+    val e = embeddings(s, d)
+    Similarity.selfTopKLsh(e, "embedding", "vec_id",
+      k = 5, bits = Similarity.lshBitsFor(e.count()), tables = 6,
+      maxCell = 60, hotWindow = 8)
+      .withColumn("score", floor(col("score") * lit(1000000.0)) / lit(1000000.0))
+      .orderBy("id1", "rank")
+  }
+  val qKnnGraphCappedSql: String = {
+    val vals = (0 until 6).flatMap { t =>
+      Hashing.hyperplanes(24, 64, 42L + t).zipWithIndex.map { case (pl, p) =>
+        s"($t, $p, [${pl.map(x => if (x > 0) "1" else "-1").mkString(",")}]::DOUBLE[])"
+      }
+    }.mkString(", ")
+    s"""WITH planes(t, p, pl) AS (VALUES $vals),
+       |nb AS (SELECT greatest(3, least(24, length(bin(count(*))) - 6)) AS nbits
+       |       FROM embeddings),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |    string_agg(CASE WHEN list_sum(list_transform(list_zip(embedding, pl),
+       |      z -> CAST(z[1] AS DOUBLE) * z[2])) >= 0 THEN '1' ELSE '0' END,
+       |      '' ORDER BY p) AS s
+       |  FROM embeddings, planes WHERE p < (SELECT nbits FROM nb)
+       |  GROUP BY vec_id, t),
+       |marked AS (
+       |  SELECT vec_id, t, s,
+       |    count(*) OVER (PARTITION BY t, s) AS cn,
+       |    row_number() OVER (PARTITION BY t, s ORDER BY vec_id) AS rn
+       |  FROM sig),
+       |coldp AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM marked a JOIN marked b ON a.t = b.t AND a.s = b.s
+       |   AND a.vec_id < b.vec_id
+       |  WHERE a.cn <= 60 AND b.cn <= 60),
+       |hotp AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM marked a JOIN marked b ON a.t = b.t AND a.s = b.s
+       |   AND b.rn > a.rn AND b.rn <= a.rn + 8
+       |  WHERE a.cn > 60),
+       |cand AS (SELECT DISTINCT id1, id2
+       |         FROM (SELECT * FROM coldp UNION ALL SELECT * FROM hotp)),
        |sc AS (
        |  SELECT id1, id2,
        |    list_sum(list_transform(list_zip(e1.embedding, e2.embedding), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
@@ -3565,6 +3656,30 @@ object Queries {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Edit-distance join at d=2 (round 11): value-gates the SOUNDNESS
+    * fix — the old ±d index-compat filter silently dropped shift-shaped
+    * distance-2 pairs, and the padded digit keys are full of them
+    * (delete a leading digit / append a trailing one). Fixed id slice
+    * (< 2000) so the quadratic d=2 pair fan-out stays bench-bounded at
+    * every sf while the oracle brute-forces the slice exactly. */
+  val qDedupEdit2: QFn = (s, d) =>
+    graft.operators.Dedup.editDistancePairs(
+        customer(s, d).where(col("c_custkey") < 2000), "c_custkey", "c_name", 2)
+      .groupBy("dist")
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("id1") * lit(100003L) + col("id2")).as("ids_hash"))
+      .orderBy("dist")
+  val qDedupEdit2Sql: String =
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 2000)
+      |SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+      |  CAST(count(*) AS BIGINT) AS pairs,
+      |  CAST(sum(a.c_custkey * 100003 + b.c_custkey) AS BIGINT) AS ids_hash
+      |FROM c a JOIN c b
+      |  ON a.c_custkey < b.c_custkey
+      |  AND abs(length(a.c_name) - length(b.c_name)) <= 2
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Edit-distance join at the CAPPED production shape (maxBucket = 8):
     * the exact gate above measures pair fan-out (output-bound at sf1);
     * this one pins the plan the operator runs in production — hot
@@ -3674,6 +3789,37 @@ object Queries {
       .orderBy(col("rank").desc, col("node"))
       .limit(25)
   val qPageRankWeightedSql: String = pageRankOracle(weighted = true)
+
+  /** PageRank served FROM the persisted link-graph store
+    * (Graphs.writeEdges/appendEdges/rankWithStore): the handoff edges
+    * are split into two crawl batches (by (src+dst) parity), each batch
+    * appends its per-(src,dst) multi-edge COUNTS blind, and the rank is
+    * computed from the merged store — which must hash-match the one-shot
+    * weighted rank's oracle exactly (per-batch counts sum to the
+    * one-shot counts; the rank kernel is integer-exact, so
+    * store-served == corpus-rescan bit-for-bit). The round-11 closing of
+    * the "every corpus artifact has a blind-append store except the link
+    * graph" gap; GraphStoreSpec adds retry-replay neutrality. */
+  val qPageRankStore: QFn = (s, d) => {
+    val dir = graphStoreCache.computeIfAbsent(d, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft_graph").toString + "/edges"
+      val edges = graft.operators.Graphs.eventHandoffEdges(events(s, d))
+      graft.operators.Graphs.writeEdges(
+        edges.where(pmod(col("src") + col("dst"), lit(2)) === 0),
+        "src", "dst", t, batchId = "even")
+      graft.operators.Graphs.appendEdges(
+        edges.where(pmod(col("src") + col("dst"), lit(2)) === 1),
+        "src", "dst", t, batchId = "odd")
+      t
+    })
+    graft.operators.Graphs.rankWithStore(s, dir, weighted = true,
+      iters = pageRankIters, scale = pageRankScale)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(25)
+  }
+  private val graphStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val qPageRankStoreSql: String = pageRankOracle(weighted = true)
 
   /** Per-node triangle counts (operators.Graphs.triangleCounts) over
     * the same event handoff graph as [[qPageRank]] — local clustering
@@ -3796,10 +3942,12 @@ object Queries {
     "q_winnow_pairs" -> qWinnowPairs,
     "q_dedup_edit" -> qDedupEdit,
     "q_dedup_edit_capped" -> qDedupEditCapped,
+    "q_dedup_edit2" -> qDedupEdit2,
     "q_pagerank" -> qPageRank,
     "q_triangles" -> qTriangles,
     "q_freq_store" -> qFreqStore,
     "q_pagerank_weighted" -> qPageRankWeighted,
+    "q_pagerank_store" -> qPageRankStore,
     "q_label_prop" -> qLabelProp,
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
@@ -3850,6 +3998,7 @@ object Queries {
     "q_map_fns" -> qMapFns,
     "q_knn_exact" -> qKnnExact,
     "q_knn_graph" -> qKnnGraph,
+    "q_knn_graph_capped" -> qKnnGraphCapped,
     "q_knn_lsh_exact" -> qKnnLshExact,
     "q_knn_recall" -> qKnnRecall,
     "q_embed_recall" -> qEmbedRecall,
@@ -3952,6 +4101,7 @@ object Queries {
     "q_ann_ivf_full" -> qAnnIvfFullSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_knn_graph" -> qKnnGraphSql,
+    "q_knn_graph_capped" -> qKnnGraphCappedSql,
     "q_ann_index" -> qAnnIndexSql,
     "q_ann_batch" -> qAnnBatchSql,
     "q_embed_stats" -> qEmbedStatsSql,
@@ -3995,10 +4145,12 @@ object Queries {
     "q_winnow_pairs" -> qWinnowPairsSql,
     "q_dedup_edit" -> qDedupEditSql,
     "q_dedup_edit_capped" -> qDedupEditCappedSql,
+    "q_dedup_edit2" -> qDedupEdit2Sql,
     "q_pagerank" -> qPageRankSql,
     "q_triangles" -> qTrianglesSql,
     "q_freq_store" -> qFreqStoreSql,
     "q_pagerank_weighted" -> qPageRankWeightedSql,
+    "q_pagerank_store" -> qPageRankStoreSql,
     "q_label_prop" -> qLabelPropSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum" -> qChecksumSql,

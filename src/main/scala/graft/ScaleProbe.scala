@@ -41,6 +41,22 @@ object ScaleProbe {
     def reset(): Unit = { shuffleWrite = 0; memSpill = 0; diskSpill = 0; peakStageMem = 0 }
   }
 
+  /** Deterministic power-law graph for the skew probes: 5 hub nodes
+    * receive half of all 200k·X edges (~20k·X raw edges EACH — ≥ 10⁵ at
+    * X=10), the other half lands uniformly on 50k·X background nodes.
+    * Hash-derived, no RNG — reruns and engines agree. */
+  private def skewEdges(spark: SparkSession, x: Int): DataFrame = {
+    val m = 200000L * x
+    val n = 50000L * x
+    val hubs = 5L
+    spark.range(m).select(
+      when(pmod(col("id"), lit(2)) === 0,
+        pmod(xxhash64(col("id")), lit(hubs)))
+        .otherwise(pmod(xxhash64(col("id") + 1000000007L), lit(n)) + hubs)
+        .as("src"),
+      (pmod(xxhash64(col("id") + 777L), lit(n)) + lit(hubs)).as("dst"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -253,10 +269,14 @@ object ScaleProbe {
           .drop("rep")
         operators.Similarity.quantizedTopK(embs, "embedding", "vec_id", q, 20)
       }),
-      // BPE training at X×: after the first word-count groupBy the loop
-      // runs on the VOCABULARY table — wall must grow far slower than X
-      // (the corpus scan is the only X-proportional stage)
-      run("bpe_train", operators.BpeTrain.merges(docs, "text", 8)),
+      // BPE training at X× and REALISTIC merge depth (1k rounds — a
+      // real tokenizer trains 32k): the corpus pays one word-count
+      // groupBy; the merge loop runs in memory over the collected
+      // vocabulary (round-11 fast path), so wall must grow far slower
+      // than X AND be merge-depth-insensitive — the old per-merge
+      // Spark-job loop was ~0.1 s/round (hours at 32k) regardless of
+      // corpus size
+      run("bpe_train", operators.BpeTrain.merges(docs, "text", 1000)),
       // BM25 at X×: ONE corpus-scale shuffle (the per-doc conditional
       // aggregation), then everything is bounded by matching docs; the
       // corpus-constants row is a broadcast O(n·1) join (BNLJ by plan
@@ -305,8 +325,15 @@ object ScaleProbe {
           // were still exact dups to this pipeline)
           .withColumn("embedding", perturbDir(col("embedding")))
           .drop("rep")
+        // production shape: hot-cell cap ON. lshBitsFor keeps the
+        // EXPECTED density flat, but the X perturbed replicas of each
+        // source vector form a near-dup cluster that co-cells in every
+        // table — O(X²) candidates per source without the cap (the
+        // round-10 super-linear trend: 10.7 s → 68 s for 10×). Hot
+        // cells (> 256 = 4× the density target) pair each member with
+        // its next 8 in-cell ids instead: linear, still connected.
         operators.Similarity.selfTopKLsh(embs, "embedding", "vec_id",
-          k = 5, bits = knnBits, tables = 6)
+          k = 5, bits = knnBits, tables = 6, maxCell = 256, hotWindow = 8)
       }),
       // edit-distance join at X×: key cardinality scales (names are
       // re-derived from the remapped key, so digit-typo pair density
@@ -362,6 +389,29 @@ object ScaleProbe {
           .groupBy("src", "dst").agg(count(lit(1)).as("w"))
           .where(col("w") >= 3).select("src", "dst")
         operators.Graphs.labelPropagation(supported, "src", "dst", iters = 4)
+      }, forbid = Seq("CartesianProduct")),
+      // SKEWED-graph probes (round 11): the handoff graph is
+      // near-uniform, so the 100× runs above never stressed the two
+      // skew claims — triangle counting's Σ outdeg² = O(m^1.5) bound
+      // (true only because degree-ordered orientation points INTO
+      // hubs) and LPA's per-node argmax on hub neighborhoods. This
+      // power-law generator gives 5 hubs ~M/10 raw edges EACH (10⁵+ at
+      // X=10) over a uniform background; wedge/max-outdeg telemetry is
+      // printed after the triangles head.
+      run("triangles_skew", {
+        operators.Graphs.triangleCounts(skewEdges(spark, X), "src", "dst")
+      }, forbid = Seq("CartesianProduct")),
+      {
+        if (headRe.forall(_.findFirstIn("triangles_skew").isDefined)) {
+          val (wedges, maxOd) = operators.Graphs.wedgeStats(
+            skewEdges(spark, X), "src", "dst")
+          println(f"triangles_skew telemetry: wedges=$wedges%,d maxOrientedOutdeg=$maxOd%,d")
+        }
+        None
+      },
+      run("label_prop_skew", {
+        operators.Graphs.labelPropagation(skewEdges(spark, X), "src", "dst",
+          iters = 4)
       }, forbid = Seq("CartesianProduct")),
       // heavy-hitters store build at X×: the corpus-scale cost is the
       // (grp, item) count aggregation; ranking is salted two-stage so

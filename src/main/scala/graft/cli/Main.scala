@@ -196,6 +196,7 @@ object Main {
     // load side's source-db admission filter.
     val aliases = Map("-o" -> "outputdir", "-d" -> "directory", "-B" -> "database",
       "-x" -> "regex", "-r" -> "rows", "-c" -> "compress", "-t" -> "threads",
+      "-T" -> "tables-list",
       "-F" -> "chunk-filesize", "-e" -> "build-empty-files",
       "-D" -> "daemon", "-I" -> "snapshot-interval", "-X" -> "snapshot-count",
       "-L" -> "logfile", "-m" -> "no-schemas",
@@ -233,12 +234,17 @@ object Main {
           if (inline.exists(isFalsy)) "false" else inline.getOrElse("true"))
       } else if (inline.isDefined) {
         add(key, inline.get)
-      } else if (i + 1 < args.length && args(i + 1).startsWith("--")) {
+      } else if (i + 1 < args.length && (args(i + 1).startsWith("--") ||
+          aliases.contains(args(i + 1)))) {
         // an unknown switch must not swallow the next OPTION as its
         // value (the reference ignores unknown keys,
         // g_option_context_set_ignore_unknown_options; a cnf-injected
         // bare key eating `--threads 8` silently reverted threads).
-        // A genuine value starting with `--` still has the `=` form.
+        // Known SHORT spellings count as options too (`--unknownkey -T
+        // tbl` must still parse -T); any other single-dash token stays
+        // a value — `--regex '-internal$'` is the case that forbids a
+        // blanket dash lookahead. A genuine value that looks like an
+        // option still has the `=` form.
         System.err.println(s"[graft] option --$key has no value " +
           s"(next token ${args(i + 1)} is an option); treating as boolean")
         add(key, "true")

@@ -45,13 +45,51 @@ object BpeTrain {
 
   /** Learned merge table: (rank 1..numMerges, lhs, rhs, freq). Stops
     * early if the vocabulary runs out of adjacent pairs (every word
-    * fully merged) — rank is then < numMerges. */
-  def merges(docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    * fully merged) — rank is then < numMerges.
+    *
+    * Two-tier execution, the same small-table fast path the reference
+    * pins for metadata queries: the corpus pays exactly ONE distributed
+    * scan (the word-count groupBy — the only stage whose cost grows
+    * with corpus size); the merge loop itself runs over the DISTINCT
+    * word × count table, which is vocabulary-bounded (natural-language
+    * vocabularies are millions of words regardless of corpus bytes), so
+    * when it fits under `driverVocabLimit` distinct words it is
+    * collected and the merges run in memory with incremental pair-count
+    * maintenance — O(affected words) per merge instead of one Spark
+    * job + limit(1).collect() per merge (~0.1 s/round × 32k merges =
+    * hours of driver-round latency for a real tokenizer; measured 1k
+    * merges in seconds on the in-memory loop). Above the limit the
+    * checkpointed distributed loop below handles the degenerate
+    * synthetic-key-space case. Both paths implement the IDENTICAL
+    * contract — overlapping-adjacency pair counts, argmax tie-break
+    * (freq DESC, lhs ASC, rhs ASC in UTF-8 binary collation, matching
+    * Spark's string ordering), greedy left-to-right non-overlapping
+    * replace — so the switch is invisible to the value gates
+    * (BpeTrainSpec pins path parity). */
+  def merges(docs: DataFrame, textCol: String, numMerges: Int,
+      driverVocabLimit: Long = 5000000L): DataFrame = {
     val spark = docs.sparkSession
-    val wc = docs
+    val wcWords = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(spacedSymbols(col("w")).as("s"), col("cnt"))
+    val wc = wcWords.select(spacedSymbols(col("w")).as("s"), col("cnt"))
+
+    if (driverVocabLimit > 0 && wcWords.limit(
+        (driverVocabLimit + 1).min(Int.MaxValue.toLong).toInt)
+        .count() <= driverVocabLimit) {
+      val rows = wcWords.collect().map(r =>
+        (r.getString(0).split("").filter(_.nonEmpty) :+ "</w>", r.getLong(1)))
+      val learnedLocal = mergesLocal(rows, numMerges)
+      return spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(learnedLocal.zipWithIndex.map { case ((l, r, f), i) =>
+            Row((i + 1).toLong, l, r, f) }).asJava),
+        StructType(Seq(
+          StructField("rank", LongType, nullable = false),
+          StructField("lhs", StringType, nullable = false),
+          StructField("rhs", StringType, nullable = false),
+          StructField("freq", LongType, nullable = false))))
+    }
 
     val sc = spark.sparkContext
     def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
@@ -93,6 +131,109 @@ object BpeTrain {
         StructField("lhs", StringType, nullable = false),
         StructField("rhs", StringType, nullable = false),
         StructField("freq", LongType, nullable = false))))
+  }
+
+  /** In-memory merge loop over a collected (symbols, count) vocabulary —
+    * the rounds-at-scale path (32k-merge tokenizers). Pair counts are
+    * maintained INCREMENTALLY: each merge re-scans only the words that
+    * contain the merged pair (tracked per pair; stale entries are
+    * skipped by re-checking adjacency), so cost per merge is
+    * O(words containing the pair), not O(vocabulary). Contract is
+    * bit-identical to the distributed loop: overlapping adjacencies
+    * count (like adjacentPairs' explode), argmax ties break freq DESC /
+    * lhs ASC / rhs ASC in UTF-8 byte order (Spark's binary string
+    * collation — NOT Java's UTF-16 compareTo, which disagrees above the
+    * BMP), and the merge itself is greedy left-to-right non-overlap. */
+  private[operators] def mergesLocal(vocab: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String, Long)] = {
+    // UTF-8 unsigned-byte lexicographic — Spark's string sort order
+    def u8cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    val words = vocab.map(_._1.clone())
+    val cnt = vocab.map(_._2)
+    val pairFreq = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.BitSet]
+    // lazy-deletion max-heap over (freq, lhs, rhs) snapshots: a linear
+    // argmax over the pair map would be O(P) per merge — hours at 32k
+    // merges × millions of pairs. Stale snapshots (freq changed since
+    // push) are discarded on pop by consulting the live map.
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int = {
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1) // bigger freq wins
+        else {
+          val cl = u8cmp(b._2, a._2) // SMALLER lhs wins
+          if (cl != 0) cl else u8cmp(b._3, a._3) // then smaller rhs
+        }
+      }
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
+    def addPairs(wi: Int, sign: Long): Unit = {
+      val a = words(wi)
+      var i = 0
+      while (i < a.length - 1) {
+        val p = (a(i), a(i + 1))
+        val nf = pairFreq.getOrElse(p, 0L) + sign * cnt(wi)
+        if (nf == 0L) pairFreq.remove(p)
+        else { pairFreq(p) = nf; heap.enqueue((nf, p._1, p._2)) }
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p,
+            scala.collection.mutable.BitSet.empty) += wi
+        i += 1
+      }
+    }
+    var wi = 0
+    while (wi < words.length) { addPairs(wi, 1L); wi += 1 }
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var k = 0
+    while (k < numMerges && pairFreq.nonEmpty) {
+      var top: (Long, String, String) = null
+      while (top == null && heap.nonEmpty) {
+        val c = heap.dequeue()
+        if (pairFreq.get((c._2, c._3)).contains(c._1)) top = c
+      }
+      if (top == null) return learned.toSeq // heap drained: no live pairs
+      val (f, l, r) = top
+      learned += ((l, r, f))
+      k += 1
+      val merged = l + r
+      // stale BitSet entries (word no longer contains the adjacency)
+      // fall out naturally: the re-scan below subtracts then re-adds the
+      // word's actual pairs, a no-op when (l, r) is absent
+      for (w <- pairWords.remove((l, r)).getOrElse(
+          scala.collection.mutable.BitSet.empty)) {
+        val a = words(w)
+        var has = false
+        var i = 0
+        while (i < a.length - 1 && !has) {
+          has = a(i) == l && a(i + 1) == r; i += 1
+        }
+        if (has) {
+          addPairs(w, -1L)
+          // greedy left-to-right non-overlapping merge
+          val out = new scala.collection.mutable.ArrayBuffer[String](a.length)
+          i = 0
+          while (i < a.length) {
+            if (i < a.length - 1 && a(i) == l && a(i + 1) == r) {
+              out += merged; i += 2
+            } else { out += a(i); i += 1 }
+          }
+          words(w) = out.toArray
+          addPairs(w, 1L)
+        }
+      }
+    }
+    learned.toSeq
   }
 
   /** Segment a corpus with a learned merge table — the APPLY side of

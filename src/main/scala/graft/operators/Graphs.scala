@@ -54,7 +54,19 @@ object Graphs {
     */
   def pageRank(edgesIn: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 6, scale: Long = 1000000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    pageRankScoped(edgesIn, srcCol, dstCol, iters, scale, dampNum, dampDen).df
+
+  /** [[pageRank]] with an explicit storage lifecycle: the returned
+    * [[Dedup.Scoped]]'s `release()` frees the final rank table's
+    * localCheckpoint blocks. The convenience overload leaks exactly one
+    * final-table copy until JVM exit — fine for a one-shot job, NOT for
+    * daemonized batch cadence (checkpointTracked's contract); callers
+    * on a loop must use this variant, mirroring
+    * [[Dedup.clustersScoped]]. */
+  def pageRankScoped(edgesIn: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 6, scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): Dedup.Scoped = {
     val e0 = edgesIn
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
@@ -73,7 +85,15 @@ object Graphs {
     * Same exact-integer replayability contract as [[pageRank]]. */
   def pageRankWeighted(edgesIn: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 6, scale: Long = 1000000000000L,
-      dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+      dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    pageRankWeightedScoped(edgesIn, srcCol, dstCol, iters, scale,
+      dampNum, dampDen).df
+
+  /** [[pageRankWeighted]] with the release lifecycle of
+    * [[pageRankScoped]]. */
+  def pageRankWeightedScoped(edgesIn: DataFrame, srcCol: String,
+      dstCol: String, iters: Int = 6, scale: Long = 1000000000000L,
+      dampNum: Long = 85, dampDen: Long = 100): Dedup.Scoped = {
     val e0 = edgesIn
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
@@ -84,7 +104,7 @@ object Graphs {
   }
 
   private def pageRankCore(e0: DataFrame, iters: Int, scale: Long,
-      dampNum: Long, dampDen: Long): DataFrame = {
+      dampNum: Long, dampDen: Long): Dedup.Scoped = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen && scale > 0)
     def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
       val (cp, rel) = Dedup.checkpointTracked(df)
@@ -117,10 +137,79 @@ object Graphs {
         val (cp, rel) = checkpointCut(next)
         releaseRanks(); ranks = cp; releaseRanks = rel
       }
-      ranks
+      Dedup.Scoped(ranks, releaseRanks)
     } finally {
       releaseEdges(); releaseNodes()
     }
+  }
+
+  /** Persisted link-graph store — the same blind-append / read-side-
+    * dedup contract as every other corpus artifact store in this repo
+    * (BM25 postings, LM counts, HLL registers, heavy-hitters:
+    * [[FreqStore]] is the template). A crawl batch appends its edge
+    * counts once; authority is then re-ranked from the store without
+    * rescanning any corpus batch.
+    *
+    * Layout: one parquet table (src, dst, w, batch_id) where w is the
+    * batch's exact multi-edge count for the (src, dst) pair — counts,
+    * not raw edges, so a RETRIED batch (same batch_id written twice) is
+    * neutralized by (src, dst, batch_id) dedup on read without
+    * destroying genuine multi-edge weight, exactly the LM-store ruling.
+    * Null endpoints and self-loops are dropped at write time (both rank
+    * variants drop them anyway; storing them would only inflate the
+    * store). Merge is an integer sum per (src, dst) — associative,
+    * partition-order-free, replayable in SQL. */
+  def writeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      path: String, batchId: String = "batch-0",
+      mode: String = "overwrite"): Unit =
+    edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).parquet(path)
+
+  /** Blind-append another crawl batch (replay-neutral, see
+    * [[writeEdges]]). */
+  def appendEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      path: String, batchId: String): Unit =
+    writeEdges(edges, srcCol, dstCol, path, batchId, mode = "append")
+
+  /** Merged (src, dst, w) multi-edge counts from the store — identical
+    * to what one aggregation over the concatenated raw batches would
+    * produce, at the cost of (pairs × batches) rows instead of a corpus
+    * rescan. */
+  def readEdges(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .dropDuplicates("src", "dst", "batch_id")
+      .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+
+  /** PageRank served FROM the store: bit-identical to running
+    * [[pageRank]] (`weighted = false`) or [[pageRankWeighted]] (`true`)
+    * over the union of every appended batch's raw edges — the two-batch
+    * = one-shot equivalence GraphStoreSpec pins — because the stored
+    * per-batch counts sum to exactly the one-shot multi-edge counts and
+    * both rank kernels are integer-exact. */
+  def rankWithStore(spark: org.apache.spark.sql.SparkSession, path: String,
+      weighted: Boolean = false, iters: Int = 6,
+      scale: Long = 1000000000000L, dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame =
+    rankWithStoreScoped(spark, path, weighted, iters, scale,
+      dampNum, dampDen).df
+
+  /** [[rankWithStore]] with the release lifecycle of
+    * [[pageRankScoped]]. */
+  def rankWithStoreScoped(spark: org.apache.spark.sql.SparkSession,
+      path: String, weighted: Boolean = false, iters: Int = 6,
+      scale: Long = 1000000000000L, dampNum: Long = 85,
+      dampDen: Long = 100): Dedup.Scoped = {
+    val e = readEdges(spark, path)
+    val e0 = if (weighted) e else e.select(col("src"), col("dst"))
+      .withColumn("w", lit(1L))
+    pageRankCore(e0, iters, scale, dampNum, dampDen)
   }
 
   /** Synchronous label propagation (Raghavan et al. 2007), made fully
@@ -141,7 +230,14 @@ object Graphs {
     * `iters` rounds.
     */
   def labelPropagation(edgesIn: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4): DataFrame =
+    labelPropagationScoped(edgesIn, srcCol, dstCol, iters).df
+
+  /** [[labelPropagation]] with the release lifecycle of
+    * [[pageRankScoped]]: `release()` frees the final label table's
+    * checkpoint blocks. */
+  def labelPropagationScoped(edgesIn: DataFrame, srcCol: String,
+      dstCol: String, iters: Int = 4): Dedup.Scoped = {
     require(iters >= 1)
     def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
       val (cp, rel) = Dedup.checkpointTracked(df)
@@ -169,7 +265,9 @@ object Graphs {
         val (cp, rel) = checkpointCut(next)
         releaseLabels(); labels = cp; releaseLabels = rel
       }
-      labels.select(col("node"), col("label").as("community"))
+      Dedup.Scoped(
+        labels.select(col("node"), col("label").as("community")),
+        releaseLabels)
     } finally releaseEdges()
   }
 
@@ -229,6 +327,42 @@ object Graphs {
     triangles
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
+  }
+
+  /** Wedge telemetry for the degree-ordered orientation: (wedge count
+    * Σ_u C(outdeg u, 2), max oriented outdegree). The wedge count IS the
+    * triangle join's intermediate cardinality, so this is the number the
+    * O(m^1.5) claim stands or falls on — a skew probe asserts the
+    * orientation caps it even when raw hub degrees are 10⁵ (the hub's
+    * edges orient INTO it, so its OUTdegree stays small). Shares the
+    * exact orientation arithmetic with [[triangleCounts]]. */
+  def wedgeStats(edgesIn: DataFrame, srcCol: String,
+      dstCol: String): (Long, Long) = {
+    val outdeg = orientedOutDegrees(edgesIn, srcCol, dstCol)
+    val r = outdeg.agg(
+      sum(expr("od * (od - 1) DIV 2")).as("wedges"),
+      max(col("od")).as("maxod")).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def orientedOutDegrees(edgesIn: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edgesIn
+      .select(least(col(srcCol), col(dstCol)).cast(LongType).as("a"),
+        greatest(col(srcCol), col(dstCol)).cast(LongType).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ranked = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    ranked.select(when(fwd, col("a")).otherwise(col("b")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("od"))
   }
 
   /** The gate's edge derivation: a "handoff" graph over the events

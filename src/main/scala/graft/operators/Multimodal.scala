@@ -7,21 +7,21 @@ import org.apache.spark.sql.types._
 
 /** Multimodal (image/audio/video) columns over the relational substrate
   * (builder brief): media travels as an opaque `binary` column plus typed
-  * metadata; decode / feature-extract / frame-sample run as distributed
-  * map operators.
+  * metadata; decode / feature-extract / resize / frame-sample run as
+  * distributed map operators.
   *
-  * The actual codec work is STUBBED — this container has no image/audio
-  * libraries — behind `decodeStub`: it parses a deterministic fake header
-  * (magic "GFTM" + type + width + height, written by [[fakeMedia]]) where
-  * a real deployment would call the codec. Everything around the stub is
-  * real and load-bearing: schemas, null handling for corrupt payloads,
-  * the mapPartitions batch shape (amortizing per-partition decoder/model
-  * init — the JVM analog of `mapInPandas` batching), and partition-count
-  * guidance for ~MB-sized payloads (`repartitionForMedia`).
+  * The decoders are GENUINE pure-JVM binary parsers for three public
+  * formats — BMP (24-bit uncompressed BITMAPINFOHEADER), WAV (RIFF PCM),
+  * and Y4M (YUV4MPEG2, C444) — so the pipeline exercises real byte-level
+  * failure modes: bad magic, truncated headers, header-declared sizes
+  * exceeding the actual payload, unsupported bpp/compression. Every
+  * failure decodes to a NULL column, never a task failure (the loader
+  * contract: one corrupt image in 10⁹ must not kill the job). Only the
+  * ML *model* stays stubbed (the hash-derived embedding in
+  * [[embedMedia]] — this container has no model runtime); the byte-level
+  * decode, pixel access, resize resample and frame demux are real.
   */
 object Multimodal {
-
-  val Magic: Array[Byte] = "GFTM".getBytes("US-ASCII")
 
   val metaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),
@@ -29,54 +29,237 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("payload_bytes", IntegerType)))
 
-  /** Test/dev helper: a deterministic fake media payload. Layout:
-    * GFTM | type(1B: 0=img,1=audio,2=video) | width(4B) | height(4B) |
-    * seed-derived payload. A real pipeline reads real image bytes here. */
-  def fakeMedia(mediaType: Int, w: Int, h: Int, seed: Long,
-      payloadLen: Int = 256): Array[Byte] = {
-    val out = new Array[Byte](13 + payloadLen)
-    System.arraycopy(Magic, 0, out, 0, 4)
-    out(4) = mediaType.toByte
-    intTo(out, 5, w); intTo(out, 9, h)
-    var i = 0
+  // ------------------------------------------------------------ generators
+  // Deterministic REAL-format payloads (seed-derived pixels/samples) for
+  // tests and the value gate; a production pipeline reads crawl bytes.
+
+  /** 24-bit uncompressed BMP, rows bottom-up, 4-byte row padding. */
+  def bmpMedia(w: Int, h: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val pixelBytes = rowSize * h
+    val out = new Array[Byte](54 + pixelBytes)
+    out(0) = 'B'; out(1) = 'M'
+    leInt(out, 2, 54 + pixelBytes) // file size
+    leInt(out, 10, 54) // pixel array offset
+    leInt(out, 14, 40) // BITMAPINFOHEADER size
+    leInt(out, 18, w); leInt(out, 22, h)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    leInt(out, 30, 0) // BI_RGB
+    leInt(out, 34, pixelBytes)
     var s = seed
-    while (i < payloadLen) { s = Hashing.mix64(s); out(13 + i) = (s & 0xff).toByte; i += 1 }
+    var i = 0
+    while (i < pixelBytes) { s = Hashing.mix64(s); out(54 + i) = (s & 0xff).toByte; i += 1 }
     out
   }
-  private def intTo(b: Array[Byte], off: Int, v: Int): Unit = {
-    b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
-    b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
-  }
-  private def intAt(b: Array[Byte], off: Int): Int =
-    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
-      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
 
-  /** STUB decode: header → metadata struct; corrupt/foreign payloads → null
-    * (the schema and null-contract are what a real decoder must honor). */
-  private def decodeStub(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
-    if (bytes == null || bytes.length < 13 ||
-        !bytes.take(4).sameElements(Magic)) None
-    else {
-      val t = bytes(4) match {
-        case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "unknown"
-      }
-      Some((t, intAt(bytes, 5), intAt(bytes, 9), bytes.length - 13))
+  /** RIFF/WAVE, PCM 16-bit little-endian. */
+  def wavMedia(sampleRate: Int, channels: Int, nSamples: Int,
+      seed: Long): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && nSamples >= 0)
+    val dataBytes = nSamples * channels * 2
+    val out = new Array[Byte](44 + dataBytes)
+    text(out, 0, "RIFF"); leInt(out, 4, 36 + dataBytes); text(out, 8, "WAVE")
+    text(out, 12, "fmt "); leInt(out, 16, 16)
+    leShort(out, 20, 1) // PCM
+    leShort(out, 22, channels); leInt(out, 24, sampleRate)
+    leInt(out, 28, sampleRate * channels * 2) // byte rate
+    leShort(out, 32, channels * 2); leShort(out, 34, 16) // block align, bits
+    text(out, 36, "data"); leInt(out, 40, dataBytes)
+    var s = seed
+    var i = 0
+    while (i < dataBytes) { s = Hashing.mix64(s); out(44 + i) = (s & 0xff).toByte; i += 1 }
+    out
+  }
+
+  /** YUV4MPEG2 (C444: w·h·3 bytes per frame), `frames` FRAME chunks. */
+  def y4mMedia(w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    require(w > 0 && h > 0 && frames >= 0)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 C444\n".getBytes("US-ASCII")
+    val frameBytes = w * h * 3
+    val fmark = "FRAME\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + frames * (fmark.length + frameBytes))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    var s = seed
+    var f = 0
+    while (f < frames) {
+      System.arraycopy(fmark, 0, out, off, fmark.length); off += fmark.length
+      var i = 0
+      while (i < frameBytes) { s = Hashing.mix64(s); out(off + i) = (s & 0xff).toByte; i += 1 }
+      off += frameBytes; f += 1
     }
+    out
+  }
+
+  private def text(b: Array[Byte], off: Int, s: String): Unit = {
+    val a = s.getBytes("US-ASCII"); System.arraycopy(a, 0, b, off, a.length)
+  }
+  private def leInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+  }
+  private def leShort(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+  }
+  private def leIntAt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def leShortAt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  // -------------------------------------------------------------- decoders
+
+  /** Parsed BMP: (w, h, rowSize, pixel-array offset); None on any
+    * malformation — short header, wrong magic, non-24bpp, compressed,
+    * nonsense dimensions, or pixel data truncated vs the header claim. */
+  private def parseBmp(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val offBits = leIntAt(b, 10)
+    val w = leIntAt(b, 18)
+    val hRaw = leIntAt(b, 22)
+    val h = math.abs(hRaw)
+    val bpp = leShortAt(b, 28)
+    val compression = leIntAt(b, 30)
+    if (w <= 0 || h == 0 || w > (1 << 20) || h > (1 << 20)) return None
+    if (bpp != 24 || compression != 0) return None
+    if (offBits < 54 || offBits > b.length) return None
+    val rowSize = ((3L * w + 3) / 4) * 4
+    if (offBits + rowSize * h > b.length) return None // truncated pixels
+    Some((w, h, rowSize.toInt, offBits))
+  }
+
+  /** Parsed WAV: (sampleRate, channels, dataBytes). Walks RIFF chunks;
+    * None unless a PCM fmt chunk and an untruncated data chunk exist. */
+  private def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12
+    var fmt: Option[(Int, Int)] = None // (sampleRate, channels)
+    var data: Option[Int] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val size = leIntAt(b, off + 4)
+      if (size < 0) return None
+      val id = new String(b, off, 4, "US-ASCII")
+      if (id == "fmt ") {
+        if (off + 8 + 16 > b.length || size < 16) return None
+        val audioFormat = leShortAt(b, off + 8)
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((leIntAt(b, off + 12), leShortAt(b, off + 10)))
+      } else if (id == "data") {
+        if (off + 8 + size.toLong > b.length) return None // truncated data
+        data = Some(size)
+      }
+      off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    for ((sr, ch) <- fmt; d <- data if sr > 0 && ch > 0) yield (sr, ch, d)
+  }
+
+  /** Parsed Y4M: (w, h, frameCount, frame offsets). C444 only (what the
+    * generator emits); None on malformed params or a truncated frame. */
+  private def parseY4m(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    if (b.length < magic.length + 1) return None
+    var i = 0
+    while (i < magic.length) { if (b(i) != magic(i)) return None; i += 1 }
+    var nl = i
+    while (nl < b.length && b(nl) != '\n') nl += 1
+    if (nl >= b.length) return None
+    val params = new String(b, i, nl - i, "US-ASCII").trim.split("\\s+")
+    var w = -1; var h = -1; var c = "420" // Y4M default colourspace
+    for (p <- params if p.nonEmpty) p.charAt(0) match {
+      case 'W' => w = p.drop(1).toIntOption.getOrElse(-1)
+      case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
+      case 'C' => c = p.drop(1)
+      case _ => ()
+    }
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
+    val frameBytes = c match {
+      case "444" => 3L * w * h
+      case "420" | "420jpeg" | "420mpeg2" | "420paldv" => 3L * w * h / 2
+      case _ => return None
+    }
+    val fmark = "FRAME".getBytes("US-ASCII")
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var off = nl + 1
+    while (off < b.length) {
+      if (off + fmark.length > b.length) return None
+      var k = 0
+      while (k < fmark.length) { if (b(off + k) != fmark(k)) return None; k += 1 }
+      var e = off + fmark.length // frame params run to the newline
+      while (e < b.length && b(e) != '\n') e += 1
+      if (e >= b.length || e + 1 + frameBytes > b.length) return None
+      offs += e + 1
+      off = e + 1 + frameBytes.toInt
+    }
+    Some((w, h, offs.toArray))
+  }
+
+  /** Route on magic → typed metadata; any malformation → None. */
+  private[graft] def decode(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    if (b == null || b.length < 2) None
+    else if (b(0) == 'B' && b(1) == 'M')
+      parseBmp(b).map { case (w, h, rowSize, _) => ("image", w, h, rowSize * h) }
+    else if (b(0) == 'R' && b(1) == 'I')
+      parseWav(b).map { case (sr, ch, d) => ("audio", sr, ch, d) }
+    else if (b(0) == 'Y' && b(1) == 'U')
+      parseY4m(b).map { case (w, h, offs) =>
+        ("video", w, h, offs.length * w * h * 3) }
+    else None
   }
 
   /** Attach decoded metadata (`meta` struct column; null when the payload
-    * doesn't decode). */
+    * doesn't decode). width/height carry the format's two leading
+    * dimensions: image/video → pixels; audio → (sample_rate, channels). */
   def withMediaMeta(df: DataFrame, binCol: String): DataFrame = {
     val decodeUdf = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
       override def call(b: Array[Byte]): Row =
-        decodeStub(b).map { case (t, w, h, p) => Row(t, w, h, p) }.orNull
+        decode(b).map { case (t, w, h, p) => Row(t, w, h, p) }.orNull
     }, metaSchema)
     df.withColumn("meta", decodeUdf(col(binCol)))
   }
 
+  /** REAL pixel statistics (images only): mean B/G/R over the decoded
+    * 24-bit pixel array — the feature-extraction shape with a genuine
+    * byte-level inner loop. Non-image / corrupt → null struct. */
+  def imageStats(df: DataFrame, binCol: String, outCol: String = "stats"): DataFrame = {
+    val statsSchema = StructType(Seq(
+      StructField("mean_b", DoubleType), StructField("mean_g", DoubleType),
+      StructField("mean_r", DoubleType)))
+    val statsUdf = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
+      override def call(b: Array[Byte]): Row = {
+        if (b == null) return null
+        parseBmp(b) match {
+          case None => null
+          case Some((w, h, rowSize, off)) =>
+            var (sb, sg, sr) = (0L, 0L, 0L)
+            var y = 0
+            while (y < h) {
+              val ro = off + y * rowSize
+              var x = 0
+              while (x < w) {
+                sb += b(ro + 3 * x) & 0xff
+                sg += b(ro + 3 * x + 1) & 0xff
+                sr += b(ro + 3 * x + 2) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            Row(sb.toDouble / n, sg.toDouble / n, sr.toDouble / n)
+        }
+      }
+    }, statsSchema)
+    df.withColumn(outCol, statsUdf(col(binCol)))
+  }
+
   /** Feature extraction via mapPartitions — the JVM shape of mapInPandas:
-    * per-partition "model" init (stubbed), then a streamed batch loop.
-    * Output: (passthrough columns..., embedding array<float>). */
+    * per-partition "model" init (the one stub left: no model runtime in
+    * this container), then a streamed batch loop over REAL-decoded
+    * payloads. Output: (passthrough columns..., embedding array<float>);
+    * undecodable payloads embed to null. */
   def embedMedia(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema.add("embedding", ArrayType(FloatType))
@@ -85,7 +268,8 @@ object Multimodal {
       // REAL pipeline: load the vision/audio model once per partition here.
       val model = new StubEncoder(dim)
       rows.map { r =>
-        val emb = model.encode(r.getAs[Array[Byte]](binIdx))
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val emb = if (decode(bytes).isEmpty) null else model.encode(bytes)
         Row.fromSeq(r.toSeq :+ emb)
       }
     }(Encoders.row(outSchema))
@@ -114,46 +298,58 @@ object Multimodal {
     }
   }
 
-  /** Resize: binary → binary with the target dimensions (STUB rewrites
-    * the header and decimates the payload proportionally to the area
-    * ratio; a real pipeline calls the codec's scaler). Corrupt payloads
-    * → null, matching the decode contract. The operator stays a pure
+  /** REAL image resize: decode the 24-bit BMP, nearest-neighbor resample
+    * to (targetW, targetH), re-encode with correct row padding. Non-BMP
+    * or corrupt input → null, matching the decode contract. Stays a pure
     * column map — resizing 10⁹ images is embarrassingly parallel and
     * must never leave the executor. */
   def resizeMedia(df: DataFrame, binCol: String, outCol: String,
       targetW: Int, targetH: Int): DataFrame = {
+    require(targetW > 0 && targetH > 0)
     val resizeUdf = udf { (b: Array[Byte]) =>
-      decodeStub(b) match {
+      parseBmp(b) match {
         case None => null
-        case Some((_, w, h, payloadLen)) =>
-          val ratio = math.min(
-            (targetW.toLong * targetH).toDouble / math.max(w.toLong * h, 1L), 1.0)
-          val newLen = math.max((payloadLen * ratio).toInt, 1)
-          val out = new Array[Byte](13 + newLen)
-          System.arraycopy(b, 0, out, 0, 13)
-          intTo(out, 5, targetW); intTo(out, 9, targetH)
-          val step = math.max(payloadLen / newLen, 1)
-          var k = 0
-          while (k < newLen) { out(13 + k) = b(13 + math.min(k * step, payloadLen - 1)); k += 1 }
+        case Some((w, h, rowSize, off)) =>
+          val out = bmpMedia(targetW, targetH, 0L) // header template
+          val outRow = ((3 * targetW + 3) / 4) * 4
+          var y = 0
+          while (y < targetH) {
+            val sy = (y.toLong * h / targetH).toInt
+            val sro = off + sy * rowSize
+            val dro = 54 + y * outRow
+            var x = 0
+            while (x < targetW) {
+              val sx = (x.toLong * w / targetW).toInt
+              out(dro + 3 * x) = b(sro + 3 * sx)
+              out(dro + 3 * x + 1) = b(sro + 3 * sx + 1)
+              out(dro + 3 * x + 2) = b(sro + 3 * sx + 2)
+              x += 1
+            }
+            y += 1
+          }
           out
       }
     }
     df.withColumn(outCol, resizeUdf(col(binCol)))
   }
 
-  /** Frame sampling: one row per sampled frame (frame_idx, frame binary).
-    * STUB slices the payload into `n` even chunks; a real video pipeline
-    * seeks keyframes. Explode keeps it distributed — no driver collect. */
+  /** REAL frame sampling: demux the Y4M container and emit every k-th
+    * frame up to `n` rows per video — (frame_idx, frame binary with the
+    * raw plane bytes). Non-video rows emit nothing (explode of null).
+    * Distributed end-to-end — no driver collect. */
   def sampleFrames(df: DataFrame, binCol: String, n: Int): DataFrame = {
+    require(n > 0)
     val sliceUdf = udf { (b: Array[Byte]) =>
-      if (b == null || b.length < 13) null
-      else {
-        val payload = java.util.Arrays.copyOfRange(b, 13, b.length)
-        val step = math.max(payload.length / n, 1)
-        (0 until math.min(n, payload.length)).map { k =>
-          (k, java.util.Arrays.copyOfRange(payload, k * step,
-            math.min(k * step + step, payload.length)))
-        }
+      parseY4m(if (b == null) Array.empty[Byte] else b) match {
+        case None => null
+        case Some((w, h, offs)) =>
+          val frameBytes = w * h * 3
+          val take = math.min(n, offs.length)
+          val step = math.max(offs.length / math.max(take, 1), 1)
+          (0 until take).map { k =>
+            val fi = math.min(k * step, offs.length - 1)
+            (fi, java.util.Arrays.copyOfRange(b, offs(fi), offs(fi) + frameBytes))
+          }
       }
     }
     df.withColumn("_frames", sliceUdf(col(binCol)))

@@ -208,8 +208,27 @@ object Similarity {
   def lshBitsFor(n: Long): Int =
     math.max(3, math.min(24, 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L)) - 6))
 
+  /** Hot-cell candidate bound (the `maxCell`/`hotWindow` knobs):
+    * [[lshBitsFor]] holds the EXPECTED cell density constant, but a
+    * near-duplicate cluster (X replicas of one document's vector)
+    * co-cells in EVERY table at any bit count — its candidate
+    * contribution is O(m²) per table, which is what turned the 100×
+    * probe super-linear (replica clusters of m=100 → 10⁴ pairs each).
+    * With `maxCell > 0`, cells at or below the threshold keep the exact
+    * all-pairs join; a hot cell (> maxCell members) switches to
+    * id-ordered sliding-window pairing — each member pairs with the
+    * next `hotWindow` members — so its contribution is O(m·hotWindow),
+    * linear, while the cluster stays CONNECTED (a chain of near-dup
+    * edges; with the post-score mirror each hot row still sees
+    * 2·hotWindow candidates ≥ 2k for the default k=5). Deterministic
+    * (ordered by id) and SQL-replayable (count/row_number/lead over the
+    * cell partition), so the capped shape is value-gateable.
+    * `maxCell = 0` (default) keeps the historical exact-union
+    * semantics. Set maxCell ≥ ~4× the [32,64) target density so only
+    * genuine dup clusters take the windowed path. */
   def selfTopKLsh(embs: DataFrame, vecCol: String, idCol: String, k: Int,
-      bits: Int, tables: Int = 6, dim: Int = 64): DataFrame = {
+      bits: Int, tables: Int = 6, dim: Int = 64,
+      maxCell: Int = 0, hotWindow: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = embs.select(col(idCol), col(vecCol))
     // candidates as UNDIRECTED pairs (id1 < id2): halves the dedup
@@ -230,10 +249,37 @@ object Similarity {
         .bitwiseOR(VectorFunctions.lshSig(col(vecCol), allPlanes(t))))
     val celled = base.select(col(idCol),
       explode(array(keyCols: _*)).as("cellkey"))
-    val l = celled.select(col("cellkey"), col(idCol).as("id1"))
-    val r = celled.select(col("cellkey"), col(idCol).as("id2"))
-    val pairs = l.join(r, Seq("cellkey")).where(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    val rawPairs =
+      if (maxCell <= 0) {
+        val l = celled.select(col("cellkey"), col(idCol).as("id1"))
+        val r = celled.select(col("cellkey"), col(idCol).as("id2"))
+        l.join(r, Seq("cellkey")).where(col("id1") < col("id2"))
+          .select("id1", "id2")
+      } else {
+        // one shuffle by cellkey serves both window frames (count is
+        // computed on the sorted frame too — same exchange, same sort)
+        val wOrd = Window.partitionBy(col("cellkey")).orderBy(col(idCol))
+        val wAll = Window.partitionBy(col("cellkey"))
+          .orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val marked = celled.withColumn("cn", count(lit(1)).over(wAll))
+        val cold = marked.where(col("cn") <= maxCell)
+        val coldPairs = cold.select(col("cellkey"), col(idCol).as("id1"))
+          .join(cold.select(col("cellkey"), col(idCol).as("id2")), Seq("cellkey"))
+          .where(col("id1") < col("id2")).select("id1", "id2")
+        // hot rows pair with their next `hotWindow` in-cell ids. cn is
+        // constant per cell, so the post-filter leads see the whole
+        // cell; the filter preserves the cellkey partitioning + sort,
+        // so this second window pass re-uses the first one's exchange.
+        // Ascending id order makes id1 < id2 by construction.
+        val hotPairs = marked.where(col("cn") > maxCell)
+          .withColumn("nbrs", array((1 to hotWindow).map(i =>
+            lead(col(idCol), i).over(wOrd)): _*))
+          .select(col(idCol).as("id1"), explode(col("nbrs")).as("id2"))
+          .where(col("id2").isNotNull)
+        coldPairs.unionAll(hotPairs)
+      }
+    val pairs = rawPairs.distinct()
     val scored = pairs
       .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
       .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")

@@ -60,6 +60,40 @@ class BpeTrainSpec extends SparkTestBase {
     assert(m.length === 2, m.mkString(";"))
   }
 
+  test("driver fast path and distributed loop learn IDENTICAL merges") {
+    // the two-tier switch must be invisible: same pair counts
+    // (overlapping adjacencies), same UTF-8 tie order, same greedy
+    // replace — pinned on a real corpus slice deep enough to hit ties
+    val docs = Tables.documents(spark, sf).limit(200)
+    val fast = BpeTrain.merges(docs, "text", 24).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val dist = BpeTrain.merges(docs, "text", 24, driverVocabLimit = 0L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(fast.toSeq === dist.toSeq)
+  }
+
+  test("the in-memory loop trains 1k merges fast (vocab-bounded rounds)") {
+    import spark.implicits._
+    // synthetic vocab rich enough to sustain 1000 merges: distinct
+    // pseudo-words from a seeded generator (deterministic)
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdefghijklmnop"
+    val docs = (0 until 4000).map { i =>
+      (i.toLong, (0 until 6).map(_ =>
+        (0 until (4 + rnd.nextInt(8))).map(_ =>
+          alpha(rnd.nextInt(alpha.length))).mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val m = BpeTrain.merges(docs, "text", 1000).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1000 merges in $secs%.1f s (${m.length} learned)")
+    assert(m.length === 1000, s"exhausted at ${m.length}")
+    // driver-round-bound would be ~0.1 s/round (100 s); the in-memory
+    // loop must stay way under that
+    assert(secs < 60.0, f"1k merges took $secs%.1f s — not the fast path?")
+  }
+
   test("segment applies learned merges and reconstructs words exactly") {
     val docs = Tables.documents(spark, sf).limit(100)
     val table = BpeTrain.merges(docs, "text", 16).orderBy("rank").collect()

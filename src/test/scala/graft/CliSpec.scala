@@ -874,6 +874,54 @@ class CliParseHardeningSpec extends AnyFunSuite {
     assert(Main.parseFlags(Array("--compress=ZSTD"))("compress") === "ZSTD")
   }
 
+  test("an unknown switch never swallows a SHORT option either") {
+    // reference contract: -T is --tables-list (common_options.c:225);
+    // g_option_context_set_ignore_unknown_options leaves the following
+    // args untouched, so `--unknownkey -T tbl` must still parse -T
+    val o = Main.parseFlags(Array("--unknownkey", "-T", "db.t1,db.t2"))
+    assert(o("tables-list") === "db.t1,db.t2")
+    assert(o("unknownkey") === "true")
+    // but a single-dash NON-option token is still a value
+    assert(Main.parseFlags(Array("--where", "-1 < c"))("where") === "-1 < c")
+  }
+
+  test("fuzz: cnf-injected orderings x unknown keys x short/long spellings") {
+    // the reference ignores unknown options wholesale (common.c:107-118
+    // injects cnf keys verbatim; ignore_unknown_options drops the ones
+    // no binary declares) — so ANY interleaving of unknown keys between
+    // option groups must leave every known option's value intact
+    val rnd = new scala.util.Random(1234)
+    // (tokens, expectedKey, expectedValue) — short + long + '=' forms
+    val known = Seq(
+      (Seq("--threads", "8"), "threads", "8"),
+      (Seq("-t", "4"), "threads", "4"),
+      (Seq("--rows=100"), "rows", "100"),
+      (Seq("-T", "db.a,db.b"), "tables-list", "db.a,db.b"),
+      (Seq("-x", "^mydb\\."), "regex", "^mydb\\."),
+      (Seq("--regex", "-internal$"), "regex", "-internal$"),
+      (Seq("--compress"), "compress", "true"),
+      (Seq("--no-data"), "no-data", "true"),
+      (Seq("-B", "proddb"), "database", "proddb"))
+    val unknowns = Seq(Seq("--frobnicate"), Seq("--x-unknown=7"),
+      Seq("--cnf-injected-key"), Seq("--weird-opt"))
+    for (round <- 0 until 200) {
+      // pick a subset with no duplicate target keys (last-wins would
+      // otherwise make expectations order-dependent), shuffle groups,
+      // sprinkle unknown keys between them
+      val picked = rnd.shuffle(known).foldLeft(Vector.empty[(Seq[String], String, String)]) {
+        case (acc, g) if !acc.exists(_._2 == g._2) && rnd.nextBoolean() => acc :+ g
+        case (acc, _) => acc
+      }
+      val groups = rnd.shuffle(picked.map(_._1) ++
+        rnd.shuffle(unknowns).take(rnd.nextInt(unknowns.size + 1)))
+      val args = groups.flatten.toArray
+      val o = Main.parseFlags(args)
+      for ((_, k, v) <- picked)
+        assert(o.get(k) === Some(v),
+          s"round $round: $k expected $v in ${args.mkString(" ")} got $o")
+    }
+  }
+
   test("a cnf-valued boolean key round-trips its disable through injection") {
     // DefaultsFile group injection emits `--k=v` for valued booleans so
     // `compress=0` in [mydumper] reaches the parser as a disable

@@ -71,6 +71,21 @@ class GraphsSpec extends SparkTestBase {
     assert(after.size <= 1, s"leaked checkpoints: $after")
   }
 
+  test("scoped variants release the final table too (batch-cadence contract)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val before = sc.getPersistentRDDs.keySet
+    val pr = Graphs.pageRankScoped(edges, "src", "dst", iters = 3)
+    val prw = Graphs.pageRankWeightedScoped(edges, "src", "dst", iters = 3)
+    val lp = Graphs.labelPropagationScoped(edges, "src", "dst", iters = 2)
+    // results must be readable before release and match the overloads
+    assert(pr.df.count() === 4 && prw.df.count() === 4 && lp.df.count() === 4)
+    pr.release(); prw.release(); lp.release()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"scoped graph ops leaked storage: $leaked")
+  }
+
   /** Driver replica of the weighted contract: multi-edges sum to w,
     * contribution = exact floor(rank·w / W) via BigInt. */
   private def referenceWeighted(edges: Seq[(Long, Long)], iters: Int,

@@ -5,11 +5,20 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Real-format multimodal decode (round 11): BMP/WAV/Y4M parsers — header
+  * fields, row padding, RIFF chunk walk, frame demux — plus the decode
+  * failure contract (truncation / bad magic / lying headers → null
+  * column, never a task failure), real resize and real frame sampling. */
 class MultimodalSpec extends SparkTestBase {
 
   private def mediaDf(n: Int) = {
     val rows = (0 until n).map { i =>
-      Row(i.toLong, Multimodal.fakeMedia(i % 3, 640 + i, 480 + i, seed = i.toLong))
+      val payload = (i % 3) match {
+        case 0 => Multimodal.bmpMedia(10 + i, 6 + i, seed = i.toLong)
+        case 1 => Multimodal.wavMedia(8000 + i, 1 + i % 2, 40 + i, seed = i.toLong)
+        case _ => Multimodal.y4mMedia(4 + i, 4, 3, seed = i.toLong)
+      }
+      Row(i.toLong, payload)
     } :+ Row(n.toLong, "not-media".getBytes.asInstanceOf[Array[Byte]]) :+
       Row((n + 1).toLong, null.asInstanceOf[Array[Byte]])
     spark.createDataFrame(
@@ -17,56 +26,132 @@ class MultimodalSpec extends SparkTestBase {
       StructType(Seq(StructField("id", LongType), StructField("media", BinaryType))))
   }
 
-  test("metadata decode: typed struct, corrupt/null payloads -> null meta") {
+  test("metadata decode: typed struct per format, corrupt/null -> null meta") {
     val out = Multimodal.withMediaMeta(mediaDf(6), "media").orderBy("id")
     assert(out.schema("meta").dataType === Multimodal.metaSchema)
     val rows = out.collect()
     val good = rows.take(6)
     assert(good.forall(!_.isNullAt(2)))
+    // BMP: dims + padded pixel-array size ((3*10+3)/4*4 = 32 per row)
     val m0 = good(0).getStruct(2)
-    assert(m0.getString(0) === "image" && m0.getInt(1) === 640 && m0.getInt(2) === 480)
-    assert(good(1).getStruct(2).getString(0) === "audio")
+    assert(m0.getString(0) === "image" && m0.getInt(1) === 10 && m0.getInt(2) === 6)
+    assert(m0.getInt(3) === 32 * 6)
+    // WAV: (sample_rate, channels, data bytes = samples*ch*2)
+    val m1 = good(1).getStruct(2)
+    assert(m1.getString(0) === "audio" && m1.getInt(1) === 8001 && m1.getInt(2) === 2)
+    assert(m1.getInt(3) === 41 * 2 * 2)
+    // Y4M: dims + frames * w*h*3 (C444)
+    val m2 = good(2).getStruct(2)
+    assert(m2.getString(0) === "video" && m2.getInt(1) === 6 && m2.getInt(2) === 4)
+    assert(m2.getInt(3) === 3 * 6 * 4 * 3)
     assert(rows.takeRight(2).forall(_.isNullAt(2))) // corrupt + null
   }
 
-  test("mapPartitions embedding: unit-norm float vectors, deterministic") {
+  test("byte-level failure modes decode to null, not task failure") {
+    val bmp = Multimodal.bmpMedia(12, 8, 7L)
+    val wav = Multimodal.wavMedia(8000, 2, 50, 7L)
+    val y4m = Multimodal.y4mMedia(6, 4, 2, 7L)
+    def truncate(b: Array[Byte], n: Int) = java.util.Arrays.copyOf(b, n)
+    val lyingBmp = bmp.clone() // header claims a taller image than the bytes hold
+    lyingBmp(22) = 100.toByte
+    val lyingWav = wav.clone() // data chunk size beyond the payload
+    lyingWav(40) = 0xff.toByte; lyingWav(41) = 0xff.toByte
+    val badBppBmp = bmp.clone(); badBppBmp(28) = 8 // unsupported bpp
+    val nonPcmWav = wav.clone(); nonPcmWav(20) = 3 // IEEE float fmt
+    val shortY4m = truncate(y4m, y4m.length - 5) // truncated last frame
+    val cases: Seq[Array[Byte]] = Seq(
+      truncate(bmp, 10), truncate(bmp, 53), truncate(bmp, bmp.length - 1),
+      lyingBmp, badBppBmp,
+      truncate(wav, 30), lyingWav, nonPcmWav,
+      truncate(y4m, 4), shortY4m,
+      Array[Byte](), Array[Byte]('B'))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(cases.zipWithIndex.map {
+        case (b, i) => Row(i.toLong, b) }, 2),
+      StructType(Seq(StructField("id", LongType), StructField("media", BinaryType))))
+    val out = Multimodal.withMediaMeta(df, "media").collect()
+    assert(out.forall(_.isNullAt(2)),
+      "every malformed payload must decode to null")
+    // and the intact originals still decode
+    assert(Seq(bmp, wav, y4m).flatMap(b =>
+      graft.operators.Multimodal.decode(b)).size === 3)
+  }
+
+  test("image stats match a driver-side pixel walk (real decode loop)") {
+    val bmp = Multimodal.bmpMedia(9, 5, 42L) // odd width -> padding matters
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, bmp),
+        Row(2L, "junk".getBytes.asInstanceOf[Array[Byte]])), 1),
+      StructType(Seq(StructField("id", LongType), StructField("media", BinaryType))))
+    val out = Multimodal.imageStats(df, "media").orderBy("id").collect()
+    // driver reference: walk the same pixel array (rows padded to 4)
+    val rowSize = ((3 * 9 + 3) / 4) * 4
+    var (sb, sg, sr) = (0L, 0L, 0L)
+    for (y <- 0 until 5; x <- 0 until 9) {
+      sb += bmp(54 + y * rowSize + 3 * x) & 0xff
+      sg += bmp(54 + y * rowSize + 3 * x + 1) & 0xff
+      sr += bmp(54 + y * rowSize + 3 * x + 2) & 0xff
+    }
+    val s = out(0).getAs[Row]("stats")
+    assert(s.getDouble(0) === sb.toDouble / 45 && s.getDouble(1) === sg.toDouble / 45 &&
+      s.getDouble(2) === sr.toDouble / 45)
+    assert(out(1).getAs[Row]("stats") == null, "non-image stats must be null")
+  }
+
+  test("mapPartitions embedding: unit-norm float vectors, deterministic, " +
+      "null for undecodable payloads") {
     val out = Multimodal.embedMedia(mediaDf(4), "media", dim = 8)
     assert(out.schema("embedding").dataType === ArrayType(FloatType))
-    val embs = out.orderBy("id").collect().map(r =>
+    val rows = out.orderBy("id").collect()
+    val embs = rows.map(r =>
       Option(r.getAs[scala.collection.Seq[Float]]("embedding")))
     assert(embs.take(4).forall(_.exists(_.length == 8)))
+    assert(embs.takeRight(2).forall(_.isEmpty), "corrupt/null embed to null")
     val norm = embs(0).get.map(x => x * x).sum
     assert(math.abs(norm - 1.0) < 1e-3)
-    // deterministic across runs
     val again = Multimodal.embedMedia(mediaDf(4), "media", dim = 8)
       .orderBy("id").collect().map(r => r.getAs[scala.collection.Seq[Float]]("embedding"))
     assert(again(0) === embs(0).get)
   }
 
-  test("resize rewrites dimensions, shrinks payload, nulls corrupt input") {
+  test("resize: real nearest-neighbor resample, valid BMP out, corners kept") {
+    val src = Multimodal.bmpMedia(16, 8, 3L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, src),
+        Row(2L, Multimodal.wavMedia(8000, 1, 10, 1L))), 1),
+      StructType(Seq(StructField("id", LongType), StructField("media", BinaryType))))
     val out = Multimodal.withMediaMeta(
-      Multimodal.resizeMedia(mediaDf(4), "media", "small", 64, 48), "small")
+      Multimodal.resizeMedia(df, "media", "small", 4, 2), "small")
       .orderBy("id").collect()
-    val good = out.take(4)
-    good.foreach { r =>
-      val m = r.getStruct(r.length - 1)
-      assert(m.getInt(1) === 64 && m.getInt(2) === 48)
-      assert(m.getInt(3) <= 256) // payload decimated, never grown
-    }
-    assert(out.takeRight(2).forall(r => r.isNullAt(2))) // corrupt + null in
+    val m = out(0).getAs[Row]("meta")
+    assert(m.getString(0) === "image" && m.getInt(1) === 4 && m.getInt(2) === 2)
+    // nearest-neighbor maps output (0,0) to source (0,0): bytes agree
+    val small = out(0).getAs[Array[Byte]]("small")
+    val srcRow = ((3 * 16 + 3) / 4) * 4
+    assert(small(54) === src(54) && small(55) === src(55) && small(56) === src(56))
+    // and output (x=1,y=1) samples source (x=4,y=4)
+    val outRow = ((3 * 4 + 3) / 4) * 4
+    assert(small(54 + outRow + 3) === src(54 + 4 * srcRow + 12))
+    assert(out(1).getAs[Row]("meta") == null, "audio input resizes to null")
   }
 
-  test("frame sampling explodes n frames per media row") {
-    val df = mediaDf(2).where(col("media").isNotNull).limit(2)
-    val frames = Multimodal.sampleFrames(df, "media", 4)
-    assert(frames.schema("frame_idx").dataType === IntegerType)
-    assert(frames.schema("frame").dataType === BinaryType)
-    val byId = frames.groupBy("id").count().collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(byId.values.forall(_ === 4))
-    // frames reassemble within payload bounds
-    val f = frames.where(col("id") === 0).orderBy("frame_idx")
-      .select("frame").collect().map(_.getAs[Array[Byte]](0))
-    assert(f.map(_.length).sum <= 256 + 16)
+  test("frame sampling demuxes real Y4M frames, non-video emits nothing") {
+    val y4m = Multimodal.y4mMedia(4, 4, 6, 9L)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, y4m),
+        Row(2L, Multimodal.bmpMedia(4, 4, 1L))), 1),
+      StructType(Seq(StructField("id", LongType), StructField("media", BinaryType))))
+    val frames = Multimodal.sampleFrames(df, "media", 3)
+    val rows = frames.orderBy("frame_idx").collect()
+    assert(rows.forall(_.getLong(0) === 1L), "only the video row emits frames")
+    assert(rows.length === 3)
+    // every-other-frame sampling (6 frames, 3 samples -> step 2)
+    assert(rows.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2, 4))
+    // each frame is the raw C444 plane: w*h*3 bytes, matching the source
+    val frameBytes = 4 * 4 * 3
+    assert(rows.forall(_.getAs[Array[Byte]]("frame").length === frameBytes))
+    val header = s"YUV4MPEG2 W4 H4 F25:1 C444\n".length
+    val f0 = java.util.Arrays.copyOfRange(y4m, header + 6, header + 6 + frameBytes)
+    assert(rows(0).getAs[Array[Byte]]("frame").toSeq === f0.toSeq)
   }
 }

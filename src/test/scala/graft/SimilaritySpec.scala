@@ -58,6 +58,43 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("hot-cell cap: linear candidates on a dup cluster, exact below " +
+      "the threshold, cluster rows keep >= k neighbors") {
+    import spark.implicits._
+    val dim = 8
+    // 300 near-identical vectors (a dup cluster: co-cells in EVERY
+    // table at any bit count) + 40 diverse background vectors
+    val rnd = new scala.util.Random(7)
+    val cluster = (0 until 300).map { i =>
+      val base = Array.fill(dim)(1.0f)
+      base(i % dim) += 0.001f * (i / dim + 1); (i.toLong, base.toSeq)
+    }
+    val bg = (0 until 40).map { i =>
+      (1000L + i, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)) }
+    val e = (cluster ++ bg).toDF("vec_id", "embedding")
+    val capped = Similarity.selfTopKLsh(e, "embedding", "vec_id", k = 5,
+      bits = 4, tables = 3, dim = dim, maxCell = 60, hotWindow = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // every cluster row must retain at least k neighbors (the sliding
+    // window keeps the cluster connected instead of dropping it)
+    val perId = capped.groupBy(_._1).view.mapValues(_.size).toMap
+    cluster.foreach { case (id, _) =>
+      assert(perId.getOrElse(id, 0) >= 5, s"cluster row $id starved") }
+    // candidate volume is bounded: undirected edges <= n_hot*hotWindow
+    // per table + cold-cell pairs; with the whole cluster hot this is
+    // FAR below the 300*299/2 all-pairs blow-up per table
+    assert(capped.size <= (cluster.size + bg.size) * 2 * 5)
+    // maxCell=0 and a huge maxCell agree (cap above every cell size
+    // leaves the exact path everywhere)
+    val exact = Similarity.selfTopKLsh(e, "embedding", "vec_id", k = 5,
+      bits = 4, tables = 3, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hiCap = Similarity.selfTopKLsh(e, "embedding", "vec_id", k = 5,
+      bits = 4, tables = 3, dim = dim, maxCell = 100000, hotWindow = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hiCap === exact, "non-binding cap must not change the graph")
+  }
+
   test("degenerate-exact embedding near-dup equals the brute-force pair set") {
     // bits=0 (single bucket) + slackBits=64 (hamming window covers all
     // 64 bits, incl. the full-complement pair HashingSpec constructs)
