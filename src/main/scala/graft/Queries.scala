@@ -1104,6 +1104,24 @@ object Queries {
       |  SELECT unnest(string_split(trim(s), '  ')) AS token, cnt FROM v8)
       |GROUP BY token ORDER BY token""".stripMargin)
 
+  /** BPE ENCODE through the VOCAB-SCALE apply path
+    * ([[graft.operators.BpeTrain.segmentLarge]] — broadcast rank map +
+    * iterative lowest-rank merging instead of the folded replace chain,
+    * which cannot stretch to a real tokenizer's 32k merges). SHARES
+    * q_bpe_encode's oracle text: the two application orders are provably
+    * identical (a merge's operands are products of strictly lower
+    * ranks), and the shared oracle pins that identity at value level —
+    * the q_decontam_bloom contract. */
+  val qBpeEncodeLarge: QFn = (s, d) => {
+    val mt = graft.operators.BpeTrain.merges(documents(s, d), "text", 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.BpeTrain.segmentLarge(documents(s, d), "text", mt)
+      .select(explode(col("subwords")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy("token")
+  }
+  val qBpeEncodeLargeSql: String = qBpeEncodeSql
+
   /** Within-document repetition: fraction of duplicated word-3-grams —
     * the repetitive-document quality filter of web-corpus pipelines.
     * Compiled kernel, not HOF shingles: the Column-expression form
@@ -2769,6 +2787,58 @@ object Queries {
       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000.0) / 10000.0 AS norm_r
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** URL canonicalization + registered-domain extraction
+    * (functions.UrlFunctions — codegen regexp/array algebra, no UDF):
+    * the step between crawl fetch and every per-domain decision (the
+    * PageRank authority join, domain sampling quotas, heavy-hitter
+    * domains). URLs are synthesized closed-form from doc_id with messy
+    * casing, default and non-default ports, utm tracking params, empty
+    * paths, fragments, and two-level public suffixes, so the oracle
+    * replays every canonicalization rule arithmetically. */
+  val qUrlParse: QFn = (s, d) => {
+    import graft.functions.UrlFunctions
+    val id = col("doc_id")
+    val tld = when(id % 4 === 0, lit("co.uk")).when(id % 4 === 1, lit("com"))
+      .when(id % 4 === 2, lit("org")).otherwise(lit("com.au"))
+    val url = concat(
+      when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+      lit("WWW.Site"), (id % 50).cast(StringType), lit("."), tld,
+      when(id % 5 === 0, lit(":80")).when(id % 5 === 1, lit(":8080"))
+        .otherwise(lit("")),
+      when(id % 3 === 0, lit("")).otherwise(concat(lit("/p/"),
+        (id % 7).cast(StringType))),
+      lit("?utm_source=x&id="), (id % 11).cast(StringType),
+      when(id % 7 === 0, lit("&x=1")).otherwise(lit("")),
+      when(id % 2 === 0, lit("#frag")).otherwise(lit("")))
+    documents(s, d).select(id, url.as("u"))
+      .select(col("doc_id"),
+        UrlFunctions.canonical(col("u")).as("canon"),
+        UrlFunctions.host(col("u")).as("host"),
+        UrlFunctions.registeredDomain(UrlFunctions.host(col("u"))).as("reg_dom"),
+        size(split(UrlFunctions.cleanQuery(col("u")), "&")).cast(LongType)
+          .as("n_params"))
+      .orderBy("doc_id")
+  }
+  val qUrlParseSql: String =
+    """SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://www.site'
+      |    || CAST(doc_id % 50 AS VARCHAR) || '.' || tld
+      |    || (CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80'
+      |             WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+      |    || (CASE WHEN doc_id % 3 = 0 THEN '/'
+      |             ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END)
+      |    || '?id=' || CAST(doc_id % 11 AS VARCHAR)
+      |    || (CASE WHEN doc_id % 7 = 0 THEN '&x=1' ELSE '' END) AS canon,
+      |  'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.' || tld AS host,
+      |  'site' || CAST(doc_id % 50 AS VARCHAR) || '.' || tld AS reg_dom,
+      |  CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_params
+      |FROM (SELECT doc_id,
+      |        CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'co.uk'
+      |             WHEN 1 THEN 'com' WHEN 2 THEN 'org'
+      |             ELSE 'com.au' END AS tld
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------- multimodal
   /** Multimodal decode, REAL formats (round 11): synthesize genuine
     * BMP / WAV / Y4M payloads keyed by doc_id (real headers, real row
@@ -3954,6 +4024,7 @@ object Queries {
     "q_lm_score" -> qLmScore,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_encode" -> qBpeEncode,
+    "q_bpe_encode_large" -> qBpeEncodeLarge,
     "q_dedup_exact" -> qDedupExact,
     "q_dup_spans" -> qDupSpans,
     "q_dup_span_ratio" -> qDupSpanRatio,
@@ -3980,6 +4051,7 @@ object Queries {
     "q_ann_index" -> qAnnIndex,
     "q_ann_batch" -> qAnnBatch,
     "q_embed_stats" -> qEmbedStats,
+    "q_url_parse" -> qUrlParse,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
     "q_stream_join" -> qStreamJoin,
@@ -4084,6 +4156,7 @@ object Queries {
     "q_lm_score" -> qLmScoreSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_encode" -> qBpeEncodeSql,
+    "q_bpe_encode_large" -> qBpeEncodeLargeSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dup_spans" -> qDupSpansSql,
     "q_dup_span_ratio" -> qDupSpanRatioSql,
@@ -4184,5 +4257,6 @@ object Queries {
     "q_approx_quantile" -> qApproxQuantileSql,
     "q_scd2" -> qScd2Sql,
     "q_ratio_report" -> qRatioReportSql,
-    "q_multimodal" -> qMultimodalSql)
+    "q_multimodal" -> qMultimodalSql,
+    "q_url_parse" -> qUrlParseSql)
 }

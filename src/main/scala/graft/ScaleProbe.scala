@@ -277,6 +277,18 @@ object ScaleProbe {
       // Spark-job loop was ~0.1 s/round (hours at 32k) regardless of
       // corpus size
       run("bpe_train", operators.BpeTrain.merges(docs, "text", 1000)),
+      // BPE ENCODE at X× with a 1k-merge table through the vocab-scale
+      // apply path (broadcast rank map + iterative lowest-rank merging;
+      // the replace-chain form is gate-only — 1k+ nested replaces is
+      // not a plan). Cost must scale with corpus tokens, not merges.
+      run("bpe_encode", {
+        val mt = operators.BpeTrain.merges(docs, "text", 1000)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        operators.BpeTrain.segmentLarge(docs, "text", mt)
+          .select(explode(col("subwords")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+      }),
       // BM25 at X×: ONE corpus-scale shuffle (the per-doc conditional
       // aggregation), then everything is bounded by matching docs; the
       // corpus-constants row is a broadcast O(n·1) join (BNLJ by plan

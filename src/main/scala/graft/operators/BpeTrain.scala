@@ -254,4 +254,58 @@ object BpeTrain {
     docs.select(col("*"), word).drop(textCol)
       .withColumn(outCol, split(trim(appliedAll), "  "))
   }
+
+  /** [[segment]] at REALISTIC vocabulary scale: the replace chain folds
+    * one expression per merge — perfect codegen for the 8-merge gate,
+    * infeasible at a real tokenizer's 32k merges (32k nested calls blow
+    * the expression tree before they blow the 64 KB method limit). This
+    * variant ships the merge table as one broadcast-style task constant
+    * (a rank map inside the UDF closure, ~MBs for 32k merges) and
+    * encodes each word with the classic iterative algorithm: repeatedly
+    * take the lowest-RANK pair present in the word and merge all its
+    * occurrences greedily left-to-right. Provably identical to the
+    * replace chain: a merge's operand symbols are products of strictly
+    * lower ranks (training invariant), so once rank r is applied no
+    * pair of rank < r can reappear — the two application orders
+    * commute. Cost: O(symbols · merges-applied) per word, merge-table-
+    * size-independent per word. BpeTrainSpec pins path identity;
+    * q_bpe_encode_large shares q_bpe_encode's oracle text (the
+    * q_decontam_bloom output-identity contract). */
+  def segmentLarge(docs: DataFrame, textCol: String,
+      mergeTable: Seq[(String, String)], outCol: String = "subwords"): DataFrame = {
+    val rank: Map[(String, String), Int] =
+      mergeTable.zipWithIndex.map { case (p, i) => p -> i }.toMap
+    val encodeUdf = udf { (word: String) =>
+      var syms = (word.split("").filter(_.nonEmpty) :+ "</w>").toArray
+      var done = false
+      while (!done && syms.length > 1) {
+        // lowest-rank pair present anywhere in the word
+        var bestRank = Int.MaxValue
+        var i = 0
+        while (i < syms.length - 1) {
+          rank.get((syms(i), syms(i + 1))).foreach { r =>
+            if (r < bestRank) bestRank = r
+          }
+          i += 1
+        }
+        if (bestRank == Int.MaxValue) done = true
+        else {
+          val (l, r) = mergeTable(bestRank)
+          val merged = l + r
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              out += merged; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+        }
+      }
+      syms
+    }
+    val word = explode(split(lower(trim(col(textCol))), "\\s+")).as("word")
+    docs.select(col("*"), word).drop(textCol)
+      .withColumn(outCol, encodeUdf(col("word")))
+  }
 }

@@ -94,6 +94,29 @@ class BpeTrainSpec extends SparkTestBase {
     assert(secs < 60.0, f"1k merges took $secs%.1f s — not the fast path?")
   }
 
+  test("segmentLarge (vocab-scale apply) is byte-identical to the replace chain") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val table = BpeTrain.merges(docs, "text", 24).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val chain = BpeTrain.segment(docs, "text", table)
+      .select("doc_id", "word", "subwords").orderBy("doc_id", "word")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    val large = BpeTrain.segmentLarge(docs, "text", table)
+      .select("doc_id", "word", "subwords").orderBy("doc_id", "word")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    assert(chain.toSeq === large.toSeq)
+    // overlap semantics too: the spec-pinned replace-chain edge cases
+    for ((txt, mt, want) <- Seq(
+      ("abab", Seq(("a", "b")), Seq("ab", "ab", "</w>")),
+      ("aaaa", Seq(("a", "a")), Seq("aa", "aa", "</w>")),
+      ("aaa", Seq(("a", "a")), Seq("aa", "a", "</w>")))) {
+      import spark.implicits._
+      val got = BpeTrain.segmentLarge(Seq((1L, txt)).toDF("doc_id", "text"),
+        "text", mt).select("subwords").head().getSeq[String](0)
+      assert(got === want, s"$txt with $mt")
+    }
+  }
+
   test("segment applies learned merges and reconstructs words exactly") {
     val docs = Tables.documents(spark, sf).limit(100)
     val table = BpeTrain.merges(docs, "text", 16).orderBy("rank").collect()
