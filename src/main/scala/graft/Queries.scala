@@ -1006,6 +1006,46 @@ object Queries {
       |  substring(md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))), 1, 16) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Line-level boilerplate removal (TextFunctions.stripBoilerplate):
+    * wrap each document in a cookie-banner line (wordy but
+    * stopword-free) and a nav line (too short), strip, and emit
+    * kept-chars / removed-ratio / cleaned-text fingerprint. The corpus
+    * line itself survives only when its own stopword density clears the
+    * 1/20 bar, so BOTH filter legs fire in both directions; the oracle
+    * replays lines → per-line word/stopword counts → integer
+    * cross-multiplied keep rule → reassembly in DuckDB list lambdas
+    * (COALESCE for its NULL empty-array join vs Spark's ""). */
+  val qBoilerplate: QFn = (s, d) => {
+    val raw = concat(lit("Accept cookies subscribe now\n"), col("text"),
+      lit("\nmenu home login"))
+    documents(s, d).select(col("doc_id"), raw.as("raw"))
+      .withColumn("clean", TextFunctions.stripBoilerplate(col("raw")))
+      .select(col("doc_id"),
+        length(col("clean")).cast(LongType).as("kept_chars"),
+        TextFunctions.trunc4(lit(1.0) -
+          length(col("clean")).cast(DoubleType) / length(col("raw")))
+          .as("rm_ratio"),
+        substring(md5(col("clean")), 1, 16).as("fp"))
+      .orderBy("doc_id")
+  }
+  val qBoilerplateSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  'Accept cookies subscribe now' || chr(10) || text || chr(10) || 'menu home login' AS raw
+      |  FROM documents),
+      |k AS (SELECT doc_id, raw,
+      |  COALESCE(array_to_string(
+      |    list_filter(string_split(raw, chr(10)), l ->
+      |      len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), w -> w <> '')) >= 4
+      |      AND 20 * len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'),
+      |                   w -> list_contains(['the','a','an','and','of','to','in','is','it','for'], w)))
+      |          >= len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), w -> w <> ''))),
+      |    chr(10)), '') AS clean
+      |  FROM t)
+      |SELECT doc_id, CAST(length(clean) AS BIGINT) AS kept_chars,
+      |  floor((1.0 - CAST(length(clean) AS DOUBLE) / length(raw)) * 10000.0) / 10000.0 AS rm_ratio,
+      |  substring(md5(clean), 1, 16) AS fp
+      |FROM k ORDER BY doc_id""".stripMargin
+
   /** Stupid-backoff bigram LM quality score (NgramLm.score): counts
     * train on the doc_id%10<8 split, every doc scores Σ floor(ln p·10⁴)
     * over its bigrams — FIXED-POINT per-bigram truncation makes the
@@ -3729,18 +3769,21 @@ object Queries {
   /** Edit-distance join at d=2 (round 11): value-gates the SOUNDNESS
     * fix — the old ±d index-compat filter silently dropped shift-shaped
     * distance-2 pairs, and the padded digit keys are full of them
-    * (delete a leading digit / append a trailing one). Fixed id slice
-    * (< 2000) so the quadratic d=2 pair fan-out stays bench-bounded at
-    * every sf while the oracle brute-forces the slice exactly. */
+    * (delete a leading digit / append a trailing one — e.g. ids 12/123:
+    * "…000012" vs "…000123" is lev 2 via delete-zero + append-3). Fixed
+    * id slice (< 300) so the quadratic d=2 pair fan-out stays
+    * bench-bounded (~1 s) at every sf while the oracle brute-forces the
+    * slice exactly (d=2 on padded digits shares variants across MOST id
+    * pairs — a 1000-id slice already cost 12 s of candidate verify). */
   val qDedupEdit2: QFn = (s, d) =>
     graft.operators.Dedup.editDistancePairs(
-        customer(s, d).where(col("c_custkey") < 2000), "c_custkey", "c_name", 2)
+        customer(s, d).where(col("c_custkey") < 300), "c_custkey", "c_name", 2)
       .groupBy("dist")
       .agg(count(lit(1)).as("pairs"),
         sum(col("id1") * lit(100003L) + col("id2")).as("ids_hash"))
       .orderBy("dist")
   val qDedupEdit2Sql: String =
-    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 2000)
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300)
       |SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
       |  CAST(count(*) AS BIGINT) AS pairs,
       |  CAST(sum(a.c_custkey * 100003 + b.c_custkey) AS BIGINT) AS ids_hash
@@ -4007,6 +4050,7 @@ object Queries {
     "q_lang_id" -> qLangId,
     "q_token_totals" -> qTokenTotals,
     "q_text_metrics" -> qTextMetrics,
+    "q_boilerplate" -> qBoilerplate,
     "q_rolling_fp" -> qRollingFp,
     "q_winnow" -> qWinnow,
     "q_winnow_pairs" -> qWinnowPairs,
@@ -4151,6 +4195,7 @@ object Queries {
     "q_lang_id" -> qLangIdSql,
     "q_token_totals" -> qTokenTotalsSql,
     "q_text_metrics" -> qTextMetricsSql,
+    "q_boilerplate" -> qBoilerplateSql,
     "q_pii_scan" -> qPiiScanSql,
     "q_repetition" -> qRepetitionSql,
     "q_lm_score" -> qLmScoreSql,

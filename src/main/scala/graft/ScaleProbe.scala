@@ -425,6 +425,20 @@ object ScaleProbe {
         operators.Graphs.labelPropagation(skewEdges(spark, X), "src", "dst",
           iters = 4)
       }, forbid = Seq("CartesianProduct")),
+      // per-group cap on a HOT group: 90% of all rows share one group —
+      // the single-task per-group window trap the round-11 salted
+      // prefilter removes (stage 1 ranks within (group, 64 salt
+      // buckets), so the hot group sorts in 64 parallel tasks and the
+      // final window sees ≤ salt·k rows per group)
+      run("reservoir_skew", {
+        val n = 200000L * X
+        val e = spark.range(n).select(
+          when(pmod(col("id"), lit(10)) < 9, lit("hot"))
+            .otherwise(concat(lit("g"), pmod(xxhash64(col("id")), lit(1000))))
+            .as("grp"),
+          col("id"))
+        operators.Sampling.topKPerGroup(e, "grp", "id", k = 100)
+      }),
       // heavy-hitters store build at X×: the corpus-scale cost is the
       // (grp, item) count aggregation; ranking is salted two-stage so
       // no task sorts a whole group's vocabulary, and the store rows

@@ -81,6 +81,28 @@ object TextFunctions {
         / n.cast(DoubleType)))
   }
 
+  /** Line-level boilerplate removal (the jusText/CCNet-shaped cleaning
+    * step between HTML extraction and document-level quality scoring):
+    * navigation/footer/cookie-banner lines are short and nearly
+    * stopword-free, while content prose is long and stopword-dense, so
+    * a line survives iff it has ≥ `minWords` words AND its exact-match
+    * stopword share is ≥ stopNum/stopDen (integer cross-multiplied —
+    * no float ratio, so the rule replays bit-exact in SQL). Pure
+    * higher-order Column algebra over `split(text, "\n")` — no UDF, no
+    * shuffle, embarrassingly parallel at 100 TB. A document whose every
+    * line is boilerplate cleans to the empty string (never null).
+    * Word matching is exact-token (isin), deliberately different from
+    * [[stopwordRatio]]'s substring-tolerant regexp: line filtering
+    * wants precision, corpus scoring wants recall. */
+  def stripBoilerplate(text: Column, minWords: Int = 4,
+      stopNum: Int = 1, stopDen: Int = 20): Column =
+    array_join(filter(split(text, "\n"), l => {
+      val ws = filter(split(lower(trim(l)), "\\s+"), w => w =!= "")
+      size(ws) >= minWords &&
+        size(filter(ws, w => w.isin(stopwords: _*))) * lit(stopDen) >=
+          size(ws) * lit(stopNum)
+    }), "\n")
+
   /** Composite quality score in [0,1]: long enough, punctuated, some
     * stopwords, sane mean word length. Deliberately simple + deterministic. */
   def qualityScore(text: Column): Column = {

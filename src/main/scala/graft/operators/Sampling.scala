@@ -80,12 +80,25 @@ object Sampling {
     * group key; rank is a window, so groups far larger than k should
     * pre-thin with [[byMd5Prefix]] first at extreme scale. */
   def topKPerGroup(df: DataFrame, groupCol: String, keyCol: String,
-      k: Int): DataFrame = {
-    require(k > 0)
+      k: Int, salt: Int = 64): DataFrame = {
+    require(k > 0 && salt > 0)
+    val rankKey = md5(col(keyCol).cast("string"))
+    // salted lossless prefilter (FreqStore.truncated's trick): a single
+    // per-group window sorts the ENTIRE group in one task — at corpus
+    // scale a hot group (one domain, one language) is the whole batch.
+    // Any row in the group's global top-k is top-k inside its salt
+    // bucket too (total order), so ranking within (group, salt) first
+    // and keeping k per bucket is exact and caps the one-task window's
+    // input at salt·k rows per group.
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), pmod(xxhash64(col(keyCol)), lit(salt)))
+      .orderBy(rankKey, col(keyCol))
+    val pre = df.withColumn("_r1", row_number().over(w1))
+      .where(col("_r1") <= k).drop("_r1")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn("sample_rank", row_number().over(w))
+      .orderBy(rankKey, col(keyCol))
+    pre.withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= k)
   }
 

@@ -45,3 +45,42 @@ class UrlFunctionsSpec extends SparkTestBase {
       === "a=1&b=2&c=3")
   }
 }
+
+/** Line-level boilerplate strip: both filter legs (too short /
+  * stopword-starved), content retention, and the empty-string (never
+  * null) contract for all-boilerplate docs. */
+class BoilerplateSpec extends SparkTestBase {
+  import graft.functions.TextFunctions
+  import spark.implicits._
+
+  private def clean(t: String): String =
+    Seq(t).toDF("t")
+      .select(TextFunctions.stripBoilerplate(col("t"))).head().getString(0)
+
+  test("content lines survive, nav and cookie lines are stripped") {
+    val doc = Seq(
+      "Accept cookies subscribe now", // >=4 words but zero stopwords
+      "the quick brown fox is over the lazy dog of yore", // content
+      "menu home login", // too short
+      "this line of text is a perfectly normal one", // content
+      "buy now").mkString("\n")
+    assert(clean(doc) === Seq(
+      "the quick brown fox is over the lazy dog of yore",
+      "this line of text is a perfectly normal one").mkString("\n"))
+  }
+
+  test("all-boilerplate docs clean to empty string, never null") {
+    assert(clean("menu\nlogin now\nbuy buy buy buy") === "")
+    // and a single content line has no stray separators
+    assert(clean("a b c the d") === "a b c the d")
+  }
+
+  test("thresholds are exact integer cross-multiplication at the boundary") {
+    // 20 words, exactly 1 stopword -> 1*20 >= 20*1 holds (kept);
+    // 21 words, 1 stopword -> 20 < 21 (dropped)
+    val kept = ("the " + Seq.fill(19)("word").mkString(" "))
+    val dropped = ("the " + Seq.fill(20)("word").mkString(" "))
+    assert(clean(kept) === kept)
+    assert(clean(dropped) === "")
+  }
+}
