@@ -2879,6 +2879,76 @@ object Queries {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-domain quota sampling (UrlFunctions × Sampling.topKPerGroup —
+    * the anti-SEO-spam cap every crawl pipeline applies): registered
+    * domain from the synthesized URL, then the deterministic md5-ranked
+    * top-3 per domain through the round-11 SALTED cap path, so the
+    * salted prefilter itself is value-gated here (q_reservoir pins it on
+    * orderstatus; this pins it on a 100-domain key with doc-scale
+    * groups). Output is quota-bounded (≤ 3 rows × 100 domains) at any
+    * sf. */
+  val qDomainQuota: QFn = (s, d) => {
+    import graft.functions.UrlFunctions
+    val id = col("doc_id")
+    val tld = when(id % 4 === 0, lit("co.uk")).when(id % 4 === 1, lit("com"))
+      .when(id % 4 === 2, lit("org")).otherwise(lit("com.au"))
+    val url = concat(lit("https://WWW.Site"), (id % 25).cast(StringType),
+      lit("."), tld, lit("/p/"), (id % 7).cast(StringType))
+    val docs = documents(s, d).select(id, url.as("u"))
+      .withColumn("reg_dom",
+        UrlFunctions.registeredDomain(UrlFunctions.host(col("u"))))
+    graft.operators.Sampling.topKPerGroup(docs, "reg_dom", "doc_id", k = 3)
+      .select(col("reg_dom"), col("sample_rank").cast(LongType).as("rank"),
+        col("doc_id"))
+      .orderBy("reg_dom", "rank")
+  }
+  val qDomainQuotaSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  'site' || CAST(doc_id % 25 AS VARCHAR) || '.' ||
+      |  (CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+      |        WHEN 2 THEN 'org' ELSE 'com.au' END) AS reg_dom
+      |  FROM documents),
+      |r AS (SELECT reg_dom, doc_id,
+      |  row_number() OVER (PARTITION BY reg_dom
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+      |  FROM t)
+      |SELECT reg_dom, CAST(rank AS BIGINT) AS rank, doc_id
+      |FROM r WHERE rank <= 3 ORDER BY reg_dom, rank""".stripMargin
+
+  /** Canonical-URL exact dedup (UrlFunctions.canonical × hash-groupBy —
+    * the FIRST dedup a crawl pipeline runs): messy spellings collapse to
+    * one canonical form (casing, fragments, utm-only queries — this URL
+    * shape drops its whole query string, pinning the all-utm path at
+    * gate level), duplicates group on it, the min-id canonical document
+    * survives. Output is canonical-cardinality-bounded (≤ 300 rows). */
+  val qDedupUrl: QFn = (s, d) => {
+    import graft.functions.UrlFunctions
+    val id = col("doc_id")
+    val tld = when(id % 4 === 0, lit("co.uk")).when(id % 4 === 1, lit("com"))
+      .when(id % 4 === 2, lit("org")).otherwise(lit("com.au"))
+    val url = concat(
+      when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
+      lit("WWW.Site"), (id % 25).cast(StringType), lit("."), tld,
+      when(id % 3 === 0, lit("")).otherwise(lit("/p")),
+      lit("?utm_source=x&utm_medium=y#frag"))
+    documents(s, d).select(id, UrlFunctions.canonical(url).as("canon"))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_dups"), min(id).as("keep_id"),
+        sum(id).as("ids_sum"))
+      .orderBy("canon")
+  }
+  val qDedupUrlSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://www.site'
+      |  || CAST(doc_id % 25 AS VARCHAR) || '.'
+      |  || (CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+      |        WHEN 2 THEN 'org' ELSE 'com.au' END)
+      |  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '/p' END) AS canon
+      |  FROM documents)
+      |SELECT canon, CAST(count(*) AS BIGINT) AS n_dups,
+      |  min(doc_id) AS keep_id, CAST(sum(doc_id) AS BIGINT) AS ids_sum
+      |FROM t GROUP BY canon ORDER BY canon""".stripMargin
+
   // ----------------------------------------------------------- multimodal
   /** Multimodal decode, REAL formats (round 11): synthesize genuine
     * BMP / WAV / Y4M payloads keyed by doc_id (real headers, real row
@@ -3913,23 +3983,11 @@ object Queries {
     * store-served == corpus-rescan bit-for-bit). The round-11 closing of
     * the "every corpus artifact has a blind-append store except the link
     * graph" gap; GraphStoreSpec adds retry-replay neutrality. */
-  val qPageRankStore: QFn = (s, d) => {
-    val dir = graphStoreCache.computeIfAbsent(d, { _ =>
-      val t = java.nio.file.Files.createTempDirectory("graft_graph").toString + "/edges"
-      val edges = graft.operators.Graphs.eventHandoffEdges(events(s, d))
-      graft.operators.Graphs.writeEdges(
-        edges.where(pmod(col("src") + col("dst"), lit(2)) === 0),
-        "src", "dst", t, batchId = "even")
-      graft.operators.Graphs.appendEdges(
-        edges.where(pmod(col("src") + col("dst"), lit(2)) === 1),
-        "src", "dst", t, batchId = "odd")
-      t
-    })
-    graft.operators.Graphs.rankWithStore(s, dir, weighted = true,
-      iters = pageRankIters, scale = pageRankScale)
+  val qPageRankStore: QFn = (s, d) =>
+    graft.operators.Graphs.rankWithStore(s, storedHandoffDir(s, d),
+      weighted = true, iters = pageRankIters, scale = pageRankScale)
       .orderBy(col("rank").desc, col("node"))
       .limit(25)
-  }
   private val graphStoreCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   val qPageRankStoreSql: String = pageRankOracle(weighted = true)
@@ -4006,6 +4064,42 @@ object Queries {
        |FROM l4 GROUP BY 1 ORDER BY size DESC, community LIMIT 20""".stripMargin
   }
 
+  /** The link-graph store serving the OTHER graph operators (round 11):
+    * the same two appended batches that power q_pagerank_store feed
+    * triangle counting and label propagation — the store preserves
+    * per-(src,dst) multi-edge counts, so the LPA support filter
+    * (w ≥ 3) applies to store-merged weights exactly as it would to a
+    * corpus rescan. Both gates SHARE their one-shot oracle text
+    * (q_triangles / q_label_prop) — the output-identity contract. */
+  private def storedHandoffDir(s: SparkSession, d: String): String =
+    graphStoreCache.computeIfAbsent(d, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft_graph").toString + "/edges"
+      val edges = graft.operators.Graphs.eventHandoffEdges(events(s, d))
+      graft.operators.Graphs.writeEdges(
+        edges.where(pmod(col("src") + col("dst"), lit(2)) === 0),
+        "src", "dst", t, batchId = "even")
+      graft.operators.Graphs.appendEdges(
+        edges.where(pmod(col("src") + col("dst"), lit(2)) === 1),
+        "src", "dst", t, batchId = "odd")
+      t
+    })
+  val qTrianglesStore: QFn = (s, d) =>
+    graft.operators.Graphs.triangleCounts(
+        graft.operators.Graphs.readEdges(s, storedHandoffDir(s, d)),
+        "src", "dst")
+      .orderBy(col("tri").desc, col("node"))
+      .limit(20)
+  val qTrianglesStoreSql: String = qTrianglesSql
+  val qLabelPropStore: QFn = (s, d) => {
+    val supported = graft.operators.Graphs.readEdges(s, storedHandoffDir(s, d))
+      .where(col("w") >= 3).select("src", "dst")
+    graft.operators.Graphs.labelPropagation(supported, "src", "dst", iters = 4)
+      .groupBy(col("community")).agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc, col("community"))
+      .limit(20)
+  }
+  val qLabelPropStoreSql: String = qLabelPropSql
+
   // ------------------------------------------------------------- registry
   val all: Map[String, QFn] = Map(
     "q_scan_project" -> qScanProject,
@@ -4062,6 +4156,8 @@ object Queries {
     "q_freq_store" -> qFreqStore,
     "q_pagerank_weighted" -> qPageRankWeighted,
     "q_pagerank_store" -> qPageRankStore,
+    "q_triangles_store" -> qTrianglesStore,
+    "q_label_prop_store" -> qLabelPropStore,
     "q_label_prop" -> qLabelProp,
     "q_pii_scan" -> qPiiScan,
     "q_repetition" -> qRepetition,
@@ -4096,6 +4192,8 @@ object Queries {
     "q_ann_batch" -> qAnnBatch,
     "q_embed_stats" -> qEmbedStats,
     "q_url_parse" -> qUrlParse,
+    "q_domain_quota" -> qDomainQuota,
+    "q_dedup_url" -> qDedupUrl,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
     "q_stream_join" -> qStreamJoin,
@@ -4269,6 +4367,8 @@ object Queries {
     "q_freq_store" -> qFreqStoreSql,
     "q_pagerank_weighted" -> qPageRankWeightedSql,
     "q_pagerank_store" -> qPageRankStoreSql,
+    "q_triangles_store" -> qTrianglesStoreSql,
+    "q_label_prop_store" -> qLabelPropStoreSql,
     "q_label_prop" -> qLabelPropSql,
     "q_range_join_auto" -> qRangeJoinAutoSql,
     "q_checksum" -> qChecksumSql,
@@ -4303,5 +4403,7 @@ object Queries {
     "q_scd2" -> qScd2Sql,
     "q_ratio_report" -> qRatioReportSql,
     "q_multimodal" -> qMultimodalSql,
-    "q_url_parse" -> qUrlParseSql)
+    "q_url_parse" -> qUrlParseSql,
+    "q_domain_quota" -> qDomainQuotaSql,
+    "q_dedup_url" -> qDedupUrlSql)
 }

@@ -44,6 +44,7 @@ object Hashing {
     * interpreted per element and dominated the operator's wall time
     * (~25 µs/row for 19 substring+hash evals vs ~1 µs compiled). */
   def deletionEntries(s: String, maxDist: Int): Array[(Long, Int, Int, Int)] = {
+    if (s == null) return Array.empty // caller filters nulls; belt-and-braces
     val L = s.length
     val n1 = if (maxDist >= 1) L else 0
     val n2 = if (maxDist >= 2) L * (L - 1) / 2 else 0
