@@ -3841,19 +3841,27 @@ object Queries {
     * distance-2 pairs, and the padded digit keys are full of them
     * (delete a leading digit / append a trailing one — e.g. ids 12/123:
     * "…000012" vs "…000123" is lev 2 via delete-zero + append-3). Fixed
-    * id slice (< 300) so the quadratic d=2 pair fan-out stays
-    * bench-bounded (~1 s) at every sf while the oracle brute-forces the
-    * slice exactly (d=2 on padded digits shares variants across MOST id
-    * pairs — a 1000-id slice already cost 12 s of candidate verify). */
+    * id slice (c_custkey % 10 = 0, < 3000 — ~300 DISTINCT-named rows at
+    * every sf) so the quadratic d=2 pair fan-out stays bench-bounded
+    * while the oracle brute-forces the slice exactly: d=2 on padded
+    * digits shares variants across MOST id pairs (a 1000-id slice cost
+    * 12 s of verify), and the scaled sf1 table replicates each base
+    * NAME 10× under remapped keys — a plain key-range slice there put
+    * 1420 entries in one variant bucket (≈1M single-task join rows,
+    * 15 s); the modulo picks one replica per name. Shift pairs survive
+    * at every sf: x and 10x are both multiples of 10 ("…000120" vs
+    * "…001200", lev 2 via delete-leading-zero + append-zero). */
   val qDedupEdit2: QFn = (s, d) =>
     graft.operators.Dedup.editDistancePairs(
-        customer(s, d).where(col("c_custkey") < 300), "c_custkey", "c_name", 2)
+        customer(s, d).where(col("c_custkey") % 10 === 0 &&
+          col("c_custkey") < 3000), "c_custkey", "c_name", 2)
       .groupBy("dist")
       .agg(count(lit(1)).as("pairs"),
         sum(col("id1") * lit(100003L) + col("id2")).as("ids_hash"))
       .orderBy("dist")
   val qDedupEdit2Sql: String =
-    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 300)
+    """WITH c AS (SELECT c_custkey, c_name FROM customer
+      |          WHERE c_custkey % 10 = 0 AND c_custkey < 3000)
       |SELECT CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
       |  CAST(count(*) AS BIGINT) AS pairs,
       |  CAST(sum(a.c_custkey * 100003 + b.c_custkey) AS BIGINT) AS ids_hash
