@@ -2949,6 +2949,79 @@ object Queries {
       |  min(doc_id) AS keep_id, CAST(sum(doc_id) AS BIGINT) AS ids_sum
       |FROM t GROUP BY canon ORDER BY canon""".stripMargin
 
+  /** The WHOLE curation pipeline as one operator (operators.Curation:
+    * boilerplate strip → min-length on the cleaned text → canonical-URL
+    * dedup among survivors → per-domain quota among survivors, each doc
+    * getting keep + first-failing-stage reason). The oracle replays all
+    * four stages in one SQL chain — per-line stopword algebra, token
+    * counts, the survivor-scoped min-id canonical selection, and the
+    * running-count-of-survivors domain rank — so the STAGE ORDER itself
+    * is value-pinned (a dup group whose canonical doc was
+    * length-rejected must fall to the next-smallest survivor). Output:
+    * verdict histogram per source + kept-id anchors. */
+  val qCurate: QFn = (s, d) => {
+    import graft.operators.Curation
+    val id = col("doc_id")
+    val tld = when(id % 4 === 0, lit("co.uk")).when(id % 4 === 1, lit("com"))
+      .when(id % 4 === 2, lit("org")).otherwise(lit("com.au"))
+    val url = concat(lit("https://WWW.Site"), (id % 25).cast(StringType),
+      lit("."), tld,
+      when(id % 3 === 0, lit("")).otherwise(lit("/p")),
+      lit("?utm_source=x"))
+    val docs = documents(s, d).select(id, col("source"), col("text"),
+      url.as("u"))
+    Curation.curate(docs, "doc_id", "text", "u",
+        minTokens = 30, domainCap = 2)
+      .groupBy(col("source"), coalesce(col("reason"), lit("kept")).as("verdict"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id") * lit(100003L)).as("ids_hash"))
+      .orderBy("source", "verdict")
+  }
+  val qCurateSql: String =
+    """WITH t AS (SELECT doc_id, source, text,
+      |  'site' || CAST(doc_id % 25 AS VARCHAR) || '.' ||
+      |  (CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+      |        WHEN 2 THEN 'org' ELSE 'com.au' END) AS reg_dom,
+      |  'https://site' || CAST(doc_id % 25 AS VARCHAR) || '.' ||
+      |  (CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com'
+      |        WHEN 2 THEN 'org' ELSE 'com.au' END)
+      |  || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '/p' END) AS canon
+      |  FROM documents),
+      |cl AS (SELECT *, COALESCE(array_to_string(
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), w -> w <> '')) >= 4
+      |      AND 20 * len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'),
+      |                   w -> list_contains(['the','a','an','and','of','to','in','is','it','for'], w)))
+      |          >= len(list_filter(regexp_split_to_array(lower(trim(l)), '\s+'), w -> w <> ''))),
+      |    chr(10)), '') AS clean FROM t),
+      |st AS (SELECT *,
+      |  length(clean) = 0 AS bp_only,
+      |  length(clean) > 0 AND
+      |    (CASE WHEN length(trim(clean)) = 0 THEN 0
+      |          ELSE len(regexp_split_to_array(trim(clean), '\s+')) END) < 30 AS too_short
+      |  FROM cl),
+      |dd AS (SELECT *,
+      |  NOT bp_only AND NOT too_short AS len_pass,
+      |  min(CASE WHEN NOT bp_only AND NOT too_short THEN doc_id END)
+      |    OVER (PARTITION BY canon) AS canon_keep_id
+      |  FROM st),
+      |d2 AS (SELECT *, len_pass AND doc_id <> canon_keep_id AS dup_url FROM dd),
+      |qq AS (SELECT *,
+      |  sum(CASE WHEN len_pass AND NOT dup_url THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY reg_dom ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dom_rank
+      |  FROM d2),
+      |v AS (SELECT source, doc_id,
+      |  CASE WHEN bp_only THEN 'boilerplate_only'
+      |       WHEN too_short THEN 'too_short'
+      |       WHEN dup_url THEN 'dup_url'
+      |       WHEN len_pass AND NOT dup_url AND dom_rank > 2 THEN 'over_quota'
+      |       ELSE 'kept' END AS verdict
+      |  FROM qq)
+      |SELECT source, verdict, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(doc_id * 100003) AS BIGINT) AS ids_hash
+      |FROM v GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin
+
   // ----------------------------------------------------------- multimodal
   /** Multimodal decode, REAL formats (round 11): synthesize genuine
     * BMP / WAV / Y4M payloads keyed by doc_id (real headers, real row
@@ -4202,6 +4275,7 @@ object Queries {
     "q_url_parse" -> qUrlParse,
     "q_domain_quota" -> qDomainQuota,
     "q_dedup_url" -> qDedupUrl,
+    "q_curate" -> qCurate,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
     "q_stream_join" -> qStreamJoin,
@@ -4413,5 +4487,6 @@ object Queries {
     "q_multimodal" -> qMultimodalSql,
     "q_url_parse" -> qUrlParseSql,
     "q_domain_quota" -> qDomainQuotaSql,
-    "q_dedup_url" -> qDedupUrlSql)
+    "q_dedup_url" -> qDedupUrlSql,
+    "q_curate" -> qCurateSql)
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Four-stage curation chain: verdict semantics, the stage-ORDER
+  * contract (dedup falls to the next survivor when the canonical doc
+  * was length-rejected), quota counting only survivors, and the
+  * unparseable-URL skip rule. */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val prose = "the quick brown fox is in the yard of it and " +
+    "this line of text is a perfectly normal one for the test to use"
+
+  private def verdicts(rows: Seq[(Long, String, String)]): Map[Long, (Boolean, String)] =
+    Curation.curate(rows.toDF("doc_id", "text", "u"), "doc_id", "text", "u",
+      minTokens = 10, domainCap = 2)
+      .select("doc_id", "keep", "reason").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getString(2)).orNull))
+      .toMap
+
+  test("each stage fires with its reason; kept docs carry null reason") {
+    val v = verdicts(Seq(
+      (1L, "buy now click here subscribe", "https://a.com/x"), // no stopwords
+      (2L, "the cat is in a hat", "https://a.com/y"), // cleans fine, 6 tokens < 10
+      (3L, prose, "https://b.com/1"),
+      (4L, prose, "https://b.com/1"), // same canonical as 3 -> dup
+      (5L, prose, "https://c1.com/1"), (6L, prose, "https://c2.com/2"),
+      (7L, prose, "https://c3.com/3")))
+    assert(v(1L) === ((false, "boilerplate_only")))
+    assert(v(2L) === ((false, "too_short")))
+    assert(v(3L) === ((true, null)))
+    assert(v(4L) === ((false, "dup_url")))
+    // domains distinct for 5..7 -> all kept (cap is per domain)
+    assert(Seq(5L, 6L, 7L).forall(v(_)._1))
+  }
+
+  test("stage order: dedup falls to the next survivor when the smallest " +
+      "id was length-rejected") {
+    val v = verdicts(Seq(
+      (1L, "the cat is here", "https://a.com/x"), // survives bp, too_short
+      (2L, prose, "https://a.com/x"), // next-smallest SURVIVOR -> kept
+      (3L, prose, "https://a.com/x"))) // dup of 2
+    assert(v(1L)._2 === "too_short")
+    assert(v(2L) === ((true, null)))
+    assert(v(3L)._2 === "dup_url")
+  }
+
+  test("quota counts only survivors; unparseable URLs skip stages 3-4") {
+    val rows = (1L to 6L).map(i => (i, prose, s"https://hot.com/$i")) ++
+      Seq((7L, "the cat is here", "https://hot.com/7"), // too_short, no quota use
+        (8L, prose, "not a url"), (9L, prose, "not a url"))
+    val v = verdicts(rows)
+    // cap=2: exactly 2 of the 6 hot.com survivors kept, 4 over_quota
+    val hot = (1L to 6L).map(v(_))
+    assert(hot.count(_._1) === 2 && hot.count(_._2 == "over_quota") === 4)
+    assert(v(7L)._2 === "too_short")
+    // unparseable URLs: not dups of each other, no quota group
+    assert(v(8L) === ((true, null)) && v(9L) === ((true, null)))
+  }
+}
