@@ -425,6 +425,18 @@ object ScaleProbe {
         operators.Graphs.labelPropagation(skewEdges(spark, X), "src", "dst",
           iters = 4)
       }, forbid = Seq("CartesianProduct")),
+      // full curation pipeline at X×: URL key-space scales with the
+      // corpus (domains ∝ X, ~20 docs per canonical), so BOTH window
+      // stages (canonical dedup, domain quota) grow their group COUNT,
+      // not group size — the realistic crawl shape
+      run("curate", {
+        val n = docs // docs is already the X×-inflated corpus
+        val urled = n.withColumn("u", concat(lit("https://site"),
+          pmod(xxhash64(col("doc_id")), lit(3000L * X)).cast("string"),
+          lit(".com/p/"), pmod(col("doc_id"), lit(20)).cast("string")))
+        operators.Curation.curate(urled, "doc_id", "text", "u",
+          minTokens = 20, domainCap = 50)
+      }),
       // per-group cap on a HOT group: 90% of all rows share one group —
       // the single-task per-group window trap the round-11 salted
       // prefilter removes (stage 1 ranks within (group, 64 salt
