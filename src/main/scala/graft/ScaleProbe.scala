@@ -437,6 +437,23 @@ object ScaleProbe {
         operators.Curation.curate(urled, "doc_id", "text", "u",
           minTokens = 20, domainCap = 50)
       }),
+      // HOT-domain curation (round 12): ONE domain holds 50% of all docs
+      // and its SIZE scales with X — the shape the probe above dodges
+      // (it grows domain COUNT). Every hot-domain doc has a unique path
+      // (no canonical collapse), so the full 50% slab hits the QUOTA
+      // stage; the salted kept-set path must hold wall ~linear with
+      // zero spill and no single-task per-domain sort (the pre-round-12
+      // running-sum window form sorted the whole slab in one task)
+      run("curate_hotdomain", {
+        val urled = docs.withColumn("u",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("https://bigblog.com/p/"), col("doc_id").cast("string")))
+            .otherwise(concat(lit("https://site"),
+              pmod(xxhash64(col("doc_id")), lit(3000L * X)).cast("string"),
+              lit(".com/p/"), pmod(col("doc_id"), lit(20)).cast("string"))))
+        operators.Curation.curate(urled, "doc_id", "text", "u",
+          minTokens = 20, domainCap = 50)
+      }),
       // per-group cap on a HOT group: 90% of all rows share one group —
       // the single-task per-group window trap the round-11 salted
       // prefilter removes (stage 1 ranks within (group, 64 salt

@@ -103,6 +103,27 @@ object TextFunctions {
           size(ws) * lit(stopNum)
     }), "\n")
 
+  /** `tokenCount(stripBoilerplate(text))` WITHOUT materializing the
+    * cleaned string: one aggregate over the line array summing each
+    * surviving line's word count. Provably equal to the two-step form
+    * (kept lines are non-empty — ≥ minWords ≥ 1 words — and "\n"-joined
+    * text re-splits on the same `\s+` class), pinned by spec. The
+    * cheap branch for pipelines that need only the length decision
+    * (e.g. [[graft.operators.Curation]]'s narrow verdict frame), not
+    * the text itself. */
+  def cleanTokenCount(text: Column, minWords: Int = 4,
+      stopNum: Int = 1, stopDen: Int = 20): Column = {
+    require(minWords >= 1, s"minWords=$minWords: a 0-word keep rule " +
+      "breaks the count==0 <=> all-boilerplate equivalence")
+    aggregate(split(text, "\n"), lit(0), (acc, l) => {
+      val ws = filter(split(lower(trim(l)), "\\s+"), w => w =!= "")
+      val kept = size(ws) >= minWords &&
+        size(filter(ws, w => w.isin(stopwords: _*))) * lit(stopDen) >=
+          size(ws) * lit(stopNum)
+      acc + when(kept, size(ws)).otherwise(lit(0))
+    })
+  }
+
   /** Composite quality score in [0,1]: long enough, punctuated, some
     * stopwords, sane mean word length. Deliberately simple + deterministic. */
   def qualityScore(text: Column): Column = {

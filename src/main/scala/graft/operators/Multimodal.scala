@@ -118,11 +118,14 @@ object Multimodal {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val offBits = leIntAt(b, 10)
     val w = leIntAt(b, 18)
-    val hRaw = leIntAt(b, 22)
-    val h = math.abs(hRaw)
+    // top-down BMPs (negative biHeight) are an unsupported variant:
+    // every pixel accessor here assumes bottom-up row order, so abs()ing
+    // the height would silently emit vertically flipped output — reject
+    // to null like any other unsupported shape (decode-to-null contract)
+    val h = leIntAt(b, 22)
     val bpp = leShortAt(b, 28)
     val compression = leIntAt(b, 30)
-    if (w <= 0 || h == 0 || w > (1 << 20) || h > (1 << 20)) return None
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20)) return None
     if (bpp != 24 || compression != 0) return None
     if (offBits < 54 || offBits > b.length) return None
     val rowSize = ((3L * w + 3) / 4) * 4
@@ -136,23 +139,28 @@ object Multimodal {
     if (b.length < 44) return None
     if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
         b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
-    var off = 12
+    // the walk offset is a LONG: a corrupt chunk declaring a size near
+    // Int.MaxValue must step past the buffer end and decode to null, not
+    // wrap negative and throw out of the UDF (a crafted WAV would
+    // otherwise fail the task, violating the decode-to-null contract)
+    var off = 12L
     var fmt: Option[(Int, Int)] = None // (sampleRate, channels)
     var data: Option[Int] = None
     while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val size = leIntAt(b, off + 4)
+      val o = off.toInt // off + 8 <= length, so the Int cast is exact
+      val size = leIntAt(b, o + 4)
       if (size < 0) return None
-      val id = new String(b, off, 4, "US-ASCII")
+      val id = new String(b, o, 4, "US-ASCII")
       if (id == "fmt ") {
-        if (off + 8 + 16 > b.length || size < 16) return None
-        val audioFormat = leShortAt(b, off + 8)
+        if (o + 8 + 16 > b.length || size < 16) return None
+        val audioFormat = leShortAt(b, o + 8)
         if (audioFormat != 1) return None // PCM only
-        fmt = Some((leIntAt(b, off + 12), leShortAt(b, off + 10)))
+        fmt = Some((leIntAt(b, o + 12), leShortAt(b, o + 10)))
       } else if (id == "data") {
-        if (off + 8 + size.toLong > b.length) return None // truncated data
+        if (o + 8 + size.toLong > b.length) return None // truncated data
         data = Some(size)
       }
-      off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+      off += 8L + size.toLong + (size & 1) // RIFF chunks are 2-byte aligned
     }
     for ((sr, ch) <- fmt; d <- data if sr > 0 && ch > 0) yield (sr, ch, d)
   }

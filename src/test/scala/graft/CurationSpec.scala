@@ -59,4 +59,65 @@ class CurationSpec extends SparkTestBase {
     // unparseable URLs: not dups of each other, no quota group
     assert(v(8L) === ((true, null)) && v(9L) === ((true, null)))
   }
+
+  test("MORE than domainCap unparseable docs all skip the quota stage " +
+      "(empty host must never pool into one '' domain bucket)") {
+    // 5 unparseable survivors > cap=2: all kept — they have no domain.
+    // The pre-fix shape flagged 3 of them over_quota via the shared ""
+    // registered domain.
+    val v = verdicts((1L to 5L).map(i => (i, prose, s"no scheme $i")))
+    assert((1L to 5L).forall(i => v(i) === ((true, null))))
+  }
+
+  test("cleanTokenCount == tokenCount(stripBoilerplate(text)) — the narrow " +
+      "verdict branch's fused rule is the two-step rule") {
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      "menu home login\n" + prose + "\n  the cat is in a hat  \nbuy now",
+      "buy now click here subscribe", // all boilerplate
+      "", "   \n \n", // empty / whitespace-only lines
+      " the lone content line of this doc ", // single line, padded
+      prose + "\n" + prose).toDF("t")
+    val got = docs.select(
+      TextFunctions.cleanTokenCount(col("t")).as("fused"),
+      TextFunctions.tokenCount(TextFunctions.stripBoilerplate(col("t")))
+        .as("twostep")).collect()
+    got.foreach(r => assert(r.getInt(0) === r.getInt(1), r.toString))
+  }
+
+  test("null text verdicts as boilerplate_only, never a null-reason keep") {
+    val v = verdicts(Seq(
+      (1L, null, "https://a.com/x"),
+      (2L, prose, "https://a.com/y")))
+    assert(v(1L) === ((false, "boilerplate_only")))
+    assert(v(2L) === ((true, null)))
+  }
+
+  test("store: two appended batches + a replayed batch serve the one-shot " +
+      "verdicts over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_curate_store").toString
+    val all = (1L to 6L).map(i => (i, prose, s"https://hot.com/$i")) ++ Seq(
+      (7L, "the cat is here", "https://a.com/p"), // too_short
+      (8L, prose, "https://a.com/p"), // kept (7 was length-rejected)
+      (9L, prose, "https://a.com/p"), // dup_url of 8
+      (10L, prose, "not a url")) // skips 3-4
+    val (b1, b2) = all.partition(_._1 % 2 == 0)
+    def df(rows: Seq[(Long, String, String)]) = rows.toDF("doc_id", "text", "u")
+    Curation.writeStaged(df(b1), "doc_id", "text", "u", dir, "b1",
+      mode = "overwrite")
+    Curation.writeStaged(df(b2), "doc_id", "text", "u", dir, "b2")
+    Curation.writeStaged(df(b2), "doc_id", "text", "u", dir, "b2") // retry replay
+    val served = Curation.curateFromStore(spark, dir, "doc_id",
+      minTokens = 10, domainCap = 2)
+      .select("doc_id", "keep", "reason").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)).orNull))
+      .sortBy(_._1)
+    val oneShot = Curation.curate(df(all), "doc_id", "text", "u",
+      minTokens = 10, domainCap = 2)
+      .select("doc_id", "keep", "reason").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), Option(r.getString(2)).orNull))
+      .sortBy(_._1)
+    assert(served.length === all.length, "replayed batch must dedup on read")
+    assert(served.toSeq === oneShot.toSeq)
+  }
 }

@@ -59,10 +59,25 @@ class MultimodalSpec extends SparkTestBase {
     val badBppBmp = bmp.clone(); badBppBmp(28) = 8 // unsupported bpp
     val nonPcmWav = wav.clone(); nonPcmWav(20) = 3 // IEEE float fmt
     val shortY4m = truncate(y4m, y4m.length - 5) // truncated last frame
+    // top-down BMP (negative biHeight): unsupported variant — the pixel
+    // walk assumes bottom-up rows, so this must reject, not emit a
+    // silently flipped image
+    val topDownBmp = bmp.clone()
+    topDownBmp(22) = 0xf8.toByte; topDownBmp(23) = 0xff.toByte
+    topDownBmp(24) = 0xff.toByte; topDownBmp(25) = 0xff.toByte
+    // a RIFF chunk declaring a size near Int.MaxValue: the chunk walk
+    // must step past the buffer in LONG arithmetic and decode to null —
+    // Int arithmetic wrapped the offset negative and threw out of the
+    // UDF (task failure, not decode-to-null)
+    val hugeChunkWav = wav.clone()
+    hugeChunkWav(36) = 'J'; hugeChunkWav(37) = 'U'
+    hugeChunkWav(38) = 'N'; hugeChunkWav(39) = 'K'
+    hugeChunkWav(40) = 0xf0.toByte; hugeChunkWav(41) = 0xff.toByte
+    hugeChunkWav(42) = 0xff.toByte; hugeChunkWav(43) = 0x7f.toByte
     val cases: Seq[Array[Byte]] = Seq(
       truncate(bmp, 10), truncate(bmp, 53), truncate(bmp, bmp.length - 1),
-      lyingBmp, badBppBmp,
-      truncate(wav, 30), lyingWav, nonPcmWav,
+      lyingBmp, badBppBmp, topDownBmp,
+      truncate(wav, 30), lyingWav, nonPcmWav, hugeChunkWav,
       truncate(y4m, 4), shortY4m,
       Array[Byte](), Array[Byte]('B'))
     val df = spark.createDataFrame(
