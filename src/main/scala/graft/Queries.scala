@@ -3022,6 +3022,41 @@ object Queries {
       |  CAST(sum(doc_id * 100003) AS BIGINT) AS ids_hash
       |FROM v GROUP BY 1, 2 ORDER BY source, verdict""".stripMargin
 
+  /** Curation served FROM the persisted staged store (operators.Curation
+    * .writeStaged/curateFromStore): the corpus splits into two batches
+    * appended blind (plus one batch REPLAYED under its batch_id — the
+    * retry case, neutralized by read-side dedup), then every verdict is
+    * served from the store without rescanning any batch's text. Shares
+    * q_curate's oracle text verbatim: store-served == one-shot over the
+    * union is the contract (the [[graft.operators.Graphs]] store
+    * pattern). */
+  val qCurateStore: QFn = (s, d) => {
+    import graft.operators.Curation
+    val id = col("doc_id")
+    val tld = when(id % 4 === 0, lit("co.uk")).when(id % 4 === 1, lit("com"))
+      .when(id % 4 === 2, lit("org")).otherwise(lit("com.au"))
+    val url = concat(lit("https://WWW.Site"), (id % 25).cast(StringType),
+      lit("."), tld,
+      when(id % 3 === 0, lit("")).otherwise(lit("/p")),
+      lit("?utm_source=x"))
+    val docs = documents(s, d).select(id, col("source"), col("text"),
+      url.as("u"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_curate_store").toString + "/s"
+    Curation.writeStaged(docs.where(id % 2 === 0), "doc_id", "text", "u",
+      dir, "b1", mode = "overwrite")
+    Curation.writeStaged(docs.where(id % 2 =!= 0), "doc_id", "text", "u",
+      dir, "b2")
+    Curation.writeStaged(docs.where(id % 2 =!= 0), "doc_id", "text", "u",
+      dir, "b2") // retried batch: same batch_id, deduped on read
+    Curation.curateFromStore(s, dir, "doc_id", minTokens = 30, domainCap = 2)
+      .groupBy(col("source"), coalesce(col("reason"), lit("kept")).as("verdict"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("doc_id") * lit(100003L)).as("ids_hash"))
+      .orderBy("source", "verdict")
+  }
+  val qCurateStoreSql: String = qCurateSql
+
   // ----------------------------------------------------------- multimodal
   /** Multimodal decode, REAL formats (round 11): synthesize genuine
     * BMP / WAV / Y4M payloads keyed by doc_id (real headers, real row
@@ -4276,6 +4311,7 @@ object Queries {
     "q_domain_quota" -> qDomainQuota,
     "q_dedup_url" -> qDedupUrl,
     "q_curate" -> qCurate,
+    "q_curate_store" -> qCurateStore,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
     "q_stream_join" -> qStreamJoin,
@@ -4488,5 +4524,6 @@ object Queries {
     "q_url_parse" -> qUrlParseSql,
     "q_domain_quota" -> qDomainQuotaSql,
     "q_dedup_url" -> qDedupUrlSql,
-    "q_curate" -> qCurateSql)
+    "q_curate" -> qCurateSql,
+    "q_curate_store" -> qCurateStoreSql)
 }
