@@ -2838,11 +2838,21 @@ object Queries {
   val qUrlParse: QFn = (s, d) => {
     import graft.functions.UrlFunctions
     val id = col("doc_id")
-    val tld = when(id % 4 === 0, lit("co.uk")).when(id % 4 === 1, lit("com"))
-      .when(id % 4 === 2, lit("org")).otherwise(lit("com.au"))
+    // tld cycle spans every PSL rule CLASS: plain 1/2-level (com, org,
+    // co.uk, com.au), private-section (github.io), full-TLD wildcard
+    // (*.ck), multi-level wildcard (*.kawasaki.jp), and a 3-level plain
+    // rule (k12.ma.us); id%100==11 pins the exception rule (!www.ck) —
+    // host www.ck must resolve to itself, beating the *.ck wildcard
+    val tld = when(id % 8 === 0, lit("co.uk")).when(id % 8 === 1, lit("com"))
+      .when(id % 8 === 2, lit("org")).when(id % 8 === 3, lit("com.au"))
+      .when(id % 8 === 4, lit("github.io")).when(id % 8 === 5, lit("ck"))
+      .when(id % 8 === 6, lit("kawasaki.jp")).otherwise(lit("k12.ma.us"))
+    val hostPart = when(id % 100 === 11, lit("WWW.ck"))
+      .otherwise(concat(lit("WWW.Site"), (id % 50).cast(StringType),
+        lit("."), tld))
     val url = concat(
       when(id % 2 === 0, lit("HTTP")).otherwise(lit("https")), lit("://"),
-      lit("WWW.Site"), (id % 50).cast(StringType), lit("."), tld,
+      hostPart,
       when(id % 5 === 0, lit(":80")).when(id % 5 === 1, lit(":8080"))
         .otherwise(lit("")),
       when(id % 3 === 0, lit("")).otherwise(concat(lit("/p/"),
@@ -2861,22 +2871,30 @@ object Queries {
   }
   val qUrlParseSql: String =
     """SELECT doc_id,
-      |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://www.site'
-      |    || CAST(doc_id % 50 AS VARCHAR) || '.' || tld
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' || host
       |    || (CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 1 THEN ':80'
       |             WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
       |    || (CASE WHEN doc_id % 3 = 0 THEN '/'
       |             ELSE '/p/' || CAST(doc_id % 7 AS VARCHAR) END)
       |    || '?id=' || CAST(doc_id % 11 AS VARCHAR)
       |    || (CASE WHEN doc_id % 7 = 0 THEN '&x=1' ELSE '' END) AS canon,
-      |  'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.' || tld AS host,
-      |  'site' || CAST(doc_id % 50 AS VARCHAR) || '.' || tld AS reg_dom,
+      |  host,
+      |  CASE WHEN doc_id % 100 = 11 THEN 'www.ck'
+      |       WHEN doc_id % 8 IN (5, 6) THEN host
+      |       ELSE 'site' || CAST(doc_id % 50 AS VARCHAR) || '.' || tld
+      |  END AS reg_dom,
       |  CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_params
-      |FROM (SELECT doc_id,
-      |        CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'co.uk'
-      |             WHEN 1 THEN 'com' WHEN 2 THEN 'org'
-      |             ELSE 'com.au' END AS tld
-      |      FROM documents)
+      |FROM (SELECT doc_id, tld,
+      |        CASE WHEN doc_id % 100 = 11 THEN 'www.ck'
+      |             ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.' || tld
+      |        END AS host
+      |      FROM (SELECT doc_id,
+      |              CASE CAST(doc_id % 8 AS INTEGER) WHEN 0 THEN 'co.uk'
+      |                   WHEN 1 THEN 'com' WHEN 2 THEN 'org'
+      |                   WHEN 3 THEN 'com.au' WHEN 4 THEN 'github.io'
+      |                   WHEN 5 THEN 'ck' WHEN 6 THEN 'kawasaki.jp'
+      |                   ELSE 'k12.ma.us' END AS tld
+      |            FROM documents))
       |ORDER BY doc_id""".stripMargin
 
   /** Per-domain quota sampling (UrlFunctions × Sampling.topKPerGroup —

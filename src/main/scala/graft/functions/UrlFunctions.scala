@@ -57,25 +57,57 @@ object UrlFunctions {
         when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
   }
 
-  /** Two-level public suffixes the heuristic recognizes (the high-traffic
-    * subset; a production deployment swaps in the full PSL snapshot —
-    * the COLUMN ALGEBRA is the operator, the list is data). */
-  val TwoLevelSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "gov.uk", "ac.uk", "me.uk",
-    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
-    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "com.tw",
-    "com.ar", "co.za", "com.sg", "com.tr")
-
-  /** eTLD+1 of a (lowercased) host: last two labels, or last three when
-    * the last two form a listed two-level suffix. Hosts with one label
-    * (localhost, intranet names) pass through unchanged. */
+  /** eTLD+1 of a (lowercased) host under the FULL publicsuffix.org rule
+    * algebra, driven by the [[PublicSuffixes]] snapshot (the list is
+    * data; this is the algorithm):
+    *
+    *   - an EXCEPTION rule (`!www.ck`) prevails over every other match:
+    *     the exception string itself is the registrable domain;
+    *   - otherwise the LONGEST matching rule wins, where a plain rule
+    *     of k labels makes the host's last k labels the public suffix,
+    *     and a wildcard rule `*.base` (base of k labels) makes the last
+    *     k+1 labels the public suffix;
+    *   - no rule matches ⇒ the implicit `*` default: the last label is
+    *     the public suffix;
+    *   - registrable domain = public suffix + one more label. A host
+    *     that IS a public suffix (or a single label — localhost,
+    *     intranet names) passes through unchanged, the engine's
+    *     documented grouping for unregistrable hosts.
+    *
+    * Pure column algebra: per rule depth one `isin` (compiled to an
+    * InSet hash probe) over the host's last-k-label string — no UDF, no
+    * join; a 100 TB URL column resolves inside the scan's codegen.
+    * Rule classes and depths are derived from the snapshot at class-init
+    * time, so swapping in a bigger PSL dump changes nothing here. */
   def registeredDomain(hostCol: Column): Column = {
     val labels = split(hostCol, "\\.")
     val n = size(labels)
-    val lastTwo = concat(element_at(labels, -2), lit("."), element_at(labels, -1))
-    when(n <= 1, hostCol)
-      .when(n >= 3 && lastTwo.isin(TwoLevelSuffixes: _*),
-        concat(element_at(labels, -3), lit("."), lastTwo))
-      .otherwise(lastTwo)
+    def lastK(k: Int): Column =
+      if (k == 1) element_at(labels, -1)
+      else concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    val base = when(n <= 1, hostCol)
+    // exceptions first (they beat longer wildcard matches by spec)
+    val withExc = PublicSuffixes.exceptionsByLen.toSeq.sortBy(-_._1)
+      .foldLeft(base) { case (acc, (len, excs)) =>
+        acc.when(n >= len && lastK(len).isin(excs: _*), lastK(len))
+      }
+    // then by public-suffix length, longest first; at each depth a
+    // plain rule (last ps labels listed) or a wildcard rule (last ps-1
+    // labels are a listed base) claims the suffix
+    val resolved = (PublicSuffixes.maxPsLen to 2 by -1)
+      .foldLeft(withExc) { case (acc, ps) =>
+        val plain = PublicSuffixes.normalByLen.get(ps)
+          .map(s => lastK(ps).isin(s: _*))
+        val wild = PublicSuffixes.wildcardBasesByLen.get(ps - 1)
+          .map(s => lastK(ps - 1).isin(s: _*))
+        (plain ++ wild).reduceOption(_ || _) match {
+          case None => acc
+          case Some(cond) =>
+            acc.when(n > ps && cond, lastK(ps + 1))
+              .when(n === ps && cond, hostCol) // host IS a public suffix
+        }
+      }
+    // implicit `*` default: last label is the public suffix
+    resolved.otherwise(lastK(2))
   }
 }
