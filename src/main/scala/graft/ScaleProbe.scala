@@ -360,6 +360,36 @@ object ScaleProbe {
           .drop("rep")
         operators.Dedup.editDistancePairs(cust, "c_custkey", "c_name", 1)
       }, forbid = Seq("CartesianProduct")),
+      // d=2 on a 1/16 slice (the full remapped key space is
+      // output-bound: ~2000 true pairs per row — measured 74% of
+      // distinct candidates verify, so wall is the answer's size, not
+      // waste). Telemetry prints the verify-once-per-pair cut: raw
+      // candidate rows (one per shared variant) vs distinct pairs
+      // actually verified (round-12 fix; was 7.7x on this shape)
+      run("dedup_edit2", {
+        val cust = Tables.customer(spark, sfDir).select(col("*"), rep)
+          .withColumn("c_custkey", col("c_custkey") * X + col("rep"))
+          .where(col("c_custkey") % 16 === 0)
+          .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+          .drop("rep")
+        operators.Dedup.editDistancePairs(cust, "c_custkey", "c_name", 2)
+      }, forbid = Seq("CartesianProduct")),
+      {
+        if (headRe.exists(_.findFirstIn("dedup_edit2").isDefined)) {
+          val cust = Tables.customer(spark, sfDir).select(col("*"), rep)
+            .withColumn("c_custkey", col("c_custkey") * X + col("rep"))
+            .where(col("c_custkey") % 16 === 0)
+            .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+            .drop("rep")
+          val cand = operators.Dedup.editCandidates(
+            cust, "c_custkey", "c_name", 2, 0)
+          val raw = cand.count()
+          val distinct = cand.select("id1", "id2").distinct().count()
+          println(f"dedup_edit2 telemetry: candidateRows=$raw%,d " +
+            f"verifiedPairs=$distinct%,d cut=${raw.toDouble / math.max(distinct, 1)}%.1fx")
+        }
+        None
+      },
       // PageRank at X×: events inflate with remapped event AND user ids
       // (node count scales ∝ X, replicas interleave inside each
       // (type, day) stream so the graph densifies rather than splitting

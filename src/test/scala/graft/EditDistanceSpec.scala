@@ -79,6 +79,20 @@ class EditDistanceSpec extends SparkTestBase {
     assert(out === Set((0L, 2L, 1L), (2L, 3L, 1L)))
   }
 
+  test("verify-once-per-pair: raw candidates carry multi-variant " +
+      "multiplicity, distinct pairs are what levenshtein sees, output exact") {
+    // padded digits: a true <=2 pair shares many deletion variants, so
+    // the raw join emits it once per shared variant — the dedup before
+    // the banded-DP verify is the d=2 cost fix
+    val rows = (0L until 300L).map(i => i -> f"K#$i%06d")
+    val cand = Dedup.editCandidates(rows.toDF("id", "s"), "id", "s", 2, 0)
+    val raw = cand.count()
+    val distinct = cand.select("id1", "id2").distinct().count()
+    assert(raw > 3 * distinct,
+      s"expected >=3x multiplicity on this key space: raw=$raw distinct=$distinct")
+    assert(got(rows, 2) === allPairs(rows, 2), "output exact after the dedup")
+  }
+
   test("maxBucket cap drops hot-variant keys but keeps exact elsewhere") {
     // 50 identical strings make every variant bucket hot; two unrelated
     // near-pairs survive a cap that excludes the hot buckets.
