@@ -3084,6 +3084,73 @@ object Queries {
     * payload_bytes includes the 4-byte ROW PADDING formula
     * (floor((3w+3)/4)·4·h), so a codec that forgets the padding, reads
     * big-endian, or mis-walks a RIFF chunk breaks value parity. */
+  /** Image near-dup pipeline END-TO-END (round 12): synthesized
+    * known-structure BMPs (40 groups; group g's 6×6 block pattern is a
+    * hash-derived 64/192 luma grid, each replica jittered by a ±2
+    * triangle wave — real bytes, real row padding) → REAL pixel-loop
+    * block-mean embedding ([[graft.operators.Multimodal
+    * .embedImageBlocks]]: centered, unit-normalized) → the capped LSH
+    * kNN pipeline ([[Similarity.selfTopKLsh]], corpus-sized bits, hot
+    * cells take the sliding-window path at sf ≥ 0.1) → cosine
+    * threshold → connected components ([[graft.operators.Dedup
+    * .clusters]]). Geometry by construction: in-group cosine ≥ ~0.998
+    * (jitter ⋘ pattern), cross-group ≤ ~0.7 (hash-random patterns), so
+    * θ=0.9 recovers EXACTLY the 40 groups — the oracle is pure doc_id
+    * arithmetic (cluster = min id of the group = g), yet the Spark side
+    * must survive real decode, embed, bucketing, ranking and clustering
+    * to match it. */
+  /** Block-luma pattern for the media near-dup gate, shared with the
+    * geometry spec (MultimodalSpec pins, for THIS fixed construction,
+    * that every group's 8 jitter variants fall on the same side of all
+    * 24 hyperplanes of all 8 LSH tables — so a group co-cells in every
+    * table at every corpus size, and the gate's connectivity is proved,
+    * not sampled). Per block: a hash bit picks the 64/192 base, a
+    * hash offset in −3..3 breaks the value lattice (without it a ±1
+    * plane is EXACTLY orthogonal to a bit-balanced pattern with
+    * probability C(36,18)/2³⁶ ≈ 13%, and the antipodal ±2 triangle
+    * jitter — jitter(r+4) = −jitter(r) — then splits the variants
+    * deterministically: observed as 4-way group splits at sf0.1), and
+    * the replica jitter has period 8 in r. */
+  private[graft] def mediaGateLumas(g: Int, r: Int): Array[Int] =
+    Array.tabulate(36) { b =>
+      val bit = (Hashing.mix64(g.toLong * 131 + b) & 1L) == 1L
+      val off = ((Hashing.mix64(g.toLong * 977 + b) & 0x7fffffffL) % 7).toInt - 3
+      (if (bit) 192 else 64) + off + (math.abs((r + 3 * b) % 8 - 4) - 2)
+    }
+
+  val qMediaSemdedup: QFn = (s, d) => {
+    val groups = 40
+    val mediaUdf = udf { (id: Long) =>
+      graft.operators.Multimodal.bmpBlockLuma(24, 24, 6, 6,
+        mediaGateLumas((id % groups).toInt, (id / groups % 8).toInt))
+    }
+    val docs = documents(s, d).select(col("doc_id"))
+      .withColumn("media", mediaUdf(col("doc_id")))
+    val emb = graft.operators.Multimodal.embedImageBlocks(docs, "media")
+      .select(col("doc_id"), col("block_emb"))
+    // k = unbounded: dedup wants the THRESHOLD graph (every pair ≥ τ),
+    // not a kNN cut — same-variant replicas are exact duplicates that
+    // score 1.0 and would fill any small k before the 0.999 cross-variant
+    // links that keep the component whole (observed: k=16 split each
+    // group into its jitter-variant classes at sf0.1). Candidate volume
+    // is already bounded by maxCell/hotWindow, so "all pairs" is the
+    // window-capped candidate set, not O(n²).
+    val pairs = Similarity.selfTopKLsh(emb, "block_emb", "doc_id",
+      k = Int.MaxValue, bits = Similarity.lshBitsFor(emb.count()), tables = 8,
+      dim = 36, maxCell = 48, hotWindow = 8)
+      .where(col("score") >= 0.9)
+      .select(col("id1"), col("id2"))
+    graft.operators.Dedup.clusters(pairs)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("ids_sum"))
+      .orderBy("cluster")
+  }
+  val qMediaSemdedupSql: String =
+    """SELECT CAST(doc_id % 40 AS BIGINT) AS cluster,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(sum(doc_id) AS BIGINT) AS ids_sum
+      |FROM documents GROUP BY 1 ORDER BY cluster""".stripMargin
+
   val qMultimodal: QFn = (s, d) => {
     val mediaUdf = udf { (id: Long) =>
       val m = graft.operators.Multimodal
@@ -4330,6 +4397,7 @@ object Queries {
     "q_dedup_url" -> qDedupUrl,
     "q_curate" -> qCurate,
     "q_curate_store" -> qCurateStore,
+    "q_media_semdedup" -> qMediaSemdedup,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
     "q_stream_join" -> qStreamJoin,
@@ -4543,5 +4611,6 @@ object Queries {
     "q_domain_quota" -> qDomainQuotaSql,
     "q_dedup_url" -> qDedupUrlSql,
     "q_curate" -> qCurateSql,
-    "q_curate_store" -> qCurateStoreSql)
+    "q_curate_store" -> qCurateStoreSql,
+    "q_media_semdedup" -> qMediaSemdedupSql)
 }

@@ -484,6 +484,29 @@ object ScaleProbe {
         operators.Curation.curate(urled, "doc_id", "text", "u",
           minTokens = 20, domainCap = 50)
       }),
+      // image near-dup pipeline at X×: synthesized block-pattern BMPs
+      // (group count ∝ X, ~125 replicas each), REAL decode + block-mean
+      // embed, capped LSH threshold graph, connected components. The
+      // byte volume (~1.8 KB/doc) and the per-doc decode loop are the
+      // probe's point: media columns must ride the same bounded-candidate
+      // pipeline text embeddings do
+      run("media_semdedup", {
+        val groups = 40 * X
+        val mediaUdf = udf { (id: Long) =>
+          operators.Multimodal.bmpBlockLuma(24, 24, 6, 6,
+            Queries.mediaGateLumas((id % groups).toInt, (id / groups % 8).toInt))
+        }
+        val media = docs.select(col("doc_id"))
+          .withColumn("media", mediaUdf(col("doc_id")))
+        val emb = operators.Multimodal.embedImageBlocks(media, "media")
+          .select(col("doc_id"), col("block_emb"))
+        val pairs = operators.Similarity.selfTopKLsh(emb, "block_emb",
+          "doc_id", k = Int.MaxValue,
+          bits = operators.Similarity.lshBitsFor(emb.count()), tables = 8,
+          dim = 36, maxCell = 48, hotWindow = 8)
+          .where(col("score") >= 0.9).select("id1", "id2")
+        operators.Dedup.clusters(pairs)
+      }),
       // per-group cap on a HOT group: 90% of all rows share one group —
       // the single-task per-group window trap the round-11 salted
       // prefilter removes (stage 1 ranks within (group, 64 salt

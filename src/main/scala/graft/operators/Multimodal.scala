@@ -263,6 +263,80 @@ object Multimodal {
     df.withColumn(outCol, statsUdf(col(binCol)))
   }
 
+  /** Deterministic block-patterned BMP (every pixel of block (bx, by)
+    * carries `lumas(by * gridW + bx)` on all three channels): the
+    * known-structure image for the media near-dup gate — block means
+    * recover `lumas` exactly, so near-dup geometry is closed-form. */
+  def bmpBlockLuma(w: Int, h: Int, gridW: Int, gridH: Int,
+      lumas: Array[Int]): Array[Byte] = {
+    require(lumas.length == gridW * gridH && w >= gridW && h >= gridH)
+    val out = bmpMedia(w, h, 0L) // header template
+    val rowSize = ((3 * w + 3) / 4) * 4
+    var y = 0
+    while (y < h) {
+      val by = y * gridH / h
+      val ro = 54 + y * rowSize
+      var x = 0
+      while (x < w) {
+        val v = (lumas(by * gridW + x * gridW / w) max 0 min 255).toByte
+        out(ro + 3 * x) = v; out(ro + 3 * x + 1) = v; out(ro + 3 * x + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL model-free image embedding: decode the 24-bit BMP, mean
+    * (B+G+R)/3 luma over a gridW×gridH block grid (genuine pixel inner
+    * loop, padding-aware), CENTER the block means (subtract the image
+    * mean — raw luma vectors are all-positive, which squashes cosine
+    * contrast) and unit-normalize. Deterministic, so the downstream
+    * LSH/cluster pipeline is value-gateable end-to-end; feeds
+    * [[graft.operators.Similarity.selfTopKLsh]] for image near-dup
+    * (q_media_semdedup). Non-BMP / corrupt / FLAT (zero-variance —
+    * no direction to normalize) images embed to null. Stays a pure
+    * column map: embedding 10⁹ images never leaves the executor. */
+  def embedImageBlocks(df: DataFrame, binCol: String, gridW: Int = 6,
+      gridH: Int = 6, outCol: String = "block_emb"): DataFrame = {
+    require(gridW > 0 && gridH > 0)
+    val dim = gridW * gridH
+    val embUdf = udf { (b: Array[Byte]) =>
+      parseBmp(b) match {
+        case Some((w, h, rowSize, off)) if w >= gridW && h >= gridH =>
+          val sums = new Array[Long](dim)
+          val counts = new Array[Int](dim)
+          var y = 0
+          while (y < h) {
+            val by = y * gridH / h
+            val ro = off + y * rowSize
+            var x = 0
+            while (x < w) {
+              val i = by * gridW + x * gridW / w
+              sums(i) += (b(ro + 3 * x) & 0xff) + (b(ro + 3 * x + 1) & 0xff) +
+                (b(ro + 3 * x + 2) & 0xff)
+              counts(i) += 3
+              x += 1
+            }
+            y += 1
+          }
+          val means = Array.tabulate(dim)(i => sums(i).toDouble / counts(i))
+          val mean = means.sum / dim
+          var norm = 0.0
+          val centered = means.map { m =>
+            val c = m - mean; norm += c * c; c
+          }
+          if (norm == 0.0) null // flat image: no direction
+          else {
+            val inv = 1.0 / math.sqrt(norm)
+            centered.map(c => (c * inv).toFloat)
+          }
+        case _ => null
+      }
+    }
+    df.withColumn(outCol, embUdf(col(binCol)))
+  }
+
   /** Feature extraction via mapPartitions — the JVM shape of mapInPandas:
     * per-partition "model" init (the one stub left: no model runtime in
     * this container), then a streamed batch loop over REAL-decoded

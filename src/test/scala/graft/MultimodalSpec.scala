@@ -150,6 +150,75 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(1).getAs[Row]("meta") == null, "audio input resizes to null")
   }
 
+  test("block-mean embedding matches a driver-side pixel walk; flat and " +
+      "non-image inputs embed to null") {
+    val lumas = Array.tabulate(36)(b => 64 + (b % 3) * 40)
+    val bmp = Multimodal.bmpBlockLuma(24, 24, 6, 6, lumas)
+    val flat = Multimodal.bmpBlockLuma(12, 12, 6, 6, Array.fill(36)(128))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, bmp), Row(2L, flat),
+        Row(3L, "junk".getBytes.asInstanceOf[Array[Byte]])), 1),
+      StructType(Seq(StructField("id", LongType), StructField("media", BinaryType))))
+    val out = Multimodal.embedImageBlocks(df, "media").orderBy("id").collect()
+    val got = out(0).getAs[scala.collection.Seq[Float]]("block_emb")
+    // reference: exact block means are the lumas; centered + normalized
+    val m = lumas.map(_.toDouble)
+    val mean = m.sum / 36
+    val c = m.map(_ - mean)
+    val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
+    val want = c.map(x => (x * inv).toFloat)
+    assert(got.length === 36)
+    got.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6f) }
+    val embIdx = out(0).fieldIndex("block_emb")
+    assert(out(1).isNullAt(embIdx), "flat image has no direction -> null")
+    assert(out(2).isNullAt(embIdx), "non-image -> null")
+  }
+
+  test("media gate geometry is PROVEN, not sampled: per group, the 8 jitter " +
+      "variants' co-cell graph (some table's full 24-plane signature equal) " +
+      "is CONNECTED — so the group is one component at any corpus size — " +
+      "with cosine separation") {
+    def emb(g: Int, r: Int): Array[Double] = {
+      val l = Queries.mediaGateLumas(g, r).map(_.toDouble)
+      val mean = l.sum / 36
+      val c = l.map(_ - mean)
+      val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
+      c.map(_ * inv)
+    }
+    val embs = (0 until 40).map(g => (0 until 8).map(r => emb(g, r)))
+    // agreeing on all 24 planes of a table implies co-celling at every
+    // bits-prefix lshBitsFor can pick, so connectivity here covers EVERY
+    // sf; same-variant members are bit-identical vectors and always
+    // co-cell trivially
+    val tables = (0 until 8).map(t =>
+      graft.functions.Hashing.hyperplanes(24, 36, 42L + t))
+    (0 until 40).foreach { g =>
+      def sig(t: Int, r: Int): Seq[Boolean] =
+        tables(t).map(pl =>
+          embs(g)(r).indices.map(i => embs(g)(r)(i) * pl(i)).sum >= 0).toSeq
+      // union-find over the 8 variants
+      val parent = Array.tabulate(8)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (t <- tables.indices; r1 <- 0 until 8; r2 <- r1 + 1 until 8)
+        if (sig(t, r1) == sig(t, r2)) parent(find(r1)) = find(r2)
+      assert((0 until 8).map(find).distinct.size === 1,
+        s"group $g's jitter variants don't co-cell in any common table " +
+          "chain: the group could split into multiple clusters")
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum // unit vectors
+    val inGroupMin = (0 until 40).map { g =>
+      (for (r1 <- 0 until 8; r2 <- r1 + 1 until 8)
+        yield cos(embs(g)(r1), embs(g)(r2))).min
+    }.min
+    val crossMax = (for {
+      g1 <- 0 until 40; g2 <- g1 + 1 until 40
+      r1 <- 0 until 8 by 3; r2 <- 0 until 8 by 3
+    } yield cos(embs(g1)(r1), embs(g2)(r2))).max
+    assert(inGroupMin > 0.99, s"in-group min cosine $inGroupMin")
+    assert(crossMax < 0.85, s"cross-group max cosine $crossMax")
+  }
+
   test("frame sampling demuxes real Y4M frames, non-video emits nothing") {
     val y4m = Multimodal.y4mMedia(4, 4, 6, 9L)
     val df = spark.createDataFrame(
