@@ -254,14 +254,28 @@ object Graphs {
         .withColumn("label", col("node")))
     try {
       for (_ <- 1 to iters) {
+        // SHUFFLE_HASH on the label side: the hash build is the node
+        // table (16 B/node per partition); Catalyst's default sort-merge
+        // SORTED THE EDGE SIDE every round — at the 2·10⁸-edge skew
+        // probe that was ~10 GiB re-sorted 4×, the entire 110 GiB spill
+        // (SCALE.md round 12). The edge side now streams unsorted.
         val votes = edges
-          .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
+          .join(labels.select(col("node").as("b"), col("label"))
+            .hint("shuffle_hash"), Seq("b"))
           .groupBy(col("a").as("node"), col("label"))
           .agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("node")
-          .orderBy(col("c").desc, col("label").asc)
-        val next = votes.withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1).select("node", "label")
+        // per-node argmax (max count, tie → smallest label) as an
+        // ASSOCIATIVE aggregate: max(struct(c, −label)) — partial-agg
+        // combines map-side and no task ever holds a node's whole
+        // neighborhood label set. The former row_number window sorted a
+        // HUB's ~10⁷ distinct neighbor labels in ONE task — the X=1000
+        // skew probe ran 13×/10× and OOM'd a 48 GiB heap before this
+        // (SCALE.md round 12); same total order, value-identical
+        // (q_label_prop oracles unchanged).
+        val next = votes
+          .groupBy("node")
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("label"))
         val (cp, rel) = checkpointCut(next)
         releaseLabels(); labels = cp; releaseLabels = rel
       }
