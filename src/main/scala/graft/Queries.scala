@@ -3322,6 +3322,225 @@ object Queries {
       |  reasons = '' AS keep, reasons
       |FROM u ORDER BY doc_id""".stripMargin
 
+  /** Hashed linear quality classifier (fastText-style logistic filter),
+    * zero-shuffle path: token→bucket→weight entirely inside one codegen
+    * `aggregate` over the token array — no explode, no join, exact Long
+    * milli-score (operators.QualityClassifier.scoreInline). */
+  val qQualityClassifier: QFn = (s, d) =>
+    graft.operators.QualityClassifier
+      .scoreInline(documents(s, d), "text", "doc_id", nBuckets = 4096)
+      .orderBy("doc_id")
+  /** Same model as a LEARNED-weights table: explode → broadcast weight
+    * probe → partial-agg'd Long sum (the general path). Value-identical
+    * to the inline path by construction — proven by sharing its oracle
+    * text. */
+  val qQualityClassifierTable: QFn = (s, d) =>
+    graft.operators.QualityClassifier.scoreWithTable(
+      documents(s, d), "text", "doc_id",
+      graft.operators.QualityClassifier.hashWeightTable(s, 4096),
+      nBuckets = 4096)
+      .orderBy("doc_id")
+  val qQualityClassifierSql: String =
+    """WITH d AS (SELECT doc_id,
+      |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |              t -> t <> '') AS toks FROM documents),
+      |s AS (SELECT doc_id, len(toks) AS n_feats,
+      |  coalesce(list_sum(list_transform(toks, t ->
+      |    CAST(('0x' || substring(md5('qw:' || CAST(
+      |      CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 4096
+      |      AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)), 0) AS score_milli
+      |  FROM d)
+      |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+      |  CAST(score_milli AS BIGINT) AS score_milli,
+      |  CASE WHEN n_feats = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(floor(CAST(score_milli AS DOUBLE)
+      |                       / CAST(n_feats AS DOUBLE) * 1000.0) AS BIGINT)
+      |  END AS avg_micro,
+      |  score_milli >= 0 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Temperature-flattened domain mixture sampling (p_d ∝ n_d^0.5,
+    * operators.Sampling.temperatureSample): one skewed domain holds half
+    * the corpus, 32 tail domains the rest — the head is thinned to
+    * ~scale·sqrt(n_d) docs, the tail survives whole. Membership pinned
+    * exactly via per-domain ids_sum. */
+  val qTemperatureSample: QFn = (s, d) => {
+    val id = col("doc_id")
+    val docs = documents(s, d).select(id,
+      when(id % 2 === 0, lit("big"))
+        .otherwise(concat(lit("d"), (id % 64).cast(StringType))).as("dom"))
+    graft.operators.Sampling.temperatureSample(docs, "dom", "doc_id", scale = 8.0)
+      .groupBy("dom")
+      .agg(max("n_d").as("n_d"), count(lit(1)).as("n_kept"),
+        sum("doc_id").as("ids_sum"))
+      .orderBy("dom")
+  }
+  val qTemperatureSampleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'big'
+      |       ELSE 'd' || CAST(doc_id % 64 AS VARCHAR) END AS dom
+      |  FROM documents),
+      |c AS (SELECT dom, count(*) AS n_d FROM t GROUP BY 1),
+      |k AS (SELECT t.doc_id, t.dom, c.n_d FROM t JOIN c USING (dom)
+      |  WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 4))
+      |             AS BIGINT)
+      |    < least(65536, CAST(floor(65536.0 * 8.0
+      |        / sqrt(CAST(c.n_d AS DOUBLE))) AS BIGINT)))
+      |SELECT dom, CAST(max(n_d) AS BIGINT) AS n_d,
+      |  CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(doc_id) AS BIGINT) AS ids_sum
+      |FROM k GROUP BY dom ORDER BY dom""".stripMargin
+
+  /** Corpus-global sentence dedup (CCNet paragraph-dedup shape,
+    * operators.SentenceDedup): a boilerplate blurb appended to every
+    * third document is detected corpus-wide and stripped; per-doc stats
+    * plus the md5 of the rebuilt text pin the whole transform. */
+  val qSentenceDedup: QFn = (s, d) => {
+    val id = col("doc_id")
+    val docs = documents(s, d).select(id,
+      when(id % 3 === 0, concat(col("text"),
+        lit(". Subscribe to our newsletter now. Thanks for reading.")))
+        .otherwise(col("text")).as("text"))
+    graft.operators.SentenceDedup.dedupSentences(docs, "text", "doc_id")
+      .select(col("doc_id"), col("n_sents"), col("n_dup"),
+        col("dup_permille"), md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+  val qSentenceDedupSql: String =
+    """WITH t0 AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN text ||
+      |    '. Subscribe to our newsletter now. Thanks for reading.'
+      |  ELSE text END AS text FROM documents),
+      |d AS (SELECT doc_id, list_filter(list_transform(
+      |    regexp_split_to_array(text, '[.!?]+\s+'), s -> trim(s)),
+      |    s -> s <> '') AS arr FROM t0),
+      |x AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS i, arr FROM d),
+      |x2 AS (SELECT doc_id, i AS pos, arr[i] AS sent FROM x),
+      |c AS (SELECT md5(sent) AS sh, count(*) AS n_occ FROM x2 GROUP BY 1),
+      |m AS (SELECT x2.doc_id, x2.pos, x2.sent, c.n_occ
+      |      FROM x2 JOIN c ON md5(x2.sent) = c.sh),
+      |agg AS (SELECT doc_id, count(*) AS n_sents,
+      |  sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS n_dup,
+      |  md5(array_to_string(list(sent ORDER BY pos)
+      |      FILTER (WHERE n_occ < 2), '. ')) AS clean_md5
+      |  FROM m GROUP BY 1)
+      |SELECT d.doc_id, CAST(coalesce(a.n_sents, 0) AS BIGINT) AS n_sents,
+      |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+      |  CASE WHEN coalesce(a.n_sents, 0) = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(floor(CAST(a.n_dup AS DOUBLE) * 1000.0
+      |                       / CAST(a.n_sents AS DOUBLE)) AS BIGINT)
+      |  END AS dup_permille,
+      |  coalesce(a.clean_md5, md5('')) AS clean_md5
+      |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** REAL audio analysis over synthesized PCM WAVs with closed-form
+    * structure (operators.Multimodal.audioStats): square-wave tone of
+    * known amplitude + window-aligned silent tail, every 13th doc a
+    * non-WAV payload exercising the decode-to-null contract. Peak,
+    * exact Long energy sum and silent-window count replay as pure
+    * doc_id arithmetic in the oracle. */
+  val qAudioStats: QFn = (s, d) => {
+    val mediaUdf = udf { (id: Long) =>
+      val m = graft.operators.Multimodal
+      if (id % 13 == 0) m.bmpMedia(8, 8, id)
+      else m.wavTone(8000, nTone = 512, nSilent = 256 * (id % 4).toInt,
+        amp = 100 + (id % 50).toInt)
+    }
+    val docs = documents(s, d).select(col("doc_id"))
+      .withColumn("media", mediaUdf(col("doc_id")))
+    graft.operators.Multimodal.audioStats(docs, "media")
+      .select(col("doc_id"), col("audio.n_frames").as("n_frames"),
+        col("audio.peak_abs").as("peak_abs"), col("audio.energy").as("energy"),
+        col("audio.silent_windows").as("silent_windows"))
+      .orderBy("doc_id")
+  }
+  val qAudioStatsSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(512 + 256 * (doc_id % 4) AS BIGINT) END AS n_frames,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(100 + doc_id % 50 AS INTEGER) END AS peak_abs,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST((100 + doc_id % 50) * (100 + doc_id % 50) * 512
+      |            AS BIGINT) END AS energy,
+      |  CASE WHEN doc_id % 13 = 0 THEN NULL
+      |       ELSE CAST(doc_id % 4 AS BIGINT) END AS silent_windows
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Outlink extraction — the text→link-graph step (UrlFunctions
+    * .extractUrls → canonical → registeredDomain): URLs seeded into the
+    * text (one with casing + a utm-only query, one wrapped in prose
+    * punctuation) are extracted, cleaned, and aggregated into per-domain
+    * edge counts. The oracle reconstructs the expected canonical strings
+    * and domains closed-form from doc_id — the Spark side must get there
+    * through the REAL regex/canonicalization/PSL path. */
+  val qLinkExtract: QFn = (s, d) => {
+    val id = col("doc_id")
+    val seeded = documents(s, d).select(id, concat(col("text"),
+      lit(" See https://Blog"), (id % 13).cast(StringType),
+      lit(".GitHub.IO/p/"), (id % 3).cast(StringType),
+      lit("?utm_source=x and (http://site"), (id % 25).cast(StringType),
+      lit(".co.uk/a).")).as("text"))
+    val links = seeded.select(id,
+      explode(graft.functions.UrlFunctions.extractUrls(col("text"))).as("u"))
+    links.select(id,
+        graft.functions.UrlFunctions.canonical(col("u")).as("canon"),
+        graft.functions.UrlFunctions.registeredDomain(
+          graft.functions.UrlFunctions.host(col("u"))).as("reg_dom"))
+      .groupBy("reg_dom")
+      .agg(count(lit(1)).as("n_links"), countDistinct(col("doc_id")).as("n_docs"),
+        sum("doc_id").as("ids_sum"), min("canon").as("sample_canon"))
+      .orderBy("reg_dom")
+  }
+  val qLinkExtractSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    'https://blog' || CAST(doc_id % 13 AS VARCHAR) || '.github.io/p/'
+      |      || CAST(doc_id % 3 AS VARCHAR) AS canon,
+      |    'blog' || CAST(doc_id % 13 AS VARCHAR) || '.github.io' AS reg_dom
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'http://site' || CAST(doc_id % 25 AS VARCHAR) || '.co.uk/a',
+      |    'site' || CAST(doc_id % 25 AS VARCHAR) || '.co.uk'
+      |  FROM documents)
+      |SELECT reg_dom, CAST(count(*) AS BIGINT) AS n_links,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS ids_sum,
+      |  min(canon) AS sample_canon
+      |FROM l GROUP BY reg_dom ORDER BY reg_dom""".stripMargin
+
+  /** REAL video scene-cut detection (operators.Multimodal.videoScenes):
+    * synthesized Y4M videos with known scene structure — exact integer
+    * Σ|Δluma| per consecutive frame pair, a cut where the mean diff
+    * exceeds the threshold; every 11th doc a non-video payload
+    * exercising decode-to-null. All stats replay as doc_id arithmetic. */
+  val qVideoScenes: QFn = (s, d) => {
+    val mediaUdf = udf { (id: Long) =>
+      val m = graft.operators.Multimodal
+      if (id % 11 == 0) m.bmpMedia(8, 8, id)
+      else m.y4mScenes(16, 12, scenes = 1 + (id % 5).toInt,
+        framesPerScene = 2 + (id % 3).toInt,
+        level = sc => 10 + 40 * sc + (id % 7).toInt)
+    }
+    val docs = documents(s, d).select(col("doc_id"))
+      .withColumn("media", mediaUdf(col("doc_id")))
+    graft.operators.Multimodal.videoScenes(docs, "media")
+      .select(col("doc_id"), col("scenes.n_frames").as("n_frames"),
+        col("scenes.n_cuts").as("n_cuts"), col("scenes.n_scenes").as("n_scenes"))
+      .orderBy("doc_id")
+  }
+  val qVideoScenesSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL
+      |       ELSE CAST((1 + doc_id % 5) * (2 + doc_id % 3) AS BIGINT)
+      |  END AS n_frames,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL
+      |       ELSE CAST(doc_id % 5 AS BIGINT) END AS n_cuts,
+      |  CASE WHEN doc_id % 11 = 0 THEN NULL
+      |       ELSE CAST(1 + doc_id % 5 AS BIGINT) END AS n_scenes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ------------------------------- window / scalar coverage (§2.5, §2.6)
   /** first_value / last_value / nth_value over a full-partition frame. */
   val qWindowFirstLast: QFn = (s, d) => {
@@ -4405,6 +4624,13 @@ object Queries {
     "q_decontam" -> qDecontam,
     "q_decontam_bloom" -> qDecontamBloom,
     "q_quality_filter" -> qQualityFilter,
+    "q_quality_classifier" -> qQualityClassifier,
+    "q_quality_classifier_table" -> qQualityClassifierTable,
+    "q_temperature_sample" -> qTemperatureSample,
+    "q_sentence_dedup" -> qSentenceDedup,
+    "q_audio_stats" -> qAudioStats,
+    "q_link_extract" -> qLinkExtract,
+    "q_video_scenes" -> qVideoScenes,
     "q_window_firstlast" -> qWindowFirstLast,
     "q_date_fns" -> qDateFns,
     "q_array_fns" -> qArrayFns,
@@ -4533,6 +4759,13 @@ object Queries {
     // the bloom path must produce the IDENTICAL result
     "q_decontam_bloom" -> qDecontamSql,
     "q_quality_filter" -> qQualityFilterSql,
+    "q_quality_classifier" -> qQualityClassifierSql,
+    "q_quality_classifier_table" -> qQualityClassifierSql,
+    "q_temperature_sample" -> qTemperatureSampleSql,
+    "q_sentence_dedup" -> qSentenceDedupSql,
+    "q_audio_stats" -> qAudioStatsSql,
+    "q_link_extract" -> qLinkExtractSql,
+    "q_video_scenes" -> qVideoScenesSql,
     "q_window_firstlast" -> qWindowFirstLastSql,
     "q_date_fns" -> qDateFnsSql,
     "q_array_fns" -> qArrayFnsSql,

@@ -533,6 +533,39 @@ object ScaleProbe {
             explode(split(lower(trim(col("text"))), "\\s+")).as("tok")),
           "tok", "lang", s"$dir/s", k = 50, batchId = "probe")
         spark.read.parquet(s"$dir/s/items")
+      }),
+      // hashed linear classifier at X×: zero-shuffle codegen scoring —
+      // the probe pins that the inline path stays a pure map (shuffle
+      // bytes ~0) and wall tracks tokens linearly
+      run("quality_classifier", {
+        operators.QualityClassifier.scoreInline(docs, "text", "doc_id", 4096)
+          .groupBy("keep").agg(count(lit(1)), sum("score_milli"))
+      }),
+      // corpus-global sentence dedup with a HOT sentence: half of all
+      // docs carry the same boilerplate blurb, so one sentence hash owns
+      // ~X·25k occurrences — the count groupBy must absorb it map-side
+      // and the join back must keep it a one-build-row hash probe, with
+      // no per-sentence window anywhere
+      run("sentence_dedup_hot", {
+        val seeded = docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(col("text"), lit(". Subscribe to our newsletter now.")))
+            .otherwise(col("text")))
+        operators.SentenceDedup.dedupSentences(seeded, "text", "doc_id")
+          .groupBy().agg(sum("n_sents"), sum("n_dup"),
+            sum(length(col("clean_text"))))
+      }),
+      // temperature sampling with a hot domain (50% of docs, size ∝ X):
+      // the count groupBy partial-aggregates, the join back is hash-
+      // probe only — wall must stay ~linear with zero windows
+      run("temperature_sample_hot", {
+        val domed = docs.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("big"))
+            .otherwise(concat(lit("d"),
+              pmod(xxhash64(col("doc_id")), lit(1000L * X)).cast("string")))
+            .as("dom"))
+        operators.Sampling.temperatureSample(domed, "dom", "doc_id", scale = 8.0)
+          .groupBy().agg(count(lit(1)), sum("doc_id"))
       })
     ).flatten
     // broadcast stayed broadcast?

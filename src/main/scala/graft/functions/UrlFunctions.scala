@@ -31,6 +31,18 @@ object UrlFunctions {
   def path(u: Column): Column = regexp_extract(u, UrlRe, 4)
   def query(u: Column): Column = regexp_extract(u, UrlRe, 5)
 
+  /** Every http(s) URL mentioned in free TEXT — the outlink-extraction
+    * step that turns a crawled document into link-graph edges (feeding
+    * [[registeredDomain]] grouping, PageRank authority, domain quotas).
+    * Greedy non-whitespace match with trailing prose punctuation
+    * (`.,)!?;:'"`) stripped per URL — "see https://a.com/x)." yields
+    * "https://a.com/x". Pure codegen regexp/array algebra, replayable
+    * in any RE2/PCRE engine (no lookbehind). */
+  def extractUrls(text: Column): Column =
+    transform(
+      regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0)),
+      u => regexp_replace(u, "[.,)!?;:'\"]+$", ""))
+
   /** Query with `utm_*` tracking params dropped (empty string if none
     * survive). */
   def cleanQuery(u: Column): Column =

@@ -441,6 +441,186 @@ object Multimodal {
       .drop("_frames", "_f")
   }
 
+  /** Y4M (C444) with known SCENE structure: `scenes` scenes of
+    * `framesPerScene` frames each, every byte of scene s's frames equal
+    * to `level(s) & 0xff`. The consecutive-frame mean-abs luma diff is
+    * exactly 0 inside a scene and exactly |level(s+1)−level(s)| at each
+    * of the `scenes−1` boundaries — closed form for the scene-cut gate. */
+  def y4mScenes(w: Int, h: Int, scenes: Int, framesPerScene: Int,
+      level: Int => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && scenes >= 0 && framesPerScene > 0)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 C444\n".getBytes("US-ASCII")
+    val frameBytes = w * h * 3
+    val fmark = "FRAME\n".getBytes("US-ASCII")
+    val frames = scenes * framesPerScene
+    val out = new Array[Byte](header.length + frames * (fmark.length + frameBytes))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    var f = 0
+    while (f < frames) {
+      System.arraycopy(fmark, 0, out, off, fmark.length); off += fmark.length
+      val v = (level(f / framesPerScene) & 0xff).toByte
+      java.util.Arrays.fill(out, off, off + frameBytes, v)
+      off += frameBytes; f += 1
+    }
+    out
+  }
+
+  /** REAL scene-cut detection over decoded Y4M frames: the mean absolute
+    * luma difference between consecutive frames, a CUT where the exact
+    * integer sum Σ|Δ| exceeds `threshold · w · h` (i.e. mean |Δ| >
+    * threshold — all-Long arithmetic, no float accumulation, bit-stable).
+    * The temporal primitive of video curation: split on cuts, sample one
+    * frame per scene, dedup scenes. Luma plane only (the first w·h bytes
+    * of both C444 and C420 frames — chroma subsampling never matters).
+    * Output struct: n_frames, n_cuts, n_scenes (= cuts+1, or 0 for an
+    * empty video). Non-Y4M / corrupt → null, never a task failure. */
+  def videoScenes(df: DataFrame, binCol: String, outCol: String = "scenes",
+      threshold: Int = 16): DataFrame = {
+    require(threshold >= 0)
+    val schema = StructType(Seq(
+      StructField("n_frames", LongType), StructField("n_cuts", LongType),
+      StructField("n_scenes", LongType)))
+    val scenesUdf = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
+      override def call(b: Array[Byte]): Row = {
+        if (b == null) return null
+        parseY4m(b) match {
+          case None => null
+          case Some((w, h, offs)) =>
+            val plane = w * h
+            var cuts = 0L
+            var f = 1
+            while (f < offs.length) {
+              var sum = 0L
+              var i = 0
+              val p = offs(f - 1); val c = offs(f)
+              while (i < plane) {
+                val d = (b(c + i) & 0xff) - (b(p + i) & 0xff)
+                sum += (if (d < 0) -d else d)
+                i += 1
+              }
+              if (sum > threshold.toLong * plane) cuts += 1
+              f += 1
+            }
+            val scenes = if (offs.length == 0) 0L else cuts + 1L
+            Row(offs.length.toLong, cuts, scenes)
+        }
+      }
+    }, schema)
+    df.withColumn(outCol, scenesUdf(col(binCol)))
+  }
+
+  /** Mono 16-bit PCM square-wave WAV with a silent tail: `nTone` samples
+    * alternating ±`amp` every `period/2` samples, then `nSilent` zero
+    * samples. The known-structure audio for the audio-stats value gate —
+    * peak is exactly `amp`, the energy sum is exactly `amp² · nTone`,
+    * and full silent windows are exactly `nSilent / window` when both
+    * segment lengths are window-aligned (all integer, SQL-replayable). */
+  def wavTone(sampleRate: Int, nTone: Int, nSilent: Int, amp: Int,
+      period: Int = 8): Array[Byte] = {
+    require(amp >= 0 && amp <= 32767 && period >= 2)
+    val n = nTone + nSilent
+    val dataBytes = n * 2
+    val out = new Array[Byte](44 + dataBytes)
+    text(out, 0, "RIFF"); leInt(out, 4, 36 + dataBytes); text(out, 8, "WAVE")
+    text(out, 12, "fmt "); leInt(out, 16, 16)
+    leShort(out, 20, 1); leShort(out, 22, 1); leInt(out, 24, sampleRate)
+    leInt(out, 28, sampleRate * 2); leShort(out, 32, 2); leShort(out, 34, 16)
+    text(out, 36, "data"); leInt(out, 40, dataBytes)
+    var i = 0
+    while (i < nTone) {
+      val v = if ((i % period) < period / 2) amp else -amp
+      leShort(out, 44 + 2 * i, v)
+      i += 1
+    }
+    out
+  }
+
+  /** REAL audio analysis (PCM WAV only): a genuine int16 sample loop
+    * computing frame count, peak amplitude, the exact Long energy sum
+    * (Σ s² — 16-bit samples keep it exact far past 100 TB of audio; no
+    * float accumulation, so values are bit-stable across partitionings)
+    * and the count of FULL non-overlapping `windowSamples`-frame windows
+    * whose peak stays under `silenceThreshold` — the silence-detection
+    * primitive of an audio-curation pipeline (trim silence, drop dead
+    * recordings). Multi-channel frames take the max |s| across channels.
+    * Non-WAV / corrupt / truncated media → null struct, never a task
+    * failure (the decode-to-null contract above). */
+  def audioStats(df: DataFrame, binCol: String, outCol: String = "audio",
+      windowSamples: Int = 256, silenceThreshold: Int = 8): DataFrame = {
+    require(windowSamples > 0 && silenceThreshold >= 0)
+    val schema = StructType(Seq(
+      StructField("n_frames", LongType), StructField("peak_abs", IntegerType),
+      StructField("energy", LongType), StructField("silent_windows", LongType)))
+    val statsUdf = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Row] {
+      override def call(b: Array[Byte]): Row = {
+        if (b == null) return null
+        parseWavFrames(b) match {
+          case None => null
+          case Some((ch, dataOff, dataBytes)) =>
+            val frames = dataBytes / (2 * ch)
+            var peak = 0
+            var energy = 0L
+            var silent = 0L
+            var winPeak = 0
+            var f = 0
+            while (f < frames) {
+              var frameMax = 0
+              var c = 0
+              while (c < ch) {
+                val s = leShortSignedAt(b, dataOff + 2 * (f * ch + c))
+                val a = if (s < 0) -s else s
+                energy += s.toLong * s
+                if (a > frameMax) frameMax = a
+                c += 1
+              }
+              if (frameMax > peak) peak = frameMax
+              if (frameMax > winPeak) winPeak = frameMax
+              if ((f + 1) % windowSamples == 0) {
+                if (winPeak < silenceThreshold) silent += 1
+                winPeak = 0
+              }
+              f += 1
+            }
+            Row(frames.toLong, peak, energy, silent)
+        }
+      }
+    }, schema)
+    df.withColumn(outCol, statsUdf(col(binCol)))
+  }
+
+  /** [[parseWav]] variant exposing the data-chunk location for sample
+    * access: (channels, dataOffset, dataBytes). Same RIFF walk (Long
+    * offsets), same null contract. */
+  private def parseWavFrames(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12L
+    var ch: Option[Int] = None
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= b.length && (ch.isEmpty || data.isEmpty)) {
+      val o = off.toInt
+      val size = leIntAt(b, o + 4)
+      if (size < 0) return None
+      val id = new String(b, o, 4, "US-ASCII")
+      if (id == "fmt ") {
+        if (o + 8 + 16 > b.length || size < 16) return None
+        if (leShortAt(b, o + 8) != 1) return None // PCM only
+        if (leShortAt(b, o + 22) != 16) return None // 16-bit only
+        ch = Some(leShortAt(b, o + 10))
+      } else if (id == "data") {
+        if (o + 8 + size.toLong > b.length) return None
+        data = Some((o + 8, size))
+      }
+      off += 8L + size.toLong + (size & 1)
+    }
+    for (c <- ch; (dOff, dBytes) <- data if c > 0) yield (c, dOff, dBytes)
+  }
+
+  private def leShortSignedAt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) | (b(off + 1) << 8)).toShort.toInt
+
   /** Partition sizing for media tables: ~MB payloads want far fewer rows
     * per partition than relational rows — target bytes per task, not row
     * counts. */

@@ -102,6 +102,43 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** Temperature-flattened domain sampling — the `p_d ∝ n_d^α` mixture
+    * move of multilingual / web-corpus assembly (CC-100 / XLM-R style:
+    * α < 1 flattens the head so giant domains stop dominating and the
+    * tail survives). Per-domain acceptance rate
+    *   r_d = min(1, scale · n_d^(α-1))
+    * gives an expected kept count of min(n_d, scale · n_d^α). Each row
+    * accepts iff its 16-bit md5 key bucket < floor(65536 · r_d) —
+    * deterministic, engine-portable, retry-stable (no RNG; same
+    * contract as [[byMd5Prefix]]).
+    *
+    * With the default α = 0.5 the rate is `scale / sqrt(n_d)`: IEEE
+    * sqrt, multiply and divide are correctly-rounded single ops in
+    * every engine, so the integer threshold replays bit-identically in
+    * SQL. General α routes through pow(), whose last-ulp behavior is
+    * libm-specific — still a correct sampler, but cross-engine value
+    * gates should pin α = 0.5.
+    *
+    * Plan shape (the part that must survive 100 TB): one map-side
+    * partial-agg groupBy for the domain counts, one hash equi-join back
+    * (a hot domain is many PROBE rows against a single build row — no
+    * per-domain window, no single-task sort anywhere), one codegen
+    * filter. Output keeps the input columns plus `n_d`. */
+  def temperatureSample(df: DataFrame, domainCol: String, keyCol: String,
+      scale: Double, alpha: Double = 0.5): DataFrame = {
+    require(scale > 0, s"scale=$scale must be positive")
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha not in (0,1]")
+    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_d"))
+    val rate =
+      if (alpha == 0.5) lit(65536.0 * scale) / sqrt(col("n_d").cast("double"))
+      else lit(65536.0 * scale) *
+        pow(col("n_d").cast("double"), lit(alpha - 1.0))
+    val thr = least(lit(65536L), floor(rate).cast(org.apache.spark.sql.types.LongType))
+    val bucket16 = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+    df.join(counts, Seq(domainCol)).where(bucket16 < thr)
+  }
+
   /** Mixture of sources at given fractions (a training-data recipe):
     * each (df, fraction) sampled by key hash, unioned by name. */
   def weightedUnion(sources: Seq[(DataFrame, String, Double)],

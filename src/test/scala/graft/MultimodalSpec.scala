@@ -238,4 +238,82 @@ class MultimodalSpec extends SparkTestBase {
     val f0 = java.util.Arrays.copyOfRange(y4m, header + 6, header + 6 + frameBytes)
     assert(rows(0).getAs[Array[Byte]]("frame").toSeq === f0.toSeq)
   }
+
+  test("audio stats: closed-form square wave + window-aligned silence") {
+    import spark.implicits._
+    // 512 tone samples at amp 300, then 3 silent windows of 256
+    val df = Seq((1L, Multimodal.wavTone(8000, 512, 768, 300)))
+      .toDF("doc_id", "media")
+    val r = Multimodal.audioStats(df, "media").select("audio.*").collect()(0)
+    assert(r.getLong(0) === 1280L, "n_frames")
+    assert(r.getInt(1) === 300, "peak")
+    assert(r.getLong(2) === 300L * 300L * 512L, "exact energy sum")
+    assert(r.getLong(3) === 3L, "silent windows")
+  }
+
+  test("audio stats: partial trailing window is not counted as silent") {
+    import spark.implicits._
+    // 512 tone + 300 silent samples = 1 full silent window + 44 leftover
+    val df = Seq((1L, Multimodal.wavTone(8000, 512, 300, 300)))
+      .toDF("doc_id", "media")
+    val r = Multimodal.audioStats(df, "media").select("audio.*").collect()(0)
+    assert(r.getLong(0) === 812L)
+    assert(r.getLong(3) === 1L, "only FULL windows count")
+  }
+
+  test("audio stats: multi-channel frames take the max across channels, " +
+      "non-WAV and corrupt media null out") {
+    import spark.implicits._
+    val stereo = Multimodal.wavMedia(8000, 2, 64, seed = 7L)
+    val bad = stereo.clone(); bad(0) = 'X'
+    val df = Seq((1L, stereo), (2L, Multimodal.bmpMedia(4, 4, 1L)),
+      (3L, bad), (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.audioStats(df, "media")
+      .orderBy("doc_id").select("audio").collect()
+    val ok = rows(0).getStruct(0)
+    assert(ok.getLong(0) === 64L, "frames = samples/channels")
+    // driver-side reference walk over the same bytes
+    var peak = 0; var energy = 0L
+    var i = 0
+    while (i < 128) {
+      val s = (((stereo(44 + 2 * i) & 0xff) | (stereo(45 + 2 * i) << 8)).toShort).toInt
+      energy += s.toLong * s
+      val a = math.abs(s); if (a > peak) peak = a
+      i += 1
+    }
+    assert(ok.getInt(1) === peak)
+    assert(ok.getLong(2) === energy)
+    assert(rows(1).isNullAt(0), "BMP is not audio")
+    assert(rows(2).isNullAt(0), "bad magic")
+    assert(rows(3).isNullAt(0), "null payload")
+  }
+
+  test("video scene cuts: exact boundaries on known structure, sub-threshold " +
+      "diffs ignored, non-video nulls out") {
+    import spark.implicits._
+    // 3 scenes x 2 frames at levels 10/50/90 (diff 40 > threshold 16)
+    val clean = Multimodal.y4mScenes(16, 12, 3, 2, s => 10 + 40 * s)
+    // levels 10/18: diff 8 <= 16 -> no cut, one "scene" despite 2 segments
+    val subtle = Multimodal.y4mScenes(16, 12, 2, 2, s => 10 + 8 * s)
+    val df = Seq((1L, clean), (2L, subtle),
+      (3L, Multimodal.bmpMedia(4, 4, 1L))).toDF("doc_id", "media")
+    val r = Multimodal.videoScenes(df, "media").orderBy("doc_id")
+      .select("scenes").collect()
+    val a = r(0).getStruct(0)
+    assert(a.getLong(0) === 6L && a.getLong(1) === 2L && a.getLong(2) === 3L)
+    val b = r(1).getStruct(0)
+    assert(b.getLong(0) === 4L && b.getLong(1) === 0L && b.getLong(2) === 1L,
+      "mean diff 8 under threshold 16 is not a cut")
+    assert(r(2).isNullAt(0), "BMP is not video")
+  }
+
+  test("video scene cuts: threshold is strict mean > t on exact integers") {
+    import spark.implicits._
+    // diff exactly 16 == threshold -> NOT a cut (sum == t*plane fails >)
+    val edge = Multimodal.y4mScenes(8, 8, 2, 1, s => 10 + 16 * s)
+    val df = Seq((1L, edge)).toDF("doc_id", "media")
+    val r = Multimodal.videoScenes(df, "media").select("scenes.n_cuts").collect()
+    assert(r(0).getLong(0) === 0L)
+  }
 }

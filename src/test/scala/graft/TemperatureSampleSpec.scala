@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Temperature-flattened domain sampling: tail domains under the cap
+  * survive whole, head domains thin toward scale·sqrt(n), membership is
+  * deterministic (no RNG) and the expected-count formula holds. */
+class TemperatureSampleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // one hot domain with 10k rows, 20 tail domains with 25 rows each
+  private def corpus = spark.range(10500).select(
+    col("id").as("doc_id"),
+    when(col("id") < 10000, lit("hot"))
+      .otherwise(concat(lit("t"), (col("id") % 20).cast("string"))).as("dom"))
+
+  test("tail domains below the cap keep every row") {
+    val kept = Sampling.temperatureSample(corpus, "dom", "doc_id", scale = 8.0)
+    val tail = kept.where(col("dom") =!= "hot").groupBy("dom").count().collect()
+    assert(tail.length === 20)
+    tail.foreach(r => assert(r.getLong(1) === 25L,
+      s"rate 8/sqrt(25)=1.6 caps at 1 → keep all, got ${r.getLong(1)}"))
+  }
+
+  test("hot domain thins to ~scale*sqrt(n) with deterministic membership") {
+    val kept = Sampling.temperatureSample(corpus, "dom", "doc_id", scale = 8.0)
+      .where(col("dom") === "hot")
+    val n = kept.count()
+    val expected = 8.0 * math.sqrt(10000.0) // = 800
+    assert(math.abs(n - expected) < 4.0 * math.sqrt(expected),
+      s"kept $n, expected ~$expected")
+    // no RNG: a second evaluation selects the identical ids
+    val again = Sampling.temperatureSample(corpus, "dom", "doc_id", scale = 8.0)
+      .where(col("dom") === "hot")
+    assert(kept.agg(sum("doc_id")).collect()(0).getLong(0) ===
+      again.agg(sum("doc_id")).collect()(0).getLong(0))
+  }
+
+  test("alpha=1 keeps a flat fraction of every domain (rate scale/n^0 is capped)") {
+    // alpha=1 → rate = scale·n^0 = scale ≥ 1 → keep everything
+    val kept = Sampling.temperatureSample(corpus, "dom", "doc_id",
+      scale = 1.0, alpha = 1.0)
+    assert(kept.count() === 10500L)
+  }
+
+  test("plan has no window over the domain (hot domain must not single-task)") {
+    val plan = Sampling.temperatureSample(corpus, "dom", "doc_id", scale = 8.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+}

@@ -135,4 +135,19 @@ class BoilerplateSpec extends SparkTestBase {
     assert(clean(kept) === kept)
     assert(clean(dropped) === "")
   }
+
+  test("extractUrls: prose punctuation stripped, schemes respected, " +
+      "no-URL text yields an empty array") {
+    import spark.implicits._
+    def urls(t: String): Seq[String] =
+      Seq(t).toDF("t")
+        .select(graft.functions.UrlFunctions.extractUrls(org.apache.spark.sql.functions.col("t")))
+        .collect()(0).getSeq[String](0)
+    assert(urls("see https://a.com/x). and (http://b.org/y,) done") ===
+      Seq("https://a.com/x", "http://b.org/y"))
+    assert(urls("trailing https://a.com/x?q=1.") === Seq("https://a.com/x?q=1"))
+    assert(urls("ftp://a.com and nothing http-like") === Seq.empty)
+    assert(urls("mid-sentence 'https://quoted.net/p';") ===
+      Seq("https://quoted.net/p"))
+  }
 }
