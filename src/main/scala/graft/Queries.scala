@@ -3433,6 +3433,29 @@ object Queries {
       |  coalesce(a.clean_md5, md5('')) AS clean_md5
       |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Store-served sentence dedup: the same corpus lands as TWO appended
+    * batches (+ one REPLAYED batch id — at-least-once delivery), then
+    * verdicts for every doc are computed from the persisted counts alone.
+    * SHARES q_sentence_dedup's oracle text: store-served ≡ one-shot at
+    * value level, and the replay proves write idempotence. */
+  val qSentenceDedupStore: QFn = (s, d) => {
+    val id = col("doc_id")
+    val docs = documents(s, d).select(id,
+      when(id % 3 === 0, concat(col("text"),
+        lit(". Subscribe to our newsletter now. Thanks for reading.")))
+        .otherwise(col("text")).as("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sent_store").toString + "/counts"
+    val sd = graft.operators.SentenceDedup
+    sd.writeCounts(docs.where(id % 2 === 0), "text", "doc_id", dir, "b1")
+    sd.appendCounts(docs.where(id % 2 =!= 0), "text", "doc_id", dir, "b2")
+    sd.appendCounts(docs.where(id % 2 =!= 0), "text", "doc_id", dir, "b2") // replay
+    sd.dedupSentencesFromStore(docs, "text", "doc_id", s, dir)
+      .select(col("doc_id"), col("n_sents"), col("n_dup"),
+        col("dup_permille"), md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** REAL audio analysis over synthesized PCM WAVs with closed-form
     * structure (operators.Multimodal.audioStats): square-wave tone of
     * known amplitude + window-aligned silent tail, every 13th doc a
@@ -4628,6 +4651,7 @@ object Queries {
     "q_quality_classifier_table" -> qQualityClassifierTable,
     "q_temperature_sample" -> qTemperatureSample,
     "q_sentence_dedup" -> qSentenceDedup,
+    "q_sentence_dedup_store" -> qSentenceDedupStore,
     "q_audio_stats" -> qAudioStats,
     "q_link_extract" -> qLinkExtract,
     "q_video_scenes" -> qVideoScenes,
@@ -4763,6 +4787,7 @@ object Queries {
     "q_quality_classifier_table" -> qQualityClassifierSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
     "q_sentence_dedup" -> qSentenceDedupSql,
+    "q_sentence_dedup_store" -> qSentenceDedupSql,
     "q_audio_stats" -> qAudioStatsSql,
     "q_link_extract" -> qLinkExtractSql,
     "q_video_scenes" -> qVideoScenesSql,

@@ -44,6 +44,29 @@ class SentenceDedupSpec extends SparkTestBase {
     assert(r === 0L, "'Subscribe now' appears 3 times < 4")
   }
 
+  test("count store: two batches + a replayed batch serve verdicts " +
+      "identical to the one-shot") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sent_spec").toString + "/c"
+    val sd = graft.operators.SentenceDedup
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    sd.writeCounts(a, "text", "doc_id", dir, "b1")
+    sd.appendCounts(b, "text", "doc_id", dir, "b2")
+    sd.appendCounts(b, "text", "doc_id", dir, "b2") // retried batch
+    val served = sd.dedupSentencesFromStore(docs, "text", "doc_id", spark, dir)
+      .orderBy("doc_id").collect()
+    val oneShot = sd.dedupSentences(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    assert(served.map(_.toString).toSeq === oneShot.map(_.toString).toSeq)
+    // a batch-slice query also sees CORPUS-wide counts, not slice counts:
+    // "Subscribe now" lives in docs 1,2,3 (batches split them 1|2), yet
+    // every slice verdict still counts all three occurrences
+    val slice = sd.dedupSentencesFromStore(b, "text", "doc_id", spark, dir)
+      .where(col("doc_id") === 1L).collect()(0)
+    assert(slice.getLong(2) === 1L, "dup visible from the other batch")
+  }
+
   test("clean text restores original order after the shuffle") {
     val many = Seq((9L, (1 to 30).map(i => s"Sentence number $i xyz.")
       .mkString(" "))).toDF("doc_id", "text")

@@ -134,6 +134,66 @@ class StreamingSpec extends SparkTestBase {
     assert(full.nonEmpty, "test premise: corpus must contain near-dups")
   }
 
+  test("streaming quality-classifier scoring matches the batch verdicts") {
+    // the classifier is per-doc stateless (hash model, no cross-doc
+    // state), so crawl batches score as they land and the union equals
+    // the one-shot — the streaming half of the curation front door
+    val landing = Files.createTempDirectory("graft_qc_landing_").toString
+    val ckpt = Files.createTempDirectory("graft_qc_ckpt_").toString
+    val docs = Tables.documents(spark, sf)
+    LandingStream.produce(docs.filter(col("doc_id") % 2 === 0), landing)
+    LandingStream.produce(docs.filter(col("doc_id") % 2 === 1), landing)
+    val got = scala.collection.mutable.Map[Long, (Long, Boolean)]()
+    var batches = 0
+    val q = LandingStream.consume(spark, landing, docs.schema, ckpt,
+      maxFilesPerTrigger = 1) { (batch, _) =>
+      got ++= operators.QualityClassifier
+        .scoreInline(batch, "text", "doc_id", 512)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4)))
+      batches += 1
+    }
+    q.awaitTermination(180000)
+    assert(batches >= 2, s"want multiple micro-batches, got $batches")
+    val full = operators.QualityClassifier
+      .scoreInline(docs, "text", "doc_id", 512)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(got.toMap === full)
+  }
+
+  test("streamed sentence-count appends serve the one-shot dedup verdicts") {
+    // cross-doc state lives in the blind-append count store, not in the
+    // stream: each micro-batch appends its own counts (batch-id keyed,
+    // replay-safe), and once the corpus has landed the store serves
+    // verdicts identical to a full recompute — the streaming version of
+    // q_sentence_dedup_store
+    val landing = Files.createTempDirectory("graft_sc_landing_").toString
+    val ckpt = Files.createTempDirectory("graft_sc_ckpt_").toString
+    val store = Files.createTempDirectory("graft_sc_store_").toString + "/counts"
+    val docs = Tables.documents(spark, sf).where(col("doc_id") < 200)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(". Subscribe to our newsletter now.")))
+          .otherwise(col("text")).as("text"))
+    LandingStream.produce(docs.filter(col("doc_id") % 2 === 0), landing)
+    LandingStream.produce(docs.filter(col("doc_id") % 2 === 1), landing)
+    var batches = 0
+    val q = LandingStream.consume(spark, landing, docs.schema, ckpt,
+      maxFilesPerTrigger = 1) { (batch, bid) =>
+      operators.SentenceDedup.appendCounts(batch, "text", "doc_id",
+        store, s"b$bid")
+      batches += 1
+    }
+    q.awaitTermination(180000)
+    assert(batches >= 2, s"want multiple micro-batches, got $batches")
+    val served = operators.SentenceDedup
+      .dedupSentencesFromStore(docs, "text", "doc_id", spark, store)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val oneShot = operators.SentenceDedup
+      .dedupSentences(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(served === oneShot)
+  }
+
   test("streaming windowed aggregate matches the batch plan") {
     val landing = Files.createTempDirectory("graft_ev_").toString
     val ckpt = Files.createTempDirectory("graft_ev_ckpt_").toString
