@@ -3118,6 +3118,46 @@ object Queries {
       (if (bit) 192 else 64) + off + (math.abs((r + 3 * b) % 8 - 4) - 2)
     }
 
+  /** Window-amp pattern for the AUDIO near-dup gate — the envelope
+    * analog of [[mediaGateLumas]]: per window a hash bit picks the
+    * 2000/6000 base amp, a hash offset in −3..3 breaks the value
+    * lattice, and the period-8 replica jitter perturbs by ±2. Same
+    * proven-geometry construction (MultimodalSpec pins co-celling of
+    * all 8 variants per group under the exact pipeline arithmetic). */
+  private[graft] def audioGateAmps(g: Int, r: Int): Array[Int] =
+    Array.tabulate(16) { w =>
+      val bit = (Hashing.mix64(g.toLong * 157 + w) & 1L) == 1L
+      val off = ((Hashing.mix64(g.toLong * 1009 + w) & 0x7fffffffL) % 7).toInt - 3
+      (if (bit) 6000 else 2000) + off + (math.abs((r + 3 * w) % 8 - 4) - 2)
+    }
+
+  /** Audio near-dup pipeline (the [[qMediaSemdedup]] shape for sound):
+    * synthesized square-wave WAVs with known envelope structure — 40
+    * groups × 8 gain-jitter variants — REAL-decoded, energy-envelope
+    * embedded, clustered through the same capped LSH threshold graph.
+    * SHARES the media gate's oracle text: identical group arithmetic
+    * over the same documents table. */
+  val qAudioSemdedup: QFn = (s, d) => {
+    val groups = 40
+    val mediaUdf = udf { (id: Long) =>
+      graft.operators.Multimodal.wavWindows(64,
+        audioGateAmps((id % groups).toInt, (id / groups % 8).toInt))
+    }
+    val docs = documents(s, d).select(col("doc_id"))
+      .withColumn("media", mediaUdf(col("doc_id")))
+    val emb = graft.operators.Multimodal.embedAudioWindows(docs, "media")
+      .select(col("doc_id"), col("win_emb"))
+    val pairs = Similarity.selfTopKLsh(emb, "win_emb", "doc_id",
+      k = Int.MaxValue, bits = Similarity.lshBitsFor(emb.count()), tables = 8,
+      dim = 16, maxCell = 48, hotWindow = 8)
+      .where(col("score") >= 0.9)
+      .select(col("id1"), col("id2"))
+    graft.operators.Dedup.clusters(pairs)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("ids_sum"))
+      .orderBy("cluster")
+  }
+
   val qMediaSemdedup: QFn = (s, d) => {
     val groups = 40
     val mediaUdf = udf { (id: Long) =>
@@ -4640,6 +4680,7 @@ object Queries {
     "q_curate" -> qCurate,
     "q_curate_store" -> qCurateStore,
     "q_media_semdedup" -> qMediaSemdedup,
+    "q_audio_semdedup" -> qAudioSemdedup,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
     "q_stream_join" -> qStreamJoin,
@@ -4870,5 +4911,6 @@ object Queries {
     "q_dedup_url" -> qDedupUrlSql,
     "q_curate" -> qCurateSql,
     "q_curate_store" -> qCurateStoreSql,
-    "q_media_semdedup" -> qMediaSemdedupSql)
+    "q_media_semdedup" -> qMediaSemdedupSql,
+    "q_audio_semdedup" -> qMediaSemdedupSql)
 }

@@ -589,6 +589,78 @@ object Multimodal {
     df.withColumn(outCol, statsUdf(col(binCol)))
   }
 
+  /** Mono 16-bit PCM WAV whose frames are consecutive square-wave
+    * windows at per-window amplitudes `amps` — `samplesPerWindow` frames
+    * each. The per-window mean |sample| is exactly `amps(w)`, so
+    * [[embedAudioWindows]]'s vector is the (centered, normalized) amp
+    * pattern in closed form — the audio analog of [[bmpBlockLuma]]. */
+  def wavWindows(samplesPerWindow: Int, amps: Array[Int],
+      period: Int = 8): Array[Byte] = {
+    require(samplesPerWindow > 0 && period >= 2)
+    require(amps.forall(a => a >= 0 && a <= 32767))
+    val n = samplesPerWindow * amps.length
+    val dataBytes = n * 2
+    val out = new Array[Byte](44 + dataBytes)
+    text(out, 0, "RIFF"); leInt(out, 4, 36 + dataBytes); text(out, 8, "WAVE")
+    text(out, 12, "fmt "); leInt(out, 16, 16)
+    leShort(out, 20, 1); leShort(out, 22, 1); leInt(out, 24, 8000)
+    leInt(out, 28, 16000); leShort(out, 32, 2); leShort(out, 34, 16)
+    text(out, 36, "data"); leInt(out, 40, dataBytes)
+    var i = 0
+    while (i < n) {
+      val a = amps(i / samplesPerWindow)
+      leShort(out, 44 + 2 * i, if ((i % period) < period / 2) a else -a)
+      i += 1
+    }
+    out
+  }
+
+  /** Energy-envelope embedding of PCM audio — the audio analog of
+    * [[embedImageBlocks]]: the frame range splits into `nWin` windows,
+    * each contributing its mean |sample| (exact integer sums over int16,
+    * all channels pooled), then the vector is centered and
+    * unit-normalized so cosine compares envelope SHAPE irrespective of
+    * gain. Non-audio / corrupt / shorter-than-nWin / flat (DC) payloads
+    * embed to null. Feeds the same capped LSH near-dup pipeline text and
+    * image embeddings ride ([[graft.operators.Similarity.selfTopKLsh]]). */
+  def embedAudioWindows(df: DataFrame, binCol: String, nWin: Int = 16,
+      outCol: String = "win_emb"): DataFrame = {
+    require(nWin > 0)
+    val embUdf = udf { (b: Array[Byte]) =>
+      parseWavFrames(b) match {
+        case Some((ch, dataOff, dataBytes)) if dataBytes / (2 * ch) >= nWin =>
+          val frames = dataBytes / (2 * ch)
+          val sums = new Array[Long](nWin)
+          val counts = new Array[Int](nWin)
+          var f = 0
+          while (f < frames) {
+            val w = f * nWin / frames
+            var c = 0
+            while (c < ch) {
+              val s = leShortSignedAt(b, dataOff + 2 * (f * ch + c))
+              sums(w) += (if (s < 0) -s else s)
+              counts(w) += 1
+              c += 1
+            }
+            f += 1
+          }
+          val means = Array.tabulate(nWin)(i => sums(i).toDouble / counts(i))
+          val mean = means.sum / nWin
+          var norm = 0.0
+          val centered = means.map { m =>
+            val c = m - mean; norm += c * c; c
+          }
+          if (norm == 0.0) null // flat envelope: no direction
+          else {
+            val inv = 1.0 / math.sqrt(norm)
+            centered.map(c => (c * inv).toFloat)
+          }
+        case _ => null
+      }
+    }
+    df.withColumn(outCol, embUdf(col(binCol)))
+  }
+
   /** [[parseWav]] variant exposing the data-chunk location for sample
     * access: (channels, dataOffset, dataBytes). Same RIFF walk (Long
     * offsets), same null contract. */

@@ -289,6 +289,67 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(3).isNullAt(0), "null payload")
   }
 
+  test("audio envelope embedding matches a driver-side reference walk; " +
+      "flat and non-audio embed to null") {
+    import spark.implicits._
+    val amps = Array(100, 500, 300, 900, 100, 500, 300, 900,
+      200, 600, 400, 800, 200, 600, 400, 800)
+    val wav = Multimodal.wavWindows(32, amps)
+    val flat = Multimodal.wavWindows(32, Array.fill(16)(250))
+    val df = Seq((1L, wav), (2L, flat), (3L, Multimodal.bmpMedia(4, 4, 1L)))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.embedAudioWindows(df, "media")
+      .orderBy("doc_id").select("win_emb").collect()
+    val got = rows(0).getSeq[Float](0)
+    // reference: mean |s| per window IS the amp for a square wave
+    val m = amps.map(_.toDouble)
+    val mean = m.sum / 16
+    val c = m.map(_ - mean)
+    val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
+    val want = c.map(x => (x * inv).toFloat)
+    got.zip(want).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6f) }
+    assert(rows(1).isNullAt(0), "flat envelope has no direction")
+    assert(rows(2).isNullAt(0), "BMP is not audio")
+  }
+
+  test("audio gate geometry is PROVEN like the image gate: per group, the " +
+      "8 gain-jitter variants co-cell in some table on all 24 planes, " +
+      "with cosine separation") {
+    def emb(g: Int, r: Int): Array[Double] = {
+      val a = Queries.audioGateAmps(g, r).map(_.toDouble)
+      val mean = a.sum / 16
+      val c = a.map(_ - mean)
+      val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
+      c.map(_ * inv)
+    }
+    val embs = (0 until 40).map(g => (0 until 8).map(r => emb(g, r)))
+    val tables = (0 until 8).map(t =>
+      graft.functions.Hashing.hyperplanes(24, 16, 42L + t))
+    (0 until 40).foreach { g =>
+      def sig(t: Int, r: Int): Seq[Boolean] =
+        tables(t).map(pl =>
+          embs(g)(r).indices.map(i => embs(g)(r)(i) * pl(i)).sum >= 0).toSeq
+      val parent = Array.tabulate(8)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (t <- tables.indices; r1 <- 0 until 8; r2 <- r1 + 1 until 8)
+        if (sig(t, r1) == sig(t, r2)) parent(find(r1)) = find(r2)
+      assert((0 until 8).map(find).distinct.size === 1,
+        s"group $g's gain variants don't co-cell in any common table chain")
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    val inGroupMin = (0 until 40).map { g =>
+      (for (r1 <- 0 until 8; r2 <- r1 + 1 until 8)
+        yield cos(embs(g)(r1), embs(g)(r2))).min
+    }.min
+    val crossMax = (for {
+      g1 <- 0 until 40; g2 <- g1 + 1 until 40
+      r1 <- 0 until 8 by 3; r2 <- 0 until 8 by 3
+    } yield cos(embs(g1)(r1), embs(g2)(r2))).max
+    assert(inGroupMin > 0.99, s"in-group min cosine $inGroupMin")
+    assert(crossMax < 0.85, s"cross-group max cosine $crossMax")
+  }
+
   test("video scene cuts: exact boundaries on known structure, sub-threshold " +
       "diffs ignored, non-video nulls out") {
     import spark.implicits._
