@@ -3496,6 +3496,77 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** END-TO-END training-data assembly (the capstone composition): raw
+    * docs → corpus-global sentence dedup (boilerplate stripped by
+    * cross-doc evidence) → hashed linear classifier on the CLEANED text
+    * (keep = non-negative score, non-empty) → context-window chunking of
+    * the survivors (K=40, overlap 8). Every stage is the production
+    * operator, every stage's arithmetic replays in the chained oracle —
+    * the gate pins the COMPOSITION (stage order, survivor wiring,
+    * clean-text tokenization parity), not just the pieces. */
+  val qAssembly: QFn = (s, d) => {
+    val id = col("doc_id")
+    val docs = documents(s, d).select(id,
+      when(id % 3 === 0, concat(col("text"),
+        lit(". Subscribe to our newsletter now. Thanks for reading.")))
+        .otherwise(col("text")).as("text"))
+    val cleaned = graft.operators.SentenceDedup
+      .dedupSentences(docs, "text", "doc_id")
+      .select(col("doc_id"), col("clean_text"))
+    val scored = graft.operators.QualityClassifier
+      .scoreInline(cleaned, "clean_text", "doc_id", 4096)
+    val kept = cleaned.join(
+      scored.where(col("keep") && col("n_feats") > 0).select("doc_id"),
+      Seq("doc_id"))
+    DocChunker.chunk(kept, "clean_text", "doc_id", chunkTokens = 40, overlap = 8)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("doc_id")
+  }
+  val qAssemblySql: String =
+    """WITH t0 AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN text ||
+      |    '. Subscribe to our newsletter now. Thanks for reading.'
+      |  ELSE text END AS text FROM documents),
+      |d AS (SELECT doc_id, list_filter(list_transform(
+      |    regexp_split_to_array(text, '[.!?]+\s+'), s -> trim(s)),
+      |    s -> s <> '') AS arr FROM t0),
+      |x AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS i, arr FROM d),
+      |x2 AS (SELECT doc_id, i AS pos, arr[i] AS sent FROM x),
+      |c AS (SELECT md5(sent) AS sh, count(*) AS n_occ FROM x2 GROUP BY 1),
+      |m AS (SELECT x2.doc_id, x2.pos, x2.sent, c.n_occ
+      |      FROM x2 JOIN c ON md5(x2.sent) = c.sh),
+      |agg AS (SELECT doc_id,
+      |  array_to_string(list(sent ORDER BY pos) FILTER (WHERE n_occ < 2),
+      |                  '. ') AS clean
+      |  FROM m GROUP BY 1),
+      |cl AS (SELECT t0.doc_id, coalesce(a.clean, '') AS clean
+      |       FROM t0 LEFT JOIN agg a USING (doc_id)),
+      |qc AS (SELECT doc_id, clean,
+      |  list_filter(regexp_split_to_array(lower(trim(clean)), '\s+'),
+      |              t -> t <> '') AS toks
+      |  FROM cl),
+      |sc AS (SELECT doc_id, clean, len(toks) AS n_feats,
+      |  coalesce(list_sum(list_transform(toks, t ->
+      |    CAST(('0x' || substring(md5('qw:' || CAST(
+      |      CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) % 4096
+      |      AS VARCHAR)), 1, 15)) AS BIGINT) % 2001 - 1000)), 0) AS score_milli
+      |  FROM qc),
+      |kept AS (SELECT doc_id, clean FROM sc
+      |         WHERE score_milli >= 0 AND n_feats > 0),
+      |tk AS (SELECT doc_id, string_split_regex(trim(clean), '\s+') AS toks
+      |       FROM kept),
+      |nch AS (SELECT doc_id, toks,
+      |  CASE WHEN len(toks) <= 40 THEN 1
+      |       ELSE CAST(ceil((len(toks) - 40) / CAST(32 AS DOUBLE)) AS BIGINT) + 1
+      |  END AS nc FROM tk),
+      |ch AS (SELECT doc_id, toks,
+      |       unnest(generate_series(0, nc - 1)) AS chunk_id FROM nch)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(len(list_slice(toks, chunk_id * 32 + 1, chunk_id * 32 + 40)))
+      |    AS BIGINT) AS sum_tokens
+      |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** REAL audio analysis over synthesized PCM WAVs with closed-form
     * structure (operators.Multimodal.audioStats): square-wave tone of
     * known amplitude + window-aligned silent tail, every 13th doc a
@@ -4696,6 +4767,7 @@ object Queries {
     "q_audio_stats" -> qAudioStats,
     "q_link_extract" -> qLinkExtract,
     "q_video_scenes" -> qVideoScenes,
+    "q_assembly" -> qAssembly,
     "q_window_firstlast" -> qWindowFirstLast,
     "q_date_fns" -> qDateFns,
     "q_array_fns" -> qArrayFns,
@@ -4832,6 +4904,7 @@ object Queries {
     "q_audio_stats" -> qAudioStatsSql,
     "q_link_extract" -> qLinkExtractSql,
     "q_video_scenes" -> qVideoScenesSql,
+    "q_assembly" -> qAssemblySql,
     "q_window_firstlast" -> qWindowFirstLastSql,
     "q_date_fns" -> qDateFnsSql,
     "q_array_fns" -> qArrayFnsSql,

@@ -555,6 +555,27 @@ object ScaleProbe {
           .groupBy().agg(sum("n_sents"), sum("n_dup"),
             sum(length(col("clean_text"))))
       }),
+      // END-TO-END assembly at X×: sentence dedup (with the hot
+      // boilerplate sentence) → classifier keep → chunking — the
+      // composition must inherit its stages' scaling, with no extra
+      // exchange appearing at the seams
+      run("assembly", {
+        val seeded = docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(col("text"), lit(". Subscribe to our newsletter now.")))
+            .otherwise(col("text")))
+        val cleaned = operators.SentenceDedup
+          .dedupSentences(seeded, "text", "doc_id")
+          .select(col("doc_id"), col("clean_text"))
+        val scored = operators.QualityClassifier
+          .scoreInline(cleaned, "clean_text", "doc_id", 4096)
+        val kept = cleaned.join(
+          scored.where(col("keep") && col("n_feats") > 0).select("doc_id"),
+          Seq("doc_id"))
+        operators.DocChunker.chunk(kept, "clean_text", "doc_id",
+          chunkTokens = 40, overlap = 8)
+          .groupBy().agg(count(lit(1)), sum("n_tokens"))
+      }),
       // temperature sampling with a hot domain (50% of docs, size ∝ X):
       // the count groupBy partial-aggregates, the join back is hash-
       // probe only — wall must stay ~linear with zero windows

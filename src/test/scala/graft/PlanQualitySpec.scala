@@ -319,4 +319,45 @@ class PlanQualitySpec extends SparkTestBase {
     val partialBelowExchange = p.indexOf("HashAggregate", exchange) >= 0
     assert(partialBelowExchange, "no partial aggregate below the exchange:\n" + p.take(3000))
   }
+
+  test("inline classifier scoring is a pure map: zero exchanges, no join, " +
+      "no UDF in the scoring subtree") {
+    val docs = Tables.documents(spark, sf)
+    val scored = graft.operators.QualityClassifier
+      .scoreInline(docs, "text", "doc_id", 4096)
+    scored.collect()
+    val p = scored.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Exchange"), "scorer shuffles:\n" + p.take(2000))
+    assert(!p.contains("Join"), "scorer joins:\n" + p.take(2000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "scorer fell off codegen into a UDF:\n" + p.take(2000))
+  }
+
+  test("sentence dedup has no Window and aggregates partially before both " +
+      "exchanges (hot-sentence safety)") {
+    val docs = Tables.documents(spark, sf)
+    val dd = graft.operators.SentenceDedup
+      .dedupSentences(docs, "text", "doc_id")
+    dd.collect()
+    val p = dd.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"), "sentence dedup sorts a window:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("temperature sampling plans count-agg + join back, never a window " +
+      "or nested loop") {
+    val docs = Tables.documents(spark, sf)
+    val t = graft.operators.Sampling
+      .temperatureSample(docs.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("source").as("dom")),
+        "dom", "doc_id", scale = 8.0)
+    t.collect()
+    val p = t.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("HashAggregate"), "domain counts not hash-aggregated")
+  }
 }
