@@ -507,6 +507,26 @@ object ScaleProbe {
           .where(col("score") >= 0.9).select("id1", "id2")
         operators.Dedup.clusters(pairs)
       }),
+      // audio near-dup at X×: same capped-LSH pipeline over the energy
+      //-envelope embedding (group count ∝ X like the image probe) —
+      // real WAV byte synthesis + decode loops included in the wall
+      run("audio_semdedup", {
+        val groups = 40 * X
+        val mediaUdf = udf { (id: Long) =>
+          operators.Multimodal.wavWindows(64,
+            Queries.audioGateAmps((id % groups).toInt, (id / groups % 8).toInt))
+        }
+        val media = docs.select(col("doc_id"))
+          .withColumn("media", mediaUdf(col("doc_id")))
+        val emb = operators.Multimodal.embedAudioWindows(media, "media")
+          .select(col("doc_id"), col("win_emb"))
+        val pairs = operators.Similarity.selfTopKLsh(emb, "win_emb",
+          "doc_id", k = Int.MaxValue,
+          bits = operators.Similarity.lshBitsFor(emb.count()), tables = 8,
+          dim = 16, maxCell = 48, hotWindow = 8)
+          .where(col("score") >= 0.9).select("id1", "id2")
+        operators.Dedup.clusters(pairs)
+      }),
       // per-group cap on a HOT group: 90% of all rows share one group —
       // the single-task per-group window trap the round-11 salted
       // prefilter removes (stage 1 ranks within (group, 64 salt

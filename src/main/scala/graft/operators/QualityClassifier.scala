@@ -87,9 +87,15 @@ object QualityClassifier {
                      thresholdMilli: Long = 0L): DataFrame = {
     val feats = df.select(col(idCol), explode(toks(col(textCol))).as("tok"))
       .select(col(idCol), bucket(col("tok"), nBuckets).as("bucket"))
-    val scored = feats.join(broadcast(weights), Seq("bucket"))
+    // LEFT join + weight-0 default: a learned table may be SPARSE (only
+    // buckets seen in training) — an absent bucket must contribute
+    // weight 0, not silently drop the token from n_feats (which would
+    // skew the per-feature average and diverge from the inline path's
+    // every-token contract)
+    val scored = feats.join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_feats"), sum("w_milli").as("score_milli"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w_milli"), lit(0L))).as("score_milli"))
     val base = df.select(col(idCol))
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),

@@ -128,7 +128,12 @@ object Sampling {
       scale: Double, alpha: Double = 0.5): DataFrame = {
     require(scale > 0, s"scale=$scale must be positive")
     require(alpha > 0 && alpha <= 1, s"alpha=$alpha not in (0,1]")
-    val counts = df.groupBy(domainCol).agg(count(lit(1)).as("n_d"))
+    // null domains are EXCLUDED explicitly (no identity to weigh); the
+    // equi-join would drop them silently anyway (null never equals null
+    // in a join key) — the filter makes the contract visible instead of
+    // incidental (the Curation empty-host lesson)
+    val nonNull = df.where(col(domainCol).isNotNull)
+    val counts = nonNull.groupBy(domainCol).agg(count(lit(1)).as("n_d"))
     val rate =
       if (alpha == 0.5) lit(65536.0 * scale) / sqrt(col("n_d").cast("double"))
       else lit(65536.0 * scale) *
@@ -136,7 +141,7 @@ object Sampling {
     val thr = least(lit(65536L), floor(rate).cast(org.apache.spark.sql.types.LongType))
     val bucket16 = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
       .cast(org.apache.spark.sql.types.LongType)
-    df.join(counts, Seq(domainCol)).where(bucket16 < thr)
+    nonNull.join(counts, Seq(domainCol)).where(bucket16 < thr)
   }
 
   /** Mixture of sources at given fractions (a training-data recipe):

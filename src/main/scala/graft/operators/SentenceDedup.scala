@@ -57,7 +57,11 @@ object SentenceDedup {
       counts: DataFrame, idCol: String, minCount: Int): DataFrame = {
     require(minCount >= 2, s"minCount=$minCount")
     val isDup = col("n_occ") >= minCount
-    val perDoc = sents.join(counts, Seq("sh"))
+    // LEFT join + count-1 default: a sentence the count source has never
+    // seen (a store that lags the batch) must degrade to "seen once" —
+    // kept, counted in n_sents — not silently vanish from the document
+    val perDoc = sents.join(counts, Seq("sh"), "left")
+      .withColumn("n_occ", coalesce(col("n_occ"), lit(1L)))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_sents"),
         sum(when(isDup, 1L).otherwise(0L)).as("n_dup"),
@@ -112,9 +116,11 @@ object SentenceDedup {
   /** [[dedupSentences]] with the occurrence counts served by the store
     * instead of a corpus rescan: when the store holds every batch of the
     * corpus, verdicts for any slice of documents are IDENTICAL to the
-    * one-shot over the union (gate-proven by sharing its oracle). The
-    * join against stored counts is the same hash probe — a boilerplate
-    * sentence in a billion docs is still ONE build row. */
+    * one-shot over the union (gate-proven by sharing its oracle); a
+    * sentence the store has never seen (store lagging the batch)
+    * degrades to count 1 — kept, still counted — never silently dropped.
+    * The join against stored counts is the same hash probe — a
+    * boilerplate sentence in a billion docs is still ONE build row. */
   def dedupSentencesFromStore(df: DataFrame, textCol: String, idCol: String,
       spark: SparkSession, path: String, minCount: Int = 2): DataFrame =
     dedupWithCounts(df, sentences(df, textCol, idCol),

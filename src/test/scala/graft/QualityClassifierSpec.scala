@@ -60,6 +60,26 @@ class QualityClassifierSpec extends SparkTestBase {
     }
   }
 
+  test("sparse learned table: absent buckets weigh 0, tokens still count") {
+    val full = QualityClassifier.hashWeightTable(spark, 512)
+    val sparse = full.where(col("bucket") % 2 === 0) // half the model gone
+    val a = QualityClassifier.scoreWithTable(docs, "text", "doc_id",
+      sparse, 512).orderBy("doc_id").collect()
+    val b = QualityClassifier.scoreWithTable(docs, "text", "doc_id",
+      full, 512).orderBy("doc_id").collect()
+    a.zip(b).foreach { case (s, f) =>
+      assert(s.getLong(1) === f.getLong(1),
+        "n_feats must not shrink when buckets are absent")
+    }
+    // doc 6 is 'the' x5: one bucket — score is either unchanged (bucket
+    // present) or exactly 0 (absent), never a dropped-feature hybrid
+    val one = QualityClassifier.bucket(lit("the"), 512)
+    val present = spark.range(1).select(one.as("b")).collect()(0).getLong(0) % 2 == 0
+    val s6 = a.find(_.getLong(0) == 6L).get
+    val f6 = b.find(_.getLong(0) == 6L).get
+    assert(if (present) s6.getLong(2) === f6.getLong(2) else s6.getLong(2) === 0L)
+  }
+
   test("hash weights stay in [-1000, 1000] milli and the table has nBuckets rows") {
     val w = QualityClassifier.hashWeightTable(spark, 256)
     assert(w.count() === 256L)

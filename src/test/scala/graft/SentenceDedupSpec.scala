@@ -67,6 +67,21 @@ class SentenceDedupSpec extends SparkTestBase {
     assert(slice.getLong(2) === 1L, "dup visible from the other batch")
   }
 
+  test("a store lagging the batch degrades unseen sentences to count 1, " +
+      "never drops them") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sent_lag").toString + "/c"
+    val sd = graft.operators.SentenceDedup
+    // store only knows docs 1-2; doc 3 has sentences the store never saw
+    sd.writeCounts(docs.where(col("doc_id") <= 2), "text", "doc_id", dir, "b1")
+    val r = sd.dedupSentencesFromStore(docs.where(col("doc_id") === 3L),
+      "text", "doc_id", spark, dir).collect()(0)
+    assert(r.getLong(1) === 4L, "all 4 sentences counted, none dropped")
+    assert(r.getLong(2) === 1L,
+      "'Subscribe now' is in the store (docs 1,2) and still flags; the " +
+        "store-unseen Delta/Epsilon sentences degrade to count 1 and stay")
+  }
+
   test("clean text restores original order after the shuffle") {
     val many = Seq((9L, (1 to 30).map(i => s"Sentence number $i xyz.")
       .mkString(" "))).toDF("doc_id", "text")

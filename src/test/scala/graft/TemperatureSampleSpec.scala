@@ -44,6 +44,16 @@ class TemperatureSampleSpec extends SparkTestBase {
     assert(kept.count() === 10500L)
   }
 
+  test("null domains are excluded by explicit contract, not join accident") {
+    val withNulls = corpus.withColumn("dom",
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("dom")))
+    val kept = Sampling.temperatureSample(withNulls, "dom", "doc_id",
+      scale = 1000.0) // rate caps at 1: every non-null row survives
+    assert(kept.where(col("dom").isNull).count() === 0L)
+    assert(kept.count() === withNulls.where(col("dom").isNotNull).count())
+  }
+
   test("plan has no window over the domain (hot domain must not single-task)") {
     val plan = Sampling.temperatureSample(corpus, "dom", "doc_id", scale = 8.0)
       .queryExecution.executedPlan.toString
