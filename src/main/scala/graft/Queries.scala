@@ -3310,6 +3310,54 @@ object Queries {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 2) d
       |LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Leakage-guarded train/eval split — the last gate before training:
+    * a deterministic md5 split (engine-portable, rerun-stable — the same
+    * 16-bit-prefix rule as Sampling.byMd5Prefix) followed by 5-gram
+    * decontamination of the TRAIN side against the eval side. Output:
+    * per-split doc counts with train partitioned into clean/contaminated
+    * — membership pinned by ids_sum. Composes the split, shingle and
+    * decontamination operators; the oracle replays the whole chain. */
+  val qSplitDecontam: QFn = (s, d) => {
+    val docs = documents(s, d)
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 4) <
+      lit(graft.operators.Sampling.md5Threshold(0.1))
+    val ev = docs.where(isEval)
+    val tr = docs.where(!isEval)
+    val rep = DocChunker.decontaminate(tr, ev, "text", "doc_id", n = 5)
+    rep.select(when(col("n_hits") > 0, lit("train_contam"))
+        .otherwise(lit("train_clean")).as("split"), col("doc_id"))
+      .unionByName(ev.select(lit("eval").as("split"), col("doc_id")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("ids_sum"))
+      .orderBy("split")
+  }
+  val qSplitDecontamSql: String =
+    """WITH base AS (SELECT doc_id, text,
+      |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' AS is_eval
+      |  FROM documents),
+      |t AS (SELECT doc_id, is_eval,
+      |      string_split_regex(trim(text), '\s+') AS toks FROM base),
+      |s AS (SELECT doc_id, is_eval, toks,
+      |      unnest(generate_series(0, len(toks) - 5)) AS i
+      |      FROM t WHERE len(toks) >= 5),
+      |sh AS (SELECT doc_id, is_eval,
+      |       array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS shingle
+      |       FROM s),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE is_eval),
+      |corp AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE NOT is_eval),
+      |hits AS (SELECT corp.doc_id, count(*) AS n_hits
+      |         FROM corp JOIN bench USING (shingle) GROUP BY 1),
+      |lab AS (
+      |  SELECT CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 'train_contam'
+      |              ELSE 'train_clean' END AS split, d.doc_id
+      |  FROM (SELECT doc_id FROM base WHERE NOT is_eval) d
+      |  LEFT JOIN hits h USING (doc_id)
+      |  UNION ALL
+      |  SELECT 'eval', doc_id FROM base WHERE is_eval)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS ids_sum
+      |FROM lab GROUP BY split ORDER BY split""".stripMargin
+
   /** Bloom-prefiltered decontamination — same contract as [[qDecontam]]
     * (identical output: Bloom admits no false negatives, the exact join
     * removes its false positives) but the corpus side is filtered
@@ -4768,6 +4816,7 @@ object Queries {
     "q_link_extract" -> qLinkExtract,
     "q_video_scenes" -> qVideoScenes,
     "q_assembly" -> qAssembly,
+    "q_split_decontam" -> qSplitDecontam,
     "q_window_firstlast" -> qWindowFirstLast,
     "q_date_fns" -> qDateFns,
     "q_array_fns" -> qArrayFns,
@@ -4905,6 +4954,7 @@ object Queries {
     "q_link_extract" -> qLinkExtractSql,
     "q_video_scenes" -> qVideoScenesSql,
     "q_assembly" -> qAssemblySql,
+    "q_split_decontam" -> qSplitDecontamSql,
     "q_window_firstlast" -> qWindowFirstLastSql,
     "q_date_fns" -> qDateFnsSql,
     "q_array_fns" -> qArrayFnsSql,
