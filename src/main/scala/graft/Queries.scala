@@ -974,6 +974,65 @@ object Queries {
        |FROM u ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-line language segmentation (TextFunctions.langSegments): a
+    * German line appended to every even doc forces genuinely
+    * mixed-language documents; the gate pins line counts, run-length
+    * segment counts (array fold, windowless) and the deterministic
+    * dominant-language argmax with exact fixed-point share. */
+  val qLangSegments: QFn = (s, d) => {
+    val id = col("doc_id")
+    val docs = documents(s, d).select(id,
+      when(id % 2 === 0, concat(col("text"),
+        lit("\nder hund und die katze ist mit ein")))
+        .otherwise(col("text")).as("text"))
+    TextFunctions.langSegments(docs, "text", "doc_id").orderBy("doc_id")
+  }
+  val qLangSegmentsSql: String = {
+    val en = "len(regexp_extract_all(lower(line), '\\b(the|and|of|to|is|with|that)\\b'))"
+    val es = "len(regexp_extract_all(lower(line), '\\b(el|la|los|las|que|por|una)\\b'))"
+    val fr = "len(regexp_extract_all(lower(line), '\\b(le|les|des|est|avec|pour|une)\\b'))"
+    val de = "len(regexp_extract_all(lower(line), '\\b(der|die|das|und|ist|mit|ein)\\b'))"
+    val zh = "len(regexp_extract_all(lower(line), '(的|是|了|在|我|有)'))"
+    s"""WITH t0 AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0
+       |       THEN text || chr(10) || 'der hund und die katze ist mit ein'
+       |       ELSE text END AS text FROM documents),
+       |ln0 AS (SELECT doc_id, list_filter(list_transform(
+       |        string_split(text, chr(10)), l -> trim(l)), l -> l <> '') AS arr
+       |        FROM t0),
+       |x AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr
+       |      FROM ln0),
+       |l AS (SELECT doc_id, pos, arr[pos] AS line FROM x),
+       |sc AS (SELECT doc_id, pos, $en s_en, $es s_es, $fr s_fr, $de s_de,
+       |       $zh s_zh FROM l),
+       |lg AS (SELECT doc_id, pos,
+       |  CASE WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) AND s_en > 0 THEN 'en'
+       |       WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) AND s_es > 0 THEN 'es'
+       |       WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) AND s_fr > 0 THEN 'fr'
+       |       WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) AND s_de > 0 THEN 'de'
+       |       WHEN s_zh = greatest(s_en,s_es,s_fr,s_de,s_zh) AND s_zh > 0 THEN 'zh'
+       |       ELSE 'und' END AS lang FROM sc),
+       |chg AS (SELECT doc_id, pos, lang,
+       |  CASE WHEN lang IS DISTINCT FROM
+       |            lag(lang) OVER (PARTITION BY doc_id ORDER BY pos)
+       |       THEN 1 ELSE 0 END AS is_new FROM lg),
+       |seg AS (SELECT doc_id, count(*) AS n_lines, sum(is_new) AS n_segments
+       |        FROM chg GROUP BY 1),
+       |cnt AS (SELECT doc_id, lang, count(*) AS c FROM lg GROUP BY 1, 2),
+       |dom AS (SELECT doc_id, lang, c,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang DESC) AS rn,
+       |  sum(c) OVER (PARTITION BY doc_id) AS tot FROM cnt)
+       |SELECT d.doc_id, CAST(coalesce(seg.n_lines, 0) AS BIGINT) AS n_lines,
+       |  CAST(coalesce(seg.n_segments, 0) AS BIGINT) AS n_segments,
+       |  coalesce(dm.lang, 'und') AS main_lang,
+       |  CASE WHEN dm.lang IS NULL THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor(dm.c * 1000.0 / dm.tot) AS BIGINT)
+       |  END AS main_permille
+       |FROM t0 d LEFT JOIN seg USING (doc_id)
+       |LEFT JOIN (SELECT * FROM dom WHERE rn = 1) dm USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Token totals per source (corpus accounting). */
   val qTokenTotals: QFn = (s, d) =>
     documents(s, d)
@@ -4744,6 +4803,7 @@ object Queries {
     "q_json_extract" -> qJsonExtract,
     "q_text_stats" -> qTextStats,
     "q_lang_id" -> qLangId,
+    "q_lang_segments" -> qLangSegments,
     "q_token_totals" -> qTokenTotals,
     "q_text_metrics" -> qTextMetrics,
     "q_boilerplate" -> qBoilerplate,
@@ -4907,6 +4967,7 @@ object Queries {
     "q_json_extract" -> qJsonExtractSql,
     "q_text_stats" -> qTextStatsSql,
     "q_lang_id" -> qLangIdSql,
+    "q_lang_segments" -> qLangSegmentsSql,
     "q_token_totals" -> qTokenTotalsSql,
     "q_text_metrics" -> qTextMetricsSql,
     "q_boilerplate" -> qBoilerplateSql,

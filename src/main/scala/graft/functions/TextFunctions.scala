@@ -195,6 +195,54 @@ object TextFunctions {
       .drop(langMarkers.map(m => s"__s_${m._1}"): _*)
   }
 
+  /** Per-LINE language segmentation — the CCNet move for MIXED-language
+    * documents (a doc-level language label mislabels half of a bilingual
+    * page): every non-empty trimmed line is language-ID'd through the
+    * fast two-projection [[withLangId]], then per document we report the
+    * line count, the number of CONSECUTIVE-language segments (run-length
+    * over position-ordered line langs — computed by an array fold after
+    * `array_sort`, no window, so a billion-doc corpus never single-tasks
+    * a skewed key) and the dominant language with its exact fixed-point
+    * share. Docs with no non-empty lines survive with (0, 0, "und", 0).
+    *
+    * Dominant-language argmax is `max(struct(count, lang))` — an
+    * associative aggregate (partial-aggregates map-side; ties break
+    * toward the lexicographically larger lang, deterministically,
+    * replayable as ORDER BY c DESC, lang DESC LIMIT 1). */
+  def langSegments(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        l => l =!= "")).as(Seq("pos", "line")))
+    val scored = withLangId(lines, "line", "line_lang")
+    val rle = aggregate(
+      transform(array_sort(collect_list(struct(col("pos"), col("line_lang")))),
+        x => x.getField("line_lang")),
+      struct(lit(0L).as("n"), lit("").as("last")),
+      (acc, l) => struct(
+        when(l === acc.getField("last"), acc.getField("n"))
+          .otherwise(acc.getField("n") + 1L).as("n"),
+        l.as("last")),
+      acc => acc.getField("n"))
+    val perDoc = scored.groupBy(idCol)
+      .agg(count(lit(1)).as("n_lines"), rle.as("n_segments"))
+    val dominant = scored.groupBy(col(idCol), col("line_lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(max(struct(col("c"), col("line_lang"))).as("m"), sum("c").as("tot"))
+      .select(col(idCol), col("m.line_lang").as("main_lang"),
+        floor(col("m.c").cast("double") * 1000.0 / col("tot").cast("double"))
+          .cast(org.apache.spark.sql.types.LongType).as("main_permille"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(dominant, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("main_lang"), lit("und")).as("main_lang"),
+        coalesce(col("main_permille"), lit(0L)).as("main_permille"))
+  }
+
   /** Document fingerprint: md5 over whitespace-normalized lowercase text,
     * truncated to 16 hex chars — the exact-dup key. */
   def fingerprint(text: Column): Column =

@@ -30,4 +30,37 @@ class LangIdSpec extends SparkTestBase {
     assert(got === Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de",
       5L -> "zh", 6L -> "und"))
   }
+
+  test("langSegments: run-length segments, dominant share, empty-doc survival") {
+    import spark.implicits._
+    val en = "the cat and the dog is with that"
+    val de = "der hund und die katze ist mit ein"
+    val docs = Seq(
+      (1L, s"$en\n$en\n$de\n$en"),  // en,en,de,en -> 3 segments, en 3/4
+      (2L, s"$de\n$de"),            // one segment
+      (3L, ""),                     // no lines
+      (4L, s"$en\n\n  \n$de")       // blank lines dropped before RLE
+    ).toDF("doc_id", "text")
+    val r = graft.functions.TextFunctions
+      .langSegments(docs, "text", "doc_id").orderBy("doc_id").collect()
+    assert(r(0).getLong(1) === 4L && r(0).getLong(2) === 3L)
+    assert(r(0).getString(3) === "en" && r(0).getLong(4) === 750L)
+    assert(r(1).getLong(2) === 1L && r(1).getString(3) === "de" &&
+      r(1).getLong(4) === 1000L)
+    assert(r(2).getLong(1) === 0L && r(2).getLong(2) === 0L &&
+      r(2).getString(3) === "und" && r(2).getLong(4) === 0L)
+    assert(r(3).getLong(1) === 2L && r(3).getLong(2) === 2L,
+      "blank lines must not split or pad segments")
+  }
+
+  test("langSegments dominant tie breaks deterministically toward the " +
+      "lexicographically larger lang (max(struct) contract)") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat and the dog is with that\n" +
+      "der hund und die katze ist mit ein")).toDF("doc_id", "text")
+    val r = graft.functions.TextFunctions
+      .langSegments(docs, "text", "doc_id").collect()(0)
+    assert(r.getString(3) === "en", "en > de lexicographically on a 1-1 tie")
+    assert(r.getLong(4) === 500L)
+  }
 }
