@@ -39,6 +39,42 @@ object Similarity {
       outCol: String = "qvec"): DataFrame =
     embs.withColumn(outCol, VectorFunctions.quantizeI8(col(vecCol)))
 
+  /** Seeded ±1 random projection (sign-matrix Johnson–Lindenstrauss,
+    * Achlioptas 2003): `dim`-d embeddings shrink to `outDim` components,
+    * each the native-codegen double-fold dot of the vector with a
+    * data-independent ±1 hyperplane, rounded to float. The 100 TB
+    * PREPROCESSING move: a wide embedding column shrinks (e.g. 64→16:
+    * 4× less shuffle/cache/scan weight for every downstream ANN, LSH
+    * and clustering pass) while approximately preserving cosine order
+    * (JL lemma). Planes are seeded splitmix64 — every executor, retry
+    * and the SQL oracle regenerate the SAME matrix, so the projection
+    * is a pure map: no exchange, no broadcast, nothing to persist. */
+  def randomProject(embs: DataFrame, vecCol: String, dim: Int, outDim: Int,
+      seed: Long = 7L, outCol: String = "proj"): DataFrame = {
+    require(dim > 0 && outDim > 0 && outDim <= dim)
+    val planes = graft.functions.Hashing.hyperplanes(outDim, dim, seed)
+    val comps = planes.map { p =>
+      VectorFunctions.dot(col(vecCol), typedLit(p.map(_.toFloat).toSeq))
+        .cast("float")
+    }
+    embs.withColumn(outCol, array(comps: _*))
+  }
+
+  /** Driver-side twin of [[randomProject]] for probe vectors — the same
+    * i-ascending double fold and float rounding, so a projected query
+    * compares bit-identically against the projected column. */
+  def projectOne(vec: Seq[Float], dim: Int, outDim: Int,
+      seed: Long = 7L): Array[Float] = {
+    val planes = graft.functions.Hashing.hyperplanes(outDim, dim, seed)
+    planes.map { p =>
+      var dot = 0.0
+      var i = 0
+      val n = math.min(vec.length, p.length)
+      while (i < n) { dot += vec(i).toDouble * p(i); i += 1 }
+      dot.toFloat
+    }
+  }
+
   /** Top-k by integer dot product over int8-quantized vectors — the
     * quantized twin of [[bruteForceTopK]]. Because corpus and query are
     * unit-normalized BEFORE quantization, every norm is ≈127 and the

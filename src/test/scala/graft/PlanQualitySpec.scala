@@ -290,7 +290,7 @@ class PlanQualitySpec extends SparkTestBase {
     val singleRow = Set("q_minmax", "q_count_where",
       "q_dedup_minhash_recall", "q_dedup_simhash_recall",
       "q_dedup_incremental", "q_ann_index", "q_embed_recall",
-      "q_knn_recall", "q_pack_stats")
+      "q_knn_recall", "q_pack_stats", "q_ann_projected_recall")
     val bad = Queries.oracles.filterNot { case (name, sql) =>
       singleRow(name) || sql.toUpperCase.replaceAll("\\s+", " ").contains("ORDER BY")
     }.keys

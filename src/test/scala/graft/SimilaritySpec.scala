@@ -183,4 +183,29 @@ class SimilaritySpec extends SparkTestBase {
     // zero vector: all-zero bytes, not NaN propagation
     assert(FloatVecQuantizeI8.quantize(Seq(0f, 0f, 0f)).toSeq === Seq[Byte](0, 0, 0))
   }
+
+  test("random projection: column path and driver-side projectOne are " +
+      "bit-identical; JL preserves pairwise distances approximately") {
+    val e = Tables.embeddings(spark, sf).where(col("vec_id") < 50)
+    val proj = Similarity.randomProject(e, "embedding", dim = 64, outDim = 32)
+    val rows = proj.select("vec_id", "embedding", "proj")
+      .collect().sortBy(_.getLong(0))
+    rows.foreach { r =>
+      val want = Similarity.projectOne(r.getSeq[Float](1), 64, 32)
+      assert(r.getSeq[Float](2) === want.toSeq,
+        s"vec ${r.getLong(0)}: column projection != driver fold")
+    }
+    // JL sanity on sign matrices: E[||Px||^2] = dim/outDim-scaled; check
+    // relative pairwise L2 distortion stays bounded on real vectors
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    val scale = math.sqrt(32.0) // sign-plane dots grow as sqrt(dim-ish)
+    val pairs = for (i <- rows.indices; j <- i + 1 until rows.length if j - i < 5)
+      yield (l2(rows(i).getSeq[Float](1), rows(j).getSeq[Float](1)),
+        l2(rows(i).getSeq[Float](2), rows(j).getSeq[Float](2)) / scale)
+    val ratios = pairs.collect { case (d0, dp) if d0 > 0 => dp / d0 }
+    assert(ratios.nonEmpty)
+    assert(ratios.min > 0.4 && ratios.max < 2.5,
+      s"JL distortion out of band: [${ratios.min}, ${ratios.max}]")
+  }
 }
