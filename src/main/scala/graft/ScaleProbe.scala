@@ -596,6 +596,14 @@ object ScaleProbe {
           chunkTokens = 40, overlap = 8)
           .groupBy().agg(count(lit(1)), sum("n_tokens"))
       }),
+      // per-line language segmentation at X×: explode → regex scoring →
+      // two count groupBys + windowless array-fold RLE — wall must track
+      // line volume with no skewed-key single task
+      run("lang_segments", {
+        graft.functions.TextFunctions.langSegments(docs, "text", "doc_id")
+          .groupBy("main_lang")
+          .agg(count(lit(1)), sum("n_segments"), sum("n_lines"))
+      }),
       // temperature sampling with a hot domain (50% of docs, size ∝ X):
       // the count groupBy partial-aggregates, the join back is hash-
       // probe only — wall must stay ~linear with zero windows
