@@ -3613,6 +3613,30 @@ object Queries {
       |  CAST(sum(doc_id) AS BIGINT) AS ids_sum
       |FROM k GROUP BY dom ORDER BY dom""".stripMargin
 
+  /** Store-served temperature sampling: the same skewed corpus lands as
+    * TWO appended batches (+ one REPLAYED batch id), then the FULL
+    * corpus samples at rates computed from the persisted domain counts
+    * alone. SHARES q_temperature_sample's oracle text — membership is a
+    * pure function of (key md5, corpus-wide n_d), so store-served ≡
+    * one-shot at value level and the replay proves write idempotence. */
+  val qTemperatureSampleStore: QFn = (s, d) => {
+    val id = col("doc_id")
+    val docs = documents(s, d).select(id,
+      when(id % 2 === 0, lit("big"))
+        .otherwise(concat(lit("d"), (id % 64).cast(StringType))).as("dom"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_domcnt_store").toString + "/counts"
+    val sp = graft.operators.Sampling
+    sp.writeDomainCounts(docs.where(id % 3 === 0), "dom", dir, "b1")
+    sp.appendDomainCounts(docs.where(id % 3 =!= 0), "dom", dir, "b2")
+    sp.appendDomainCounts(docs.where(id % 3 =!= 0), "dom", dir, "b2") // replay
+    sp.temperatureSampleFromStore(docs, "dom", "doc_id", s, dir, scale = 8.0)
+      .groupBy("dom")
+      .agg(max("n_d").as("n_d"), count(lit(1)).as("n_kept"),
+        sum("doc_id").as("ids_sum"))
+      .orderBy("dom")
+  }
+
   /** Corpus-global sentence dedup (CCNet paragraph-dedup shape,
     * operators.SentenceDedup): a boilerplate blurb appended to every
     * third document is detected corpus-wide and stripped; per-doc stats
@@ -4947,6 +4971,7 @@ object Queries {
     "q_quality_classifier" -> qQualityClassifier,
     "q_quality_classifier_table" -> qQualityClassifierTable,
     "q_temperature_sample" -> qTemperatureSample,
+    "q_temperature_sample_store" -> qTemperatureSampleStore,
     "q_sentence_dedup" -> qSentenceDedup,
     "q_sentence_dedup_store" -> qSentenceDedupStore,
     "q_audio_stats" -> qAudioStats,
@@ -5088,6 +5113,7 @@ object Queries {
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_quality_classifier_table" -> qQualityClassifierSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
+    "q_temperature_sample_store" -> qTemperatureSampleSql,
     "q_sentence_dedup" -> qSentenceDedupSql,
     "q_sentence_dedup_store" -> qSentenceDedupSql,
     "q_audio_stats" -> qAudioStatsSql,

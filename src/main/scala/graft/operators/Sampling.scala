@@ -144,6 +144,62 @@ object Sampling {
     nonNull.join(counts, Seq(domainCol)).where(bucket16 < thr)
   }
 
+  // ------------------------------------------------ domain-count store
+  // Temperature sampling needs the CORPUS-WIDE domain counts — a batch
+  // sampled against its own counts over-keeps every domain that happens
+  // to be small in the batch. The store is the same blind-append
+  // contract as the sentence/LM/graph stores: additive (dom, cnt,
+  // batch_id) rows, (dom, batch_id) read-side replay dedup, so a
+  // re-crawl batch samples at rates reflecting ALL history without a
+  // rescan, and retried writes are neutral.
+
+  /** Write one batch's per-domain counts (null domains excluded — the
+    * [[temperatureSample]] contract). */
+  def writeDomainCounts(df: DataFrame, domainCol: String, path: String,
+      batchId: String, mode: String = "overwrite"): Unit =
+    df.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).as("dom")).agg(count(lit(1)).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode(mode).parquet(path)
+
+  def appendDomainCounts(df: DataFrame, domainCol: String, path: String,
+      batchId: String): Unit =
+    writeDomainCounts(df, domainCol, path, batchId, mode = "append")
+
+  /** Merged corpus-wide domain counts: replayed batches collapse first,
+    * then counts sum — (dom, n_d). */
+  def storedDomainCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("dom", "batch_id").agg(max("cnt").as("cnt"))
+      .groupBy("dom").agg(sum("cnt").as("n_d"))
+
+  /** [[temperatureSample]] with the domain counts served by the store:
+    * when the store holds every batch, sampling any slice is IDENTICAL
+    * to one-shot sampling of the union restricted to that slice
+    * (membership is a pure function of (key md5, corpus n_d) — gate-
+    * proven by sharing the one-shot oracle). Domains the store has
+    * never seen are dropped with their rows — the conservative contract
+    * for an unweighable domain (documented; a lagging store should
+    * append before sampling). */
+  def temperatureSampleFromStore(df: DataFrame, domainCol: String,
+      keyCol: String, spark: org.apache.spark.sql.SparkSession,
+      path: String, scale: Double, alpha: Double = 0.5): DataFrame = {
+    require(scale > 0 && alpha > 0 && alpha <= 1)
+    val counts = storedDomainCounts(spark, path)
+      .withColumnRenamed("dom", domainCol)
+    val rate =
+      if (alpha == 0.5) lit(65536.0 * scale) / sqrt(col("n_d").cast("double"))
+      else lit(65536.0 * scale) *
+        pow(col("n_d").cast("double"), lit(alpha - 1.0))
+    val thr = least(lit(65536L),
+      floor(rate).cast(org.apache.spark.sql.types.LongType))
+    val bucket16 = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
+    df.where(col(domainCol).isNotNull)
+      .join(counts, Seq(domainCol)).where(bucket16 < thr)
+  }
+
   /** Mixture of sources at given fractions (a training-data recipe):
     * each (df, fraction) sampled by key hash, unioned by name. */
   def weightedUnion(sources: Seq[(DataFrame, String, Double)],

@@ -54,6 +54,32 @@ class TemperatureSampleSpec extends SparkTestBase {
     assert(kept.count() === withNulls.where(col("dom").isNotNull).count())
   }
 
+  test("domain-count store: two batches + a replayed batch sample " +
+      "identically to the one-shot, and a batch slice uses CORPUS rates") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_domcnt_spec").toString + "/c"
+    val a = corpus.where(col("doc_id") % 3 === 0)
+    val b = corpus.where(col("doc_id") % 3 =!= 0)
+    Sampling.writeDomainCounts(a, "dom", dir, "b1")
+    Sampling.appendDomainCounts(b, "dom", dir, "b2")
+    Sampling.appendDomainCounts(b, "dom", dir, "b2") // retried batch
+    val served = Sampling.temperatureSampleFromStore(corpus, "dom", "doc_id",
+      spark, dir, scale = 8.0).agg(count(lit(1)), sum("doc_id")).collect()(0)
+    val oneShot = Sampling.temperatureSample(corpus, "dom", "doc_id",
+      scale = 8.0).agg(count(lit(1)), sum("doc_id")).collect()(0)
+    assert(served.toString === oneShot.toString)
+    // slice sampling uses corpus-wide n_d: batch a alone holds ~3333 hot
+    // rows, but the rate must come from the full 10000 — so the kept
+    // fraction of a's hot rows matches the corpus rate, not a's
+    val sliceHot = Sampling.temperatureSampleFromStore(a, "dom", "doc_id",
+      spark, dir, scale = 8.0).where(col("dom") === "hot").count()
+    val corpusHotRate = 8.0 / math.sqrt(10000.0) // 0.08
+    val aHot = a.where(col("dom") === "hot").count()
+    assert(math.abs(sliceHot - corpusHotRate * aHot) <
+      4.0 * math.sqrt(corpusHotRate * aHot),
+      s"slice kept $sliceHot of $aHot, want ~${corpusHotRate * aHot}")
+  }
+
   test("plan has no window over the domain (hot domain must not single-task)") {
     val plan = Sampling.temperatureSample(corpus, "dom", "doc_id", scale = 8.0)
       .queryExecution.executedPlan.toString
