@@ -1033,6 +1033,43 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Vocabulary-coverage / OOV-rate check — the tokenizer-health gate a
+    * pipeline runs after training a vocab: the corpus top-500 tokens
+    * (deterministic ties: count DESC, token ASC) stand in for the vocab;
+    * per source we report token mass, OOV mass and the exact fixed-point
+    * OOV rate. Plan: one token count agg, the 500-row vocab broadcast
+    * back as a LEFT SEMI probe (never a shuffle of the corpus side by
+    * token), one final groupBy. */
+  val qOovRate: QFn = (s, d) => {
+    val toks = documents(s, d).select(col("source"),
+      explode(filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= ""))
+        .as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(500)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        floor(col("n_oov").cast("double") * 10000.0 /
+          col("n_tokens").cast("double")).cast(LongType).as("oov_bp"))
+      .orderBy("source")
+  }
+  val qOovRateSql: String =
+    """WITH tk AS (SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1)
+      |          ORDER BY cnt DESC, tok ASC LIMIT 500),
+      |m AS (SELECT tk.source, tk.tok, vocab.tok IS NOT NULL AS iv
+      |      FROM tk LEFT JOIN vocab ON tk.tok = vocab.tok)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+      |  CAST(floor(sum(CASE WHEN iv THEN 0 ELSE 1 END) * 10000.0
+      |             / count(*)) AS BIGINT) AS oov_bp
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   /** Token totals per source (corpus accounting). */
   val qTokenTotals: QFn = (s, d) =>
     documents(s, d)
@@ -4904,6 +4941,7 @@ object Queries {
     "q_lang_id" -> qLangId,
     "q_lang_segments" -> qLangSegments,
     "q_token_totals" -> qTokenTotals,
+    "q_oov_rate" -> qOovRate,
     "q_text_metrics" -> qTextMetrics,
     "q_boilerplate" -> qBoilerplate,
     "q_rolling_fp" -> qRollingFp,
@@ -5071,6 +5109,7 @@ object Queries {
     "q_lang_id" -> qLangIdSql,
     "q_lang_segments" -> qLangSegmentsSql,
     "q_token_totals" -> qTokenTotalsSql,
+    "q_oov_rate" -> qOovRateSql,
     "q_text_metrics" -> qTextMetricsSql,
     "q_boilerplate" -> qBoilerplateSql,
     "q_pii_scan" -> qPiiScanSql,
