@@ -3329,6 +3329,49 @@ object Queries {
       .orderBy("cluster")
   }
 
+  /** Frame levels for the video near-dup gate: base scene `sc` of group
+    * `g` is a constant-byte frame at a level in 10..137; variant `r`
+    * replaces scene r's frame with a jitter level in 140..251 — DISJOINT
+    * ranges, so two variants of a group share exactly their untouched
+    * base frames (J = 6/10 = 0.6 on distinct levels) while cross-group
+    * overlap is bounded by rare level collisions (J ≤ ~0.2). The spec
+    * proves connectivity and separation for this fixed construction. */
+  private[graft] def videoBaseLevel(g: Int, sc: Int): Int =
+    ((Hashing.mix64(g.toLong * 997 + sc) & 0x7f) + 10).toInt
+  private[graft] def videoJitLevel(g: Int, r: Int): Int =
+    ((Hashing.mix64(g.toLong * 1013 + r + 7777) & 0x6f) + 140).toInt
+
+  /** Frame-level video COPY detection (re-uploads / clipped compilations
+    * share frames): per-frame md5 fingerprints
+    * (Multimodal.frameHashes) become a space-joined "document" that the
+    * TEXT dedup machinery ingests unchanged — minhash bands over frame
+    * unigrams, exact frame-set-Jaccard verification, connected
+    * components. No video-specific similarity engine: the composition IS
+    * the operator. SHARES the media gate's 40-group oracle. */
+  val qVideoSemdedup: QFn = (s, d) => {
+    val groups = 40
+    val mediaUdf = udf { (id: Long) =>
+      val g = (id % groups).toInt
+      val r = ((id / groups) % 8).toInt
+      graft.operators.Multimodal.y4mScenes(8, 8, scenes = 8,
+        framesPerScene = 1,
+        level = sc =>
+          if (sc == r) Queries.videoJitLevel(g, r)
+          else Queries.videoBaseLevel(g, sc))
+    }
+    val docs = documents(s, d).select(col("doc_id"))
+      .withColumn("media", mediaUdf(col("doc_id")))
+    val fh = graft.operators.Multimodal.frameHashes(docs, "media")
+      .select(col("doc_id"), array_join(col("frame_hashes"), " ").as("fh_text"))
+    val pairs = Dedup.minhashPairs(fh, "fh_text", "doc_id",
+      shingleSize = 1, bands = 16, rowsPerBand = 2,
+      verifyJaccard = Some(0.5))
+    graft.operators.Dedup.clusters(pairs.select("id1", "id2"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("ids_sum"))
+      .orderBy("cluster")
+  }
+
   val qMediaSemdedup: QFn = (s, d) => {
     val groups = 40
     val mediaUdf = udf { (id: Long) =>
@@ -4999,6 +5042,7 @@ object Queries {
     "q_curate_store" -> qCurateStore,
     "q_media_semdedup" -> qMediaSemdedup,
     "q_audio_semdedup" -> qAudioSemdedup,
+    "q_video_semdedup" -> qVideoSemdedup,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
     "q_stream_join" -> qStreamJoin,
@@ -5240,5 +5284,6 @@ object Queries {
     "q_curate" -> qCurateSql,
     "q_curate_store" -> qCurateStoreSql,
     "q_media_semdedup" -> qMediaSemdedupSql,
-    "q_audio_semdedup" -> qMediaSemdedupSql)
+    "q_audio_semdedup" -> qMediaSemdedupSql,
+    "q_video_semdedup" -> qMediaSemdedupSql)
 }

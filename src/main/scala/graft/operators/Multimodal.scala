@@ -167,7 +167,7 @@ object Multimodal {
 
   /** Parsed Y4M: (w, h, frameCount, frame offsets). C444 only (what the
     * generator emits); None on malformed params or a truncated frame. */
-  private def parseY4m(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  private def parseY4m(b: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     val magic = "YUV4MPEG2".getBytes("US-ASCII")
     if (b.length < magic.length + 1) return None
     var i = 0
@@ -202,7 +202,7 @@ object Multimodal {
       offs += e + 1
       off = e + 1 + frameBytes.toInt
     }
-    Some((w, h, offs.toArray))
+    Some((w, h, frameBytes.toInt, offs.toArray))
   }
 
   /** Route on magic → typed metadata; any malformation → None. */
@@ -213,8 +213,8 @@ object Multimodal {
     else if (b(0) == 'R' && b(1) == 'I')
       parseWav(b).map { case (sr, ch, d) => ("audio", sr, ch, d) }
     else if (b(0) == 'Y' && b(1) == 'U')
-      parseY4m(b).map { case (w, h, offs) =>
-        ("video", w, h, offs.length * w * h * 3) }
+      parseY4m(b).map { case (w, h, frameBytes, offs) =>
+        ("video", w, h, offs.length * frameBytes) }
     else None
   }
 
@@ -424,8 +424,7 @@ object Multimodal {
     val sliceUdf = udf { (b: Array[Byte]) =>
       parseY4m(if (b == null) Array.empty[Byte] else b) match {
         case None => null
-        case Some((w, h, offs)) =>
-          val frameBytes = w * h * 3
+        case Some((_, _, frameBytes, offs)) =>
           val take = math.min(n, offs.length)
           val step = math.max(offs.length / math.max(take, 1), 1)
           (0 until take).map { k =>
@@ -486,7 +485,7 @@ object Multimodal {
         if (b == null) return null
         parseY4m(b) match {
           case None => null
-          case Some((w, h, offs)) =>
+          case Some((w, h, _, offs)) =>
             val plane = w * h
             var cuts = 0L
             var f = 1
@@ -509,6 +508,37 @@ object Multimodal {
     }, schema)
     df.withColumn(outCol, scenesUdf(col(binCol)))
   }
+
+  /** Per-frame content fingerprints of a Y4M video: the md5 hex of every
+    * frame's raw bytes, in frame order — the unit of frame-level video
+    * COPY detection (re-uploads, clipped compilations share frames even
+    * when metadata and length differ). Downstream, the space-joined
+    * fingerprint sequence is a "document" the TEXT dedup machinery
+    * ingests unchanged: frame-set Jaccard via minhash bands, exact
+    * verification, connected components — no video-specific similarity
+    * engine needed. Non-video / corrupt → null. */
+  def frameHashes(df: DataFrame, binCol: String,
+      outCol: String = "frame_hashes"): DataFrame = {
+    val hashUdf = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else parseY4mFrames(b) match {
+        case None => null
+        case Some((frameBytes, offs)) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          offs.map { o =>
+            md.reset()
+            md.update(b, o, frameBytes)
+            md.digest().map(x => f"$x%02x").mkString
+          }.toSeq
+      }
+    }
+    df.withColumn(outCol, hashUdf(col(binCol)))
+  }
+
+  /** [[parseY4m]] companion exposing (frameBytes, offsets) for byte-range
+    * consumers. */
+  private def parseY4mFrames(b: Array[Byte]): Option[(Int, Array[Int])] =
+    parseY4m(b).map { case (_, _, frameBytes, offs) => (frameBytes, offs) }
 
   /** Mono 16-bit PCM square-wave WAV with a silent tail: `nTone` samples
     * alternating ±`amp` every `period/2` samples, then `nSilent` zero

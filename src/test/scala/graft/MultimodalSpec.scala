@@ -350,6 +350,64 @@ class MultimodalSpec extends SparkTestBase {
     assert(crossMax < 0.85, s"cross-group max cosine $crossMax")
   }
 
+  test("frame hashes: per-frame md5 over real demuxed bytes, non-video null") {
+    import spark.implicits._
+    val vid = Multimodal.y4mScenes(8, 8, 3, 2, s => 10 + 40 * s)
+    val df = Seq((1L, vid), (2L, Multimodal.bmpMedia(4, 4, 1L)))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.frameHashes(df, "media")
+      .orderBy("doc_id").select("frame_hashes").collect()
+    val hs = rows(0).getSeq[String](0)
+    assert(hs.length === 6, "3 scenes x 2 frames")
+    assert(hs(0) === hs(1) && hs(2) === hs(3) && hs(4) === hs(5),
+      "constant scenes repeat their frame hash")
+    assert(Set(hs(0), hs(2), hs(4)).size === 3, "distinct scene levels differ")
+    // driver-side reference: md5 of 8*8*3 bytes of level 10
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest(Array.fill[Byte](192)(10))
+      .map(x => f"$x%02x").mkString
+    assert(hs(0) === want)
+    assert(rows(1).isNullAt(0), "BMP is not video")
+  }
+
+  test("video near-dup gate construction is PROVEN: per group, the 8 " +
+      "variants' (J >= 0.5 AND band-collision) graph is connected; " +
+      "cross-group Jaccard stays under the verify threshold") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def frameHash(level: Int): String =
+      md.digest(Array.fill[Byte](192)(level.toByte)).map(x => f"$x%02x").mkString
+    def tokens(g: Int, r: Int): Seq[String] =
+      (0 until 8).map(sc => frameHash(
+        if (sc == r) Queries.videoJitLevel(g, r) else Queries.videoBaseLevel(g, sc)))
+    def jac(a: Seq[String], b: Seq[String]): Double = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    def sig(g: Int, r: Int): Seq[Long] = {
+      val text = tokens(g, r).mkString(" ")
+      graft.functions.Hashing.bandKeys(
+        graft.functions.Hashing.minhash(text, 1, 32), 16, 2).toSeq
+    }
+    (0 until 40).foreach { g =>
+      val sigs = (0 until 8).map(r => sig(g, r))
+      val toks = (0 until 8).map(r => tokens(g, r))
+      val parent = Array.tabulate(8)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (r1 <- 0 until 8; r2 <- r1 + 1 until 8)
+        if (jac(toks(r1), toks(r2)) >= 0.5 &&
+            sigs(r1).toSet.intersect(sigs(r2).toSet).nonEmpty)
+          parent(find(r1)) = find(r2)
+      assert((0 until 8).map(find).distinct.size === 1,
+        s"group $g variants don't connect through candidate+verify")
+    }
+    val crossMax = (for {
+      g1 <- 0 until 40; g2 <- g1 + 1 until 40
+      r1 <- 0 until 8 by 3; r2 <- 0 until 8 by 3
+    } yield jac(tokens(g1, r1), tokens(g2, r2))).max
+    assert(crossMax < 0.5, s"cross-group J $crossMax reaches the verify bar")
+  }
+
   test("video scene cuts: exact boundaries on known structure, sub-threshold " +
       "diffs ignored, non-video nulls out") {
     import spark.implicits._
