@@ -3363,12 +3363,21 @@ object Queries {
       .withColumn("media", mediaUdf(col("doc_id")))
     val fh = graft.operators.Multimodal.frameHashes(docs, "media")
       .select(col("doc_id"), array_join(col("frame_hashes"), " ").as("fh_text"))
-    val pairs = Dedup.minhashPairs(fh, "fh_text", "doc_id",
-      shingleSize = 1, bands = 16, rowsPerBand = 2,
+    // the scale-safe shape (probe-proven): collapse byte-identical
+    // fingerprint sequences FIRST — replicas of one upload are exact
+    // dups whose all-pairs candidates would otherwise grow with replica
+    // count — then near-dup only the distinct representatives and let
+    // every doc inherit its representative's component
+    val reps = fh.groupBy("fh_text").agg(min("doc_id").as("rep_id"))
+    val pairs = Dedup.minhashPairs(
+      reps.select(col("rep_id").as("doc_id"), col("fh_text")),
+      "fh_text", "doc_id", shingleSize = 1, bands = 16, rowsPerBand = 2,
       verifyJaccard = Some(0.5))
-    graft.operators.Dedup.clusters(pairs.select("id1", "id2"))
-      .groupBy("cluster")
-      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("ids_sum"))
+    val comps = graft.operators.Dedup.clusters(pairs.select("id1", "id2"))
+    fh.join(reps, Seq("fh_text"))
+      .join(comps.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+      .groupBy(coalesce(col("cluster"), col("rep_id")).as("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("doc_id")).as("ids_sum"))
       .orderBy("cluster")
   }
 

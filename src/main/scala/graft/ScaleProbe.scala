@@ -527,6 +527,62 @@ object ScaleProbe {
           .where(col("score") >= 0.9).select("id1", "id2")
         operators.Dedup.clusters(pairs)
       }),
+      // frame-level video copy detection at X×: real Y4M synth + frame
+      // demux + md5 per frame, then the text minhash band/verify path —
+      // group count ∝ X like the other media probes
+      run("video_semdedup", {
+        val groups = 40 * X
+        val mediaUdf = udf { (id: Long) =>
+          val g = (id % groups).toInt
+          val r = ((id / groups) % 8).toInt
+          operators.Multimodal.y4mScenes(8, 8, scenes = 8, framesPerScene = 1,
+            level = sc =>
+              if (sc == r) Queries.videoJitLevel(g, r)
+              else Queries.videoBaseLevel(g, sc))
+        }
+        val media = docs.select(col("doc_id"))
+          .withColumn("media", mediaUdf(col("doc_id")))
+        val fh = operators.Multimodal.frameHashes(media, "media")
+          .select(col("doc_id"),
+            array_join(col("frame_hashes"), " ").as("fh_text"))
+        val pairs = operators.Dedup.minhashPairs(fh, "fh_text", "doc_id",
+          shingleSize = 1, bands = 16, rowsPerBand = 2,
+          verifyJaccard = Some(0.5))
+        operators.Dedup.clusters(pairs.select("id1", "id2"))
+      }),
+      // the PRODUCTION video-dedup shape: exact-collapse identical
+      // fingerprint sequences FIRST (replicas of one upload are
+      // byte-identical), then minhash only the distinct representatives
+      // — candidate pairs stop scaling with replica count; components
+      // recover full membership through the representative map
+      run("video_semdedup_collapsed", {
+        val groups = 40 * X
+        val mediaUdf = udf { (id: Long) =>
+          val g = (id % groups).toInt
+          val r = ((id / groups) % 8).toInt
+          operators.Multimodal.y4mScenes(8, 8, scenes = 8, framesPerScene = 1,
+            level = sc =>
+              if (sc == r) Queries.videoJitLevel(g, r)
+              else Queries.videoBaseLevel(g, sc))
+        }
+        val media = docs.select(col("doc_id"))
+          .withColumn("media", mediaUdf(col("doc_id")))
+        val fh = operators.Multimodal.frameHashes(media, "media")
+          .select(col("doc_id"),
+            array_join(col("frame_hashes"), " ").as("fh_text"))
+        val reps = fh.groupBy("fh_text")
+          .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_replicas"))
+        val pairs = operators.Dedup.minhashPairs(
+          reps.select(col("rep_id").as("doc_id"), col("fh_text")),
+          "fh_text", "doc_id", shingleSize = 1, bands = 16, rowsPerBand = 2,
+          verifyJaccard = Some(0.5))
+        val comps = operators.Dedup.clusters(pairs.select("id1", "id2"))
+        // membership back: every doc inherits its representative's cluster
+        fh.join(reps, Seq("fh_text"))
+          .join(comps.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
+          .groupBy(coalesce(col("cluster"), col("rep_id")).as("cluster"))
+          .agg(count(lit(1)), sum("doc_id"))
+      }),
       // per-group cap on a HOT group: 90% of all rows share one group —
       // the single-task per-group window trap the round-11 salted
       // prefilter removes (stage 1 ranks within (group, 64 salt
