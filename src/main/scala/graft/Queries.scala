@@ -2145,8 +2145,8 @@ object Queries {
       |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
 
   /** ANN in randomly-PROJECTED space (Similarity.randomProject, seeded
-    * ±1 sign matrix, 64→16): the wide-embedding preprocessing move —
-    * 4× less vector weight through every downstream scan/shuffle. The
+    * ±1 sign matrix, 64→32): the wide-embedding preprocessing move —
+    * 2× less vector weight through every downstream scan/shuffle. The
     * oracle regenerates the same projection from inline ±1 literals and
     * replays the float rounding, the projected cosine fold and the
     * top-k bit-for-bit. */
@@ -3314,12 +3314,17 @@ object Queries {
       graft.operators.Multimodal.wavWindows(64,
         audioGateAmps((id % groups).toInt, (id / groups % 8).toInt))
     }
-    val docs = documents(s, d).select(col("doc_id"))
-      .withColumn("media", mediaUdf(col("doc_id")))
+    val base = documents(s, d).select(col("doc_id"))
+    // bits from the PRE-decode row count (parquet-metadata cheap; embed
+    // is a withColumn so rows are identical) — counting `emb` instead
+    // would run the whole per-row media decode a second time just to
+    // size the LSH table, a full extra pass over the corpus at 100 TB
+    val nRows = base.count()
+    val docs = base.withColumn("media", mediaUdf(col("doc_id")))
     val emb = graft.operators.Multimodal.embedAudioWindows(docs, "media")
       .select(col("doc_id"), col("win_emb"))
     val pairs = Similarity.selfTopKLsh(emb, "win_emb", "doc_id",
-      k = Int.MaxValue, bits = Similarity.lshBitsFor(emb.count()), tables = 8,
+      k = Int.MaxValue, bits = Similarity.lshBitsFor(nRows), tables = 8,
       dim = 16, maxCell = 48, hotWindow = 8)
       .where(col("score") >= 0.9)
       .select(col("id1"), col("id2"))
@@ -3387,8 +3392,11 @@ object Queries {
       graft.operators.Multimodal.bmpBlockLuma(24, 24, 6, 6,
         mediaGateLumas((id % groups).toInt, (id / groups % 8).toInt))
     }
-    val docs = documents(s, d).select(col("doc_id"))
-      .withColumn("media", mediaUdf(col("doc_id")))
+    val base = documents(s, d).select(col("doc_id"))
+    // bits from the PRE-decode count (see qAudioSemdedup): one decode
+    // pass, not two
+    val nRows = base.count()
+    val docs = base.withColumn("media", mediaUdf(col("doc_id")))
     val emb = graft.operators.Multimodal.embedImageBlocks(docs, "media")
       .select(col("doc_id"), col("block_emb"))
     // k = unbounded: dedup wants the THRESHOLD graph (every pair ≥ τ),
@@ -3399,7 +3407,7 @@ object Queries {
     // is already bounded by maxCell/hotWindow, so "all pairs" is the
     // window-capped candidate set, not O(n²).
     val pairs = Similarity.selfTopKLsh(emb, "block_emb", "doc_id",
-      k = Int.MaxValue, bits = Similarity.lshBitsFor(emb.count()), tables = 8,
+      k = Int.MaxValue, bits = Similarity.lshBitsFor(nRows), tables = 8,
       dim = 36, maxCell = 48, hotWindow = 8)
       .where(col("score") >= 0.9)
       .select(col("id1"), col("id2"))
@@ -3899,17 +3907,21 @@ object Queries {
   /** Outlink extraction — the text→link-graph step (UrlFunctions
     * .extractUrls → canonical → registeredDomain): URLs seeded into the
     * text (one with casing + a utm-only query, one wrapped in prose
-    * punctuation) are extracted, cleaned, and aggregated into per-domain
-    * edge counts. The oracle reconstructs the expected canonical strings
-    * and domains closed-form from doc_id — the Spark side must get there
-    * through the REAL regex/canonicalization/PSL path. */
+    * punctuation, one with a Wikipedia-style balanced-paren path ending
+    * in a period — its close-paren must SURVIVE the punctuation strip)
+    * are extracted, cleaned, and aggregated into per-domain edge counts.
+    * The oracle reconstructs the expected canonical strings and domains
+    * closed-form from doc_id — the Spark side must get there through the
+    * REAL regex/canonicalization/PSL path. */
   val qLinkExtract: QFn = (s, d) => {
     val id = col("doc_id")
     val seeded = documents(s, d).select(id, concat(col("text"),
       lit(" See https://Blog"), (id % 13).cast(StringType),
       lit(".GitHub.IO/p/"), (id % 3).cast(StringType),
       lit("?utm_source=x and (http://site"), (id % 25).cast(StringType),
-      lit(".co.uk/a).")).as("text"))
+      lit(".co.uk/a). Also https://wiki.example"), (id % 7).cast(StringType),
+      lit(".org/wiki/Page_("), (id % 4).cast(StringType),
+      lit(").")).as("text"))
     val links = seeded.select(id,
       explode(graft.functions.UrlFunctions.extractUrls(col("text"))).as("u"))
     links.select(id,
@@ -3932,6 +3944,12 @@ object Queries {
       |  SELECT doc_id,
       |    'http://site' || CAST(doc_id % 25 AS VARCHAR) || '.co.uk/a',
       |    'site' || CAST(doc_id % 25 AS VARCHAR) || '.co.uk'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    'https://wiki.example' || CAST(doc_id % 7 AS VARCHAR)
+      |      || '.org/wiki/Page_(' || CAST(doc_id % 4 AS VARCHAR) || ')',
+      |    'example' || CAST(doc_id % 7 AS VARCHAR) || '.org'
       |  FROM documents)
       |SELECT reg_dom, CAST(count(*) AS BIGINT) AS n_links,
       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,

@@ -464,8 +464,11 @@ object ScaleProbe {
         val urled = n.withColumn("u", concat(lit("https://site"),
           pmod(xxhash64(col("doc_id")), lit(3000L * X)).cast("string"),
           lit(".com/p/"), pmod(col("doc_id"), lit(20)).cast("string")))
+        // forceCheckpoint: explode-replication is invisible to size-only
+        // plan stats (Generate propagates its child's bytes); a real
+        // corpus of this volume auto-checkpoints — pin that shape here
         operators.Curation.curate(urled, "doc_id", "text", "u",
-          minTokens = 20, domainCap = 50)
+          minTokens = 20, domainCap = 50, forceCheckpoint = Some(true))
       }),
       // HOT-domain curation (round 12): ONE domain holds 50% of all docs
       // and its SIZE scales with X — the shape the probe above dodges
@@ -481,8 +484,9 @@ object ScaleProbe {
             .otherwise(concat(lit("https://site"),
               pmod(xxhash64(col("doc_id")), lit(3000L * X)).cast("string"),
               lit(".com/p/"), pmod(col("doc_id"), lit(20)).cast("string"))))
+        // forceCheckpoint: same plan-stats blindness as the curate probe
         operators.Curation.curate(urled, "doc_id", "text", "u",
-          minTokens = 20, domainCap = 50)
+          minTokens = 20, domainCap = 50, forceCheckpoint = Some(true))
       }),
       // image near-dup pipeline at X×: synthesized block-pattern BMPs
       // (group count ∝ X, ~125 replicas each), REAL decode + block-mean
@@ -496,13 +500,15 @@ object ScaleProbe {
           operators.Multimodal.bmpBlockLuma(24, 24, 6, 6,
             Queries.mediaGateLumas((id % groups).toInt, (id / groups % 8).toInt))
         }
-        val media = docs.select(col("doc_id"))
-          .withColumn("media", mediaUdf(col("doc_id")))
+        val base = docs.select(col("doc_id"))
+        // bits from the pre-decode count — the decode pass must run once
+        val nRows = base.count()
+        val media = base.withColumn("media", mediaUdf(col("doc_id")))
         val emb = operators.Multimodal.embedImageBlocks(media, "media")
           .select(col("doc_id"), col("block_emb"))
         val pairs = operators.Similarity.selfTopKLsh(emb, "block_emb",
           "doc_id", k = Int.MaxValue,
-          bits = operators.Similarity.lshBitsFor(emb.count()), tables = 8,
+          bits = operators.Similarity.lshBitsFor(nRows), tables = 8,
           dim = 36, maxCell = 48, hotWindow = 8)
           .where(col("score") >= 0.9).select("id1", "id2")
         operators.Dedup.clusters(pairs)
@@ -516,13 +522,14 @@ object ScaleProbe {
           operators.Multimodal.wavWindows(64,
             Queries.audioGateAmps((id % groups).toInt, (id / groups % 8).toInt))
         }
-        val media = docs.select(col("doc_id"))
-          .withColumn("media", mediaUdf(col("doc_id")))
+        val base = docs.select(col("doc_id"))
+        val nRows = base.count()
+        val media = base.withColumn("media", mediaUdf(col("doc_id")))
         val emb = operators.Multimodal.embedAudioWindows(media, "media")
           .select(col("doc_id"), col("win_emb"))
         val pairs = operators.Similarity.selfTopKLsh(emb, "win_emb",
           "doc_id", k = Int.MaxValue,
-          bits = operators.Similarity.lshBitsFor(emb.count()), tables = 8,
+          bits = operators.Similarity.lshBitsFor(nRows), tables = 8,
           dim = 16, maxCell = 48, hotWindow = 8)
           .where(col("score") >= 0.9).select("id1", "id2")
         operators.Dedup.clusters(pairs)

@@ -35,13 +35,20 @@ object UrlFunctions {
     * step that turns a crawled document into link-graph edges (feeding
     * [[registeredDomain]] grouping, PageRank authority, domain quotas).
     * Greedy non-whitespace match with trailing prose punctuation
-    * (`.,)!?;:'"`) stripped per URL — "see https://a.com/x)." yields
-    * "https://a.com/x". Pure codegen regexp/array algebra, replayable
-    * in any RE2/PCRE engine (no lookbehind). */
+    * (`.,!?;:'"`) stripped per URL — "see https://a.com/x)." yields
+    * "https://a.com/x". A trailing `)` is stripped ONLY when the URL
+    * contains no `(` (the standard heuristic): Wikipedia-style
+    * `/Foo_(bar)` paths keep their balanced close-paren, while a URL
+    * that merely sat inside prose parentheses loses it. Limitation
+    * (documented, matches the common extractors): a paren-path URL that
+    * is ALSO wrapped in prose parens keeps one `)` too many. Pure
+    * codegen regexp/conditional algebra, replayable in any RE2/PCRE
+    * engine (no lookbehind). */
   def extractUrls(text: Column): Column =
     transform(
       regexp_extract_all(text, lit("https?://[^\\s]+"), lit(0)),
-      u => regexp_replace(u, "[.,)!?;:'\"]+$", ""))
+      u => when(u.contains("("), regexp_replace(u, "[.,!?;:'\"]+$", ""))
+        .otherwise(regexp_replace(u, "[.,)!?;:'\"]+$", "")))
 
   /** Query with `utm_*` tracking params dropped (empty string if none
     * survive). */

@@ -143,9 +143,19 @@ object Curation {
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
       urlCol: String, minTokens: Int = 8, domainCap: Int = 100,
-      bpMinWords: Int = 4): DataFrame =
+      bpMinWords: Int = 4,
+      forceCheckpoint: Option[Boolean] = None): DataFrame =
     curateScoped(docs, idCol, textCol, urlCol, minTokens, domainCap,
-      bpMinWords).df
+      bpMinWords, forceCheckpoint).df
+
+  /** Input-size gate for the narrow-frame checkpoint: below this the
+    * double subtree scan is cheaper than eagerly writing checkpoint
+    * blocks (measured: the unconditional checkpoint DOUBLED small-corpus
+    * wall — 0.71→1.43 s at sf0.1 — buying nothing), above it the
+    * re-run of the text-clean pass dominates and materializing once
+    * wins. 1 GiB of input bytes ≈ the point where one extra
+    * clean+parse pass costs more than one narrow block write. */
+  private val CheckpointMinInputBytes = BigInt(1L << 30)
 
   /** [[curate]] with the narrow frame's storage lifecycle in the
     * caller's hands (the [[Dedup.clustersScoped]] pattern): the loser
@@ -153,16 +163,32 @@ object Curation {
     * (canonical-min build + join probe), and the frame sits downstream
     * of the full text-clean + URL-parse scan — the most expensive pass
     * in the operator. Recomputing it per subtree doubles the corpus
-    * scan CPU at 100 TB, so it is materialized ONCE as a tracked local
-    * checkpoint (~3 narrow columns per length-survivor, a few % of
-    * corpus bytes); `release()` frees the blocks. */
+    * scan CPU at 100 TB, so at scale it is materialized ONCE as a
+    * tracked local checkpoint (~3 narrow columns per length-survivor, a
+    * few % of corpus bytes); `release()` frees the blocks.
+    *
+    * The checkpoint is ADAPTIVE: it engages only when the optimizer's
+    * input-size estimate (`optimizedPlan.stats.sizeInBytes` — file bytes
+    * for a relation scan, Long.Max when unknown, which conservatively
+    * checkpoints) exceeds [[CheckpointMinInputBytes]] — a small corpus
+    * pays two cheap scans instead of an eager block materialization.
+    * `forceCheckpoint` overrides the estimate both ways — for callers
+    * whose plan hides the real volume from size-only stats (e.g. a
+    * generator/explode upstream propagates its CHILD's bytes, so a
+    * replicated probe looks tiny to the estimator). */
   def curateScoped(docs: DataFrame, idCol: String, textCol: String,
       urlCol: String, minTokens: Int = 8, domainCap: Int = 100,
-      bpMinWords: Int = 4): Dedup.Scoped = {
+      bpMinWords: Int = 4,
+      forceCheckpoint: Option[Boolean] = None): Dedup.Scoped = {
     val st = staged(docs, idCol, textCol, urlCol, bpMinWords)
-    val (narrowCp, release) =
-      Dedup.checkpointTracked(narrowOf(st, idCol, minTokens))
-    Dedup.Scoped(assemble(st, losers(narrowCp, domainCap), idCol, minTokens),
+    val narrow = narrowOf(st, idCol, minTokens)
+    val big = forceCheckpoint.getOrElse(
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        CheckpointMinInputBytes)
+    val (narrowIn, release) =
+      if (big) Dedup.checkpointTracked(narrow)
+      else (narrow, () => ())
+    Dedup.Scoped(assemble(st, losers(narrowIn, domainCap), idCol, minTokens),
       release)
   }
 

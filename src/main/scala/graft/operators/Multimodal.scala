@@ -664,7 +664,10 @@ object Multimodal {
           val counts = new Array[Int](nWin)
           var f = 0
           while (f < frames) {
-            val w = f * nWin / frames
+            // Long product: f*nWin overflows Int past ~134M frames (>268 MB
+            // mono PCM), which would index negatively and kill the task —
+            // large-but-valid media must embed, not fail.
+            val w = (f.toLong * nWin / frames).toInt
             var c = 0
             while (c < ch) {
               val s = leShortSignedAt(b, dataOff + 2 * (f * ch + c))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus sampling/rebalancing for training-data pipelines.
@@ -134,15 +134,30 @@ object Sampling {
     // incidental (the Curation empty-host lesson)
     val nonNull = df.where(col(domainCol).isNotNull)
     val counts = nonNull.groupBy(domainCol).agg(count(lit(1)).as("n_d"))
+    nonNull.join(counts, Seq(domainCol))
+      .where(keyBucket16(keyCol) < acceptThreshold(scale, alpha))
+  }
+
+  /** floor(65536·min(1, scale·n_d^(α-1))) over the joined `n_d` column —
+    * the ONE definition of the acceptance threshold, shared by
+    * [[temperatureSample]] and [[temperatureSampleFromStore]] so the
+    * store-served ≡ one-shot invariant can't silently diverge. α = 0.5
+    * routes through sqrt (correctly-rounded in every engine → the
+    * integer threshold replays bit-identically in SQL); general α uses
+    * pow (libm-specific last ulp — see the method doc). */
+  private def acceptThreshold(scale: Double, alpha: Double): Column = {
     val rate =
       if (alpha == 0.5) lit(65536.0 * scale) / sqrt(col("n_d").cast("double"))
       else lit(65536.0 * scale) *
         pow(col("n_d").cast("double"), lit(alpha - 1.0))
-    val thr = least(lit(65536L), floor(rate).cast(org.apache.spark.sql.types.LongType))
-    val bucket16 = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
-      .cast(org.apache.spark.sql.types.LongType)
-    nonNull.join(counts, Seq(domainCol)).where(bucket16 < thr)
+    least(lit(65536L), floor(rate).cast(org.apache.spark.sql.types.LongType))
   }
+
+  /** The row's deterministic 16-bit md5 bucket ([[byMd5Prefix]]
+    * contract). */
+  private def keyBucket16(keyCol: String): Column =
+    conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast(org.apache.spark.sql.types.LongType)
 
   // ------------------------------------------------ domain-count store
   // Temperature sampling needs the CORPUS-WIDE domain counts — a batch
@@ -188,16 +203,9 @@ object Sampling {
     require(scale > 0 && alpha > 0 && alpha <= 1)
     val counts = storedDomainCounts(spark, path)
       .withColumnRenamed("dom", domainCol)
-    val rate =
-      if (alpha == 0.5) lit(65536.0 * scale) / sqrt(col("n_d").cast("double"))
-      else lit(65536.0 * scale) *
-        pow(col("n_d").cast("double"), lit(alpha - 1.0))
-    val thr = least(lit(65536L),
-      floor(rate).cast(org.apache.spark.sql.types.LongType))
-    val bucket16 = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
-      .cast(org.apache.spark.sql.types.LongType)
     df.where(col(domainCol).isNotNull)
-      .join(counts, Seq(domainCol)).where(bucket16 < thr)
+      .join(counts, Seq(domainCol))
+      .where(keyBucket16(keyCol) < acceptThreshold(scale, alpha))
   }
 
   /** Mixture of sources at given fractions (a training-data recipe):

@@ -240,7 +240,14 @@ object Similarity {
     * replayable without pinning bits to one corpus size. Floor 3 matches
     * the historical small-corpus setting; cap 24 keeps the cell id inside
     * the packed (table << 32 | cell) key with headroom (a 2²⁴-cell table
-    * serves ~10⁹ rows at target density; beyond that raise `tables`). */
+    * serves ~10⁹ rows at target density; beyond that raise `tables`).
+    *
+    * CALLER CONTRACT: `n` need only be order-of-magnitude right (a ±2×
+    * error moves bits by one), so take it from the CHEAPEST available
+    * source — the raw table's metadata count, a catalog estimate, or a
+    * caller parameter — NEVER by counting a frame downstream of an
+    * expensive map (media decode, embedding): that forces a full extra
+    * pass over the corpus just to size a hash table. */
   def lshBitsFor(n: Long): Int =
     math.max(3, math.min(24, 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L)) - 6))
 

@@ -73,8 +73,11 @@ class UrlFunctionsSpec extends SparkTestBase {
     assert(got === cases.map(_._2))
   }
 
-  test("PSL snapshot classes are well-formed") {
+  test("PSL snapshot classes are well-formed (full published list)") {
     import graft.functions.PublicSuffixes._
+    // the FULL publicsuffix.org dump (round 13): ≥ 9k rules, not the
+    // ~300-rule curated subset
+    assert(rules.size >= 9000, s"full snapshot expected, got ${rules.size}")
     // every exception's parent (minus its leftmost label) is covered by
     // a wildcard rule — the shape the published list uses
     exceptionsByLen.values.flatten.foreach { e =>
@@ -82,13 +85,21 @@ class UrlFunctionsSpec extends SparkTestBase {
       assert(wildcardBasesByLen.values.flatten.toSet.contains(parent),
         s"exception $e has no wildcard parent")
     }
-    assert(maxPsLen === 4)
+    // depth is BOUNDED (the InSet-probe plan stays one probe per rule
+    // depth): the published list's deepest is the 5-label S3 rules
+    assert(maxPsLen === 5)
     assert(normalByLen(2).contains("co.uk") && normalByLen(3).contains("k12.ma.us")
       && normalByLen(4).contains("pvt.k12.ma.us"))
-    // no duplicate rules across classes
+    assert(wildcardBasesByLen.values.flatten.toSet.contains("ck"))
+    assert(exceptionsByLen.values.flatten.toSet.contains("www.ck"))
+    // no duplicate rules across classes; every rule a clean dotted name
     val all = rules.map(_.stripPrefix("!").stripPrefix("*."))
     assert(rules.distinct.size === rules.size)
-    assert(all.forall(r => r.nonEmpty && !r.startsWith(".") && !r.endsWith(".")))
+    assert(all.forall(r => r.nonEmpty && !r.startsWith(".") && !r.endsWith(".") &&
+      !r.contains(" ") && r == r.toLowerCase))
+    // IDN rules carry punycode twins (hosts arrive punycoded): every
+    // non-ASCII plain rule's IDNA form is also a rule
+    assert(all.exists(_.startsWith("xn--")), "punycode twins missing")
   }
 
   test("query param filter keeps order and drops empties") {
@@ -149,5 +160,12 @@ class BoilerplateSpec extends SparkTestBase {
     assert(urls("ftp://a.com and nothing http-like") === Seq.empty)
     assert(urls("mid-sentence 'https://quoted.net/p';") ===
       Seq("https://quoted.net/p"))
+    // balanced-paren path: the close-paren is PART of the URL and must
+    // survive the strip (the Wikipedia /Foo_(bar) case), including when
+    // followed by prose punctuation
+    assert(urls("read https://en.example.org/wiki/Foo_(bar) today") ===
+      Seq("https://en.example.org/wiki/Foo_(bar)"))
+    assert(urls("read https://en.example.org/wiki/Foo_(bar).") ===
+      Seq("https://en.example.org/wiki/Foo_(bar)"))
   }
 }
