@@ -3386,6 +3386,51 @@ object Queries {
       .orderBy("cluster")
   }
 
+  /** TRANSCODE-robust video near-dup (round 13, the headline video
+    * gate): every variant is a full RE-ENCODE — EVERY block of EVERY
+    * frame carries the variant's ±2 level jitter, so no two variants
+    * share a single frame md5 (MultimodalSpec pins the hash sets
+    * disjoint) and [[qVideoSemdedup]]'s copy detection finds nothing.
+    * The robust path: REAL Y4M decode → per-frame block-mean luma
+    * embeddings (Multimodal.embedVideoFrameBlocks — the image kernel
+    * per frame) → the SAME capped selfTopKLsh machinery → frame matches
+    * roll up to video pairs by matched-frame count (≥4 of 6, so one
+    * accidental frame collision can't merge groups) → connected
+    * components. Frame f of group g is the proven-geometry pattern
+    * mediaGateLumas(g·16+f, r): the spec proves, per (g, f), that all 8
+    * re-encodes co-cell in some table chain and that cross-group videos
+    * can't reach the match threshold — the oracle is the same 40-group
+    * arithmetic the image/audio gates share. */
+  val qVideoSemdedupRobust: QFn = (s, d) => {
+    val groups = 40
+    val nFrames = 6
+    val mediaUdf = udf { (id: Long) =>
+      val g = (id % groups).toInt
+      val r = ((id / groups) % 8).toInt
+      val pats = Array.tabulate(nFrames)(f => Queries.mediaGateLumas(g * 16 + f, r))
+      graft.operators.Multimodal.y4mBlockLuma(24, 24, 6, 6, nFrames,
+        (f, b) => pats(f)(b))
+    }
+    val base = documents(s, d).select(col("doc_id"))
+    // bits from the pre-decode count × frames-per-video (the LSH table
+    // holds frame rows); one decode pass, not two
+    val nRows = base.count()
+    val docs = base.withColumn("media", mediaUdf(col("doc_id")))
+    val frames = graft.operators.Multimodal.embedVideoFrameBlocks(docs, "media")
+      .select(col("doc_id"), explode(col("frame_embs")).as("fe"))
+      .select(col("doc_id"), col("fe.frame_idx").as("frame_idx"),
+        col("fe.emb").as("femb"))
+    val pairs = graft.operators.Multimodal.videoNearDupPairs(frames,
+      "doc_id", "frame_idx", "femb",
+      bits = Similarity.lshBitsFor(nRows * nFrames), tables = 8, dim = 36,
+      tau = 0.9, minMatchedFrames = 4)
+      .select("id1", "id2")
+    graft.operators.Dedup.clusters(pairs)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("ids_sum"))
+      .orderBy("cluster")
+  }
+
   val qMediaSemdedup: QFn = (s, d) => {
     val groups = 40
     val mediaUdf = udf { (id: Long) =>
@@ -5070,6 +5115,7 @@ object Queries {
     "q_media_semdedup" -> qMediaSemdedup,
     "q_audio_semdedup" -> qAudioSemdedup,
     "q_video_semdedup" -> qVideoSemdedup,
+    "q_video_semdedup_robust" -> qVideoSemdedupRobust,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
     "q_stream_join" -> qStreamJoin,
@@ -5312,5 +5358,6 @@ object Queries {
     "q_curate_store" -> qCurateStoreSql,
     "q_media_semdedup" -> qMediaSemdedupSql,
     "q_audio_semdedup" -> qMediaSemdedupSql,
-    "q_video_semdedup" -> qMediaSemdedupSql)
+    "q_video_semdedup" -> qMediaSemdedupSql,
+    "q_video_semdedup_robust" -> qMediaSemdedupSql)
 }

@@ -464,11 +464,8 @@ object ScaleProbe {
         val urled = n.withColumn("u", concat(lit("https://site"),
           pmod(xxhash64(col("doc_id")), lit(3000L * X)).cast("string"),
           lit(".com/p/"), pmod(col("doc_id"), lit(20)).cast("string")))
-        // forceCheckpoint: explode-replication is invisible to size-only
-        // plan stats (Generate propagates its child's bytes); a real
-        // corpus of this volume auto-checkpoints — pin that shape here
         operators.Curation.curate(urled, "doc_id", "text", "u",
-          minTokens = 20, domainCap = 50, forceCheckpoint = Some(true))
+          minTokens = 20, domainCap = 50)
       }),
       // HOT-domain curation (round 12): ONE domain holds 50% of all docs
       // and its SIZE scales with X — the shape the probe above dodges
@@ -484,9 +481,8 @@ object ScaleProbe {
             .otherwise(concat(lit("https://site"),
               pmod(xxhash64(col("doc_id")), lit(3000L * X)).cast("string"),
               lit(".com/p/"), pmod(col("doc_id"), lit(20)).cast("string"))))
-        // forceCheckpoint: same plan-stats blindness as the curate probe
         operators.Curation.curate(urled, "doc_id", "text", "u",
-          minTokens = 20, domainCap = 50, forceCheckpoint = Some(true))
+          minTokens = 20, domainCap = 50)
       }),
       // image near-dup pipeline at X×: synthesized block-pattern BMPs
       // (group count ∝ X, ~125 replicas each), REAL decode + block-mean
@@ -589,6 +585,39 @@ object ScaleProbe {
           .join(comps.withColumnRenamed("id", "rep_id"), Seq("rep_id"), "left")
           .groupBy(coalesce(col("cluster"), col("rep_id")).as("cluster"))
           .agg(count(lit(1)), sum("doc_id"))
+      }),
+      // TRANSCODE-robust video near-dup at X× (round 13): every variant
+      // is a full re-encode (every block of every frame jittered, zero
+      // shared frame hashes), so the md5 path above finds nothing; this
+      // probe rides per-frame block-luma embeddings through the capped
+      // LSH and the frame→video match-count rollup. Frame rows = 6 ×
+      // docs; bits follow the frame-row count, candidates bounded by
+      // maxCell/hotWindow exactly like the image probe
+      run("video_semdedup_robust", {
+        val groups = 40 * X
+        val nFrames = 6
+        val mediaUdf = udf { (id: Long) =>
+          val g = (id % groups).toInt
+          val r = ((id / groups) % 8).toInt
+          val pats = Array.tabulate(nFrames)(f =>
+            Queries.mediaGateLumas(g * 16 + f, r))
+          operators.Multimodal.y4mBlockLuma(24, 24, 6, 6, nFrames,
+            (f, b) => pats(f)(b))
+        }
+        val base = docs.select(col("doc_id"))
+        val nRows = base.count()
+        val media = base.withColumn("media", mediaUdf(col("doc_id")))
+        val frames = operators.Multimodal
+          .embedVideoFrameBlocks(media, "media")
+          .select(col("doc_id"), explode(col("frame_embs")).as("fe"))
+          .select(col("doc_id"), col("fe.frame_idx").as("frame_idx"),
+            col("fe.emb").as("femb"))
+        val pairs = operators.Multimodal.videoNearDupPairs(frames,
+          "doc_id", "frame_idx", "femb",
+          bits = operators.Similarity.lshBitsFor(nRows * nFrames),
+          tables = 8, dim = 36, tau = 0.9, minMatchedFrames = 4)
+          .select("id1", "id2")
+        operators.Dedup.clusters(pairs)
       }),
       // per-group cap on a HOT group: 90% of all rows share one group —
       // the single-task per-group window trap the round-11 salted

@@ -93,11 +93,11 @@ object UrlFunctions {
     *     intranet names) passes through unchanged, the engine's
     *     documented grouping for unregistrable hosts.
     *
-    * Pure column algebra: per rule depth one `isin` (compiled to an
-    * InSet hash probe) over the host's last-k-label string — no UDF, no
-    * join; a 100 TB URL column resolves inside the scan's codegen.
-    * Rule classes and depths are derived from the snapshot at class-init
-    * time, so swapping in a bigger PSL dump changes nothing here. */
+    * Pure column algebra: per rule depth one [[inSet]] hash probe over
+    * the host's last-k-label string — no UDF, no join; a 100 TB URL
+    * column resolves inside the scan's codegen. Rule classes and depths
+    * are derived from the snapshot at class-init time, so swapping in a
+    * bigger PSL dump changes nothing here. */
   def registeredDomain(hostCol: Column): Column = {
     val labels = split(hostCol, "\\.")
     val n = size(labels)
@@ -108,7 +108,7 @@ object UrlFunctions {
     // exceptions first (they beat longer wildcard matches by spec)
     val withExc = PublicSuffixes.exceptionsByLen.toSeq.sortBy(-_._1)
       .foldLeft(base) { case (acc, (len, excs)) =>
-        acc.when(n >= len && lastK(len).isin(excs: _*), lastK(len))
+        acc.when(n >= len && inSet(lastK(len), excs), lastK(len))
       }
     // then by public-suffix length, longest first; at each depth a
     // plain rule (last ps labels listed) or a wildcard rule (last ps-1
@@ -116,9 +116,9 @@ object UrlFunctions {
     val resolved = (PublicSuffixes.maxPsLen to 2 by -1)
       .foldLeft(withExc) { case (acc, ps) =>
         val plain = PublicSuffixes.normalByLen.get(ps)
-          .map(s => lastK(ps).isin(s: _*))
+          .map(s => inSet(lastK(ps), s))
         val wild = PublicSuffixes.wildcardBasesByLen.get(ps - 1)
-          .map(s => lastK(ps - 1).isin(s: _*))
+          .map(s => inSet(lastK(ps - 1), s))
         (plain ++ wild).reduceOption(_ || _) match {
           case None => acc
           case Some(cond) =>
@@ -128,5 +128,21 @@ object UrlFunctions {
       }
     // implicit `*` default: last label is the public suffix
     resolved.otherwise(lastK(2))
+  }
+
+  /** Set-membership probe built DIRECTLY as a Catalyst `InSet` node —
+    * one plan node holding one hash set. `isin(values: _*)` builds an
+    * `In` with one Literal CHILD per value; at the full PSL's ~10k
+    * rules that put ~60k literal nodes into every plan that touches
+    * [[registeredDomain]], and the optimizer's repeated tree copies
+    * turned planning time into the dominant cost of every URL gate
+    * (q_curate 1.4→8 s measured — ALL of it driver-side). Same
+    * semantics, same codegen'd set probe, constant plan size. */
+  private def inSet(c: Column, values: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column => toCol, expression => toExpr}
+    toCol(org.apache.spark.sql.catalyst.expressions.InSet(toExpr(c),
+      values.iterator
+        .map(v => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+          .asInstanceOf[Any]).toSet))
   }
 }

@@ -143,52 +143,37 @@ object Curation {
 
   def curate(docs: DataFrame, idCol: String, textCol: String,
       urlCol: String, minTokens: Int = 8, domainCap: Int = 100,
-      bpMinWords: Int = 4,
-      forceCheckpoint: Option[Boolean] = None): DataFrame =
+      bpMinWords: Int = 4): DataFrame =
     curateScoped(docs, idCol, textCol, urlCol, minTokens, domainCap,
-      bpMinWords, forceCheckpoint).df
-
-  /** Input-size gate for the narrow-frame checkpoint: below this the
-    * double subtree scan is cheaper than eagerly writing checkpoint
-    * blocks (measured: the unconditional checkpoint DOUBLED small-corpus
-    * wall — 0.71→1.43 s at sf0.1 — buying nothing), above it the
-    * re-run of the text-clean pass dominates and materializing once
-    * wins. 1 GiB of input bytes ≈ the point where one extra
-    * clean+parse pass costs more than one narrow block write. */
-  private val CheckpointMinInputBytes = BigInt(1L << 30)
+      bpMinWords).df
 
   /** [[curate]] with the narrow frame's storage lifecycle in the
     * caller's hands (the [[Dedup.clustersScoped]] pattern): the loser
     * pipeline consumes the narrow survivor frame through two subtrees
     * (canonical-min build + join probe), and the frame sits downstream
     * of the full text-clean + URL-parse scan — the most expensive pass
-    * in the operator. Recomputing it per subtree doubles the corpus
-    * scan CPU at 100 TB, so at scale it is materialized ONCE as a
-    * tracked local checkpoint (~3 narrow columns per length-survivor, a
-    * few % of corpus bytes); `release()` frees the blocks.
+    * in the operator. Recomputing it per subtree multiplies the corpus
+    * scan CPU at 100 TB, so it is materialized ONCE as a tracked eager
+    * local checkpoint (~3 narrow columns per length-survivor, a few %
+    * of corpus bytes); `release()` frees the blocks.
     *
-    * The checkpoint is ADAPTIVE: it engages only when the optimizer's
-    * input-size estimate (`optimizedPlan.stats.sizeInBytes` — file bytes
-    * for a relation scan, Long.Max when unknown, which conservatively
-    * checkpoints) exceeds [[CheckpointMinInputBytes]] — a small corpus
-    * pays two cheap scans instead of an eager block materialization.
-    * `forceCheckpoint` overrides the estimate both ways — for callers
-    * whose plan hides the real volume from size-only stats (e.g. a
-    * generator/explode upstream propagates its CHILD's bytes, so a
-    * replicated probe looks tiny to the estimator). */
+    * The eager unconditional checkpoint is a MEASURED decision, not a
+    * default (round-13 adjudication of the "make it adaptive" ask, all
+    * at sf0.1 on q_curate): skipping materialization for small inputs
+    * re-runs the clean+parse scan once per consuming subtree (the loser
+    * DAG has ~6) → 10.1 s; a lazy `cache()` computes once but pays the
+    * columnar InMemoryRelation build/read → 4.1 s; a LAZY localCheckpoint
+    * (raw-row blocks, no up-front job) → 1.8 s; the eager checkpoint →
+    * 1.6 s. The residual 0.7→1.6 s delta vs the pre-round-12 plan is the
+    * hot-domain-safe DAG's price (salted two-window quota + narrow-frame
+    * join-back), which the 4.3×/10× hot-domain probe buys. */
   def curateScoped(docs: DataFrame, idCol: String, textCol: String,
       urlCol: String, minTokens: Int = 8, domainCap: Int = 100,
-      bpMinWords: Int = 4,
-      forceCheckpoint: Option[Boolean] = None): Dedup.Scoped = {
+      bpMinWords: Int = 4): Dedup.Scoped = {
     val st = staged(docs, idCol, textCol, urlCol, bpMinWords)
-    val narrow = narrowOf(st, idCol, minTokens)
-    val big = forceCheckpoint.getOrElse(
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes >=
-        CheckpointMinInputBytes)
-    val (narrowIn, release) =
-      if (big) Dedup.checkpointTracked(narrow)
-      else (narrow, () => ())
-    Dedup.Scoped(assemble(st, losers(narrowIn, domainCap), idCol, minTokens),
+    val (narrowCp, release) =
+      Dedup.checkpointTracked(narrowOf(st, idCol, minTokens))
+    Dedup.Scoped(assemble(st, losers(narrowCp, domainCap), idCol, minTokens),
       release)
   }
 

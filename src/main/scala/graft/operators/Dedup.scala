@@ -35,7 +35,11 @@ object Dedup {
 
   /** Checkpoint `df` and capture exactly the storage blocks the
     * checkpoint added, so the caller can free them without guessing
-    * (Dataset.localCheckpoint offers no public handle to its RDD). */
+    * (Dataset.localCheckpoint offers no public handle to its RDD).
+    * Eager by design — measured on the curation narrow frame (round
+    * 13): lazy variants lose (lazy localCheckpoint +15%, columnar
+    * cache() 2.6×, no materialization 6×: every consuming subtree
+    * re-runs the upstream scan). */
   private[graft] def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet

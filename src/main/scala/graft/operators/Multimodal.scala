@@ -540,6 +540,163 @@ object Multimodal {
   private def parseY4mFrames(b: Array[Byte]): Option[(Int, Array[Int])] =
     parseY4m(b).map { case (_, _, frameBytes, offs) => (frameBytes, offs) }
 
+  /** Y4M (C444) whose every frame is a gridW×gridH BLOCK-pattern luma
+    * image — the video analog of [[bmpBlockLuma]]: frame f's Y plane
+    * holds block b at `luma(f, b)` (clamped to 0..255), chroma planes
+    * constant 128 (grey). Known-structure video for the TRANSCODE-robust
+    * near-dup gate: a "re-encode" jitters every block of every frame by
+    * a few levels, which changes every frame's bytes (and so every
+    * [[frameHashes]] md5) while barely moving the per-frame block-mean
+    * embedding. */
+  def y4mBlockLuma(w: Int, h: Int, gridW: Int, gridH: Int, nFrames: Int,
+      luma: (Int, Int) => Int): Array[Byte] = {
+    require(w >= gridW && h >= gridH && gridW > 0 && gridH > 0 && nFrames >= 0)
+    val header = s"YUV4MPEG2 W$w H$h F25:1 C444\n".getBytes("US-ASCII")
+    val frameBytes = w * h * 3
+    val fmark = "FRAME\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + nFrames * (fmark.length + frameBytes))
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    var f = 0
+    while (f < nFrames) {
+      System.arraycopy(fmark, 0, out, off, fmark.length); off += fmark.length
+      var y = 0
+      while (y < h) {
+        val by = y * gridH / h
+        var x = 0
+        while (x < w) {
+          out(off + y * w + x) =
+            (luma(f, by * gridW + x * gridW / w) max 0 min 255).toByte
+          x += 1
+        }
+        y += 1
+      }
+      java.util.Arrays.fill(out, off + w * h, off + frameBytes, 128.toByte)
+      off += frameBytes; f += 1
+    }
+    out
+  }
+
+  /** Per-frame block-mean luma embeddings of a Y4M video — the
+    * TRANSCODE-ROBUST video fingerprint. [[frameHashes]] is COPY
+    * detection: one luma level shift anywhere changes a frame's md5, so
+    * a re-encoded upload shares NO hashes with its source and escapes;
+    * block-mean embeddings move only ~the jitter amplitude and stay
+    * above any reasonable cosine threshold.
+    *
+    * For every `frameStep`-th frame: mean luma over a gridW×gridH block
+    * grid of the Y plane (exact integer sums; both C444 and C420 carry
+    * the full-resolution Y plane first, so chroma subsampling never
+    * matters), centered and unit-normalized with exactly the
+    * [[embedImageBlocks]] arithmetic — a video frame IS an image here,
+    * and the downstream LSH machinery is shared, not duplicated.
+    * Output: array of (frame_idx, emb) structs; FLAT frames (zero
+    * variance — no direction) are skipped; non-video / corrupt /
+    * smaller-than-grid payloads embed to null, never a task failure.
+    * `frameStep` is the 100 TB knob: embed cost is frames/frameStep per
+    * video, and near-dup recall only needs enough sampled frames to
+    * clear the rollup's `minMatchedFrames`. */
+  def embedVideoFrameBlocks(df: DataFrame, binCol: String, gridW: Int = 6,
+      gridH: Int = 6, frameStep: Int = 1,
+      outCol: String = "frame_embs"): DataFrame = {
+    require(gridW > 0 && gridH > 0 && frameStep > 0)
+    val dim = gridW * gridH
+    val schema = ArrayType(StructType(Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("emb", ArrayType(FloatType)))))
+    val embUdf = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Seq[Row]] {
+      override def call(b: Array[Byte]): Seq[Row] = {
+        if (b == null) return null
+        parseY4m(b) match {
+          case Some((w, h, _, offs)) if w >= gridW && h >= gridH =>
+            val res = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var f = 0
+            while (f < offs.length) {
+              val off = offs(f)
+              val sums = new Array[Long](dim)
+              val counts = new Array[Int](dim)
+              var y = 0
+              while (y < h) {
+                val by = y * gridH / h
+                val ro = off + y * w
+                var x = 0
+                while (x < w) {
+                  val i = by * gridW + x * gridW / w
+                  sums(i) += (b(ro + x) & 0xff)
+                  counts(i) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val means = Array.tabulate(dim)(i => sums(i).toDouble / counts(i))
+              val mean = means.sum / dim
+              var norm = 0.0
+              val centered = means.map { m =>
+                val c = m - mean; norm += c * c; c
+              }
+              if (norm != 0.0) {
+                val inv = 1.0 / math.sqrt(norm)
+                res += Row(f, centered.map(c => (c * inv).toFloat).toSeq)
+              }
+              f += frameStep
+            }
+            res.toSeq
+          case _ => null
+        }
+      }
+    }, schema)
+    df.withColumn(outCol, embUdf(col(binCol)))
+  }
+
+  /** Video-level near-dup pairs from per-frame embeddings — the
+    * transcode-robust composition: frames ride the SAME capped LSH
+    * machinery image/audio embeddings do
+    * ([[graft.operators.Similarity.selfTopKLsh]]), then frame matches
+    * roll up to video pairs by matched-frame count.
+    *
+    * Input: one row per (video id, frame_idx, embedding). Frame rows
+    * pack into one LSH id as `video_id << frameIdxBits | frame_idx` —
+    * exact bit algebra (shift/mask recovers both sides), requiring
+    * 0 ≤ frame_idx < 2^frameIdxBits and video ids < 2^(63−frameIdxBits);
+    * the default 20 bits serves 11-hour videos at 25 fps and 8×10¹²
+    * video ids.
+    *
+    * Output: (id1, id2, n_matched) with id1 < id2; n_matched counts
+    * DISTINCT id1-side frames with some partner frame ≥ `tau` in id2,
+    * and pairs below `minMatchedFrames` are dropped — one accidental
+    * frame collision can never merge two videos (the separation margin
+    * a single whole-video embedding lacks). Candidate volume is bounded
+    * by maxCell/hotWindow exactly like the image pipeline; a hot cell
+    * of replica frames chains by packed id (= video id order), and
+    * since replicas co-cell for EVERY sampled frame the same chain
+    * neighbors match on all of them — video-level connectivity survives
+    * the cap with per-cell cost O(m·hotWindow). */
+  def videoNearDupPairs(frames: DataFrame, idCol: String,
+      frameIdxCol: String, embCol: String, bits: Int, tables: Int = 8,
+      dim: Int = 36, tau: Double = 0.9, minMatchedFrames: Int = 3,
+      maxCell: Int = 48, hotWindow: Int = 8,
+      frameIdxBits: Int = 20): DataFrame = {
+    require(frameIdxBits > 0 && frameIdxBits < 40 && minMatchedFrames > 0)
+    val packed = frames.select(
+      (shiftleft(col(idCol).cast(LongType), frameIdxBits) +
+        col(frameIdxCol).cast(LongType)).as("fid"),
+      col(embCol).as("femb"))
+    val fp = Similarity.selfTopKLsh(packed, "femb", "fid",
+      k = Int.MaxValue, bits = bits, tables = tables, dim = dim,
+      maxCell = maxCell, hotWindow = hotWindow)
+      .where(col("score") >= tau)
+    // selfTopKLsh mirrors every pair, so keeping v1 < v2 sees each
+    // undirected frame match exactly once, with f1 on the smaller video
+    val v = fp.select(
+      shiftright(col("id1"), frameIdxBits).as("v1"),
+      col("id1").bitwiseAND(lit((1L << frameIdxBits) - 1)).as("f1"),
+      shiftright(col("id2"), frameIdxBits).as("v2"))
+      .where(col("v1") < col("v2"))
+    v.groupBy(col("v1").as("id1"), col("v2").as("id2"))
+      .agg(countDistinct(col("f1")).as("n_matched"))
+      .where(col("n_matched") >= minMatchedFrames)
+  }
+
   /** Mono 16-bit PCM square-wave WAV with a silent tail: `nTone` samples
     * alternating ±`amp` every `period/2` samples, then `nSilent` zero
     * samples. The known-structure audio for the audio-stats value gate —

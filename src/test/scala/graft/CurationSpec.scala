@@ -93,28 +93,20 @@ class CurationSpec extends SparkTestBase {
     assert(v(2L) === ((true, null)))
   }
 
-  test("adaptive checkpoint: small inputs skip block materialization; " +
-      "forceCheckpoint engages it and release() frees the blocks; " +
-      "verdicts identical either way") {
+  test("narrow frame materializes eagerly exactly once and release() " +
+      "frees the blocks (the round-13 measured adjudication: eager " +
+      "checkpoint beats skip 6×, lazy cache 2.6×, lazy checkpoint 1.15×)") {
     val sc = spark.sparkContext
     val rows = (1L to 20L).map(i => (i, prose, s"https://d$i.com/p"))
     val in = rows.toDF("doc_id", "text", "u")
-    // small input (plan stats ~KB): auto path must NOT persist anything
     val before = sc.getPersistentRDDs.keySet
-    val auto = Curation.curateScoped(in, "doc_id", "text", "u",
+    val scoped = Curation.curateScoped(in, "doc_id", "text", "u",
       minTokens = 10, domainCap = 2)
-    val autoRows = auto(_.select("doc_id", "keep").collect().toSeq.sortBy(_.getLong(0)))
-    assert(sc.getPersistentRDDs.keySet === before,
-      "small input must not leave checkpoint blocks")
-    // forced: blocks appear during the scope and are gone after release
-    val forced = Curation.curateScoped(in, "doc_id", "text", "u",
-      minTokens = 10, domainCap = 2, forceCheckpoint = Some(true))
     assert(sc.getPersistentRDDs.keySet.size > before.size,
-      "forceCheckpoint must materialize the narrow frame")
-    val forcedRows = forced(_.select("doc_id", "keep").collect().toSeq.sortBy(_.getLong(0)))
+      "the narrow frame must be eagerly materialized (before any action)")
+    scoped(_.select("doc_id", "keep").collect())
     assert(sc.getPersistentRDDs.keySet === before,
-      "release() must free the checkpoint blocks")
-    assert(autoRows === forcedRows)
+      "release() must free exactly the checkpoint blocks")
   }
 
   test("store: two appended batches + a replayed batch serve the one-shot " +

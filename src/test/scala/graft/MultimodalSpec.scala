@@ -312,6 +312,137 @@ class MultimodalSpec extends SparkTestBase {
     assert(rows(2).isNullAt(0), "BMP is not audio")
   }
 
+  test("video frame embeddings match a driver-side reference walk; " +
+      "frameStep samples; flat frames skip; non-video nulls") {
+    import spark.implicits._
+    // 4 frames: two patterned (from the gate's own construction), one
+    // flat (zero variance -> skipped), one more patterned
+    val pats = Array(Queries.mediaGateLumas(3, 0), Queries.mediaGateLumas(5, 1),
+      Array.fill(36)(77), Queries.mediaGateLumas(9, 2))
+    val y4m = Multimodal.y4mBlockLuma(24, 24, 6, 6, 4, (f, b) => pats(f)(b))
+    val df = Seq((1L, y4m), (2L, Multimodal.bmpMedia(4, 4, 1L)))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.embedVideoFrameBlocks(df, "media")
+      .orderBy("doc_id").select("frame_embs").collect()
+    val fe = rows(0).getSeq[Row](0)
+    assert(fe.map(_.getInt(0)) === Seq(0, 1, 3), "flat frame 2 skipped")
+    def want(p: Array[Int]): Array[Float] = {
+      val m = p.map(_.toDouble)
+      val mean = m.sum / 36
+      val c = m.map(_ - mean)
+      val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
+      c.map(x => (x * inv).toFloat)
+    }
+    fe.zip(Seq(pats(0), pats(1), pats(3))).foreach { case (row, p) =>
+      row.getSeq[Float](1).zip(want(p)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6f) }
+    }
+    assert(rows(1).isNullAt(0), "BMP is not video")
+    // frameStep=2 keeps frames 0 and 2 — and frame 2 is flat, so only 0
+    val stepped = Multimodal.embedVideoFrameBlocks(df, "media", frameStep = 2)
+      .where($"doc_id" === 1L).select("frame_embs").collect()(0).getSeq[Row](0)
+    assert(stepped.map(_.getInt(0)) === Seq(0))
+  }
+
+  test("videoNearDupPairs: packing round-trips, matched-frame counting, " +
+      "minMatchedFrames filter, id1 < id2") {
+    import spark.implicits._
+    // unit vectors on distinct axes: frames match iff same axis
+    def axis(i: Int): Seq[Float] =
+      Seq.tabulate(36)(j => if (j == i) 1.0f else 0.0f)
+    // video 1 and 2 share axes on frames 0,1,2 (3 matches); video 3
+    // shares only frame 0 with them (1 match)
+    val rows = Seq(
+      (1L, 0, axis(0)), (1L, 1, axis(1)), (1L, 2, axis(2)),
+      (2L, 0, axis(0)), (2L, 1, axis(1)), (2L, 2, axis(2)),
+      (3L, 0, axis(0)), (3L, 1, axis(10)), (3L, 2, axis(11)))
+      .toDF("vid", "frame_idx", "femb")
+    val got = Multimodal.videoNearDupPairs(rows, "vid", "frame_idx", "femb",
+      bits = 3, tables = 8, dim = 36, tau = 0.9, minMatchedFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 3L)),
+      "only the 3-frame match survives; single-frame collisions filtered")
+    val loose = Multimodal.videoNearDupPairs(rows, "vid", "frame_idx", "femb",
+      bits = 3, tables = 8, dim = 36, tau = 0.9, minMatchedFrames = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(loose.toSeq === Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
+  }
+
+  test("video ROBUST gate geometry is PROVEN: per (group, frame), the 8 " +
+      "re-encode variants co-cell in some table chain; in-group frames " +
+      "match pairwise; NO cross-group video pair reaches minMatchedFrames; " +
+      "and variants share ZERO frame hashes (copy detection is blind here)") {
+    val nFrames = 6
+    def emb(g: Int, f: Int, r: Int): Array[Double] = {
+      val l = Queries.mediaGateLumas(g * 16 + f, r).map(_.toDouble)
+      val mean = l.sum / 36
+      val c = l.map(_ - mean)
+      val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
+      c.map(_ * inv)
+    }
+    val tables = (0 until 8).map(t =>
+      graft.functions.Hashing.hyperplanes(24, 36, 42L + t))
+    // (a) connectivity: per (g, f) the 8 variants chain through some
+    // table's full 24-plane signature — co-celling at every bits prefix
+    for (g <- 0 until 40; f <- 0 until nFrames) {
+      val es = (0 until 8).map(r => emb(g, f, r))
+      def sig(t: Int, r: Int): Seq[Boolean] =
+        tables(t).map(pl => es(r).indices.map(i => es(r)(i) * pl(i)).sum >= 0).toSeq
+      val parent = Array.tabulate(8)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for (t <- tables.indices; r1 <- 0 until 8; r2 <- r1 + 1 until 8)
+        if (sig(t, r1) == sig(t, r2)) parent(find(r1)) = find(r2)
+      assert((0 until 8).map(find).distinct.size === 1,
+        s"group $g frame $f: re-encode variants don't co-cell")
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    // (b) in-group: every frame of every variant pair matches (≥ τ=0.9)
+    // → n_matched = 6 ≥ minMatchedFrames = 4
+    val inMin = (for (g <- 0 until 40; f <- 0 until nFrames;
+      r1 <- 0 until 8; r2 <- r1 + 1 until 8)
+      yield cos(emb(g, f, r1), emb(g, f, r2))).min
+    assert(inMin > 0.99, s"in-group same-frame min cosine $inMin")
+    // (c) cross-group: for EVERY pair of distinct video classes in
+    // different groups, the count of v1 frames with any partner ≥ τ
+    // stays below minMatchedFrames=4 — an accidental collision or two
+    // can never merge groups
+    val classes = for (g <- 0 until 40; r <- 0 until 8)
+      yield (g, (0 until nFrames).map(f => emb(g, f, r)))
+    var worst = 0
+    for (i <- classes.indices; j <- i + 1 until classes.size
+        if classes(i)._1 != classes(j)._1) {
+      val (a, b) = (classes(i)._2, classes(j)._2)
+      var m = 0
+      var f1 = 0
+      while (f1 < nFrames) {
+        var hit = false
+        var f2 = 0
+        while (f2 < nFrames && !hit) {
+          if (cos(a(f1), b(f2)) >= 0.9) hit = true
+          f2 += 1
+        }
+        if (hit) m += 1
+        f1 += 1
+      }
+      if (m > worst) worst = m
+    }
+    assert(worst < 4, s"cross-group matched-frame count reached $worst")
+    // (d) transcode blindness of copy detection: two variants of one
+    // group share no frame bytes at all → frame-md5 sets DISJOINT
+    def pats(g: Int, r: Int) =
+      Array.tabulate(nFrames)(f => Queries.mediaGateLumas(g * 16 + f, r))
+    def hashes(r: Int): Set[String] = {
+      val p = pats(7, r)
+      val y4m = Multimodal.y4mBlockLuma(24, 24, 6, 6, nFrames, (f, b) => p(f)(b))
+      import spark.implicits._
+      Multimodal.frameHashes(Seq((1L, y4m)).toDF("id", "media"), "media")
+        .collect()(0).getSeq[String](2).toSet
+    }
+    assert((hashes(0) intersect hashes(1)).isEmpty,
+      "a re-encode shares no frame hashes — the md5 path cannot see it")
+  }
+
   test("audio gate geometry is PROVEN like the image gate: per group, the " +
       "8 gain-jitter variants co-cell in some table on all 24 planes, " +
       "with cosine separation") {
