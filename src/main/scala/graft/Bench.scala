@@ -349,6 +349,36 @@ object Bench {
       "x_load_orc" -> { () =>
         spark.read.orc(s"$csvDir/orc")
           .write.format("noop").mode("overwrite").save()
+      },
+      // the assembly CAPSTONE leg (round 13): raw docs through the full
+      // q_assembly composition (corpus-global sentence dedup → hashed
+      // classifier keep → context chunking), then the LAST MILE the gate
+      // stops short of — token-budget packing + deterministic shuffled
+      // shards WRITTEN as hive-partitioned parquet (the trainer's input
+      // files). AssemblyShardsSpec proves the write is deterministic
+      // across retries; this leg prices it.
+      "x_assembly_shards" -> { () =>
+        val docs = Tables.documents(spark, sfDir)
+        val cleaned = operators.SentenceDedup
+          .dedupSentences(docs, "text", "doc_id")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("clean_text"))
+        val scored = operators.QualityClassifier
+          .scoreInline(cleaned, "clean_text", "doc_id", 4096)
+        val kept = cleaned.join(
+          scored.where(org.apache.spark.sql.functions.col("keep") &&
+            org.apache.spark.sql.functions.col("n_feats") > 0)
+            .select("doc_id"), Seq("doc_id"))
+        val chunks = operators.DocChunker.chunk(kept, "clean_text",
+          "doc_id", chunkTokens = 256, overlap = 32)
+        operators.Assembly.writeShards(chunks, "chunk_text", "doc_id",
+          "chunk_id", tokenBudget = 2048, nShards = 16,
+          outDir = s"$csvDir/shards"); ()
+      },
+      // the trainer's side: stream the shard files back
+      "x_load_shards" -> { () =>
+        operators.Assembly.readShards(spark, s"$csvDir/shards")
+          .write.format("noop").mode("overwrite").save()
       }).filter(t => keep(t._1))
     // x-legs take the same min-across-passes treatment as the q_*
     // catalog (round-9 record: single-shot legs carried one IO-jitter
