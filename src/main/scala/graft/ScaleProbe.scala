@@ -277,6 +277,44 @@ object ScaleProbe {
       // Spark-job loop was ~0.1 s/round (hours at 32k) regardless of
       // corpus size
       run("bpe_train", operators.BpeTrain.merges(docs, "text", 1000)),
+      // BPE at PRODUCTION vocab depth (round 13): 32k merges — the real
+      // tokenizer size — over a synthesized 50k·X-word vocabulary with
+      // morpheme structure (stems × suffixes, zipf-ish repetition), the
+      // shape a web corpus's distinct-word table actually has. The
+      // corpus pays the one distributed word-count scan; the 32k-merge
+      // loop runs on the driver fast path (vocab ≪ 5M limit). The head
+      // prints the driver's peak heap for the SCALE.md record (the loop
+      // is the driver-memory hot spot of the whole engine; pool peaks
+      // are reset going in so the number is this head's own).
+      run("bpe_train_32k", {
+        import java.lang.management.{ManagementFactory, MemoryType}
+        import scala.jdk.CollectionConverters._
+        ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getType == MemoryType.HEAP).foreach(_.resetPeakUsage())
+        val nWords = 50000L * X
+        val wordUdf = udf { (id: Long) =>
+          // stem (3-7 chars) + suffix (0-3 chars), hash-derived: shared
+          // subword structure so merges stay productive to 32k+ depth
+          val h = graft.functions.Hashing.mix64(id)
+          val stemLen = 3 + (h & 3).toInt + ((h >>> 2) & 1).toInt
+          val sb = new StringBuilder
+          var s = graft.functions.Hashing.mix64(id % (nWords / 16))
+          var i = 0
+          while (i < stemLen) { sb += ('a' + ((s >>> (8 * (i % 8))) & 0x7f).toInt % 26).toChar
+            if (i % 8 == 7) s = graft.functions.Hashing.mix64(s); i += 1 }
+          val sfx = Array("", "s", "ed", "ing", "er", "ly", "tion", "est")
+          sb ++= sfx(((h >>> 8) & 7).toInt)
+          // zipf-ish repetition inside the row: heavier for low ids
+          val reps = 1 + (16 / (1 + (id % 31))).toInt
+          Array.fill(reps)(sb.toString).mkString(" ")
+        }
+        val corpus = spark.range(nWords).select(wordUdf(col("id")).as("text"))
+        val mt = operators.BpeTrain.merges(corpus, "text", 32768)
+        val peak = ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getType == MemoryType.HEAP).map(_.getPeakUsage.getUsed).sum
+        println(f"bpe_train_32k driver peak heap = ${peak / (1 << 20)}%d MiB")
+        mt
+      }),
       // BPE ENCODE at X× with a 1k-merge table through the vocab-scale
       // apply path (broadcast rank map + iterative lowest-rank merging;
       // the replace-chain form is gate-only — 1k+ nested replaces is
