@@ -489,6 +489,21 @@ object ScaleProbe {
         }
         None
       },
+      // The X=1000 residual spill on this head is STAMPED cluster-
+      // correct (round-13 final adjudication of the r12 watch item):
+      // LPA's round-1 (node, label) key space is ~|E| BY CONSTRUCTION
+      // (every neighbor starts uniquely labeled), so the per-round
+      // working set is linear in edges and the one-host probe is
+      // bounded by the HOST's total memory, not by plan shape. The
+      // width experiment proves it: 4096 shuffle partitions with AQE
+      // coalescing off (each task ~100k keys) still spilled 34 GiB and
+      // ran 3.6× slower (2041 s vs 574 s) — dividing the working set
+      // by partitioning cannot create memory one host doesn't have,
+      // while on a cluster the same 128-partition plan lands each
+      // partition on a different executor's memory. Shuffle stays
+      // exactly linear per decade (0.41→3.96→42.3 GiB, r12) and no
+      // single-task structure remains; SCALE.md round-13 records both
+      // runs.
       run("label_prop_skew", {
         operators.Graphs.labelPropagation(skewEdges(spark, X), "src", "dst",
           iters = 4)

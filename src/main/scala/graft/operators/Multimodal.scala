@@ -677,10 +677,18 @@ object Multimodal {
       maxCell: Int = 48, hotWindow: Int = 8,
       frameIdxBits: Int = 20): DataFrame = {
     require(frameIdxBits > 0 && frameIdxBits < 40 && minMatchedFrames > 0)
-    val packed = frames.select(
-      (shiftleft(col(idCol).cast(LongType), frameIdxBits) +
-        col(frameIdxCol).cast(LongType)).as("fid"),
-      col(embCol).as("femb"))
+    // explicit range guard: a frame index past 2^frameIdxBits−1 would
+    // corrupt the packed id (bleed into the video id), so such rows are
+    // dropped here — visibly, by contract: an >11 h upload's tail
+    // frames (at the default 20 bits / 25 fps) stop participating in
+    // candidates; raise frameIdxBits for archival footage
+    val packed = frames
+      .where(col(frameIdxCol) >= 0 &&
+        col(frameIdxCol) < (1L << frameIdxBits))
+      .select(
+        (shiftleft(col(idCol).cast(LongType), frameIdxBits) +
+          col(frameIdxCol).cast(LongType)).as("fid"),
+        col(embCol).as("femb"))
     val fp = Similarity.selfTopKLsh(packed, "femb", "fid",
       k = Int.MaxValue, bits = bits, tables = tables, dim = dim,
       maxCell = maxCell, hotWindow = hotWindow)

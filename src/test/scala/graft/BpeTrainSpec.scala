@@ -73,6 +73,31 @@ class BpeTrainSpec extends SparkTestBase {
     assert(fast.toSeq === dist.toSeq)
   }
 
+  test("path parity holds on the 32k-probe's vocabulary shape (stem × " +
+      "suffix morphemes, zipf-ish repetition) — the slice spot-check " +
+      "backing the SCALE.md bpe_train_32k record") {
+    import spark.implicits._
+    val sfx = Array("", "s", "ed", "ing", "er", "ly", "tion", "est")
+    val docs = (0L until 600L).map { id =>
+      val h = graft.functions.Hashing.mix64(id)
+      val stemLen = 3 + (h & 3).toInt + ((h >>> 2) & 1).toInt
+      val sb = new StringBuilder
+      var s = graft.functions.Hashing.mix64(id % 40)
+      var i = 0
+      while (i < stemLen) { sb += ('a' + ((s >>> (8 * (i % 8))) & 0x7f).toInt % 26).toChar
+        if (i % 8 == 7) s = graft.functions.Hashing.mix64(s); i += 1 }
+      sb ++= sfx(((h >>> 8) & 7).toInt)
+      val reps = 1 + (16 / (1 + (id % 31))).toInt
+      (id, Array.fill(reps)(sb.toString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = BpeTrain.merges(docs, "text", 64).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val dist = BpeTrain.merges(docs, "text", 64, driverVocabLimit = 0L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(fast.toSeq === dist.toSeq)
+  }
+
   test("the in-memory loop trains 1k merges fast (vocab-bounded rounds)") {
     import spark.implicits._
     // synthetic vocab rich enough to sustain 1000 merges: distinct
