@@ -741,6 +741,20 @@ object ScaleProbe {
           chunkTokens = 40, overlap = 8)
           .groupBy().agg(count(lit(1)), sum("n_tokens"))
       }),
+      // the assembly LAST MILE at X×: chunk → token-budget packing →
+      // md5-sharded parquet WRITE (the trainer's files). Cost must be
+      // one hash exchange (packing) + one range exchange (the shard
+      // write); determinism is spec-pinned, this head prices the IO
+      run("assembly_shards", {
+        val chunks = operators.DocChunker.chunk(docs, "text", "doc_id",
+          chunkTokens = 40, overlap = 8)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_shards_probe").toString
+        val n = operators.Assembly.writeShards(chunks, "chunk_text",
+          "doc_id", "chunk_id", tokenBudget = 2048, nShards = 64,
+          outDir = dir)
+        spark.range(n).toDF() // rows written; the measured work is the write
+      }),
       // per-line language segmentation at X×: explode → regex scoring →
       // two count groupBys + windowless array-fold RLE — wall must track
       // line volume with no skewed-key single task
