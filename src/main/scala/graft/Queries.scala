@@ -3431,6 +3431,47 @@ object Queries {
       .orderBy("cluster")
   }
 
+  /** SCENE-sampled transcode-robust video near-dup — the long-video
+    * production shape ([[qVideoSemdedupRobust]] embeds every frame;
+    * here a 12-frame video embeds its 6 scene REPRESENTATIVES, found
+    * and embedded in ONE decode pass by
+    * Multimodal.embedVideoSceneFrames using videoScenes' exact-integer
+    * cut rule). The construction: 6 scenes × 2 frames, scene s of
+    * group g carrying the proven pattern mediaGateLumas(g·16+s, r) on
+    * BOTH its frames — within a scene Σ|Δ| = 0 (identical bytes),
+    * across scenes the spec proves every boundary clears the cut
+    * threshold for every variant, so scene ordinals align across
+    * re-encodes and the scene embeddings are EXACTLY the robust gate's
+    * proven frame vectors. Shares the 40-group media oracle. */
+  val qVideoSceneSemdedup: QFn = (s, d) => {
+    val groups = 40
+    val nScenes = 6
+    val fps = 2 // frames per scene
+    val mediaUdf = udf { (id: Long) =>
+      val g = (id % groups).toInt
+      val r = ((id / groups) % 8).toInt
+      val pats = Array.tabulate(nScenes)(sc => Queries.mediaGateLumas(g * 16 + sc, r))
+      graft.operators.Multimodal.y4mBlockLuma(24, 24, 6, 6, nScenes * fps,
+        (f, b) => pats(f / fps)(b))
+    }
+    val base = documents(s, d).select(col("doc_id"))
+    val nRows = base.count()
+    val docs = base.withColumn("media", mediaUdf(col("doc_id")))
+    val scenes = graft.operators.Multimodal.embedVideoSceneFrames(docs, "media")
+      .select(col("doc_id"), explode(col("scene_embs")).as("se"))
+      .select(col("doc_id"), col("se.scene_idx").as("scene_idx"),
+        col("se.emb").as("semb"))
+    val pairs = graft.operators.Multimodal.videoNearDupPairs(scenes,
+      "doc_id", "scene_idx", "semb",
+      bits = Similarity.lshBitsFor(nRows * nScenes), tables = 8, dim = 36,
+      tau = 0.9, minMatchedFrames = 4)
+      .select("id1", "id2")
+    graft.operators.Dedup.clusters(pairs)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("ids_sum"))
+      .orderBy("cluster")
+  }
+
   val qMediaSemdedup: QFn = (s, d) => {
     val groups = 40
     val mediaUdf = udf { (id: Long) =>
@@ -5116,6 +5157,7 @@ object Queries {
     "q_audio_semdedup" -> qAudioSemdedup,
     "q_video_semdedup" -> qVideoSemdedup,
     "q_video_semdedup_robust" -> qVideoSemdedupRobust,
+    "q_video_scene_semdedup" -> qVideoSceneSemdedup,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
     "q_stream_join" -> qStreamJoin,
@@ -5359,5 +5401,6 @@ object Queries {
     "q_media_semdedup" -> qMediaSemdedupSql,
     "q_audio_semdedup" -> qMediaSemdedupSql,
     "q_video_semdedup" -> qMediaSemdedupSql,
-    "q_video_semdedup_robust" -> qMediaSemdedupSql)
+    "q_video_semdedup_robust" -> qMediaSemdedupSql,
+    "q_video_scene_semdedup" -> qMediaSemdedupSql)
 }

@@ -648,6 +648,91 @@ object Multimodal {
     df.withColumn(outCol, embUdf(col(binCol)))
   }
 
+  /** Scene-REPRESENTATIVE frame embeddings of a Y4M video in ONE decode
+    * pass — the long-video cost knob of transcode-robust near-dup:
+    * a 2-hour upload embeds ~one frame per SCENE instead of 180k
+    * frames. Scene cuts use exactly [[videoScenes]]' rule (exact
+    * integer Σ|Δluma| over the Y plane, cut when mean |Δ| > threshold
+    * — all-Long, bit-stable), and the FIRST frame of every scene
+    * embeds with exactly the [[embedVideoFrameBlocks]] arithmetic; both
+    * happen in the same frame walk, so detection costs no second
+    * decode. Re-encodes preserve scene STRUCTURE (a few-level global
+    * jitter moves Σ|Δ| far less than a real cut moves it), so scene
+    * ordinals align across variants and feed [[videoNearDupPairs]] as
+    * the frame key. Output: array of (scene_idx, frame_idx, emb)
+    * structs; flat representative frames are skipped (no direction);
+    * non-video / corrupt / smaller-than-grid → null. */
+  def embedVideoSceneFrames(df: DataFrame, binCol: String, gridW: Int = 6,
+      gridH: Int = 6, threshold: Int = 16,
+      outCol: String = "scene_embs"): DataFrame = {
+    require(gridW > 0 && gridH > 0 && threshold >= 0)
+    val dim = gridW * gridH
+    val schema = ArrayType(StructType(Seq(
+      StructField("scene_idx", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("emb", ArrayType(FloatType)))))
+    val embUdf = udf(new org.apache.spark.sql.api.java.UDF1[Array[Byte], Seq[Row]] {
+      override def call(b: Array[Byte]): Seq[Row] = {
+        if (b == null) return null
+        parseY4m(b) match {
+          case Some((w, h, _, offs)) if w >= gridW && h >= gridH =>
+            val plane = w * h
+            val res = scala.collection.mutable.ArrayBuffer.empty[Row]
+            var scene = -1
+            var f = 0
+            while (f < offs.length) {
+              val isCut =
+                if (f == 0) true
+                else {
+                  var sum = 0L
+                  var i = 0
+                  val p = offs(f - 1); val c = offs(f)
+                  while (i < plane) {
+                    val d = (b(c + i) & 0xff) - (b(p + i) & 0xff)
+                    sum += (if (d < 0) -d else d)
+                    i += 1
+                  }
+                  sum > threshold.toLong * plane
+                }
+              if (isCut) {
+                scene += 1
+                val off = offs(f)
+                val sums = new Array[Long](dim)
+                val counts = new Array[Int](dim)
+                var y = 0
+                while (y < h) {
+                  val by = y * gridH / h
+                  val ro = off + y * w
+                  var x = 0
+                  while (x < w) {
+                    val i = by * gridW + x * gridW / w
+                    sums(i) += (b(ro + x) & 0xff)
+                    counts(i) += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                val means = Array.tabulate(dim)(i => sums(i).toDouble / counts(i))
+                val mean = means.sum / dim
+                var norm = 0.0
+                val centered = means.map { m =>
+                  val c = m - mean; norm += c * c; c
+                }
+                if (norm != 0.0) {
+                  val inv = 1.0 / math.sqrt(norm)
+                  res += Row(scene, f, centered.map(c => (c * inv).toFloat).toSeq)
+                }
+              }
+              f += 1
+            }
+            res.toSeq
+          case _ => null
+        }
+      }
+    }, schema)
+    df.withColumn(outCol, embUdf(col(binCol)))
+  }
+
   /** Video-level near-dup pairs from per-frame embeddings — the
     * transcode-robust composition: frames ride the SAME capped LSH
     * machinery image/audio embeddings do

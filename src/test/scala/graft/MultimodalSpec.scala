@@ -368,6 +368,58 @@ class MultimodalSpec extends SparkTestBase {
     assert(loose.toSeq === Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 1L)))
   }
 
+  test("scene-frame embeddings: one decode pass finds videoScenes' exact " +
+      "cuts and embeds each scene's FIRST frame; flat reps skip; " +
+      "non-video nulls") {
+    import spark.implicits._
+    // 3 scenes x 2 frames: patterned, flat, patterned — the flat
+    // scene's representative has no direction and is skipped while its
+    // CUT still advances the scene ordinal
+    val pats = Array(Queries.mediaGateLumas(2, 1), Array.fill(36)(200),
+      Queries.mediaGateLumas(4, 3))
+    val y4m = Multimodal.y4mBlockLuma(24, 24, 6, 6, 6, (f, b) => pats(f / 2)(b))
+    val df = Seq((1L, y4m), (2L, Multimodal.bmpMedia(4, 4, 1L)))
+      .toDF("doc_id", "media")
+    val rows = Multimodal.embedVideoSceneFrames(df, "media")
+      .orderBy("doc_id").select("scene_embs").collect()
+    val se = rows(0).getSeq[Row](0)
+    // scenes 0 and 2 embed (reps at frames 0 and 4); scene 1 is flat
+    assert(se.map(r => (r.getInt(0), r.getInt(1))) === Seq((0, 0), (2, 4)))
+    def want(p: Array[Int]): Array[Float] = {
+      val m = p.map(_.toDouble)
+      val mean = m.sum / 36
+      val c = m.map(_ - mean)
+      val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
+      c.map(x => (x * inv).toFloat)
+    }
+    se.map(_.getSeq[Float](2)).zip(Seq(pats(0), pats(2))).foreach {
+      case (got, p) => got.zip(want(p)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-6f) }
+    }
+    // scene count parity with videoScenes' rule on the same payload
+    val vs = Multimodal.videoScenes(df, "media")
+      .where($"doc_id" === 1L).select("scenes.n_scenes").collect()(0).getLong(0)
+    assert(vs === 3L)
+    assert(rows(1).isNullAt(0), "BMP is not video")
+  }
+
+  test("scene gate construction is PROVEN: every scene boundary clears " +
+      "the cut threshold for every variant (so scene ordinals align " +
+      "across re-encodes), and within-scene frames are byte-identical " +
+      "by construction") {
+    // frames are 24x24 with 4x4-pixel blocks: sum|Δ| = 16 * Σ_b |Δb|;
+    // a cut needs sum > threshold(16) * plane(576) ⟺ Σ_b |Δb| > 576
+    val nScenes = 6
+    for (g <- 0 until 40; r <- 0 until 8; s <- 0 until nScenes - 1) {
+      val a = Queries.mediaGateLumas(g * 16 + s, r)
+      val b = Queries.mediaGateLumas(g * 16 + s + 1, r)
+      val blockDiff = a.indices.map(i => math.abs(a(i) - b(i))).sum
+      assert(blockDiff > 576,
+        s"group $g variant $r boundary $s: block diff $blockDiff too " +
+          "small to register as a scene cut")
+    }
+  }
+
   test("video ROBUST gate geometry is PROVEN: per (group, frame), the 8 " +
       "re-encode variants co-cell in some table chain; in-group frames " +
       "match pairwise; NO cross-group video pair reaches minMatchedFrames; " +
