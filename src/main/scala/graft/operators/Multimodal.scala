@@ -659,7 +659,15 @@ object Multimodal {
     * decode. Re-encodes preserve scene STRUCTURE (a few-level global
     * jitter moves Σ|Δ| far less than a real cut moves it), so scene
     * ordinals align across variants and feed [[videoNearDupPairs]] as
-    * the frame key. Output: array of (scene_idx, frame_idx, emb)
+    * the frame key. Known failure mode (documented, inherent to
+    * ordinal keys): a boundary sitting exactly at the threshold can
+    * flip under re-encode jitter and shift EVERY later ordinal,
+    * breaking that pair's subsequent scene matches — the gate's
+    * construction proves its boundaries clear the threshold with
+    * margin; corpora with borderline cuts should lower
+    * `minMatchedFrames` or use the frame-level
+    * [[embedVideoFrameBlocks]] mode, whose frame indexes are
+    * time-stable. Output: array of (scene_idx, frame_idx, emb)
     * structs; flat representative frames are skipped (no direction);
     * non-video / corrupt / smaller-than-grid → null. */
   def embedVideoSceneFrames(df: DataFrame, binCol: String, gridW: Int = 6,
