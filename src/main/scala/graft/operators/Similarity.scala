@@ -294,9 +294,15 @@ object Similarity {
       explode(array(keyCols: _*)).as("cellkey"))
     val rawPairs =
       if (maxCell <= 0) {
+        // SHUFFLE_HASH pin: both sides are the full exploded cell table
+        // — a broadcast is never right here, but an upstream scan of a
+        // small file (or a generator) makes Catalyst's size estimate
+        // tiny and it would statically broadcast one side; at the
+        // X=1000 probe that was a multi-GiB driver collect
         val l = celled.select(col("cellkey"), col(idCol).as("id1"))
         val r = celled.select(col("cellkey"), col(idCol).as("id2"))
-        l.join(r, Seq("cellkey")).where(col("id1") < col("id2"))
+        l.join(r.hint("shuffle_hash"), Seq("cellkey"))
+          .where(col("id1") < col("id2"))
           .select("id1", "id2")
       } else {
         // one shuffle by cellkey serves both window frames (count is
@@ -307,8 +313,16 @@ object Similarity {
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val marked = celled.withColumn("cn", count(lit(1)).over(wAll))
         val cold = marked.where(col("cn") <= maxCell)
+        // SHUFFLE_HASH pin (same rationale as the uncapped branch and
+        // the vector re-attach below): both sides are already
+        // cellkey-partitioned by the window's exchange, so the hint
+        // costs no new shuffle — but without it a garbage-small size
+        // estimate from an upstream tiny-file scan lets Catalyst
+        // statically BROADCAST the whole cold cell table (hundreds of
+        // MB × every task slot at probe scale)
         val coldPairs = cold.select(col("cellkey"), col(idCol).as("id1"))
-          .join(cold.select(col("cellkey"), col(idCol).as("id2")), Seq("cellkey"))
+          .join(cold.select(col("cellkey"), col(idCol).as("id2"))
+            .hint("shuffle_hash"), Seq("cellkey"))
           .where(col("id1") < col("id2")).select("id1", "id2")
         // hot rows pair with their next `hotWindow` in-cell ids. cn is
         // constant per cell, so the post-filter leads see the whole
@@ -323,9 +337,17 @@ object Similarity {
         coldPairs.unionAll(hotPairs)
       }
     val pairs = rawPairs.distinct()
+    // vector re-attach is a big-big equi-join (pairs × the full vector
+    // table): SHUFFLE_HASH pinned for the same reason as above — the
+    // vector side must hash-build per partition, never collect to the
+    // driver on a garbage size estimate (X=1000 video probe: a 3.6 GiB
+    // "broadcast" build failed spark.driver.maxResultSize; the r12 LPA
+    // join got the identical pin)
     val scored = pairs
-      .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1")), "id1")
-      .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2")), "id2")
+      .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+        .hint("shuffle_hash"), "id1")
+      .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+        .hint("shuffle_hash"), "id2")
       .select(col("id1"), col("id2"),
         VectorFunctions.cosine(col("v1"), col("v2")).as("score"))
     val both = scored.unionAll(
