@@ -294,14 +294,15 @@ object Similarity {
       explode(array(keyCols: _*)).as("cellkey"))
     val rawPairs =
       if (maxCell <= 0) {
-        // SHUFFLE_HASH pin: both sides are the full exploded cell table
-        // — a broadcast is never right here, but an upstream scan of a
+        // MERGE pin: both sides are the full exploded cell table — a
+        // broadcast is never right here, but an upstream scan of a
         // small file (or a generator) makes Catalyst's size estimate
-        // tiny and it would statically broadcast one side; at the
-        // X=1000 probe that was a multi-GiB driver collect
+        // tiny and it would statically broadcast one side (a multi-GiB
+        // driver collect at probe scale); sort-merge spills gracefully
+        // where a hash build cannot
         val l = celled.select(col("cellkey"), col(idCol).as("id1"))
         val r = celled.select(col("cellkey"), col(idCol).as("id2"))
-        l.join(r.hint("shuffle_hash"), Seq("cellkey"))
+        l.join(r.hint("merge"), Seq("cellkey"))
           .where(col("id1") < col("id2"))
           .select("id1", "id2")
       } else {
@@ -313,16 +314,20 @@ object Similarity {
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val marked = celled.withColumn("cn", count(lit(1)).over(wAll))
         val cold = marked.where(col("cn") <= maxCell)
-        // SHUFFLE_HASH pin (same rationale as the uncapped branch and
-        // the vector re-attach below): both sides are already
-        // cellkey-partitioned by the window's exchange, so the hint
-        // costs no new shuffle — but without it a garbage-small size
-        // estimate from an upstream tiny-file scan lets Catalyst
-        // statically BROADCAST the whole cold cell table (hundreds of
-        // MB × every task slot at probe scale)
+        // MERGE pin: both sides are already partitioned AND sorted by
+        // the window's (cellkey, id) exchange, so sort-merge joins with
+        // NO new exchange and no re-sort — and unlike a hash build it
+        // spills gracefully when a one-host probe emulates a cluster's
+        // aggregate memory. The pin exists because a garbage-small size
+        // estimate from an upstream tiny-file scan otherwise lets
+        // Catalyst statically BROADCAST the whole cold cell table
+        // (hundreds of MB collected to the driver × every task slot at
+        // probe scale). SHUFFLE_HASH was tried and rejected here: its
+        // build side cannot spill, and 32 concurrent ~200 MB cold-cell
+        // maps exhausted execution memory at X=1000.
         val coldPairs = cold.select(col("cellkey"), col(idCol).as("id1"))
           .join(cold.select(col("cellkey"), col(idCol).as("id2"))
-            .hint("shuffle_hash"), Seq("cellkey"))
+            .hint("merge"), Seq("cellkey"))
           .where(col("id1") < col("id2")).select("id1", "id2")
         // hot rows pair with their next `hotWindow` in-cell ids. cn is
         // constant per cell, so the post-filter leads see the whole
