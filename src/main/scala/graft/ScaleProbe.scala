@@ -278,9 +278,12 @@ object ScaleProbe {
       // corpus size
       run("bpe_train", operators.BpeTrain.merges(docs, "text", 1000)),
       // BPE at PRODUCTION vocab depth (round 13): 32k merges — the real
-      // tokenizer size — over a synthesized 50k·X-word vocabulary with
-      // morpheme structure (stems × suffixes, zipf-ish repetition), the
-      // shape a web corpus's distinct-word table actually has. The
+      // tokenizer size — over a synthesized vocabulary of ~25k·X
+      // distinct words (50k·X rows, but stems derive from id % (nWords
+      // / 16) = 3125·X seeds × 8 suffixes, so distinct words are
+      // bounded at 25k·X) with morpheme structure (stems × suffixes,
+      // zipf-ish repetition), the shape a web corpus's distinct-word
+      // table actually has. The
       // corpus pays the one distributed word-count scan; the 32k-merge
       // loop runs on the driver fast path (vocab ≪ 5M limit). The head
       // prints the driver's peak heap for the SCALE.md record (the loop

@@ -36,6 +36,23 @@ object Assembly {
       chunkIdCol: String, tokenBudget: Int, nShards: Int, outDir: String,
       packParallelism: Int = 32): Long = {
     require(tokenBudget > 0 && nShards > 0)
+    // empty input would otherwise leave a partition-less directory
+    // (only _SUCCESS) whose re-read fails schema inference; write the
+    // empty frame UNpartitioned instead — one zero-row parquet file
+    // carrying the full schema (shard as a regular int column), so
+    // readShards and any consumer see the same columns and count 0.
+    // The isEmpty probe is a limit-1 job on the raw input, not a run
+    // of the packing pipeline.
+    if (chunks.isEmpty) {
+      val empty = chunks
+        .withColumn("n_tokens", lit(0L))
+        .withColumn("bin_id", lit(0L))
+        .withColumn("ord", lit("")) // md5 hex in the non-empty path
+        .withColumn("shard", lit(0).cast("int"))
+        .limit(0)
+      empty.coalesce(1).write.mode("overwrite").parquet(outDir)
+      return 0L
+    }
     // deterministic packing input: fixed hash partitioning (retry- and
     // AQE-invariant), fully-tiebroken in-partition order (n_tokens desc
     // alone leaves equal-length chunks at the sorter's mercy)

@@ -770,14 +770,20 @@ object Multimodal {
       maxCell: Int = 48, hotWindow: Int = 8,
       frameIdxBits: Int = 20): DataFrame = {
     require(frameIdxBits > 0 && frameIdxBits < 40 && minMatchedFrames > 0)
-    // explicit range guard: a frame index past 2^frameIdxBits−1 would
-    // corrupt the packed id (bleed into the video id), so such rows are
-    // dropped here — visibly, by contract: an >11 h upload's tail
-    // frames (at the default 20 bits / 25 fps) stop participating in
-    // candidates; raise frameIdxBits for archival footage
+    // explicit range guards on BOTH packed fields: a frame index past
+    // 2^frameIdxBits−1 would bleed into the video id, and a negative or
+    // ≥2^(63−frameIdxBits) video id overflows the shiftleft — either
+    // silently corrupts the packed key and produces WRONG pair rollups
+    // rather than an error. Out-of-range rows are dropped here —
+    // visibly, by contract: an >11 h upload's tail frames (at the
+    // default 20 bits / 25 fps) stop participating in candidates; raise
+    // frameIdxBits for archival footage, and re-key ids below 2^43 if a
+    // catalog hands out wider ones
     val packed = frames
       .where(col(frameIdxCol) >= 0 &&
-        col(frameIdxCol) < (1L << frameIdxBits))
+        col(frameIdxCol) < (1L << frameIdxBits) &&
+        col(idCol) >= 0 &&
+        col(idCol) < (1L << (63 - frameIdxBits)))
       .select(
         (shiftleft(col(idCol).cast(LongType), frameIdxBits) +
           col(frameIdxCol).cast(LongType)).as("fid"),

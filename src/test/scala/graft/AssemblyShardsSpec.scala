@@ -46,6 +46,20 @@ class AssemblyShardsSpec extends SparkTestBase {
     assert(over === 0L)
   }
 
+  test("empty input writes a readable empty shard table (schema-carrying " +
+      "file, not a partition-less dir), returns 0, and readShards counts 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_e").toString
+    val n = Assembly.writeShards(chunks().limit(0), "chunk_text", "doc_id",
+      "chunk_id", tokenBudget = 128, nShards = 8, outDir = dir)
+    assert(n === 0L)
+    val back = Assembly.readShards(spark, dir)
+    assert(back.count() === 0L)
+    // consumers see the same columns an occupied shard table carries
+    for (c <- Seq("doc_id", "chunk_id", "chunk_text", "n_tokens", "bin_id",
+        "ord", "shard"))
+      assert(back.columns.contains(c), s"missing column $c")
+  }
+
   test("shard files are DETERMINISTIC across re-runs: same shard dirs, " +
       "same rows in the same in-file order, files internally ord-sorted") {
     val dirA = java.nio.file.Files.createTempDirectory("graft_shards_a").toString
