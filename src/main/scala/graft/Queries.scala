@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{Checksum, Hashing, Masquerade, TextFunctions, VectorFunctions}
-import graft.operators.{AsofJoin, ChunkPlanner, Dedup, DocChunker, NgramLm, Similarity, Skew}
+import graft.operators.{AsofJoin, ChunkPlanner, Dedup, DocChunker, NearDupStore, NgramLm, Similarity, Skew}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3502,6 +3502,53 @@ object Queries {
       .agg(count(lit(1)).as("n_members"), sum(col("id")).as("ids_sum"))
       .orderBy("cluster")
   }
+  /** INCREMENTAL media near-dup via the persisted store
+    * ([[graft.operators.NearDupStore]]) — the 100 TB media workflow:
+    * batch 1 is decoded+embedded ONCE and its (id, cellkey)/(id, vec)
+    * index written; when batch 2 lands it embeds ONLY ITSELF, appends
+    * blind, and pairs against all of history
+    * from the store index — no batch-1 payload byte is re-decoded
+    * (structurally: the incremental leg's plan reads only store
+    * parquet; batch 1's media UDF exists only upstream of its one
+    * write). Shares qMediaSemdedup's 40-group proven-geometry oracle:
+    * store-served old-pairs ∪ incremental == one-shot clusters is the
+    * [[graft.operators.NearDupStore]] equivalence contract. */
+  val qMediaDedupIncremental: QFn = (s, d) => {
+    val groups = 40
+    val mediaUdf = udf { (id: Long) =>
+      graft.operators.Multimodal.bmpBlockLuma(24, 24, 6, 6,
+        mediaGateLumas((id % groups).toInt, (id / groups % 8).toInt))
+    }
+    val base = documents(s, d).select(col("doc_id"))
+    val nRows = base.count()
+    // bits sized for the FULL anticipated corpus (store params are
+    // fixed at creation; cells only densify as batches land)
+    val bits = Similarity.lshBitsFor(nRows)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_media_store").toString + "/s"
+    def embedBatch(b: DataFrame): DataFrame =
+      graft.operators.Multimodal.embedImageBlocks(
+        b.withColumn("media", mediaUdf(col("doc_id"))), "media")
+        .select(col("doc_id"), col("block_emb"))
+    NearDupStore.write(embedBatch(base.where(col("doc_id") % 2 === 0)),
+      "block_emb", "doc_id", dir, "b1", bits, tables = 8, dim = 36)
+    val pairs1 = NearDupStore.pairs(s, dir, tau = 0.9, maxCell = 48,
+      hotWindow = 8, batches = Some(Seq("b1")))
+    // (a RETRIED batch — same batch_id appended twice — is pinned
+    // neutral by NearDupStoreSpec; replaying it here would re-run a
+    // full media decode just to exercise a read-side dropDuplicates)
+    NearDupStore.write(embedBatch(base.where(col("doc_id") % 2 =!= 0)),
+      "block_emb", "doc_id", dir, "b2", bits, tables = 8, dim = 36)
+    val inc = NearDupStore.pairs(s, dir, tau = 0.9, maxCell = 48,
+      hotWindow = 8, newBatchId = Some("b2"))
+    graft.operators.Dedup.clusters(
+      pairs1.select("id1", "id2").unionAll(inc.select("id1", "id2"))
+        .distinct())
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("ids_sum"))
+      .orderBy("cluster")
+  }
+
   val qMediaSemdedupSql: String =
     """SELECT CAST(doc_id % 40 AS BIGINT) AS cluster,
       |  CAST(count(*) AS BIGINT) AS n_members,
@@ -5154,6 +5201,7 @@ object Queries {
     "q_curate" -> qCurate,
     "q_curate_store" -> qCurateStore,
     "q_media_semdedup" -> qMediaSemdedup,
+    "q_media_dedup_incremental" -> qMediaDedupIncremental,
     "q_audio_semdedup" -> qAudioSemdedup,
     "q_video_semdedup" -> qVideoSemdedup,
     "q_video_semdedup_robust" -> qVideoSemdedupRobust,
@@ -5399,6 +5447,7 @@ object Queries {
     "q_curate" -> qCurateSql,
     "q_curate_store" -> qCurateStoreSql,
     "q_media_semdedup" -> qMediaSemdedupSql,
+    "q_media_dedup_incremental" -> qMediaSemdedupSql,
     "q_audio_semdedup" -> qMediaSemdedupSql,
     "q_video_semdedup" -> qMediaSemdedupSql,
     "q_video_semdedup_robust" -> qMediaSemdedupSql,

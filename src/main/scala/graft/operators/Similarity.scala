@@ -220,16 +220,6 @@ object Similarity {
         col("score"))
   }
 
-  /** kNN graph at scale: multi-table LSH — `tables` independent cell
-    * hashings (seeded hyperplane sets); a pair is a candidate if it
-    * co-cells in ANY table (single-table recall ≈ (1-θ/π)^bits per
-    * neighbor, so L tables lift it to 1-(1-p)^L). Every join is an
-    * equi-join on (table's) cell key — shuffle bounded by cell
-    * cardinality, never all-pairs; candidates carry only (id1, id2)
-    * until the dedup, and vectors re-attach for one fused-cosine pass.
-    * Recall/cost knobs: fewer bits = bigger cells = more candidates =
-    * higher recall; SimilaritySpec pins the floor vs [[selfTopK]].
-    * Rows sharing no cell with anyone emit nothing. */
   /** Corpus-size-aware LSH bit count: bits = clamp(bitlen(n) − 6, 3, 24),
     * i.e. the smallest b keeping expected cell density n/2ᵇ in [32, 64).
     * Constant density is what makes [[selfTopKLsh]] linear in n: candidate
@@ -251,7 +241,97 @@ object Similarity {
   def lshBitsFor(n: Long): Int =
     math.max(3, math.min(24, 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L)) - 6))
 
-  /** Hot-cell candidate bound (the `maxCell`/`hotWindow` knobs):
+  /** The L packed LSH cell keys of a vector as ONE array column —
+    * table t's key is (t << 32 | cell) over seeded hyperplanes
+    * (seed 42+t), computed in a single native-codegen vector pass.
+    * THE shared cell geometry: [[selfTopKLsh]] explodes it for
+    * one-shot pairing and [[NearDupStore.write]] persists it, so a
+    * stored batch co-cells with a one-shot run bit-for-bit — the
+    * property that makes the store blind-appendable. */
+  private[operators] def cellKeyArray(vec: Column, bits: Int, tables: Int,
+      dim: Int): Column = {
+    val allPlanes = Array.tabulate(tables)(t =>
+      graft.functions.Hashing.hyperplanes(bits, dim, 42L + t))
+    array((0 until tables).map(t =>
+      lit(t.toLong << 32)
+        .bitwiseOR(VectorFunctions.lshSig(vec, allPlanes(t)))): _*)
+  }
+
+  /** Undirected candidate pairs (id1 < id2, PRE-distinct) from an
+    * exploded (cellkey, id) table — the pairing kernel shared by
+    * [[selfTopKLsh]] (one-shot) and [[NearDupStore.pairs]]
+    * (incremental), factored so the two can never diverge: store-served
+    * candidates are defined as THIS function over the store's cell
+    * view. maxCell ≤ 0 keeps exact all-pairs per cell; otherwise hot
+    * cells (> maxCell members) switch to id-ordered sliding-window
+    * pairing (see [[selfTopKLsh]]'s cap scaladoc). Join-strategy pins
+    * (MERGE on the self-joins) are part of the kernel — see the inline
+    * reasoning. */
+  private[operators] def cellPairs(celled: DataFrame, idCol: String,
+      maxCell: Int, hotWindow: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    if (maxCell <= 0) {
+      // MERGE pin: both sides are the full exploded cell table — a
+      // broadcast is never right here, but an upstream scan of a
+      // small file (or a generator) makes Catalyst's size estimate
+      // tiny and it would statically broadcast one side (a multi-GiB
+      // driver collect at probe scale); sort-merge spills gracefully
+      // where a hash build cannot
+      val l = celled.select(col("cellkey"), col(idCol).as("id1"))
+      val r = celled.select(col("cellkey"), col(idCol).as("id2"))
+      l.join(r.hint("merge"), Seq("cellkey"))
+        .where(col("id1") < col("id2"))
+        .select("id1", "id2")
+    } else {
+      // one shuffle by cellkey serves both window frames (count is
+      // computed on the sorted frame too — same exchange, same sort)
+      val wOrd = Window.partitionBy(col("cellkey")).orderBy(col(idCol))
+      val wAll = Window.partitionBy(col("cellkey"))
+        .orderBy(col(idCol))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val marked = celled.withColumn("cn", count(lit(1)).over(wAll))
+      val cold = marked.where(col("cn") <= maxCell)
+      // MERGE pin: both sides are already partitioned AND sorted by
+      // the window's (cellkey, id) exchange, so sort-merge joins with
+      // NO new exchange and no re-sort — and unlike a hash build it
+      // spills gracefully when a one-host probe emulates a cluster's
+      // aggregate memory. The pin exists because a garbage-small size
+      // estimate from an upstream tiny-file scan otherwise lets
+      // Catalyst statically BROADCAST the whole cold cell table
+      // (hundreds of MB collected to the driver × every task slot at
+      // probe scale). SHUFFLE_HASH was tried and rejected here: its
+      // build side cannot spill, and 32 concurrent ~200 MB cold-cell
+      // maps exhausted execution memory at X=1000.
+      val coldPairs = cold.select(col("cellkey"), col(idCol).as("id1"))
+        .join(cold.select(col("cellkey"), col(idCol).as("id2"))
+          .hint("merge"), Seq("cellkey"))
+        .where(col("id1") < col("id2")).select("id1", "id2")
+      // hot rows pair with their next `hotWindow` in-cell ids. cn is
+      // constant per cell, so the post-filter leads see the whole
+      // cell; the filter preserves the cellkey partitioning + sort,
+      // so this second window pass re-uses the first one's exchange.
+      // Ascending id order makes id1 < id2 by construction.
+      val hotPairs = marked.where(col("cn") > maxCell)
+        .withColumn("nbrs", array((1 to hotWindow).map(i =>
+          lead(col(idCol), i).over(wOrd)): _*))
+        .select(col(idCol).as("id1"), explode(col("nbrs")).as("id2"))
+        .where(col("id2").isNotNull)
+      coldPairs.unionAll(hotPairs)
+    }
+  }
+
+  /** kNN graph at scale: multi-table LSH — `tables` independent cell
+    * hashings (seeded hyperplane sets); a pair is a candidate if it
+    * co-cells in ANY table (single-table recall ≈ (1-θ/π)^bits per
+    * neighbor, so L tables lift it to 1-(1-p)^L). Every join is an
+    * equi-join on (table's) cell key — shuffle bounded by cell
+    * cardinality, never all-pairs; candidates carry only (id1, id2)
+    * until the dedup, and vectors re-attach for one fused-cosine pass.
+    * Recall/cost knobs: fewer bits = bigger cells = more candidates =
+    * higher recall; SimilaritySpec pins the floor vs [[selfTopK]].
+    * Rows sharing no cell with anyone emit nothing.
+    *
+    * Hot-cell candidate bound (the `maxCell`/`hotWindow` knobs):
     * [[lshBitsFor]] holds the EXPECTED cell density constant, but a
     * near-duplicate cluster (X replicas of one document's vector)
     * co-cells in EVERY table at any bit count — its candidate
@@ -277,71 +357,15 @@ object Similarity {
     // candidates as UNDIRECTED pairs (id1 < id2): halves the dedup
     // shuffle and the cosine passes; directions are restored by a cheap
     // mirror AFTER scoring (cosine is symmetric).
-    // All L cell keys are computed in ONE vector pass and exploded to a
-    // packed (table, cell) key, so the L tables cost a single equi-join
-    // — the per-table-join form shuffles the corpus L times and strings
-    // L+1 stages where one suffices (same candidate set either way:
-    // a pair co-cells in table t iff it shares key (t, cell))
-    val allPlanes = Array.tabulate(tables)(t =>
-      graft.functions.Hashing.hyperplanes(bits, dim, 42L + t))
-    // one native-codegen signature per table, packed to (table << 32 |
-    // cell) and exploded — same single vector pass as the former UDF,
-    // minus the boxed Seq[Float] round trip per row
-    val keyCols = (0 until tables).map(t =>
-      lit(t.toLong << 32)
-        .bitwiseOR(VectorFunctions.lshSig(col(vecCol), allPlanes(t))))
+    // All L cell keys are computed in ONE vector pass ([[cellKeyArray]])
+    // and exploded to a packed (table, cell) key, so the L tables cost
+    // a single equi-join — the per-table-join form shuffles the corpus
+    // L times and strings L+1 stages where one suffices (same candidate
+    // set either way: a pair co-cells in table t iff it shares key
+    // (t, cell))
     val celled = base.select(col(idCol),
-      explode(array(keyCols: _*)).as("cellkey"))
-    val rawPairs =
-      if (maxCell <= 0) {
-        // MERGE pin: both sides are the full exploded cell table — a
-        // broadcast is never right here, but an upstream scan of a
-        // small file (or a generator) makes Catalyst's size estimate
-        // tiny and it would statically broadcast one side (a multi-GiB
-        // driver collect at probe scale); sort-merge spills gracefully
-        // where a hash build cannot
-        val l = celled.select(col("cellkey"), col(idCol).as("id1"))
-        val r = celled.select(col("cellkey"), col(idCol).as("id2"))
-        l.join(r.hint("merge"), Seq("cellkey"))
-          .where(col("id1") < col("id2"))
-          .select("id1", "id2")
-      } else {
-        // one shuffle by cellkey serves both window frames (count is
-        // computed on the sorted frame too — same exchange, same sort)
-        val wOrd = Window.partitionBy(col("cellkey")).orderBy(col(idCol))
-        val wAll = Window.partitionBy(col("cellkey"))
-          .orderBy(col(idCol))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val marked = celled.withColumn("cn", count(lit(1)).over(wAll))
-        val cold = marked.where(col("cn") <= maxCell)
-        // MERGE pin: both sides are already partitioned AND sorted by
-        // the window's (cellkey, id) exchange, so sort-merge joins with
-        // NO new exchange and no re-sort — and unlike a hash build it
-        // spills gracefully when a one-host probe emulates a cluster's
-        // aggregate memory. The pin exists because a garbage-small size
-        // estimate from an upstream tiny-file scan otherwise lets
-        // Catalyst statically BROADCAST the whole cold cell table
-        // (hundreds of MB collected to the driver × every task slot at
-        // probe scale). SHUFFLE_HASH was tried and rejected here: its
-        // build side cannot spill, and 32 concurrent ~200 MB cold-cell
-        // maps exhausted execution memory at X=1000.
-        val coldPairs = cold.select(col("cellkey"), col(idCol).as("id1"))
-          .join(cold.select(col("cellkey"), col(idCol).as("id2"))
-            .hint("merge"), Seq("cellkey"))
-          .where(col("id1") < col("id2")).select("id1", "id2")
-        // hot rows pair with their next `hotWindow` in-cell ids. cn is
-        // constant per cell, so the post-filter leads see the whole
-        // cell; the filter preserves the cellkey partitioning + sort,
-        // so this second window pass re-uses the first one's exchange.
-        // Ascending id order makes id1 < id2 by construction.
-        val hotPairs = marked.where(col("cn") > maxCell)
-          .withColumn("nbrs", array((1 to hotWindow).map(i =>
-            lead(col(idCol), i).over(wOrd)): _*))
-          .select(col(idCol).as("id1"), explode(col("nbrs")).as("id2"))
-          .where(col("id2").isNotNull)
-        coldPairs.unionAll(hotPairs)
-      }
-    val pairs = rawPairs.distinct()
+      explode(cellKeyArray(col(vecCol), bits, tables, dim)).as("cellkey"))
+    val pairs = cellPairs(celled, idCol, maxCell, hotWindow).distinct()
     // vector re-attach is a big-big equi-join (pairs × the full vector
     // table): SHUFFLE_HASH pinned for the same reason as above — the
     // vector side must hash-build per partition, never collect to the
