@@ -271,6 +271,12 @@ object Bench {
       .createTempDirectory("graft_bench_land").toString
     val streamCkpt = java.nio.file.Files
       .createTempDirectory("graft_bench_ckpt").toString
+    // shared by x_follow_shards' passes: pass 1 pays checkpoint
+    // creation, later passes price the marginal announce→drain cycle
+    val shardEvDir = java.nio.file.Files
+      .createTempDirectory("graft_bench_shev").toString
+    val shardCkpt = java.nio.file.Files
+      .createTempDirectory("graft_bench_shck").toString
     val pipeline = Seq[(String, () => Unit)](
       "x_dump_sqlinsert" -> { () =>
         // checksum=false like the CSV leg: mydumper's default dump does
@@ -379,6 +385,18 @@ object Bench {
       "x_load_shards" -> { () =>
         operators.Assembly.readShards(spark, s"$csvDir/shards")
           .write.format("noop").mode("overwrite").save()
+      },
+      // the STREAMED trainer handoff (round 14): shards announced on the
+      // file-event protocol in shard order, a follow-mode consumer
+      // drains each as it lands and stops on the terminal done event —
+      // the dump→stream→load pipe applied to the training last mile
+      // (x_load_shards is the batch twin; this prices the concurrent
+      // shape a trainer tailing a live assembly job pays)
+      "x_follow_shards" -> { () =>
+        operators.Assembly.announceShards(s"$csvDir/shards", shardEvDir)
+        operators.Assembly.followShards(spark, shardEvDir, shardCkpt) {
+          (_, df) => df.write.format("noop").mode("overwrite").save()
+        }; ()
       }).filter(t => keep(t._1))
     // x-legs take the same min-across-passes treatment as the q_*
     // catalog (round-9 record: single-shot legs carried one IO-jitter

@@ -3472,6 +3472,75 @@ object Queries {
       .orderBy("cluster")
   }
 
+  /** Scene patterns for the BORDERLINE scene gate: scenes ≠ 3 carry the
+    * proven [[mediaGateLumas]] patterns (their boundaries clear the cut
+    * threshold with margin — spec-proven for the scene gate); scene 3
+    * is scene 2 plus a CONCENTRATED four-block delta whose summed
+    * magnitude is EXACTLY the cut threshold for odd variants (strict >
+    * fails — no cut, scene 3 merges into scene 2 and its content never
+    * embeds) and ONE LUMA LEVEL over it for even variants (cut fires).
+    * Concentration matters twice: it keeps every value clamp-free
+    * (+186/+100 on low-base blocks, −180/−110 on high-base), and it
+    * pushes scene 3's centered-cosine vs scene 2 BELOW τ (≈0.7), so
+    * the merged-away representative is a GENUINE lost match — a
+    * uniform +16 delta would embed scene 3 identically to scene 2 and
+    * lose nothing. MultimodalSpec proves the flip, the clamp-freedom,
+    * the one-lost-match arithmetic and the cross-group separation for
+    * this fixed construction. */
+  private[graft] def borderlineSceneLumas(g: Int, sc: Int, r: Int): Array[Int] = {
+    if (sc != 3) mediaGateLumas(g * 16 + sc, r)
+    else {
+      val p2 = mediaGateLumas(g * 16 + 2, r)
+      val out = p2.clone()
+      val lows = (0 until 36).filter(b => p2(b) < 128)
+      val highs = (0 until 36).filter(b => p2(b) >= 128)
+      out(lows(0)) += 186
+      out(lows(1)) += 100
+      out(highs(0)) -= 180
+      out(highs(1)) -= (if (r % 2 == 0) 111 else 110) // Σ|d| = 577 / 576
+      out
+    }
+  }
+
+  /** Scene-sampled near-dup with a deliberately BORDERLINE boundary —
+    * the shape the scene gate's old in-code failure paragraph worried
+    * about, now handled instead of documented: odd variants lose the
+    * scene-2→3 cut (rep count 5), even variants keep it (6), so an
+    * absolute match threshold of 6 would disconnect every odd variant
+    * (their scene-3 content genuinely never embeds — spec-proven one
+    * lost match, no cascade). `minMatchedFrac = 0.75` adapts the
+    * threshold to each pair's thinner side (6↔6 needs 5, anything
+    * touching a 5-rep video needs 4) while cross-group pairs stay under
+    * 4 matches (spec-proven), so the 40-group oracle holds. */
+  val qVideoSceneBorderline: QFn = (s, d) => {
+    val groups = 40
+    val nScenes = 6
+    val fps = 2
+    val mediaUdf = udf { (id: Long) =>
+      val g = (id % groups).toInt
+      val r = ((id / groups) % 8).toInt
+      val pats = Array.tabulate(nScenes)(sc => Queries.borderlineSceneLumas(g, sc, r))
+      graft.operators.Multimodal.y4mBlockLuma(24, 24, 6, 6, nScenes * fps,
+        (f, b) => pats(f / fps)(b))
+    }
+    val base = documents(s, d).select(col("doc_id"))
+    val nRows = base.count()
+    val docs = base.withColumn("media", mediaUdf(col("doc_id")))
+    val scenes = graft.operators.Multimodal.embedVideoSceneFrames(docs, "media")
+      .select(col("doc_id"), explode(col("scene_embs")).as("se"))
+      .select(col("doc_id"), col("se.scene_idx").as("scene_idx"),
+        col("se.emb").as("semb"))
+    val pairs = graft.operators.Multimodal.videoNearDupPairs(scenes,
+      "doc_id", "scene_idx", "semb",
+      bits = Similarity.lshBitsFor(nRows * nScenes), tables = 8, dim = 36,
+      tau = 0.9, minMatchedFrames = 3, minMatchedFrac = 0.75)
+      .select("id1", "id2")
+    graft.operators.Dedup.clusters(pairs)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("ids_sum"))
+      .orderBy("cluster")
+  }
+
   val qMediaSemdedup: QFn = (s, d) => {
     val groups = 40
     val mediaUdf = udf { (id: Long) =>
@@ -5206,6 +5275,7 @@ object Queries {
     "q_video_semdedup" -> qVideoSemdedup,
     "q_video_semdedup_robust" -> qVideoSemdedupRobust,
     "q_video_scene_semdedup" -> qVideoSceneSemdedup,
+    "q_video_scene_borderline" -> qVideoSceneBorderline,
     "q_multimodal" -> qMultimodal,
     "q_window_events" -> qWindowEvents,
     "q_stream_join" -> qStreamJoin,
@@ -5451,5 +5521,6 @@ object Queries {
     "q_audio_semdedup" -> qMediaSemdedupSql,
     "q_video_semdedup" -> qMediaSemdedupSql,
     "q_video_semdedup_robust" -> qMediaSemdedupSql,
-    "q_video_scene_semdedup" -> qMediaSemdedupSql)
+    "q_video_scene_semdedup" -> qMediaSemdedupSql,
+    "q_video_scene_borderline" -> qMediaSemdedupSql)
 }

@@ -82,6 +82,10 @@ object ScaleProbe {
     // 100× runs probe the two heaviest heads without paying the rest).
     val X = sys.env.getOrElse("SPARK_GRAFT_SCALE_X", "10").toInt
     val headRe = sys.env.get("SPARK_GRAFT_SCALE_HEADS").map(_.r)
+    // shared between the media_store_build / media_store_incremental
+    // leg pair (select both via SPARK_GRAFT_SCALE_HEADS=media_store)
+    val mediaStoreDir = java.nio.file.Files
+      .createTempDirectory("graft_probe_store").toString + "/s"
     val rep = explode(sequence(lit(0), lit(X - 1))).as("rep")
     val li0 = Tables.lineitem(spark, sfDir)
     val li = li0.select(col("*"), rep)
@@ -564,6 +568,59 @@ object ScaleProbe {
           dim = 36, maxCell = 48, hotWindow = 8)
           .where(col("score") >= 0.9).select("id1", "id2")
         operators.Dedup.clusters(pairs)
+      }),
+      // incremental media near-dup, the STORE build leg: the corpus is
+      // decoded+embedded ONCE into the NearDupStore (vecs + cell index,
+      // blind-append parquet). Run with SPARK_GRAFT_SCALE_HEADS=
+      // media_store so this and the incremental leg below both fire
+      // (the leg pair shares mediaStoreDir).
+      run("media_store_build", {
+        val groups = 40 * X
+        val mediaUdf = udf { (id: Long) =>
+          operators.Multimodal.bmpBlockLuma(24, 24, 6, 6,
+            Queries.mediaGateLumas((id % groups).toInt, (id / groups % 8).toInt))
+        }
+        val base = docs.select(col("doc_id"))
+        val nRows = base.count()
+        val media = base.withColumn("media", mediaUdf(col("doc_id")))
+        val emb = operators.Multimodal.embedImageBlocks(media, "media")
+          .select(col("doc_id"), col("block_emb"))
+        operators.NearDupStore.write(emb, "block_emb", "doc_id",
+          mediaStoreDir, "b1", operators.Similarity.lshBitsFor(nRows),
+          tables = 8, dim = 36)
+        operators.NearDupStore.cells(spark, mediaStoreDir)
+          .groupBy("batch_id").count()
+      }),
+      // incremental media near-dup, the NEW-BATCH leg — the 100 TB
+      // contract under test: a FIXED-size batch (10k images at every X)
+      // embeds only itself, appends, and pairs against the whole stored
+      // corpus from the index. Wall must track the BATCH, not the
+      // corpus: the only corpus-growing stage is the (id, cellkey)
+      // index semi-join, ~16 bytes/row — never a decode. The batch
+      // re-sees a FIXED 40 of the corpus's 40·X groups (a crawl batch
+      // overlaps a bounded slice of history, not all of it — a batch
+      // whose content touches EVERY dup cluster in the corpus would
+      // rightly pay to pair with every one of them), so the
+      // touched-cell view, and with it the pairing work, is bounded by
+      // the batch's content overlap, not by X.
+      run("media_store_incremental", {
+        val batchN = 10000L
+        val newUdf = udf { (id: Long) =>
+          val i = id - 1000000000000L
+          operators.Multimodal.bmpBlockLuma(24, 24, 6, 6,
+            Queries.mediaGateLumas((i % 40).toInt, ((i / 40) % 8).toInt))
+        }
+        val newDocs = spark.range(batchN)
+          .select((lit(1000000000000L) + col("id")).as("doc_id"))
+          .withColumn("media", newUdf(col("doc_id")))
+        val emb = operators.Multimodal.embedImageBlocks(newDocs, "media")
+          .select(col("doc_id"), col("block_emb"))
+        operators.NearDupStore.write(emb, "block_emb", "doc_id",
+          mediaStoreDir, "b2",
+          operators.Similarity.lshBitsFor(docs.count()), tables = 8, dim = 36)
+        operators.NearDupStore.pairs(spark, mediaStoreDir, tau = 0.9,
+          maxCell = 48, hotWindow = 8, newBatchId = Some("b2"))
+          .select("id1", "id2")
       }),
       // audio near-dup at X×: same capped-LSH pipeline over the energy
       //-envelope embedding (group count ∝ X like the image probe) —

@@ -79,4 +79,69 @@ object Assembly {
     * `outDir` with the hive `shard` column restored as int. */
   def readShards(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir).withColumn("shard", col("shard").cast("int"))
+
+  /** Producer half of the STREAMED shard handoff — the reference's
+    * dump→stream→load pipe (SURVEY §3.3, `mydumper_stream.c`) applied
+    * to the training last mile: announce each written shard directory
+    * on the [[graft.streaming.LandingStream]] file-event protocol, in
+    * shard order, then the terminal `done` event carrying the shard
+    * count (the consumer's stop-and-completeness signal, exactly the
+    * CLI stream-load contract). Returns the announced shard count. */
+  def announceShards(outDir: String, eventsDir: String): Int = {
+    val shardDirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .sortBy(_.getName.stripPrefix("shard=").toInt)
+    shardDirs.foreach { d =>
+      graft.streaming.LandingStream.announceFile(eventsDir, "data",
+        d.getName.stripPrefix("shard="), d.getAbsolutePath)
+    }
+    graft.streaming.LandingStream.announceFile(eventsDir, "done", "-",
+      shardDirs.length.toString)
+    shardDirs.length
+  }
+
+  /** Trainer-side consumer of [[announceShards]]: FOLLOW the events dir
+    * (ProcessingTime stream over a checkpoint — the concurrent mode, so
+    * shards announced after query start are still seen) and run
+    * `handle(shard, rows)` per shard IN ANNOUNCE ORDER; returns once
+    * every announced shard up to the terminal `done` has been handled.
+    * Delivery is AT-LEAST-ONCE, the file-event contract: a consumer
+    * that dies mid-run resumes from the checkpoint and re-handles the
+    * failed micro-batch's shards (StreamingSpec pins both the order and
+    * the redelivery), so `handle` must be idempotent per shard — which
+    * a trainer's "read shard k" naturally is. Ordering holds because
+    * announce names encode wall-clock arrival and
+    * [[graft.streaming.LandingStream.consumeFileEvents]] sorts each
+    * micro-batch by event-file name. */
+  def followShards(spark: SparkSession, eventsDir: String,
+      checkpoint: String, timeoutMs: Long = 120000L)(
+      handle: (Int, DataFrame) => Unit): Long = {
+    @volatile var expected = -1L
+    val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = graft.streaming.LandingStream.consumeFileEvents(spark,
+      eventsDir, checkpoint, follow = true) { (kind, table, path) =>
+      kind match {
+        case "data" =>
+          handle(table.toInt, spark.read.parquet(path))
+          seen.incrementAndGet()
+        case "done" => expected = path.toLong
+        case other => throw new IllegalArgumentException(
+          s"unexpected shard event kind '$other'")
+      }
+    }
+    // completion keys on the DONE event alone: micro-batches process
+    // sequentially, so by the time done is handled every earlier data
+    // event was either handled this run or committed by a previous one
+    // — counting handled shards instead would spuriously fail a
+    // crash-resume whose early batches committed before the crash
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (q.isActive && expected < 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(25)
+    if (q.isActive) q.stop()
+    q.awaitTermination()
+    require(expected >= 0,
+      s"no terminal done event within ${timeoutMs}ms — producer died?")
+    seen.get()
+  }
 }

@@ -298,7 +298,8 @@ object Multimodal {
     * no direction to normalize) images embed to null. Stays a pure
     * column map: embedding 10⁹ images never leaves the executor. */
   def embedImageBlocks(df: DataFrame, binCol: String, gridW: Int = 6,
-      gridH: Int = 6, outCol: String = "block_emb"): DataFrame = {
+      gridH: Int = 6, outCol: String = "block_emb",
+      avgPayloadBytes: Option[Long] = None): DataFrame = {
     require(gridW > 0 && gridH > 0)
     val dim = gridW * gridH
     val embUdf = udf { (b: Array[Byte]) =>
@@ -334,7 +335,7 @@ object Multimodal {
         case _ => null
       }
     }
-    df.withColumn(outCol, embUdf(col(binCol)))
+    sizedForMedia(df, avgPayloadBytes).withColumn(outCol, embUdf(col(binCol)))
   }
 
   /** Feature extraction via mapPartitions — the JVM shape of mapInPandas:
@@ -342,11 +343,12 @@ object Multimodal {
     * this container), then a streamed batch loop over REAL-decoded
     * payloads. Output: (passthrough columns..., embedding array<float>);
     * undecodable payloads embed to null. */
-  def embedMedia(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
+  def embedMedia(df: DataFrame, binCol: String, dim: Int = 16,
+      avgPayloadBytes: Option[Long] = None): DataFrame = {
     val inSchema = df.schema
     val outSchema = inSchema.add("embedding", ArrayType(FloatType))
     val binIdx = inSchema.fieldIndex(binCol)
-    df.mapPartitions { rows =>
+    sizedForMedia(df, avgPayloadBytes).mapPartitions { rows =>
       // REAL pipeline: load the vision/audio model once per partition here.
       val model = new StubEncoder(dim)
       rows.map { r =>
@@ -598,7 +600,8 @@ object Multimodal {
     * clear the rollup's `minMatchedFrames`. */
   def embedVideoFrameBlocks(df: DataFrame, binCol: String, gridW: Int = 6,
       gridH: Int = 6, frameStep: Int = 1,
-      outCol: String = "frame_embs"): DataFrame = {
+      outCol: String = "frame_embs",
+      avgPayloadBytes: Option[Long] = None): DataFrame = {
     require(gridW > 0 && gridH > 0 && frameStep > 0)
     val dim = gridW * gridH
     val schema = ArrayType(StructType(Seq(
@@ -657,22 +660,32 @@ object Multimodal {
     * embeds with exactly the [[embedVideoFrameBlocks]] arithmetic; both
     * happen in the same frame walk, so detection costs no second
     * decode. Re-encodes preserve scene STRUCTURE (a few-level global
-    * jitter moves Σ|Δ| far less than a real cut moves it), so scene
-    * ordinals align across variants and feed [[videoNearDupPairs]] as
-    * the frame key. Known failure mode (documented, inherent to
-    * ordinal keys): a boundary sitting exactly at the threshold can
-    * flip under re-encode jitter and shift EVERY later ordinal,
-    * breaking that pair's subsequent scene matches — the gate's
-    * construction proves its boundaries clear the threshold with
-    * margin; corpora with borderline cuts should lower
-    * `minMatchedFrames` or use the frame-level
-    * [[embedVideoFrameBlocks]] mode, whose frame indexes are
-    * time-stable. Output: array of (scene_idx, frame_idx, emb)
-    * structs; flat representative frames are skipped (no direction);
-    * non-video / corrupt / smaller-than-grid → null. */
+    * jitter moves Σ|Δ| far less than a real cut moves it), so the
+    * representative SET is stable across variants.
+    *
+    * Borderline boundaries degrade by EXACTLY ONE match, never a
+    * cascade (spec-proven on a deliberately threshold-straddling
+    * construction): downstream matching ([[videoNearDupPairs]]) is
+    * CONTENT-keyed — scene embeddings meet in LSH cells by value, and
+    * the scene ordinal is only a DISTINCTNESS key inside the packed
+    * LSH id, never a join key — so when a boundary sitting at the
+    * threshold flips under re-encode jitter, the only loss is the one
+    * representative of the merged-away scene (cuts are local to
+    * consecutive frames, so no later boundary moves, and every later
+    * representative still matches by content under its shifted
+    * ordinal). The rep-COUNT variance is what an absolute
+    * `minMatchedFrames` mishandles; corpora with borderline cuts
+    * should set [[videoNearDupPairs]]' `minMatchedFrac` (threshold
+    * adapts to the thinner side's rep count — the
+    * q_video_scene_borderline gate runs exactly that shape), or use
+    * the frame-level [[embedVideoFrameBlocks]] mode, whose frame
+    * indexes are time-stable. Output: array of (scene_idx, frame_idx,
+    * emb) structs; flat representative frames are skipped (no
+    * direction); non-video / corrupt / smaller-than-grid → null. */
   def embedVideoSceneFrames(df: DataFrame, binCol: String, gridW: Int = 6,
       gridH: Int = 6, threshold: Int = 16,
-      outCol: String = "scene_embs"): DataFrame = {
+      outCol: String = "scene_embs",
+      avgPayloadBytes: Option[Long] = None): DataFrame = {
     require(gridW > 0 && gridH > 0 && threshold >= 0)
     val dim = gridW * gridH
     val schema = ArrayType(StructType(Seq(
@@ -756,9 +769,18 @@ object Multimodal {
     *
     * Output: (id1, id2, n_matched) with id1 < id2; n_matched counts
     * DISTINCT id1-side frames with some partner frame ≥ `tau` in id2,
-    * and pairs below `minMatchedFrames` are dropped — one accidental
+    * and pairs below the match threshold are dropped — one accidental
     * frame collision can never merge two videos (the separation margin
-    * a single whole-video embedding lacks). Candidate volume is bounded
+    * a single whole-video embedding lacks). The threshold is
+    * max(`minMatchedFrames`, ceil(`minMatchedFrac` · min(reps(v1),
+    * reps(v2)))): the absolute floor guards against collision merges,
+    * and the RELATIVE part (when frac > 0) adapts to each pair's
+    * thinner side — the scene-sampled mode's rep count varies when a
+    * borderline boundary flips under re-encode (one rep per flip), and
+    * a fixed absolute count would punish exactly the pairs the flip
+    * touched. frac = 0 (default) keeps the historical absolute-only
+    * semantics and skips the rep-count join entirely. Candidate volume
+    * is bounded
     * by maxCell/hotWindow exactly like the image pipeline; a hot cell
     * of replica frames chains by packed id (= video id order), and
     * since replicas co-cell for EVERY sampled frame the same chain
@@ -768,8 +790,9 @@ object Multimodal {
       frameIdxCol: String, embCol: String, bits: Int, tables: Int = 8,
       dim: Int = 36, tau: Double = 0.9, minMatchedFrames: Int = 3,
       maxCell: Int = 48, hotWindow: Int = 8,
-      frameIdxBits: Int = 20): DataFrame = {
+      frameIdxBits: Int = 20, minMatchedFrac: Double = 0.0): DataFrame = {
     require(frameIdxBits > 0 && frameIdxBits < 40 && minMatchedFrames > 0)
+    require(minMatchedFrac >= 0.0 && minMatchedFrac <= 1.0)
     // explicit range guards on BOTH packed fields: a frame index past
     // 2^frameIdxBits−1 would bleed into the video id, and a negative or
     // ≥2^(63−frameIdxBits) video id overflows the shiftleft — either
@@ -799,9 +822,28 @@ object Multimodal {
       col("id1").bitwiseAND(lit((1L << frameIdxBits) - 1)).as("f1"),
       shiftright(col("id2"), frameIdxBits).as("v2"))
       .where(col("v1") < col("v2"))
-    v.groupBy(col("v1").as("id1"), col("v2").as("id2"))
+    val rolled = v.groupBy(col("v1").as("id1"), col("v2").as("id2"))
       .agg(countDistinct(col("f1")).as("n_matched"))
-      .where(col("n_matched") >= minMatchedFrames)
+    if (minMatchedFrac <= 0.0)
+      rolled.where(col("n_matched") >= minMatchedFrames)
+    else {
+      // per-video rep counts over the SAME guarded frame set the LSH
+      // saw; SHUFFLE_HASH pinned — the counts derive from the big frame
+      // table, whose garbage-small upstream estimate is exactly what
+      // static-broadcast misplans feed on (the selfTopKLsh re-attach
+      // lesson)
+      val reps = packed
+        .select(shiftright(col("fid"), frameIdxBits).as("vid"))
+        .groupBy("vid").agg(count(lit(1)).as("n_reps"))
+      rolled
+        .join(reps.select(col("vid").as("id1"), col("n_reps").as("n1"))
+          .hint("shuffle_hash"), "id1")
+        .join(reps.select(col("vid").as("id2"), col("n_reps").as("n2"))
+          .hint("shuffle_hash"), "id2")
+        .where(col("n_matched") >= greatest(lit(minMatchedFrames.toLong),
+          ceil(least(col("n1"), col("n2")) * lit(minMatchedFrac))))
+        .select("id1", "id2", "n_matched")
+    }
   }
 
   /** Mono 16-bit PCM square-wave WAV with a silent tail: `nTone` samples
@@ -918,7 +960,8 @@ object Multimodal {
     * embed to null. Feeds the same capped LSH near-dup pipeline text and
     * image embeddings ride ([[graft.operators.Similarity.selfTopKLsh]]). */
   def embedAudioWindows(df: DataFrame, binCol: String, nWin: Int = 16,
-      outCol: String = "win_emb"): DataFrame = {
+      outCol: String = "win_emb",
+      avgPayloadBytes: Option[Long] = None): DataFrame = {
     require(nWin > 0)
     val embUdf = udf { (b: Array[Byte]) =>
       parseWavFrames(b) match {
@@ -992,11 +1035,27 @@ object Multimodal {
 
   /** Partition sizing for media tables: ~MB payloads want far fewer rows
     * per partition than relational rows — target bytes per task, not row
-    * counts. */
+    * counts. A media table read at relational rows-per-task puts
+    * rows×payload bytes in one task's working set (the OOM this guard
+    * exists for); every embed entry point takes `avgPayloadBytes` and
+    * routes through here. Pass `rowCount` when the caller already knows
+    * it (the gates count the pre-decode frame anyway) — otherwise one
+    * metadata-cheap count runs here. */
   def repartitionForMedia(df: DataFrame, avgPayloadBytes: Long,
-      targetPartitionBytes: Long = 128L << 20): DataFrame = {
+      targetPartitionBytes: Long = 128L << 20,
+      rowCount: Option[Long] = None): DataFrame = {
     val rowsPerPartition = math.max(targetPartitionBytes / math.max(avgPayloadBytes, 1), 1)
-    val n = math.max((df.count() / rowsPerPartition).toInt, 1)
+    val n = math.max((rowCount.getOrElse(df.count()) / rowsPerPartition).toInt, 1)
     df.repartition(n)
   }
+
+  /** [[repartitionForMedia]] applied when the caller supplies a payload
+    * hint, identity otherwise — the shared guard of the embed entry
+    * points. */
+  private def sizedForMedia(df: DataFrame,
+      avgPayloadBytes: Option[Long]): DataFrame =
+    avgPayloadBytes match {
+      case Some(b) => repartitionForMedia(df, b)
+      case None    => df
+    }
 }

@@ -618,4 +618,157 @@ class MultimodalSpec extends SparkTestBase {
     val r = Multimodal.videoScenes(df, "media").select("scenes.n_cuts").collect()
     assert(r(0).getLong(0) === 0L)
   }
+
+  test("repartitionForMedia + embed entry-point wiring: partition count " +
+      "tracks BYTES (rows x payload / target), not row counts") {
+    import spark.implicits._
+    val rows = (0L until 1000L).map(i => (i, Multimodal.bmpMedia(8, 8, i)))
+    val df = rows.toDF("doc_id", "media").repartition(2)
+    // 1000 rows x 1 MiB avg at a 128 MiB target -> 128 rows/partition
+    // -> 7 partitions (1000/128 floored, min 1)
+    val sized = Multimodal.repartitionForMedia(df,
+      avgPayloadBytes = 1L << 20, targetPartitionBytes = 128L << 20,
+      rowCount = Some(1000L))
+    assert(sized.rdd.getNumPartitions === 7)
+    // 10x heavier payloads -> ~10x fewer rows per task (128/10 floors
+    // to 12 rows/partition -> 83 partitions)
+    val heavier = Multimodal.repartitionForMedia(df,
+      avgPayloadBytes = 10L << 20, rowCount = Some(1000L))
+    assert(heavier.rdd.getNumPartitions === 83)
+    // entry-point wiring: the hint resizes the embed input; no hint
+    // keeps the caller's partitioning (identity)
+    val embedded = Multimodal.embedImageBlocks(df, "media",
+      avgPayloadBytes = Some(1L << 20))
+    assert(embedded.rdd.getNumPartitions === 7)
+    assert(Multimodal.embedImageBlocks(df, "media")
+      .rdd.getNumPartitions === 2)
+    // and the values are untouched by the exchange (same embeddings)
+    val a = Multimodal.embedImageBlocks(df, "media")
+      .select("doc_id", "block_emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = embedded.select("doc_id", "block_emb").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a === b)
+  }
+
+  test("BORDERLINE scene boundary: the 2->3 cut flips by variant parity " +
+      "(exact integers), costs EXACTLY one representative -- no ordinal " +
+      "cascade -- and minMatchedFrac keeps the pair where an absolute " +
+      "threshold drops it") {
+    import spark.implicits._
+    val nScenes = 6
+    val fps = 2
+    def media(g: Int, r: Int): Array[Byte] = {
+      val pats = Array.tabulate(nScenes)(sc => Queries.borderlineSceneLumas(g, sc, r))
+      Multimodal.y4mBlockLuma(24, 24, 6, 6, nScenes * fps, (f, b) => pats(f / fps)(b))
+    }
+    // construction well-formedness for EVERY group and variant: values
+    // clamp-free (the delta must survive y4mBlockLuma's 0..255 clamp
+    // byte-exact or the flip arithmetic is fiction), >= 2 low and >= 2
+    // high base blocks exist, and the engineered boundary sums to
+    // EXACTLY 576 (odd r) / 577 (even r) block-levels = 16*576 / 16*577
+    // pixel-|delta| against the strict > 16*576 cut rule
+    for (g <- 0 until 40; r <- 0 until 8) {
+      val p2 = Queries.borderlineSceneLumas(g, 2, r)
+      val p3 = Queries.borderlineSceneLumas(g, 3, r)
+      assert(p3.forall(v => v >= 0 && v <= 255), s"clamp hit g=$g r=$r")
+      val sum = (0 until 36).map(b => math.abs(p3(b) - p2(b))).sum
+      assert(sum === (if (r % 2 == 0) 577 else 576), s"g=$g r=$r sum=$sum")
+      // non-engineered boundaries + the 3->4 one clear the cut with
+      // real margin for every variant (no accidental second flip)
+      for (sc <- 0 until nScenes - 1 if sc != 2) {
+        val a = Queries.borderlineSceneLumas(g, sc, r)
+        val b2 = Queries.borderlineSceneLumas(g, sc + 1, r)
+        val s2 = (0 until 36).map(b => math.abs(b2(b) - a(b))).sum
+        assert(s2 > 700, s"boundary $sc->${sc + 1} too close: $s2 (g=$g r=$r)")
+      }
+    }
+    // the flip through the REAL decode: even variants detect 6 scenes,
+    // odd variants 5 (the merged region's content never embeds)
+    val df = (for (r <- 0 until 8) yield (r.toLong, media(7, r)))
+      .toDF("doc_id", "media")
+    val scenes = Multimodal.embedVideoSceneFrames(df, "media")
+    val repCounts = scenes.select(col("doc_id"), size(col("scene_embs")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (r <- 0 until 8)
+      assert(repCounts(r.toLong) === (if (r % 2 == 0) 6 else 5),
+        s"variant $r rep count ${repCounts(r.toLong)}")
+    // scene 3's content is genuinely distinct from scene 2 (below tau):
+    // the lost representative is a REAL lost match, not a freebie
+    def embOf(l: Array[Int]): Array[Double] = {
+      val mean = l.map(_.toDouble).sum / 36
+      val c = l.map(_ - mean)
+      val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
+      c.map(_ * inv)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    for (g <- 0 until 40; r <- 0 until 8) {
+      val c23 = cos(embOf(Queries.borderlineSceneLumas(g, 2, r)),
+        embOf(Queries.borderlineSceneLumas(g, 3, r)))
+      assert(c23 < 0.9, s"scene3 must not match scene2: g=$g r=$r cos=$c23")
+    }
+    // end-to-end pair arithmetic (one even + one odd variant): the
+    // match count is nScenes - 1 = 5 -- every later scene still matches
+    // by CONTENT under its shifted ordinal (ordinals are distinctness
+    // keys only), refuting the cascade story; the absolute threshold 6
+    // drops the pair, minMatchedFrac = 0.75 keeps it (ceil(.75*5) = 4)
+    val frames = scenes
+      .select(col("doc_id"), explode(col("scene_embs")).as("se"))
+      .select(col("doc_id"), col("se.scene_idx").as("scene_idx"),
+        col("se.emb").as("semb"))
+    def pairsWith(minAbs: Int, frac: Double) =
+      Multimodal.videoNearDupPairs(frames, "doc_id", "scene_idx", "semb",
+        bits = 6, tables = 8, dim = 36, tau = 0.9,
+        minMatchedFrames = minAbs, minMatchedFrac = frac)
+    val loose = pairsWith(1, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // (0,1): id1 = variant 0 (6 reps), partner variant 1 (5 reps)
+    assert(loose((0L, 1L)) === 5L, s"mixed pair matched ${loose((0L, 1L))}")
+    assert(loose((1L, 3L)) === 5L) // odd-odd: both 5 reps, all match
+    assert(loose((0L, 2L)) === 6L) // even-even: all 6 match
+    val strict = pairsWith(6, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!strict.contains((0L, 1L)),
+      "absolute threshold 6 must drop the mixed pair (the demonstrated failure)")
+    val adaptive = pairsWith(3, 0.75).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every variant pair survives the adaptive threshold
+    val all = (for (a <- 0 until 8; b <- a + 1 until 8) yield (a.toLong, b.toLong)).toSet
+    assert(all.subsetOf(adaptive), s"missing: ${all -- adaptive}")
+  }
+
+  test("BORDERLINE gate separation is PROVEN: cross-group videos stay " +
+      "under the adaptive match threshold for the fixed construction") {
+    def embOf(l: Array[Int]): Array[Double] = {
+      val mean = l.map(_.toDouble).sum / 36
+      val c = l.map(_ - mean)
+      val inv = 1.0 / math.sqrt(c.map(x => x * x).sum)
+      c.map(_ * inv)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.indices.map(i => a(i) * b(i)).sum
+    // a variant's representative CONTENTS: odd variants never embed
+    // scene 3 (merged); even variants embed all 6
+    val classes = for (g <- 0 until 40; r <- 0 until 8) yield (g,
+      (0 until 6).filter(sc => sc != 3 || r % 2 == 0)
+        .map(sc => embOf(Queries.borderlineSceneLumas(g, sc, r))))
+    var worst = 0
+    for (i <- classes.indices; j <- i + 1 until classes.size
+        if classes(i)._1 != classes(j)._1) {
+      val (a, b) = (classes(i)._2, classes(j)._2)
+      val m = a.count(e1 => b.exists(e2 => cos(e1, e2) >= 0.9))
+      if (m > worst) worst = m
+    }
+    // adaptive threshold floor: max(3, ceil(.75 * min(5, 5))) = 4
+    assert(worst < 4, s"cross-group matched-scene count reached $worst")
+    // and in-group: same-scene embeddings across all variant pairs
+    // match pairwise (>= tau), so every in-group pair reaches its
+    // threshold (6<->6: 6 >= 5; any pair touching a 5-rep side: 5 >= 4)
+    val inMin = (for (g <- 0 until 40; sc <- 0 until 6;
+      r1 <- 0 until 8; r2 <- r1 + 1 until 8)
+      yield cos(embOf(Queries.borderlineSceneLumas(g, sc, r1)),
+        embOf(Queries.borderlineSceneLumas(g, sc, r2)))).min
+    assert(inMin > 0.99, s"in-group same-scene min cosine $inMin")
+  }
 }
