@@ -296,6 +296,10 @@ object ScaleProbe {
       run("bpe_train_32k", {
         import java.lang.management.{ManagementFactory, MemoryType}
         import scala.jdk.CollectionConverters._
+        // post-GC live set printed from inside the loop (see
+        // BpeTrain.mergesLocal) — the G1 peak below includes collectible
+        // churn and overstates residency by an order of magnitude
+        sys.props("graft.bpe.measureLive") = "1"
         ManagementFactory.getMemoryPoolMXBeans.asScala
           .filter(_.getType == MemoryType.HEAP).foreach(_.resetPeakUsage())
         val nWords = 50000L * X

@@ -43,6 +43,27 @@ object BpeTrain {
   private def spacedSymbols(word: org.apache.spark.sql.Column) =
     concat(lit(" "), array_join(split(word, ""), "  "), lit("  </w> "))
 
+  /** Heap-derived driver-path vocabulary limit — the in-memory loop's
+    * binding constraint is BYTES, not rows, so the limit is a
+    * bytes-per-word model against the actual heap. Measured (X=10
+    * probe, 32,768 merges, IntSet index): post-GC live set 612 MiB at
+    * 398,218 words / 392,059 live pairs ≈ 1.6 KiB per word all-in;
+    * budgeted at 2 KiB/word against a QUARTER of max heap so the loop
+    * can churn (G1 high-water ran ~10× the live set at X=10 — 5.9 GiB
+    * of mostly collectible garbage) and the driver's other tenants
+    * keep living. On the 32 GiB bench driver this lands at ~4.2M words
+    * (close to the old fixed 5M default); on an 8 GiB driver it
+    * correctly shrinks to ~1M, where the fixed default would have
+    * OOM'd. */
+  def driverVocabLimitForHeap(
+      maxHeapBytes: Long = Runtime.getRuntime.maxMemory()): Long =
+    math.max(10000L, maxHeapBytes / 4 / 2048)
+
+  /** Which path the last [[merges]] call took — observability for the
+    * crossover spec (BpeTrainSpec pins that a lowered limit actually
+    * engages the distributed loop, not just a different constant). */
+  @volatile private[graft] var lastPathDistributed: Boolean = false
+
   /** Learned merge table: (rank 1..numMerges, lhs, rhs, freq). Stops
     * early if the vocabulary runs out of adjacent pairs (every word
     * fully merged) — rank is then < numMerges.
@@ -67,7 +88,7 @@ object BpeTrain {
     * replace — so the switch is invisible to the value gates
     * (BpeTrainSpec pins path parity). */
   def merges(docs: DataFrame, textCol: String, numMerges: Int,
-      driverVocabLimit: Long = 5000000L): DataFrame = {
+      driverVocabLimit: Long = driverVocabLimitForHeap()): DataFrame = {
     val spark = docs.sparkSession
     val wcWords = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
@@ -77,6 +98,7 @@ object BpeTrain {
     if (driverVocabLimit > 0 && wcWords.limit(
         (driverVocabLimit + 1).min(Int.MaxValue.toLong).toInt)
         .count() <= driverVocabLimit) {
+      lastPathDistributed = false
       val rows = wcWords.collect().map(r =>
         (r.getString(0).split("").filter(_.nonEmpty) :+ "</w>", r.getLong(1)))
       val learnedLocal = mergesLocal(rows, numMerges)
@@ -91,6 +113,7 @@ object BpeTrain {
           StructField("freq", LongType, nullable = false))))
     }
 
+    lastPathDistributed = true
     val sc = spark.sparkContext
     def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) = {
       val before = sc.getPersistentRDDs.keySet
@@ -133,6 +156,50 @@ object BpeTrain {
         StructField("freq", LongType, nullable = false))))
   }
 
+  /** Open-addressing raw-int SET — the pair→words index's value type.
+    * Both obvious structures fail at 32k-merge scale, measured:
+    *  - mutable.BitSet allocates O(max word index / 8) bytes per pair
+    *    regardless of occupancy — a pair whose one occurrence sits in a
+    *    late word pays ~vocab/8 bytes, × hundreds of thousands of live
+    *    pairs (the r13 verdict's heap finding);
+    *  - a raw append list (tried first) has O(occurrences) memory on
+    *    paper but NO dedup: every word REWRITE re-adds the word's ~9
+    *    pairs, so hot pairs' lists grow with 32k merges of churn —
+    *    measured 21.3 GiB live and 2× the wall at X=10 (the re-scan
+    *    walks every stale duplicate).
+    * Linear-probe int set with a -1 sentinel gives BitSet's dedup at
+    * O(distinct (pair, word) incidences × 8 B): measured X=10 live set
+    * drops to the hundreds of MiB. Iteration order is hash order —
+    * harmless: per-word rewrites are independent, pair-count updates
+    * commute, and the argmax tie-break orders on (freq, lhs, rhs)
+    * values, so the learned table is order-independent (BpeTrainSpec
+    * parity pins it). */
+  private final class IntSet {
+    private var keys = Array.fill(8)(-1)
+    private var n = 0
+    def add(v: Int): Unit = {
+      val mask = keys.length - 1
+      var i = (v * 0x9E3779B9) >>> 1 & mask
+      while (keys(i) != -1) {
+        if (keys(i) == v) return
+        i = (i + 1) & mask
+      }
+      keys(i) = v
+      n += 1
+      if (n * 2 >= keys.length) { // grow at 50% load
+        val old = keys
+        keys = Array.fill(old.length << 1)(-1)
+        n = 0
+        var j = 0
+        while (j < old.length) { if (old(j) != -1) add(old(j)); j += 1 }
+      }
+    }
+    def foreachV(f: Int => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) { if (keys(i) != -1) f(keys(i)); i += 1 }
+    }
+  }
+
   /** In-memory merge loop over a collected (symbols, count) vocabulary —
     * the rounds-at-scale path (32k-merge tokenizers). Pair counts are
     * maintained INCREMENTALLY: each merge re-scans only the words that
@@ -163,7 +230,7 @@ object BpeTrain {
     val cnt = vocab.map(_._2)
     val pairFreq = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val pairWords = scala.collection.mutable.HashMap
-      .empty[(String, String), scala.collection.mutable.BitSet]
+      .empty[(String, String), IntSet]
     // lazy-deletion max-heap over (freq, lhs, rhs) snapshots: a linear
     // argmax over the pair map would be O(P) per merge — hours at 32k
     // merges × millions of pairs. Stale snapshots (freq changed since
@@ -187,8 +254,7 @@ object BpeTrain {
         if (nf == 0L) pairFreq.remove(p)
         else { pairFreq(p) = nf; heap.enqueue((nf, p._1, p._2)) }
         if (sign > 0)
-          pairWords.getOrElseUpdate(p,
-            scala.collection.mutable.BitSet.empty) += wi
+          pairWords.getOrElseUpdate(p, new IntSet).add(wi)
         i += 1
       }
     }
@@ -207,11 +273,11 @@ object BpeTrain {
       learned += ((l, r, f))
       k += 1
       val merged = l + r
-      // stale BitSet entries (word no longer contains the adjacency)
-      // fall out naturally: the re-scan below subtracts then re-adds the
-      // word's actual pairs, a no-op when (l, r) is absent
-      for (w <- pairWords.remove((l, r)).getOrElse(
-          scala.collection.mutable.BitSet.empty)) {
+      // stale or duplicate occurrence entries (word no longer contains
+      // the adjacency, or the same word listed twice) fall out
+      // naturally: the has-check below makes the re-scan a no-op when
+      // (l, r) is absent
+      pairWords.remove((l, r)).getOrElse(new IntSet).foreachV { w =>
         val a = words(w)
         var has = false
         var i = 0
@@ -232,6 +298,19 @@ object BpeTrain {
           addPairs(w, 1L)
         }
       }
+    }
+    // instrumentation hook (ScaleProbe's bpe head sets the property):
+    // the post-GC LIVE set of the loop's structures, measured while
+    // words/pairFreq/pairWords/heap are still reachable — the G1 peak
+    // the probe also prints includes collectible churn and overstates
+    // the actual residency by an order of magnitude
+    if (sys.props.contains("graft.bpe.measureLive")) {
+      System.gc(); System.gc()
+      val rt = Runtime.getRuntime
+      val live = rt.totalMemory() - rt.freeMemory()
+      System.err.println(s"bpe mergesLocal live set = ${live >> 20} MiB " +
+        s"(${vocab.length} words, ${pairFreq.size} live pairs, " +
+        s"heap entries ${heap.size})")
     }
     learned.toSeq
   }

@@ -159,4 +159,24 @@ class BpeTrainSpec extends SparkTestBase {
     val fused = seg.where(size(col("subwords")) < length(col("word")) + 1)
     assert(fused.count() > 0, "no merge ever applied")
   }
+
+  test("heap-derived vocab limit: bytes-per-word model, and a lowered " +
+      "limit actually ENGAGES the distributed loop (crossover observable)") {
+    import spark.implicits._
+    // the model: quarter-heap over 2 KiB/word, floored at 10k
+    assert(BpeTrain.driverVocabLimitForHeap(32L << 30) === (32L << 30) / 4 / 2048)
+    assert(BpeTrain.driverVocabLimitForHeap(8L << 30) === (8L << 30) / 4 / 2048)
+    assert(BpeTrain.driverVocabLimitForHeap(1L << 20) === 10000L) // floor
+    // crossover: 6 distinct words under a limit of 3 must take the
+    // distributed path; the default (heap-derived, >> 6) the driver path
+    val docs = Seq("aa ab ba bb ca cb", "aa ab ba bb").toDF("text")
+    val viaDriver = BpeTrain.merges(docs, "text", 8)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(!BpeTrain.lastPathDistributed, "default limit must use the driver path")
+    val viaDist = BpeTrain.merges(docs, "text", 8, driverVocabLimit = 3L)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(BpeTrain.lastPathDistributed,
+      "a limit below the vocab size must engage the distributed loop")
+    assert(viaDriver.toSeq === viaDist.toSeq, "paths must agree (parity)")
+  }
 }
