@@ -365,6 +365,26 @@ object Similarity {
     // (t, cell))
     val celled = base.select(col(idCol),
       explode(cellKeyArray(col(vecCol), bits, tables, dim)).as("cellkey"))
+    // pair-dedup width scales with the corpus: the dedup's reduce-side
+    // hash map holds its partition's DISTINCT pairs, and at X=1000
+    // (bits=17, ~10⁹ raw candidates — tables·n·density/2 ≈ 200·n) the
+    // session width put ~5M entries in each of 32 concurrent maps and
+    // spilled 99 GiB (r13 audio record). Width 2^(bits−7) holds
+    // per-task maps at ~1.5M pairs at ANY corpus size (n ≈ 2^(bits+6)
+    // by the lshBitsFor contract, so width tracks n without an extra
+    // count action); never below the session default, so small corpora
+    // keep their existing plans. The explicit hash repartition on the
+    // dedup keys satisfies the aggregate's required distribution — one
+    // exchange total, just wider.
+    // Pair-dedup WIDTH was experimented at X=1000 and REJECTED with
+    // data (SCALE.md round-14 table): an explicit
+    // repartition(2^(bits−7), id1, id2) under the dropDuplicates cut
+    // the dedup's hash-map spill 99→63 GiB but sits below the
+    // partial-aggregate, so the wire carries RAW pairs (+41% shuffle —
+    // map-side combine was saving ~40% of candidate volume) and wall
+    // never improved (915 s / 1229 s vs the 852 s baseline). The
+    // distinct's residual one-host spill is the LPA adjudication: the
+    // working set divides across a real cluster's executors.
     val pairs = cellPairs(celled, idCol, maxCell, hotWindow).distinct()
     // vector re-attach is a big-big equi-join (pairs × the full vector
     // table): SHUFFLE_HASH pinned for the same reason as above — the
@@ -381,11 +401,22 @@ object Similarity {
         VectorFunctions.cosine(col("v1"), col("v2")).as("score"))
     val both = scored.unionAll(
       scored.select(col("id2").as("id1"), col("id1").as("id2"), col("score")))
-    val w = Window.partitionBy(col("id1"))
-      .orderBy(col("score").desc, col("id2").asc)
-    both
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("id1"), col("id2"), col("rank").cast("long").as("rank"),
-        col("score"))
+    // THRESHOLD-GRAPH mode (k = MaxValue — every dedup caller: media/
+    // audio/video gates filter on score and discard rank): ranking is
+    // a full sort of 2·|scored pairs| inside every id1 partition that
+    // the consumer throws away — at the X=1000 audio probe that window
+    // sort was a leading spill source. Skip it; rank=0 keeps the
+    // output schema (no caller reads rank at unbounded k — finite-k
+    // kNN callers keep the exact ranked semantics below).
+    if (k == Int.MaxValue)
+      both.select(col("id1"), col("id2"), lit(0L).as("rank"), col("score"))
+    else {
+      val w = Window.partitionBy(col("id1"))
+        .orderBy(col("score").desc, col("id2").asc)
+      both
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select(col("id1"), col("id2"), col("rank").cast("long").as("rank"),
+          col("score"))
+    }
   }
 }
