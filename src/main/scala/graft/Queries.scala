@@ -3325,7 +3325,7 @@ object Queries {
       .select(col("doc_id"), col("win_emb"))
     val pairs = Similarity.selfTopKLsh(emb, "win_emb", "doc_id",
       k = Int.MaxValue, bits = Similarity.lshBitsFor(nRows), tables = 8,
-      dim = 16, maxCell = 48, hotWindow = 8)
+      dim = 16, maxCell = 48, hotWindow = 8, nRowsHint = nRows)
       .where(col("score") >= 0.9)
       .select(col("id1"), col("id2"))
     graft.operators.Dedup.clusters(pairs)
@@ -3423,7 +3423,7 @@ object Queries {
     val pairs = graft.operators.Multimodal.videoNearDupPairs(frames,
       "doc_id", "frame_idx", "femb",
       bits = Similarity.lshBitsFor(nRows * nFrames), tables = 8, dim = 36,
-      tau = 0.9, minMatchedFrames = 4)
+      tau = 0.9, minMatchedFrames = 4, nRowsHint = nRows * nFrames)
       .select("id1", "id2")
     graft.operators.Dedup.clusters(pairs)
       .groupBy("cluster")
@@ -3464,7 +3464,7 @@ object Queries {
     val pairs = graft.operators.Multimodal.videoNearDupPairs(scenes,
       "doc_id", "scene_idx", "semb",
       bits = Similarity.lshBitsFor(nRows * nScenes), tables = 8, dim = 36,
-      tau = 0.9, minMatchedFrames = 4)
+      tau = 0.9, minMatchedFrames = 4, nRowsHint = nRows * nScenes)
       .select("id1", "id2")
     graft.operators.Dedup.clusters(pairs)
       .groupBy("cluster")
@@ -3533,7 +3533,8 @@ object Queries {
     val pairs = graft.operators.Multimodal.videoNearDupPairs(scenes,
       "doc_id", "scene_idx", "semb",
       bits = Similarity.lshBitsFor(nRows * nScenes), tables = 8, dim = 36,
-      tau = 0.9, minMatchedFrames = 3, minMatchedFrac = 0.75)
+      tau = 0.9, minMatchedFrames = 3, minMatchedFrac = 0.75,
+      nRowsHint = nRows * nScenes)
       .select("id1", "id2")
     graft.operators.Dedup.clusters(pairs)
       .groupBy("cluster")
@@ -3563,7 +3564,7 @@ object Queries {
     // window-capped candidate set, not O(n²).
     val pairs = Similarity.selfTopKLsh(emb, "block_emb", "doc_id",
       k = Int.MaxValue, bits = Similarity.lshBitsFor(nRows), tables = 8,
-      dim = 36, maxCell = 48, hotWindow = 8)
+      dim = 36, maxCell = 48, hotWindow = 8, nRowsHint = nRows)
       .where(col("score") >= 0.9)
       .select(col("id1"), col("id2"))
     graft.operators.Dedup.clusters(pairs)
@@ -4406,8 +4407,9 @@ object Queries {
     * Score floored like q_knn_exact to make the double hash-comparable. */
   val qKnnGraph: QFn = (s, d) => {
     val e = embeddings(s, d)
+    val n = e.count()
     Similarity.selfTopKLsh(e, "embedding", "vec_id",
-      k = 5, bits = Similarity.lshBitsFor(e.count()), tables = 6)
+      k = 5, bits = Similarity.lshBitsFor(n), tables = 6, nRowsHint = n)
       .withColumn("score", floor(col("score") * lit(1000000.0)) / lit(1000000.0))
       .orderBy("id1", "rank")
   }
@@ -4458,9 +4460,10 @@ object Queries {
     * band for the windowed pairs, union, dedup, cosine, mirror, rank. */
   val qKnnGraphCapped: QFn = (s, d) => {
     val e = embeddings(s, d)
+    val n = e.count()
     Similarity.selfTopKLsh(e, "embedding", "vec_id",
-      k = 5, bits = Similarity.lshBitsFor(e.count()), tables = 6,
-      maxCell = 60, hotWindow = 8)
+      k = 5, bits = Similarity.lshBitsFor(n), tables = 6,
+      maxCell = 60, hotWindow = 8, nRowsHint = n)
       .withColumn("score", floor(col("score") * lit(1000000.0)) / lit(1000000.0))
       .orderBy("id1", "rank")
   }

@@ -569,7 +569,7 @@ object ScaleProbe {
         val pairs = operators.Similarity.selfTopKLsh(emb, "block_emb",
           "doc_id", k = Int.MaxValue,
           bits = operators.Similarity.lshBitsFor(nRows), tables = 8,
-          dim = 36, maxCell = 48, hotWindow = 8)
+          dim = 36, maxCell = 48, hotWindow = 8, nRowsHint = nRows)
           .where(col("score") >= 0.9).select("id1", "id2")
         operators.Dedup.clusters(pairs)
       }),
@@ -643,7 +643,7 @@ object ScaleProbe {
         val pairs = operators.Similarity.selfTopKLsh(emb, "win_emb",
           "doc_id", k = Int.MaxValue,
           bits = operators.Similarity.lshBitsFor(nRows), tables = 8,
-          dim = 16, maxCell = 48, hotWindow = 8)
+          dim = 16, maxCell = 48, hotWindow = 8, nRowsHint = nRows)
           .where(col("score") >= 0.9).select("id1", "id2")
         operators.Dedup.clusters(pairs)
       }),

@@ -790,7 +790,8 @@ object Multimodal {
       frameIdxCol: String, embCol: String, bits: Int, tables: Int = 8,
       dim: Int = 36, tau: Double = 0.9, minMatchedFrames: Int = 3,
       maxCell: Int = 48, hotWindow: Int = 8,
-      frameIdxBits: Int = 20, minMatchedFrac: Double = 0.0): DataFrame = {
+      frameIdxBits: Int = 20, minMatchedFrac: Double = 0.0,
+      nRowsHint: Long = 0L): DataFrame = {
     require(frameIdxBits > 0 && frameIdxBits < 40 && minMatchedFrames > 0)
     require(minMatchedFrac >= 0.0 && minMatchedFrac <= 1.0)
     // explicit range guards on BOTH packed fields: a frame index past
@@ -813,7 +814,7 @@ object Multimodal {
         col(embCol).as("femb"))
     val fp = Similarity.selfTopKLsh(packed, "femb", "fid",
       k = Int.MaxValue, bits = bits, tables = tables, dim = dim,
-      maxCell = maxCell, hotWindow = hotWindow)
+      maxCell = maxCell, hotWindow = hotWindow, nRowsHint = nRowsHint)
       .where(col("score") >= tau)
     // selfTopKLsh mirrors every pair, so keeping v1 < v2 sees each
     // undirected frame match exactly once, with f1 on the smaller video

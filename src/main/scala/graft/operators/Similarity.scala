@@ -268,18 +268,22 @@ object Similarity {
     * (MERGE on the self-joins) are part of the kernel — see the inline
     * reasoning. */
   private[operators] def cellPairs(celled: DataFrame, idCol: String,
-      maxCell: Int, hotWindow: Int): DataFrame = {
+      maxCell: Int, hotWindow: Int,
+      broadcastSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     if (maxCell <= 0) {
-      // MERGE pin: both sides are the full exploded cell table — a
-      // broadcast is never right here, but an upstream scan of a
-      // small file (or a generator) makes Catalyst's size estimate
-      // tiny and it would statically broadcast one side (a multi-GiB
-      // driver collect at probe scale); sort-merge spills gracefully
-      // where a hash build cannot
+      // join strategy must NOT come from Catalyst's estimate: an
+      // upstream scan of a small file (or a generator) makes it
+      // garbage-tiny and one side of a multi-GiB exploded cell table
+      // gets statically broadcast (a driver collect at probe scale).
+      // The CALLER decides from its own corpus estimate: a genuinely
+      // small cell table broadcasts (no exchange at all — the pre-pin
+      // plan small corpora used to get); otherwise sort-merge, which
+      // spills gracefully where a hash build cannot.
       val l = celled.select(col("cellkey"), col(idCol).as("id1"))
       val r = celled.select(col("cellkey"), col(idCol).as("id2"))
-      l.join(r.hint("merge"), Seq("cellkey"))
+      l.join(if (broadcastSelf) broadcast(r) else r.hint("merge"),
+          Seq("cellkey"))
         .where(col("id1") < col("id2"))
         .select("id1", "id2")
     } else {
@@ -351,7 +355,7 @@ object Similarity {
     * genuine dup clusters take the windowed path. */
   def selfTopKLsh(embs: DataFrame, vecCol: String, idCol: String, k: Int,
       bits: Int, tables: Int = 6, dim: Int = 64,
-      maxCell: Int = 0, hotWindow: Int = 8): DataFrame = {
+      maxCell: Int = 0, hotWindow: Int = 8, nRowsHint: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = embs.select(col(idCol), col(vecCol))
     // candidates as UNDIRECTED pairs (id1 < id2): halves the dedup
@@ -365,38 +369,35 @@ object Similarity {
     // (t, cell))
     val celled = base.select(col(idCol),
       explode(cellKeyArray(col(vecCol), bits, tables, dim)).as("cellkey"))
-    // pair-dedup width scales with the corpus: the dedup's reduce-side
-    // hash map holds its partition's DISTINCT pairs, and at X=1000
-    // (bits=17, ~10⁹ raw candidates — tables·n·density/2 ≈ 200·n) the
-    // session width put ~5M entries in each of 32 concurrent maps and
-    // spilled 99 GiB (r13 audio record). Width 2^(bits−7) holds
-    // per-task maps at ~1.5M pairs at ANY corpus size (n ≈ 2^(bits+6)
-    // by the lshBitsFor contract, so width tracks n without an extra
-    // count action); never below the session default, so small corpora
-    // keep their existing plans. The explicit hash repartition on the
-    // dedup keys satisfies the aggregate's required distribution — one
-    // exchange total, just wider.
-    // Pair-dedup WIDTH was experimented at X=1000 and REJECTED with
-    // data (SCALE.md round-14 table): an explicit
-    // repartition(2^(bits−7), id1, id2) under the dropDuplicates cut
-    // the dedup's hash-map spill 99→63 GiB but sits below the
-    // partial-aggregate, so the wire carries RAW pairs (+41% shuffle —
-    // map-side combine was saving ~40% of candidate volume) and wall
-    // never improved (915 s / 1229 s vs the 852 s baseline). The
-    // distinct's residual one-host spill is the LPA adjudication: the
-    // working set divides across a real cluster's executors.
-    val pairs = cellPairs(celled, idCol, maxCell, hotWindow).distinct()
-    // vector re-attach is a big-big equi-join (pairs × the full vector
-    // table): SHUFFLE_HASH pinned for the same reason as above — the
-    // vector side must hash-build per partition, never collect to the
-    // driver on a garbage size estimate (X=1000 video probe: a 3.6 GiB
-    // "broadcast" build failed spark.driver.maxResultSize; the r12 LPA
-    // join got the identical pin)
+    // (Pair-dedup WIDTH was experimented at X=1000 and REJECTED with
+    // data — SCALE.md round-14 table: an explicit repartition under the
+    // dropDuplicates cut the dedup's hash-map spill 99→63 GiB but sits
+    // below the partial-aggregate, so the wire carries RAW pairs, +41%
+    // shuffle, and wall never improved. The distinct's residual
+    // one-host spill is the LPA adjudication: the working set divides
+    // across a real cluster's executors.)
+    val nEst = if (nRowsHint > 0) nRowsHint else 1L << math.min(bits + 6, 62)
+    val pairs = cellPairs(celled, idCol, maxCell, hotWindow,
+      broadcastSelf = maxCell <= 0 && nEst * tables * 24L <= (32L << 20))
+      .distinct()
+    // vector re-attach, SIZE-AWARE: Catalyst's own estimate is garbage
+    // here (the vector side usually sits downstream of a decode/embed
+    // UDF over a small file scan — the X=1000 video probe statically
+    // "broadcast" a 3.6 GiB side into driver.maxResultSize), so the
+    // strategy derives from the operator's OWN corpus estimate:
+    // `nRowsHint` when the caller passed its count (the gates all have
+    // one), else the lshBitsFor contract's upper bound n ≤ 2^(bits+6).
+    // A genuinely small vector table broadcasts — the r13 unconditional
+    // SHUFFLE_HASH pin shuffled 2.3M candidate pairs TWICE to join a
+    // 20k-row / ~6 MB vector table, a measured 3.3× on q_knn_graph at
+    // sf1 — and anything past the 32 MB budget hash-builds per
+    // partition, never on the driver.
+    val smallVecs = nEst <= (32L << 20) / (4L * dim + 48)
+    def vside(d: DataFrame): DataFrame =
+      if (smallVecs) broadcast(d) else d.hint("shuffle_hash")
     val scored = pairs
-      .join(base.select(col(idCol).as("id1"), col(vecCol).as("v1"))
-        .hint("shuffle_hash"), "id1")
-      .join(base.select(col(idCol).as("id2"), col(vecCol).as("v2"))
-        .hint("shuffle_hash"), "id2")
+      .join(vside(base.select(col(idCol).as("id1"), col(vecCol).as("v1"))), "id1")
+      .join(vside(base.select(col(idCol).as("id2"), col(vecCol).as("v2"))), "id2")
       .select(col("id1"), col("id2"),
         VectorFunctions.cosine(col("v1"), col("v2")).as("score"))
     val both = scored.unionAll(
