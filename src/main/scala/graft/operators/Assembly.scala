@@ -88,13 +88,18 @@ object Assembly {
     * count (the consumer's stop-and-completeness signal, exactly the
     * CLI stream-load contract). Returns the announced shard count. */
   def announceShards(outDir: String, eventsDir: String): Int = {
-    val shardDirs = Option(new java.io.File(outDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
-      .sortBy(_.getName.stripPrefix("shard=").toInt)
+    // Hadoop FS listing, not java.io: the shards were written by Spark
+    // (any Hadoop scheme — a java.io listing over an object-store
+    // outDir finds NOTHING and silently announces an empty handoff)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(
+      graft.streaming.LandingStream.protocolHadoopConf())
+    val shardDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .sortBy(_.getPath.getName.stripPrefix("shard=").toInt)
     shardDirs.foreach { d =>
       graft.streaming.LandingStream.announceFile(eventsDir, "data",
-        d.getName.stripPrefix("shard="), d.getAbsolutePath)
+        d.getPath.getName.stripPrefix("shard="), d.getPath.toString)
     }
     graft.streaming.LandingStream.announceFile(eventsDir, "done", "-",
       shardDirs.length.toString)
@@ -115,10 +120,18 @@ object Assembly {
     * [[graft.streaming.LandingStream.consumeFileEvents]] sorts each
     * micro-batch by event-file name. */
   def followShards(spark: SparkSession, eventsDir: String,
-      checkpoint: String, timeoutMs: Long = 120000L)(
+      checkpoint: String, timeoutMs: Long = 120000L,
+      reorderGraceMs: Long = 3000L)(
       handle: (Int, DataFrame) => Unit): Long = {
     @volatile var expected = -1L
     val seen = new java.util.concurrent.atomic.AtomicLong(0L)
+    // fresh-vs-resumed checkpoint decides how strictly completion can
+    // be checked: a fresh run must handle EVERY announced shard itself,
+    // so seen-vs-expected is exact; a resume legitimately re-handles
+    // only uncommitted batches and its seen count undershoots
+    val cpPath = new org.apache.hadoop.fs.Path(checkpoint)
+    val freshCheckpoint = !cpPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(cpPath)
     val q = graft.streaming.LandingStream.consumeFileEvents(spark,
       eventsDir, checkpoint, follow = true) { (kind, table, path) =>
       kind match {
@@ -130,18 +143,34 @@ object Assembly {
           s"unexpected shard event kind '$other'")
       }
     }
-    // completion keys on the DONE event alone: micro-batches process
-    // sequentially, so by the time done is handled every earlier data
-    // event was either handled this run or committed by a previous one
-    // — counting handled shards instead would spuriously fail a
-    // crash-resume whose early batches committed before the crash
+    // completion keys on the DONE event, then drains a REORDER window:
+    // micro-batches process sequentially, but the file source's LISTING
+    // can surface the done event file before an earlier data event file
+    // (eventually-consistent stores — exactly the concurrent
+    // trainer-tailing mode this follows in), so stopping on done alone
+    // would silently skip those shards. After done, keep consuming
+    // until the handled count goes quiet for `reorderGraceMs` (a few
+    // trigger intervals), or — on a fresh checkpoint, where the
+    // comparison is exact — until it covers `expected`.
     val deadline = System.currentTimeMillis() + timeoutMs
     while (q.isActive && expected < 0 &&
         System.currentTimeMillis() < deadline) Thread.sleep(25)
+    var lastSeen = seen.get()
+    var lastMove = System.currentTimeMillis()
+    while (q.isActive && System.currentTimeMillis() < deadline &&
+        !(freshCheckpoint && seen.get() >= expected && expected >= 0) &&
+        System.currentTimeMillis() - lastMove < reorderGraceMs) {
+      Thread.sleep(25)
+      val s = seen.get()
+      if (s != lastSeen) { lastSeen = s; lastMove = System.currentTimeMillis() }
+    }
     if (q.isActive) q.stop()
     q.awaitTermination()
     require(expected >= 0,
       s"no terminal done event within ${timeoutMs}ms — producer died?")
+    require(!freshCheckpoint || seen.get() == expected,
+      s"handled ${seen.get()} of $expected announced shards on a fresh " +
+        "checkpoint — events lost or still unlisted past the grace period")
     seen.get()
   }
 }

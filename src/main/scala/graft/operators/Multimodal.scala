@@ -648,7 +648,7 @@ object Multimodal {
         }
       }
     }, schema)
-    df.withColumn(outCol, embUdf(col(binCol)))
+    sizedForMedia(df, avgPayloadBytes).withColumn(outCol, embUdf(col(binCol)))
   }
 
   /** Scene-REPRESENTATIVE frame embeddings of a Y4M video in ONE decode
@@ -751,7 +751,7 @@ object Multimodal {
         }
       }
     }, schema)
-    df.withColumn(outCol, embUdf(col(binCol)))
+    sizedForMedia(df, avgPayloadBytes).withColumn(outCol, embUdf(col(binCol)))
   }
 
   /** Video-level near-dup pairs from per-frame embeddings — the
@@ -803,7 +803,7 @@ object Multimodal {
     // default 20 bits / 25 fps) stop participating in candidates; raise
     // frameIdxBits for archival footage, and re-key ids below 2^43 if a
     // catalog hands out wider ones
-    val packed = frames
+    val packedRaw = frames
       .where(col(frameIdxCol) >= 0 &&
         col(frameIdxCol) < (1L << frameIdxBits) &&
         col(idCol) >= 0 &&
@@ -812,6 +812,18 @@ object Multimodal {
         (shiftleft(col(idCol).cast(LongType), frameIdxBits) +
           col(frameIdxCol).cast(LongType)).as("fid"),
         col(embCol).as("femb"))
+    // frac mode reads the packed frame table TWICE (the LSH and the
+    // per-video rep counts) and the LSH's vector re-attach reads it
+    // again — and `frames` typically sits downstream of the decode+
+    // embed UDF, the dominant cost of these pipelines. Materialize the
+    // post-guard embeddings ONCE (eager localCheckpoint — the
+    // [[graft.operators.Dedup.checkpointTracked]] adjudication; blocks
+    // are tiny, dim floats per frame, and live until the session sweeps
+    // persistent RDDs like the other convenience overloads). Absolute-
+    // only mode keeps the historical lazy shape.
+    val packed =
+      if (minMatchedFrac > 0.0) Dedup.checkpointTracked(packedRaw)._1
+      else packedRaw
     val fp = Similarity.selfTopKLsh(packed, "femb", "fid",
       k = Int.MaxValue, bits = bits, tables = tables, dim = dim,
       maxCell = maxCell, hotWindow = hotWindow, nRowsHint = nRowsHint)
@@ -999,7 +1011,7 @@ object Multimodal {
         case _ => null
       }
     }
-    df.withColumn(outCol, embUdf(col(binCol)))
+    sizedForMedia(df, avgPayloadBytes).withColumn(outCol, embUdf(col(binCol)))
   }
 
   /** [[parseWav]] variant exposing the data-chunk location for sample

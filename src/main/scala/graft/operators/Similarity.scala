@@ -376,23 +376,37 @@ object Similarity {
     // shuffle, and wall never improved. The distinct's residual
     // one-host spill is the LPA adjudication: the working set divides
     // across a real cluster's executors.)
+    // BROADCAST GATE: a static broadcast here is only safe when the
+    // operator KNOWS the corpus is small, and the only trustworthy
+    // source of that is the caller's own count (`nRowsHint`). The
+    // no-hint fallback n ≤ 2^(bits+6) is an upper bound ONLY under the
+    // [[lshBitsFor]] contract; the API admits caller-chosen small bits
+    // (qKnnLshExact passes bits = 0), where the "bound" is fiction and
+    // a static broadcast would driver-collect an arbitrarily large
+    // corpus. So: no hint → the conservative pinned strategies
+    // (shuffle_hash / merge — never broadcast), exactly the pre-r14
+    // behavior; the fallback estimate is used for SIZING decisions
+    // only, never for broadcast eligibility. Spec-pinned
+    // (SimilaritySpec "no-hint floor-bits fallback never broadcasts").
     val nEst = if (nRowsHint > 0) nRowsHint else 1L << math.min(bits + 6, 62)
+    val knownSmall = nRowsHint > 0
     val pairs = cellPairs(celled, idCol, maxCell, hotWindow,
-      broadcastSelf = maxCell <= 0 && nEst * tables * 24L <= (32L << 20))
+      broadcastSelf = maxCell <= 0 && knownSmall &&
+        nEst * tables * 24L <= (32L << 20))
       .distinct()
     // vector re-attach, SIZE-AWARE: Catalyst's own estimate is garbage
     // here (the vector side usually sits downstream of a decode/embed
     // UDF over a small file scan — the X=1000 video probe statically
     // "broadcast" a 3.6 GiB side into driver.maxResultSize), so the
-    // strategy derives from the operator's OWN corpus estimate:
+    // strategy derives from the operator's OWN corpus estimate —
     // `nRowsHint` when the caller passed its count (the gates all have
-    // one), else the lshBitsFor contract's upper bound n ≤ 2^(bits+6).
-    // A genuinely small vector table broadcasts — the r13 unconditional
+    // one); no hint → pinned shuffle_hash (see the broadcast gate
+    // above). A KNOWN-small vector table broadcasts — the r13 unconditional
     // SHUFFLE_HASH pin shuffled 2.3M candidate pairs TWICE to join a
     // 20k-row / ~6 MB vector table, a measured 3.3× on q_knn_graph at
     // sf1 — and anything past the 32 MB budget hash-builds per
     // partition, never on the driver.
-    val smallVecs = nEst <= (32L << 20) / (4L * dim + 48)
+    val smallVecs = knownSmall && nEst <= (32L << 20) / (4L * dim + 48)
     def vside(d: DataFrame): DataFrame =
       if (smallVecs) broadcast(d) else d.hint("shuffle_hash")
     val scored = pairs

@@ -107,6 +107,16 @@ object LandingStream {
   /** Per-JVM tiebreaker for same-millisecond announcements. */
   private val announceSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Hadoop configuration for driver-side protocol I/O: the active
+    * session's (so object-store credentials and scheme wiring follow
+    * the Spark job's), else a bare default — the announce paths must
+    * work from producer processes that may announce before (or
+    * without) building a session. */
+  private[graft] def protocolHadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Producer half of [[consumeFileEvents]]: announce one closed file.
     * Names order by WALL-CLOCK millis + a per-JVM sequence — nanoTime
     * has an arbitrary (possibly negative) per-JVM origin, so a daemon
@@ -114,15 +124,30 @@ object LandingStream {
     * old JVM's data events and the consumer's catch-up batch would run
     * post jobs before any data loaded. Wall clock is monotonic across
     * restarts at the seconds-between-runs granularity this protocol
-    * needs (the reference's analog is pipe arrival order). */
+    * needs (the reference's analog is pipe arrival order).
+    *
+    * Written through the Hadoop FS API — the shards/events this
+    * protocol hands off are produced by Spark writers that speak any
+    * Hadoop scheme, so the announce leg must too (a java.nio write
+    * would silently target the LOCAL disk under an s3a:// events dir).
+    * The event file lands as a dot-prefixed temp (invisible to the
+    * consumer's file-source listing) and RENAMES to its final name, so
+    * a consumer can never read a half-written line. */
   def announceFile(eventsDir: String, kind: String, table: String,
       path: String): Unit = {
     val line = s"$kind\t$table\t$path\n"
-    java.nio.file.Files.writeString(
-      // zero-padded time so lexical filename order == announce order
-      java.nio.file.Paths.get(eventsDir,
-        f"ev_${System.currentTimeMillis()}%016d_${announceSeq.incrementAndGet()}%08d_${math.abs(path.hashCode)}%08x.txt"),
-      line)
+    val dir = new org.apache.hadoop.fs.Path(eventsDir)
+    val fs = dir.getFileSystem(protocolHadoopConf())
+    fs.mkdirs(dir)
+    // zero-padded time so lexical filename order == announce order
+    val name =
+      f"ev_${System.currentTimeMillis()}%016d_${announceSeq.incrementAndGet()}%08d_${math.abs(path.hashCode)}%08x.txt"
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, name)))
+      throw new java.io.IOException(s"announce rename failed under $eventsDir")
   }
 
   /** Event-time tumbling-window aggregate with watermark over a streaming

@@ -642,6 +642,20 @@ class MultimodalSpec extends SparkTestBase {
     assert(embedded.rdd.getNumPartitions === 7)
     assert(Multimodal.embedImageBlocks(df, "media")
       .rdd.getNumPartitions === 2)
+    // EVERY embed entry point routes through the guard (the r14 advice
+    // gap: the video/audio points accepted the hint and ignored it)
+    assert(Multimodal.embedVideoFrameBlocks(df, "media",
+      avgPayloadBytes = Some(1L << 20)).rdd.getNumPartitions === 7)
+    assert(Multimodal.embedVideoSceneFrames(df, "media",
+      avgPayloadBytes = Some(1L << 20)).rdd.getNumPartitions === 7)
+    assert(Multimodal.embedAudioWindows(df, "media",
+      avgPayloadBytes = Some(1L << 20)).rdd.getNumPartitions === 7)
+    assert(Multimodal.embedVideoFrameBlocks(df, "media")
+      .rdd.getNumPartitions === 2)
+    assert(Multimodal.embedVideoSceneFrames(df, "media")
+      .rdd.getNumPartitions === 2)
+    assert(Multimodal.embedAudioWindows(df, "media")
+      .rdd.getNumPartitions === 2)
     // and the values are untouched by the exchange (same embeddings)
     val a = Multimodal.embedImageBlocks(df, "media")
       .select("doc_id", "block_emb").collect()

@@ -360,4 +360,36 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("HashAggregate"), "domain counts not hash-aggregated")
   }
+
+  test("selfTopKLsh without a corpus hint NEVER broadcasts (floor-bits " +
+      "fallback estimate is not broadcast-eligible); with the hint a " +
+      "genuinely small corpus earns its broadcast") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf).where(col("vec_id") < 200)
+    // bits at the lshBitsFor clamp floor + no hint: the 2^(bits+6)=512
+    // "bound" is fiction for out-of-contract callers, so the strategy
+    // must stay on the conservative pins — a static broadcast here is
+    // the driver-collect footgun (VERDICT r14 "what's wrong" #2)
+    val noHint = graft.operators.Similarity.selfTopKLsh(
+      e, "embedding", "vec_id", k = 5, bits = 3, tables = 2)
+    noHint.collect()
+    val p = noHint.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!p.contains("BroadcastExchange") && !p.contains("BroadcastHashJoin"),
+      "no-hint fallback broadcast a side:\n" + p.take(3000))
+    // the same corpus WITH its count: small, so the r14 size-aware
+    // strategy broadcasts the vector re-attach side
+    val hinted = graft.operators.Similarity.selfTopKLsh(
+      e, "embedding", "vec_id", k = 5, bits = 3, tables = 2,
+      nRowsHint = 200L)
+    hinted.collect()
+    val ph = hinted.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(ph.contains("BroadcastExchange") || ph.contains("BroadcastHashJoin"),
+      "hinted small corpus lost its broadcast:\n" + ph.take(3000))
+    // and the two strategies agree on the result
+    val a = noHint.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = hinted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b, "join strategy changed the pair set")
+  }
 }

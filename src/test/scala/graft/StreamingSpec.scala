@@ -5,6 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import java.nio.file.Files
 
+/** A RawLocalFileSystem under a NON-`file:` scheme — the standard
+  * Spark-test pattern for proving a code path speaks the Hadoop FS API
+  * instead of java.io/java.nio (which would silently target the local
+  * disk regardless of the path's scheme). Registered per-test via
+  * `fs.graftfs.impl`. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
 /** Structured Streaming surface (SURVEY §2.10, §3.3): landing-dir
   * file handoff + event-time windows with watermark. */
 class StreamingSpec extends SparkTestBase {
@@ -419,5 +429,33 @@ class StreamingSpec extends SparkTestBase {
     // the handoff is row-lossless: re-reading what the trainer saw
     // equals the written shard table
     assert(Assembly.readShards(spark, shardDir).count() === 120L)
+  }
+
+  test("shard handoff speaks the Hadoop FS API end-to-end: write, list, " +
+      "announce and follow all work on a non-file: scheme") {
+    import graft.operators.Assembly
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val shardDir = "graftfs://" + Files.createTempDirectory("graft_gfs_out_")
+    val evDir = "graftfs://" + Files.createTempDirectory("graft_gfs_ev_")
+    val ckpt = Files.createTempDirectory("graft_gfs_ck_").toString
+    import spark.implicits._
+    val chunks = (for (d <- 1L to 20L; c <- 0L until 2L) yield
+      (d, c, Seq.tabulate(4 + (d % 5).toInt)(i => s"w${(d + i) % 17}").mkString(" ")))
+      .toDF("doc_id", "chunk_id", "chunk_text")
+    val n = Assembly.writeShards(chunks, "chunk_text", "doc_id", "chunk_id",
+      tokenBudget = 48, nShards = 3, outDir = shardDir)
+    assert(n === 40L)
+    // the r14 java.io listing found NOTHING on a non-local scheme and
+    // announced an empty handoff; the Hadoop FS port must see all shards
+    val announced = Assembly.announceShards(shardDir, evDir)
+    assert(announced === 3, s"announced $announced of 3 shards")
+    val handled = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val seen = Assembly.followShards(spark, evDir, ckpt, timeoutMs = 60000L) {
+      (shard, df) => handled += ((shard, df.count()))
+    }
+    assert(seen === 3L)
+    assert(handled.map(_._1).toSeq === Seq(0, 1, 2), s"order: $handled")
+    assert(handled.map(_._2).sum === 40L, "rows lost through the scheme")
   }
 }
