@@ -64,6 +64,11 @@ object BpeTrain {
     * engages the distributed loop, not just a different constant). */
   @volatile private[graft] var lastPathDistributed: Boolean = false
 
+  /** Distributed rounds the last [[merges]] call paid (each = one pair
+    * count + one checkpoint) — observability for the batched loop:
+    * rounds ≪ merges is the 32k-wall cut SCALE.md round-15 records. */
+  @volatile private[graft] var lastDistributedRounds: Int = 0
+
   /** Learned merge table: (rank 1..numMerges, lhs, rhs, freq). Stops
     * early if the vocabulary runs out of adjacent pairs (every word
     * fully merged) — rank is then < numMerges.
@@ -126,23 +131,85 @@ object BpeTrain {
     val learned = scala.collection.mutable.ArrayBuffer.empty[Row]
     var k = 0
     var exhausted = false
+    // BATCHED rounds: one distributed pair count can safely commit
+    // SEVERAL merges when they provably equal what the sequential loop
+    // would have picked — the cure for the 32k-merge wall (one Spark
+    // round per merge ≈ hours of driver-round latency at real
+    // tokenizer depth; SCALE.md round-15 measures the cut). The rule:
+    // take the LONGEST PREFIX p1..pm of the stale ranking (f DESC,
+    // lhs ASC, rhs ASC — the argmax's own total order) that is
+    // pairwise SYMBOL-DISJOINT, truncated so f(pm) is STRICTLY above
+    // the first excluded pair's stale count. Exactness argument:
+    //  - disjoint merges don't touch each other's counts, so each
+    //    batch member keeps its stale count and the stale tie-break
+    //    order among them;
+    //  - every pair a batch merge DECREASES shares a symbol with it →
+    //    excluded from the prefix → stale count ≤ f(excluded#1) <
+    //    f(pm), and counts only fall;
+    //  - every pair a batch merge CREATES, (X, Y), occurs only where
+    //    the stale vocab had the boundary adjacency (last-symbol-of-X,
+    //    first-symbol-of-Y); X or Y being freshly merged makes that
+    //    boundary pair share a symbol with a batch member → also
+    //    bounded < f(pm).
+    //  So at sequential step i the candidates are p_i..pm at stale
+    //  counts plus strictly-smaller everything-else: argmax = p_i. A
+    //  batch of 1 is the plain sequential argmax and needs no strict
+    //  gap (ties included), so progress is always ≥ 1 merge/round.
+    val roundBudget = 256 // collect budget; batches self-truncate below it
+    val checkpointEvery =
+      sys.props.getOrElse("graft.bpe.checkpointEvery", "1").toInt max 1
+    lastDistributedRounds = 0
     while (k < numMerges && !exhausted) {
+      lastDistributedRounds += 1
       val pairs = vocab
         .select(col("cnt"), split(trim(col("s")), "  ").as("a"))
         .select(col("cnt"), explode(TextFunctions.adjacentPairs(col("a"))).as("p"))
         .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("f"))
-      val best = pairs.orderBy(col("f").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+      val want = math.min(roundBudget, numMerges - k)
+      val top = pairs.orderBy(col("f").desc, col("l").asc, col("r").asc)
+        .limit(want + 1).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        k += 1
-        learned += Row(k.toLong, l, r, f)
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        var open = true
+        while (open && i < math.min(top.length, want)) {
+          val (l, r, _) = top(i)
+          if (used.contains(l) || used.contains(r)) open = false
+          else { batch += top(i); used += l; used += r; i += 1 }
+        }
+        // strict-gap truncation: drop batch tail tied with the first
+        // excluded pair's count (a 1-merge batch is exempt — it IS the
+        // sequential argmax)
+        if (i < top.length) {
+          val boundary = top(i)._3
+          while (batch.length > 1 && batch.last._3 <= boundary)
+            batch.remove(batch.length - 1)
+        }
+        batch.foreach { case (l, r, f) =>
+          k += 1
+          learned += Row(k.toLong, l, r, f)
+        }
+        // one projection applies the whole batch (disjoint → replaces
+        // commute; chained in rank order regardless), one checkpoint
+        // per ROUND. Checkpoint-every-K was EXPERIMENTED and REJECTED
+        // with data (SCALE.md round 15, controlled 512-merge A/B,
+        // identical 181 rounds): K=8 ran 152.3 s vs K=1's 146.2 s —
+        // every un-checkpointed round's replace chain re-executes
+        // inside the NEXT pair count's explode, and 230k-row × multi-
+        // replace string rewrites cost more than the one materialization
+        // job they save. The knob stays for re-adjudication on corpora
+        // with different vocab/string shapes.
         val merged = vocab.select(
-          call_function("replace", col("s"),
-            lit(s" $l  $r "), lit(s" $l$r ")).as("s"), col("cnt"))
-        val (next, nextRelease) = checkpointTracked(merged)
-        release(); vocab = next; release = nextRelease
+          batch.foldLeft(col("s")) { case (c, (l, r, _)) =>
+            call_function("replace", c, lit(s" $l  $r "), lit(s" $l$r "))
+          }.as("s"), col("cnt"))
+        if (lastDistributedRounds % checkpointEvery == 0) {
+          val (next, nextRelease) = checkpointTracked(merged)
+          release(); vocab = next; release = nextRelease
+        } else vocab = merged
       }
     }
     release()

@@ -212,7 +212,7 @@ object Curation {
     * which is the point). */
   def curateFromStore(spark: SparkSession, path: String, idCol: String,
       minTokens: Int = 8, domainCap: Int = 100): DataFrame = {
-    val st = spark.read.parquet(path)
+    val st = StoreCompaction.readVisible(spark, path)
       .dropDuplicates("batch_id", idCol).drop("batch_id")
     // no checkpoint here: the store rows ARE the narrow columns (the
     // text never reached the store), so the double-subtree read is two
@@ -220,4 +220,17 @@ object Curation {
     assemble(st, losers(narrowOf(st, idCol, minTokens), domainCap),
       idCol, minTokens)
   }
+
+  /** Compact the staged store. Canonicalization is ONLY the read's
+    * replay-collapse (dropDuplicates on (batch_id, id)) — original
+    * batch_id values are PRESERVED as data, because a doc re-crawled
+    * under two batch ids is two genuine rows (its canonical group
+    * dedups it downstream; merging them here would change quota
+    * counts). Read output is value-identical; listing and dedup input
+    * drop from O(batches) file sets to one generation. */
+  def compactStaged(spark: SparkSession, path: String, idCol: String,
+      targetPartitions: Int = 1): Long =
+    StoreCompaction.compact(spark, path, (df, _) =>
+      df.dropDuplicates("batch_id", idCol),
+      targetPartitions = targetPartitions)
 }

@@ -77,9 +77,9 @@ object FreqStore {
     * One read over (groups × batches × k) rows — corpus-size
     * independent. */
   def intervals(spark: SparkSession, path: String): DataFrame = {
-    val items = spark.read.parquet(s"$path/items")
+    val items = StoreCompaction.readVisible(spark, s"$path/items")
       .dropDuplicates("grp", "item", "batch_id")
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = StoreCompaction.readVisible(spark, s"$path/stats")
       .dropDuplicates("grp", "batch_id")
     val tsum = stats.groupBy("grp").agg(sum(col("thresh")).as("tsum"))
     val present = items
@@ -91,5 +91,21 @@ object FreqStore {
     present.join(tsum, Seq("grp"), "left")
       .select(col("grp"), col("item"), col("lo"),
         (col("lo") + coalesce(col("tsum"), lit(0L)) - col("tpresent")).as("hi"))
+  }
+
+  /** Compact both tables. Canonicalization is ONLY the read's replay
+    * dedup — per-batch rows (counts AND thresholds) are PRESERVED under
+    * their original batch_id, because [[intervals]]' lo/hi math joins
+    * items to their own batch's threshold; merging across batches would
+    * change the bounds. Reads stay value-identical; listing and dedup
+    * cost stop growing with appended batches ([[StoreCompaction]]). */
+  def compactTopK(spark: SparkSession, path: String,
+      targetPartitions: Int = 1): Unit = {
+    StoreCompaction.compact(spark, s"$path/items", (df, _) =>
+      df.dropDuplicates("grp", "item", "batch_id"),
+      targetPartitions = targetPartitions)
+    StoreCompaction.compact(spark, s"$path/stats", (df, _) =>
+      df.dropDuplicates("grp", "batch_id"),
+      targetPartitions = 1)
   }
 }

@@ -183,9 +183,21 @@ object Graphs {
     * rescan. */
   def readEdges(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(path)
+    StoreCompaction.readVisible(spark, path)
       .dropDuplicates("src", "dst", "batch_id")
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+
+  /** Compact the edge store into one generation of MERGED (src, dst, w)
+    * rows — exactly [[readEdges]]' replay-collapse + sum, so reads are
+    * value-identical — bounding listing and dedup cost at daemon-
+    * cadence append counts ([[StoreCompaction]] protocol). */
+  def compactEdges(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetPartitions: Int = 1): Long =
+    StoreCompaction.compact(spark, path, (df, cmpId) =>
+      df.dropDuplicates("src", "dst", "batch_id")
+        .groupBy("src", "dst").agg(sum(col("w")).as("w"))
+        .withColumn("batch_id", lit(cmpId)),
+      targetPartitions = targetPartitions)
 
   /** PageRank served FROM the store: bit-identical to running
     * [[pageRank]] (`weighted = false`) or [[pageRankWeighted]] (`true`)

@@ -97,8 +97,10 @@ object NearDupStore {
       .write.mode("append").partitionBy("batch_id").parquet(s"$path/cells")
   }
 
-  /** Snapshot read: the parquet under `dir` pinned to the EXPLICIT file
-    * list present at construction time. A plain `spark.read.parquet(dir)`
+  /** Snapshot read: the store's visible view pinned to the EXPLICIT
+    * file list present at construction time (now served by the shared
+    * [[StoreCompaction.readVisible]], which also arbitrates compacted
+    * generations). A plain `spark.read.parquet(dir)`
     * is a trap for append-style stores: two frames created before and
     * after an append canonicalize EQUAL (same root path), so when both
     * appear in one query — exactly the incremental shape, `pairs(old
@@ -109,19 +111,28 @@ object NearDupStore {
     * concrete files makes differing snapshots differ in the PLAN, which
     * both restores correctness and gives every store read a clean
     * contract: "the store as of this DataFrame's construction". */
-  private def snapshotRead(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = scala.collection.mutable.ArrayBuffer.empty[String]
-    val it = fs.listFiles(p, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-        files += f.getPath.toString
-    }
-    require(files.nonEmpty, s"near-dup store at $dir has no data files")
-    // basePath keeps the batch_id partition column on explicit-file reads
-    spark.read.option("basePath", dir).parquet(files.toSeq: _*)
+  private def snapshotRead(spark: SparkSession, dir: String): DataFrame =
+    StoreCompaction.readVisible(spark, dir)
+
+  /** Compact both store tables (cells, vecs): accrued batch partitions
+    * rewrite into one generation each, pre-collapsed with exactly the
+    * read side's retry dedup — (id, cellkey) / (id) — so [[cells]],
+    * [[vecs]] and therefore [[pairs]] are value-identical before and
+    * after, while listing cost and the read-side dropDuplicates input
+    * stop growing with batch count. batch_id survives as a data column
+    * (batch-scoped [[pairs]] replays still work); new batches keep
+    * appending as root partitions until the next compaction. The two
+    * tables compact independently (each step is crash-safe on its own,
+    * [[StoreCompaction]]); `meta/` is a single parameter row and never
+    * compacts. */
+  def compact(spark: SparkSession, path: String,
+      targetPartitions: Int = 1): Unit = {
+    StoreCompaction.compact(spark, s"$path/cells", (df, _) =>
+      df.dropDuplicates("id", "cellkey"),
+      targetPartitions = targetPartitions)
+    StoreCompaction.compact(spark, s"$path/vecs", (df, _) =>
+      df.dropDuplicates("id"),
+      targetPartitions = targetPartitions)
   }
 
   /** The store's cell index, read-side deduped (retried batches).

@@ -149,15 +149,38 @@ object NgramLm {
   def scoreWithStore(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, textCol: String, idCol: String,
       path: String): DataFrame = {
-    val uni = spark.read.parquet(s"$path/uni")
+    val uni = StoreCompaction.readVisible(spark, s"$path/uni")
       .dropDuplicates("batch_id", "w")
       .groupBy("w").agg(sum("c1").as("c1"))
-    val big = spark.read.parquet(s"$path/big")
+    val big = StoreCompaction.readVisible(spark, s"$path/big")
       .dropDuplicates("batch_id", "w1", "w2")
       .groupBy("w1", "w2").agg(sum("c2").as("c2"))
-    val total = spark.read.parquet(s"$path/stats")
+    val total = StoreCompaction.readVisible(spark, s"$path/stats")
       .dropDuplicates("batch_id")
       .agg(coalesce(sum("tt"), lit(0L)).as("tt"))
     scoreWith(docs, textCol, idCol, uni, big, total)
+  }
+
+  /** Compact the count store's three tables into one generation each,
+    * pre-applying exactly [[scoreWithStore]]'s replay-collapse + sum —
+    * scores stay bit-identical while listing/dedup cost stops growing
+    * with appended batches ([[StoreCompaction]] protocol). */
+  def compactCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetPartitions: Int = 1): Unit = {
+    StoreCompaction.compact(spark, s"$path/uni", (df, cmpId) =>
+      df.dropDuplicates("batch_id", "w")
+        .groupBy("w").agg(sum("c1").as("c1"))
+        .withColumn("batch_id", lit(cmpId)),
+      targetPartitions = targetPartitions)
+    StoreCompaction.compact(spark, s"$path/big", (df, cmpId) =>
+      df.dropDuplicates("batch_id", "w1", "w2")
+        .groupBy("w1", "w2").agg(sum("c2").as("c2"))
+        .withColumn("batch_id", lit(cmpId)),
+      targetPartitions = targetPartitions)
+    StoreCompaction.compact(spark, s"$path/stats", (df, cmpId) =>
+      df.dropDuplicates("batch_id")
+        .agg(coalesce(sum("tt"), lit(0L)).as("tt"))
+        .withColumn("batch_id", lit(cmpId)),
+      targetPartitions = 1)
   }
 }

@@ -184,6 +184,25 @@ object Retrieval {
     writeIndexBm25(newDocs, textCol, idCol, path, buckets, batchId,
       mode = "append")
 
+  /** Compact the BM25 index: postings collapse to one row per
+    * (doc, term) re-partitioned on `bucket` (the term-pruning
+    * [[queryIndexBm25]] depends on survives), and the per-batch stats
+    * rows pre-sum into ONE row — both exactly the read side's
+    * dedup/merge, so scores are bit-identical before and after while
+    * listing and dedup cost stop growing with appended batches. Each
+    * table compacts crash-safely on its own ([[StoreCompaction]]). */
+  def compactIndexBm25(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, targetPartitions: Int = 1): Unit = {
+    StoreCompaction.compact(spark, s"$path/postings", (df, _) =>
+      df.dropDuplicates(idCol, "term"),
+      partitionColumns = Seq("bucket"), targetPartitions = targetPartitions)
+    StoreCompaction.compact(spark, s"$path/stats", (df, cmpId) =>
+      df.dropDuplicates("batch_id")
+        .agg(sum("n_docs").as("n_docs"), sum("tok_total").as("tok_total"))
+        .withColumn("batch_id", lit(cmpId)),
+      targetPartitions = 1)
+  }
+
   /** BM25 from the persisted index — BIT-identical scores to [[bm25]]
     * over the same corpus (shared [[microContrib]] op sequence; the
     * gate pins the identity). The term set's bucket predicate prunes
@@ -205,11 +224,11 @@ object Retrieval {
       val h = XxHash64(Seq(Literal(t)), 42L).eval().asInstanceOf[Long]
       ((h % buckets) + buckets) % buckets
     }.distinct
-    val post = spark.read.parquet(s"$path/postings")
+    val post = StoreCompaction.readVisible(spark, s"$path/postings")
       .where(col("bucket").isin(tBuckets: _*) && col("term").isin(ts: _*))
       .dropDuplicates(idCol, "term")
     val d = DoubleType
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = StoreCompaction.readVisible(spark, s"$path/stats")
       .dropDuplicates("batch_id")
       .agg(sum("n_docs").cast(d).as("n_docs"),
         sum("tok_total").cast(d).as("tok_total"))

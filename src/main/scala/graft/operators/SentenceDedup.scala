@@ -107,11 +107,27 @@ object SentenceDedup {
     writeCounts(df, textCol, idCol, path, batchId, mode = "append")
 
   /** Merged corpus-wide counts: replayed batches collapse first, then
-    * counts sum — (sh, n_occ). */
+    * counts sum — (sh, n_occ). Served from the store's visible view
+    * ([[StoreCompaction.readVisible]]): compacted history + live
+    * appends, read from an explicit file snapshot. */
   def storedCounts(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    StoreCompaction.readVisible(spark, path)
       .groupBy("sh", "batch_id").agg(max("cnt").as("cnt"))
       .groupBy("sh").agg(sum("cnt").as("n_occ"))
+
+  /** Compact the count store: accrued batches rewrite into one
+    * generation holding the MERGED (sh, cnt) rows — exactly
+    * [[storedCounts]]' collapse-then-sum, so the post-compaction read
+    * is value-identical — after which listing cost and the read's
+    * dedup input are O(distinct sh), not O(batches). Crash-safe and
+    * retryable at every point ([[StoreCompaction]]). */
+  def compactCounts(spark: SparkSession, path: String,
+      targetPartitions: Int = 1): Long =
+    StoreCompaction.compact(spark, path, (df, cmpId) =>
+      df.groupBy("sh", "batch_id").agg(max("cnt").as("cnt"))
+        .groupBy("sh").agg(sum("cnt").as("cnt"))
+        .withColumn("batch_id", lit(cmpId)),
+      targetPartitions = targetPartitions)
 
   /** [[dedupSentences]] with the occurrence counts served by the store
     * instead of a corpus rescan: when the store holds every batch of the

@@ -185,8 +185,20 @@ object Similarity {
   def queryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       vecCol: String, idCol: String, query: Seq[Float], k: Int,
       bits: Int, nprobe: Int = 1, dim: Int = 64): DataFrame =
-    ivfTopK(spark.read.parquet(path).dropDuplicates(idCol),
+    ivfTopK(StoreCompaction.readVisible(spark, path).dropDuplicates(idCol),
       vecCol, idCol, query, k, bits, nprobe, dim)
+
+  /** Compact the persisted ANN index: appended batches rewrite into
+    * one generation, pre-collapsed with the read's retry dedup (one
+    * row per id) and RE-PARTITIONED ON `cell` — the hamming-ball
+    * partition pruning [[queryIndex]] lives on is preserved, while
+    * file count and the read-side dropDuplicates input stop growing
+    * with appends. Value-identical reads before/after; crash-safe at
+    * every point ([[StoreCompaction]]). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, targetPartitions: Int = 1): Long =
+    StoreCompaction.compact(spark, path, (df, _) => df.dropDuplicates(idCol),
+      partitionColumns = Seq("cell"), targetPartitions = targetPartitions)
 
   /** All-pairs top-k per probe row against a (small, broadcastable) probe
     * set — broadcast-join + window rank; the bulk side never shuffles. */

@@ -52,10 +52,23 @@ object SketchStore {
     * size. */
   def estimateDistinct(spark: org.apache.spark.sql.SparkSession,
       path: String, groupCol: String): DataFrame =
-    spark.read.parquet(path)
+    StoreCompaction.readVisible(spark, path)
       .groupBy(col(groupCol))
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .as("distinct_est"))
+
+  /** Compact the sketch store: per-batch sketches union into ONE
+    * sketch per group (register union is associative and idempotent —
+    * exactly the read's merge — so estimates are register-identical
+    * before and after); one row per group regardless of how many
+    * batches accrued. */
+  def compactDistinct(spark: org.apache.spark.sql.SparkSession,
+      path: String, groupCol: String, targetPartitions: Int = 1): Long =
+    StoreCompaction.compact(spark, path, (df, cmpId) =>
+      df.groupBy(col(groupCol))
+        .agg(hll_union_agg(col("sketch")).as("sketch"))
+        .withColumn("batch_id", lit(cmpId)),
+      targetPartitions = targetPartitions)
 
   /** The one-shot equivalent (no store) — what the merged estimate must
     * EQUAL, register-exactly. */

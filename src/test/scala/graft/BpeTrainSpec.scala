@@ -96,6 +96,44 @@ class BpeTrainSpec extends SparkTestBase {
       .orderBy("rank").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(fast.toSeq === dist.toSeq)
+    // the batched rounds must actually batch (fewer pair-count rounds
+    // than merges) with the learned table still sequential-exact (the
+    // parity assert above). Early ranks are the CONFLICT-DENSE worst
+    // case — top pairs share the frequent letters — so the ratio here
+    // is modest (measured 33 rounds / 64 merges on this fixture); the
+    // deep-rank ratio is the SCALE.md round-15 measurement.
+    assert(BpeTrain.lastDistributedRounds < 64,
+      s"batching inert: ${BpeTrain.lastDistributedRounds} rounds for 64 merges")
+  }
+
+  test("BATCHED distributed rounds stay sequential-exact through tie " +
+      "boundaries and symbol conflicts (adversarial equal-count fixture)") {
+    import spark.implicits._
+    // words engineered so the stale ranking carries (a) equal-count
+    // DISJOINT pairs (batchable, in-batch tie-break order must hold),
+    // (b) an equal-count CONFLICTING pair right at a batch boundary
+    // (the strict-gap rule must truncate), and (c) chains where a merge
+    // creates a new pair ("xl"+"r" after l,r merge) that a stale-count
+    // batch must not outrank. 97/89/83 multiplicities keep counts
+    // distinct where distinctness matters and EQUAL where the trap is.
+    val words = Seq(
+      ("qe we", 97),  // (q,e) and (w,e): equal counts, SHARE e -> conflict
+      ("ab ab", 89),  // (a,b) twice per doc
+      ("cd", 89),     // (c,d): ties (a,b)? No -- ab occurs 2x89=178
+      ("xlr", 83),    // l,r merge creates (x,lr) chain
+      ("lr", 83),
+      ("mn", 61),
+      ("mo", 61)      // (m,n) vs (m,o): share m, equal counts
+    ).flatMap { case (t, n) => Seq.fill(n)(t) }
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val fast = BpeTrain.merges(words, "text", 16).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val dist = BpeTrain.merges(words, "text", 16, driverVocabLimit = 0L)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(fast.toSeq === dist.toSeq,
+      s"batched loop diverged:\nseq:   ${fast.toSeq}\nbatch: ${dist.toSeq}")
   }
 
   test("the in-memory loop trains 1k merges fast (vocab-bounded rounds)") {
