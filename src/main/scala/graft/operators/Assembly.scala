@@ -36,23 +36,6 @@ object Assembly {
       chunkIdCol: String, tokenBudget: Int, nShards: Int, outDir: String,
       packParallelism: Int = 32): Long = {
     require(tokenBudget > 0 && nShards > 0)
-    // empty input would otherwise leave a partition-less directory
-    // (only _SUCCESS) whose re-read fails schema inference; write the
-    // empty frame UNpartitioned instead — one zero-row parquet file
-    // carrying the full schema (shard as a regular int column), so
-    // readShards and any consumer see the same columns and count 0.
-    // The isEmpty probe is a limit-1 job on the raw input, not a run
-    // of the packing pipeline.
-    if (chunks.isEmpty) {
-      val empty = chunks
-        .withColumn("n_tokens", lit(0L))
-        .withColumn("bin_id", lit(0L))
-        .withColumn("ord", lit("")) // md5 hex in the non-empty path
-        .withColumn("shard", lit(0).cast("int"))
-        .limit(0)
-      empty.coalesce(1).write.mode("overwrite").parquet(outDir)
-      return 0L
-    }
     // deterministic packing input: fixed hash partitioning (retry- and
     // AQE-invariant), fully-tiebroken in-partition order (n_tokens desc
     // alone leaves equal-length chunks at the sorter's mercy)
@@ -72,6 +55,32 @@ object Assembly {
         col(idCol), col(chunkIdCol))
       .sortWithinPartitions(col("shard"), col("ord"), col(idCol), col(chunkIdCol))
     out.write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // EMPTY input leaves a partition-less directory (only _SUCCESS)
+    // whose re-read fails schema inference; detect it from a driver FS
+    // LISTING of what the write produced and overwrite with one
+    // zero-row UNpartitioned parquet file carrying the full schema
+    // (shard as a regular int column), so readShards and any consumer
+    // see the same columns and count 0. The r14 pre-write isEmpty probe
+    // did this decision as a limit-1 job over the UPSTREAM chunk DAG —
+    // which re-ran the first stages of an expensive un-materialized
+    // pipeline (the sentence-dedup shuffle in the x_assembly_shards
+    // leg; the r15 A/B stamped it a real 1.35× regression). A listing
+    // after the write costs no job at all.
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(
+      graft.streaming.LandingStream.protocolHadoopConf())
+    val wroteData = fs.listStatus(root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+    if (!wroteData) {
+      val empty = chunks // limit(0) folds to an empty relation: no job
+        .withColumn("n_tokens", lit(0L))
+        .withColumn("bin_id", lit(0L))
+        .withColumn("ord", lit("")) // md5 hex in the non-empty path
+        .withColumn("shard", lit(0).cast("int"))
+        .limit(0)
+      empty.coalesce(1).write.mode("overwrite").parquet(outDir)
+      return 0L
+    }
     chunks.sparkSession.read.parquet(outDir).count()
   }
 
