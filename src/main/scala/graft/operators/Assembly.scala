@@ -157,17 +157,19 @@ object Assembly {
     // can surface the done event file before an earlier data event file
     // (eventually-consistent stores — exactly the concurrent
     // trainer-tailing mode this follows in), so stopping on done alone
-    // would silently skip those shards. After done, keep consuming
-    // until the handled count goes quiet for `reorderGraceMs` (a few
-    // trigger intervals), or — on a fresh checkpoint, where the
-    // comparison is exact — until it covers `expected`.
+    // would silently skip those shards. After done, exit as soon as the
+    // handled count covers `expected` (the announced universe is fully
+    // handled — a reorder can only leave seen BELOW expected); a run
+    // whose count undershoots (a crash-resume re-handling only
+    // uncommitted batches — or a real loss) keeps consuming until the
+    // count goes quiet for `reorderGraceMs` (a few trigger intervals).
     val deadline = System.currentTimeMillis() + timeoutMs
     while (q.isActive && expected < 0 &&
         System.currentTimeMillis() < deadline) Thread.sleep(25)
     var lastSeen = seen.get()
     var lastMove = System.currentTimeMillis()
     while (q.isActive && System.currentTimeMillis() < deadline &&
-        !(freshCheckpoint && seen.get() >= expected && expected >= 0) &&
+        !(expected >= 0 && seen.get() >= expected) &&
         System.currentTimeMillis() - lastMove < reorderGraceMs) {
       Thread.sleep(25)
       val s = seen.get()

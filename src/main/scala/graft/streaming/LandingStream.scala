@@ -137,7 +137,14 @@ object LandingStream {
       path: String): Unit = {
     val line = s"$kind\t$table\t$path\n"
     val dir = new org.apache.hadoop.fs.Path(eventsDir)
-    val fs = dir.getFileSystem(protocolHadoopConf())
+    // RAW local fs when the scheme is checksummed: ChecksumFileSystem
+    // would drop a binary `.ev_*.txt.crc` sidecar next to every event —
+    // junk in a directory whose listing IS the protocol (consumers and
+    // tooling read every visible file as a text event)
+    val fs = dir.getFileSystem(protocolHadoopConf()) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
     fs.mkdirs(dir)
     // zero-padded time so lexical filename order == announce order
     val name =
