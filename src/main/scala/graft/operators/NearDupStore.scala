@@ -112,7 +112,7 @@ object NearDupStore {
     * both restores correctness and gives every store read a clean
     * contract: "the store as of this DataFrame's construction". */
   private def snapshotRead(spark: SparkSession, dir: String): DataFrame =
-    StoreCompaction.readVisible(spark, dir)
+    StoreCompaction.readVisible(spark, dir, pinLiveFiles = true)
 
   /** Compact both store tables (cells, vecs): accrued batch partitions
     * rewrite into one generation each, pre-collapsed with exactly the

@@ -86,15 +86,19 @@ private[graft] object StoreCompaction {
 
   /** All parquet data files under `dir`, recursive (FS-level listing —
     * deliberately sees `_`/`.`-prefixed children too; classification
-    * is ours, not Spark's). */
+    * is ours, not Spark's). listStatus recursion, NOT
+    * `fs.listFiles(dir, true)`: the latter returns LocatedFileStatus
+    * and pays a per-file block-location lookup (~2 ms/file on the
+    * checksummed local fs — measured 4.2 s for a 2k-file index, the
+    * whole q_ann_index sf1 regression; plain statuses list the same
+    * 2k files in milliseconds). */
   private def parquetFilesUnder(fs: FileSystem, dir: Path): Seq[Path] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Path]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
-        out += f.getPath
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else if (st.getPath.getName.endsWith(".parquet")) out += st.getPath
     }
+    walk(dir)
     out.toSeq
   }
 
@@ -174,16 +178,41 @@ private[graft] object StoreCompaction {
       .parquet(files.map(_.toString): _*)
 
   /** The store's visible rows: newest committed generation + live root
-    * appends, each read from an explicit construction-time file list. */
-  def readVisible(spark: SparkSession, dir: String): DataFrame =
-    readSnapshot(spark, snapshot(spark, dir), dir)
+    * appends.
+    *
+    * `pinLiveFiles` decides how the LIVE (root) side reads:
+    *   - `true` — explicit construction-time file list: two frames
+    *     built before/after an append differ in the PLAN, so exchange
+    *     reuse can never serve one from the other's stale listing (the
+    *     [[NearDupStore]] interleaved-union contract). Costs a
+    *     driver-side path-resolution per file — fine for the handful
+    *     of recent appends a compacted store carries, expensive for a
+    *     never-compacted store with thousands of files.
+    *   - `false` — plain directory read (the pre-compaction stores'
+    *     historical shape; `_graft_cmp_*`/`_graft_tmp_*` are
+    *     `_`-prefixed and invisible to Spark's listing, so generations
+    *     never double-read). Falls back to the explicit list exactly
+    *     when manifest-consumed GARBAGE is present (crash window —
+    *     a directory read would resurrect it).
+    * The GENERATION side always reads as a directory: committed
+    * generations are immutable, so a stale cached listing cannot
+    * disagree with a fresh one. */
+  def readVisible(spark: SparkSession, dir: String,
+      pinLiveFiles: Boolean = false): DataFrame =
+    readSnapshot(spark, snapshot(spark, dir), dir, pinLiveFiles)
 
-  private def readSnapshot(spark: SparkSession, s: Snapshot,
-      dir: String): DataFrame = {
-    val reads =
-      s.gen.filter(_._3.nonEmpty)
-        .map { case (_, p, files, _) => readOf(spark, p, files) }.toSeq ++
-      (if (s.live.nonEmpty) Seq(readOf(spark, s.root, s.live)) else Seq.empty)
+  private def readSnapshot(spark: SparkSession, s: Snapshot, dir: String,
+      pinLiveFiles: Boolean): DataFrame = {
+    val genRead = s.gen.filter(_._3.nonEmpty)
+      .map { case (_, p, _, _) => spark.read.parquet(p.toString) }
+    val liveRead =
+      if (s.live.isEmpty) None
+      else if (pinLiveFiles || s.garbage.nonEmpty)
+        Some(readOf(spark, s.root, s.live))
+      // root dir read = live exactly: generations/temps are `_`-hidden
+      // and garbage is empty here
+      else Some(spark.read.parquet(s.root.toString))
+    val reads = genRead.toSeq ++ liveRead.toSeq
     require(reads.nonEmpty, s"store at $dir has no data files")
     reads.reduce(_.unionByName(_))
   }
@@ -210,7 +239,11 @@ private[graft] object StoreCompaction {
     // manifest)
     val consumed = (s0.gen.map(_._3).getOrElse(Seq.empty) ++ s0.live ++
       s0.garbage).map(f => relative(root, f))
-    val canon = canonicalize(readSnapshot(spark, s0, dir), s"cmp.$seq")
+    // compaction reads its OWN snapshot pinned: the consumed-file list
+    // and the rewritten rows must be the same set even if appends land
+    // mid-compaction
+    val canon = canonicalize(
+      readSnapshot(spark, s0, dir, pinLiveFiles = true), s"cmp.$seq")
     val tmp = new Path(root, f"$TmpPrefix$seq%016d")
     fs.delete(tmp, true)
     val sized =
