@@ -185,9 +185,23 @@ object Sampling {
     * then counts sum — (dom, n_d). */
   def storedDomainCounts(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(path)
+    StoreCompaction.readVisible(spark, path)
       .groupBy("dom", "batch_id").agg(max("cnt").as("cnt"))
       .groupBy("dom").agg(sum("cnt").as("n_d"))
+
+  /** Compact the domain-count store: accrued batches rewrite into one
+    * generation of MERGED (dom, cnt) rows — exactly
+    * [[storedDomainCounts]]' replay-collapse + sum, so sampling
+    * verdicts are identical before and after ([[StoreCompaction]]
+    * crash-safe protocol; bounds listing/dedup cost at daemon
+    * cadence). */
+  def compactDomainCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetPartitions: Int = 1): Long =
+    StoreCompaction.compact(spark, path, (df, cmpId) =>
+      df.groupBy("dom", "batch_id").agg(max("cnt").as("cnt"))
+        .groupBy("dom").agg(sum("cnt").as("cnt"))
+        .withColumn("batch_id", lit(cmpId)),
+      targetPartitions = targetPartitions)
 
   /** [[temperatureSample]] with the domain counts served by the store:
     * when the store holds every batch, sampling any slice is IDENTICAL

@@ -260,6 +260,16 @@ class StoreCompactionSpec extends SparkTestBase {
     val preIv = rowsOf(FreqStore.intervals(spark, fqDir))
     FreqStore.compactTopK(spark, fqDir)
     assert(rowsOf(FreqStore.intervals(spark, fqDir)) === preIv)
+
+    val dcDir = tmpDir("domcnt")
+    def doms(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, s"dom${i % 5}") }.toDF("doc_id", "dom")
+    graft.operators.Sampling.writeDomainCounts(doms(0, 200), "dom", dcDir, "b001")
+    graft.operators.Sampling.appendDomainCounts(doms(200, 350), "dom", dcDir, "b002")
+    graft.operators.Sampling.appendDomainCounts(doms(200, 350), "dom", dcDir, "b002")
+    val preDc = rowsOf(graft.operators.Sampling.storedDomainCounts(spark, dcDir))
+    graft.operators.Sampling.compactDomainCounts(spark, dcDir)
+    assert(rowsOf(graft.operators.Sampling.storedDomainCounts(spark, dcDir)) === preDc)
   }
 
   // ----------------------------------------------------- sketch store
