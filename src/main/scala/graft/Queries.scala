@@ -3321,8 +3321,14 @@ object Queries {
     // size the LSH table, a full extra pass over the corpus at 100 TB
     val nRows = base.count()
     val docs = base.withColumn("media", mediaUdf(col("doc_id")))
-    val emb = graft.operators.Multimodal.embedAudioWindows(docs, "media")
-      .select(col("doc_id"), col("win_emb"))
+    // materialize the (id, vec) embeddings ONCE: selfTopKLsh reads its
+    // input 3× (cell explode + two vector re-attaches — distinct plan
+    // subtrees, no exchange reuse), and every read upstream of this
+    // point re-runs the WAV decode+embed UDF, the gate's dominant cost
+    // (round 15; guide §8 — decode once, re-read the tiny vectors)
+    val emb = graft.operators.Dedup.checkpointTracked(
+      graft.operators.Multimodal.embedAudioWindows(docs, "media")
+        .select(col("doc_id"), col("win_emb")))._1
     val pairs = Similarity.selfTopKLsh(emb, "win_emb", "doc_id",
       k = Int.MaxValue, bits = Similarity.lshBitsFor(nRows), tables = 8,
       dim = 16, maxCell = 48, hotWindow = 8, nRowsHint = nRows)
@@ -3366,8 +3372,15 @@ object Queries {
     }
     val docs = documents(s, d).select(col("doc_id"))
       .withColumn("media", mediaUdf(col("doc_id")))
-    val fh = graft.operators.Multimodal.frameHashes(docs, "media")
-      .select(col("doc_id"), array_join(col("frame_hashes"), " ").as("fh_text"))
+    // decode-once (round 15): fh is consumed by the rep aggregation,
+    // by minhashPairs AND by the final inheritance join — three
+    // distinct plan subtrees, each re-running the per-video frame-hash
+    // decode UDF. One eager checkpoint of the (id, fingerprint-text)
+    // frame (bytes per video, not per frame) runs the decode once.
+    val fh = graft.operators.Dedup.checkpointTracked(
+      graft.operators.Multimodal.frameHashes(docs, "media")
+        .select(col("doc_id"),
+          array_join(col("frame_hashes"), " ").as("fh_text")))._1
     // the scale-safe shape (probe-proven): collapse byte-identical
     // fingerprint sequences FIRST — replicas of one upload are exact
     // dups whose all-pairs candidates would otherwise grow with replica
@@ -3553,8 +3566,12 @@ object Queries {
     // pass, not two
     val nRows = base.count()
     val docs = base.withColumn("media", mediaUdf(col("doc_id")))
-    val emb = graft.operators.Multimodal.embedImageBlocks(docs, "media")
-      .select(col("doc_id"), col("block_emb"))
+    // decode-once (round 15): see qAudioSemdedup — selfTopKLsh reads
+    // the embeddings 3×, and each lazy read re-runs the BMP decode+
+    // embed UDF; one eager checkpoint of the tiny (id, vec) frame
+    val emb = graft.operators.Dedup.checkpointTracked(
+      graft.operators.Multimodal.embedImageBlocks(docs, "media")
+        .select(col("doc_id"), col("block_emb")))._1
     // k = unbounded: dedup wants the THRESHOLD graph (every pair ≥ τ),
     // not a kNN cut — same-variant replicas are exact duplicates that
     // score 1.0 and would fill any small k before the 0.999 cross-variant

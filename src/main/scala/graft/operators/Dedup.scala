@@ -48,6 +48,64 @@ object Dedup {
     (cp, () => added.foreach(_.unpersist(blocking = false)))
   }
 
+  /** Materialize a LOOP-INVARIANT table hash-laid-out on `keyCols` and
+    * DECLARE that layout to the planner
+    * ([[org.apache.spark.sql.graftbridge.DatasetBridge
+    * .fromInternalRowsPartitioned]]): every later join/aggregation
+    * keyed on `keyCols` (or a superset) consumes the frame with NO
+    * Exchange — the edge table of an iterative graph operator shuffles
+    * once instead of once per round (guide §2.4).
+    *
+    * The layout WIDTH is derived from the table's MEASURED bytes, not
+    * from a constant: `df` is materialized as-is first (its own plan,
+    * partial aggs and all), the checkpointed blocks' actual storage
+    * size picks `width = clamp(bytes / advisoryPartitionSize, 1,
+    * shufflePartitions)`, and one narrow re-layout exchange over the
+    * in-memory blocks establishes the declared layout. Catalyst's
+    * estimate is NOT trusted for this (post-UDF estimates are garbage —
+    * the selfTopKLsh broadcast lesson), and a constant width is wrong
+    * at BOTH ends: the loop's per-round stages inherit the declared
+    * width verbatim (a fixed-partitioning join side disables AQE
+    * coalescing), so a local[32]-sized constant ran 32 near-empty tasks
+    * per stage per round — measured 70-100× task-time inflation at
+    * sf0.1 — while any local-sized constant would under-partition a
+    * real corpus. Costs one extra pass over the cached blocks at setup;
+    * saves an edge-table exchange per round.
+    *
+    * Explicit-N repartition (REPARTITION_BY_NUM) is exempt from AQE
+    * coalescing, so the declared layout is exactly what the blocks
+    * hold. The count() drains every partition iterator — a
+    * foreachPartition that ignores its iterator caches NOTHING and
+    * every downstream scan silently replays the full upstream lineage
+    * (measured: 20-100× task time before this was caught). */
+  private[graft] def partitionedCheckpointCut(df: DataFrame,
+      keyCols: Seq[String]): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    def drainCheckpoint(rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]): Unit = {
+      rdd.localCheckpoint()
+      rdd.count() // drain every partition (see scaladoc)
+    }
+    val rdd0 = df.queryExecution.toRdd.map(_.copy())
+    drainCheckpoint(rdd0)
+    val bytes = spark.sparkContext.getRDDStorageInfo
+      .find(_.id == rdd0.id).map(i => i.memSize + i.diskSize).getOrElse(0L)
+    val conf = spark.sessionState.conf
+    val advisory = math.max(1L, conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+    val width = math.max(1L, math.min(conf.numShufflePartitions.toLong,
+      (bytes + advisory - 1) / advisory)).toInt
+    val laid = org.apache.spark.sql.graftbridge.DatasetBridge
+      .fromInternalRows(spark, rdd0, df.schema)
+      .repartition(width, keyCols.map(col): _*)
+    val rdd = laid.queryExecution.toRdd.map(_.copy())
+    drainCheckpoint(rdd)
+    rdd0.unpersist(blocking = false)
+    (org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRowsPartitioned(
+      spark, rdd, df.schema, keyCols, width),
+      () => { rdd.unpersist(blocking = false); () })
+  }
+
   /** Exact dedup: hash-groupBy on a normalized fingerprint, keep the
     * smallest id per group (deterministic winner). One shuffle on the
     * 16-char digest — uniform keys, no skew. */
@@ -433,14 +491,27 @@ object Dedup {
     // the default estimate; cost is one row-conversion pass per use of
     // a frame that is already materialized and loop-bounded in size.
     def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
+      // round 15: the stats-cut re-wrap goes through DatasetBridge —
+      // the public `createDataFrame(cp.rdd, schema)` form deserialized
+      // every InternalRow to an external Row and serialized it straight
+      // back on every downstream read, one full copy of the label table
+      // per use per round, pure conversion overhead at any scale
       val (cp, rel) = checkpointTracked(df)
-      (df.sparkSession.createDataFrame(cp.rdd, df.schema), rel)
+      (org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRows(
+        df.sparkSession, cp.queryExecution.toRdd, df.schema), rel)
     }
-    // undirected edge list, both directions
+    // undirected edge list, both directions — the LOOP-INVARIANT table,
+    // laid out ONCE onto the hop join key (src) with the layout DECLARED
+    // to the planner ([[partitionedCheckpointCut]], size-derived width):
+    // a plain checkpoint loses outputPartitioning and every round
+    // re-exchanged the edge table (the big side) to meet the hop join's
+    // distribution (round 15, guide §2.4 — iters×edge-shuffle → 1×).
+    // The init aggregate below groups by src and consumes the same
+    // layout exchange-free.
     val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-    val (edges, releaseEdges) = checkpointCut(
+    val (edges, releaseEdges) = partitionedCheckpointCut(
       fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
+        .distinct(), Seq("src"))
     // init = hop 0 fused: label(v) = min(v, min neighbor) — one agg
     // instead of a full identity-labeled first round
     var (labels, releaseLabels) = checkpointCut(
@@ -450,8 +521,16 @@ object Dedup {
     // node, so the label sum strictly decreases until fixpoint — an
     // unchanged exact (decimal) sum proves convergence with one cheap
     // agg over the just-checkpointed frame, no compare-join needed
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    // round 15: computed directly over the materialized internal rows —
+    // ONE zero-shuffle job instead of the partial/final aggregate pair
+    // per probe (cluster column is ordinal 1); BigInt keeps the sum
+    // exact like the former Decimal(38) did
+    def labelSum(df: DataFrame): BigInt =
+      df.queryExecution.toRdd.mapPartitions { it =>
+        var s = BigInt(0)
+        while (it.hasNext) s += it.next().getLong(1)
+        Iterator.single(s)
+      }.collect().sum
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -473,8 +552,12 @@ object Dedup {
       // produce exactly those chains, and (a)+(c) alone degrade to
       // O(diameter) graph hops there (a 3 000-node random-id path
       // exhausted 64 rounds before (b) was added; with it: ~12).
+      // SHUFFLE_HASH on the label side: the hash build is the label
+      // table; the default sort-merge SORTED THE EDGE SIDE every round
+      // (the labelPropagation round-12 lesson). Edge side: declared
+      // layout — no exchange, no sort, streams from checkpoint blocks.
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(labels.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
         .select(col("dst").as("id"), col("cluster"))
       // checkpoint before the self-join: materializes the hop once (both
       // join sides read it) and sidesteps Catalyst's Union-constraint
@@ -495,7 +578,7 @@ object Dedup {
       // the round's reads of the previous labels are done
       releaseLabels()
       val hopSum = labelSum(hopped)
-      if (hopSum.compareTo(prevSum) == 0) {
+      if (hopSum == prevSum) {
         // the hop moved nothing → fixpoint; skip the doubling join
         labels = hopped
         releaseLabels = releaseHopped

@@ -106,31 +106,51 @@ object Graphs {
   private def pageRankCore(e0: DataFrame, iters: Int, scale: Long,
       dampNum: Long, dampDen: Long): Dedup.Scoped = {
     require(iters >= 1 && dampNum > 0 && dampNum < dampDen && scale > 0)
+    // per-round checkpoint re-wrap through the internal-row bridge —
+    // the public createDataFrame(cp.rdd, schema) form deserialized
+    // every InternalRow to an external Row and serialized it straight
+    // back on every downstream read (round 15, same fix as
+    // Dedup.clustersScoped)
     def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
       val (cp, rel) = Dedup.checkpointTracked(df)
-      (df.sparkSession.createDataFrame(cp.rdd, df.schema), rel)
+      (org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRows(
+        df.sparkSession, cp.queryExecution.toRdd, df.schema), rel)
     }
-    // the out-weight rides on the edge table so the per-round join is
-    // edges ⋈ ranks only
-    val (edges, releaseEdges) = checkpointCut(
-      e0.join(e0.groupBy("src").agg(sum(col("w")).as("wsum")), Seq("src")))
-    val (nodes, releaseNodes) = checkpointCut(
+    // The two LOOP-INVARIANT tables are laid out ONCE onto their loop
+    // join key and that layout is DECLARED to the planner
+    // (Dedup.partitionedCheckpointCut, size-derived width) — a plain
+    // localCheckpoint loses outputPartitioning, so every round
+    // re-exchanged the EDGE table (the big side: at graph scale edges ≫
+    // nodes) just to join the round's rank table (round 15, guide §2.4:
+    // iters×edge-shuffle → 1×). The out-weight rides on the edge table
+    // so the per-round join is edges ⋈ ranks only.
+    val (edges, releaseEdges) = Dedup.partitionedCheckpointCut(
+      e0.join(e0.groupBy("src").agg(sum(col("w")).as("wsum")), Seq("src")),
+      Seq("src"))
+    val (nodes, releaseNodes) = Dedup.partitionedCheckpointCut(
       e0.select(col("src").as("node"))
-        .union(e0.select(col("dst").as("node"))).distinct())
+        .union(e0.select(col("dst").as("node"))).distinct(),
+      Seq("node"))
     val teleport = scale / dampDen * (dampDen - dampNum) +
       scale % dampDen * (dampDen - dampNum) / dampDen // exact floor of scale·(1−d)
     var (ranks, releaseRanks) = checkpointCut(
       nodes.withColumn("rank", lit(scale)))
     try {
       for (_ <- 1 to iters) {
+        // SHUFFLE_HASH on the rank side: the hash build is the node
+        // table; the default sort-merge SORTED THE EDGE SIDE every
+        // round (the labelPropagation round-12 lesson, never applied
+        // here until round 15). Edge side: declared layout, no
+        // exchange, no sort — it streams from the checkpoint blocks.
         val contrib = edges
-          .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+          .join(ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            Seq("src"))
           .select(col("dst").as("node"),
             // exact floor(rank·w / wsum), overflow-free (scaladoc above)
             expr("(rank DIV wsum) * w + ((rank % wsum) * w) DIV wsum").as("m"))
           .groupBy("node").agg(sum(col("m")).as("m"))
         val next = nodes
-          .join(contrib, Seq("node"), "left")
+          .join(contrib.hint("shuffle_hash"), Seq("node"), "left")
           .select(col("node"),
             (lit(teleport) +
               expr(s"($dampNum * coalesce(m, 0L)) DIV $dampDen")).as("rank"))
@@ -251,16 +271,23 @@ object Graphs {
   def labelPropagationScoped(edgesIn: DataFrame, srcCol: String,
       dstCol: String, iters: Int = 4): Dedup.Scoped = {
     require(iters >= 1)
+    // internal-row bridge re-wrap (round 15, see pageRankCore)
     def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
       val (cp, rel) = Dedup.checkpointTracked(df)
-      (df.sparkSession.createDataFrame(cp.rdd, df.schema), rel)
+      (org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRows(
+        df.sparkSession, cp.queryExecution.toRdd, df.schema), rel)
     }
     val fwd = edgesIn
       .select(col(srcCol).cast(LongType).as("a"),
         col(dstCol).cast(LongType).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
-    val (edges, releaseEdges) = checkpointCut(
-      fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b"))).distinct())
+    // loop-invariant edge table laid out ONCE onto the round join key
+    // (b) with the layout DECLARED (size-derived width) — a plain
+    // checkpoint re-exchanged the edge table every round to meet the
+    // join's distribution (round 15, guide §2.4; see pageRankCore)
+    val (edges, releaseEdges) = Dedup.partitionedCheckpointCut(
+      fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      Seq("b"))
     var (labels, releaseLabels) = checkpointCut(
       edges.select(col("a").as("node")).distinct()
         .withColumn("label", col("node")))

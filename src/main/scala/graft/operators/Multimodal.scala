@@ -812,18 +812,19 @@ object Multimodal {
         (shiftleft(col(idCol).cast(LongType), frameIdxBits) +
           col(frameIdxCol).cast(LongType)).as("fid"),
         col(embCol).as("femb"))
-    // frac mode reads the packed frame table TWICE (the LSH and the
-    // per-video rep counts) and the LSH's vector re-attach reads it
-    // again — and `frames` typically sits downstream of the decode+
-    // embed UDF, the dominant cost of these pipelines. Materialize the
-    // post-guard embeddings ONCE (eager localCheckpoint — the
+    // The LSH consumes the packed frame table THREE times (cell
+    // explode + the two vector re-attach joins; selfTopKLsh's plan
+    // subtrees differ, so exchange reuse cannot deduplicate them) and
+    // frac mode adds a fourth read (per-video rep counts) — and
+    // `frames` typically sits downstream of the decode+embed UDF, the
+    // dominant cost of these pipelines. Materialize the post-guard
+    // embeddings ONCE (eager localCheckpoint — the
     // [[graft.operators.Dedup.checkpointTracked]] adjudication; blocks
     // are tiny, dim floats per frame, and live until the session sweeps
-    // persistent RDDs like the other convenience overloads). Absolute-
-    // only mode keeps the historical lazy shape.
-    val packed =
-      if (minMatchedFrac > 0.0) Dedup.checkpointTracked(packedRaw)._1
-      else packedRaw
+    // persistent RDDs like the other convenience overloads), so the
+    // decode runs once in EVERY mode (round 15: absolute mode ran it
+    // 3× — guide §8's "decide with small rows" applied to the decode).
+    val packed = Dedup.checkpointTracked(packedRaw)._1
     val fp = Similarity.selfTopKLsh(packed, "femb", "fid",
       k = Int.MaxValue, bits = bits, tables = tables, dim = dim,
       maxCell = maxCell, hotWindow = hotWindow, nRowsHint = nRowsHint)
