@@ -369,12 +369,10 @@ object Bench {
           .dedupSentences(docs, "text", "doc_id")
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("clean_text"))
-        val scored = operators.QualityClassifier
-          .scoreInline(cleaned, "clean_text", "doc_id", 4096)
-        val kept = cleaned.join(
-          scored.where(org.apache.spark.sql.functions.col("keep") &&
-            org.apache.spark.sql.functions.col("n_feats") > 0)
-            .select("doc_id"), Seq("doc_id"))
+        // inline keep filter (round 15): the join-back form re-ran the
+        // sentence dedup on both join sides (see qAssembly)
+        val kept = operators.QualityClassifier
+          .keepFilter(cleaned, "clean_text", 4096)
         val chunks = operators.DocChunker.chunk(kept, "clean_text",
           "doc_id", chunkTokens = 256, overlap = 32)
         operators.Assembly.writeShards(chunks, "chunk_text", "doc_id",

@@ -1,0 +1,132 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: writes the `.explain("formatted")` evidence for the
+  * round-15 plan claims (plans/r15/<name>_{before,after}.txt).
+  *
+  * Two kinds of dumps:
+  *  - catalog gates (`q_*`): the gate frame's formatted plan, untruncated
+  *    (for gates whose construction materializes eagerly — the media
+  *    checkpoints, the iterative loops — the pre-execution plan shows
+  *    the post-materialization stub, which is itself the evidence that
+  *    the expensive subtree now runs once);
+  *  - `round_*` keys: the REPRESENTATIVE per-round join plan of the
+  *    iterative operators, constructed exactly as the operator does —
+  *    `before` uses a plain tracked localCheckpoint for the edge table
+  *    (the pre-round-15 mechanics: no declared output partitioning, so
+  *    the round join re-exchanges the edge side), `after` uses
+  *    [[graft.operators.Dedup.partitionedCheckpointCut]] (declared
+  *    size-derived hash layout: edge side scans its blocks with no
+  *    Exchange and no Sort).
+  *
+  * Usage: runMain graft.PlanDump <outDir> <name>[:before|:after] ...
+  */
+object PlanDump {
+  private def fmt(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.head
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val spark = SparkSession.builder().master("local[8]")
+      .withExtensions(new org.apache.spark.sql.graftnative.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    import spark.implicits._
+
+    // a small pair table standing in for the near-dup pair stream the
+    // loop operators consume; shape, not size, is what the plan shows
+    def pairs(): DataFrame =
+      (1L to 2000L).map(i => (i, i + 1)).toDF("id1", "id2")
+
+    // faithful to the operator code per variant: BEFORE = round-14
+    // mechanics (unionAll symmetrization, plain tracked checkpoint with
+    // the public Row re-wrap, unhinted round join); AFTER = round-15
+    // (Generate symmetrization, declared size-derived layout,
+    // SHUFFLE_HASH on the label/rank side)
+    def plainCut(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.localCheckpoint().rdd, df.schema)
+
+    def roundClusters(after: Boolean): DataFrame = {
+      val p = pairs()
+      val edges =
+        if (after) {
+          val sym = p.select(explode(array(
+              struct(col("id1").as("src"), col("id2").as("dst")),
+              struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+            .select(col("e.src").as("src"), col("e.dst").as("dst"))
+            .distinct()
+          operators.Dedup.partitionedCheckpointCut(sym, Seq("src"))._1
+        } else {
+          val fwd = p.select(col("id1").as("src"), col("id2").as("dst"))
+          plainCut(fwd.unionAll(
+            fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+        }
+      val labels = {
+        val init = edges.groupBy(col("src").as("id"))
+          .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
+        if (after) {
+          val (cp, _) = operators.Dedup.checkpointTracked(init)
+          org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRows(
+            spark, cp.queryExecution.toRdd, init.schema)
+        } else plainCut(init)
+      }
+      // ONE round's hop join + aggregate — the loop's repeated unit
+      val lbl = labels.withColumnRenamed("id", "src")
+      edges
+        .join(if (after) lbl.hint("shuffle_hash") else lbl, "src")
+        .select(col("dst").as("id"), col("cluster"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+    }
+
+    def roundPageRank(after: Boolean): DataFrame = {
+      val e0 = pairs().select(col("id1").as("src"), col("id2").as("dst"))
+        .distinct().withColumn("w", lit(1L))
+      val ew = e0.join(e0.groupBy("src").agg(sum(col("w")).as("wsum")),
+        Seq("src"))
+      val edges =
+        if (after) operators.Dedup.partitionedCheckpointCut(ew, Seq("src"))._1
+        else plainCut(ew)
+      val ranksInit = edges.select(col("src").as("node")).distinct()
+        .withColumn("rank", lit(1000000L))
+      val ranks =
+        if (after) {
+          val (cp, _) = operators.Dedup.checkpointTracked(ranksInit)
+          org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRows(
+            spark, cp.queryExecution.toRdd, ranksInit.schema)
+        } else plainCut(ranksInit)
+      // ONE round's contribution join + aggregate — the loop's repeated unit
+      val rk = ranks.withColumnRenamed("node", "src")
+      edges
+        .join(if (after) rk.hint("shuffle_hash") else rk, Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank DIV wsum) * w + ((rank % wsum) * w) DIV wsum").as("m"))
+        .groupBy("node").agg(sum(col("m")).as("m"))
+    }
+
+    for (a <- args.drop(1)) {
+      val (name, variant) = a.split(":") match {
+        case Array(n, v) => (n, v)
+        case Array(n)    => (n, "after")
+      }
+      val df = name match {
+        case "round_clusters" => roundClusters(variant == "after")
+        case "round_pagerank" => roundPageRank(variant == "after")
+        case q                => Queries.all(q)(spark, d)
+      }
+      val path = java.nio.file.Paths.get(outDir, s"${name}_$variant.txt")
+      java.nio.file.Files.write(path,
+        fmt(df).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(s"[plandump] wrote $path")
+    }
+    spark.stop()
+  }
+}

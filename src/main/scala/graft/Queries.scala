@@ -2780,6 +2780,13 @@ object Queries {
     * replays the md5 feature hashing, the smoothed ratio arithmetic,
     * and the integer sums. */
   val qDsir: QFn = (s, d) => {
+    // (round 15: a fused one-pass variant — one tokenize+hash pass into
+    // a (doc, bucket, side) count table feeding both the ratio build
+    // and the scoring — was implemented, proven value-identical, and
+    // REJECTED with data: the per-(doc, bucket) aggregate shuffles a
+    // near-feature-stream-sized table and its final aggregate runs once
+    // per consumer, measured 6.0 vs 3.9 task-seconds against this split
+    // form at sf0.1. The bucket-bounded two-pass shape stays.)
     val docs = documents(s, d)
     val ratios = graft.operators.Dsir.logRatios(
       docs.where(col("source") === "src0"),
@@ -4036,11 +4043,12 @@ object Queries {
     val cleaned = graft.operators.SentenceDedup
       .dedupSentences(docs, "text", "doc_id")
       .select(col("doc_id"), col("clean_text"))
-    val scored = graft.operators.QualityClassifier
-      .scoreInline(cleaned, "clean_text", "doc_id", 4096)
-    val kept = cleaned.join(
-      scored.where(col("keep") && col("n_feats") > 0).select("doc_id"),
-      Seq("doc_id"))
+    // keep verdict applied as an INLINE filter (round 15): the former
+    // scoreInline + join-back re-ran the corpus-global sentence dedup
+    // on both join sides (no exchange reuse across the two branch
+    // shapes); the verdict is a pure row predicate, so filter in place
+    val kept = graft.operators.QualityClassifier
+      .keepFilter(cleaned, "clean_text", 4096)
     DocChunker.chunk(kept, "clean_text", "doc_id", chunkTokens = 40, overlap = 8)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("sum_tokens"))

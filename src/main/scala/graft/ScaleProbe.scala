@@ -827,11 +827,10 @@ object ScaleProbe {
         val cleaned = operators.SentenceDedup
           .dedupSentences(seeded, "text", "doc_id")
           .select(col("doc_id"), col("clean_text"))
-        val scored = operators.QualityClassifier
-          .scoreInline(cleaned, "clean_text", "doc_id", 4096)
-        val kept = cleaned.join(
-          scored.where(col("keep") && col("n_feats") > 0).select("doc_id"),
-          Seq("doc_id"))
+        // inline keep filter (round 15): the join-back form re-ran the
+        // sentence dedup on both join sides (see qAssembly)
+        val kept = operators.QualityClassifier
+          .keepFilter(cleaned, "clean_text", 4096)
         operators.DocChunker.chunk(kept, "clean_text", "doc_id",
           chunkTokens = 40, overlap = 8)
           .groupBy().agg(count(lit(1)), sum("n_tokens"))

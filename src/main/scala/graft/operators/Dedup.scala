@@ -508,9 +508,16 @@ object Dedup {
     // distribution (round 15, guide §2.4 — iters×edge-shuffle → 1×).
     // The init aggregate below groups by src and consumes the same
     // layout exchange-free.
-    val fwd = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    // symmetrized via ONE Generate, not a self-union: the union form
+    // reads `pairs` twice as two differently-projected plan branches,
+    // and when the caller hands an un-materialized pair pipeline the
+    // whole upstream runs twice unless exchange reuse happens to fire
+    // (round 15 — explode(array(fwd, swapped)) evaluates it once)
     val (edges, releaseEdges) = partitionedCheckpointCut(
-      fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      pairs.select(explode(array(
+          struct(col("id1").as("src"), col("id2").as("dst")),
+          struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct(), Seq("src"))
     // init = hop 0 fused: label(v) = min(v, min neighbor) — one agg
     // instead of a full identity-labeled first round

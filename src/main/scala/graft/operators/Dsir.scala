@@ -128,6 +128,17 @@ object Dsir {
         coalesce(col("w_fp"), lit(0L)).as("w_fp"))
   }
 
+  // (Round 15: a fused one-pass corpusWeights — one tokenize+hash pass
+  // into a per-(doc, bucket, side) count table feeding both the ratio
+  // build and the scoring — was implemented, spec-proven value-identical
+  // to logRatios+importanceWeights, and REJECTED with data: the
+  // (doc, bucket) aggregate's shuffle carries a near-feature-stream-sized
+  // table (distinct buckets/doc ≈ features/doc at B=512) and its final
+  // aggregate runs once per consumer, measured 6.0 vs 3.9 task-seconds
+  // against the split form on q_dsir at sf0.1. The split form's two
+  // passes shuffle only B-bounded and per-doc rows — guide §2.3's
+  // "aggregate before you shuffle" beats "scan once" here.)
+
   /** Gumbel top-k resampling over importance weights — the paper's
     * without-replacement sampler, made engine-deterministic: the Gumbel
     * noise is md5-seeded per id instead of RNG-drawn, so any engine (and

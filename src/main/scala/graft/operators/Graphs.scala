@@ -284,10 +284,15 @@ object Graphs {
     // loop-invariant edge table laid out ONCE onto the round join key
     // (b) with the layout DECLARED (size-derived width) — a plain
     // checkpoint re-exchanged the edge table every round to meet the
-    // join's distribution (round 15, guide §2.4; see pageRankCore)
+    // join's distribution (round 15, guide §2.4; see pageRankCore).
+    // Symmetrized via ONE Generate, not a self-union (round 15): the
+    // union form read the caller's edge pipeline twice.
     val (edges, releaseEdges) = Dedup.partitionedCheckpointCut(
-      fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b"))).distinct(),
-      Seq("b"))
+      fwd.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct(), Seq("b"))
     var (labels, releaseLabels) = checkpointCut(
       edges.select(col("a").as("node")).distinct()
         .withColumn("label", col("node")))

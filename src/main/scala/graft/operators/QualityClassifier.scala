@@ -108,6 +108,24 @@ object QualityClassifier {
     * DuckDB integer `//` agree via explicit floor-div on positives;
     * we use floor(double) on an exact ratio of Longs, deterministic
     * because the quotient is exact-rounded IEEE division). */
+  /** The keep verdict applied INLINE as a pure filter — for pipelines
+    * that score and immediately gate (the assembly chain): the
+    * score-then-join-back form re-evaluates the upstream subtree on
+    * BOTH join sides (the two branches exchange differently-shaped
+    * inputs, so Catalyst cannot reuse one for the other), which ran the
+    * pipeline's dominant stage — corpus-global sentence dedup — twice
+    * (round 15; guide §2.4). Value-identical to keeping the rows where
+    * [[scoreInline]] yields `keep && n_feats > 0`: same tokenizer, same
+    * bucket hash, same milli-score sum, same threshold comparison. */
+  def keepFilter(df: DataFrame, textCol: String,
+      nBuckets: Int, thresholdMilli: Long = 0L): DataFrame = {
+    val ts = toks(col(textCol))
+    val score = aggregate(ts, lit(0L),
+      (acc, t) => acc + hashWeightMilli(bucket(t, nBuckets)))
+    val n = size(ts).cast(LongType)
+    df.where(n > lit(0L) && score >= lit(thresholdMilli) * n)
+  }
+
   private def finish(scored: DataFrame, idCol: String,
                      thresholdMilli: Long): DataFrame =
     scored.select(col(idCol), col("n_feats"), col("score_milli"),

@@ -426,8 +426,18 @@ object Similarity {
       .join(vside(base.select(col(idCol).as("id2"), col(vecCol).as("v2"))), "id2")
       .select(col("id1"), col("id2"),
         VectorFunctions.cosine(col("v1"), col("v2")).as("score"))
-    val both = scored.unionAll(
-      scored.select(col("id2").as("id1"), col("id1").as("id2"), col("score")))
+    // post-score mirror via ONE Generate, not a self-union: the union
+    // form repeats the scored subtree (pair join + cosine) as two plan
+    // branches that exchange differently, so the dominant re-attach +
+    // score work ran TWICE (round 15; exchange reuse cannot fuse the
+    // swapped projection). explode(array(pair, swapped)) evaluates
+    // scored once and emits both directions from the same row.
+    val both = scored.select(explode(array(
+        struct(col("id1"), col("id2"), col("score")),
+        struct(col("id2").as("id1"), col("id1").as("id2"), col("score"))))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.score").as("score"))
     // THRESHOLD-GRAPH mode (k = MaxValue — every dedup caller: media/
     // audio/video gates filter on score and discard rank): ranking is
     // a full sort of 2·|scored pairs| inside every id1 partition that

@@ -86,4 +86,20 @@ class QualityClassifierSpec extends SparkTestBase {
     val mm = w.agg(min("w_milli"), max("w_milli")).collect()(0)
     assert(mm.getLong(0) >= -1000L && mm.getLong(1) <= 1000L)
   }
+
+  test("keepFilter keeps exactly the scoreInline keep && n_feats > 0 rows") {
+    // the round-15 inline filter (assembly chain: no score/join-back) —
+    // pin it against the scorer's verdict at both the default and a
+    // binding threshold
+    for (th <- Seq(0L, 1000L)) {
+      val expected = QualityClassifier
+        .scoreInline(docs, "text", "doc_id", 512, thresholdMilli = th)
+        .where(col("keep") && col("n_feats") > 0)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val got = QualityClassifier
+        .keepFilter(docs, "text", 512, thresholdMilli = th)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === expected, s"thresholdMilli=$th")
+    }
+  }
 }
