@@ -58,12 +58,17 @@ object PlanDump {
       val p = pairs()
       val edges =
         if (after) {
+          // final clusters form: Generate symmetrization + plain bridge
+          // checkpoint (the declared layout was A/B-rejected for
+          // clusters — 1-round corpora never amortize its setup)
           val sym = p.select(explode(array(
               struct(col("id1").as("src"), col("id2").as("dst")),
               struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
             .select(col("e.src").as("src"), col("e.dst").as("dst"))
             .distinct()
-          operators.Dedup.partitionedCheckpointCut(sym, Seq("src"))._1
+          val (cp, _) = operators.Dedup.checkpointTracked(sym)
+          org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRows(
+            spark, cp.queryExecution.toRdd, sym.schema)
         } else {
           val fwd = p.select(col("id1").as("src"), col("id2").as("dst"))
           plainCut(fwd.unionAll(
@@ -112,6 +117,33 @@ object PlanDump {
         .groupBy("node").agg(sum(col("m")).as("m"))
     }
 
+    // The PAIR-GENERATION stage of the audio near-dup gate
+    // (representative of all six media gates: they share the same
+    // decode → embed → selfTopKLsh shape). BEFORE: the embeddings frame
+    // is lazy, so the decode+embed UDF subtree appears once per
+    // selfTopKLsh read (cell explode + two vector re-attaches). AFTER:
+    // one eager checkpoint — the three reads are Scan ExistingRDD.
+    def mediaPairs(checkpointed: Boolean): DataFrame = {
+      val groups = 40
+      val mediaUdf = udf { (id: Long) =>
+        operators.Multimodal.wavWindows(64,
+          Queries.audioGateAmps((id % groups).toInt, (id / groups % 8).toInt))
+      }
+      val base = Tables.documents(spark, d).select(col("doc_id"))
+      val nRows = base.count()
+      val docs = base.withColumn("media", mediaUdf(col("doc_id")))
+      val embRaw = operators.Multimodal.embedAudioWindows(docs, "media")
+        .select(col("doc_id"), col("win_emb"))
+      val emb =
+        if (checkpointed) operators.Dedup.checkpointTracked(embRaw)._1
+        else embRaw
+      operators.Similarity.selfTopKLsh(emb, "win_emb", "doc_id",
+        k = Int.MaxValue, bits = operators.Similarity.lshBitsFor(nRows),
+        tables = 8, dim = 16, maxCell = 48, hotWindow = 8, nRowsHint = nRows)
+        .where(col("score") >= 0.9)
+        .select(col("id1"), col("id2"))
+    }
+
     for (a <- args.drop(1)) {
       val (name, variant) = a.split(":") match {
         case Array(n, v) => (n, v)
@@ -120,6 +152,7 @@ object PlanDump {
       val df = name match {
         case "round_clusters" => roundClusters(variant == "after")
         case "round_pagerank" => roundPageRank(variant == "after")
+        case "media_pairs"    => mediaPairs(variant == "after")
         case q                => Queries.all(q)(spark, d)
       }
       val path = java.nio.file.Paths.get(outDir, s"${name}_$variant.txt")

@@ -500,25 +500,27 @@ object Dedup {
       (org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRows(
         df.sparkSession, cp.queryExecution.toRdd, df.schema), rel)
     }
-    // undirected edge list, both directions — the LOOP-INVARIANT table,
-    // laid out ONCE onto the hop join key (src) with the layout DECLARED
-    // to the planner ([[partitionedCheckpointCut]], size-derived width):
-    // a plain checkpoint loses outputPartitioning and every round
-    // re-exchanged the edge table (the big side) to meet the hop join's
-    // distribution (round 15, guide §2.4 — iters×edge-shuffle → 1×).
-    // The init aggregate below groups by src and consumes the same
-    // layout exchange-free.
-    // symmetrized via ONE Generate, not a self-union: the union form
-    // reads `pairs` twice as two differently-projected plan branches,
-    // and when the caller hands an un-materialized pair pipeline the
-    // whole upstream runs twice unless exchange reuse happens to fire
-    // (round 15 — explode(array(fwd, swapped)) evaluates it once)
-    val (edges, releaseEdges) = partitionedCheckpointCut(
+    // undirected edge list, both directions, symmetrized via ONE
+    // Generate, not a self-union: the union form reads `pairs` twice as
+    // two differently-projected plan branches, and when the caller
+    // hands an un-materialized pair pipeline the whole upstream runs
+    // twice unless exchange reuse happens to fire (round 15 —
+    // explode(array(fwd, swapped)) evaluates it once).
+    // The DECLARED-layout form ([[partitionedCheckpointCut]], used by
+    // pageRank where 6 fixed rounds amortize its setup: −21% at the
+    // alternating X=100 A/B) was ALSO tried here and REJECTED with
+    // data: clusters converges in ONE round on duplicate-cluster
+    // corpora (star-shaped, SCALE.md round-10), so the setup's extra
+    // materialization + re-layout exchange never pays — alternating
+    // X=100 A/B measured 233.7 vs 190.1 s min (+23%). A plain
+    // checkpoint keeps setup minimal; the SHUFFLE_HASH hop below still
+    // removes the per-round edge SORT (the round-12 LPA lesson).
+    val (edges, releaseEdges) = checkpointCut(
       pairs.select(explode(array(
           struct(col("id1").as("src"), col("id2").as("dst")),
           struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .distinct(), Seq("src"))
+        .distinct())
     // init = hop 0 fused: label(v) = min(v, min neighbor) — one agg
     // instead of a full identity-labeled first round
     var (labels, releaseLabels) = checkpointCut(
