@@ -81,29 +81,43 @@ object Dedup {
   private[graft] def partitionedCheckpointCut(df: DataFrame,
       keyCols: Seq[String]): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
-    def drainCheckpoint(rdd: org.apache.spark.rdd.RDD[
-        org.apache.spark.sql.catalyst.InternalRow]): Unit = {
+    val rdd0 = df.queryExecution.toRdd.map(_.copy())
+    rdd0.localCheckpoint()
+    // ONE job drains the checkpoint AND measures it: Σ UnsafeRow bytes
+    // is the shuffle-comparable size the advisory partition size is
+    // calibrated against. The former block memSize read reflected JVM
+    // OBJECT size — typically several × the serialized scale — so real
+    // corpora got over-wide fixed layouts that then disabled AQE
+    // coalescing for every per-round stage (ADVICE r15); and the
+    // separate count() drain was one extra action per setup.
+    val bytes = rdd0.mapPartitions { it =>
+      var b = 0L
+      while (it.hasNext) b += (it.next() match {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+          u.getSizeInBytes.toLong
+        case _ => 64L // non-unsafe rows: a coarse floor, never 0
+      })
+      Iterator.single(b)
+    }.collect().sum
+    // rdd0 is setup-transient: free it even when the re-layout drain
+    // throws (the un-laid-out and laid-out copies are both resident
+    // only inside this try — ADVICE r15 flagged the leak on throw)
+    try {
+      val conf = spark.sessionState.conf
+      val advisory = math.max(1L, conf.getConf(
+        org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
+      val width = math.max(1L, math.min(conf.numShufflePartitions.toLong,
+        (bytes + advisory - 1) / advisory)).toInt
+      val laid = org.apache.spark.sql.graftbridge.DatasetBridge
+        .fromInternalRows(spark, rdd0, df.schema)
+        .repartition(width, keyCols.map(col): _*)
+      val rdd = laid.queryExecution.toRdd.map(_.copy())
       rdd.localCheckpoint()
       rdd.count() // drain every partition (see scaladoc)
-    }
-    val rdd0 = df.queryExecution.toRdd.map(_.copy())
-    drainCheckpoint(rdd0)
-    val bytes = spark.sparkContext.getRDDStorageInfo
-      .find(_.id == rdd0.id).map(i => i.memSize + i.diskSize).getOrElse(0L)
-    val conf = spark.sessionState.conf
-    val advisory = math.max(1L, conf.getConf(
-      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES))
-    val width = math.max(1L, math.min(conf.numShufflePartitions.toLong,
-      (bytes + advisory - 1) / advisory)).toInt
-    val laid = org.apache.spark.sql.graftbridge.DatasetBridge
-      .fromInternalRows(spark, rdd0, df.schema)
-      .repartition(width, keyCols.map(col): _*)
-    val rdd = laid.queryExecution.toRdd.map(_.copy())
-    drainCheckpoint(rdd)
-    rdd0.unpersist(blocking = false)
-    (org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRowsPartitioned(
-      spark, rdd, df.schema, keyCols, width),
-      () => { rdd.unpersist(blocking = false); () })
+      (org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRowsPartitioned(
+        spark, rdd, df.schema, keyCols, width),
+        () => { rdd.unpersist(blocking = false); () })
+    } finally rdd0.unpersist(blocking = false)
   }
 
   /** Exact dedup: hash-groupBy on a normalized fingerprint, keep the
@@ -490,15 +504,33 @@ object Dedup {
     // stats by re-wrapping the checkpointed RDD resets every round to
     // the default estimate; cost is one row-conversion pass per use of
     // a frame that is already materialized and loop-bounded in size.
-    def checkpointCut(df: DataFrame): (DataFrame, () => Unit) = {
-      // round 15: the stats-cut re-wrap goes through DatasetBridge —
-      // the public `createDataFrame(cp.rdd, schema)` form deserialized
-      // every InternalRow to an external Row and serialized it straight
-      // back on every downstream read, one full copy of the label table
-      // per use per round, pure conversion overhead at any scale
-      val (cp, rel) = checkpointTracked(df)
+    // round 15: the stats-cut re-wrap goes through DatasetBridge — the
+    // public `createDataFrame(cp.rdd, schema)` form deserialized every
+    // InternalRow to an external Row and serialized it straight back on
+    // every downstream read, one full copy of the label table per use
+    // per round, pure conversion overhead at any scale.
+    // round 16: checkpoint drain and the convergence probe are ONE job —
+    // `sumOf` (when set) folds the label sum over the SAME action that
+    // materializes the checkpoint blocks, so a round costs 3 sequential
+    // actions instead of 5 (the probe was a separate job per frame; at
+    // sf-scale these gates are action-barrier-bound — JobCount r15/16).
+    def checkpointCut(df: DataFrame,
+        sumOf: Option[org.apache.spark.sql.catalyst.InternalRow => Long])
+        : (DataFrame, () => Unit, Option[BigInt]) = {
+      val rdd = df.queryExecution.toRdd.map(_.copy())
+      rdd.localCheckpoint()
+      val sum = sumOf match {
+        case Some(f) =>
+          Some(rdd.mapPartitions { it =>
+            var s = BigInt(0)
+            while (it.hasNext) s += f(it.next())
+            Iterator.single(s)
+          }.collect().sum)
+        case None => rdd.count(); None
+      }
       (org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRows(
-        df.sparkSession, cp.queryExecution.toRdd, df.schema), rel)
+        df.sparkSession, rdd, df.schema),
+        () => { rdd.unpersist(blocking = false); () }, sum)
     }
     // undirected edge list, both directions, symmetrized via ONE
     // Generate, not a self-union: the union form reads `pairs` twice as
@@ -515,32 +547,39 @@ object Dedup {
     // X=100 A/B measured 233.7 vs 190.1 s min (+23%). A plain
     // checkpoint keeps setup minimal; the SHUFFLE_HASH hop below still
     // removes the per-round edge SORT (the round-12 LPA lesson).
-    val (edges, releaseEdges) = checkpointCut(
+    val (edges, releaseEdges, _) = checkpointCut(
       pairs.select(explode(array(
           struct(col("id1").as("src"), col("id2").as("dst")),
           struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .distinct())
+        .distinct(), None)
     // init = hop 0 fused: label(v) = min(v, min neighbor) — one agg
     // instead of a full identity-labeled first round
-    var (labels, releaseLabels) = checkpointCut(
-      edges.groupBy(col("src").as("id"))
-        .agg(least(min(col("dst")), first(col("src"))).as("cluster")))
+    val labelsInit = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
     // convergence probe: labels are monotonically non-increasing per
     // node, so the label sum strictly decreases until fixpoint — an
-    // unchanged exact (decimal) sum proves convergence with one cheap
-    // agg over the just-checkpointed frame, no compare-join needed
-    // round 15: computed directly over the materialized internal rows —
-    // ONE zero-shuffle job instead of the partial/final aggregate pair
-    // per probe (cluster column is ordinal 1); BigInt keeps the sum
-    // exact like the former Decimal(38) did
-    def labelSum(df: DataFrame): BigInt =
-      df.queryExecution.toRdd.mapPartitions { it =>
-        var s = BigInt(0)
-        while (it.hasNext) s += it.next().getLong(1)
-        Iterator.single(s)
-      }.collect().sum
-    var prevSum = labelSum(labels)
+    // unchanged exact sum proves convergence with no compare-join.
+    // The cluster-column reader is chosen ONCE from the actual schema:
+    // getLong on a non-Long column is an undefined word read off the
+    // unsafe row (ADVICE r15 — clusters() is public and never casts its
+    // ids), so integral types get their exact reader and anything else
+    // falls back to a type-generic Decimal(38,0) aggregate probe (the
+    // pre-r15 form: one extra job per probe, correctness first).
+    val clusterReader: Option[org.apache.spark.sql.catalyst.InternalRow => Long] =
+      labelsInit.schema(1).dataType match {
+        case LongType    => Some(_.getLong(1))
+        case IntegerType => Some(r => r.getInt(1).toLong)
+        case ShortType   => Some(r => r.getShort(1).toLong)
+        case ByteType    => Some(r => r.getByte(1).toLong)
+        case _           => None
+      }
+    def genericSum(df: DataFrame): BigInt = {
+      val d = df.agg(sum(col(df.columns(1)).cast(DecimalType(38, 0)))).head()
+      if (d.isNullAt(0)) BigInt(0) else BigInt(d.getDecimal(0).toBigInteger)
+    }
+    var (labels, releaseLabels, sum0) = checkpointCut(labelsInit, clusterReader)
+    var prevSum = sum0.getOrElse(genericSum(labels))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -571,22 +610,22 @@ object Dedup {
       // checkpoint before the self-join: materializes the hop once (both
       // join sides read it) and sidesteps Catalyst's Union-constraint
       // attribute-rewrite bug on self-joined union plans
-      val (hopped0, releaseHopped0) = checkpointCut(
+      val (hopped0, releaseHopped0, _) = checkpointCut(
         labels.unionAll(viaNeighbors)
-          .groupBy("id").agg(min("cluster").as("cluster")))
+          .groupBy("id").agg(min("cluster").as("cluster")), None)
       // (b) small-star: centers (pre-hop labels) adopt the min of what
       // their members just learned
       val viaMembers = labels.where(col("id") =!= col("cluster"))
         .select(col("id").as("mid"), col("cluster").as("center"))
         .join(hopped0.withColumnRenamed("id", "mid"), "mid")
         .select(col("center").as("id"), col("cluster"))
-      val (hopped, releaseHopped) = checkpointCut(
+      val (hopped, releaseHopped, hopSum0) = checkpointCut(
         hopped0.unionAll(viaMembers)
-          .groupBy("id").agg(min("cluster").as("cluster")))
+          .groupBy("id").agg(min("cluster").as("cluster")), clusterReader)
       releaseHopped0()
       // the round's reads of the previous labels are done
       releaseLabels()
-      val hopSum = labelSum(hopped)
+      val hopSum = hopSum0.getOrElse(genericSum(hopped))
       if (hopSum == prevSum) {
         // the hop moved nothing → fixpoint; skip the doubling join
         labels = hopped
@@ -596,13 +635,14 @@ object Dedup {
         // (c) pointer doubling: follow the label one more step. Labels
         // only ever shrink (cluster ≤ id and label(c) ≤ c), so the
         // shortcut label is min(cluster, label(cluster)) = label(cluster).
-        val (next, releaseNext) = checkpointCut(
+        val (next, releaseNext, nextSum0) = checkpointCut(
           hopped.alias("a")
             .join(hopped.select(col("id").as("cluster"), col("cluster").as("c2")).alias("b"),
               Seq("cluster"), "left")
-            .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster")))
+            .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster")),
+          clusterReader)
         releaseHopped() // doubling result materialized → hop is dead
-        prevSum = labelSum(next)
+        prevSum = nextSum0.getOrElse(genericSum(next))
         labels = next
         releaseLabels = releaseNext
       }
@@ -791,6 +831,16 @@ object Dedup {
         "conv(substring(md5(concat_ws(' ', slice(wd, i, %d))), 1, 7), 16, 10)".format(k)
       else
         "(xxhash64(concat_ws(' ', slice(wd, i, %d))) & 268435455)".format(k)
+    // The selected-keys array feeds the Generate as an inline
+    // EXPRESSION deliberately — do NOT factor it into its own
+    // projection so the explode consumes an attribute. Round 16
+    // measured that trap: an attribute-input explode passes
+    // InferFiltersFromGenerate's cheap-input check (SPARK-33544), the
+    // inferred `size(..) > 0` then pushes through the projections BY
+    // SUBSTITUTION, and the scan filter ends up re-evaluating the
+    // whole gram-hash chain once per row while column pruning below
+    // the now-divergent branches breaks exchange reuse — q_winnow_pairs
+    // went 5 → 415 task-seconds at sf0.1 before the form was reverted.
     docs
       .select(col(idCol).as("doc_id"),
         split(lower(trim(col(textCol))), "\\s+").as("wd"))
@@ -829,6 +879,17 @@ object Dedup {
       k: Int = 5, w: Int = 4, minShared: Int = 2,
       maxDocsPerFp: Int = 100, portableHash: Boolean = true): DataFrame = {
     require(minShared >= 1 && maxDocsPerFp >= 2)
+    // (Round 16 tried a row-local nf + shared-fp-exchange restructure
+    // here — per-doc fingerprint arrays pre-explode, nf riding the
+    // stream, no distinct / nf-join exchanges. REJECTED with data:
+    // the attribute-input explode it required triggers
+    // InferFiltersFromGenerate + pushdown-by-substitution (the whole
+    // gram-hash chain re-evaluated per row inside the scan filter) and
+    // column pruning below the no-longer-identical branches broke
+    // exchange reuse — measured 415 vs 5 task-seconds at sf0.1. The
+    // distinct() below is the load-bearing shared materialization
+    // point all three consumers reuse; see winnowFingerprints' inline
+    // scaladoc for the Generate-input rule.)
     val fps = winnowFingerprints(docs, textCol, idCol, k, w, portableHash)
       .select(col("doc_id"), col("fp")).distinct()
     val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))

@@ -299,40 +299,43 @@ object Similarity {
         .where(col("id1") < col("id2"))
         .select("id1", "id2")
     } else {
-      // one shuffle by cellkey serves both window frames (count is
-      // computed on the sorted frame too — same exchange, same sort)
+      // SINGLE-PASS hot/cold form (round 16, guide §2.4): one exchange,
+      // one sort, ONE window evaluation emits both regimes. The former
+      // two-branch shape re-evaluated the count-window subtree three
+      // times above the shared exchange (the cold self-join read it as
+      // BOTH join sides, the hot branch once more) and paid the cold
+      // SMJ's per-branch re-sorts; here every row carries its next
+      // max(maxCell−1, hotWindow) in-cell ids as ONE bounded sliding-
+      // frame collect_list — a cold row (cell size cn ≤ maxCell)
+      // explodes the whole array (= its cn−rn followers, exactly the
+      // all-pairs set, emitted once from the smaller side), a hot row
+      // its first hotWindow entries — so the self-join disappears
+      // outright. ONE aggregate over a ≤capN-row frame, NOT capN
+      // separate lead() expressions: Spark 4 builds one
+      // OffsetWindowFunctionFrame (with a codegen'd projection) PER
+      // lead PER partition group, and a 47-lead variant measured
+      // minutes of pure frame-construction CPU on thousands of cells.
+      // Per-row cost is O(maxCell) buffer appends, a constant; hot
+      // cells stay O(m·hotWindow) rows out, same as before. Candidate
+      // SET is pinned identical to the two-branch form
+      // (CellPairsParitySpec; both consumers distinct() the output, so
+      // set semantics are the unit). The `id2 > id1` guard applies to
+      // cold rows only — mirroring the old strict `<` join predicate on
+      // tie ids — while hot rows keep the old windowed semantics.
+      val capN = math.max(maxCell - 1, hotWindow)
       val wOrd = Window.partitionBy(col("cellkey")).orderBy(col(idCol))
       val wAll = Window.partitionBy(col("cellkey"))
         .orderBy(col(idCol))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val marked = celled.withColumn("cn", count(lit(1)).over(wAll))
-      val cold = marked.where(col("cn") <= maxCell)
-      // MERGE pin: both sides are already partitioned AND sorted by
-      // the window's (cellkey, id) exchange, so sort-merge joins with
-      // NO new exchange and no re-sort — and unlike a hash build it
-      // spills gracefully when a one-host probe emulates a cluster's
-      // aggregate memory. The pin exists because a garbage-small size
-      // estimate from an upstream tiny-file scan otherwise lets
-      // Catalyst statically BROADCAST the whole cold cell table
-      // (hundreds of MB collected to the driver × every task slot at
-      // probe scale). SHUFFLE_HASH was tried and rejected here: its
-      // build side cannot spill, and 32 concurrent ~200 MB cold-cell
-      // maps exhausted execution memory at X=1000.
-      val coldPairs = cold.select(col("cellkey"), col(idCol).as("id1"))
-        .join(cold.select(col("cellkey"), col(idCol).as("id2"))
-          .hint("merge"), Seq("cellkey"))
-        .where(col("id1") < col("id2")).select("id1", "id2")
-      // hot rows pair with their next `hotWindow` in-cell ids. cn is
-      // constant per cell, so the post-filter leads see the whole
-      // cell; the filter preserves the cellkey partitioning + sort,
-      // so this second window pass re-uses the first one's exchange.
-      // Ascending id order makes id1 < id2 by construction.
-      val hotPairs = marked.where(col("cn") > maxCell)
-        .withColumn("nbrs", array((1 to hotWindow).map(i =>
-          lead(col(idCol), i).over(wOrd)): _*))
-        .select(col(idCol).as("id1"), explode(col("nbrs")).as("id2"))
-        .where(col("id2").isNotNull)
-      coldPairs.unionAll(hotPairs)
+      celled
+        .withColumn("cn", count(lit(1)).over(wAll))
+        .withColumn("nbrs", collect_list(col(idCol))
+          .over(wOrd.rowsBetween(1, capN)))
+        .select(col(idCol).as("id1"), col("cn"),
+          explode(when(col("cn") <= maxCell, col("nbrs"))
+            .otherwise(slice(col("nbrs"), 1, hotWindow))).as("id2"))
+        .where(col("cn") > maxCell || col("id2") > col("id1"))
+        .select("id1", "id2")
     }
   }
 

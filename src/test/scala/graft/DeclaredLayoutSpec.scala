@@ -62,6 +62,44 @@ class DeclaredLayoutSpec extends SparkTestBase {
     } finally release()
   }
 
+  test("multi-partition declared layout: physical placement matches the " +
+      "declared HashPartitioning (value identity + join THROUGH it)") {
+    import spark.implicits._
+    // force width > 1 by shrinking the advisory partition size: the
+    // sf-scale correctness gates all lay out into width=1, where the
+    // declaration is vacuous (everything pmod 1 routes to partition 0);
+    // the dangerous path — row placement must equal murmur3-pmod
+    // evaluation or joins silently misroute — only exercises at
+    // width > 1 (ADVICE r15)
+    val conf = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val old = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "256b")
+      val pairs = (1L to 5000L).map(i => (i % 97, i)).toDF("src", "dst")
+      val (edges, release) = Dedup.partitionedCheckpointCut(pairs, Seq("src"))
+      try {
+        assert(edges.rdd.getNumPartitions > 1,
+          s"advisory=256b must force width > 1, got " +
+            s"${edges.rdd.getNumPartitions}")
+        // value identity through the multi-partition layout
+        assert(edges.count() == 5000L)
+        val aggGot = edges.groupBy("src").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val aggWant = pairs.groupBy("src").agg(count(lit(1)).as("n"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(aggGot == aggWant, "aggregate over the declared layout " +
+          "diverged — physical placement disagrees with the declaration")
+        // join THROUGH the declared layout: every key must meet its
+        // probe row (a mis-declared layout drops matches silently)
+        val probe = (0L until 97L).map(k => (k, k * 10)).toDF("src", "v")
+          .hint("shuffle_hash")
+        val j = edges.join(probe, Seq("src"))
+        assert(j.count() == 5000L,
+          "join through the multi-partition declared layout lost rows")
+      } finally release()
+    } finally spark.conf.set(conf, old)
+  }
+
   test("size-derived width: tiny input lays out into a single partition") {
     import spark.implicits._
     val pairs = (1L to 100L).map(i => (i, i + 1)).toDF("src", "dst")

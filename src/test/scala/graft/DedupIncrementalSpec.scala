@@ -98,6 +98,21 @@ class DedupIncrementalSpec extends SparkTestBase {
       "single path component must collapse to the global min id")
   }
 
+  test("clusters handles non-Long integral ids (the convergence probe " +
+      "must not assume a LongType cluster column)") {
+    import spark.implicits._
+    // IntegerType ids: the round-15 probe read getLong(1) off internal
+    // rows unconditionally — undefined word reads on any caller that
+    // never cast to LongType (clusters() is public and does not cast)
+    val pairs = Seq((5, 2), (2, 3), (10, 11)).toDF("id1", "id2")
+    assert(pairs.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.IntegerType))
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSet
+    assert(got == Set((5L, 2L), (2L, 2L), (3L, 2L), (10L, 10L), (11L, 10L)))
+  }
+
   test("incremental store update is a blind append (re-run equivalence)") {
     val docs = Tables.documents(spark, sf)
     val oldDocs = docs.where(col("doc_id") % 2 === 0)
