@@ -117,6 +117,113 @@ object PlanDump {
         .groupBy("node").agg(sum(col("m")).as("m"))
     }
 
+    // The capped PAIRING KERNEL (Similarity.cellPairs — shared by
+    // selfTopKLsh and NearDupStore.pairs, i.e. every kNN/semdedup/media
+    // gate). BEFORE = the round-15 two-branch hot/cold form, inlined
+    // faithfully: a count window above the shared exchange, read by the
+    // cold all-pairs self-join as BOTH sides and by the hot windowed
+    // branch once more (three evaluations, per-branch Sorts). AFTER =
+    // the round-16 single-pass form in the operator: ONE window pass
+    // (count + bounded sliding-frame collect_list), explode, no
+    // self-join.
+    def cellPairsPlan(after: Boolean): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val maxCell = 48
+      val hotWindow = 8
+      val celled = (1L to 4000L).map(i => (i % 97, i)).toDF("cellkey", "id")
+      if (after)
+        operators.Similarity.cellPairs(celled, "id", maxCell, hotWindow)
+      else {
+        val wAll = Window.partitionBy(col("cellkey"))
+          .orderBy(col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val counted = celled.withColumn("cn", count(lit(1)).over(wAll))
+        val cold = counted.where(col("cn") <= maxCell)
+        val l = cold.select(col("cellkey"), col("id").as("id1"))
+        val r = cold.select(col("cellkey"), col("id").as("id2"))
+        val coldPairs = l.join(r.hint("merge"), Seq("cellkey"))
+          .where(col("id1") < col("id2")).select("id1", "id2")
+        val wOrd = Window.partitionBy(col("cellkey")).orderBy(col("id"))
+        val hotPairs = counted.where(col("cn") > maxCell)
+          .withColumn("nbrs",
+            collect_list(col("id")).over(wOrd.rowsBetween(1, hotWindow)))
+          .select(col("id").as("id1"), explode(col("nbrs")).as("id2"))
+        coldPairs.unionAll(hotPairs)
+      }
+    }
+
+    // NearDupStore.pairs over a small on-disk store (round 16): BEFORE =
+    // the r15 read shape, inlined faithfully — snapshot read +
+    // dropDuplicates(id, cellkey) (its own exchange) feeding the pairing
+    // kernel (its own exchange on cellkey). AFTER = the operator: the
+    // retry dedup rides the kernel's window pass as a lag filter — one
+    // exchange, one sort.
+    def storePairs(after: Boolean): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_plandump_store").toString + "/s"
+      val embs = (1L to 64L).map(i =>
+          (i, Seq.tabulate(8)(j => ((i + j) % 5).toFloat)))
+        .toDF("doc_id", "emb")
+      operators.NearDupStore.write(embs, "emb", "doc_id", dir, "b1",
+        bits = 4, tables = 4, dim = 8)
+      if (after)
+        operators.NearDupStore.pairs(spark, dir, tau = 0.5, maxCell = 8,
+          hotWindow = 4)
+      else {
+        val scoped = operators.StoreCompaction
+          .readVisible(spark, s"$dir/cells", pinLiveFiles = true)
+          .select("id", "cellkey").dropDuplicates("id", "cellkey")
+        val cand = operators.Similarity
+          .cellPairs(scoped.select(col("cellkey"), col("id")), "id", 8, 4)
+          .distinct()
+        val v = operators.StoreCompaction
+          .readVisible(spark, s"$dir/vecs", pinLiveFiles = true)
+          .dropDuplicates("id")
+        cand
+          .join(v.select(col("id").as("id1"), col("vec").as("v1"))
+            .hint("shuffle_hash"), "id1")
+          .join(v.select(col("id").as("id2"), col("vec").as("v2"))
+            .hint("shuffle_hash"), "id2")
+          .select(col("id1"), col("id2"),
+            graft.functions.VectorFunctions.cosine(col("v1"), col("v2"))
+              .as("score"))
+          .where(col("score") >= 0.5)
+      }
+    }
+
+    // ONE round of the clusters hop join PAST the adaptive declare
+    // threshold (round 16): BEFORE = the minimal-setup form every round
+    // ran in r15 (plain bridge checkpoint, so the hop join exchanges
+    // the edge side each round); AFTER = rounds ≥ 3 consume the edge
+    // table through the declared layout — edge side is a bare Scan
+    // ExistingRDD, no Exchange, no Sort.
+    def roundClustersDeep(after: Boolean): DataFrame = {
+      val p = pairs()
+      val sym = p.select(explode(array(
+          struct(col("id1").as("src"), col("id2").as("dst")),
+          struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct()
+      val edges =
+        if (after) operators.Dedup.partitionedCheckpointCut(sym, Seq("src"))._1
+        else {
+          val (cp, _) = operators.Dedup.checkpointTracked(sym)
+          org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRows(
+            spark, cp.queryExecution.toRdd, sym.schema)
+        }
+      val labelsInit = edges.groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), first(col("src"))).as("cluster"))
+      val (cp, _) = operators.Dedup.checkpointTracked(labelsInit)
+      val labels = org.apache.spark.sql.graftbridge.DatasetBridge
+        .fromInternalRows(spark, cp.queryExecution.toRdd, labelsInit.schema)
+      edges
+        .join(labels.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+        .select(col("dst").as("id"), col("cluster"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+    }
+
     // The PAIR-GENERATION stage of the audio near-dup gate
     // (representative of all six media gates: they share the same
     // decode → embed → selfTopKLsh shape). BEFORE: the embeddings frame
@@ -150,10 +257,13 @@ object PlanDump {
         case Array(n)    => (n, "after")
       }
       val df = name match {
-        case "round_clusters" => roundClusters(variant == "after")
-        case "round_pagerank" => roundPageRank(variant == "after")
-        case "media_pairs"    => mediaPairs(variant == "after")
-        case q                => Queries.all(q)(spark, d)
+        case "round_clusters"      => roundClusters(variant == "after")
+        case "round_pagerank"      => roundPageRank(variant == "after")
+        case "round_clusters_deep" => roundClustersDeep(variant == "after")
+        case "media_pairs"         => mediaPairs(variant == "after")
+        case "cell_pairs"          => cellPairsPlan(variant == "after")
+        case "store_pairs"         => storePairs(variant == "after")
+        case q                     => Queries.all(q)(spark, d)
       }
       val path = java.nio.file.Paths.get(outDir, s"${name}_$variant.txt")
       java.nio.file.Files.write(path,

@@ -228,6 +228,23 @@ object ScaleProbe {
           verifyJaccard = None).select("id1", "id2")
         operators.Dedup.clusters(pairs)
       }),
+      // DEEP-graph clusters probe (VERDICT r15 #5): duplicate-cluster
+      // corpora (above) converge in ~1 round — the declared-layout
+      // WORST case — while smooth-manifold similarity graphs are
+      // chain-shaped and replay the per-round edge exchange O(log n)
+      // times. A Hamiltonian path over 50k·X hash-permuted ids is that
+      // shape distilled: diameter n, rounds ~ log n via small-star +
+      // doubling, so this head prices the adaptive declare-after-round-2
+      // treatment on the corpus family it exists for. (xxhash64 id
+      // collisions would merely merge two chain segments — a perf
+      // probe, not a value gate.)
+      run("dedup_clusters_chain", {
+        val n = 50000L * X
+        val pairs = spark.range(n - 1).select(
+          xxhash64(col("id")).as("id1"),
+          xxhash64(col("id") + 1L).as("id2"))
+        operators.Dedup.clusters(pairs)
+      }),
       // asymmetric decontamination: the CORPUS inflates 10×, the
       // benchmark stays the un-inflated eval split — exactly the shape
       // the broadcast-Bloom prefilter exists for (shuffle ∝ hits, not

@@ -791,7 +791,24 @@ object Multimodal {
       dim: Int = 36, tau: Double = 0.9, minMatchedFrames: Int = 3,
       maxCell: Int = 48, hotWindow: Int = 8,
       frameIdxBits: Int = 20, minMatchedFrac: Double = 0.0,
-      nRowsHint: Long = 0L): DataFrame = {
+      nRowsHint: Long = 0L): DataFrame =
+    videoNearDupPairsScoped(frames, idCol, frameIdxCol, embCol, bits,
+      tables, dim, tau, minMatchedFrames, maxCell, hotWindow,
+      frameIdxBits, minMatchedFrac, nRowsHint).df
+
+  /** [[videoNearDupPairs]] with the packed-frame checkpoint's storage
+    * lifecycle in the caller's hands (the [[Dedup.Scoped]] contract:
+    * consume `df`, then `release()`). The plain overload discards the
+    * release — fine for harness sessions that sweep persistent RDDs
+    * between queries, a per-call leak of one embeddings copy for a
+    * daemonized pipeline calling this operator per batch (ADVICE r15):
+    * such callers use THIS variant. */
+  def videoNearDupPairsScoped(frames: DataFrame, idCol: String,
+      frameIdxCol: String, embCol: String, bits: Int, tables: Int = 8,
+      dim: Int = 36, tau: Double = 0.9, minMatchedFrames: Int = 3,
+      maxCell: Int = 48, hotWindow: Int = 8,
+      frameIdxBits: Int = 20, minMatchedFrac: Double = 0.0,
+      nRowsHint: Long = 0L): Dedup.Scoped = {
     require(frameIdxBits > 0 && frameIdxBits < 40 && minMatchedFrames > 0)
     require(minMatchedFrac >= 0.0 && minMatchedFrac <= 1.0)
     // explicit range guards on BOTH packed fields: a frame index past
@@ -824,7 +841,8 @@ object Multimodal {
     // persistent RDDs like the other convenience overloads), so the
     // decode runs once in EVERY mode (round 15: absolute mode ran it
     // 3× — guide §8's "decide with small rows" applied to the decode).
-    val packed = Dedup.checkpointTracked(packedRaw)._1
+    // The release threads out through the returned Scoped (round 16).
+    val (packed, release) = Dedup.checkpointTracked(packedRaw)
     val fp = Similarity.selfTopKLsh(packed, "femb", "fid",
       k = Int.MaxValue, bits = bits, tables = tables, dim = dim,
       maxCell = maxCell, hotWindow = hotWindow, nRowsHint = nRowsHint)
@@ -838,26 +856,28 @@ object Multimodal {
       .where(col("v1") < col("v2"))
     val rolled = v.groupBy(col("v1").as("id1"), col("v2").as("id2"))
       .agg(countDistinct(col("f1")).as("n_matched"))
-    if (minMatchedFrac <= 0.0)
-      rolled.where(col("n_matched") >= minMatchedFrames)
-    else {
-      // per-video rep counts over the SAME guarded frame set the LSH
-      // saw; SHUFFLE_HASH pinned — the counts derive from the big frame
-      // table, whose garbage-small upstream estimate is exactly what
-      // static-broadcast misplans feed on (the selfTopKLsh re-attach
-      // lesson)
-      val reps = packed
-        .select(shiftright(col("fid"), frameIdxBits).as("vid"))
-        .groupBy("vid").agg(count(lit(1)).as("n_reps"))
-      rolled
-        .join(reps.select(col("vid").as("id1"), col("n_reps").as("n1"))
-          .hint("shuffle_hash"), "id1")
-        .join(reps.select(col("vid").as("id2"), col("n_reps").as("n2"))
-          .hint("shuffle_hash"), "id2")
-        .where(col("n_matched") >= greatest(lit(minMatchedFrames.toLong),
-          ceil(least(col("n1"), col("n2")) * lit(minMatchedFrac))))
-        .select("id1", "id2", "n_matched")
-    }
+    val out =
+      if (minMatchedFrac <= 0.0)
+        rolled.where(col("n_matched") >= minMatchedFrames)
+      else {
+        // per-video rep counts over the SAME guarded frame set the LSH
+        // saw; SHUFFLE_HASH pinned — the counts derive from the big frame
+        // table, whose garbage-small upstream estimate is exactly what
+        // static-broadcast misplans feed on (the selfTopKLsh re-attach
+        // lesson)
+        val reps = packed
+          .select(shiftright(col("fid"), frameIdxBits).as("vid"))
+          .groupBy("vid").agg(count(lit(1)).as("n_reps"))
+        rolled
+          .join(reps.select(col("vid").as("id1"), col("n_reps").as("n1"))
+            .hint("shuffle_hash"), "id1")
+          .join(reps.select(col("vid").as("id2"), col("n_reps").as("n2"))
+            .hint("shuffle_hash"), "id2")
+          .where(col("n_matched") >= greatest(lit(minMatchedFrames.toLong),
+            ceil(least(col("n1"), col("n2")) * lit(minMatchedFrac))))
+          .select("id1", "id2", "n_matched")
+      }
+    Dedup.Scoped(out, release)
   }
 
   /** Mono 16-bit PCM square-wave WAV with a silent tail: `nTone` samples

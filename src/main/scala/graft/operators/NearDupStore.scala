@@ -48,6 +48,21 @@ import org.apache.spark.sql.functions._
   */
 object NearDupStore {
 
+  private val MetaSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "bits INT, tables INT, dim INT")
+
+  /** Store params already read-back-verified by THIS JVM, keyed by meta
+    * path. The verify read exists to catch a lost create race / a
+    * params mismatch against an existing store; once one write call has
+    * proven what is on disk, every later write to the same store can
+    * check against the memo instead of re-running a head() job per
+    * batch (guide §5: the store protocol's actions are sequential
+    * driver barriers — JobCount measured them on
+    * q_media_dedup_incremental). Metadata only, never query results;
+    * single-compactor/one-writer is already the store contract. */
+  private val verifiedMeta =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int)]()
+
   /** Embed-once, append-forever: persist `embs`' (id, vec) and its LSH
     * cell index under `path` as batch `batchId`. The caller pays the
     * decode/embed of THIS batch only; every later [[pairs]] call serves
@@ -73,10 +88,22 @@ object NearDupStore {
     // cell geometry
     Seq((bits, tables, dim)).toDF("bits", "tables", "dim")
       .coalesce(1).write.mode("ignore").parquet(metaPath)
-    val m = spark.read.parquet(metaPath).select("bits", "tables", "dim").head()
-    require(m.getInt(0) == bits && m.getInt(1) == tables && m.getInt(2) == dim,
-      s"store at $path was created with (bits,tables,dim)=" +
-        s"(${m.getInt(0)},${m.getInt(1)},${m.getInt(2)}), " +
+    // verify against what is ACTUALLY stored — read-back with the pinned
+    // meta schema (no footer-inference job) and memoized per JVM (no
+    // head() job after the first write to this store; round 16)
+    // (a memo entry that does NOT match the request falls through to a
+    // fresh disk read: a store deleted and recreated at the same path
+    // must verify against what is stored NOW, not what this JVM saw)
+    val m = Option(verifiedMeta.get(metaPath))
+      .filter(_ == ((bits, tables, dim))).getOrElse {
+        val r = spark.read.schema(MetaSchema).parquet(metaPath)
+          .select("bits", "tables", "dim").head()
+        val t = (r.getInt(0), r.getInt(1), r.getInt(2))
+        verifiedMeta.put(metaPath, t)
+        t
+      }
+    require(m == ((bits, tables, dim)),
+      s"store at $path was created with (bits,tables,dim)=$m, " +
         s"write requested ($bits,$tables,$dim): cells would never co-key; " +
         "reindex into a fresh store instead")
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -89,12 +116,22 @@ object NearDupStore {
     // the batch's own partition DIRECTORY touches exactly this batch's
     // files — earlier batches are never listed, let alone read. (A
     // replayed batch_id sees the replay's rows twice here and appends
-    // duplicate cells; the read side dedups, same as vecs.)
-    spark.read.parquet(s"$path/vecs/batch_id=$batchId")
+    // duplicate cells; the read side dedups, same as vecs.) The
+    // read-back schema is the one we just wrote (batch_id is the
+    // partition dir, not in the files), pinned so no inference job runs.
+    val cells = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        base.schema.filter(_.name != "batch_id")))
+      .parquet(s"$path/vecs/batch_id=$batchId")
       .select(lit(batchId).as("batch_id"), col("id"),
         explode(Similarity.cellKeyArray(col("vec"), bits, tables, dim))
           .as("cellkey"))
-      .write.mode("append").partitionBy("batch_id").parquet(s"$path/cells")
+    cells.write.mode("append").partitionBy("batch_id").parquet(s"$path/cells")
+    // pin both tables' read schemas for every later snapshot read
+    // (driver-side, `_`-hidden, first writer wins; readers fall back to
+    // inference when absent — StoreCompaction.writeSchemaHint)
+    StoreCompaction.writeSchemaHint(spark, s"$path/vecs", base.schema)
+    StoreCompaction.writeSchemaHint(spark, s"$path/cells", cells.schema)
   }
 
   /** Snapshot read: the store's visible view pinned to the EXPLICIT
@@ -185,7 +222,7 @@ object NearDupStore {
       case Some(bs) => raw.where(col("batch_id").isin(bs: _*))
       case None     => raw
     }
-    val scoped = (newBatchId match {
+    val scopedRaw = newBatchId match {
       case None => view.select("id", "cellkey")
       case Some(b) =>
         // touched cells: every member (any batch) of any cell the new
@@ -195,7 +232,25 @@ object NearDupStore {
           .select("cellkey").distinct()
         view.select("id", "cellkey")
           .join(newKeys, Seq("cellkey"), "left_semi")
-    }).dropDuplicates("id", "cellkey")
+    }
+    // retry-neutralizing dedup FUSED into the pairing kernel's own
+    // window pass (round 16, guide §2.4): rows are (id, cellkey) only,
+    // so a replayed batch's duplicates are exact-row duplicates, and in
+    // the kernel's (partition cellkey, order id) frame equal ids are
+    // ADJACENT — `lag(id) != id` keeps exactly one of each, the same
+    // set dropDuplicates("id","cellkey") kept, with NO exchange of its
+    // own (the former dropDuplicates exchanged the full cell table on
+    // (id, cellkey) and the kernel re-exchanged the survivors on
+    // cellkey: two wire crossings where one suffices). Must still sit
+    // BEFORE the kernel's count/collect windows — duplicate rows would
+    // corrupt the hot-cell window counts — which a same-spec window
+    // chain guarantees (one exchange, one sort, filter between frames).
+    val wDedup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cellkey")).orderBy(col("id"))
+    val scoped = scopedRaw
+      .withColumn("_prev", lag(col("id"), 1).over(wDedup))
+      .where(col("_prev").isNull || col("_prev") =!= col("id"))
+      .drop("_prev")
     val cand = Similarity
       .cellPairs(scoped.select(col("cellkey"), col("id")), "id",
         maxCell, hotWindow)

@@ -279,7 +279,7 @@ object Similarity {
     * pairing (see [[selfTopKLsh]]'s cap scaladoc). Join-strategy pins
     * (MERGE on the self-joins) are part of the kernel — see the inline
     * reasoning. */
-  private[operators] def cellPairs(celled: DataFrame, idCol: String,
+  private[graft] def cellPairs(celled: DataFrame, idCol: String,
       maxCell: Int, hotWindow: Int,
       broadcastSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window

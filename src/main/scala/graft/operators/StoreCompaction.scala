@@ -71,6 +71,53 @@ private[graft] object StoreCompaction {
   private val TmpPrefix = "_graft_tmp_"
   private val ManifestName = "_graft_manifest"
   private val ManifestHeader = "GRAFT-MANIFEST v1"
+  private val SchemaHintName = "_schema.ddl"
+
+  /** Persist the store's row schema as a `_`-hidden DDL file so every
+    * later read can PIN it instead of inferring: each un-pinned
+    * `spark.read.parquet` runs a footer-read Spark job before the real
+    * query (mergeSchemasInParallel), and at store-protocol cadence —
+    * q_media_dedup_incremental pays 6 such jobs per run — that is pure
+    * sequential action-barrier latency (guide §5, driver/orchestration).
+    * Driver-side FS write, no job; first writer wins (the store schema
+    * is fixed at creation, same contract as `meta/`); readers fall back
+    * to inference when the file is absent (old stores, crash windows)
+    * or unparsable. */
+  def writeSchemaHint(spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val (fs, root) = fsFor(spark, dir)
+    val p = new Path(root, SchemaHintName)
+    try {
+      if (!fs.exists(p)) {
+        val out = fs.create(p, false) // no overwrite: first writer wins
+        try out.write(schema.toDDL.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    } catch { case _: java.io.IOException => () } // lost race / RO fs: hint stays optional
+  }
+
+  /** The pinned schema hint at `dir`, when present and parsable. */
+  private def readSchemaHint(spark: SparkSession, dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (fs, root) = fsFor(spark, dir)
+    val p = new Path(root, SchemaHintName)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val chunk = new Array[Byte](8 * 1024)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+            new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+        Some(org.apache.spark.sql.types.StructType.fromDDL(txt))
+      }
+    } catch { case _: Throwable => None }
+  }
 
   private def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -172,10 +219,11 @@ private[graft] object StoreCompaction {
     Snapshot(root, chosen, live, garbage, genDirs.map(_._1))
   }
 
-  private def readOf(spark: SparkSession, base: Path,
-      files: Seq[Path]): DataFrame =
-    spark.read.option("basePath", base.toString)
-      .parquet(files.map(_.toString): _*)
+  private def readOf(spark: SparkSession, base: Path, files: Seq[Path],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val r0 = spark.read.option("basePath", base.toString)
+    schema.fold(r0)(r0.schema).parquet(files.map(_.toString): _*)
+  }
 
   /** The store's visible rows: newest committed generation + live root
     * appends.
@@ -199,19 +247,24 @@ private[graft] object StoreCompaction {
     * disagree with a fresh one. */
   def readVisible(spark: SparkSession, dir: String,
       pinLiveFiles: Boolean = false): DataFrame =
-    readSnapshot(spark, snapshot(spark, dir), dir, pinLiveFiles)
+    readSnapshot(spark, snapshot(spark, dir), dir, pinLiveFiles,
+      readSchemaHint(spark, dir))
 
   private def readSnapshot(spark: SparkSession, s: Snapshot, dir: String,
-      pinLiveFiles: Boolean): DataFrame = {
+      pinLiveFiles: Boolean,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def dirRead(path: String): DataFrame =
+      schema.fold(spark.read)(spark.read.schema).parquet(path)
     val genRead = s.gen.filter(_._3.nonEmpty)
-      .map { case (_, p, _, _) => spark.read.parquet(p.toString) }
+      .map { case (_, p, _, _) => dirRead(p.toString) }
     val liveRead =
       if (s.live.isEmpty) None
       else if (pinLiveFiles || s.garbage.nonEmpty)
-        Some(readOf(spark, s.root, s.live))
+        Some(readOf(spark, s.root, s.live, schema))
       // root dir read = live exactly: generations/temps are `_`-hidden
       // and garbage is empty here
-      else Some(spark.read.parquet(s.root.toString))
+      else Some(dirRead(s.root.toString))
     val reads = genRead.toSeq ++ liveRead.toSeq
     require(reads.nonEmpty, s"store at $dir has no data files")
     reads.reduce(_.unionByName(_))

@@ -164,6 +164,23 @@ class NearDupStoreSpec extends SparkTestBase {
     assert(b1Files() === before, "b1's files must be untouched by b2's append")
   }
 
+  test("schema hints are written, pin the read schema, and their " +
+      "absence falls back to inference (old stores)") {
+    val rows = corpus(members = 4)
+    val dir = freshDir("hint")
+    NearDupStore.write(embsDf(rows), "emb", "doc_id", dir, "b1", 4,
+      tables = 4, dim = dim)
+    for (sub <- Seq("vecs", "cells"))
+      assert(new java.io.File(s"$dir/$sub/_schema.ddl").isFile,
+        s"$sub read-schema hint must be persisted at write")
+    val pinned = pairSet(NearDupStore.pairs(spark, dir, tau, maxCell = 0))
+    // an OLD store (created before hints existed): reads must infer
+    for (sub <- Seq("vecs", "cells"))
+      assert(new java.io.File(s"$dir/$sub/_schema.ddl").delete())
+    assert(pairSet(NearDupStore.pairs(spark, dir, tau, maxCell = 0))
+      === pinned, "hint-less read must serve the identical pair set")
+  }
+
   test("appending under different LSH params is rejected loudly") {
     val rows = corpus(members = 4)
     val b1 = embsDf(rows.filter(_._1 % 2 == 0))
