@@ -61,10 +61,16 @@ object FreqStore {
       path: String, k: Int, batchId: String = "batch-0",
       mode: String = "overwrite"): Unit = {
     val (items, stats) = truncated(df, itemCol, groupCol, k)
-    items.withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(s"$path/items")
-    stats.withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(s"$path/stats")
+    val itemRows = items.withColumn("batch_id", lit(batchId))
+    itemRows.write.mode(mode).parquet(s"$path/items")
+    val statRows = stats.withColumn("batch_id", lit(batchId))
+    statRows.write.mode(mode).parquet(s"$path/stats")
+    // pin both tables' read schemas: snapshot reads skip the footer-
+    // inference job (StoreCompaction.writeSchemaHint; absent ⇒ inference)
+    StoreCompaction.writeSchemaHint(df.sparkSession, s"$path/items",
+      itemRows.schema)
+    StoreCompaction.writeSchemaHint(df.sparkSession, s"$path/stats",
+      statRows.schema)
   }
 
   /** Blind-append another batch (replay-neutral via read-side dedup). */

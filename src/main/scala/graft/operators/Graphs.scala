@@ -181,15 +181,19 @@ object Graphs {
     * partition-order-free, replayable in SQL. */
   def writeEdges(edges: DataFrame, srcCol: String, dstCol: String,
       path: String, batchId: String = "batch-0",
-      mode: String = "overwrite"): Unit =
-    edges
+      mode: String = "overwrite"): Unit = {
+    val rows = edges
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(path)
+    rows.write.mode(mode).parquet(path)
+    // pin the read schema: snapshot reads skip the footer-inference job
+    // (StoreCompaction.writeSchemaHint; absent ⇒ inference)
+    StoreCompaction.writeSchemaHint(edges.sparkSession, path, rows.schema)
+  }
 
   /** Blind-append another crawl batch (replay-neutral, see
     * [[writeEdges]]). */

@@ -125,16 +125,23 @@ object NgramLm {
     val toks = train.select(col(idCol),
       split(lower(trim(col(textCol))), "\\s+").as("w"))
     val trainToks = toks.select(explode(col("w")).as("w"))
-    trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
+    val spark = train.sparkSession
+    val uni = trainToks.groupBy("w").agg(count(lit(1)).as("c1"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(s"$path/uni")
-    bigramsOf(toks, idCol)
+    uni.write.mode(mode).parquet(s"$path/uni")
+    // pin the three tables' read schemas: scoreWithStore's snapshot
+    // reads skip the footer-inference job per table
+    // (StoreCompaction.writeSchemaHint; absent ⇒ inference)
+    StoreCompaction.writeSchemaHint(spark, s"$path/uni", uni.schema)
+    val big = bigramsOf(toks, idCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(s"$path/big")
-    trainToks.agg(count(lit(1)).as("tt"))
+    big.write.mode(mode).parquet(s"$path/big")
+    StoreCompaction.writeSchemaHint(spark, s"$path/big", big.schema)
+    val stats = trainToks.agg(count(lit(1)).as("tt"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(s"$path/stats")
+    stats.write.mode(mode).parquet(s"$path/stats")
+    StoreCompaction.writeSchemaHint(spark, s"$path/stats", stats.schema)
   }
 
   /** Blind-append a new training batch's counts. Distinct `batchId` per

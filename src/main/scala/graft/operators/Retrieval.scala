@@ -151,13 +151,26 @@ object Retrieval {
     val postings = postingsFor(docs, textCol, idCol, buckets)
     postings.write.mode(mode).partitionBy("bucket")
       .parquet(s"$path/postings")
+    // pin the read schemas so snapshot reads skip the footer-inference
+    // job (StoreCompaction.writeSchemaHint; absent ⇒ inference).
+    // `bucket` lives only in partition DIR names, where type inference
+    // reads 0..63 as INT — the hint must say INT too, not the writer
+    // column's LONG, or the pinned read would differ from the
+    // historical inferred one.
+    StoreCompaction.writeSchemaHint(docs.sparkSession, s"$path/postings",
+      org.apache.spark.sql.types.StructType(postings.schema.map(f =>
+        if (f.name == "bucket")
+          f.copy(dataType = org.apache.spark.sql.types.IntegerType)
+        else f)))
     // N counts ALL docs (a NULL-text doc has no postings but still
     // deflates idf/avgdl if dropped — same rule as the in-memory path)
-    docs.agg(count(lit(1)).as("n_docs"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
       // Σ tf over all (doc, term) rows = total tokens = Σ per-doc dl
       .crossJoin(postings.agg(coalesce(sum("tf"), lit(0L)).as("tok_total")))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(s"$path/stats")
+    stats.write.mode(mode).parquet(s"$path/stats")
+    StoreCompaction.writeSchemaHint(docs.sparkSession, s"$path/stats",
+      stats.schema)
   }
 
   /** The index's posting rows `(idCol, term, tf, dl, bucket)` — the

@@ -171,11 +171,15 @@ object Sampling {
   /** Write one batch's per-domain counts (null domains excluded — the
     * [[temperatureSample]] contract). */
   def writeDomainCounts(df: DataFrame, domainCol: String, path: String,
-      batchId: String, mode: String = "overwrite"): Unit =
-    df.where(col(domainCol).isNotNull)
+      batchId: String, mode: String = "overwrite"): Unit = {
+    val rows = df.where(col(domainCol).isNotNull)
       .groupBy(col(domainCol).as("dom")).agg(count(lit(1)).as("cnt"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(path)
+    rows.write.mode(mode).parquet(path)
+    // pin the read schema: snapshot reads skip the footer-inference job
+    // (StoreCompaction.writeSchemaHint; absent ⇒ inference)
+    StoreCompaction.writeSchemaHint(df.sparkSession, path, rows.schema)
+  }
 
   def appendDomainCounts(df: DataFrame, domainCol: String, path: String,
       batchId: String): Unit =

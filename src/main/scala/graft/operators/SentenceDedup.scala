@@ -106,11 +106,15 @@ object SentenceDedup {
 
   /** Write one batch's corpus-wide sentence-hash counts. */
   def writeCounts(df: DataFrame, textCol: String, idCol: String,
-      path: String, batchId: String, mode: String = "overwrite"): Unit =
-    sentences(df, textCol, idCol)
+      path: String, batchId: String, mode: String = "overwrite"): Unit = {
+    val rows = sentences(df, textCol, idCol)
       .groupBy("sh").agg(count(lit(1)).as("cnt"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(path)
+    rows.write.mode(mode).parquet(path)
+    // pin the read schema: snapshot reads skip the footer-inference job
+    // (StoreCompaction.writeSchemaHint; absent ⇒ inference)
+    StoreCompaction.writeSchemaHint(df.sparkSession, path, rows.schema)
+  }
 
   /** Blind-append another batch (replay-neutral). */
   def appendCounts(df: DataFrame, textCol: String, idCol: String,

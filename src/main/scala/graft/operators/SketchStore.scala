@@ -35,11 +35,16 @@ object SketchStore {
     * (lgConfigK=12 → ≤4 KiB registers). */
   def writeDistinct(df: DataFrame, valueCol: String, groupCol: String,
       path: String, batchId: String = "batch-0",
-      mode: String = "overwrite"): Unit =
-    df.groupBy(col(groupCol))
+      mode: String = "overwrite"): Unit = {
+    val rows = df.groupBy(col(groupCol))
       .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
       .withColumn("batch_id", lit(batchId))
-      .write.mode(mode).parquet(path)
+    rows.write.mode(mode).parquet(path)
+    // pin the read schema so snapshot reads skip the footer-inference
+    // job (driver-side, first writer wins, absent ⇒ inference —
+    // StoreCompaction.writeSchemaHint)
+    StoreCompaction.writeSchemaHint(df.sparkSession, path, rows.schema)
+  }
 
   /** Blind-append another batch's sketches (idempotent under replay —
     * see object doc). */

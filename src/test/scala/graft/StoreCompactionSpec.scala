@@ -326,4 +326,77 @@ class StoreCompactionSpec extends SparkTestBase {
     }
     assert(incr === touching.sorted)
   }
+
+  // ------------------------------------------------------ schema hints
+  test("schema hints (round 16): every store write persists _schema.ddl; " +
+      "the pinned read is value- AND dtype-identical to the inferred " +
+      "read, including the partitioned BM25 postings' INT bucket") {
+    import spark.implicits._
+    val dir = tmpDir("hintbm25")
+    def docs(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, s"term${i % 7} term${i % 3} filler words body $i") }
+      .toDF("doc_id", "text")
+    Retrieval.writeIndexBm25(docs(0, 40), "text", "doc_id", dir,
+      buckets = 8, batchId = "b001")
+    for (sub <- Seq("postings", "stats"))
+      assert(new java.io.File(s"$dir/$sub/_schema.ddl").isFile,
+        s"bm25 $sub hint must be persisted at write")
+    val pinned = StoreCompaction.readVisible(spark, s"$dir/postings")
+    val pre = rowsOf(Retrieval.queryIndexBm25(spark, dir, "doc_id",
+      Seq("term1", "term2"), buckets = 8))
+    // the hint must reproduce the INFERRED read exactly — bucket is a
+    // partition DIRECTORY whose values 0..7 type-infer as INT, not the
+    // writer column's LONG
+    for (sub <- Seq("postings", "stats"))
+      assert(new java.io.File(s"$dir/$sub/_schema.ddl").delete())
+    val inferred = StoreCompaction.readVisible(spark, s"$dir/postings")
+    assert(pinned.schema.fields.map(f => (f.name, f.dataType)).toMap ===
+      inferred.schema.fields.map(f => (f.name, f.dataType)).toMap,
+      "pinned dtypes must equal partition/footer inference")
+    assert(rowsOf(pinned) === rowsOf(inferred))
+    assert(rowsOf(Retrieval.queryIndexBm25(spark, dir, "doc_id",
+      Seq("term1", "term2"), buckets = 8)) === pre,
+      "hint-less BM25 read must score identically")
+    // the non-partitioned stores: hint present + pinned ≡ inferred
+    val gDir = tmpDir("hintgraph")
+    Graphs.writeEdges((0L until 30L).map(i => (i, (i + 1) % 30))
+      .toDF("s", "d"), "s", "d", gDir, "b001")
+    assert(new java.io.File(s"$gDir/_schema.ddl").isFile)
+    val gPinned = rowsOf(Graphs.readEdges(spark, gDir))
+    assert(new java.io.File(s"$gDir/_schema.ddl").delete())
+    assert(rowsOf(Graphs.readEdges(spark, gDir)) === gPinned)
+    // every other store family writes its hint too
+    val sDir = tmpDir("hintsent")
+    SentenceDedup.writeCounts(sentDocs(0 until 10), "text", "doc_id",
+      sDir, "b001")
+    assert(new java.io.File(s"$sDir/_schema.ddl").isFile)
+    val aDir = tmpDir("hintann")
+    Similarity.writeIndex((0 until 8).map(i => (i.toLong,
+      Array.fill(8)(i.toFloat))).toDF("doc_id", "emb"), aDir, "emb",
+      bits = 3, dim = 8)
+    assert(new java.io.File(s"$aDir/_schema.ddl").isFile)
+    val cDir = tmpDir("hintcur")
+    Curation.writeStaged((0 until 8).map(i => (i.toLong, s"body text $i",
+      s"http://d$i.com/x")).toDF("doc_id", "text", "url"),
+      "doc_id", "text", "url", cDir, "b001")
+    assert(new java.io.File(s"$cDir/_schema.ddl").isFile)
+    val fDir = tmpDir("hintfreq")
+    FreqStore.writeTopK((0 until 40).map(i => (s"i${i % 5}", s"g${i % 2}"))
+      .toDF("item", "grp"), "item", "grp", fDir, k = 3, batchId = "b001")
+    for (sub <- Seq("items", "stats"))
+      assert(new java.io.File(s"$fDir/$sub/_schema.ddl").isFile)
+    val kDir = tmpDir("hintsketch")
+    SketchStore.writeDistinct((0 until 40).map(i => (i % 11, s"g${i % 2}"))
+      .toDF("v", "grp"), "v", "grp", kDir, "b001")
+    assert(new java.io.File(s"$kDir/_schema.ddl").isFile)
+    val lDir = tmpDir("hintlm")
+    NgramLm.writeCounts(docs(0, 10), "text", "doc_id", lDir, "b001")
+    for (sub <- Seq("uni", "big", "stats"))
+      assert(new java.io.File(s"$lDir/$sub/_schema.ddl").isFile)
+    val dDir = tmpDir("hintdom")
+    graft.operators.Sampling.writeDomainCounts(
+      (0 until 20).map(i => s"d${i % 4}.com").toDF("dom0"), "dom0",
+      dDir, "b001")
+    assert(new java.io.File(s"$dDir/_schema.ddl").isFile)
+  }
 }
