@@ -117,6 +117,54 @@ object PlanDump {
         .groupBy("node").agg(sum(col("m")).as("m"))
     }
 
+    // One round's SMALL-STAR + POINTER-DOUBLING unit of clusters()
+    // (round 16): BEFORE = the SHIPPED form — SortMergeJoin for both
+    // label-scale joins; AFTER = the SHUFFLE_HASH-pinned variant that
+    // was tried and REJECTED with data (X=100 chain A/B: +16% summed
+    // task time; radix-sorting long label keys beats per-round hash
+    // builds — rejection note at the small-star join in Dedup.scala).
+    // Both dumps are kept as the rejection's plan evidence.
+    def starUnits(after: Boolean): (DataFrame, DataFrame) = {
+      val p = pairs()
+      def cut(df: DataFrame): DataFrame = {
+        val (cp, _) = operators.Dedup.checkpointTracked(df)
+        org.apache.spark.sql.graftbridge.DatasetBridge.fromInternalRows(
+          spark, cp.queryExecution.toRdd, df.schema)
+      }
+      val edges = cut(p.select(explode(array(
+          struct(col("id1").as("src"), col("id2").as("dst")),
+          struct(col("id2").as("src"), col("id1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .distinct())
+      val labels = cut(edges.groupBy(col("src").as("id"))
+        .agg(least(min(col("dst")), first(col("src"))).as("cluster")))
+      val hopped0 = cut(edges
+        .join(labels.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          "src")
+        .select(col("dst").as("id"), col("cluster"))
+        .unionAll(labels)
+        .groupBy("id").agg(min("cluster").as("cluster")))
+      def h(df: DataFrame): DataFrame =
+        if (after) df.hint("shuffle_hash") else df
+      // small-star unit: the centers⋈post-hop join UNCUT, so the dump
+      // shows this round's join strategy
+      val viaMembers = labels.where(col("id") =!= col("cluster"))
+        .select(col("id").as("mid"), col("cluster").as("center"))
+        .join(h(hopped0.withColumnRenamed("id", "mid")), "mid")
+        .select(col("center").as("id"), col("cluster"))
+      val smallStar = hopped0.unionAll(viaMembers)
+        .groupBy("id").agg(min("cluster").as("cluster"))
+      // doubling unit: over a cut post-star table, as the operator runs
+      val hopped = cut(smallStar)
+      val doubling = hopped.alias("a")
+        .join(h(hopped.select(col("id").as("cluster"),
+          col("cluster").as("c2")).alias("b")), Seq("cluster"), "left")
+        .select(col("id"), coalesce(col("c2"), col("cluster")).as("cluster"))
+      (smallStar, doubling)
+    }
+    def roundClustersStar(after: Boolean): DataFrame = starUnits(after)._1
+    def roundClustersDouble(after: Boolean): DataFrame = starUnits(after)._2
+
     // The capped PAIRING KERNEL (Similarity.cellPairs — shared by
     // selfTopKLsh and NearDupStore.pairs, i.e. every kNN/semdedup/media
     // gate). BEFORE = the round-15 two-branch hot/cold form, inlined
@@ -260,6 +308,8 @@ object PlanDump {
         case "round_clusters"      => roundClusters(variant == "after")
         case "round_pagerank"      => roundPageRank(variant == "after")
         case "round_clusters_deep" => roundClustersDeep(variant == "after")
+        case "round_clusters_star" => roundClustersStar(variant == "after")
+        case "round_clusters_double" => roundClustersDouble(variant == "after")
         case "media_pairs"         => mediaPairs(variant == "after")
         case "cell_pairs"          => cellPairsPlan(variant == "after")
         case "store_pairs"         => storePairs(variant == "after")

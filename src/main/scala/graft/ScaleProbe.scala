@@ -29,6 +29,9 @@ object ScaleProbe {
     // earlier rounds printed it as "peakTaskMem", which overstated
     // per-task pressure by the parallelism factor
     @volatile var peakStageMem = 0L
+    // summed executorRunTime — the wall-noise-resistant comparator for
+    // alternating A/Bs (walls on this host swing ±25% across windows)
+    @volatile var taskMs = 0L
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
@@ -36,9 +39,13 @@ object ScaleProbe {
         memSpill += m.memoryBytesSpilled
         diskSpill += m.diskBytesSpilled
         peakStageMem = math.max(peakStageMem, m.peakExecutionMemory)
+        taskMs += m.executorRunTime
       }
     }
-    def reset(): Unit = { shuffleWrite = 0; memSpill = 0; diskSpill = 0; peakStageMem = 0 }
+    def reset(): Unit = {
+      shuffleWrite = 0; memSpill = 0; diskSpill = 0; peakStageMem = 0
+      taskMs = 0
+    }
   }
 
   /** Deterministic power-law graph for the skew probes: 5 hub nodes
@@ -139,7 +146,8 @@ object ScaleProbe {
         .foreach(_.unpersist(blocking = false))
       println(f"$name%-18s ${sec}%7.2f s  shuffle=${listener.shuffleWrite / (1 << 20)}%5d MiB" +
         f"  spill(mem/disk)=${listener.memSpill / (1 << 20)}%d/${listener.diskSpill / (1 << 20)}%d MiB" +
-        f"  peakStageMem=${listener.peakStageMem / (1 << 20)}%d MiB")
+        f"  peakStageMem=${listener.peakStageMem / (1 << 20)}%d MiB" +
+        f"  task=${listener.taskMs / 1e3}%.1fs")
       Some(name -> sec)
     }
 

@@ -651,7 +651,16 @@ object Dedup {
         labels.unionAll(viaNeighbors)
           .groupBy("id").agg(min("cluster").as("cluster")), None)
       // (b) small-star: centers (pre-hop labels) adopt the min of what
-      // their members just learned
+      // their members just learned. Deliberately SMJ (no SHUFFLE_HASH):
+      // pinning SHJ here and on the doubling join was tried in round 16
+      // and REJECTED with data — X=100 chain A/B (19 rounds, 5M-node
+      // path) measured +16% summed task time (6586/6704 vs 5858/5537 s)
+      // for −49% peak stage memory; both join inputs are LABEL-scale
+      // long-key tables, where Spark's radix sort is cheaper than a
+      // per-round per-partition hash build. The hop join's SHJ pin is
+      // different: it avoids sorting the EDGE side, which dominates the
+      // labels. Plans of both forms: plans/r16/round_clusters_{star,
+      // double}_{before,after}.txt; rows in SCALE.md round 16.
       val viaMembers = labels.where(col("id") =!= col("cluster"))
         .select(col("id").as("mid"), col("cluster").as("center"))
         .join(hopped0.withColumnRenamed("id", "mid"), "mid")
@@ -672,6 +681,7 @@ object Dedup {
         // (c) pointer doubling: follow the label one more step. Labels
         // only ever shrink (cluster ≤ id and label(c) ≤ c), so the
         // shortcut label is min(cluster, label(cluster)) = label(cluster).
+        // deliberately SMJ — see the small-star join's rejection note
         val (next, releaseNext, nextSum0) = checkpointCut(
           hopped.alias("a")
             .join(hopped.select(col("id").as("cluster"), col("cluster").as("c2")).alias("b"),
