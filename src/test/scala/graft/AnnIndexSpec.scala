@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, StoreCompaction}
 import org.apache.spark.sql.functions._
 
 /** Persisted incremental ANN index: append equivalence, query identity
@@ -80,5 +80,24 @@ class AnnIndexSpec extends SparkTestBase {
     val total = e.count()
     assert(scanned < total / 2,
       s"scan read $scanned of $total rows — partitions not pruned")
+    // the same pruning must survive the SCHEMA-HINTED store read (round
+    // 16: writeIndex pins the read schema; a user-specified schema must
+    // not demote the partition predicate to a data filter — losing
+    // directory pruning would silently re-read the whole index at scale)
+    assert(new java.io.File(s"$dir/_schema.ddl").isFile,
+      "test premise: the index carries a schema hint")
+    val hinted = StoreCompaction.readVisible(spark, dir)
+      .where(call_function("bit_count",
+        col("cell").bitwiseXOR(lit(queryCell))) <= 1)
+    hinted.collect()
+    val hplan = hinted.queryExecution.executedPlan.toString
+    val hpf = hplan.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(hpf.contains("bit_count") || hpf.contains("cell"),
+      s"hinted read lost partition pruning: $hpf\n${hplan.take(2000)}")
+    val hscanned = hinted.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows").value
+    assert(hscanned < total / 2,
+      s"hinted scan read $hscanned of $total rows — partitions not pruned")
   }
 }
