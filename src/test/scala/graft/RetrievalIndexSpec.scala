@@ -72,5 +72,23 @@ class RetrievalIndexSpec extends SparkTestBase {
     val total = spark.read.parquet(s"$dir/postings").count()
     assert(scanned < total / 8,
       s"one bucket of $buckets must scan a small slice: $scanned of $total")
+    // pruning must survive the SCHEMA-HINTED store read (round 16: the
+    // write pins the read schema with bucket typed INT to match
+    // partition-dir inference; a user schema must not demote the bucket
+    // predicate from PartitionFilters to a data filter)
+    assert(new java.io.File(s"$dir/postings/_schema.ddl").isFile,
+      "test premise: the postings table carries a schema hint")
+    val hinted = graft.operators.StoreCompaction
+      .readVisible(spark, s"$dir/postings")
+      .where(col("bucket").isin(tBuckets: _*))
+    hinted.collect()
+    val hpf = hinted.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(hpf.contains("bucket"),
+      s"hinted read lost partition pruning: $hpf")
+    val hscanned = hinted.queryExecution.executedPlan.collectLeaves()
+      .head.metrics("numOutputRows").value
+    assert(hscanned < total / 8,
+      s"hinted scan read $hscanned of $total — partitions not pruned")
   }
 }
